@@ -1,0 +1,201 @@
+"""Maintenance operators: compaction, tombstone GC, row processors,
+cleanup, snapshot/export (SURVEY.md §2.5).
+
+The reference's size-tiered compaction (``db/CompactionManager.java:87-131,
+282-375``) k-way-merges SSTables, reconciles rows, and purges GC-able
+tombstones. Ours is one declarative rewrite: reconciled ``gc_view`` ->
+sorted, bucketed Parquet. There is no bucketing *scheduler* to port —
+bounded file count is the invariant, and a single rewrite restores it.
+
+``IRowProcessor`` (fork UDF hook, ``db/proc/IRowProcessor.java:36-76``,
+invoked at flush/compaction ``db/Memtable.java:165-187``,
+``io/CompactionIterator.java:140-156``) maps to ``applyInPandas`` over
+whole-row groups — the one place Python-side code belongs, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.functions.reconcile import gc_view
+from apache_cassandra_spark.sources.cellstore import CELL_SCHEMA, CONTAINER_TOMBSTONE_SCHEMA, CellStore
+
+#: IRowProcessor analog: pandas frame of one row's cells -> transformed
+#: frame (empty frame == drop the row, mirroring "return null")
+RowProcessor = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def _swap_dir(tmp: str, final: str) -> None:
+    """Local-FS atomic-ish swap. On an object store this would be a
+    manifest/metadata commit (Delta/Iceberg-style); the operator contract
+    is the same: readers see the old or the new fileset, never a mix."""
+    old = final + ".old"
+    if os.path.isdir(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def compact(
+    store: CellStore,
+    ks: str,
+    cf_name: str,
+    gc_grace_seconds: int | None = None,
+    now: int | None = None,
+    row_processor: RowProcessor | None = None,
+    key_pred=None,
+    buckets: int | None = None,
+) -> None:
+    """Major compaction (``CompactionManager.submitMajor:192-225``): rewrite
+    the CF as its reconciled view with tombstone GC applied.
+
+    * tombstones older than ``now - gcGraceSeconds`` are purged; younger
+      ones kept (late writes must still lose to them) — exactly
+      ``removeDeleted`` + ``CompactionManager.java:676``.
+    * ``key_pred`` turns this into anti-compaction/cleanup
+      (``doAntiCompaction:413-452``): only matching rows are kept.
+    * output is hash-bucketed by key and sorted by (key, sc, column) inside
+      each bucket — scans get clustered rows, point reads prune buckets.
+    """
+    store.flush(ks, cf_name)
+    cf = store.cf(ks, cf_name)
+    cfdef = cf.cfdef
+    if gc_grace_seconds is None:
+        gc_grace_seconds = cfdef.gc_grace_seconds
+    if now is None:
+        now = int(time.time())
+    gc_before = now - gc_grace_seconds
+
+    cells = cf.cells if key_pred is None else cf.cells.where(key_pred)
+    tombs = cf.container_tombstones
+    out = gc_view(cells, tombs, gc_before)
+
+    if row_processor is None and cfdef.row_processors:
+        procs = [get_row_processor(n) for n in cfdef.row_processors]
+
+        def chained(pdf: pd.DataFrame) -> pd.DataFrame:
+            # RowProcessorChain semantics (db/proc/RowProcessorChain.java):
+            # each processor sees the previous one's output; null drops the row
+            for p in procs:
+                if pdf is None or len(pdf) == 0:
+                    break
+                pdf = p(pdf)
+            return pdf
+
+        row_processor = chained
+
+    if row_processor is not None:
+        proc = row_processor
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            res = proc(pdf)
+            return pdf.iloc[0:0] if res is None else res
+
+        out = out.groupBy("key").applyInPandas(run, CELL_SCHEMA)
+
+    n_buckets = buckets or max(1, out.sparkSession.sparkContext.defaultParallelism)
+    out = out.repartition(n_buckets, "key").sortWithinPartitions("key", "sc", "column")
+
+    cells_dir = store._cells_dir(ks, cf_name)
+    tmp = cells_dir + ".compact_tmp"
+    writer = out.write.mode("overwrite")
+    if cfdef.bloom_columns:
+        # fork column-bloom analog: Parquet bloom filters on the name/key
+        # columns (probe served by io skipping instead of explicit BFs)
+        writer = (
+            writer.option("parquet.bloom.filter.enabled#key", "true")
+            .option("parquet.bloom.filter.enabled#column", "true")
+        )
+    writer.parquet(tmp)
+    _swap_dir(tmp, cells_dir)
+
+    # container tombstones: purge those past grace (all shadowed cells are
+    # gone from the rewrite above), keep younger watermarks
+    if tombs is not None:
+        kept = tombs.where(F.col("ldt") >= F.lit(gc_before))
+        ctombs_dir = store._ctombs_dir(ks, cf_name)
+        tmp_t = ctombs_dir + ".compact_tmp"
+        kept.write.mode("overwrite").parquet(tmp_t)
+        _swap_dir(tmp_t, ctombs_dir)
+
+
+def cleanup(store: CellStore, ks: str, cf_name: str, key_pred) -> None:
+    """``doCleanupCompaction`` (``CompactionManager.java:534-548``): drop
+    rows no longer owned — compaction restricted to the keep-predicate."""
+    compact(store, ks, cf_name, key_pred=key_pred)
+
+
+# -- row processor registry (fork: config/storage-conf.xml:140-149) ---------
+
+_ROW_PROCESSORS: dict[str, RowProcessor] = {}
+
+
+def register_row_processor(name: str, proc: RowProcessor) -> None:
+    _ROW_PROCESSORS[name] = proc
+
+
+def get_row_processor(name: str) -> RowProcessor:
+    return _ROW_PROCESSORS[name]
+
+
+def _remove_deleted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Built-in analog of ``db/proc/RemoveDeletedRowProcessor.java``."""
+    return pdf[~pdf["tombstone"]]
+
+
+register_row_processor("RemoveDeleted", _remove_deleted)
+
+
+# -- snapshot / export / import (tools/SSTableExport.java:44,108-331) --------
+
+
+def export_json(cf_cells: DataFrame, path: str) -> None:
+    """SSTable->JSON export analog: cells as JSON lines, binary fields hex."""
+    (
+        cf_cells.select(
+            "key",
+            F.hex("sc").alias("sc"),
+            F.hex("column").alias("column"),
+            F.hex("value").alias("value"),
+            "ts",
+            "tombstone",
+            "ldt",
+        ).write.mode("overwrite").json(path)
+    )
+
+
+def import_json(spark, path: str) -> DataFrame:
+    """JSON->cells import analog (``tools/SSTableImport.java``)."""
+    # explicit schema: JSON omits all-null fields (e.g. sc/ldt), inference
+    # would drop those columns
+    raw = spark.read.schema(
+        "key string, sc string, column string, value string, ts long, tombstone boolean, ldt int"
+    ).json(path)
+    return raw.select(
+        F.col("key").cast("string"),
+        F.unhex("sc").alias("sc"),
+        F.unhex("column").alias("column"),
+        F.unhex("value").alias("value"),
+        F.col("ts").cast("long"),
+        F.col("tombstone").cast("boolean"),
+        F.col("ldt").cast("int"),
+    )
+
+
+def snapshot(store: CellStore, ks: str, cf_name: str, tag: str) -> str:
+    """Hardlink snapshot (``db/ColumnFamilyStore.java:1283``)."""
+    src = store._cells_dir(ks, cf_name)
+    dst = os.path.join(store.root, ks, cf_name, "snapshots", tag)
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+    return dst

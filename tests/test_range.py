@@ -1,0 +1,94 @@
+"""get_range_slices / describe_splits — mirrors test_server.py:882
+(test_get_range_slice), :937 (wrap-around token ranges)."""
+
+from apache_cassandra_spark.model import KeyRange, SlicePredicate, SliceRange
+from apache_cassandra_spark.operators import read
+
+from tests.util import cell, make_cf
+
+
+def range_cf(spark, order_preserving=True):
+    cells = []
+    for i in range(30):
+        k = f"key{i:02d}"
+        cells.append(cell(k, b"c1", f"v{i}".encode(), 0))
+        cells.append(cell(k, b"c2", f"w{i}".encode(), 0))
+    return make_cf(spark, cells, order_preserving=order_preserving)
+
+
+def keys_of(df):
+    return sorted({r["key"] for r in df.collect()})
+
+
+def test_key_range_inclusive_bounds(spark):
+    cf = range_cf(spark)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_key="key05", end_key="key08", count=100)
+    assert keys_of(read.get_range_slices(cf, pred, kr)) == ["key05", "key06", "key07", "key08"]
+
+
+def test_key_range_row_count_cap(spark):
+    cf = range_cf(spark)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_key="key00", end_key="key29", count=5)
+    got = keys_of(read.get_range_slices(cf, pred, kr))
+    assert got == ["key00", "key01", "key02", "key03", "key04"]
+
+
+def test_range_per_row_slice_applied(spark):
+    cf = range_cf(spark)
+    pred = SlicePredicate(slice_range=SliceRange(count=1))
+    kr = KeyRange(start_key="key00", end_key="key02", count=10)
+    rows = read.get_range_slices(cf, pred, kr).collect()
+    assert all(bytes(r["column"]) == b"c1" for r in rows) and len(rows) == 3
+
+
+def test_token_range_start_exclusive(spark):
+    cf = range_cf(spark)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_token="key05", end_token="key08", count=100)
+    # token addressing: start exclusive, end inclusive
+    assert keys_of(read.get_range_slices(cf, pred, kr)) == ["key06", "key07", "key08"]
+
+
+def test_wrapped_token_range(spark):
+    cf = range_cf(spark)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_token="key27", end_token="key01", count=100)
+    got = keys_of(read.get_range_slices(cf, pred, kr))
+    assert got == ["key00", "key01", "key28", "key29"]
+
+
+def test_full_ring_scan(spark):
+    cf = range_cf(spark)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_token="", end_token="", count=1000)
+    assert len(keys_of(read.get_range_slices(cf, pred, kr))) == 30
+
+
+def test_random_partitioner_paging_is_md5_ordered(spark):
+    import hashlib
+
+    cf = range_cf(spark, order_preserving=False)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_token="", end_token="", count=7)
+    got = keys_of(read.get_range_slices(cf, pred, kr))
+    all_keys = [f"key{i:02d}" for i in range(30)]
+    expected = sorted(all_keys, key=lambda k: hashlib.md5(k.encode()).hexdigest())[:7]
+    assert got == sorted(expected)
+
+
+def test_describe_splits(spark):
+    cf = range_cf(spark)
+    bounds = read.describe_splits(cf, keys_per_split=10)
+    assert len(bounds) == 3
+    assert bounds[-1] == "key29"
+    assert bounds == sorted(bounds)
+
+
+def test_range_scan_sees_tombstoned_rows_excluded(spark):
+    cells = [cell("ka", b"c1", b"v", 0), cell("kb", b"c1", b"v", 0)]
+    cf = make_cf(spark, cells, ctombs=[("ka", None, 5, 0)], order_preserving=True)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_key="", end_key="", count=10)
+    assert keys_of(read.get_range_slices(cf, pred, kr)) == ["kb"]

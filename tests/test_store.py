@@ -1,0 +1,178 @@
+"""CellStore write path, compaction, row processors, export/import,
+existence probes — mirrors db/CompactionsPurgeTest.java,
+db/CompactionRowProcTest.java:39, db/ColumnFamilyStoreTest.java:147,172."""
+
+import pytest
+
+from apache_cassandra_spark.catalog import Catalog
+from apache_cassandra_spark.model import ColumnPath, Deletion, Mutation, SlicePredicate, SliceRange
+from apache_cassandra_spark.operators import exists, maintenance, read, write
+from apache_cassandra_spark.sources.cellstore import CellStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    catalog = Catalog.from_dict(
+        {
+            "Keyspace1": {
+                "Standard1": {"compare_with": "BytesType"},
+                "Proc1": {"compare_with": "BytesType", "row_processors": ["RemoveDeleted"]},
+            }
+        }
+    )
+    return CellStore(spark, str(tmp_path), catalog)
+
+
+def test_insert_then_get(store):
+    store.apply("Keyspace1", "Standard1", write.insert("k1", ColumnPath("Standard1", column=b"c1"), b"v1", 1))
+    cf = store.cf("Keyspace1", "Standard1")
+    rows = read.get(cf, "k1", ColumnPath("Standard1", column=b"c1")).collect()
+    assert len(rows) == 1 and bytes(rows[0]["value"]) == b"v1"
+
+
+def test_memtable_buffer_visible_to_reads(store):
+    store.apply(
+        "Keyspace1", "Standard1", write.insert("k1", ColumnPath("Standard1", column=b"c1"), b"v1", 1), durable=False
+    )
+    cf = store.cf("Keyspace1", "Standard1")
+    assert read.get(cf, "k1", ColumnPath("Standard1", column=b"c1")).count() == 1
+    store.flush()
+    assert read.get(store.cf("Keyspace1", "Standard1"), "k1", ColumnPath("Standard1", column=b"c1")).count() == 1
+
+
+def test_remove_column_then_row(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c2"), b"v2", 1))
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn, column=b"c1"), 2))
+    cf = store.cf(ks, cfn)
+    assert read.get_count(cf, "k1").collect()[0]["count"] == 1
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn), 3))
+    cf = store.cf(ks, cfn)
+    assert read.get_count(cf, "k1").collect()[0]["count"] == 0
+
+
+def test_batch_mutate_roundtrip(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    batches = write.batch_mutate(
+        {
+            "k1": {
+                cfn: [
+                    Mutation(column_name=b"c1", value=b"v1", timestamp=1),
+                    Mutation(column_name=b"c2", value=b"v2", timestamp=1),
+                ]
+            },
+            "k2": {cfn: [Mutation(deletion=Deletion(timestamp=5))]},
+        }
+    )
+    for name, b in batches.items():
+        store.apply(ks, name, b)
+    cf = store.cf(ks, cfn)
+    pred = SlicePredicate(slice_range=SliceRange(count=100))
+    assert read.get_slice(cf, "k1", pred).count() == 2
+    assert read.get_slice(cf, "k2", pred).count() == 0
+
+
+def test_compaction_purges_old_tombstones(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn, column=b"c1"), 2, local_deletion_time=100))
+    store.apply(ks, cfn, write.insert("k2", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    maintenance.compact(store, ks, cfn, gc_grace_seconds=0)
+    cf = store.cf(ks, cfn)
+    # tombstone + shadowed cell physically gone, live cell kept
+    assert cf.cells.count() == 1
+    assert read.get_count(cf, "k2").collect()[0]["count"] == 1
+
+
+def test_compaction_keeps_young_tombstones(store):
+    import time
+
+    ks, cfn = "Keyspace1", "Standard1"
+    now = int(time.time())
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn, column=b"c1"), 2, local_deletion_time=now))
+    maintenance.compact(store, ks, cfn, gc_grace_seconds=3600)
+    cf = store.cf(ks, cfn)
+    assert cf.cells.count() == 1  # the young tombstone survives
+    assert cf.cells.collect()[0]["tombstone"] is True
+
+
+def test_row_processor_chain_from_catalog(store):
+    ks, cfn = "Keyspace1", "Proc1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn, column=b"c2"), 2, local_deletion_time=2**31 - 10))
+    maintenance.compact(store, ks, cfn, gc_grace_seconds=10**9)
+    cf = store.cf(ks, cfn)
+    # RemoveDeleted row processor dropped the young tombstone anyway
+    assert [bytes(r["column"]) for r in cf.cells.collect()] == [b"c1"]
+
+
+def test_custom_row_processor_drops_rows(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    for k in ("keep", "drop"):
+        store.apply(ks, cfn, write.insert(k, ColumnPath(cfn, column=b"c1"), b"v1", 1))
+
+    def only_keep(pdf):
+        return pdf if (pdf["key"] == "keep").all() else None
+
+    maintenance.compact(store, ks, cfn, row_processor=only_keep)
+    cf = store.cf(ks, cfn)
+    assert [r["key"] for r in cf.cells.collect()] == ["keep"]
+
+
+def test_cleanup_restricted_rewrite(store, spark):
+    from pyspark.sql import functions as F
+
+    ks, cfn = "Keyspace1", "Standard1"
+    for k in ("a1", "b2"):
+        store.apply(ks, cfn, write.insert(k, ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    maintenance.cleanup(store, ks, cfn, key_pred=F.col("key").startswith("a"))
+    assert [r["key"] for r in store.cf(ks, cfn).cells.collect()] == ["a1"]
+
+
+def test_export_import_roundtrip(store, spark, tmp_path):
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    cf = store.cf(ks, cfn)
+    path = str(tmp_path / "export")
+    maintenance.export_json(cf.cells, path)
+    back = maintenance.import_json(spark, path)
+    rows = back.collect()
+    assert len(rows) == 1 and bytes(rows[0]["value"]) == b"v1" and rows[0]["ts"] == 1
+
+
+def test_snapshot_hardlinks(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    import os
+
+    dst = maintenance.snapshot(store, ks, cfn, "tag1")
+    assert any(f.endswith(".parquet") for f in os.listdir(dst))
+
+
+def test_rows_may_exist_probe(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    cf = store.cf(ks, cfn)
+    got = {r["key"]: r["may_exist"] for r in exists.rows_may_exist(cf, ["k1", "nope"]).collect()}
+    assert got == {"k1": True, "nope": False}
+
+
+def test_columns_may_exist_stale_positive_ok(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn, column=b"c1"), 2))
+    cf = store.cf(ks, cfn)
+    got = {bytes(r["column"]): r["may_exist"] for r in exists.columns_may_exist(cf, "k1", [b"c1", b"c9"]).collect()}
+    # deleted column may still probe true (one-sided contract); absent is false
+    assert got[b"c1"] is True and got[b"c9"] is False
+
+
+def test_bulk_load(store, spark):
+    from apache_cassandra_spark.sources.ingest import cells_from_table
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    store.bulk_load("Keyspace1", "Standard1", cells_from_table(df, "id"))
+    cf = store.cf("Keyspace1", "Standard1")
+    assert read.get_count(cf, "1").collect()[0]["count"] == 1
