@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+
+* **exact** — one hash-aggregate; the only full-shuffle is on the 128-bit
+  content hash, which is uniform by construction (no skew).
+* **n-gram Jaccard** — exact pairwise similarity via an inverted index
+  (shingle -> posting list) so the join is |postings|² per shingle, not
+  |docs|²; ``max_doc_freq`` drops stop-shingles, the classic skew guard.
+* **MinHash+LSH** — the 100 TB path: constant-size signatures, banding
+  turns near-dup search into an equality join on band buckets.
+* **SimHash** — constant-size bit signature; hamming-adjacent docs collide
+  on chunk buckets.
+* **embedding cosine** — see ``similarity.py``; threshold self-join here.
+
+All hashing is md5 (oracle-reproducible); murmur3 would be faster but the
+determinism contract wins for correctness validation — swap ``_hash64``
+for ``xxhash64`` in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics.text import word_ngrams
+
+
+def _hash64(c: Column, salt: Column | str | int) -> Column:
+    """Deterministic 60-bit hash (15 md5 hex chars -> bigint; 60 bits so
+    the same arithmetic fits signed int64 in any SQL engine)."""
+    return F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt).cast("string"), c)), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    surviving (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative row per distinct content."""
+    w_id = F.col(id_col)
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(w_id).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs + per-doc set size."""
+    grams = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+    return grams.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram sets, inverted-index join.
+
+    ``max_doc_freq``: drop shingles occurring in more than this many docs
+    before pairing (skew guard — a boilerplate shingle shared by 1M docs
+    would otherwise create a 10¹²-row join partition at 100 TB).
+    """
+    sh = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    postings = sh
+    if max_doc_freq is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_doc_freq)
+        postings = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    a = postings.select(F.col("id").alias("id_a"), "shingle")
+    b = postings.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_perm: int = 16
+) -> DataFrame:
+    """(id, perm, minhash) — num_perm independent min-hashes per doc."""
+    sh = shingle_sets(df, text_col, id_col, n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    hashed = sh.select("id", "shingle").select("id", perms, F.col("shingle"))
+    hashed = hashed.withColumn("h", _hash64(F.col("shingle"), F.col("perm")))
+    return hashed.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs whose signatures agree on at least one
+    full band (rows_per_band = num_perm / bands). Equality join on the band
+    bucket hash — the shuffle key is uniform md5 output, skew-free."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    rows_per_band = num_perm // bands
+    # band bucket = md5 of the sorted "pp:minhash" elements; perm is
+    # zero-padded so lexicographic sort order == numeric perm order (and the
+    # same string_agg ORDER BY reproduces it in ANSI SQL)
+    elem = F.concat_ws(":", F.lpad(F.col("perm").cast("string"), 2, "0"), F.col("minhash").cast("string"))
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(elem)))).alias("bucket"))
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash over tokens: bit_i = sign(sum over tokens of ±1 at
+    bit_i of the token hash). Integer-only arithmetic (div/mod) so the
+    oracle reproduces it exactly."""
+    from apache_cassandra_spark.analytics.text import tokens
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    toks = toks.withColumn("h", _hash64(F.col("tok"), "simhash"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    exploded = toks.select("id", "h", bit)
+    # +1 when the token hash has the bit set, -1 otherwise. Pure integer
+    # arithmetic (shiftleft/div): float or double→decimal conversions lose
+    # exactness past ~2^57 (Spark's double→decimal cast goes through the
+    # 17-significant-digit string form).
+    contrib = F.expr("(h div shiftleft(cast(1 as bigint), bit)) % 2") * 2 - 1
+    votes = exploded.groupBy("id", "bit").agg(F.sum(contrib).alias("vote"))
+    sig = votes.groupBy("id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))).alias(
+            "simhash"
+        )
+    )
+    return sig.select(F.col("id").alias(id_col), F.col("simhash").cast("string").alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs agreeing on any of ``chunks`` signature
+    chunks (pigeonhole: hamming distance < chunks ⇒ some chunk equal)."""
+    sig = simhash(df, text_col, id_col, bits).withColumn("sig", F.col("simhash").cast("long"))
+    per_chunk = bits // chunks
+    chunk = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk")
+    parts = sig.select(F.col(id_col).alias("id"), "sig", chunk).withColumn(
+        "part", F.expr(f"shiftright(sig, chunk * {per_chunk}) % {2**per_chunk}")
+    )
+    a = parts.select(F.col("id").alias("id_a"), "chunk", "part")
+    b = parts.select(F.col("id").alias("id_b"), "chunk", "part")
+    return a.join(b, ["chunk", "part"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (brute-force
+    self-join baseline; the LSH-bucketed scale path is
+    ``similarity.ann_lsh_topk``)."""
+    from apache_cassandra_spark.analytics.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

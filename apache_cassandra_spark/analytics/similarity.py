@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; the per-row dot product is a JVM higher-order
+  function (``zip_with`` + ``aggregate``), no Python in the loop. At 100 TB
+  this scans once, shuffles only (query_id, k) rows — the right baseline.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets the
+  corpus; candidates = same-bucket rows only. Hyperplanes are derived
+  deterministically from md5, so results are reproducible run-to-run.
+* ``ivf_topk`` — IVF-style: coarse centroids (deterministic seed sample),
+  probe the nearest ``nprobe`` cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (id_col, vec_col) — broadcast (must be driver-small; for
+    query sets beyond broadcast size, bucket both sides instead).
+    Excludes self-matches. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim_count: Column) -> Column:
+    """sign(v · h_plane) where h_plane[d] = ±1 from md5(plane, d)."""
+    idx = F.sequence(F.lit(0), dim_count - 1)
+    comps = F.zip_with(
+        vec,
+        idx,
+        lambda x, d: x.cast("double")
+        * (
+            F.when(
+                F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(plane), d)), 1, 1), 16, 10).cast("int") % 2 == 0,
+                1.0,
+            ).otherwise(-1.0)
+        ),
+    )
+    s = F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_bucket(vec: Column, planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (bit string of plane signs)."""
+    dim_count = F.size(vec)
+    return F.concat(*[_hyperplane_sign(vec, p, dim_count) for p in range(planes)])
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Join key = bucket id (equality shuffle, ~|corpus|/2^planes rows per
+    bucket), so cost per query is the bucket size, not the corpus size."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "bucket", lsh_bucket(F.col("cv"), planes)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "bucket", lsh_bucket(F.col("qv"), planes)
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat style ANN: centroids = deterministic corpus sample (ids with
+    smallest md5 — a seedless reproducible sample), cells = nearest
+    centroid; queries probe their ``nprobe`` nearest cells only."""
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(n_cells)
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    assign_w = Window.partitionBy("neighbor_id").orderBy(F.col("d").desc(), F.col("cent_id"))
+    assigned = (
+        c.join(F.broadcast(cents), how="cross")
+        .select("neighbor_id", "cv", "cent_id", cosine(F.col("cv"), F.col("cent")).alias("d"))
+        .withColumn("r", F.row_number().over(assign_w))
+        .where(F.col("r") == 1)
+        .select("neighbor_id", "cv", "cent_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cent_id"))
+    probes = (
+        q.join(F.broadcast(cents), how="cross")
+        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cent")).alias("d"))
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

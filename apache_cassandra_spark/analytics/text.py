@@ -1,0 +1,113 @@
+"""Text analysis operators: tokenization, token counting, quality scoring,
+language ID, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions (whole-stage codegen, no
+Python in the loop). Tokenization is deliberately primitive-and-exact —
+split on the space character, drop empties — so the DuckDB oracle can
+reproduce it byte-for-byte; a production pipeline would swap in a real
+tokenizer behind the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language marker-word lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for", "with", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "fr": ("le", "la", "les", "et", "est", "pour", "que", "une", "dans", "avec"),
+    "es": ("el", "la", "los", "y", "es", "para", "que", "una", "en", "con"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("it", "on", "as", "at", "by", "an", "be", "this")
+
+
+def tokens(text: Column) -> Column:
+    """Space-split tokens, empties dropped (array<string>)."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def subword_token_estimate(text: Column) -> Column:
+    """BPE-ish token estimate: count of letter-runs, digit-runs, and
+    individual punctuation marks (the shape a byte-pair tokenizer roughly
+    follows)."""
+    return F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality scoring features: length, token stats,
+    punctuation / stopword / uppercase ratios, mean token length."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9 ]"))
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*EN_STOPWORDS)))
+    n_upper = F.regexp_count(t, F.lit("[A-Z]"))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / safe_chars, 6).alias("punct_ratio"),
+        F.round(n_stop / safe_tokens, 6).alias("stopword_ratio"),
+        F.round(n_upper / safe_chars, 6).alias("upper_ratio"),
+        F.round((n_chars - n_tokens + 1) / safe_tokens, 6).alias("mean_token_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: score = marker hits per language,
+    winner = max score with deterministic tie-break on language code.
+    (An n-gram model in miniature; same argmax contract as fasttext-style
+    classifiers so it can be swapped out.)"""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def matcher(words):
+        # NB: a two-arg lambda would be interpreted by F.filter as
+        # (element, index) — keep the closure single-arg
+        return lambda x: x.isin(*words)
+
+    scores = [
+        F.size(F.filter(toks, matcher(words))).alias(f"score_{lang}") for lang, words in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang")) for lang in LANG_MARKERS]
+    )
+    # struct max: highest score, ties broken by greatest language code
+    best = F.array_max(pairs)
+    return scored.select(
+        id_col,
+        best.lang.alias("lang_pred"),
+        best.score.alias("lang_score"),
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as strings (array<string>); empty array when the text
+    has fewer than n tokens."""
+    toks = tokens(F.lower(text))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over word
+    n-gram hashes — one stable 128-bit id per document's content
+    neighborhood (robust to local edits outside the minimal window)."""
+    grams = word_ngrams(F.col(text_col), n)
+    fp = F.array_min(F.transform(grams, F.md5))
+    return df.select(F.col(id_col), F.coalesce(fp, F.md5(F.col(text_col))).alias("fingerprint"))

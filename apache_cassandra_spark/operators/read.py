@@ -85,8 +85,9 @@ def _apply_count(
     target, comparator = _level(cf, super_column)
     order = comparator.order_exprs(F.col(target), reverse=sr.reversed)
     if cf.is_super and super_column is None:
-        # tie-break subcolumn order inside each supercolumn for stable output
-        w = Window.partitionBy("key").orderBy(*order, F.col("column"))
+        # rank whole supercolumns: order by sc only, so every subcolumn of
+        # the same sc shares one dense rank
+        w = Window.partitionBy("key").orderBy(*order)
         ranked = live.withColumn("_rk", F.dense_rank().over(w))
     else:
         part = ["key", "sc"] if (cf.is_super and per_key) else ["key"]

@@ -1,0 +1,625 @@
+"""Declared queries + DuckDB oracle SQL — the driver correctness surface.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a mandated
+LLM-pipeline operator) against the driver's parquet tables, paired with an
+ANSI-SQL oracle that DuckDB runs on the same tables. The canonical value
+encoding (``sources/ingest._canon``) is chosen so both engines produce
+byte-identical strings; all hashing is md5; all float outputs are either
+exact-decimal-derived doubles or rounded at 6 digits after bit-identical
+double arithmetic (verified empirically in tools/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics import dedup, similarity, text
+from apache_cassandra_spark.catalog import CFDef
+from apache_cassandra_spark.functions.tokens import OrderPreservingPartitioner, RandomPartitioner
+from apache_cassandra_spark.model import CF, KeyRange, SlicePredicate, SliceRange
+from apache_cassandra_spark.operators import read as R
+from apache_cassandra_spark.sources.cellstore import CONTAINER_TOMBSTONE_SCHEMA
+from apache_cassandra_spark.sources.ingest import cf_from_table
+
+# ---------------------------------------------------------------------------
+# table metadata (stable driver testdata; see TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+#: value columns per CF-mapped table, with dtypes for canonical encoding
+TABLES: dict[str, dict] = {
+    "orders": {
+        "key": "o_orderkey",
+        "cols": {
+            "o_custkey": "bigint",
+            "o_orderdate": "timestamp",
+            "o_orderpriority": "varchar",
+            "o_orderstatus": "varchar",
+            "o_totalprice": "double",
+        },
+    },
+    "part": {
+        "key": "p_partkey",
+        "cols": {
+            "p_brand": "varchar",
+            "p_name": "varchar",
+            "p_retailprice": "double",
+            "p_size": "int",
+            "p_type": "varchar",
+        },
+    },
+    "supplier": {
+        "key": "s_suppkey",
+        "cols": {"s_acctbal": "double", "s_name": "varchar", "s_nationkey": "int"},
+    },
+    "lineitem": {
+        "key": "l_orderkey",
+        "sc": "l_linenumber",
+        "cols": {
+            "l_discount": "double",
+            "l_extendedprice": "double",
+            "l_linestatus": "varchar",
+            "l_partkey": "bigint",
+            "l_quantity": "double",
+            "l_returnflag": "varchar",
+            "l_shipdate": "timestamp",
+            "l_suppkey": "bigint",
+            "l_tax": "double",
+        },
+    },
+}
+
+
+def _duck_canon(col: str, dt: str) -> str:
+    """DuckDB twin of sources/ingest._canon — must stay in lockstep."""
+    if dt in ("double", "float"):
+        return f"cast(cast({col} as decimal(18,4)) as varchar)"
+    if dt.startswith("timestamp"):
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    return f"cast({col} as varchar)"
+
+
+def _unpivot_sql(table: str, where: str = "1=1", cols: list[str] | None = None, with_sc: bool = False) -> str:
+    """UNION-ALL unpivot of a table row-range into cell rows."""
+    meta = TABLES[table]
+    key, dtypes = meta["key"], meta["cols"]
+    names = sorted(cols or dtypes)
+    parts = []
+    for c in names:
+        sc_sel = f"cast({meta['sc']} as varchar) AS sc, " if with_sc else ""
+        parts.append(
+            f"SELECT cast({key} as varchar) AS key, {sc_sel}'{c}' AS \"column\", "
+            f"{_duck_canon(c, dtypes[c])} AS value FROM {table} WHERE {where}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# loading
+# ---------------------------------------------------------------------------
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    default; read ``ts`` as raw nanos (long). Falls back to an Arrow-side
+    read if the session forbids the legacy conf."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        df.head(1)
+        return df
+    except Exception:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path).to_pandas()
+        pdf["ts"] = pdf["ts"].astype("int64")
+        return spark.createDataFrame(
+            pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+
+
+def _cf(spark: SparkSession, sf_dir: str, table: str, order_preserving: bool = True) -> CF:
+    meta = TABLES[table]
+    part = OrderPreservingPartitioner() if order_preserving else RandomPartitioner()
+    return cf_from_table(
+        load_table(spark, sf_dir, table),
+        key_col=meta["key"],
+        value_cols=sorted(meta["cols"]),
+        sc_col=meta.get("sc"),
+        partitioner=part,
+        cfdef=CFDef(
+            name=table,
+            column_type="Super" if "sc" in meta else "Standard",
+            compare_with="UTF8Type",
+            compare_subcolumns_with="UTF8Type",
+        ),
+    )
+
+
+def _strings(df: DataFrame, with_sc: bool = False, with_ts: bool = False) -> DataFrame:
+    cols = [F.col("key")]
+    if with_sc:
+        cols.append(F.col("sc").cast("string").alias("sc"))
+    cols += [F.col("column").cast("string").alias("column"), F.col("value").cast("string").alias("value")]
+    if with_ts:
+        cols.append(F.col("ts"))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# engine-operator queries (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+def q_get_slice(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "orders")
+    pred = SlicePredicate(slice_range=SliceRange(count=100))
+    return _strings(R.get_slice(cf, "32", pred))
+
+
+def q_get_slice_names(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "orders")
+    pred = SlicePredicate(column_names=(b"o_orderstatus", b"o_totalprice"))
+    return _strings(R.get_slice(cf, "32", pred))
+
+
+def q_get_slice_reversed(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "orders")
+    pred = SlicePredicate(slice_range=SliceRange(reversed=True, count=3))
+    return _strings(R.get_slice(cf, "32", pred))
+
+
+def q_get_slice_bounded(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "orders")
+    pred = SlicePredicate(slice_range=SliceRange(start=b"o_orderdate", finish=b"o_orderstatus", count=100))
+    return _strings(R.get_slice(cf, "32", pred))
+
+
+def q_multiget_slice(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "orders")
+    pred = SlicePredicate(slice_range=SliceRange(count=2))
+    return _strings(R.multiget_slice(cf, ["1", "2", "3", "4", "5", "6", "7"], pred))
+
+
+def q_get_count(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "orders")
+    return R.get_count(cf, "32")
+
+
+def q_range_slices_keys(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "part", order_preserving=True)
+    pred = SlicePredicate(slice_range=SliceRange(count=2))
+    kr = KeyRange(start_key="100", end_key="120", count=10)
+    return _strings(R.get_range_slices(cf, pred, kr))
+
+
+def q_range_slices_wrapped(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "supplier", order_preserving=False)
+    pred = SlicePredicate(slice_range=SliceRange(count=1))
+    kr = KeyRange(start_token="e8", end_token="18", count=1000)
+    return _strings(R.get_range_slices(cf, pred, kr))
+
+
+def q_super_slice(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "lineitem")
+    pred = SlicePredicate(slice_range=SliceRange(count=3))
+    return _strings(R.get_slice(cf, "1", pred), with_sc=True)
+
+
+def q_super_subcolumn_slice(spark, sf_dir):
+    cf = _cf(spark, sf_dir, "lineitem")
+    pred = SlicePredicate(slice_range=SliceRange(start=b"l_discount", finish=b"l_returnflag", count=4))
+    return _strings(R.get_slice(cf, "1", pred, super_column=b"7"), with_sc=True)
+
+
+def _event_cells(spark, sf_dir, where=None):
+    ev = load_events(spark, sf_dir)
+    if where is not None:
+        ev = ev.where(where)
+    return ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast("binary").alias("sc"),
+        F.encode("event_type", "UTF-8").alias("column"),
+        F.encode(F.col("value").cast("decimal(18,4)").cast("string"), "UTF-8").alias("value"),
+        F.expr("ts div 1000").alias("ts"),
+        F.lit(False).alias("tombstone"),
+        F.lit(None).cast("int").alias("ldt"),
+    )
+
+
+def q_lww_events(spark, sf_dir):
+    """LWW reconcile over a real multi-version stream: latest event per
+    (user, event_type), Column.comparePriority tie-breaks."""
+    cf = CF(cfdef=CFDef(name="events", compare_with="UTF8Type"), cells=_event_cells(spark, sf_dir))
+    return _strings(cf.live(), with_ts=True)
+
+
+def q_lww_row_tombstones(spark, sf_dir):
+    """Container-tombstone shadowing: each user's 'error' events mark the
+    row deleted at that ts; only strictly-newer cells survive."""
+    cells = _event_cells(spark, sf_dir, where=F.col("event_type") != "error")
+    ev = load_events(spark, sf_dir)
+    tombs = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.expr("max(ts div 1000)").alias("ts"))
+        .select(
+            "key",
+            F.lit(None).cast("binary").alias("sc"),
+            F.col("ts").cast("long").alias("ts"),
+            F.lit(0).cast("int").alias("ldt"),
+        )
+    )
+    cf = CF(cfdef=CFDef(name="events", compare_with="UTF8Type"), cells=cells, container_tombstones=tombs)
+    return _strings(cf.live(), with_ts=True)
+
+
+# ---------------------------------------------------------------------------
+# bulk analytics (SURVEY.md §2.6 — the Hadoop/Pig replacement)
+# ---------------------------------------------------------------------------
+
+
+def q_pig_parity(spark, sf_dir):
+    """The reference's Pig example (contrib/pig/example-script.pig):
+    group-by-value + count + order + limit, through the CF scan() handoff."""
+    cf = _cf(spark, sf_dir, "orders")
+    return (
+        cf.scan()
+        .where(F.col("column") == F.lit(bytearray(b"o_orderpriority")))
+        .groupBy(F.col("value").cast("string").alias("o_orderpriority"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_wordcount(spark, sf_dir):
+    """contrib/word_count parity: tokenize + count, top 100."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(100)
+    )
+
+
+def q_tpch_q1ish(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_nations(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    hour = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH:00:00")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_sim_topk(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.subword_token_estimate(F.col("text")).alias("n_subword"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_DOC_SHINGLES = """
+toks AS (SELECT doc_id AS id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t FROM documents),
+sh AS (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                        i -> array_to_string(t[i:i+2], ' '))) AS shingle FROM toks),
+shd AS (SELECT DISTINCT id, shingle FROM sh)
+"""
+
+ORACLES: dict[str, str] = {
+    "cass_get_slice": _unpivot_sql("orders", "o_orderkey = 32"),
+    "cass_get_slice_names": _unpivot_sql("orders", "o_orderkey = 32", cols=["o_orderstatus", "o_totalprice"]),
+    "cass_get_slice_reversed": _unpivot_sql(
+        "orders", "o_orderkey = 32", cols=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ),
+    "cass_get_slice_bounded": _unpivot_sql(
+        "orders", "o_orderkey = 32", cols=["o_orderdate", "o_orderpriority", "o_orderstatus"]
+    ),
+    "cass_multiget_slice": _unpivot_sql(
+        "orders", "o_orderkey IN (1,2,3,4,5,6,7)", cols=["o_custkey", "o_orderdate"]
+    ),
+    "cass_get_count": "SELECT count(*) AS count FROM ("
+    + _unpivot_sql("orders", "o_orderkey = 32")
+    + ")",
+    "cass_range_slices_keys": (
+        "WITH ks AS (SELECT DISTINCT cast(p_partkey as varchar) AS k FROM part "
+        "WHERE cast(p_partkey as varchar) >= '100' AND cast(p_partkey as varchar) <= '120' "
+        "ORDER BY k LIMIT 10) "
+        "SELECT key, \"column\", value FROM (" + _unpivot_sql("part", cols=["p_brand", "p_name"]) + ") "
+        "JOIN ks ON key = k"
+    ),
+    "cass_range_slices_wrapped": (
+        "SELECT key, \"column\", value FROM (" + _unpivot_sql("supplier", cols=["s_acctbal"]) + ") "
+        "WHERE md5(key) > 'e8' OR md5(key) <= '18'"
+    ),
+    # lineitem has duplicate (orderkey, linenumber) rows: the engine's LWW
+    # reconcile collapses them (equal ts 0, no tombstones -> max value wins),
+    # so the oracle groups to max(value) per cell coordinate.
+    "cass_super_slice": (
+        "WITH scs AS (SELECT DISTINCT cast(l_linenumber as varchar) AS s FROM lineitem "
+        "WHERE l_orderkey = 1 ORDER BY s LIMIT 3) "
+        "SELECT key, sc, \"column\", max(value) AS value FROM ("
+        + _unpivot_sql("lineitem", "l_orderkey = 1", with_sc=True)
+        + ") JOIN scs ON sc = s GROUP BY key, sc, \"column\""
+    ),
+    "cass_super_subcolumn_slice": (
+        "SELECT key, sc, \"column\", max(value) AS value FROM ("
+        + _unpivot_sql(
+            "lineitem",
+            "l_orderkey = 1 AND cast(l_linenumber as varchar) = '7'",
+            cols=["l_discount", "l_extendedprice", "l_linestatus", "l_partkey"],
+            with_sc=True,
+        )
+        + ") GROUP BY key, sc, \"column\""
+    ),
+    "cass_lww_events": """
+        WITH cells AS (
+          SELECT cast(user_id as varchar) AS key, event_type AS "column",
+                 cast(cast(value as decimal(18,4)) as varchar) AS value, epoch_us(ts) AS ts
+          FROM events)
+        SELECT key, "column", value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY key, "column" ORDER BY ts DESC, value DESC) AS rn
+          FROM cells) t
+        WHERE rn = 1
+    """,
+    "cass_lww_row_tombstones": """
+        WITH cells AS (
+          SELECT cast(user_id as varchar) AS key, event_type AS "column",
+                 cast(cast(value as decimal(18,4)) as varchar) AS value, epoch_us(ts) AS ts
+          FROM events WHERE event_type <> 'error'),
+        tombs AS (
+          SELECT cast(user_id as varchar) AS key, max(epoch_us(ts)) AS del_ts
+          FROM events WHERE event_type = 'error' GROUP BY 1),
+        live AS (
+          SELECT c.* FROM cells c LEFT JOIN tombs t USING (key)
+          WHERE t.del_ts IS NULL OR c.ts > t.del_ts)
+        SELECT key, "column", value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY key, "column" ORDER BY ts DESC, value DESC) AS rn
+          FROM live) t
+        WHERE rn = 1
+    """,
+    "pig_group_count": "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1",
+    "wordcount": """
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word FROM documents)
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+    """,
+    "tpch_q1ish": """
+        SELECT l_returnflag, l_linestatus,
+               cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+               cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+               cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_top_nations": """
+        SELECT n_name, cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:00:00') AS hour, event_type,
+               count(*) AS n, cast(sum(cast(value as decimal(18,4))) as double) AS total
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_DOC_SHINGLES},
+        sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+        FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_DOC_SHINGLES},
+        perms AS (SELECT unnest(generate_series(0, 15)) AS p),
+        hashed AS (SELECT id, p,
+                          min(('0x' || substr(md5(cast(p as varchar) || ':' || shingle), 1, 15))::bigint) AS mh
+                   FROM shd, perms GROUP BY id, p),
+        banded AS (SELECT id, p // 4 AS band,
+                          md5(string_agg(lpad(cast(p as varchar), 2, '0') || ':' || cast(mh as varchar), ','
+                              ORDER BY lpad(cast(p as varchar), 2, '0') || ':' || cast(mh as varchar))) AS bucket
+                   FROM hashed GROUP BY id, p // 4)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """,
+    "dedup_simhash": """
+        WITH toks AS (SELECT doc_id AS id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS tok
+                      FROM documents),
+        th AS (SELECT id, ('0x' || substr(md5('simhash:' || tok), 1, 15))::bigint AS h FROM toks),
+        bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+        votes AS (SELECT id, bit, sum(((h // (1::BIGINT << bit)) % 2) * 2 - 1) AS vote
+                  FROM th, bits GROUP BY id, bit)
+        SELECT id AS doc_id,
+               cast(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) as varchar) AS simhash
+        FROM votes GROUP BY id
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+    "sim_topk": """
+        SELECT query_id, neighbor_id, cos, cast(rank as integer) AS rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) t
+        WHERE rank <= 5
+    """,
+    "text_quality": """
+        WITH f AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+                 len(list_filter(string_split(text, ' '),
+                     x -> lower(x) IN ('the','and','of','to','a','in','is','for','with','that',
+                                       'it','on','as','at','by','an','be','this'))) AS n_stop,
+                 len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens,
+               round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+               round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+               round(n_upper / greatest(n_chars, 1), 6) AS upper_ratio,
+               round((n_chars - n_tokens + 1) / greatest(n_tokens, 1), 6) AS mean_token_len
+        FROM f
+    """,
+    "text_lang_id": """
+        WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+        scores AS (
+          SELECT doc_id, 'en' AS lang, len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','for','with','that'))) AS score FROM toks
+          UNION ALL
+          SELECT doc_id, 'de', len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) FROM toks
+          UNION ALL
+          SELECT doc_id, 'fr', len(list_filter(t, x -> x IN ('le','la','les','et','est','pour','que','une','dans','avec'))) FROM toks
+          UNION ALL
+          SELECT doc_id, 'es', len(list_filter(t, x -> x IN ('el','la','los','y','es','para','que','una','en','con'))) FROM toks)
+        SELECT doc_id, lang AS lang_pred, cast(score as integer) AS lang_score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) t
+        WHERE rn = 1
+    """,
+    "text_token_stats": """
+        SELECT doc_id,
+               cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as integer) AS n_tokens,
+               cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) as integer) AS n_subword
+        FROM documents
+    """,
+    "text_fingerprint": """
+        WITH toks AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+        grams AS (SELECT doc_id, text,
+                         list_transform(generate_series(1, greatest(len(t)-4, 0)),
+                                        i -> md5(array_to_string(t[i:i+4], ' '))) AS g
+                  FROM toks)
+        SELECT doc_id, CASE WHEN len(g) = 0 THEN md5(text) ELSE list_aggregate(g, 'min') END AS fingerprint
+        FROM grams
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cass_get_slice": q_get_slice,
+    "cass_get_slice_names": q_get_slice_names,
+    "cass_get_slice_reversed": q_get_slice_reversed,
+    "cass_get_slice_bounded": q_get_slice_bounded,
+    "cass_multiget_slice": q_multiget_slice,
+    "cass_get_count": q_get_count,
+    "cass_range_slices_keys": q_range_slices_keys,
+    "cass_range_slices_wrapped": q_range_slices_wrapped,
+    "cass_super_slice": q_super_slice,
+    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
+    "cass_lww_events": q_lww_events,
+    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "pig_group_count": q_pig_parity,
+    "wordcount": q_wordcount,
+    "tpch_q1ish": q_tpch_q1ish,
+    "tpch_top_nations": q_top_nations,
+    "events_hourly": q_events_hourly,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "sim_topk": q_sim_topk,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_token_stats": q_text_token_stats,
+    "text_fingerprint": q_text_fingerprint,
+}
