@@ -24,9 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from apache_cassandra_spark.analytics.text import word_ngrams
-
-
 def _hash64(c: Column, salt: Column | str | int) -> Column:
     """Deterministic 60-bit hash (15 md5 hex chars -> bigint; 60 bits so
     the same arithmetic fits signed int64 in any SQL engine)."""
@@ -63,10 +60,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def _shingle_stream(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) with duplicates — tokens materialized once per row
+    before the n-gram transform (see text.ngrams_from_tokens)."""
+    from apache_cassandra_spark.analytics.text import ngrams_from_tokens, tokens
+
+    toked = df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    return toked.select("id", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("shingle"))
+
+
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs + per-doc set size."""
-    grams = df.select(F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
-    return grams.distinct()
+    """(id, shingle) distinct pairs."""
+    return _shingle_stream(df, text_col, id_col, n).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -122,12 +127,14 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_perm: int = 16
 ) -> DataFrame:
-    """(id, perm, minhash) — num_perm independent min-hashes per doc."""
-    sh = shingle_sets(df, text_col, id_col, n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    hashed = sh.select("id", "shingle").select("id", perms, F.col("shingle"))
-    hashed = hashed.withColumn("h", _hash64(F.col("shingle"), F.col("perm")))
-    return hashed.groupBy("id", "perm").agg(F.min("h").alias("minhash"))
+    """(id, minhash_0..minhash_{p-1}) — num_perm independent min-hashes per
+    doc, computed WIDE: one aggregation over the shingle stream with
+    num_perm ``min`` columns. No per-perm row explosion (that would shuffle
+    num_perm× the data) and no pre-distinct (min over a multiset == min
+    over the set)."""
+    grams = _shingle_stream(df, text_col, id_col, n)
+    mins = [F.min(_hash64(F.col("shingle"), p)).alias(f"minhash_{p}") for p in range(num_perm)]
+    return grams.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -144,13 +151,25 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(df, text_col, id_col, n, num_perm)
     rows_per_band = num_perm // bands
     # band bucket = md5 of the sorted "pp:minhash" elements; perm is
-    # zero-padded so lexicographic sort order == numeric perm order (and the
-    # same string_agg ORDER BY reproduces it in ANSI SQL)
-    elem = F.concat_ws(":", F.lpad(F.col("perm").cast("string"), 2, "0"), F.col("minhash").cast("string"))
+    # zero-padded so lexicographic sort order == numeric perm order (and a
+    # string_agg ORDER BY over the same elements reproduces it in ANSI SQL)
+    band_rows = []
+    for band in range(bands):
+        elems = [
+            F.concat_ws(":", F.lit(f"{p:02d}"), F.col(f"minhash_{p}").cast("string"))
+            for p in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        band_rows.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.array_join(F.array_sort(F.array(*elems)), ",")).alias("bucket"),
+            )
+        )
     banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(elem)))).alias("bucket"))
+        sig.select("id", F.explode(F.array(*band_rows)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .cache()  # tiny (docs × bands); the self-join below would otherwise
+        # recompute the whole signature subtree for each side
     )
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")

@@ -51,7 +51,9 @@ def reconcile(cells: DataFrame) -> DataFrame:
     return cells.groupBy("key", "sc", "column").agg(winner).select("cell.*")
 
 
-def shadow_containers(cells: DataFrame, container_tombstones: DataFrame | None) -> DataFrame:
+def shadow_containers(
+    cells: DataFrame, container_tombstones: DataFrame | None, with_sc_level: bool = True
+) -> DataFrame:
     """Drop cells shadowed by row- or supercolumn-level tombstones.
 
     A cell is dead iff a container tombstone covering it has
@@ -67,28 +69,35 @@ def shadow_containers(cells: DataFrame, container_tombstones: DataFrame | None) 
         .groupBy("key")
         .agg(F.max("ts").alias("row_del_ts"))
     )
-    sc_w = (
-        container_tombstones.where(F.col("sc").isNotNull())
-        .groupBy("key", "sc")
-        .agg(F.max("ts").alias("sc_del_ts"))
-    )
     out = (
         cells.join(F.broadcast(row_w), "key", "left")
         .where(F.col("row_del_ts").isNull() | (F.col("ts") > F.col("row_del_ts")))
         .drop("row_del_ts")
     )
-    out = (
-        out.join(F.broadcast(sc_w), ["key", "sc"], "left")
-        .where(F.col("sc_del_ts").isNull() | (F.col("ts") > F.col("sc_del_ts")))
-        .drop("sc_del_ts")
-    )
+    if with_sc_level:
+        # supercolumn-scoped watermarks only exist for Super CFs; Standard
+        # CF callers pass with_sc_level=False to skip the join entirely
+        sc_w = (
+            container_tombstones.where(F.col("sc").isNotNull())
+            .groupBy("key", "sc")
+            .agg(F.max("ts").alias("sc_del_ts"))
+        )
+        out = (
+            out.join(F.broadcast(sc_w), ["key", "sc"], "left")
+            .where(F.col("sc_del_ts").isNull() | (F.col("ts") > F.col("sc_del_ts")))
+            .drop("sc_del_ts")
+        )
     return out
 
 
-def live_view(cells: DataFrame, container_tombstones: DataFrame | None = None) -> DataFrame:
+def live_view(
+    cells: DataFrame, container_tombstones: DataFrame | None = None, with_sc_level: bool = True
+) -> DataFrame:
     """The reconciled *live* view: reconcile -> container shadowing -> drop
     cell tombstones. Every read operator is an expression over this."""
-    return shadow_containers(reconcile(cells), container_tombstones).where(~F.col("tombstone"))
+    return shadow_containers(reconcile(cells), container_tombstones, with_sc_level).where(
+        ~F.col("tombstone")
+    )
 
 
 def gc_view(

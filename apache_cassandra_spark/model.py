@@ -138,7 +138,7 @@ class CF:
     def live(self) -> DataFrame:
         from apache_cassandra_spark.functions.reconcile import live_view
 
-        return live_view(self.cells, self.container_tombstones)
+        return live_view(self.cells, self.container_tombstones, with_sc_level=self.is_super)
 
     def scan(self) -> DataFrame:
         """The bulk-analytics handoff (replaces the reference's Hadoop/Pig

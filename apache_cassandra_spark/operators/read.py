@@ -105,7 +105,7 @@ def _filtered_live(cf: CF, key_pred: Column | None, extra_preds: list[Column]) -
             tombs = tombs.where(key_pred)
     if extra_preds:
         cells = cells.where(and_all(extra_preds))
-    return live_view(cells, tombs)
+    return live_view(cells, tombs, with_sc_level=cf.is_super)
 
 
 def _sliced(

@@ -1,0 +1,123 @@
+"""BENCH harness — one JSON line with per-query seconds at the target SF.
+
+Mirrors the reference's de-facto benchmark (contrib/py_stress/stress.py:
+Inserter/Reader/RangeSlicer over N keys × 5 columns) on the cell-layout
+store, plus the engine's headline analytical queries (driver sf0.1 tables).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default: all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_cassandra_spark.catalog import Catalog
+from apache_cassandra_spark.model import ColumnPath, KeyRange, SlicePredicate, SliceRange
+from apache_cassandra_spark.operators import read as R
+from apache_cassandra_spark.queries import QUERIES, TABLES, load_table
+from apache_cassandra_spark.session import get_spark
+from apache_cassandra_spark.sources.cellstore import CellStore
+from apache_cassandra_spark.sources.ingest import cells_from_table
+
+#: analytical headliners (each also an oracle-checked correctness query)
+BENCH_QUERIES = [
+    "cass_lww_events",
+    "cass_lww_row_tombstones",
+    "cass_multiget_slice",
+    "cass_range_slices_keys",
+    "cass_super_slice",
+    "tpch_q1ish",
+    "tpch_top_nations",
+    "wordcount",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk",
+    "text_quality",
+]
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    results: dict[str, float] = {}
+
+    # -- py_stress-shaped storage ops ---------------------------------------
+    root = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        store = CellStore(
+            spark, root, Catalog.from_dict({"Bench": {"Orders": {"compare_with": "UTF8Type"}}})
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        cells = cells_from_table(orders, "o_orderkey", sorted(TABLES["orders"]["cols"]))
+
+        # Inserter analog: bulk write all cells (N keys × 5 cols)
+        results["stress_insert"] = timed(lambda: store.bulk_load("Bench", "Orders", cells))
+
+        cf = store.cf("Bench", "Orders")
+        n_keys = orders.count()
+
+        # Reader analog: 100 point get_slices (batched as one multiget)
+        keys = [str(k) for k in range(1, 101)]
+        pred = SlicePredicate(slice_range=SliceRange(count=100))
+        results["stress_multiget_100"] = timed(
+            lambda: R.multiget_slice(cf, keys, pred).count()
+        )
+
+        # point get
+        results["stress_point_get"] = timed(
+            lambda: R.get(cf, "42", ColumnPath("Orders", column=b"o_totalprice")).count()
+        )
+
+        # RangeSlicer analog: one 100-row page in token order
+        kr = KeyRange(start_token="", end_token="", count=100)
+        results["stress_range_page_100"] = timed(
+            lambda: R.get_range_slices(cf, pred, kr).count()
+        )
+        results["_stress_n_keys"] = float(n_keys)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # -- analytical headliners ----------------------------------------------
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        results[name] = timed(lambda fn=fn: fn(spark, sf_dir).count())
+
+    n_keys = results.pop("_stress_n_keys")
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "config": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                    "stress_keys": int(n_keys),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
