@@ -1,0 +1,139 @@
+"""Dedup / similarity / text operator semantics on constructed corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics import dedup, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different text about spark engines and parquet files"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 collapsed into 1
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = {r["keeper_id"]: r["n_docs"] for r in dedup.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2 and groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_superset_of_exact_dups(spark, docs):
+    cand = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cand  # identical docs always collide on every band
+    assert (1, 4) not in cand
+
+
+def test_simhash_identical_docs_equal_near_docs_close(spark, docs):
+    sigs = {r["doc_id"]: int(r["simhash"]) for r in dedup.simhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_candidates_contains_identicals(spark, docs):
+    cand = {(r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(docs).collect()}
+    assert (1, 2) in cand
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    out = similarity.cosine_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2).collect()
+    ranked = sorted((r["rank"], r["neighbor_id"]) for r in out)
+    assert ranked[0] == (1, 2)  # nearest is the almost-parallel vector
+    assert len(ranked) == 2
+
+
+def test_embedding_dup_pairs_threshold(spark, vecs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(vecs, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ann_lsh_no_false_negative_for_identical(spark):
+    rows = [(i, [float(i % 7 == j) for j in range(7)]) for i in range(20)]
+    rows.append((99, rows[0][1]))  # identical to vec 0
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_lsh_topk(vecs, vecs.where(F.col("vec_id") == 99), k=3, planes=4)
+    neigh = [r["neighbor_id"] for r in out.collect()]
+    assert 0 in neigh  # identical vector shares every hyperplane sign
+
+
+def test_ivf_topk_probes_nearest_cells(spark, vecs):
+    out = similarity.ivf_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2, n_cells=3, nprobe=3)
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 2 in got  # with all cells probed, exact result guaranteed
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog!")], "doc_id long, text string")
+    r = text.quality_features(df).collect()[0]
+    assert r["n_chars"] == 20 and r["n_tokens"] == 5
+    assert r["punct_ratio"] == round(1 / 20, 6)
+    assert r["stopword_ratio"] == round(3 / 5, 6)  # the, and, the
+
+
+def test_lang_id_marker_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht mit der katze und das haus"),
+            (3, "le chat est dans la maison et les chiens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_fingerprint_is_min_gram_md5(spark):
+    import hashlib
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(1, base), (2, "tiny")], "doc_id long, text string")
+    fps = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df, n=5).collect()}
+    toks = base.split()
+    grams = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+    assert fps[1] == min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+    # fewer than n tokens -> fallback to whole-text hash
+    assert fps[2] == hashlib.md5(b"tiny").hexdigest()
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "  a  b c42 !")], "doc_id long, text string")
+    r = df.select(
+        text.token_count(F.col("text")).alias("n"),
+        text.subword_token_estimate(F.col("text")).alias("s"),
+    ).collect()[0]
+    assert r["n"] == 4
+    assert r["s"] == 5  # a, b, c, 42, !
