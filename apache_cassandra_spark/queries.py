@@ -263,6 +263,22 @@ def q_lww_row_tombstones(spark, sf_dir):
     return _strings(cf.live(), with_ts=True)
 
 
+def q_rows_may_exist(spark, sf_dir):
+    """Fork existence probe (FastRowMayExistQueryFilter): one-sided
+    may-exist check; our realization is exact, a valid tightening."""
+    from apache_cassandra_spark.operators import exists
+
+    cf = _cf(spark, sf_dir, "supplier")
+    return exists.rows_may_exist(cf, [str(k) for k in range(95, 106)])
+
+
+def q_describe_splits(spark, sf_dir):
+    """R8 describe_splits: ~equal token sub-ranges over supplier keys."""
+    cf = _cf(spark, sf_dir, "supplier", order_preserving=False)
+    bounds = R.describe_splits(cf, keys_per_split=25)
+    return spark.createDataFrame([(i, b) for i, b in enumerate(bounds)], "split_id int, end_token string")
+
+
 # ---------------------------------------------------------------------------
 # bulk analytics (SURVEY.md §2.6 — the Hadoop/Pig replacement)
 # ---------------------------------------------------------------------------
@@ -465,6 +481,16 @@ ORACLES: dict[str, str] = {
           FROM live) t
         WHERE rn = 1
     """,
+    "rows_may_exist": """
+        WITH probes AS (SELECT cast(k as varchar) AS key FROM generate_series(95, 105) t(k))
+        SELECT key, EXISTS (SELECT 1 FROM supplier WHERE cast(s_suppkey as varchar) = key) AS may_exist
+        FROM probes
+    """,
+    "describe_splits": """
+        WITH toks AS (SELECT DISTINCT md5(cast(s_suppkey as varchar)) AS t FROM supplier),
+        tiled AS (SELECT t, ntile((SELECT greatest(count(*) // 25, 1) FROM toks)) OVER (ORDER BY t) AS tile FROM toks)
+        SELECT cast(tile - 1 as integer) AS split_id, max(t) AS end_token FROM tiled GROUP BY tile
+    """,
     "pig_group_count": "SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1",
     "wordcount": """
         SELECT word, count(*) AS cnt FROM (
@@ -607,6 +633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
     "cass_lww_events": q_lww_events,
     "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "rows_may_exist": q_rows_may_exist,
+    "describe_splits": q_describe_splits,
     "pig_group_count": q_pig_parity,
     "wordcount": q_wordcount,
     "tpch_q1ish": q_tpch_q1ish,
