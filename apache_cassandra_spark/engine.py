@@ -1,0 +1,129 @@
+"""Engine facade — the ``CassandraServer`` analog: one object tying the
+catalog, the cell store, and every client operator together, mirroring the
+Thrift surface 1:1 (``interface/cassandra.thrift:290-464``) so a user of
+the reference can switch call-for-call.
+
+Meta/DDL-ish surface (§2.3) included: ``describe_keyspaces``,
+``describe_keyspace``, ``describe_partitioner``, ``describe_version``,
+``describe_cluster_name``, ``describe_ring``, ``login`` (no-op —
+single-tenant engine; the reference's SimpleAuthenticator collapses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_cassandra_spark import __version__
+from apache_cassandra_spark.catalog import Catalog
+from apache_cassandra_spark.functions.tokens import Partitioner, RandomPartitioner
+from apache_cassandra_spark.model import CF, ColumnPath, KeyRange, SlicePredicate
+from apache_cassandra_spark.operators import exists as X
+from apache_cassandra_spark.operators import maintenance as M
+from apache_cassandra_spark.operators import read as R
+from apache_cassandra_spark.operators import write as W
+from apache_cassandra_spark.sources.cellstore import CellStore
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: Catalog,
+        partitioner: Partitioner | None = None,
+        cluster_name: str = "pyspark-widecolumn",
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.partitioner = partitioner or RandomPartitioner()
+        self.store = CellStore(spark, root, catalog, self.partitioner)
+        self.cluster_name = cluster_name
+
+    # -- meta (§2.3) --------------------------------------------------------
+    def login(self, keyspace: str, credentials: dict | None = None) -> None:
+        """No-op: single-tenant engine (reference auth/SimpleAuthenticator)."""
+
+    def describe_keyspaces(self) -> list[str]:
+        return self.catalog.describe_keyspaces()
+
+    def describe_keyspace(self, name: str) -> dict:
+        return self.catalog.describe_keyspace(name)
+
+    def describe_partitioner(self) -> str:
+        return self.partitioner.name
+
+    def describe_version(self) -> str:
+        return __version__
+
+    def describe_cluster_name(self) -> str:
+        return self.cluster_name
+
+    def describe_ring(self, keyspace: str) -> list[dict]:
+        """Partition layout introspection: one logical range per CF backing
+        fileset (single-source engine: every range is 'local')."""
+        out = []
+        for cf in self.catalog.keyspace(keyspace).column_families:
+            handle = self.cf(keyspace, cf.name)
+            out.append(
+                {
+                    "column_family": cf.name,
+                    "partitions": handle.cells.rdd.getNumPartitions(),
+                }
+            )
+        return out
+
+    def describe_splits(self, keyspace: str, cf_name: str, keys_per_split: int) -> list[str]:
+        return R.describe_splits(self.cf(keyspace, cf_name), keys_per_split)
+
+    # -- handles ------------------------------------------------------------
+    def cf(self, keyspace: str, cf_name: str) -> CF:
+        return self.store.cf(keyspace, cf_name)
+
+    # -- reads (§2.1) -------------------------------------------------------
+    def get(self, ks: str, key: str, path: ColumnPath) -> DataFrame:
+        return R.get(self.cf(ks, path.column_family), key, path)
+
+    def get_slice(self, ks: str, key: str, cf_name: str, predicate: SlicePredicate, super_column=None) -> DataFrame:
+        return R.get_slice(self.cf(ks, cf_name), key, predicate, super_column)
+
+    def multiget(self, ks: str, keys: list[str], path: ColumnPath) -> DataFrame:
+        return R.multiget(self.cf(ks, path.column_family), keys, path)
+
+    def multiget_slice(self, ks: str, keys, cf_name: str, predicate, super_column=None) -> DataFrame:
+        return R.multiget_slice(self.cf(ks, cf_name), keys, predicate, super_column)
+
+    def get_count(self, ks: str, key: str, cf_name: str, super_column=None) -> int:
+        return R.get_count(self.cf(ks, cf_name), key, super_column).collect()[0]["count"]
+
+    def get_range_slices(self, ks: str, cf_name: str, predicate, key_range: KeyRange, super_column=None) -> DataFrame:
+        return R.get_range_slices(self.cf(ks, cf_name), predicate, key_range, super_column)
+
+    def rows_may_exist(self, ks: str, cf_name: str, keys: list[str]) -> DataFrame:
+        return X.rows_may_exist(self.cf(ks, cf_name), keys)
+
+    def columns_may_exist(self, ks: str, cf_name: str, key: str, names: list[bytes]) -> DataFrame:
+        return X.columns_may_exist(self.cf(ks, cf_name), key, names)
+
+    # -- writes (§2.2) ------------------------------------------------------
+    def insert(self, ks: str, key: str, path: ColumnPath, value: bytes, timestamp: int, durable: bool = True) -> None:
+        self.store.apply(ks, path.column_family, W.insert(key, path, value, timestamp), durable)
+
+    def remove(self, ks: str, key: str, path: ColumnPath, timestamp: int, ldt: int = 0, durable: bool = True) -> None:
+        self.store.apply(ks, path.column_family, W.remove(key, path, timestamp, ldt), durable)
+
+    def batch_mutate(self, ks: str, mutations: dict, durable: bool = True) -> None:
+        for cf_name, batch in W.batch_mutate(mutations).items():
+            self.store.apply(ks, cf_name, batch, durable)
+
+    def flush(self, ks: str | None = None, cf_name: str | None = None) -> None:
+        self.store.flush(ks, cf_name)
+
+    # -- maintenance (§2.5) -------------------------------------------------
+    def compact(self, ks: str, cf_name: str, **kwargs) -> None:
+        M.compact(self.store, ks, cf_name, **kwargs)
+
+    def compact_minor_if_needed(self, ks: str, cf_name: str, **kwargs) -> bool:
+        return M.submit_minor_if_needed(self.store, ks, cf_name, **kwargs)
+
+    def snapshot(self, ks: str, cf_name: str, tag: str) -> str:
+        return M.snapshot(self.store, ks, cf_name, tag)

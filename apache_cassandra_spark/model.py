@@ -145,3 +145,13 @@ class CF:
         adapters, ``hadoop/ColumnFamilyInputFormat.java``): the reconciled
         live view as a plain DataFrame for arbitrary Spark SQL."""
         return self.live()
+
+    def cached_rows(self) -> DataFrame:
+        """Row-cache analog (``db/ColumnFamilyStore.java:975-986``,
+        ``cache/InstrumentedCache.java``): the reconciled live view pinned
+        with MEMORY_AND_DISK so repeated point reads skip the merge. The
+        caller owns the lifetime (``.unpersist()``) — invalidate after
+        writes, exactly like the reference invalidates on mutation."""
+        from pyspark import StorageLevel
+
+        return self.live().persist(StorageLevel.MEMORY_AND_DISK)

@@ -127,6 +127,61 @@ def compact(
         _swap_dir(tmp_t, ctombs_dir)
 
 
+def submit_minor_if_needed(
+    store: CellStore,
+    ks: str,
+    cf_name: str,
+    min_threshold: int = 4,
+    max_threshold: int = 32,
+    bucket_ratio: float = 2.0,
+) -> bool:
+    """Size-tiered minor compaction (``CompactionManager.java:87-131``,
+    bucketing ``:620-640``): group delta files into similar-size buckets
+    (each file within ``bucket_ratio`` of the bucket average); merge any
+    bucket with >= ``min_threshold`` files into one reconciled file.
+
+    LWW reconcile is associative, so merging a *subset* of files is always
+    correct — but tombstones are NOT purged here (a purge is only safe when
+    no older version can exist elsewhere, i.e. major compaction; the
+    reference guards this with ``isKeyInRemainingSSTables``,
+    ``db/ColumnFamilyStore.java:727``). Returns True if a merge ran.
+    """
+    cells_dir = store._cells_dir(ks, cf_name)
+    if not os.path.isdir(cells_dir):
+        return False
+    files = sorted(
+        (os.path.getsize(os.path.join(cells_dir, f)), f)
+        for f in os.listdir(cells_dir)
+        if f.endswith(".parquet")
+    )
+    # greedy size-tiered bucketing over the sorted file list
+    buckets: list[list[tuple[int, str]]] = []
+    for size, name in files:
+        if buckets and size <= bucket_ratio * (sum(s for s, _ in buckets[-1]) / len(buckets[-1])):
+            buckets[-1].append((size, name))
+        else:
+            buckets.append([(size, name)])
+    target = next((b for b in buckets if len(b) >= min_threshold), None)
+    if target is None:
+        return False
+    target = target[:max_threshold]
+    paths = [os.path.join(cells_dir, name) for _, name in target]
+    merged = store.spark.read.schema(CELL_SCHEMA).parquet(*paths)
+    from apache_cassandra_spark.functions.reconcile import reconcile
+
+    out = reconcile(merged).sortWithinPartitions("key", "sc", "column")
+    tmp = cells_dir + ".minor_tmp"
+    out.coalesce(max(1, len(target) // 4)).write.mode("overwrite").parquet(tmp)
+    # swap: move merged-in inputs out, move new files in
+    for p in paths:
+        os.remove(p)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmp, f), os.path.join(cells_dir, "minor_" + f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return True
+
+
 def cleanup(store: CellStore, ks: str, cf_name: str, key_pred) -> None:
     """``doCleanupCompaction`` (``CompactionManager.java:534-548``): drop
     rows no longer owned — compaction restricted to the keep-predicate."""

@@ -161,6 +161,40 @@ def multiget_slice(
     return _sliced(cf, F.col("key").isin(list(keys)), predicate, super_column)
 
 
+def multiget(cf: CF, keys: list[str], path: ColumnPath) -> DataFrame:
+    """R3 ``multiget`` (deprecated in the reference) — R1 fanned over N
+    keys; the reference always returns an entry per key
+    (``CassandraServer.java:276-319``), so absent keys appear with NULL
+    column/value (left join against the key list)."""
+    spark = cf.cells.sparkSession
+    want = spark.createDataFrame([(k,) for k in keys], "key string")
+    if path.column is not None:
+        pred = SlicePredicate(column_names=(path.column,))
+        hits = _sliced(cf, F.col("key").isin(list(keys)), pred, path.super_column)
+    else:
+        hits = _filtered_live(
+            cf,
+            F.col("key").isin(list(keys)),
+            [F.col("sc") == F.lit(bytearray(path.super_column))] if path.super_column else [],
+        ).select(*RESULT_COLS)
+    return want.join(hits, "key", "left")
+
+
+class ReadLimitExceeded(Exception):
+    """Fork read-width circuit breaker tripped
+    (``db/filter/SliceQueryFilter.java:116-118``)."""
+
+
+def check_read_limit(df: DataFrame, hard_limit: int) -> DataFrame:
+    """Enforce the fork's per-read column hard limit: raises when the slice
+    would return more than ``hard_limit`` cells. The reference kills the
+    read server-side; here the guard is an explicit bounded probe (reads
+    limit+1 rows, never the full result)."""
+    if len(df.take(hard_limit + 1)) > hard_limit:
+        raise ReadLimitExceeded(f"read would exceed {hard_limit} columns")
+    return df
+
+
 def get_count(cf: CF, key: str, super_column: bytes | None = None) -> DataFrame:
     """R5 ``get_count`` — live entries of one row; literally
     ``get_slice(unbounded).size()`` in the reference

@@ -1,0 +1,116 @@
+"""Engine facade + CLI grammar parity (cli/Cli.g:100-139 semantics) and
+minor compaction / multiget / read-limit additions."""
+
+import pytest
+
+from apache_cassandra_spark.catalog import Catalog
+from apache_cassandra_spark.cli import execute
+from apache_cassandra_spark.engine import Engine
+from apache_cassandra_spark.model import ColumnPath, SlicePredicate, SliceRange
+from apache_cassandra_spark.operators import read
+from apache_cassandra_spark.operators.maintenance import submit_minor_if_needed
+from apache_cassandra_spark.operators.read import ReadLimitExceeded, check_read_limit
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    catalog = Catalog.from_dict(
+        {
+            "Keyspace1": {
+                "Standard1": {"compare_with": "UTF8Type"},
+                "Super1": {"column_type": "Super", "compare_with": "UTF8Type", "compare_subcolumns_with": "UTF8Type"},
+            }
+        }
+    )
+    return Engine(spark, str(tmp_path), catalog)
+
+
+def test_cli_set_get_count_del(engine):
+    assert execute(engine, "SET Keyspace1.Standard1['u1']['name'] = 'alice'") == "ok"
+    assert execute(engine, "SET Keyspace1.Standard1['u1']['age'] = '30'") == "ok"
+    out = execute(engine, "GET Keyspace1.Standard1['u1']['name']")
+    assert "alice" in out
+    assert execute(engine, "COUNT Keyspace1.Standard1['u1']") == "2"
+    assert execute(engine, "DEL Keyspace1.Standard1['u1']['name']") == "ok"
+    assert execute(engine, "COUNT Keyspace1.Standard1['u1']") == "1"
+    assert execute(engine, "DEL Keyspace1.Standard1['u1']") == "ok"
+    assert execute(engine, "GET Keyspace1.Standard1['u1']") == "not found"
+
+
+def test_cli_super_paths(engine):
+    execute(engine, "SET Keyspace1.Super1['k']['sc1']['c1'] = 'v1'")
+    out = execute(engine, "GET Keyspace1.Super1['k']['sc1']['c1']")
+    assert "v1" in out
+    out = execute(engine, "GET Keyspace1.Super1['k']['sc1']")
+    assert "v1" in out
+
+
+def test_cli_meta(engine):
+    assert "Keyspace1" in execute(engine, "SHOW KEYSPACES")
+    assert execute(engine, "SHOW CLUSTER NAME") == "pyspark-widecolumn"
+    assert "Standard1" in execute(engine, "DESCRIBE KEYSPACE Keyspace1")
+    assert "CompareSubcolumnsWith" in execute(engine, "DESCRIBE KEYSPACE Keyspace1")
+
+
+def test_cli_bad_statement(engine):
+    with pytest.raises(ValueError):
+        execute(engine, "FROB nothing")
+
+
+def test_engine_meta_ops(engine):
+    assert engine.describe_keyspaces() == ["Keyspace1"]
+    assert engine.describe_partitioner() == "RandomPartitioner"
+    assert engine.describe_version()
+    engine.login("Keyspace1")  # no-op
+
+
+def test_multiget_returns_entry_per_key(engine):
+    engine.insert("Keyspace1", "k1", ColumnPath("Standard1", column=b"c"), b"v", 1)
+    df = engine.multiget("Keyspace1", ["k1", "missing"], ColumnPath("Standard1", column=b"c"))
+    got = {r["key"]: r["value"] for r in df.collect()}
+    assert bytes(got["k1"]) == b"v" and got["missing"] is None
+
+
+def test_read_limit_breaker(engine):
+    for i in range(5):
+        engine.insert("Keyspace1", "k1", ColumnPath("Standard1", column=f"c{i}".encode()), b"v", 1)
+    cf = engine.cf("Keyspace1", "Standard1")
+    pred = SlicePredicate(slice_range=SliceRange(count=1000))
+    df = read.get_slice(cf, "k1", pred)
+    with pytest.raises(ReadLimitExceeded):
+        check_read_limit(df, hard_limit=3)
+    assert check_read_limit(df, hard_limit=10).count() == 5
+
+
+def test_minor_compaction_merges_buckets(engine):
+    ks, cfn = "Keyspace1", "Standard1"
+    for i in range(6):
+        engine.insert(ks, "k", ColumnPath(cfn, column=b"c"), f"v{i}".encode(), i)
+    import os
+
+    cells_dir = engine.store._cells_dir(ks, cfn)
+    before = len([f for f in os.listdir(cells_dir) if f.endswith(".parquet")])
+    assert before >= 6
+    assert submit_minor_if_needed(engine.store, ks, cfn, min_threshold=4) is True
+    after = len([f for f in os.listdir(cells_dir) if f.endswith(".parquet")])
+    assert after < before
+    # LWW winner preserved through the merge
+    r = engine.get("Keyspace1", "k", ColumnPath(cfn, column=b"c")).collect()
+    assert len(r) == 1 and bytes(r[0]["value"]) == b"v5"
+
+
+def test_minor_compaction_keeps_tombstones(engine):
+    ks, cfn = "Keyspace1", "Standard1"
+    for i in range(4):
+        engine.insert(ks, f"k{i}", ColumnPath(cfn, column=b"c"), b"v", 1)
+    engine.remove(ks, "k0", ColumnPath(cfn, column=b"c"), 2, ldt=0)
+    assert submit_minor_if_needed(engine.store, ks, cfn, min_threshold=4)
+    cf = engine.cf(ks, cfn)
+    # old tombstone still physically present after minor (no purge)
+    assert cf.cells.where("tombstone").count() == 1
+    assert read.get_count(cf, "k0").collect()[0]["count"] == 0
+
+
+def test_no_minor_when_below_threshold(engine):
+    engine.insert("Keyspace1", "k", ColumnPath("Standard1", column=b"c"), b"v", 1)
+    assert submit_minor_if_needed(engine.store, "Keyspace1", "Standard1", min_threshold=4) is False
