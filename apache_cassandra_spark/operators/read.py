@@ -215,20 +215,36 @@ def get_range_slices(
     predicate: SlicePredicate,
     key_range: KeyRange,
     super_column: bytes | None = None,
+    include_empty_rows: bool = False,
 ) -> DataFrame:
     """R7 ``get_range_slices`` — paged scan in token order
     (``thrift/CassandraServer.java:552-607``, ``StorageProxy.java:805-864``).
 
-    Key-addressed bounds are inclusive; token-addressed are start-exclusive
-    (``cassandra.thrift:233-239``); wrap-around token ranges become the OR
-    of two ranges (``dht/Range.java`` wrap logic). The ``count`` cap is on
-    *rows*: the distinct-key top-N runs as TakeOrderedAndProject (parallel
-    partial top-N, no single-reducer sort), then a broadcast semi-join
-    selects those rows' cells.
+    Semantics matched to the reference's golden tests
+    (``test_server.py:882-957``):
+
+    * key-addressed bounds inclusive; token-addressed start-exclusive
+      (``cassandra.thrift:233-239``); equal start/end token == full ring.
+    * wrap-around ranges return rows in RING order from the start token
+      (tokens > start first, then the wrapped tail) — the ``count`` cap
+      consumes rows in that order.
+    * row membership is decided by raw row existence, not by the column
+      predicate: a row with zero matching live columns still occupies a
+      ``count`` slot ("range ghosts", reference behavior until compaction
+      purges the row). With ``include_empty_rows=True`` such rows appear
+      as a single marker row with NULL column/value (Thrift's empty
+      KeySlice has no natural flat-DataFrame shape); with the default
+      False they are simply absent from the output — but still counted.
+
+    Scale shape: distinct candidate keys come from the RAW cells (pushdown
+    filter + groupBy on key only, before any reconcile), top-``count`` by
+    ring position runs as a parallel partial top-N, and only the surviving
+    rows' cells are reconciled.
     """
     token = cf.partitioner.token(F.col("key"))
     key_pred: Column | None = None
     preds: list[Column] = []
+    wrap_start: str | None = None
     if key_range.start_key is not None or key_range.end_key is not None:
         # key-addressed Bounds: inclusive both ends, compared in token space
         if key_range.start_key:
@@ -239,8 +255,11 @@ def get_range_slices(
         start_t = key_range.start_token or ""
         end_t = key_range.end_token or ""
         if start_t and end_t and start_t >= end_t:
-            # wrap-around ring range (start, min] ∪ (min, end]
-            preds.append((token > start_t) | (token <= end_t))
+            # wrap-around ring range (start, max] ∪ (min, end]; equal
+            # tokens = the full ring starting just past start_t
+            wrap_start = start_t
+            if start_t > end_t:
+                preds.append((token > start_t) | (token <= end_t))
         else:
             if start_t:
                 preds.append(token > start_t)
@@ -249,25 +268,42 @@ def get_range_slices(
     if preds:
         key_pred = and_all(preds)
 
+    # candidate rows: raw existence in range (reference: getKeyRange over
+    # memtable+sstable keys, db/ColumnFamilyStore.java:1125-1239)
+    raw = cf.cells if key_pred is None else cf.cells.where(key_pred)
+    ring_pos: list[Column] = []
+    if wrap_start is not None:
+        ring_pos.append(F.when(F.col("_t") > wrap_start, 0).otherwise(1))
+    keys = (
+        raw.select(F.col("key"), token.alias("_t"))
+        .groupBy("key")
+        .agg(F.min("_t").alias("_t"))
+        .orderBy(*ring_pos, F.col("_t"), F.col("key"))
+        .limit(key_range.count)
+        .select("key")
+    )
+
     target, comparator = _level(cf, super_column)
     cell_preds = _slice_cell_preds(F.col(target), comparator, predicate)
     if cf.is_super and super_column is not None:
         cell_preds.append(F.col("sc") == F.lit(bytearray(super_column)))
     live = _filtered_live(cf, key_pred, cell_preds)
-
-    # row cap: top `count` keys in token order (parallel top-N)
-    keys = (
-        live.select(F.col("key"), token.alias("_t"))
-        .groupBy("key")
-        .agg(F.min("_t").alias("_t"))
-        .orderBy("_t", "key")
-        .limit(key_range.count)
-        .select("key")
-    )
     live = live.join(F.broadcast(keys), "key", "inner")
     if predicate.slice_range is not None:
         live = _apply_count(live, cf, super_column, predicate.slice_range, per_key=True)
-    return live.select(*RESULT_COLS)
+    out = live.select(*RESULT_COLS)
+    if include_empty_rows:
+        empties = keys.join(out.select("key").distinct(), "key", "left_anti")
+        out = out.unionByName(
+            empties.select(
+                "key",
+                F.lit(None).cast("binary").alias("sc"),
+                F.lit(None).cast("binary").alias("column"),
+                F.lit(None).cast("binary").alias("value"),
+                F.lit(None).cast("long").alias("ts"),
+            )
+        )
+    return out
 
 
 def describe_splits(cf: CF, keys_per_split: int, key_pred: Column | None = None) -> list[str]:

@@ -86,6 +86,35 @@ def test_describe_splits(spark):
     assert bounds == sorted(bounds)
 
 
+def test_empty_columns_row_still_occupies_count_slot(spark):
+    # test_server.py:893 "test empty columns": a row matching no requested
+    # columns is still a result row (and consumes a count slot)
+    cf = range_cf(spark)
+    pred = SlicePredicate(column_names=(b"absent",))
+    kr = KeyRange(start_key="key00", end_key="key05", count=2)
+    out = read.get_range_slices(cf, pred, kr, include_empty_rows=True).collect()
+    assert sorted({r["key"] for r in out}) == ["key00", "key01"]
+    assert all(r["column"] is None for r in out)
+    # default mode: ghost rows silent but still counted against `count`
+    out2 = read.get_range_slices(cf, pred, kr).collect()
+    assert out2 == []
+
+
+def test_wrapped_equal_tokens_is_full_ring_in_ring_order(spark):
+    # test_server.py:937 wrapped ranges: equal start/end token = full ring,
+    # rows returned starting AFTER the token, wrapping around
+    cells = [cell(k, b"c1", b"v", 0) for k in ["a", "b", "c", "d", "e"]]
+    cf = make_cf(spark, cells, order_preserving=True)
+    pred = SlicePredicate(column_names=(b"c1",))
+    kr = KeyRange(start_token="c", end_token="c", count=100)
+    got = keys_of(read.get_range_slices(cf, pred, kr))
+    assert got == ["a", "b", "c", "d", "e"]
+    # count cap consumes ring order from the start token: d, e, a
+    kr3 = KeyRange(start_token="c", end_token="c", count=3)
+    got3 = keys_of(read.get_range_slices(cf, pred, kr3))
+    assert got3 == ["a", "d", "e"]
+
+
 def test_range_scan_sees_tombstoned_rows_excluded(spark):
     cells = [cell("ka", b"c1", b"v", 0), cell("kb", b"c1", b"v", 0)]
     cf = make_cf(spark, cells, ctombs=[("ka", None, 5, 0)], order_preserving=True)
