@@ -1,0 +1,164 @@
+"""Golden tests ported from the reference's end-to-end system suite
+(test/system/test_server.py) — the sequences that pin down LWW + tombstone
++ comparator interplay, run through the Engine facade with the memtable
+buffer (durable=False) like the reference's in-process server tests."""
+
+import struct
+import uuid
+
+import pytest
+
+from apache_cassandra_spark.catalog import Catalog
+from apache_cassandra_spark.engine import Engine
+from apache_cassandra_spark.model import ColumnPath, SlicePredicate, SliceRange
+
+
+def _i64(i):
+    return struct.pack(">q", i)
+
+
+BIG = SlicePredicate(slice_range=SliceRange(count=1000))
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    catalog = Catalog.from_dict(
+        {
+            "Keyspace1": {
+                "Standard1": {"compare_with": "BytesType"},
+                "StandardLong1": {"compare_with": "LongType"},
+                "Super1": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "LongType"},
+            },
+            "Keyspace2": {
+                "Super4": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "TimeUUIDType"},
+            },
+        }
+    )
+    return Engine(spark, str(tmp_path), catalog)
+
+
+def ins(engine, ks, cf, key, col, val, ts, sc=None):
+    engine.insert(ks, key, ColumnPath(cf, super_column=sc, column=col), val, ts, durable=False)
+
+
+def slice_cols(engine, ks, cf, key, pred=BIG, sc=None):
+    rows = engine.get_slice(ks, key, cf, pred, super_column=sc).collect()
+    return [(bytes(r["column"]), bytes(r["value"]), r["ts"]) for r in rows]
+
+
+def _insert_simple(engine):
+    ins(engine, "Keyspace1", "Standard1", "key1", b"c1", b"value1", 0)
+    ins(engine, "Keyspace1", "Standard1", "key1", b"c2", b"value2", 0)
+
+
+def _insert_super(engine):
+    ins(engine, "Keyspace1", "Super1", "key1", _i64(4), b"value4", 0, sc=b"sc1")
+    ins(engine, "Keyspace1", "Super1", "key1", _i64(5), b"value5", 0, sc=b"sc2")
+    ins(engine, "Keyspace1", "Super1", "key1", _i64(6), b"value6", 0, sc=b"sc2")
+
+
+def test_cf_remove(engine):
+    # test_server.py:653
+    _insert_simple(engine)
+    _insert_super(engine)
+
+    engine.remove("Keyspace1", "key1", ColumnPath("Standard1"), 3, durable=False)
+    assert slice_cols(engine, "Keyspace1", "Standard1", "key1") == []
+    # super CF unaffected
+    assert len(slice_cols(engine, "Keyspace1", "Super1", "key1")) == 3
+
+    # resurrection: older timestamp stays removed
+    ins(engine, "Keyspace1", "Standard1", "key1", b"c1", b"value1", 0)
+    assert slice_cols(engine, "Keyspace1", "Standard1", "key1") == []
+    # newer timestamp comes back
+    ins(engine, "Keyspace1", "Standard1", "key1", b"c1", b"value1", 4)
+    assert slice_cols(engine, "Keyspace1", "Standard1", "key1") == [(b"c1", b"value1", 4)]
+
+    # removing the entire super cf kills parent- and sc-level slices
+    engine.remove("Keyspace1", "key1", ColumnPath("Super1"), 3, durable=False)
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1") == []
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc1") == []
+
+
+def test_super_cf_remove_column(engine):
+    # test_server.py:678
+    _insert_simple(engine)
+    _insert_super(engine)
+
+    engine.remove("Keyspace1", "key1", ColumnPath("Super1", super_column=b"sc2", column=_i64(5)), 5, durable=False)
+    assert engine.get("Keyspace1", "key1", ColumnPath("Super1", super_column=b"sc2", column=_i64(5))).count() == 0
+    got = slice_cols(engine, "Keyspace1", "Super1", "key1")
+    assert got == [(_i64(4), b"value4", 0), (_i64(6), b"value6", 0)]
+    # standard cf untouched
+    assert slice_cols(engine, "Keyspace1", "Standard1", "key1") == [
+        (b"c1", b"value1", 0),
+        (b"c2", b"value2", 0),
+    ]
+    # new insert shows up post-remove
+    ins(engine, "Keyspace1", "Super1", "key1", _i64(7), b"value7", 0, sc=b"sc2")
+    got = slice_cols(engine, "Keyspace1", "Super1", "key1")
+    assert got == [(_i64(4), b"value4", 0), (_i64(6), b"value6", 0), (_i64(7), b"value7", 0)]
+
+
+def test_long_remove_resurrect_cycles(engine):
+    # test_server.py:310 test_long_remove - repeated row-delete/resurrect
+    sp = SlicePredicate(slice_range=SliceRange(count=1))
+    for i in range(0, 30, 10):
+        path = ColumnPath("StandardLong1", column=_i64(i))
+        engine.insert("Keyspace1", "key1", path, b"value1", 10 * i, durable=False)
+        engine.remove("Keyspace1", "key1", ColumnPath("StandardLong1"), 10 * i + 1, durable=False)
+        assert slice_cols(engine, "Keyspace1", "StandardLong1", "key1", sp) == []
+        engine.insert("Keyspace1", "key1", path, b"value2", 10 * i + 2, durable=False)
+        assert slice_cols(engine, "Keyspace1", "StandardLong1", "key1", sp) == [
+            (_i64(i), b"value2", 10 * i + 2)
+        ]
+
+
+def test_time_uuid_slices(engine):
+    # test_server.py:267 - TimeUUID subcolumn ordering in Super4
+    uuids = []
+    ts = 0x1ECB_0000_0000_0000
+    for i in range(20):
+        # strictly increasing v1 timestamps, random node/clock bits
+        u = uuid.uuid1(node=uuid.getnode(), clock_seq=i)
+        time_low = (ts + i) & 0xFFFFFFFF
+        time_mid = ((ts + i) >> 32) & 0xFFFF
+        time_hi = (((ts + i) >> 48) & 0x0FFF) | 0x1000
+        b = struct.pack(">IHH", time_low, time_mid, time_hi) + u.bytes[8:]
+        uuids.append(b)
+        ins(engine, "Keyspace2", "Super4", "key1", b, f"value{i}".encode(), i, sc=b"sc1")
+
+    got = slice_cols(engine, "Keyspace2", "Super4", "key1", sc=b"sc1")
+    assert [c for c, _, _ in got] == uuids  # timestamp order
+    assert [v for _, v, _ in got] == [f"value{i}".encode() for i in range(20)]
+
+    # reversed count=1 -> the newest
+    p = SlicePredicate(slice_range=SliceRange(reversed=True, count=1))
+    assert slice_cols(engine, "Keyspace2", "Super4", "key1", p, sc=b"sc1") == [
+        (uuids[-1], b"value19", 19)
+    ]
+
+    # bounded: start='' finish=uuids[2] -> first three
+    p = SlicePredicate(slice_range=SliceRange(finish=uuids[2], count=1000))
+    got = slice_cols(engine, "Keyspace2", "Super4", "key1", p, sc=b"sc1")
+    assert [c for c, _, _ in got] == uuids[:3]
+
+    # reversed from uuids[2] -> value2, value1, value0
+    p = SlicePredicate(slice_range=SliceRange(start=uuids[2], reversed=True, count=1000))
+    got = slice_cols(engine, "Keyspace2", "Super4", "key1", p, sc=b"sc1")
+    assert [c for c, _, _ in got] == [uuids[2], uuids[1], uuids[0]]
+
+
+def test_batch_mutate_standard_columns(engine):
+    # test_server.py:335
+    from apache_cassandra_spark.model import Mutation
+
+    keys = [f"key_{i}" for i in range(27, 32)]
+    muts = [
+        Mutation(column_name=b"c1", value=b"value1", timestamp=0),
+        Mutation(column_name=b"c2", value=b"value2", timestamp=0),
+    ]
+    engine.batch_mutate("Keyspace1", {k: {"Standard1": muts} for k in keys}, durable=False)
+    for k in keys:
+        r = engine.get("Keyspace1", k, ColumnPath("Standard1", column=b"c1")).collect()
+        assert len(r) == 1 and bytes(r[0]["value"]) == b"value1"
