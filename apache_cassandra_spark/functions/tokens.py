@@ -80,7 +80,13 @@ class OdklDomainPartitioner(Partitioner):
         return key[-2:].lower() + key[:-2]
 
     def domain(self, key: Column) -> Column:
-        return F.lower(F.substring(key, -2, 2))
+        return F.when(F.length(key) < 2, F.lpad(key, 2, "0")).otherwise(F.lower(F.substring(key, -2, 2)))
+
+    def domain_of(self, key: str) -> str:
+        """Driver-side domain of a literal key (for partition pruning)."""
+        if len(key) < 2:
+            return key.rjust(2, "0")
+        return key[-2:].lower()
 
 
 _PARTITIONERS = {

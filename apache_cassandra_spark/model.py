@@ -104,6 +104,10 @@ class CF:
     container_tombstones: DataFrame | None = None
     partitioner: Partitioner = field(default_factory=RandomPartitioner)
     keyspace: str = ""
+    #: set when the backing table is physically partitioned by key domain
+    #: (fork domain-split CFs): read operators derive partition filters
+    #: from literal keys so point reads prune to 1/256 of the data
+    domain_col: str | None = None
 
     @property
     def is_super(self) -> bool:

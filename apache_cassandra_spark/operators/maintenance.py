@@ -107,6 +107,12 @@ def compact(
     cells_dir = store._cells_dir(ks, cf_name)
     tmp = cells_dir + ".compact_tmp"
     writer = out.write.mode("overwrite")
+    if cfdef.domain_split:
+        # preserve the fork's per-domain physical layout through compaction
+        from apache_cassandra_spark.functions.tokens import OdklDomainPartitioner
+
+        out = out.withColumn("_dom", OdklDomainPartitioner().domain(F.col("key")))
+        writer = out.write.mode("overwrite").partitionBy("_dom")
     if cfdef.bloom_columns:
         # fork column-bloom analog: Parquet bloom filters on the name/key
         # columns (probe served by io skipping instead of explicit BFs)

@@ -96,9 +96,27 @@ def _apply_count(
     return ranked.where(F.col("_rk") <= sr.count).drop("_rk")
 
 
-def _filtered_live(cf: CF, key_pred: Column | None, extra_preds: list[Column]) -> DataFrame:
+def _domain_pred(cf: CF, keys: list[str]) -> Column | None:
+    """Partition filter for domain-split CFs: literal keys -> their domains
+    (fork ``OdklDomainPartitioner``). This is what turns a point read on a
+    256-way domain-partitioned table into a 1/256 partition-pruned scan."""
+    if cf.domain_col is None:
+        return None
+    from apache_cassandra_spark.functions.tokens import OdklDomainPartitioner
+
+    doms = sorted({OdklDomainPartitioner().domain_of(k) for k in keys})
+    return F.col(cf.domain_col).isin(doms)
+
+
+def _filtered_live(
+    cf: CF, key_pred: Column | None, extra_preds: list[Column], keys: list[str] | None = None
+) -> DataFrame:
     cells = cf.cells
     tombs = cf.container_tombstones
+    if keys is not None:
+        dom = _domain_pred(cf, keys)
+        if dom is not None:
+            cells = cells.where(dom)  # cells only: tombstones aren't partitioned
     if key_pred is not None:
         cells = cells.where(key_pred)
         if tombs is not None:
@@ -114,12 +132,13 @@ def _sliced(
     predicate: SlicePredicate,
     super_column: bytes | None,
     per_key_count: bool = True,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     target, comparator = _level(cf, super_column)
     preds = _slice_cell_preds(F.col(target), comparator, predicate)
     if cf.is_super and super_column is not None:
         preds.append(F.col("sc") == F.lit(bytearray(super_column)))
-    live = _filtered_live(cf, key_pred, preds)
+    live = _filtered_live(cf, key_pred, preds, keys=keys)
     if predicate.slice_range is not None:
         live = _apply_count(live, cf, super_column, predicate.slice_range, per_key_count)
     return live.select(*RESULT_COLS)
@@ -136,11 +155,11 @@ def get(cf: CF, key: str, path: ColumnPath) -> DataFrame:
     reference's NotFoundException."""
     if path.column is not None:
         pred = SlicePredicate(column_names=(path.column,))
-        return _sliced(cf, F.col("key") == key, pred, path.super_column)
+        return _sliced(cf, F.col("key") == key, pred, path.super_column, keys=[key])
     if path.super_column is not None:
         # whole supercolumn: all live subcolumns under it
         live = _filtered_live(
-            cf, F.col("key") == key, [F.col("sc") == F.lit(bytearray(path.super_column))]
+            cf, F.col("key") == key, [F.col("sc") == F.lit(bytearray(path.super_column))], keys=[key]
         )
         return live.select(*RESULT_COLS)
     raise ValueError("get() needs a column or super_column coordinate")
@@ -150,7 +169,7 @@ def get_slice(
     cf: CF, key: str, predicate: SlicePredicate, super_column: bytes | None = None
 ) -> DataFrame:
     """R2 ``get_slice`` (``thrift/CassandraServer.java:209-218``)."""
-    return _sliced(cf, F.col("key") == key, predicate, super_column)
+    return _sliced(cf, F.col("key") == key, predicate, super_column, keys=[key])
 
 
 def multiget_slice(
@@ -158,7 +177,7 @@ def multiget_slice(
 ) -> DataFrame:
     """R4 ``multiget_slice`` — R2 fanned over N keys, count applied per key
     (``thrift/CassandraServer.java:220-257``)."""
-    return _sliced(cf, F.col("key").isin(list(keys)), predicate, super_column)
+    return _sliced(cf, F.col("key").isin(list(keys)), predicate, super_column, keys=list(keys))
 
 
 def multiget(cf: CF, keys: list[str], path: ColumnPath) -> DataFrame:
@@ -170,12 +189,13 @@ def multiget(cf: CF, keys: list[str], path: ColumnPath) -> DataFrame:
     want = spark.createDataFrame([(k,) for k in keys], "key string")
     if path.column is not None:
         pred = SlicePredicate(column_names=(path.column,))
-        hits = _sliced(cf, F.col("key").isin(list(keys)), pred, path.super_column)
+        hits = _sliced(cf, F.col("key").isin(list(keys)), pred, path.super_column, keys=list(keys))
     else:
         hits = _filtered_live(
             cf,
             F.col("key").isin(list(keys)),
             [F.col("sc") == F.lit(bytearray(path.super_column))] if path.super_column else [],
+            keys=list(keys),
         ).select(*RESULT_COLS)
     return want.join(hits, "key", "left")
 
@@ -205,6 +225,7 @@ def get_count(cf: CF, key: str, super_column: bytes | None = None) -> DataFrame:
         F.col("key") == key,
         SlicePredicate(slice_range=SliceRange(count=2**31 - 1)),
         super_column,
+        keys=[key],
     )
     unit = "sc" if (cf.is_super and super_column is None) else "column"
     return live.agg(F.count_distinct(F.col(unit)).alias("count"))

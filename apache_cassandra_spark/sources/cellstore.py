@@ -103,10 +103,28 @@ class CellStore:
         for k in keys:
             self._commit(k[0], k[1], self._pending.pop(k))
 
+    def _domain_split(self, ks: str, cf: str) -> bool:
+        return self.catalog.keyspace(ks).cf(cf).domain_split
+
+    def _write_cells(self, ks: str, cf: str, df: DataFrame, single_file: bool = False) -> None:
+        if self._domain_split(ks, cf):
+            # fork domain-split CFs (CFMetaData.java:49-53): physically
+            # partition by the key's domain so point reads prune to 1/256
+            from apache_cassandra_spark.functions.tokens import OdklDomainPartitioner
+
+            dom = OdklDomainPartitioner().domain(F.col("key"))
+            df.withColumn("_dom", dom).write.mode("append").partitionBy("_dom").parquet(
+                self._cells_dir(ks, cf)
+            )
+            return
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("append").parquet(self._cells_dir(ks, cf))
+
     def _commit(self, ks: str, cf: str, batch: MutationBatch) -> None:
         if batch.cells:
             df = self.spark.createDataFrame(batch.cells, CELL_SCHEMA)
-            df.coalesce(1).write.mode("append").parquet(self._cells_dir(ks, cf))
+            self._write_cells(ks, cf, df, single_file=True)
         if batch.container_tombstones:
             df = self.spark.createDataFrame(batch.container_tombstones, CONTAINER_TOMBSTONE_SCHEMA)
             df.coalesce(1).write.mode("append").parquet(self._ctombs_dir(ks, cf))
@@ -114,25 +132,37 @@ class CellStore:
     def bulk_load(self, ks: str, cf: str, cells: DataFrame) -> None:
         """W5 binary/bulk load (``db/BinaryMemtable.java:45``): pre-shaped
         cell DataFrame straight to storage, bypassing the memtable path."""
-        cells.select([F.col(f.name).cast(f.dataType) for f in CELL_SCHEMA.fields]).write.mode(
-            "append"
-        ).parquet(self._cells_dir(ks, cf))
+        shaped = cells.select([F.col(f.name).cast(f.dataType) for f in CELL_SCHEMA.fields])
+        self._write_cells(ks, cf, shaped)
 
     # -- read path -----------------------------------------------------------
-    def _read_dir(self, path: str, schema: T.StructType) -> DataFrame:
-        if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+    def _read_dir(self, path: str, schema: T.StructType, partitioned: bool = False) -> DataFrame:
+        if os.path.isdir(path) and (
+            partitioned or any(f.endswith(".parquet") for f in os.listdir(path))
+        ):
+            if partitioned and not os.listdir(path):
+                return self.spark.createDataFrame([], schema)
             return self.spark.read.schema(schema).parquet(path)
         return self.spark.createDataFrame([], schema)
 
     def cf(self, ks: str, cf_name: str) -> CF:
         """Bind a CF handle: disk cells ∪ pending memtable rows."""
         cfdef: CFDef = self.catalog.keyspace(ks).cf(cf_name)
-        cells = self._read_dir(self._cells_dir(ks, cf_name), CELL_SCHEMA)
+        domain = self._domain_split(ks, cf_name)
+        cell_schema = CELL_SCHEMA
+        if domain:
+            cell_schema = T.StructType(list(CELL_SCHEMA.fields) + [T.StructField("_dom", T.StringType(), True)])
+        cells = self._read_dir(self._cells_dir(ks, cf_name), cell_schema, partitioned=domain)
         tombs = self._read_dir(self._ctombs_dir(ks, cf_name), CONTAINER_TOMBSTONE_SCHEMA)
         pend = self._pending.get((ks, cf_name))
         if pend is not None:
             if pend.cells:
-                cells = cells.unionByName(self.spark.createDataFrame(pend.cells, CELL_SCHEMA))
+                pend_cells = self.spark.createDataFrame(pend.cells, CELL_SCHEMA)
+                if domain:
+                    from apache_cassandra_spark.functions.tokens import OdklDomainPartitioner
+
+                    pend_cells = pend_cells.withColumn("_dom", OdklDomainPartitioner().domain(F.col("key")))
+                cells = cells.unionByName(pend_cells)
             if pend.container_tombstones:
                 tombs = tombs.unionByName(
                     self.spark.createDataFrame(pend.container_tombstones, CONTAINER_TOMBSTONE_SCHEMA)
@@ -143,4 +173,5 @@ class CellStore:
             container_tombstones=tombs,
             partitioner=self.partitioner,
             keyspace=ks,
+            domain_col="_dom" if domain else None,
         )

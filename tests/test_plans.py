@@ -1,0 +1,100 @@
+"""Physical-plan assertions — locks in the scale properties the engine is
+designed around (SURVEY.md §4). A correctness-neutral regression here means
+a 100x slowdown at 100 TB, so these are tested like semantics:
+
+* point/multiget reads push the key filter into the Parquet scan
+* container-tombstone watermarks join via broadcast (never shuffle)
+* per-row slice limits use WindowGroupLimit (partial top-k before shuffle)
+* reconcile runs map-side partial aggregation before its single shuffle
+* analytics joins broadcast the small side
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.model import KeyRange, SlicePredicate, SliceRange
+from apache_cassandra_spark.operators import read
+
+from tests.util import cell, make_cf
+
+
+@pytest.fixture(scope="module")
+def stored_cf(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "cells")
+    cells = [cell(f"k{i}", b"c1", b"v", 0) for i in range(100)]
+    from apache_cassandra_spark.sources.cellstore import CELL_SCHEMA
+
+    spark.createDataFrame(cells, CELL_SCHEMA).write.parquet(path)
+    cf = make_cf(spark, cells[:1])  # metadata shell
+    cf.cells = spark.read.schema(CELL_SCHEMA).parquet(path)
+    return cf
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_point_read_pushes_key_filter_to_scan(stored_cf):
+    df = read.get_slice(stored_cf, "k5", SlicePredicate(slice_range=SliceRange(count=10)))
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(key), EqualTo(key,k5)]" in plan or "EqualTo(key,k5)" in plan
+
+
+def test_multiget_pushes_in_filter(stored_cf):
+    df = read.multiget_slice(stored_cf, ["k1", "k2"], SlicePredicate(slice_range=SliceRange(count=10)))
+    assert "In(key, [k1,k2])" in plan_of(df)
+
+
+def test_watermark_joins_are_broadcast(spark):
+    cf = make_cf(
+        spark,
+        [cell("k", b"c", b"v", 1)],
+        ctombs=[("k", None, 0, 0)],
+        column_type="Super",
+        compare_with="BytesType",
+    )
+    plan = plan_of(cf.live())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_slice_count_uses_window_group_limit(stored_cf):
+    df = read.multiget_slice(stored_cf, ["k1", "k2"], SlicePredicate(slice_range=SliceRange(count=3)))
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_reconcile_has_partial_aggregation(stored_cf):
+    df = read.get_slice(stored_cf, "k5", SlicePredicate(slice_range=SliceRange(count=10)))
+    assert "partial_max_by" in plan_of(df)
+
+
+def test_range_scan_candidate_keys_before_reconcile(stored_cf):
+    # the candidate-key top-N must NOT contain the reconcile aggregate:
+    # keys come from raw cells (optimized plan has a key-only aggregate
+    # below the global limit, with no max_by inside that subtree)
+    df = read.get_range_slices(
+        stored_cf,
+        SlicePredicate(slice_range=SliceRange(count=5)),
+        KeyRange(start_token="", end_token="", count=10),
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(stored_cf):
+    df = stored_cf.cells.select("key", "ts")
+    assert "ReadSchema: struct<key:string,ts:bigint>" in plan_of(df)
+
+
+def test_broadcast_in_topk_similarity(spark):
+    from apache_cassandra_spark.analytics.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    df = cosine_topk(vecs, vecs.where(F.col("vec_id") < 2), k=3)
+    assert "BroadcastNestedLoopJoin" in plan_of(df) or "BroadcastHashJoin" in plan_of(df)
