@@ -21,6 +21,7 @@ from apache_cassandra_spark.operators import exists as X
 from apache_cassandra_spark.operators import maintenance as M
 from apache_cassandra_spark.operators import read as R
 from apache_cassandra_spark.operators import write as W
+from apache_cassandra_spark import validation as V
 from apache_cassandra_spark.sources.cellstore import CellStore
 
 
@@ -104,14 +105,25 @@ class Engine:
     def columns_may_exist(self, ks: str, cf_name: str, key: str, names: list[bytes]) -> DataFrame:
         return X.columns_may_exist(self.cf(ks, cf_name), key, names)
 
-    # -- writes (§2.2) ------------------------------------------------------
+    # -- writes (§2.2), validated like ThriftValidation ---------------------
     def insert(self, ks: str, key: str, path: ColumnPath, value: bytes, timestamp: int, durable: bool = True) -> None:
+        V.validate_key(key)
+        V.validate_column_path(self.catalog, ks, path)
         self.store.apply(ks, path.column_family, W.insert(key, path, value, timestamp), durable)
 
     def remove(self, ks: str, key: str, path: ColumnPath, timestamp: int, ldt: int = 0, durable: bool = True) -> None:
+        V.validate_key(key)
+        V.validate_cf(self.catalog, ks, path.column_family)
+        if path.column is not None or path.super_column is not None:
+            V.validate_column_path(self.catalog, ks, path)
         self.store.apply(ks, path.column_family, W.remove(key, path, timestamp, ldt), durable)
 
     def batch_mutate(self, ks: str, mutations: dict, durable: bool = True) -> None:
+        for key, by_cf in mutations.items():
+            V.validate_key(key)
+            for cf_name, muts in by_cf.items():
+                for m in muts:
+                    V.validate_mutation(self.catalog, ks, cf_name, m)
         for cf_name, batch in W.batch_mutate(mutations).items():
             self.store.apply(ks, cf_name, batch, durable)
 

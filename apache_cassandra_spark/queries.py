@@ -347,6 +347,73 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """The Structured-Streaming windowed operator (streaming/ingest.py),
+    exercised on the batch frame — identical code path to the stream."""
+    from apache_cassandra_spark.streaming.ingest import windowed_event_stats
+
+    ev = load_events(spark, sf_dir).withColumn("ts_micros", F.expr("ts div 1000"))
+    return windowed_event_stats(ev)
+
+
+def q_tpch_q3ish(spark, sf_dir):
+    """Join + filter + group + top-k (shipping-priority shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where((F.col("o_orderdate") < "1996-01-01") & (F.col("l_shipdate") > "1996-01-01"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join (NOT EXISTS) — a composition the reference could not run
+    server-side at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """Window function: most recent order per customer (ties -> highest
+    order key), the per-key top-1 shape used everywhere in feed systems."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("latest_orderdate"),
+        )
+    )
+
+
+def q_status_priority_matrix(spark, sf_dir):
+    """Two-dimensional grouping (the reference's Pig GROUP story, wider)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            # exact decimal sum -> double division: bit-identical across engines
+            # (native AVG(decimal) result types differ between engines)
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators
 # ---------------------------------------------------------------------------
@@ -516,6 +583,35 @@ ORACLES: dict[str, str] = {
                count(*) AS n, cast(sum(cast(value as decimal(18,4))) as double) AS total
         FROM events GROUP BY 1, 2
     """,
+    "events_windowed": """
+        SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n,
+               cast(sum(cast(value as decimal(18,4))) as double) AS total
+        FROM events GROUP BY 1, 2
+    """,
+    "tpch_q3ish": """
+        SELECT l_orderkey,
+               cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < timestamp '1996-01-01 00:00:00' AND l_shipdate > timestamp '1996-01-01 00:00:00'
+        GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey AS latest_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) t
+        WHERE rn = 1
+    """,
+    "status_priority_matrix": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(18,4))) as double) / count(*) AS avg_price
+        FROM orders GROUP BY 1, 2
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
         FROM documents GROUP BY 1
@@ -640,6 +736,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1ish": q_tpch_q1ish,
     "tpch_top_nations": q_top_nations,
     "events_hourly": q_events_hourly,
+    "events_windowed": q_events_windowed,
+    "tpch_q3ish": q_tpch_q3ish,
+    "customers_without_orders": q_customers_without_orders,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "status_priority_matrix": q_status_priority_matrix,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
