@@ -124,17 +124,35 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_MERSENNE_31 = 2**31 - 1
+
+
+def _perm_hash(base: Column, p: int) -> Column:
+    """Universal-hash permutation p over a 31-bit base hash:
+    ``(a_p * h + b_p) mod (2^31 - 1)`` with fixed odd multipliers.
+
+    31-bit domain keeps ``a_p * h`` inside int64 (< 2^62) so the identical
+    integer arithmetic runs in any SQL engine — and costs one multiply
+    instead of one md5 per permutation."""
+    a = 2 * p + 1
+    b = p * p + 7
+    return (base * a + b) % F.lit(_MERSENNE_31)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_perm: int = 16
 ) -> DataFrame:
     """(id, minhash_0..minhash_{p-1}) — num_perm independent min-hashes per
-    doc, computed WIDE: one aggregation over the shingle stream with
-    num_perm ``min`` columns. No per-perm row explosion (that would shuffle
-    num_perm× the data) and no pre-distinct (min over a multiset == min
-    over the set)."""
+    doc, computed WIDE: ONE md5 per shingle -> 31-bit base hash -> num_perm
+    arithmetic permutations, aggregated as num_perm ``min`` columns in a
+    single pass. No per-perm row explosion (that would shuffle num_perm×
+    the data) and no pre-distinct (min over a multiset == min over the
+    set)."""
     grams = _shingle_stream(df, text_col, id_col, n)
-    mins = [F.min(_hash64(F.col("shingle"), p)).alias(f"minhash_{p}") for p in range(num_perm)]
-    return grams.groupBy("id").agg(*mins)
+    base = (_hash64(F.col("shingle"), "mh") % F.lit(_MERSENNE_31)).alias("_h")
+    hashed = grams.select("id", base)
+    mins = [F.min(_perm_hash(F.col("_h"), p)).alias(f"minhash_{p}") for p in range(num_perm)]
+    return hashed.groupBy("id").agg(*mins)
 
 
 def minhash_lsh_candidates(

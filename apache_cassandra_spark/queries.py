@@ -107,24 +107,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
     default; read ``ts`` as raw nanos (long). Falls back to an Arrow-side
-    read if the session forbids the legacy conf."""
+    read if the session forbids the legacy conf. Memoized per session (the
+    readability probe costs a job)."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _EVENTS_CACHE:
+        return _EVENTS_CACHE[cache_key]
     path = f"{sf_dir}/events.parquet"
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         df.head(1)
+        _EVENTS_CACHE[cache_key] = df
         return df
     except Exception:
         import pyarrow.parquet as pq
 
         pdf = pq.read_table(path).to_pandas()
         pdf["ts"] = pdf["ts"].astype("int64")
-        return spark.createDataFrame(
+        df = spark.createDataFrame(
             pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
         )
+        _EVENTS_CACHE[cache_key] = df
+        return df
 
 
 def _cf(spark: SparkSession, sf_dir: str, table: str, order_preserving: bool = True) -> CF:
@@ -625,12 +635,16 @@ ORACLES: dict[str, str] = {
         FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
         WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
     """,
+    # minhash: one md5 -> 31-bit base, perm p = (h*(2p+1) + p*p+7) mod 2^31-1
+    # (same arithmetic as analytics/dedup._perm_hash); min over the raw
+    # shingle stream (duplicates don't affect min)
     "dedup_minhash_lsh": f"""
         WITH {_DOC_SHINGLES},
+        based AS (SELECT id, ('0x' || substr(md5('mh:' || shingle), 1, 15))::bigint % 2147483647 AS h
+                  FROM sh),
         perms AS (SELECT unnest(generate_series(0, 15)) AS p),
-        hashed AS (SELECT id, p,
-                          min(('0x' || substr(md5(cast(p as varchar) || ':' || shingle), 1, 15))::bigint) AS mh
-                   FROM shd, perms GROUP BY id, p),
+        hashed AS (SELECT id, p, min((h * (2*p + 1) + p*p + 7) % 2147483647) AS mh
+                   FROM based, perms GROUP BY id, p),
         banded AS (SELECT id, p // 4 AS band,
                           md5(string_agg(lpad(cast(p as varchar), 2, '0') || ':' || cast(mh as varchar), ','
                               ORDER BY lpad(cast(p as varchar), 2, '0') || ':' || cast(mh as varchar))) AS bucket
