@@ -273,6 +273,31 @@ def q_lww_row_tombstones(spark, sf_dir):
     return _strings(cf.live(), with_ts=True)
 
 
+def q_long_comparator_slice(spark, sf_dir):
+    """LongType comparator in the gate: column names are 8-byte big-endian
+    event ids; a reversed count-3 slice must pick the numerically-largest
+    ids per user (byte-order-only sorting would get this wrong for mixed
+    digit counts)."""
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 3)
+    cells = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast("binary").alias("sc"),
+        F.unhex(F.lpad(F.hex(F.col("event_id")), 16, "0")).alias("column"),
+        F.encode("event_type", "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(False).alias("tombstone"),
+        F.lit(None).cast("int").alias("ldt"),
+    )
+    cf = CF(cfdef=CFDef(name="ev_long", compare_with="LongType"), cells=cells)
+    pred = SlicePredicate(slice_range=SliceRange(reversed=True, count=3))
+    out = R.multiget_slice(cf, ["0", "1", "2"], pred)
+    return out.select(
+        "key",
+        F.conv(F.hex("column"), 16, 10).cast("bigint").alias("event_id"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def q_rows_may_exist(spark, sf_dir):
     """Fork existence probe (FastRowMayExistQueryFilter): one-sided
     may-exist check; our realization is exact, a valid tightening."""
@@ -558,6 +583,12 @@ ORACLES: dict[str, str] = {
           FROM live) t
         WHERE rn = 1
     """,
+    "cass_long_comparator_slice": """
+        SELECT cast(user_id as varchar) AS key, event_id, event_type AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events WHERE user_id < 3) t
+        WHERE rn <= 3
+    """,
     "rows_may_exist": """
         WITH probes AS (SELECT cast(k as varchar) AS key FROM generate_series(95, 105) t(k))
         SELECT key, EXISTS (SELECT 1 FROM supplier WHERE cast(s_suppkey as varchar) = key) AS may_exist
@@ -743,6 +774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
     "cass_lww_events": q_lww_events,
     "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_long_comparator_slice": q_long_comparator_slice,
     "rows_may_exist": q_rows_may_exist,
     "describe_splits": q_describe_splits,
     "pig_group_count": q_pig_parity,
