@@ -273,6 +273,32 @@ def q_lww_row_tombstones(spark, sf_dir):
     return _strings(cf.live(), with_ts=True)
 
 
+def q_super_get_count(spark, sf_dir):
+    """R5 on a Super CF parent: counts supercolumns (linenumbers)."""
+    cf = _cf(spark, sf_dir, "lineitem")
+    return R.get_count(cf, "1")
+
+
+def q_multiget(spark, sf_dir):
+    """R3 multiget: an entry per requested key, NULL for misses."""
+    from apache_cassandra_spark.model import ColumnPath
+
+    cf = _cf(spark, sf_dir, "orders")
+    out = R.multiget(cf, ["32", "33", "999999999"], ColumnPath("orders", column=b"o_orderstatus"))
+    return out.select("key", F.col("value").cast("string").alias("value"))
+
+
+def q_events_props_json(spark, sf_dir):
+    """Scalar JSON extraction over the events props column — part of the
+    function library the reference lacked entirely (Spark-native)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_long_comparator_slice(spark, sf_dir):
     """LongType comparator in the gate: column names are 8-byte big-endian
     event ids; a reversed count-3 slice must pick the numerically-largest
@@ -583,6 +609,16 @@ ORACLES: dict[str, str] = {
           FROM live) t
         WHERE rn = 1
     """,
+    "cass_super_get_count": "SELECT count(DISTINCT l_linenumber) AS count FROM lineitem WHERE l_orderkey = 1",
+    "cass_multiget": """
+        WITH probes(key) AS (VALUES ('32'), ('33'), ('999999999'))
+        SELECT key, o_orderstatus AS value
+        FROM probes LEFT JOIN orders ON cast(o_orderkey as varchar) = key
+    """,
+    "events_props_json": """
+        SELECT cast(json_extract_string(props, '$.k') as integer) AS k, count(*) AS n
+        FROM events GROUP BY 1
+    """,
     "cass_long_comparator_slice": """
         SELECT cast(user_id as varchar) AS key, event_id, event_type AS value
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -774,6 +810,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
     "cass_lww_events": q_lww_events,
     "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_super_get_count": q_super_get_count,
+    "cass_multiget": q_multiget,
+    "events_props_json": q_events_props_json,
     "cass_long_comparator_slice": q_long_comparator_slice,
     "rows_may_exist": q_rows_may_exist,
     "describe_splits": q_describe_splits,
