@@ -76,6 +76,25 @@ class Engine:
     def describe_splits(self, keyspace: str, cf_name: str, keys_per_split: int) -> list[str]:
         return R.describe_splits(self.cf(keyspace, cf_name), keys_per_split)
 
+    def get_string_property(self, name: str) -> str:
+        """``get_string_property`` (``CassandraServer.java:463-486``)."""
+        props = {
+            "cluster name": self.cluster_name,
+            "version": __version__,
+            "partitioner": type(self.partitioner).__module__ + "." + type(self.partitioner).__name__,
+            "config file": "(catalog dict — no xml config)",
+        }
+        try:
+            return props[name]
+        except KeyError:
+            raise ValueError(f"unknown property {name!r}; known: {sorted(props)}") from None
+
+    def get_string_list_property(self, name: str) -> list[str]:
+        """``get_string_list_property`` (``CassandraServer.java:488-512``)."""
+        if name == "keyspaces":
+            return self.describe_keyspaces()
+        raise ValueError(f"unknown list property {name!r}")
+
     # -- handles ------------------------------------------------------------
     def cf(self, keyspace: str, cf_name: str) -> CF:
         return self.store.cf(keyspace, cf_name)

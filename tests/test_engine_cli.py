@@ -62,6 +62,10 @@ def test_engine_meta_ops(engine):
     assert engine.describe_partitioner() == "RandomPartitioner"
     assert engine.describe_version()
     engine.login("Keyspace1")  # no-op
+    assert engine.get_string_property("cluster name") == "pyspark-widecolumn"
+    assert engine.get_string_list_property("keyspaces") == ["Keyspace1"]
+    with pytest.raises(ValueError):
+        engine.get_string_property("nope")
 
 
 def test_multiget_returns_entry_per_key(engine):
