@@ -59,8 +59,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     safe_chars = F.greatest(n_chars, F.lit(1))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_punct / safe_chars, 6).alias("punct_ratio"),
         F.round(n_stop / safe_tokens, 6).alias("stopword_ratio"),
         F.round(n_upper / safe_chars, 6).alias("upper_ratio"),

@@ -73,6 +73,21 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
             continue
+        # dtype audit (driver compares schemas; flag likely mismatches)
+        duck_types = {d[0]: d[1] for d in res.description}
+        spark_types = dict(sdf.dtypes)
+        compat = {
+            "bigint": {"NUMBER"},
+            "int": {"NUMBER"},
+            "double": {"NUMBER"},
+            "string": {"STRING"},
+            "boolean": {"bool"},
+            "timestamp": {"DATETIME"},
+        }
+        for col in s_cols:
+            st_, dt_ = spark_types[col], duck_types[col]
+            if st_ in compat and dt_ not in compat[st_]:
+                print(f"  ~ {name}.{col}: spark={st_} duckdb={dt_}")
         if len(s_rows) != len(d_rows):
             failures.append(name)
             print(f"FAIL {name}: rowcount {len(s_rows)} != {len(d_rows)}")
