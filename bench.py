@@ -70,6 +70,11 @@ def main() -> None:
         # Inserter analog: bulk write all cells (N keys × 5 cols)
         results["stress_insert"] = timed(lambda: store.bulk_load("Bench", "Orders", cells))
 
+        # major compaction: sorted, bucketed store (the intended read layout)
+        from apache_cassandra_spark.operators import maintenance
+
+        results["stress_compact"] = timed(lambda: maintenance.compact(store, "Bench", "Orders"))
+
         cf = store.cf("Bench", "Orders")
         n_keys = orders.count()
 

@@ -80,6 +80,28 @@ def test_embedding_dup_pairs_threshold(spark, vecs):
     assert pairs == {(1, 2)}
 
 
+def test_ann_recall_vs_brute_force_on_real_embeddings(spark):
+    """LSH and IVF approximations must achieve reasonable top-5 recall
+    against the exact baseline on the driver's real embedding data."""
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = em.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(em, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(em, q, k=5, n_cells=4, nprobe=4).collect()
+    }
+    # all cells probed -> IVF is exact
+    assert ivf == exact
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(em, q, k=5, planes=2).collect()
+    }
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.2  # 2 planes ~ quarter of the corpus per bucket
+
+
 def test_ann_lsh_no_false_negative_for_identical(spark):
     rows = [(i, [float(i % 7 == j) for j in range(7)]) for i in range(20)]
     rows.append((99, rows[0][1]))  # identical to vec 0

@@ -73,6 +73,21 @@ def test_batch_mutate_roundtrip(store):
     assert read.get_slice(cf, "k2", pred).count() == 0
 
 
+def test_batch_insert_w2(store):
+    ks = "Keyspace1"
+    batches = write.batch_insert(
+        "k9",
+        {
+            "Standard1": [Mutation(column_name=b"c1", value=b"v1", timestamp=1)],
+            "Proc1": [Mutation(column_name=b"c2", value=b"v2", timestamp=1)],
+        },
+    )
+    for cf_name, b in batches.items():
+        store.apply(ks, cf_name, b)
+    assert read.get_count(store.cf(ks, "Standard1"), "k9").collect()[0]["count"] == 1
+    assert read.get_count(store.cf(ks, "Proc1"), "k9").collect()[0]["count"] == 1
+
+
 def test_compaction_purges_old_tombstones(store):
     ks, cfn = "Keyspace1", "Standard1"
     store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"v1", 1))
