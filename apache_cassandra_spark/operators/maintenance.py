@@ -215,6 +215,44 @@ def _remove_deleted(pdf: pd.DataFrame) -> pd.DataFrame:
 register_row_processor("RemoveDeleted", _remove_deleted)
 
 
+# -- data validation (AntiEntropy analog) ------------------------------------
+
+
+def validate(cf, buckets: int = 16) -> DataFrame:
+    """Checksum-based data validation — the single-copy analog of the
+    reference's Merkle-tree AntiEntropy validator
+    (``service/AntiEntropyService.java:58-120``, ``utils/MerkleTree.java``):
+    one deterministic content hash per token-range bucket of the reconciled
+    live view. Two stores (e.g. a snapshot vs the live table, or pre/post
+    migration) agree iff every bucket hash matches.
+
+    Returns (bucket, n_cells, content_hash).
+    """
+    token = cf.partitioner.token(F.col("key"))
+    live = cf.live()
+    cell_hash = F.md5(
+        F.concat_ws(
+            "\x00",
+            F.col("key"),
+            F.coalesce(F.hex("sc"), F.lit("-")),
+            F.hex("column"),
+            F.coalesce(F.hex("value"), F.lit("-")),
+            F.col("ts").cast("string"),
+        )
+    )
+    bucketed = live.select(
+        F.abs(F.hash(token) % buckets).alias("bucket"), cell_hash.alias("h")
+    )
+    # order-insensitive combine: md5 of the sorted per-cell hashes
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))).alias("content_hash"),
+        )
+    )
+
+
 # -- snapshot / export / import (tools/SSTableExport.java:44,108-331) --------
 
 

@@ -324,6 +324,45 @@ def q_long_comparator_slice(spark, sf_dir):
     )
 
 
+def q_timeuuid_comparator_slice(spark, sf_dir):
+    """TimeUUIDType comparator in the gate: column names are deterministic
+    v1 UUIDs built from (event µs timestamp, event_id) — a reversed count-3
+    slice must return the newest-by-embedded-timestamp per user. Raw-byte
+    sorting (time_low first) would order completely differently, so this
+    pins the nibble-reassembly logic."""
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 3)
+    us = F.expr("ts div 1000")
+    h = lambda c, n: F.lpad(F.hex(c), n, "0")  # noqa: E731
+    uuid_hex = F.concat(
+        h(us.bitwiseAND(F.lit(0xFFFFFFFF)), 8),  # time_low
+        h(F.expr("(ts div 1000) >> 32").bitwiseAND(F.lit(0xFFFF)), 4),  # time_mid
+        F.lit("1"),
+        h(F.expr("(ts div 1000) >> 48").bitwiseAND(F.lit(0xFFF)), 3),  # version+time_hi
+        h(F.col("event_id").bitwiseAND(F.lit(0xFFFF)), 4),  # clock seq
+        h(F.col("event_id"), 12),  # node = event id (deterministic tiebreak)
+    )
+    cells = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast("binary").alias("sc"),
+        F.unhex(uuid_hex).alias("column"),
+        F.encode("event_type", "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(False).alias("tombstone"),
+        F.lit(None).cast("int").alias("ldt"),
+    )
+    cf = CF(cfdef=CFDef(name="ev_uuid", compare_with="TimeUUIDType"), cells=cells)
+    pred = SlicePredicate(slice_range=SliceRange(reversed=True, count=3))
+    out = R.multiget_slice(cf, ["0", "1", "2"], pred)
+    hx = F.hex(F.col("column"))
+    ts_hex = F.concat(F.substring(hx, 14, 3), F.substring(hx, 9, 4), F.substring(hx, 1, 8))
+    return out.select(
+        "key",
+        F.conv(ts_hex, 16, 10).cast("bigint").alias("event_us"),
+        F.conv(F.substring(hx, 21, 12), 16, 10).cast("bigint").alias("event_id"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def q_rows_may_exist(spark, sf_dir):
     """Fork existence probe (FastRowMayExistQueryFilter): one-sided
     may-exist check; our realization is exact, a valid tightening."""
@@ -625,6 +664,14 @@ ORACLES: dict[str, str] = {
               FROM events WHERE user_id < 3) t
         WHERE rn <= 3
     """,
+    "cass_timeuuid_comparator_slice": """
+        SELECT cast(user_id as varchar) AS key, epoch_us(ts) AS event_us, event_id,
+               event_type AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events WHERE user_id < 3) t
+        WHERE rn <= 3
+    """,
     "rows_may_exist": """
         WITH probes AS (SELECT cast(k as varchar) AS key FROM generate_series(95, 105) t(k))
         SELECT key, EXISTS (SELECT 1 FROM supplier WHERE cast(s_suppkey as varchar) = key) AS may_exist
@@ -814,6 +861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_multiget": q_multiget,
     "events_props_json": q_events_props_json,
     "cass_long_comparator_slice": q_long_comparator_slice,
+    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
     "rows_may_exist": q_rows_may_exist,
     "describe_splits": q_describe_splits,
     "pig_group_count": q_pig_parity,

@@ -184,6 +184,22 @@ def test_columns_may_exist_stale_positive_ok(store):
     assert got[b"c1"] is True and got[b"c9"] is False
 
 
+def test_validate_checksums_detect_divergence(store):
+    ks, cfn = "Keyspace1", "Standard1"
+    for i in range(10):
+        store.apply(ks, cfn, write.insert(f"k{i}", ColumnPath(cfn, column=b"c"), b"v", 1))
+    before = {r["bucket"]: r["content_hash"] for r in maintenance.validate(store.cf(ks, cfn)).collect()}
+    # compaction must NOT change the logical content
+    maintenance.compact(store, ks, cfn, gc_grace_seconds=0)
+    after = {r["bucket"]: r["content_hash"] for r in maintenance.validate(store.cf(ks, cfn)).collect()}
+    assert before == after
+    # a mutation must change exactly the affected bucket
+    store.apply(ks, cfn, write.insert("k3", ColumnPath(cfn, column=b"c"), b"CHANGED", 2))
+    diverged = {r["bucket"]: r["content_hash"] for r in maintenance.validate(store.cf(ks, cfn)).collect()}
+    assert diverged != after
+    assert sum(1 for b in after if diverged.get(b) != after[b]) == 1
+
+
 def test_bulk_load(store, spark):
     from apache_cassandra_spark.sources.ingest import cells_from_table
 
