@@ -130,20 +130,20 @@ class Engine:
         V.validate_column_path(self.catalog, ks, path)
         self.store.apply(ks, path.column_family, W.insert(key, path, value, timestamp), durable)
 
-    def remove(self, ks: str, key: str, path: ColumnPath, timestamp: int, ldt: int = 0, durable: bool = True) -> None:
+    def remove(self, ks: str, key: str, path: ColumnPath, timestamp: int, ldt: int | None = None, durable: bool = True) -> None:
         V.validate_key(key)
         V.validate_cf(self.catalog, ks, path.column_family)
         if path.column is not None or path.super_column is not None:
             V.validate_column_path(self.catalog, ks, path)
         self.store.apply(ks, path.column_family, W.remove(key, path, timestamp, ldt), durable)
 
-    def batch_mutate(self, ks: str, mutations: dict, durable: bool = True) -> None:
+    def batch_mutate(self, ks: str, mutations: dict, durable: bool = True, ldt: int | None = None) -> None:
         for key, by_cf in mutations.items():
             V.validate_key(key)
             for cf_name, muts in by_cf.items():
                 for m in muts:
                     V.validate_mutation(self.catalog, ks, cf_name, m)
-        for cf_name, batch in W.batch_mutate(mutations).items():
+        for cf_name, batch in W.batch_mutate(mutations, local_deletion_time=ldt).items():
             self.store.apply(ks, cf_name, batch, durable)
 
     def flush(self, ks: str | None = None, cf_name: str | None = None) -> None:

@@ -155,6 +155,21 @@ def submit_minor_if_needed(
     cells_dir = store._cells_dir(ks, cf_name)
     if not os.path.isdir(cells_dir):
         return False
+    if store.catalog.keyspace(ks).cf(cf_name).domain_split:
+        # domain-split CFs keep files under _dom=XX/ partition dirs; each
+        # domain is an independent size-tiered pool
+        ran = False
+        for d in sorted(os.listdir(cells_dir)):
+            sub = os.path.join(cells_dir, d)
+            if d.startswith("_dom=") and os.path.isdir(sub):
+                ran = _minor_in_dir(store, sub, min_threshold, max_threshold, bucket_ratio) or ran
+        return ran
+    return _minor_in_dir(store, cells_dir, min_threshold, max_threshold, bucket_ratio)
+
+
+def _minor_in_dir(
+    store: CellStore, cells_dir: str, min_threshold: int, max_threshold: int, bucket_ratio: float
+) -> bool:
     files = sorted(
         (os.path.getsize(os.path.join(cells_dir, f)), f)
         for f in os.listdir(cells_dir)
@@ -290,11 +305,17 @@ def import_json(spark, path: str) -> DataFrame:
 
 
 def snapshot(store: CellStore, ks: str, cf_name: str, tag: str) -> str:
-    """Hardlink snapshot (``db/ColumnFamilyStore.java:1283``)."""
+    """Hardlink snapshot (``db/ColumnFamilyStore.java:1283``). Walks
+    partition subdirectories so domain-split CFs (files under ``_dom=XX/``)
+    snapshot correctly, preserving the partition layout."""
     src = store._cells_dir(ks, cf_name)
     dst = os.path.join(store.root, ks, cf_name, "snapshots", tag)
     os.makedirs(dst, exist_ok=True)
-    for f in os.listdir(src):
-        if f.endswith(".parquet"):
-            os.link(os.path.join(src, f), os.path.join(dst, f))
+    for dirpath, _dirnames, filenames in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        for f in filenames:
+            if f.endswith(".parquet"):
+                out_dir = dst if rel == "." else os.path.join(dst, rel)
+                os.makedirs(out_dir, exist_ok=True)
+                os.link(os.path.join(dirpath, f), os.path.join(out_dir, f))
     return dst

@@ -290,13 +290,22 @@ def get_range_slices(
         key_pred = and_all(preds)
 
     # candidate rows: raw existence in range (reference: getKeyRange over
-    # memtable+sstable keys, db/ColumnFamilyStore.java:1125-1239)
+    # memtable+sstable keys, db/ColumnFamilyStore.java:1125-1239). A row
+    # whose only remaining trace is a container tombstone still exists as a
+    # range ghost until gcBefore (the reference keeps the key visible via
+    # the row's deletion marker), so tombstone keys join the candidate set.
     raw = cf.cells if key_pred is None else cf.cells.where(key_pred)
+    raw_keys = raw.select("key")
+    if cf.container_tombstones is not None:
+        tomb_keys = cf.container_tombstones
+        if key_pred is not None:
+            tomb_keys = tomb_keys.where(key_pred)
+        raw_keys = raw_keys.unionByName(tomb_keys.select("key"))
     ring_pos: list[Column] = []
     if wrap_start is not None:
         ring_pos.append(F.when(F.col("_t") > wrap_start, 0).otherwise(1))
     keys = (
-        raw.select(F.col("key"), token.alias("_t"))
+        raw_keys.select(F.col("key"), token.alias("_t"))
         .groupBy("key")
         .agg(F.min("_t").alias("_t"))
         .orderBy(*ring_pos, F.col("_t"), F.col("key"))

@@ -14,6 +14,7 @@ A ``MutationBatch`` for one CF == the reference's per-CF slice of a
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from apache_cassandra_spark.model import ColumnPath, Deletion, Mutation
@@ -43,10 +44,17 @@ def insert(key: str, path: ColumnPath, value: bytes, timestamp: int) -> Mutation
     return b
 
 
-def remove(key: str, path: ColumnPath, timestamp: int, local_deletion_time: int = 0) -> MutationBatch:
+def remove(key: str, path: ColumnPath, timestamp: int, local_deletion_time: int | None = None) -> MutationBatch:
     """W4 ``remove`` — tombstone a column, supercolumn, or whole row
     (``CassandraServer.java:427-442``). Row/container deletes become
-    watermark records; higher-timestamped data survives them (LWW)."""
+    watermark records; higher-timestamped data survives them (LWW).
+
+    ``local_deletion_time`` defaults to *now*, like the reference stamps
+    server-side (``db/RowMutation.java:207``) — an ldt of 0 would let the
+    first major compaction purge the tombstone while still inside
+    gcGraceSeconds, resurrecting deletes under replayed older writes."""
+    if local_deletion_time is None:
+        local_deletion_time = int(time.time())
     b = MutationBatch()
     if path.column is not None:
         b.cells.append((key, path.super_column, path.column, None, timestamp, True, local_deletion_time))
@@ -67,12 +75,17 @@ def _apply_deletion(b: MutationBatch, key: str, d: Deletion, ldt: int) -> None:
 
 def batch_mutate(
     mutations: dict[str, dict[str, list[Mutation]]],
-    local_deletion_time: int = 0,
+    local_deletion_time: int | None = None,
 ) -> dict[str, MutationBatch]:
     """W3 ``batch_mutate`` — per-row-atomic batch of upserts and deletes
     (``CassandraServer.java:384-425``). Returns one MutationBatch per CF
     name; caller commits each (the per-CF commit is the atomicity unit,
-    matching the reference's per-row RowMutation application)."""
+    matching the reference's per-row RowMutation application).
+
+    Deletion ``local_deletion_time`` is stamped server-side to *now* when
+    not supplied, matching ``RowMutation.java:207``."""
+    if local_deletion_time is None:
+        local_deletion_time = int(time.time())
     out: dict[str, MutationBatch] = {}
     for key, by_cf in mutations.items():
         for cf_name, muts in by_cf.items():

@@ -338,8 +338,12 @@ def q_timeuuid_comparator_slice(spark, sf_dir):
         h(F.expr("(ts div 1000) >> 32").bitwiseAND(F.lit(0xFFFF)), 4),  # time_mid
         F.lit("1"),
         h(F.expr("(ts div 1000) >> 48").bitwiseAND(F.lit(0xFFF)), 3),  # version+time_hi
-        h(F.col("event_id").bitwiseAND(F.lit(0xFFFF)), 4),  # clock seq
-        h(F.col("event_id"), 12),  # node = event id (deterministic tiebreak)
+        # event_id split high-bits-first across (clock_seq, node) so the
+        # engine's raw-byte tiebreak for equal 60-bit timestamps == numeric
+        # event_id order (keeps the gate robust if two events of one user
+        # share a microsecond timestamp)
+        h(F.expr("event_id >> 48").bitwiseAND(F.lit(0xFFFF)), 4),  # clock seq = high 16 bits
+        h(F.col("event_id").bitwiseAND(F.lit(0xFFFFFFFFFFFF)), 12),  # node = low 48 bits
     )
     cells = ev.select(
         F.col("user_id").cast("string").alias("key"),
@@ -358,7 +362,7 @@ def q_timeuuid_comparator_slice(spark, sf_dir):
     return out.select(
         "key",
         F.conv(ts_hex, 16, 10).cast("bigint").alias("event_us"),
-        F.conv(F.substring(hx, 21, 12), 16, 10).cast("bigint").alias("event_id"),
+        F.conv(F.substring(hx, 17, 16), 16, 10).cast("bigint").alias("event_id"),
         F.col("value").cast("string").alias("value"),
     )
 

@@ -85,6 +85,12 @@ def validate_mutation(catalog: Catalog, keyspace: str, cf_name: str, m: Mutation
             raise InvalidRequest("insert mutation requires a timestamp")
         if m.super_column is not None and not cfdef.is_super:
             raise InvalidRequest(f"supercolumn specified for standard CF {cf_name}")
+        if m.super_column is None and cfdef.is_super:
+            # the reference rejects a bare Column mutation on a Super CF
+            # (ThriftValidation.validateColumnOrSuperColumn)
+            raise InvalidRequest(f"column mutation without supercolumn on super CF {cf_name}")
+        if m.super_column is not None:
+            validate_column_name(cfdef, m.super_column)
         validate_column_name(cfdef, m.column_name, sub=m.super_column is not None)
     else:
         validate_deletion(cfdef, m.deletion)

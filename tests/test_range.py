@@ -121,3 +121,18 @@ def test_range_scan_sees_tombstoned_rows_excluded(spark):
     pred = SlicePredicate(slice_range=SliceRange(count=10))
     kr = KeyRange(start_key="", end_key="", count=10)
     assert keys_of(read.get_range_slices(cf, pred, kr)) == ["kb"]
+
+
+def test_row_tombstone_only_row_is_range_ghost(spark):
+    # a row whose only remaining trace is a container tombstone still
+    # occupies a count slot until gcBefore (reference: the row deletion
+    # marker keeps the key visible to getKeyRange)
+    cells = [cell("kb", b"c1", b"v", 0)]
+    cf = make_cf(spark, cells, ctombs=[("ka", None, 5, 10**9)], order_preserving=True)
+    pred = SlicePredicate(slice_range=SliceRange(count=10))
+    kr = KeyRange(start_key="", end_key="", count=10)
+    out = read.get_range_slices(cf, pred, kr, include_empty_rows=True).collect()
+    assert sorted({r["key"] for r in out}) == ["ka", "kb"]
+    # the ghost consumes the single count slot (ka sorts first)
+    kr1 = KeyRange(start_key="", end_key="", count=1)
+    assert read.get_range_slices(cf, pred, kr1).collect() == []

@@ -75,3 +75,11 @@ def test_slice_range_deletion_rejected(engine):
 
 def test_row_remove_without_column_ok(engine):
     engine.remove("KS", "k", ColumnPath("Std"), 5, durable=False)  # no exception
+
+
+def test_bare_column_mutation_on_super_cf_rejected(engine):
+    # reference ThriftValidation rejects a Column (no supercolumn) mutation
+    # addressed at a Super CF
+    m = Mutation(column_name=b"\x00" * 8, value=b"v", timestamp=1)
+    with pytest.raises(InvalidRequest, match="supercolumn"):
+        engine.batch_mutate("KS", {"k": {"Sup": [m]}})
