@@ -80,13 +80,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram sets, inverted-index join.
 
     ``max_doc_freq``: drop shingles occurring in more than this many docs
     before pairing (skew guard — a boilerplate shingle shared by 1M docs
-    would otherwise create a 10¹²-row join partition at 100 TB).
+    would otherwise create a 10¹²-row join partition at 100 TB). ON by
+    default (10k ⇒ ≤10⁸ pairs per shingle worst-case); pass ``None`` only
+    for small corpora where exactness on stop-shingles matters. Dropping a
+    shingle both docs share can only *lower* a pair's computed Jaccard
+    (n_common shrinks while set sizes stay full), so the guard trades
+    recall near the threshold, never precision above it.
     """
     sh = shingle_sets(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
@@ -252,17 +257,56 @@ def simhash_candidates(
 
 
 def embedding_dup_pairs(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", threshold: float = 0.95
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 16,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold (brute-force
-    self-join baseline; the LSH-bucketed scale path is
-    ``similarity.ann_lsh_topk``)."""
-    from apache_cassandra_spark.analytics.similarity import cosine
+    """Near-duplicate pairs by embedding cosine >= threshold.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    ``method="lsh"`` (default, the shipped path): candidates from
+    multi-table random-hyperplane LSH (``similarity.lsh_bucket_tables``) —
+    a pair is considered iff it shares a bucket in at least one of
+    ``tables`` independent 2^``planes``-bucket tables — then *exact*
+    cosine verification on the candidates only. No all-pairs join
+    anywhere: the join key is (table, bucket), each bucket holds
+    ~|corpus|/2^planes rows, and candidate volume grows with bucket
+    occupancy, not |corpus|². Recall for near-identical vectors (the
+    dedup regime, θ ≤ ~15°) is 1 - (1-(1-θ/π)^planes)^tables ≈ 1.
+
+    ``method="brute"``: O(n²) crossJoin — kept ONLY as the small-sf
+    oracle cross-check / recall reference; do not ship at scale.
+    """
+    from apache_cassandra_spark.analytics.similarity import cosine, lsh_bucket_tables
+
+    if method == "brute":
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(lsh_bucket_tables(F.col(vec_col), dim, planes, tables)).alias("tb"),
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), "tb")
+    b = bucketed.select(F.col("id").alias("id_b"), "tb")
+    cand = a.join(b, "tb").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

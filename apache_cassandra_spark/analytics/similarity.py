@@ -80,6 +80,44 @@ def lsh_bucket(vec: Column, planes: int = 8) -> Column:
     return F.concat(*[_hyperplane_sign(vec, p, dim_count) for p in range(planes)])
 
 
+def _det_hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """±1 hyperplane components derived from md5 — deterministic, no RNG
+    (reproducible run-to-run and across engines)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"hp:{table}:{plane}:{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket_tables(vec: Column, dim: int, planes: int = 8, tables: int = 16) -> Column:
+    """``array<struct<table:int, bucket:string>>`` — one hyperplane-sign
+    bucket per LSH table (multi-table = the OR-amplified construction: a
+    pair is a candidate if it shares a bucket in ANY table, which drives
+    recall for near-identical vectors toward 1 while each table's bucket
+    stays selective).
+
+    The hyperplanes are ±1 *literals* baked into the plan (computed
+    driver-side from md5), so the per-row cost is ``tables × planes``
+    fused JVM multiply-adds — unlike ``lsh_bucket`` there is no
+    per-element hashing at runtime."""
+    entries = []
+    for t in range(tables):
+        signs = []
+        for p in range(planes):
+            hp = F.array(*[F.lit(x) for x in _det_hyperplane(t, p, dim)])
+            dotp = F.aggregate(
+                F.zip_with(vec, hp, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            signs.append(F.when(dotp >= 0, F.lit("1")).otherwise(F.lit("0")))
+        entries.append(F.struct(F.lit(t).alias("table"), F.concat(*signs).alias("bucket")))
+    return F.array(*entries)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -208,9 +208,10 @@ class ReadLimitExceeded(Exception):
 def check_read_limit(df: DataFrame, hard_limit: int) -> DataFrame:
     """Enforce the fork's per-read column hard limit: raises when the slice
     would return more than ``hard_limit`` cells. The reference kills the
-    read server-side; here the guard is an explicit bounded probe (reads
-    limit+1 rows, never the full result)."""
-    if len(df.take(hard_limit + 1)) > hard_limit:
+    read server-side; here the guard is a bounded probe — a count over a
+    ``limit(hard_limit+1)`` subquery, so only a scalar reaches the driver
+    and the job short-circuits after limit+1 rows."""
+    if df.limit(hard_limit + 1).count() > hard_limit:
         raise ReadLimitExceeded(f"read would exceed {hard_limit} columns")
     return df
 
@@ -336,13 +337,38 @@ def get_range_slices(
     return out
 
 
-def describe_splits(cf: CF, keys_per_split: int, key_pred: Column | None = None) -> list[str]:
+def _ntile_boundaries(sorted_vals: list[str], splits: int) -> list[str]:
+    """Last element of each ntile(splits) tile over an ascending list —
+    identical arithmetic to SQL ntile (first ``m % splits`` tiles get the
+    extra element); empty tiles (splits > m) produce no boundary."""
+    m = len(sorted_vals)
+    q, r = divmod(m, splits)
+    out: list[str] = []
+    acc = 0
+    for i in range(splits):
+        size = q + (1 if i < r else 0)
+        if size == 0:
+            continue
+        acc += size
+        out.append(sorted_vals[acc - 1])
+    return out
+
+
+def describe_splits(
+    cf: CF, keys_per_split: int, key_pred: Column | None = None, exact_threshold: int = 100_000
+) -> list[str]:
     """R8 ``describe_splits`` — ~equal token sub-ranges for parallel scans
-    (``CassandraServer.java:644-654``, index-summary sampling
-    ``StorageService.java:1726``). In Spark the native analog is simply the
-    source's partitioning; this surfaces explicit boundaries for paging
-    clients. Planning-scale op: samples distinct keys, so cost is bounded
-    by the key cardinality of the addressed range."""
+    (``CassandraServer.java:644-654``; the reference samples its index
+    summary, ``io/SSTableReader.java:265-270``).
+
+    Scale shape: distinct tokens are computed with a distributed
+    hash-aggregate; when their count exceeds ``exact_threshold`` the token
+    stream is thinned by a *deterministic* content-hash sample (the
+    IndexSummary analog — keep ~1/rate of tokens chosen by an md5 prefix),
+    so at most ~``exact_threshold`` tokens are range-sorted (parallel
+    exchange, never a single-task window) and collected. Boundary picking
+    is O(splits) driver arithmetic. Below the threshold the result is the
+    exact ntile split of all tokens."""
     token = cf.partitioner.token(F.col("key"))
     cells = cf.cells if key_pred is None else cf.cells.where(key_pred)
     toks = cells.select(token.alias("t")).distinct()
@@ -350,13 +376,17 @@ def describe_splits(cf: CF, keys_per_split: int, key_pred: Column | None = None)
     if n == 0:
         return []
     splits = max(1, n // max(1, keys_per_split))
-    w = Window.orderBy("t")
-    bounds = (
-        toks.withColumn("_tile", F.ntile(splits).over(w))
-        .groupBy("_tile")
-        .agg(F.max("t").alias("t"))
-        .orderBy("_tile")
-        .select("t")
-        .collect()
-    )
-    return [r["t"] for r in bounds]
+    sampled = n > exact_threshold
+    sample = toks
+    if sampled:
+        rate = -(-n // exact_threshold)  # ceil: keep ~exact_threshold tokens
+        cut = 65535 // rate
+        sample = toks.where(F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int") <= cut)
+    vals = [r["t"] for r in sample.orderBy("t").collect()]
+    bounds = _ntile_boundaries(vals, splits)
+    if sampled and bounds:
+        # the last boundary must cover the range end, which sampling may miss
+        true_max = toks.agg(F.max("t")).collect()[0][0]
+        if bounds[-1] < true_max:
+            bounds[-1] = true_max
+    return bounds

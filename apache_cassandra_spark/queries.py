@@ -539,8 +539,42 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+_EMB_DIM = 64  # driver embeddings.parquet dimension (TESTDATA.md)
+
+
+def _planted_dup_corpus(spark, sf_dir, offset: int = 100_000, eps: float = 0.15):
+    """Corpus ∪ deterministic near-duplicate of every vector: v' = v +
+    eps·rot(v) (rot = rotate-left-one). cos(v, v') ≈ 1/√(1+eps²) ≈ 0.989,
+    so each (id, id+offset) pair is a true near-dup with a real angular
+    offset (~8-14°) — the recall target for the LSH dedup path. The same
+    construction is reproduced in the DuckDB oracle."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = em.select("vec_id", dbl.alias("embedding"))
+    rot = F.concat(
+        F.slice(F.col("embedding"), 2, _EMB_DIM - 1), F.slice(F.col("embedding"), 1, 1)
+    )
+    pert = base.select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.zip_with(F.col("embedding"), rot, lambda a, b: a + F.lit(eps) * b).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
 def q_dedup_embedding(spark, sf_dir):
-    return dedup.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    """Shipped LSH near-dup path: multi-table hyperplane candidates + exact
+    cosine verify, over the corpus with planted near-identical pairs. The
+    brute-force oracle checks recall == 1.0 (any missed candidate pair
+    hash-mismatches)."""
+    return dedup.embedding_dup_pairs(_planted_dup_corpus(spark, sf_dir), threshold=0.95, dim=_EMB_DIM)
+
+
+def q_dedup_embedding_exact(spark, sf_dir):
+    """O(n²) baseline at a low threshold — small-sf oracle cross-check for
+    the cosine expression itself (not the shipped dedup path)."""
+    return dedup.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, method="brute"
+    )
 
 
 def q_sim_topk(spark, sf_dir):
@@ -782,6 +816,18 @@ ORACLES: dict[str, str] = {
         FROM votes GROUP BY id
     """,
     "dedup_embedding": """
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pert AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(generate_series(1, 64), i -> v[i] + 0.15 * r[i]) AS v
+          FROM (SELECT vec_id, v, list_concat(v[2:], v[1:1]) AS r FROM base)),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+    """,
+    "dedup_embedding_exact": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         FROM embeddings a, embeddings b
@@ -883,6 +929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
     "sim_topk": q_sim_topk,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,

@@ -159,3 +159,37 @@ def test_token_counts(spark):
     ).collect()[0]
     assert r["n"] == 4
     assert r["s"] == 5  # a, b, c, 42, !
+
+
+def test_embedding_dup_lsh_matches_brute_on_planted_dups(spark):
+    """The shipped LSH path must find exactly the brute-force pair set at
+    the dedup threshold (recall 1.0) on a corpus with planted near-dups."""
+    from apache_cassandra_spark.queries import _planted_dup_corpus
+
+    corpus = _planted_dup_corpus(spark, "/root/testdata/sf0.001")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(corpus, threshold=0.95, dim=64).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(corpus, threshold=0.95, method="brute").collect()
+    }
+    assert lsh == brute and len(brute) == 500
+
+
+def test_jaccard_skew_guard_drops_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must not explode the join:
+    with max_doc_freq below the corpus size its postings are dropped, and
+    only genuinely-similar pairs survive."""
+    boiler = "generated by the export tool"
+    rows = [(i, f"{boiler} unique{i} content{i} tail{i} x{i} y{i} z{i}") for i in range(8)]
+    rows.append((100, rows[0][1].replace("z0", "zz")))  # near dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 100)}
+    # guard bounds the inverted-index join: no posting list exceeds the cap
+    sh = dedup.shingle_sets(docs, "text", "doc_id", 3)
+    hot = sh.groupBy("shingle").count().where(F.col("count") > 5).count()
+    assert hot > 0  # the boilerplate shingles really were hot

@@ -98,3 +98,25 @@ def test_broadcast_in_topk_similarity(spark):
     )
     df = cosine_topk(vecs, vecs.where(F.col("vec_id") < 2), k=3)
     assert "BroadcastNestedLoopJoin" in plan_of(df) or "BroadcastHashJoin" in plan_of(df)
+
+
+def test_lsh_dedup_has_no_cartesian_join(spark):
+    from apache_cassandra_spark.analytics.dedup import embedding_dup_pairs
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(embedding_dup_pairs(vecs, threshold=0.9, dim=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_describe_splits_sort_is_range_partitioned(stored_cf):
+    # the boundary sort must be a rangepartitioning exchange (parallel),
+    # never an all-rows window into a single task
+    token = stored_cf.partitioner.token(F.col("key"))
+    toks = stored_cf.cells.select(token.alias("t")).distinct().orderBy("t")
+    plan = plan_of(toks)
+    assert "rangepartitioning" in plan
+    assert "Window" not in plan

@@ -136,3 +136,14 @@ def test_row_tombstone_only_row_is_range_ghost(spark):
     # the ghost consumes the single count slot (ka sorts first)
     kr1 = KeyRange(start_key="", end_key="", count=1)
     assert read.get_range_slices(cf, pred, kr1).collect() == []
+
+
+def test_describe_splits_sampled_path(spark):
+    # above exact_threshold the boundaries come from a deterministic
+    # md5-prefix sample; they must still be sorted, cover the range end,
+    # and contain at most `splits` entries
+    cf = range_cf(spark)
+    bounds = read.describe_splits(cf, keys_per_split=10, exact_threshold=10)
+    assert bounds == sorted(bounds)
+    assert 1 <= len(bounds) <= 3
+    assert bounds[-1] == "key29"
