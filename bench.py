@@ -45,7 +45,16 @@ BENCH_QUERIES = [
 ]
 
 
-def timed(fn) -> float:
+def timed(fn, *, warmup: bool = False) -> float:
+    """Steady-state timing: optional untimed warm-up run first.
+
+    A single cold pass conflates plan cost with one-off effects (parquet
+    page-cache faults, first-use codegen/JIT) — measured spread on the same
+    code was 0.5s..14s for the same query depending only on run order. The
+    warm-up run absorbs those; the timed run measures the plan.
+    """
+    if warmup:
+        fn()
     t0 = time.perf_counter()
     fn()
     return round(time.perf_counter() - t0, 3)
@@ -82,18 +91,19 @@ def main() -> None:
         keys = [str(k) for k in range(1, 101)]
         pred = SlicePredicate(slice_range=SliceRange(count=100))
         results["stress_multiget_100"] = timed(
-            lambda: R.multiget_slice(cf, keys, pred).count()
+            lambda: R.multiget_slice(cf, keys, pred).count(), warmup=True
         )
 
         # point get
         results["stress_point_get"] = timed(
-            lambda: R.get(cf, "42", ColumnPath("Orders", column=b"o_totalprice")).count()
+            lambda: R.get(cf, "42", ColumnPath("Orders", column=b"o_totalprice")).count(),
+            warmup=True,
         )
 
         # RangeSlicer analog: one 100-row page in token order
         kr = KeyRange(start_token="", end_token="", count=100)
         results["stress_range_page_100"] = timed(
-            lambda: R.get_range_slices(cf, pred, kr).count()
+            lambda: R.get_range_slices(cf, pred, kr).count(), warmup=True
         )
         results["_stress_n_keys"] = float(n_keys)
     finally:
@@ -102,7 +112,9 @@ def main() -> None:
     # -- analytical headliners ----------------------------------------------
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        results[name] = timed(lambda fn=fn: fn(spark, sf_dir).count())
+        results[name] = timed(lambda fn=fn: fn(spark, sf_dir).count(), warmup=True)
+        # per-query isolation: drop any cached intermediates the query built
+        spark.catalog.clearCache()
 
     n_keys = results.pop("_stress_n_keys")
     total = round(sum(results.values()), 3)
