@@ -91,11 +91,22 @@ def shadow_containers(
 
 
 def live_view(
-    cells: DataFrame, container_tombstones: DataFrame | None = None, with_sc_level: bool = True
+    cells: DataFrame,
+    container_tombstones: DataFrame | None = None,
+    with_sc_level: bool = True,
+    pre_reconciled: bool = False,
 ) -> DataFrame:
     """The reconciled *live* view: reconcile -> container shadowing -> drop
-    cell tombstones. Every read operator is an expression over this."""
-    return shadow_containers(reconcile(cells), container_tombstones, with_sc_level).where(
+    cell tombstones. Every read operator is an expression over this.
+
+    ``pre_reconciled=True`` skips the LWW aggregate entirely: compaction
+    output (``gc_view``) holds exactly one version per (key, sc, column) —
+    the winner of ``max_by`` — so re-reconciling is the identity. A CF
+    backed *only* by its compacted bucketed table reads with no aggregate
+    and no shuffle (the bucketed scan's HashPartitioning(key) satisfies the
+    slice windows' distribution too)."""
+    base = cells if pre_reconciled else reconcile(cells)
+    return shadow_containers(base, container_tombstones, with_sc_level).where(
         ~F.col("tombstone")
     )
 

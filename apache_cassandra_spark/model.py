@@ -108,6 +108,11 @@ class CF:
     #: (fork domain-split CFs): read operators derive partition filters
     #: from literal keys so point reads prune to 1/256 of the data
     domain_col: str | None = None
+    #: True when ``cells`` is solely the compacted bucketed table (no delta
+    #: files, no pending memtable): one version per coordinate already, so
+    #: the read path skips the LWW aggregate and inherits the bucketed
+    #: scan's HashPartitioning(key) — exchange-free reads
+    pre_reconciled: bool = False
 
     @property
     def is_super(self) -> bool:
@@ -142,7 +147,12 @@ class CF:
     def live(self) -> DataFrame:
         from apache_cassandra_spark.functions.reconcile import live_view
 
-        return live_view(self.cells, self.container_tombstones, with_sc_level=self.is_super)
+        return live_view(
+            self.cells,
+            self.container_tombstones,
+            with_sc_level=self.is_super,
+            pre_reconciled=self.pre_reconciled,
+        )
 
     def scan(self) -> DataFrame:
         """The bulk-analytics handoff (replaces the reference's Hadoop/Pig

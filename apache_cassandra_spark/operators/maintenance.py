@@ -102,35 +102,86 @@ def compact(
         out = out.groupBy("key").applyInPandas(run, CELL_SCHEMA)
 
     n_buckets = buckets or max(1, out.sparkSession.sparkContext.defaultParallelism)
-    out = out.repartition(n_buckets, "key").sortWithinPartitions("key", "sc", "column")
 
     cells_dir = store._cells_dir(ks, cf_name)
-    tmp = cells_dir + ".compact_tmp"
-    writer = out.write.mode("overwrite")
     if cfdef.domain_split:
         # preserve the fork's per-domain physical layout through compaction
+        # (domain pruning is the read optimization for these CFs; they keep
+        # the directory layout instead of the bucketed catalog table)
         from apache_cassandra_spark.functions.tokens import OdklDomainPartitioner
 
+        out = out.repartition(n_buckets, "key").sortWithinPartitions("key", "sc", "column")
         out = out.withColumn("_dom", OdklDomainPartitioner().domain(F.col("key")))
         writer = out.write.mode("overwrite").partitionBy("_dom")
-    if cfdef.bloom_columns:
-        # fork column-bloom analog: Parquet bloom filters on the name/key
-        # columns (probe served by io skipping instead of explicit BFs)
-        writer = (
-            writer.option("parquet.bloom.filter.enabled#key", "true")
-            .option("parquet.bloom.filter.enabled#column", "true")
+        if cfdef.bloom_columns:
+            writer = (
+                writer.option("parquet.bloom.filter.enabled#key", "true")
+                .option("parquet.bloom.filter.enabled#column", "true")
+            )
+        tmp = cells_dir + ".compact_tmp"
+        writer.parquet(tmp)
+        _swap_dir(tmp, cells_dir)
+    else:
+        # bucketed catalog table: scan reports HashPartitioning(key), so
+        # every post-compaction read runs without a shuffle exchange (the
+        # reconcile aggregate is skipped outright — CF.pre_reconciled) and
+        # point reads prune to one bucket. repartition on the bucket key
+        # aligns tasks with buckets -> exactly one file per bucket.
+        meta_old = store.compacted_meta(ks, cf_name)
+        input_files = (
+            [
+                os.path.join(cells_dir, f)
+                for f in os.listdir(cells_dir)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(cells_dir)
+            else []
         )
-    writer.parquet(tmp)
-    _swap_dir(tmp, cells_dir)
+        gen = (meta_old["gen"] + 1) if meta_old else 1
+        table = store.compacted_table_name(ks, cf_name, gen)
+        path = os.path.join(store.root, ks, cf_name, f"compacted_g{gen}")
+        shutil.rmtree(path, ignore_errors=True)  # orphan from a crashed run
+        writer = (
+            out.repartition(n_buckets, "key")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "key")
+            .sortBy("key", "sc", "column")
+            .option("path", path)
+        )
+        if cfdef.bloom_columns:
+            # fork column-bloom analog: Parquet bloom filters on the name/key
+            # columns (probe served by io skipping instead of explicit BFs)
+            writer = (
+                writer.option("parquet.bloom.filter.enabled#key", "true")
+                .option("parquet.bloom.filter.enabled#column", "true")
+            )
+        writer.saveAsTable(table)
+        # pointer flip is the commit; until then readers see old gen + deltas.
+        # Crash after the flip but before cleanup leaves duplicate versions
+        # on disk — harmless, LWW reconcile is idempotent over them and the
+        # next compaction sweeps the leftovers.
+        store.write_compacted_meta(
+            ks, cf_name, {"gen": gen, "table": table, "path": path, "buckets": n_buckets}
+        )
+        for p in input_files:
+            os.remove(p)
+        if meta_old is not None:
+            store.spark.sql(f"DROP TABLE IF EXISTS {meta_old['table']}")
+            shutil.rmtree(meta_old["path"], ignore_errors=True)
 
     # container tombstones: purge those past grace (all shadowed cells are
-    # gone from the rewrite above), keep younger watermarks
+    # gone from the rewrite above), keep younger watermarks. When nothing
+    # survives, remove the directory outright so reads bind tombs=None and
+    # skip the watermark joins.
     if tombs is not None:
         kept = tombs.where(F.col("ldt") >= F.lit(gc_before))
         ctombs_dir = store._ctombs_dir(ks, cf_name)
-        tmp_t = ctombs_dir + ".compact_tmp"
-        kept.write.mode("overwrite").parquet(tmp_t)
-        _swap_dir(tmp_t, ctombs_dir)
+        if kept.isEmpty():
+            shutil.rmtree(ctombs_dir, ignore_errors=True)
+        else:
+            tmp_t = ctombs_dir + ".compact_tmp"
+            kept.write.mode("overwrite").parquet(tmp_t)
+            _swap_dir(tmp_t, ctombs_dir)
 
 
 def submit_minor_if_needed(
@@ -191,14 +242,25 @@ def _minor_in_dir(
     from apache_cassandra_spark.functions.reconcile import reconcile
 
     out = reconcile(merged).sortWithinPartitions("key", "sc", "column")
-    tmp = cells_dir + ".minor_tmp"
+    # tmp dir must live OUTSIDE the cells root: for domain-split CFs
+    # cells_dir is ".../cells/_dom=XX", and a tmp dir named "..._dom=XX.minor_tmp"
+    # inside cells/ would be picked up by partition discovery as a bogus
+    # _dom value after a crash. A dot-prefixed sibling of the CF dir is
+    # invisible to Spark's file listing wherever it lands.
+    base = os.path.basename(cells_dir)
+    if base.startswith("_dom="):
+        tmp = os.path.join(os.path.dirname(os.path.dirname(cells_dir)), f".minor_tmp_{base[5:]}")
+    else:
+        tmp = os.path.join(os.path.dirname(cells_dir), ".minor_tmp")
     out.coalesce(max(1, len(target) // 4)).write.mode("overwrite").parquet(tmp)
-    # swap: move merged-in inputs out, move new files in
-    for p in paths:
-        os.remove(p)
+    # swap order: link the merged output IN first, then remove the inputs.
+    # A crash in between leaves duplicates (merged ∪ inputs), which LWW
+    # reconcile collapses back to the same winners — never lost rows.
     for f in os.listdir(tmp):
         if f.endswith(".parquet"):
             os.rename(os.path.join(tmp, f), os.path.join(cells_dir, "minor_" + f))
+    for p in paths:
+        os.remove(p)
     shutil.rmtree(tmp, ignore_errors=True)
     return True
 
@@ -307,15 +369,20 @@ def import_json(spark, path: str) -> DataFrame:
 def snapshot(store: CellStore, ks: str, cf_name: str, tag: str) -> str:
     """Hardlink snapshot (``db/ColumnFamilyStore.java:1283``). Walks
     partition subdirectories so domain-split CFs (files under ``_dom=XX/``)
-    snapshot correctly, preserving the partition layout."""
-    src = store._cells_dir(ks, cf_name)
+    snapshot correctly, preserving the partition layout; the compacted
+    bucketed generation (if any) is linked under ``compacted/``."""
     dst = os.path.join(store.root, ks, cf_name, "snapshots", tag)
     os.makedirs(dst, exist_ok=True)
-    for dirpath, _dirnames, filenames in os.walk(src):
-        rel = os.path.relpath(dirpath, src)
-        for f in filenames:
-            if f.endswith(".parquet"):
-                out_dir = dst if rel == "." else os.path.join(dst, rel)
-                os.makedirs(out_dir, exist_ok=True)
-                os.link(os.path.join(dirpath, f), os.path.join(out_dir, f))
+    srcs = [(store._cells_dir(ks, cf_name), dst)]
+    meta = store.compacted_meta(ks, cf_name)
+    if meta is not None:
+        srcs.append((meta["path"], os.path.join(dst, "compacted")))
+    for src, out_root in srcs:
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            for f in filenames:
+                if f.endswith(".parquet"):
+                    out_dir = out_root if rel == "." else os.path.join(out_root, rel)
+                    os.makedirs(out_dir, exist_ok=True)
+                    os.link(os.path.join(dirpath, f), os.path.join(out_dir, f))
     return dst

@@ -123,7 +123,9 @@ def _filtered_live(
             tombs = tombs.where(key_pred)
     if extra_preds:
         cells = cells.where(and_all(extra_preds))
-    return live_view(cells, tombs, with_sc_level=cf.is_super)
+    return live_view(
+        cells, tombs, with_sc_level=cf.is_super, pre_reconciled=cf.pre_reconciled
+    )
 
 
 def _sliced(

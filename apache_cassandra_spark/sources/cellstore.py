@@ -26,6 +26,8 @@ column) *before* the reconcile shuffle.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,6 +84,54 @@ class CellStore:
 
     def _ctombs_dir(self, ks: str, cf: str) -> str:
         return os.path.join(self.root, ks, cf, "ctombs")
+
+    # -- compacted bucketed table (the intended 100 TB read layout) ----------
+    #
+    # Major compaction persists its output as a *bucketed catalog table*
+    # (bucketBy(key) + sortBy(key, sc, column)) instead of plain files, so
+    # the scan reports HashPartitioning(key) and post-compaction reads run
+    # with no shuffle exchange: the reconcile aggregate is skipped outright
+    # (one version per coordinate — see CF.pre_reconciled) and the slice
+    # windows' ClusteredDistribution(key) is satisfied by the scan itself.
+    # A JSON pointer file records (gen, table, path, buckets); a fresh
+    # session re-registers the table from it via DDL.
+
+    def _compacted_meta_path(self, ks: str, cf: str) -> str:
+        return os.path.join(self.root, ks, cf, "COMPACTED.json")
+
+    def compacted_meta(self, ks: str, cf: str) -> dict | None:
+        p = self._compacted_meta_path(ks, cf)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def write_compacted_meta(self, ks: str, cf: str, meta: dict) -> None:
+        p = self._compacted_meta_path(ks, cf)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, p)  # atomic pointer flip
+
+    def compacted_table_name(self, ks: str, cf: str, gen: int) -> str:
+        h = hashlib.md5(f"{os.path.abspath(self.root)}/{ks}/{cf}".encode()).hexdigest()[:10]
+        return f"cass_compacted_{h}_g{gen}"
+
+    def _compacted_df(self, meta: dict) -> DataFrame:
+        """spark.table over the compacted generation, re-registering the
+        bucketed table from the pointer if this session hasn't seen it."""
+        name = meta["table"]
+        if not self.spark.catalog.tableExists(name):
+            cols = (
+                "key STRING, sc BINARY, `column` BINARY, value BINARY, "
+                "ts BIGINT, tombstone BOOLEAN, ldt INT"
+            )
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (key) SORTED BY (key, sc, `column`) "
+                f"INTO {meta['buckets']} BUCKETS LOCATION '{meta['path']}'"
+            )
+        return self.spark.table(name)
 
     # -- write path ----------------------------------------------------------
     def apply(self, ks: str, cf: str, batch: MutationBatch, durable: bool = True) -> None:
@@ -145,15 +195,39 @@ class CellStore:
             return self.spark.read.schema(schema).parquet(path)
         return self.spark.createDataFrame([], schema)
 
+    def _has_parquet(self, path: str) -> bool:
+        return os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+
     def cf(self, ks: str, cf_name: str) -> CF:
-        """Bind a CF handle: disk cells ∪ pending memtable rows."""
+        """Bind a CF handle: compacted table ∪ delta cells ∪ pending memtable.
+
+        When the compacted bucketed table is the *only* source (no delta
+        files since compaction, nothing pending), the CF is marked
+        ``pre_reconciled``: reads skip the LWW aggregate and run
+        exchange-free off the bucketed scan."""
         cfdef: CFDef = self.catalog.keyspace(ks).cf(cf_name)
         domain = self._domain_split(ks, cf_name)
         cell_schema = CELL_SCHEMA
         if domain:
             cell_schema = T.StructType(list(CELL_SCHEMA.fields) + [T.StructField("_dom", T.StringType(), True)])
-        cells = self._read_dir(self._cells_dir(ks, cf_name), cell_schema, partitioned=domain)
-        tombs = self._read_dir(self._ctombs_dir(ks, cf_name), CONTAINER_TOMBSTONE_SCHEMA)
+        meta = None if domain else self.compacted_meta(ks, cf_name)
+        parts: list[DataFrame] = []
+        if meta is not None:
+            parts.append(self._compacted_df(meta))
+        cells_dir = self._cells_dir(ks, cf_name)
+        has_delta = (
+            os.path.isdir(cells_dir) and bool(os.listdir(cells_dir))
+            if domain
+            else self._has_parquet(cells_dir)
+        )
+        if has_delta:
+            parts.append(self._read_dir(cells_dir, cell_schema, partitioned=domain))
+        # container tombstones: bind None (not an empty frame) when no row/sc
+        # deletes exist, so the read path skips the watermark joins entirely —
+        # a CF with no container deletes pays nothing for the feature
+        tombs: DataFrame | None = None
+        if self._has_parquet(self._ctombs_dir(ks, cf_name)):
+            tombs = self._read_dir(self._ctombs_dir(ks, cf_name), CONTAINER_TOMBSTONE_SCHEMA)
         pend = self._pending.get((ks, cf_name))
         if pend is not None:
             if pend.cells:
@@ -162,11 +236,18 @@ class CellStore:
                     from apache_cassandra_spark.functions.tokens import OdklDomainPartitioner
 
                     pend_cells = pend_cells.withColumn("_dom", OdklDomainPartitioner().domain(F.col("key")))
-                cells = cells.unionByName(pend_cells)
+                parts.append(pend_cells)
             if pend.container_tombstones:
-                tombs = tombs.unionByName(
-                    self.spark.createDataFrame(pend.container_tombstones, CONTAINER_TOMBSTONE_SCHEMA)
+                pend_tombs = self.spark.createDataFrame(
+                    pend.container_tombstones, CONTAINER_TOMBSTONE_SCHEMA
                 )
+                tombs = pend_tombs if tombs is None else tombs.unionByName(pend_tombs)
+        if not parts:
+            cells = self.spark.createDataFrame([], cell_schema)
+        else:
+            cells = parts[0]
+            for p in parts[1:]:
+                cells = cells.unionByName(p)
         return CF(
             cfdef=cfdef,
             cells=cells,
@@ -174,4 +255,5 @@ class CellStore:
             partitioner=self.partitioner,
             keyspace=ks,
             domain_col="_dom" if domain else None,
+            pre_reconciled=meta is not None and len(parts) == 1,
         )

@@ -120,3 +120,55 @@ def test_describe_splits_sort_is_range_partitioned(stored_cf):
     plan = plan_of(toks)
     assert "rangepartitioning" in plan
     assert "Window" not in plan
+
+
+@pytest.fixture(scope="module")
+def compacted_store(spark, tmp_path_factory):
+    """A store whose CF is backed solely by the compacted bucketed table."""
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.operators import maintenance, write
+    from apache_cassandra_spark.model import ColumnPath
+    from apache_cassandra_spark.sources.cellstore import CellStore
+
+    root = str(tmp_path_factory.mktemp("bucketed"))
+    store = CellStore(spark, root, Catalog.from_dict({"KS": {"CF": {"compare_with": "BytesType"}}}))
+    for i in range(50):
+        store.apply("KS", "CF", write.insert(f"k{i}", ColumnPath("CF", column=b"c1"), b"v", 1), durable=False)
+        store.apply("KS", "CF", write.insert(f"k{i}", ColumnPath("CF", column=b"c2"), b"w", 1), durable=False)
+    store.flush()
+    maintenance.compact(store, "KS", "CF", buckets=4)
+    return store
+
+
+def test_post_compaction_read_has_no_exchange(compacted_store):
+    # THE headline scale property: once compacted, the bucketed table's
+    # HashPartitioning(key) feeds both the (skipped) reconcile and the
+    # slice window — no shuffle exchange anywhere in a multiget plan.
+    cf = compacted_store.cf("KS", "CF")
+    assert cf.pre_reconciled
+    df = read.multiget_slice(cf, ["k1", "k2", "k3"], SlicePredicate(slice_range=SliceRange(count=10)))
+    plan = plan_of(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "max_by" not in plan  # reconcile aggregate skipped outright
+    assert df.count() == 6
+
+
+def test_post_compaction_point_read_prunes_buckets(compacted_store):
+    cf = compacted_store.cf("KS", "CF")
+    df = read.get_slice(cf, "k5", SlicePredicate(slice_range=SliceRange(count=10)))
+    plan = plan_of(df)
+    assert "SelectedBucketsCount: 1 out of 4" in plan
+    assert df.count() == 2
+
+
+def test_delta_after_compaction_restores_reconcile(compacted_store):
+    from apache_cassandra_spark.operators import write
+    from apache_cassandra_spark.model import ColumnPath
+
+    compacted_store.apply("KS", "CF", write.insert("k1", ColumnPath("CF", column=b"c1"), b"v2", 2))
+    cf = compacted_store.cf("KS", "CF")
+    assert not cf.pre_reconciled
+    df = read.get_slice(cf, "k1", SlicePredicate(slice_range=SliceRange(count=10)))
+    assert "max_by" in plan_of(df)
+    rows = {bytes(r["column"]): bytes(r["value"]) for r in df.collect()}
+    assert rows == {b"c1": b"v2", b"c2": b"w"}
