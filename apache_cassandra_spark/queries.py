@@ -376,6 +376,20 @@ def q_rows_may_exist(spark, sf_dir):
     return exists.rows_may_exist(cf, [str(k) for k in range(95, 106)])
 
 
+def q_columns_may_exist(spark, sf_dir):
+    """Fork existence probe (ColumnsMayExistQueryFilter,
+    ``db/filter/ColumnsMayExistQueryFilter.java:28-156``): per-column
+    may-exist for one row, raw-cell probe (no reconcile). The contract is
+    one-sided — false positives allowed, never false negatives; our
+    realization is exact, a valid tightening, so the exact oracle holds."""
+    from apache_cassandra_spark.operators import exists
+
+    cf = _cf(spark, sf_dir, "orders")
+    probes = [b"o_custkey", b"o_totalprice", b"no_such_col", b"o_orderstatus"]
+    out = exists.columns_may_exist(cf, "32", probes)
+    return out.select(F.col("column").cast("string").alias("name"), "may_exist")
+
+
 def q_describe_splits(spark, sf_dir):
     """R8 describe_splits: ~equal token sub-ranges over supplier keys."""
     cf = _cf(spark, sf_dir, "supplier", order_preserving=False)
@@ -603,6 +617,148 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_lexicaluuid_comparator_slice(spark, sf_dir):
+    """LexicalUUIDType comparator in the gate: column names are 16-byte
+    pseudo-UUIDs (md5 of the event id), ordered by *signed* msb then lsb
+    longs (Java ``UUID.compareTo``; reference
+    ``db/marshal/LexicalUUIDType.java:27-46``). A reversed count-3 slice
+    per user pins the signed comparison: raw unsigned byte order would
+    rank sign-bit-set UUIDs highest instead of lowest."""
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 3)
+    cells = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast("binary").alias("sc"),
+        F.unhex(F.md5(F.col("event_id").cast("string"))).alias("column"),
+        F.encode("event_type", "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(False).alias("tombstone"),
+        F.lit(None).cast("int").alias("ldt"),
+    )
+    cf = CF(cfdef=CFDef(name="ev_luuid", compare_with="LexicalUUIDType"), cells=cells)
+    pred = SlicePredicate(slice_range=SliceRange(reversed=True, count=3))
+    out = R.multiget_slice(cf, ["0", "1", "2"], pred)
+    return out.select(
+        "key",
+        F.lower(F.hex("column")).alias("uu"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def q_freshtimestamp_comparator_slice(spark, sf_dir):
+    """FreshTimestampType (fork) comparator in the gate: reverse byte order
+    with the empty name as the "freshest" sentinel (reference
+    ``db/marshal/FreshTimestampType.java:22-41``). Column names are each
+    user's event types plus one empty-name sentinel; a *forward* count-3
+    slice must return the sentinel first, then names in DESCENDING byte
+    order — exactly backwards from every other comparator."""
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 3)
+    per_type = ev.groupBy(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_type").alias("name"),
+    ).agg(F.count("*").cast("string").alias("v"))
+    sentinel = per_type.select("key").distinct().select(
+        "key", F.lit("").alias("name"), F.lit("fresh").alias("v")
+    )
+    cells = per_type.unionByName(sentinel).select(
+        "key",
+        F.lit(None).cast("binary").alias("sc"),
+        F.encode("name", "UTF-8").alias("column"),
+        F.encode("v", "UTF-8").alias("value"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit(False).alias("tombstone"),
+        F.lit(None).cast("int").alias("ldt"),
+    )
+    cf = CF(cfdef=CFDef(name="ev_fresh", compare_with="FreshTimestampType"), cells=cells)
+    pred = SlicePredicate(slice_range=SliceRange(count=3))
+    out = R.multiget_slice(cf, ["0", "1", "2"], pred)
+    return out.select(
+        "key",
+        F.col("column").cast("string").alias("name"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def q_write_path(spark, sf_dir):
+    """W1-W5 end-to-end: a deterministic mutation log through the real write
+    path — Engine.insert/remove/batch_mutate (memtable + durable commits),
+    bulk_load, then major compaction and a full-scan read of the live view.
+
+    The log shapes mirror the reference's golden system tests
+    (``test/system/test_server.py:335-371`` batch_mutate inserts+deletes,
+    ``:653-820`` remove/resurrect cycles) and hit every comparePriority
+    branch (``db/Column.java:196-210``): ts-win, live-live value tiebreak,
+    live-tombstone tie, cell+row tombstones, resurrection past both.
+
+    The returned DataFrame reads the *compacted bucketed table* — the gate
+    therefore also pins the pre-reconciled exchange-free read regime.
+    """
+    import tempfile
+
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.engine import Engine
+    from apache_cassandra_spark.model import ColumnPath, Deletion, Mutation
+    from apache_cassandra_spark.operators import maintenance
+    from apache_cassandra_spark.sources.cellstore import CELL_SCHEMA
+
+    ks, cfn = "Gate", "WP"
+    root = tempfile.mkdtemp(prefix="write_gate_")  # left for the lazy read
+    eng = Engine(spark, root, Catalog.from_dict({ks: {cfn: {"compare_with": "UTF8Type"}}}))
+    cp = lambda c: ColumnPath(cfn, column=c)  # noqa: E731
+
+    # W1 insert + LWW overwrite: higher ts wins
+    eng.insert(ks, "w1", cp(b"ca"), b"v1", 100)
+    eng.insert(ks, "w1", cp(b"ca"), b"v2", 200)
+    # ts tie, live vs live -> larger value wins (memtable path: durable=False)
+    eng.insert(ks, "w2", cp(b"ca"), b"a", 100, durable=False)
+    eng.insert(ks, "w2", cp(b"ca"), b"b", 100, durable=False)
+    # ts tie, live vs tombstone -> tombstone wins
+    eng.insert(ks, "w3", cp(b"ca"), b"x", 300)
+    eng.remove(ks, "w3", cp(b"ca"), 300)
+    # W4 remove cell, then resurrect with a newer write
+    eng.insert(ks, "w4", cp(b"ca"), b"x", 100)
+    eng.remove(ks, "w4", cp(b"ca"), 200)
+    eng.insert(ks, "w4", cp(b"ca"), b"y", 300)
+    # W4 row-scope remove shadows both cells; one resurrects past it
+    eng.insert(ks, "w5", cp(b"ca"), b"g", 100)
+    eng.insert(ks, "w5", cp(b"cb"), b"h", 100)
+    eng.remove(ks, "w5", ColumnPath(cfn), 150)
+    eng.insert(ks, "w5", cp(b"cb"), b"z", 200)
+    # row tombstone OLDER than the cell: cell survives
+    eng.insert(ks, "w8", cp(b"ca"), b"m", 500)
+    eng.remove(ks, "w8", ColumnPath(cfn), 400)
+    # W2/W3 batch_mutate: three inserts + a Deletion-by-names, one atomic batch
+    eng.batch_mutate(
+        ks,
+        {
+            "w6": {
+                cfn: [
+                    Mutation(column_name=b"ca", value=b"p", timestamp=100),
+                    Mutation(column_name=b"cb", value=b"q", timestamp=100),
+                    Mutation(column_name=b"cc", value=b"r", timestamp=100),
+                    Mutation(
+                        deletion=Deletion(
+                            timestamp=150,
+                            predicate=SlicePredicate(column_names=(b"ca", b"cb")),
+                        )
+                    ),
+                ]
+            }
+        },
+    )
+    # W5 bulk load, bypassing the memtable path
+    bulk = spark.createDataFrame(
+        [
+            ("w7", None, b"ca", b"p7", 100, False, None),
+            ("w7", None, b"cb", b"q7", 100, False, None),
+        ],
+        CELL_SCHEMA,
+    )
+    eng.store.bulk_load(ks, cfn, bulk)
+
+    maintenance.compact(eng.store, ks, cfn, buckets=4)
+    return _strings(eng.cf(ks, cfn).live(), with_ts=True)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -615,6 +771,30 @@ shd AS (SELECT DISTINCT id, shingle FROM sh)
 """
 
 ORACLES: dict[str, str] = {
+    # the exact mutation log q_write_path replays, reduced in SQL by the
+    # comparePriority tuple (ts, tombstone, value) + row-tombstone shadowing
+    "cass_write_path": """
+        WITH muts(key, "column", value, ts, tombstone) AS (VALUES
+          ('w1','ca','v1',100,false), ('w1','ca','v2',200,false),
+          ('w2','ca','a',100,false),  ('w2','ca','b',100,false),
+          ('w3','ca','x',300,false),  ('w3','ca',NULL,300,true),
+          ('w4','ca','x',100,false),  ('w4','ca',NULL,200,true), ('w4','ca','y',300,false),
+          ('w5','ca','g',100,false),  ('w5','cb','h',100,false), ('w5','cb','z',200,false),
+          ('w8','ca','m',500,false),
+          ('w6','ca','p',100,false),  ('w6','cb','q',100,false), ('w6','cc','r',100,false),
+          ('w6','ca',NULL,150,true),  ('w6','cb',NULL,150,true),
+          ('w7','ca','p7',100,false), ('w7','cb','q7',100,false)),
+        rowdel(key, del_ts) AS (VALUES ('w5',150), ('w8',400)),
+        won AS (
+          SELECT key, "column", value, ts, tombstone, row_number() OVER (
+            PARTITION BY key, "column"
+            ORDER BY ts DESC, tombstone DESC, value DESC NULLS LAST) AS rn
+          FROM muts),
+        live AS (SELECT key, "column", value, ts FROM won WHERE rn = 1 AND NOT tombstone)
+        SELECT l.key, l."column", l.value, cast(l.ts as bigint) AS ts
+        FROM live l LEFT JOIN rowdel r ON l.key = r.key
+        WHERE r.del_ts IS NULL OR l.ts > r.del_ts
+    """,
     "cass_get_slice": _unpivot_sql("orders", "o_orderkey = 32"),
     "cass_get_slice_names": _unpivot_sql("orders", "o_orderkey = 32", cols=["o_orderstatus", "o_totalprice"]),
     "cass_get_slice_reversed": _unpivot_sql(
@@ -710,9 +890,46 @@ ORACLES: dict[str, str] = {
               FROM events WHERE user_id < 3) t
         WHERE rn <= 3
     """,
+    "cass_lexicaluuid_comparator_slice": """
+        WITH uu AS (
+          SELECT cast(user_id as varchar) AS key, md5(cast(event_id as varchar)) AS uu,
+                 event_type AS value
+          FROM events WHERE user_id < 3),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY
+            -- signed-long DESC over the msb then lsb halves: the positive
+            -- group (hex digit < '8') outranks the negative group, and
+            -- fixed-width hex string order == unsigned order within a group
+            (CASE WHEN substr(uu, 1, 1) >= '8' THEN 0 ELSE 1 END) DESC,
+            substr(uu, 1, 16) DESC,
+            (CASE WHEN substr(uu, 17, 1) >= '8' THEN 0 ELSE 1 END) DESC,
+            substr(uu, 17, 16) DESC) AS rn
+          FROM uu)
+        SELECT key, uu, value FROM ranked WHERE rn <= 3
+    """,
+    "cass_freshtimestamp_comparator_slice": """
+        WITH per_type AS (
+          SELECT cast(user_id as varchar) AS key, event_type AS name,
+                 cast(count(*) as varchar) AS value
+          FROM events WHERE user_id < 3 GROUP BY 1, 2),
+        named AS (
+          SELECT key, name, value, 1 AS ord FROM per_type
+          UNION ALL
+          SELECT DISTINCT key, '' AS name, 'fresh' AS value, 0 AS ord FROM per_type),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY key
+                                       ORDER BY ord, name DESC) AS rn
+          FROM named)
+        SELECT key, name, value FROM ranked WHERE rn <= 3
+    """,
     "rows_may_exist": """
         WITH probes AS (SELECT cast(k as varchar) AS key FROM generate_series(95, 105) t(k))
         SELECT key, EXISTS (SELECT 1 FROM supplier WHERE cast(s_suppkey as varchar) = key) AS may_exist
+        FROM probes
+    """,
+    "columns_may_exist": """
+        WITH probes(name) AS (VALUES ('o_custkey'), ('o_totalprice'), ('no_such_col'), ('o_orderstatus'))
+        SELECT name, (name <> 'no_such_col' AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = 32)) AS may_exist
         FROM probes
     """,
     "describe_splits": """
@@ -895,6 +1112,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cass_write_path": q_write_path,
     "cass_get_slice": q_get_slice,
     "cass_get_slice_names": q_get_slice_names,
     "cass_get_slice_reversed": q_get_slice_reversed,
@@ -912,7 +1130,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_json": q_events_props_json,
     "cass_long_comparator_slice": q_long_comparator_slice,
     "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
+    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
+    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
     "rows_may_exist": q_rows_may_exist,
+    "columns_may_exist": q_columns_may_exist,
     "describe_splits": q_describe_splits,
     "pig_group_count": q_pig_parity,
     "wordcount": q_wordcount,

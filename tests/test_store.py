@@ -207,3 +207,23 @@ def test_bulk_load(store, spark):
     store.bulk_load("Keyspace1", "Standard1", cells_from_table(df, "id"))
     cf = store.cf("Keyspace1", "Standard1")
     assert read.get_count(cf, "1").collect()[0]["count"] == 1
+
+
+def test_row_cache_serves_from_memory(store):
+    """Row-cache analog (db/ColumnFamilyStore.java:975-986): after
+    materialization, reads come from InMemoryRelation, not the store."""
+    store.apply(
+        "Keyspace1", "Standard1", write.insert("rc", ColumnPath("Standard1", column=b"c"), b"v", 1)
+    )
+    cf = store.cf("Keyspace1", "Standard1")
+    cached = cf.cached_rows()
+    try:
+        assert cached.count() == 1  # materializes the cache
+        point = cached.where(cached.key == "rc")
+        plan = point._jdf.queryExecution().executedPlan().toString()
+        # served from the cache: the scan node is InMemoryTableScan (its
+        # string embeds the origin plan, so only assert the node type)
+        assert "InMemoryTableScan" in plan
+        assert point.count() == 1
+    finally:
+        cached.unpersist()
