@@ -56,3 +56,72 @@ def test_stateful_lww_across_batches(spark, tmp_path):
     assert by_key["k1"] == [(b"a1", 5)]
     # k2: both emissions, each a state improvement
     assert by_key["k2"] == [(b"b1", 1), (b"b2", 9)]
+
+
+def test_streaming_state_equals_batch_reconcile(spark, tmp_path):
+    """Equivalence lock (memtable ``resolve`` == ``collectCollatedColumns``,
+    which the reference guarantees by construction): the same mutation log
+    fed through the stateful streaming operator and through the batch
+    reconcile must land on the identical final state — including ties won
+    by value, ties won by tombstone, and late losers emitting nothing."""
+    from apache_cassandra_spark.functions.reconcile import reconcile
+    from apache_cassandra_spark.sources.cellstore import CELL_SCHEMA
+
+    hx = lambda b: b.hex()  # noqa: E731
+    log = [
+        [  # batch 1
+            ("k1", None, b"c", b"v1", 100, False),
+            ("k2", None, b"c", b"a", 100, False),
+            ("k3", None, b"c", b"x", 300, False),
+        ],
+        [  # batch 2: win, value-tie win, tombstone-tie win
+            ("k1", None, b"c", b"v2", 200, False),
+            ("k2", None, b"c", b"b", 100, False),
+            ("k3", None, b"c", None, 300, True),
+        ],
+        [  # batch 3: two losers (emit nothing), one new coordinate
+            ("k1", None, b"c", b"v0", 50, False),
+            ("k2", None, b"c", None, 90, True),
+            ("k4", None, b"c", b"q", 7, False),
+        ],
+    ]
+    src = tmp_path / "muts"
+    for i, rows in enumerate(log):
+        write_batch(
+            src,
+            f"b{i}.json",
+            [
+                {"key": k, "sc": hx(sc) if sc else None, "column": hx(c),
+                 "value": hx(v) if v is not None else None, "ts": ts,
+                 "tombstone": tomb, "ldt": None}
+                for k, sc, c, v, ts, tomb in rows
+            ],
+        )
+
+    cells = mutation_stream(spark, str(src), max_files_per_trigger=1)
+    emissions = []
+    q = (
+        lww_updates(cells.drop("ldt"))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: emissions.append((bid, [tuple(r) for r in df.collect()])))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # streaming final state: last emission per coordinate, in batch order
+    stream_state = {}
+    for _bid, rows in sorted(emissions):
+        for key, sc, column, value, ts, tomb in rows:
+            coord = (key, bytes(sc) if sc is not None else None, bytes(column))
+            stream_state[coord] = (bytes(value) if value is not None else None, ts, tomb)
+
+    flat = [(k, sc, c, v, ts, tomb, None) for rows in log for k, sc, c, v, ts, tomb in rows]
+    batch_state = {
+        (r["key"], bytes(r["sc"]) if r["sc"] is not None else None, bytes(r["column"])): (
+            bytes(r["value"]) if r["value"] is not None else None, r["ts"], r["tombstone"]
+        )
+        for r in reconcile(spark.createDataFrame(flat, CELL_SCHEMA)).collect()
+    }
+    assert stream_state == batch_state
