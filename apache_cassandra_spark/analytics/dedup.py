@@ -21,8 +21,12 @@ for ``xxhash64`` in production.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 def _hash64(c: Column, salt: Column | str | int) -> Column:
     """Deterministic 60-bit hash (15 md5 hex chars -> bigint; 60 bits so
@@ -81,6 +85,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 10_000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram sets, inverted-index join.
 
@@ -97,7 +102,20 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     postings = sh
     if max_doc_freq is not None:
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") <= max_doc_freq)
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        rare = freq.where(F.col("df") <= max_doc_freq)
+        if log_dropped:
+            # make truncation visible: silent recall loss near the
+            # threshold is worse than one extra job over the cached frame
+            n_hot = freq.where(F.col("df") > max_doc_freq).count()
+            if n_hot:
+                _LOG.warning(
+                    "ngram_jaccard_pairs: skew guard dropped %d shingle(s) with "
+                    "doc-freq > %d; pairs sharing only dropped shingles are "
+                    "not candidates (recall loss near the threshold)",
+                    n_hot,
+                    max_doc_freq,
+                )
         postings = sh.join(rare.select("shingle"), "shingle", "left_semi")
     a = postings.select(F.col("id").alias("id_a"), "shingle")
     b = postings.select(F.col("id").alias("id_b"), "shingle")
@@ -264,7 +282,7 @@ def embedding_dup_pairs(
     method: str = "lsh",
     dim: int | None = None,
     planes: int = 8,
-    tables: int = 16,
+    tables: int = 24,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -280,6 +298,13 @@ def embedding_dup_pairs(
 
     ``method="brute"``: O(n²) crossJoin — kept ONLY as the small-sf
     oracle cross-check / recall reference; do not ship at scale.
+
+    Margin note: at exactly the 0.95 threshold (θ≈18.2°, per-table hit
+    rate (1-θ/π)^8 ≈ 0.43) the 24-table default bounds the per-pair miss
+    probability at (1-0.43)^24 ≈ 1.4e-6 — two orders tighter than the old
+    16-table default, so an incidental threshold-grazing pair at a larger
+    corpus can't realistically break the exact-equality gate. Pairs in the
+    actual near-dup regime (θ ≤ 15°) miss with p < 1e-8.
     """
     from apache_cassandra_spark.analytics.similarity import cosine, lsh_bucket_tables
 
@@ -294,7 +319,14 @@ def embedding_dup_pairs(
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        # guard the empty / null-vector corpus: behave like the brute path
+        # (empty pair set) instead of raising on first()=None
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first is not None else None
+        if dim is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.explode(lsh_bucket_tables(F.col(vec_col), dim, planes, tables)).alias("tb"),

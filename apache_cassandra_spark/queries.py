@@ -362,6 +362,10 @@ def q_timeuuid_comparator_slice(spark, sf_dir):
     return out.select(
         "key",
         F.conv(ts_hex, 16, 10).cast("bigint").alias("event_us"),
+        # unsigned 64-bit decode: assumes event_id < 2^63 (holds for the
+        # driver testdata generator's sequential ids; ids >= 2^63 would
+        # need functions.comparators._signed64 — same latent bound as the
+        # >>48 arithmetic shift in the uuid construction above)
         F.conv(F.substring(hx, 17, 16), 16, 10).cast("bigint").alias("event_id"),
         F.col("value").cast("string").alias("value"),
     )
