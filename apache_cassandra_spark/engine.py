@@ -39,6 +39,13 @@ class Engine:
         self.partitioner = partitioner or RandomPartitioner()
         self.store = CellStore(spark, root, catalog, self.partitioner)
         self.cluster_name = cluster_name
+        # fork op-stat pipeline analog (stat/create.sql:1-40): every public
+        # op call is intercepted into an in-process aggregate; read it with
+        # engine.stats.to_df(spark) / reset with engine.stats.reset()
+        from apache_cassandra_spark.stats import OpStats, instrument
+
+        self.stats = OpStats(cluster_name=cluster_name)
+        instrument(self, self.stats)
 
     # -- meta (§2.3) --------------------------------------------------------
     def login(self, keyspace: str, credentials: dict | None = None) -> None:
