@@ -119,6 +119,112 @@ def word_ngrams(text: Column, n: int) -> Column:
     return ngrams_from_tokens(tokens(F.lower(text)), n)
 
 
+#: the Gopher "must contain ≥2 of these" stopword set (Rae et al. 2021, §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction
+    (Rae et al. 2021 §A1.1 use line/paragraph dup fractions; this corpus is
+    single-line, so the token/n-gram family carries the signal).
+
+    Scale: the top-fraction metrics need a per-document mode, computed as
+    explode → groupBy(doc, gram) → max-over-doc — two hash aggregations on
+    (doc_id, gram), no windows, no driver collection. The dup-token
+    fraction stays array-local (``array_distinct``), zero shuffle."""
+    t = F.col(text_col)
+    toked = df.select(F.col(id_col), tokens(t).alias("_toks"))
+    base = toked.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            (F.size("_toks") - F.size(F.array_distinct("_toks")))
+            / F.greatest(F.size("_toks"), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+    )
+
+    def top_frac(grams_col: Column, out: str):
+        g = toked.select(F.col(id_col), F.explode(grams_col).alias("_g"))
+        counts = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        return counts.groupBy(id_col).agg(
+            F.round(F.max("_c") / F.sum("_c"), 6).alias(out)
+        )
+
+    top_tok = top_frac(F.col("_toks"), "top_token_frac")
+    top_bi = top_frac(ngrams_from_tokens(F.col("_toks"), 2), "top_bigram_frac")
+    return (
+        base.join(top_tok, id_col, "left")
+        .join(top_bi, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher quality-rule flags (Rae et al. 2021 §A1.1), line rules
+    omitted for the single-line corpus: token-count bounds, mean word
+    length bounds, symbol-to-word ratio (``#``/ellipsis), alphabetic-word
+    fraction, ≥2 distinct hits from the 8-word stopword set; ``gopher_pass``
+    is the conjunction. Pure built-in expressions — whole-stage codegen."""
+    t = F.col(text_col)
+    toked = df.select(F.col(id_col), tokens(t).alias("_toks"), t.alias("_t"))
+    n = F.size("_toks")
+    safe_n = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate("_toks", F.lit(0), lambda a, x: a + F.length(x)) / safe_n
+    n_symbols = F.regexp_count("_t", F.lit(r"#|\.\.\.|…"))
+    alpha_frac = F.size(F.filter("_toks", lambda x: x.rlike("[A-Za-z]"))) / safe_n
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform("_toks", F.lower), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    out = toked.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(n_symbols / safe_n, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("stop_hits") >= 2),
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style PII redaction: replace emails / phone-shaped numbers with
+    fixed tags, report per-document hit counts. Regexes restricted to the
+    syntax subset Java and RE2 interpret identically (no backrefs, no
+    lookaround) so external oracles can reproduce the rewrite exactly."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over word
     n-gram hashes — one stable 128-bit id per document's content

@@ -234,6 +234,26 @@ def get_count(cf: CF, key: str, super_column: bytes | None = None) -> DataFrame:
     return live.agg(F.count_distinct(F.col(unit)).alias("count"))
 
 
+def get_range_slice(
+    cf: CF,
+    predicate: SlicePredicate,
+    start_key: str,
+    finish_key: str,
+    row_count: int,
+    super_column: bytes | None = None,
+) -> DataFrame:
+    """R6 ``get_range_slice`` (deprecated) — the pre-0.6 key-addressed
+    signature (``cassandra.thrift:352-359``). The reference forwards it to
+    the R7 path with a key-bounded KeyRange
+    (``thrift/CassandraServer.java:542-550``); so do we."""
+    return get_range_slices(
+        cf,
+        predicate,
+        KeyRange(start_key=start_key, end_key=finish_key or None, count=row_count),
+        super_column=super_column,
+    )
+
+
 def get_range_slices(
     cf: CF,
     predicate: SlicePredicate,

@@ -621,6 +621,37 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark, sf_dir):
+    return text.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_gopher(spark, sf_dir):
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrub over documents with deterministic synthetic PII injected
+    (the fixture corpus is a word salad with no natural emails/phones):
+    every 7th doc gains an email, every 11th a phone number, so the
+    redaction path actually fires and the counts discriminate."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-0199 ok")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.pii_scrub(injected)
+
+
 def q_lexicaluuid_comparator_slice(spark, sf_dir):
     """LexicalUUIDType comparator in the gate: column names are 16-byte
     pseudo-UUIDs (md5 of the event id), ordered by *signed* msb then lsb
@@ -1113,6 +1144,74 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CASE WHEN len(g) = 0 THEN md5(text) ELSE list_aggregate(g, 'min') END AS fingerprint
         FROM grams
     """,
+    "text_repetition": """
+        WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        base AS (
+          SELECT doc_id, cast(len(t) as bigint) AS n_tokens,
+                 round((len(t) - len(list_distinct(t))) / greatest(len(t), 1), 6) AS dup_token_frac
+          FROM toks),
+        tok_counts AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY doc_id, g),
+        tok_top AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_token_frac FROM tok_counts GROUP BY doc_id),
+        bigr AS (
+          SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                        i -> t[i] || ' ' || t[i + 1]) AS g
+          FROM toks),
+        big_counts AS (
+          SELECT doc_id, g2, count(*) AS c
+          FROM (SELECT doc_id, unnest(g) AS g2 FROM bigr) GROUP BY doc_id, g2),
+        big_top AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_bigram_frac FROM big_counts GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+               coalesce(tt.top_token_frac, 0) AS top_token_frac,
+               coalesce(bt.top_bigram_frac, 0) AS top_bigram_frac
+        FROM base b LEFT JOIN tok_top tt USING (doc_id) LEFT JOIN big_top bt USING (doc_id)
+    """,
+    "text_gopher": """
+        WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        f AS (
+          SELECT doc_id,
+                 cast(len(t) as bigint) AS n_tokens,
+                 round(list_sum(list_transform(t, x -> len(x))) / greatest(len(t), 1), 6) AS mean_word_len,
+                 round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / greatest(len(t), 1), 6) AS symbol_ratio,
+                 round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(len(t), 1), 6) AS alpha_frac,
+                 cast(
+                   list_contains(list_transform(t, x -> lower(x)), 'the')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'be')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'to')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'of')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'and')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'that')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'have')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'with')::int
+                 as bigint) AS stop_hits
+          FROM toks)
+        SELECT *,
+               (n_tokens >= 50 AND n_tokens <= 100000
+                AND mean_word_len >= 3 AND mean_word_len <= 10
+                AND symbol_ratio < 0.1 AND alpha_frac > 0.8
+                AND stop_hits >= 2) AS gopher_pass
+        FROM f
+    """,
+    "text_pii_scrub": """
+        WITH injected AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact user' || cast(doc_id as varchar) || '@example.com now'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' call 555-' || lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-0199 ok'
+                         ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
+               cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+               cast(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) as bigint) AS n_phones,
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM injected
+    """,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1160,4 +1259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_token_stats": q_text_token_stats,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
+    "text_gopher": q_text_gopher,
+    "text_pii_scrub": q_text_pii_scrub,
 }

@@ -193,3 +193,46 @@ def test_jaccard_skew_guard_drops_hot_shingles(spark):
     sh = dedup.shingle_sets(docs, "text", "doc_id", 3)
     hot = sh.groupBy("shingle").count().where(F.col("count") > 5).count()
     assert hot > 0  # the boilerplate shingles really were hot
+
+
+def test_repetition_features_values(spark):
+    rows = [
+        (1, "a a a b"),          # dup 2/4, top token 3/4, top bigram "a a" 2/3
+        (2, "x y z"),            # no dups
+        (3, "w"),                # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.5
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_token_frac"] == round(1 / 3, 6)
+    assert out[3]["top_bigram_frac"] == 0.0  # no bigrams -> coalesced 0
+
+
+def test_gopher_quality_rules(spark):
+    good = " ".join(["the", "and", "with"] + ["word"] * 60)  # 63 tokens, all alpha
+    symbols = " ".join(["the", "of"] + ["#"] * 30 + ["ok"] * 30)
+    short = "the of tiny"
+    df = spark.createDataFrame(
+        [(1, good), (2, symbols), (3, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False  # symbol_ratio ~0.48 and alpha_frac low
+    assert out[3]["gopher_pass"] is False  # too few tokens
+    assert out[1]["stop_hits"] == 3
+    assert out[1]["mean_word_len"] == round((3 + 3 + 4 + 60 * 4) / 63, 6)
+
+
+def test_pii_scrub_redacts(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@corp.example.org or 415-555-1234 today"),
+        (2, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["scrubbed"] == "mail me at <EMAIL> or <PHONE> today"
+    assert out[2]["scrubbed"] == "no pii here" and out[2]["n_emails"] == 0
