@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apache_cassandra_spark.analytics import dedup, similarity, text
+from apache_cassandra_spark.analytics import dedup, multimodal, similarity, text
 from apache_cassandra_spark.catalog import CFDef
 from apache_cassandra_spark.functions.tokens import OrderPreservingPartitioner, RandomPartitioner
 from apache_cassandra_spark.model import CF, KeyRange, SlicePredicate, SliceRange
@@ -210,6 +210,15 @@ def q_range_slices_keys(spark, sf_dir):
     pred = SlicePredicate(slice_range=SliceRange(count=2))
     kr = KeyRange(start_key="100", end_key="120", count=10)
     return _strings(R.get_range_slices(cf, pred, kr))
+
+
+def q_range_slice_deprecated(spark, sf_dir):
+    """R6 ``get_range_slice`` — the deprecated key-addressed signature
+    (``cassandra.thrift:352-359``), forwarded to the R7 scan exactly as
+    ``thrift/CassandraServer.java:542-550`` does."""
+    cf = _cf(spark, sf_dir, "supplier", order_preserving=True)
+    pred = SlicePredicate(slice_range=SliceRange(count=2))
+    return _strings(R.get_range_slice(cf, pred, "10", "13", 5))
 
 
 def q_range_slices_wrapped(spark, sf_dir):
@@ -652,6 +661,31 @@ def q_text_pii_scrub(spark, sf_dir):
     return text.pii_scrub(injected)
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL multimodal decode in the gate: PPM/WAV payloads are generated
+    JVM-side from doc_id arithmetic (``multimodal.media_from_documents``),
+    parsed byte-by-byte in Arrow-batched Python
+    (``multimodal.decode_media`` → ``analytics.codecs``), and the oracle
+    recomputes every decoded field from the same arithmetic — if the
+    parser misreads a header or a sample, the hash mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decode_media(multimodal.media_from_documents(docs))
+    return dec.select(
+        "media_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_frames",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_lexicaluuid_comparator_slice(spark, sf_dir):
     """LexicalUUIDType comparator in the gate: column names are 16-byte
     pseudo-UUIDs (md5 of the event id), ordered by *signed* msb then lsb
@@ -854,6 +888,13 @@ ORACLES: dict[str, str] = {
     "cass_range_slices_wrapped": (
         "SELECT key, \"column\", value FROM (" + _unpivot_sql("supplier", cols=["s_acctbal"]) + ") "
         "WHERE md5(key) > 'e8' OR md5(key) <= '18'"
+    ),
+    "cass_range_slice_deprecated": (
+        "WITH ks AS (SELECT DISTINCT cast(s_suppkey as varchar) AS k FROM supplier "
+        "WHERE cast(s_suppkey as varchar) >= '10' AND cast(s_suppkey as varchar) <= '13' "
+        "ORDER BY k LIMIT 5) "
+        "SELECT key, \"column\", value FROM (" + _unpivot_sql("supplier", cols=["s_acctbal", "s_name"]) + ") "
+        "JOIN ks ON key = k"
     ),
     # lineitem has duplicate (orderkey, linenumber) rows: the engine's LWW
     # reconcile collapses them (equal ts 0, no tombstones -> max value wins),
@@ -1144,6 +1185,29 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CASE WHEN len(g) = 0 THEN md5(text) ELSE list_aggregate(g, 'min') END AS fingerprint
         FROM grams
     """,
+    "media_decode": """
+        WITH m AS (
+          SELECT doc_id,
+                 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+                 doc_id % 256 AS r, (7 * doc_id) % 256 AS g, (13 * doc_id) % 256 AS b,
+                 50 + doc_id % 50 AS n, abs(doc_id % 1001 - 500) AS amp
+          FROM documents)
+        SELECT doc_id AS media_id,
+               cast(CASE WHEN doc_id % 2 = 0
+                         THEN 9 + length(cast(w as varchar)) + length(cast(h as varchar)) + 3 * w * h
+                         ELSE 44 + 2 * n END as bigint) AS n_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS format,
+               cast(CASE WHEN doc_id % 2 = 0 THEN w END as integer) AS width,
+               cast(CASE WHEN doc_id % 2 = 0 THEN h END as integer) AS height,
+               cast(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END as integer) AS channels,
+               cast(CASE WHEN doc_id % 2 = 1 THEN 8000 END as integer) AS sample_rate,
+               cast(CASE WHEN doc_id % 2 = 1 THEN n END as integer) AS n_frames,
+               round(cast(CASE WHEN doc_id % 2 = 0 THEN r END as double), 6) AS mean_r,
+               round(cast(CASE WHEN doc_id % 2 = 0 THEN g END as double), 6) AS mean_g,
+               round(cast(CASE WHEN doc_id % 2 = 0 THEN b END as double), 6) AS mean_b,
+               round(cast(CASE WHEN doc_id % 2 = 1 THEN amp END as double), 6) AS rms
+        FROM m
+    """,
     "text_repetition": """
         WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         base AS (
@@ -1223,6 +1287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_multiget_slice": q_multiget_slice,
     "cass_get_count": q_get_count,
     "cass_range_slices_keys": q_range_slices_keys,
+    "cass_range_slice_deprecated": q_range_slice_deprecated,
     "cass_range_slices_wrapped": q_range_slices_wrapped,
     "cass_super_slice": q_super_slice,
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
@@ -1259,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_token_stats": q_text_token_stats,
     "text_fingerprint": q_text_fingerprint,
+    "media_decode": q_media_decode,
     "text_repetition": q_text_repetition,
     "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,

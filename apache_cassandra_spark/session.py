@@ -25,6 +25,15 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
     On a real cluster, pass ``master=None`` with spark-submit-provided master.
     """
+    # Python workers import this package by name inside pandas-UDF /
+    # mapInPandas closures; they inherit PYTHONPATH, not the driver's
+    # sys.path. Export the repo root so a driver launched from any cwd
+    # works (cluster equivalent: ship the package via --py-files/wheel).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     if master is None:
         master = f"local[{cpus}]"

@@ -5,6 +5,7 @@ Spark-side schema/batching/partitioning is what's under test."""
 import pytest
 from pyspark.sql import functions as F
 
+from apache_cassandra_spark.analytics import codecs
 from apache_cassandra_spark.analytics import multimodal as mm
 
 
@@ -55,3 +56,71 @@ def test_frame_sample_plan(media):
     # only video rows produce frames
     vids = {r["media_id"] for r in media.where(F.col("media_type") == "video").collect()}
     assert {r["media_id"] for r in rows} == vids
+
+
+# --- real codecs (analytics.codecs) ------------------------------------------
+
+
+def test_ppm_roundtrip_and_comment_header():
+    p = codecs.encode_ppm(6, 2, (1, 2, 3))
+    d = codecs.decode_ppm(p)
+    assert (d["width"], d["height"], d["channels"]) == (6, 2, 3)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (1.0, 2.0, 3.0)
+    # comment + arbitrary whitespace in header (netpbm spec)
+    commented = b"P6\n# a comment\n 6\t2\n255\n" + bytes((1, 2, 3)) * 12
+    assert codecs.decode_ppm(commented)["width"] == 6
+
+
+def test_pgm_grayscale():
+    p = b"P5\n4 2\n255\n" + bytes([9] * 8)
+    d = codecs.decode_ppm(p)
+    assert d["channels"] == 1 and d["mean_r"] == 9.0 and d["mean_g"] == 9.0
+
+
+def test_bmp_24bpp_bottom_up_with_padding():
+    import struct
+
+    # 3x2 BMP: width 3 -> stride 12 (3 bytes padding per row), bottom-up
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    # rows in file order: bottom row first; pixels BGR
+    bottom = bytes([255, 0, 0] * w) + b"\0" * (stride - w * 3)  # blue row
+    top = bytes([0, 0, 255] * w) + b"\0" * (stride - w * 3)  # red row
+    data = bottom + top
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    d = codecs.decode_bmp(header + data)
+    assert (d["width"], d["height"]) == (3, 2)
+    # mean over a half-red half-blue image
+    assert d["mean_r"] == 127.5 and d["mean_b"] == 127.5 and d["mean_g"] == 0.0
+
+
+def test_wav_roundtrip():
+    d = codecs.decode_wav(codecs.encode_wav_constant(80, 250))
+    assert (d["sample_rate"], d["n_frames"], d["channels"], d["rms"]) == (8000, 80, 1, 250.0)
+
+
+def test_decode_bytes_dispatch_and_honest_failures():
+    assert codecs.decode_bytes(codecs.encode_ppm(2, 2, (0, 0, 0)))["format"] == "ppm"
+    assert codecs.decode_bytes(codecs.encode_wav_constant(10, 5))["format"] == "wav"
+    for bad in (b"\xff\xd8\xffjpeg", b"\x89PNG\r\n\x1a\nrest", b"garbage"):
+        with pytest.raises(NotImplementedError):
+            codecs.decode_bytes(bad)
+
+
+def test_jvm_payloads_byte_identical_to_python_encoders(spark):
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    rows = {r["media_id"]: bytes(r["payload"]) for r in mm.media_from_documents(docs).collect()}
+    for i in range(30):
+        if i % 2 == 0:
+            exp = codecs.encode_ppm(8 + i % 9, 4 + i % 5, (i % 256, 7 * i % 256, 13 * i % 256))
+        else:
+            exp = codecs.encode_wav_constant(50 + i % 50, i % 1001 - 500)
+        assert rows[i] == exp
+
+
+def test_decode_media_distributed(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {r["media_id"]: r for r in mm.decode_media(mm.media_from_documents(docs)).collect()}
+    assert out[2]["format"] == "ppm" and out[2]["width"] == 10 and out[2]["mean_b"] == 26.0
+    assert out[3]["format"] == "wav" and out[3]["rms"] == 497.0 and out[3]["width"] is None
