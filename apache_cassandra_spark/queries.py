@@ -609,6 +609,21 @@ def q_sim_topk(spark, sf_dir):
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
 
 
+def q_sim_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN in the gate as a rows-only entry: approximate by
+    design, so there is deliberately no SQL oracle — recall vs the exact
+    brute force is pinned by tests/test_analytics.py instead."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(em, em.where(F.col("vec_id") < 5), k=5)
+
+
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN (deterministic sampled centroids, nprobe cells) —
+    rows-only gate entry, same rationale as the LSH variant."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(em, em.where(F.col("vec_id") < 5), k=5)
+
+
 def q_text_quality(spark, sf_dir):
     return text.quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -1320,6 +1335,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "sim_topk": q_sim_topk,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_token_stats": q_text_token_stats,

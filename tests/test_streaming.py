@@ -125,3 +125,95 @@ def test_windowed_stats_stream_matches_batch(spark, tmp_path):
     assert set(out_rows) <= set(expected)
     closed = [t for t in expected if t[0] == "1970-01-01 00:00:00"]
     assert sorted(out_rows) == sorted(closed)
+
+
+# --- streaming dedup ---------------------------------------------------------
+
+
+def _write_doc_batch(path, name, rows, mtime=None):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    if mtime is not None:
+        # FileStreamSource orders candidate files by modification time —
+        # pin it so batch order is deterministic
+        import os
+
+        os.utime(path / name, (mtime, mtime))
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    from apache_cassandra_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "docs"
+    # batch files are picked up in name order with maxFilesPerTrigger=1:
+    # doc 3 (same text as doc 1) arrives in a LATER micro-batch and must be
+    # dropped by state carried across batches
+    _write_doc_batch(src, "b0.json", [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma"},
+    ], mtime=1_000_000)
+    _write_doc_batch(src, "b1.json", [
+        {"doc_id": 3, "text": "alpha beta"},
+        {"doc_id": 4, "text": "delta"},
+    ], mtime=2_000_000)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 4]
+
+
+def test_dedup_stream_batch_mode_matches_exact_dedup(spark):
+    from apache_cassandra_spark.analytics.dedup import exact_dedup
+    from apache_cassandra_spark.streaming.dedup import dedup_stream
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "z")], "doc_id long, text string"
+    )
+    batch = dedup_stream(docs)  # batch frame -> plain hash aggregate
+    assert batch.count() == 2
+    assert {r["content_hash"] for r in batch.collect()} == {
+        r["content_hash"]
+        for r in exact_dedup(docs).withColumn(
+            "content_hash", F.md5(F.col("text"))
+        ).select("content_hash").collect()
+    }
+
+
+def test_decode_media_works_on_streams(spark, tmp_path):
+    """The multimodal decode path is streaming-capable: mapInPandas is a
+    stateless per-row map, so the same operator runs under readStream."""
+    from apache_cassandra_spark.analytics.multimodal import decode_media, media_from_documents
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    src = str(tmp_path / "media_parquet")
+    media_from_documents(docs).write.parquet(src)
+    stream = spark.readStream.schema(
+        "media_id long, media_type string, payload binary"
+    ).parquet(src)
+    q = (
+        decode_media(stream)
+        .writeStream.format("memory")
+        .queryName("media_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_media"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["media_id"]: r for r in spark.sql("SELECT * FROM media_stream_out").collect()}
+    assert len(out) == 6
+    assert out[0]["format"] == "ppm" and out[1]["format"] == "wav"
+    assert out[2]["width"] == 10 and out[3]["rms"] == 497.0
