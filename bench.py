@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_topk",
     "text_quality",
+    "text_repetition",
+    "media_decode",
 ]
 
 
