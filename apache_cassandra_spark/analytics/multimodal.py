@@ -71,13 +71,27 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = False) -> list[float]:
-    """STUB: real image/audio decode needs PIL/ffmpeg — not in this
-    container. The Spark plumbing around this call is real and tested."""
-    if deterministic_fake:
-        return _fake_decode(payload)
-    raise NotImplementedError(
-        f"no codec for {media_type}: install PIL/torchaudio/ffmpeg and replace decode_stub"
-    )
+    """Feature extraction with an honest codec boundary: REAL decode for
+    containers parseable with numpy/stdlib (netpbm/BMP → normalized
+    channel means + dims; WAV → normalized RMS + frame/rate), the
+    deterministic fake on request for anything else, and
+    ``NotImplementedError`` for compressed formats (JPEG/PNG/MP3 need
+    PIL/ffmpeg, not in this container)."""
+    try:
+        d = codecs.decode_bytes(payload or b"")
+    except NotImplementedError:
+        if deterministic_fake:
+            return _fake_decode(payload)
+        raise
+    if d["format"] == "wav":
+        return [d["rms"] / 32768.0, float(d["n_frames"]), float(d["sample_rate"])]
+    return [
+        d["mean_r"] / 255.0,
+        d["mean_g"] / 255.0,
+        d["mean_b"] / 255.0,
+        float(d["width"]),
+        float(d["height"]),
+    ]
 
 
 def extract_features(media: DataFrame, deterministic_fake: bool = True, batch_limit: int = 1024) -> DataFrame:

@@ -124,3 +124,44 @@ def test_decode_media_distributed(spark):
     out = {r["media_id"]: r for r in mm.decode_media(mm.media_from_documents(docs)).collect()}
     assert out[2]["format"] == "ppm" and out[2]["width"] == 10 and out[2]["mean_b"] == 26.0
     assert out[3]["format"] == "wav" and out[3]["rms"] == 497.0 and out[3]["width"] is None
+
+
+# --- property-based codec fuzz ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 16),
+    rgb=st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+)
+def test_ppm_roundtrip_fuzz(w, h, rgb):
+    d = codecs.decode_ppm(codecs.encode_ppm(w, h, rgb))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == tuple(float(c) for c in rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(1, 400), a=st.integers(-32768, 32767))
+def test_wav_roundtrip_fuzz(n, a):
+    d = codecs.decode_wav(codecs.encode_wav_constant(n, a))
+    assert d["n_frames"] == n and d["rms"] == float(abs(a))
+
+
+def test_ppm_variable_pixels_mean():
+    # non-constant raster: means computed independently in the test
+    pixels = bytes(range(12))  # 2x2 RGB: (0,1,2)(3,4,5)(6,7,8)(9,10,11)
+    d = codecs.decode_ppm(b"P6\n2 2\n255\n" + pixels)
+    assert d["mean_r"] == (0 + 3 + 6 + 9) / 4
+    assert d["mean_g"] == (1 + 4 + 7 + 10) / 4
+    assert d["mean_b"] == (2 + 5 + 8 + 11) / 4
+
+
+def test_decode_stub_uses_real_codecs_when_parseable():
+    feats = mm.decode_stub(codecs.encode_ppm(4, 2, (255, 0, 128)), "image")
+    assert feats == [1.0, 0.0, 128 / 255.0, 4.0, 2.0]
+    wav_feats = mm.decode_stub(codecs.encode_wav_constant(20, 16384), "audio")
+    assert wav_feats == [0.5, 20.0, 8000.0]

@@ -172,3 +172,27 @@ def test_delta_after_compaction_restores_reconcile(compacted_store):
     assert "max_by" in plan_of(df)
     rows = {bytes(r["column"]): bytes(r["value"]) for r in df.collect()}
     assert rows == {b"c1": b"v2", b"c2": b"w"}
+
+
+def test_repetition_mode_is_all_hash_aggregates(spark):
+    """The per-doc mode (top token/bigram fraction) must stay a pair of
+    hash aggregations — a Window or SortAggregate here would serialize
+    each document group at 100 TB."""
+    from apache_cassandra_spark.analytics.text import repetition_features
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = plan_of(repetition_features(docs))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+
+
+def test_media_decode_has_no_shuffle(spark):
+    """Payload generation is JVM expressions and decode is a stateless
+    mapInPandas: the whole pipeline must be exchange-free."""
+    from apache_cassandra_spark.analytics.multimodal import decode_media, media_from_documents
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    plan = plan_of(decode_media(media_from_documents(docs)))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
