@@ -185,10 +185,24 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 10_000,
+    log_truncated: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs whose signatures agree on at least one
     full band (rows_per_band = num_perm / bands). Equality join on the band
-    bucket hash — the shuffle key is uniform md5 output, skew-free."""
+    bucket hash — md5 distributes *distinct* signatures uniformly, but
+    identical documents (boilerplate at web scale) all land in ONE bucket,
+    an O(n²) join cell no hash can fix.
+
+    ``max_bucket_size`` bounds that: buckets above the cap are
+    **star-linked** — every member pairs with the bucket's min-id
+    representative instead of all-pairs — so same-signature groups stay
+    fully connected (downstream grouping is transitive) at O(n) pairs per
+    bucket while merely-similar members keep a candidate edge through the
+    representative. Within-cap buckets are exhaustive all-pairs. The
+    intended composition at scale remains ``exact_dedup`` first (collapses
+    byte-identical docs), LSH after.
+    """
     sig = minhash_signatures(df, text_col, id_col, n, num_perm)
     rows_per_band = num_perm // bands
     # band bucket = md5 of the sorted "pp:minhash" elements; perm is
@@ -212,14 +226,41 @@ def minhash_lsh_candidates(
         .cache()  # tiny (docs × bands); the self-join below would otherwise
         # recompute the whole signature subtree for each side
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        with_sz = banded.join(sizes, ["band", "bucket"])
+        small = with_sz.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        hot = with_sz.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
+        if log_truncated:
+            n_hot = sizes.where(F.col("_bsz") > max_bucket_size).count()
+            if n_hot:
+                _LOG.warning(
+                    "minhash_lsh_candidates: %d band bucket(s) over %d members "
+                    "star-linked through a representative instead of all-pairs "
+                    "(connectivity preserved; non-representative pairs in those "
+                    "buckets are indirect)",
+                    n_hot,
+                    max_bucket_size,
+                )
+        reps = hot.groupBy("band", "bucket").agg(F.min("id").alias("_rep"))
+        star = (
+            hot.join(reps, ["band", "bucket"])
+            .where(F.col("id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        banded = small
+    else:
+        star = None
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
+    pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -236,3 +236,37 @@ def test_pii_scrub_redacts(spark):
     assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
     assert out[1]["scrubbed"] == "mail me at <EMAIL> or <PHONE> today"
     assert out[2]["scrubbed"] == "no pii here" and out[2]["n_emails"] == 0
+
+
+def test_lsh_hot_bucket_star_linking_bounds_pairs(spark):
+    """60 identical docs with a bucket cap of 10: all-pairs would emit
+    1770 edges; the star guard emits 59 while keeping the group connected
+    (transitive closure reaches every member)."""
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(60)]
+    rows += [(100, "a unique document about spark"), (101, "a unique document about flink")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df, max_bucket_size=10).collect()
+    ident = [(r["id_a"], r["id_b"]) for r in pairs if r["id_a"] < 100 and r["id_b"] < 100]
+    assert len(ident) == 59  # star through the min-id representative
+    assert all(a == 0 for a, _ in ident)  # rep = min id
+    # connectivity: union-find over emitted edges joins all 60
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ident:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(60)}) == 1
+
+
+def test_lsh_small_buckets_still_all_pairs(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "unrelated text entirely different topic")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df, max_bucket_size=10).collect()}
+    assert (1, 2) in pairs
