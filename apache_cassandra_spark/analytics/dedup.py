@@ -178,6 +178,58 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*mins)
 
 
+def _bucketed_pairs(
+    buckets: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    log_truncated: bool,
+    op_name: str,
+) -> DataFrame:
+    """Distinct candidate pairs from a bucket-membership frame
+    (``id`` + bucket columns): exhaustive all-pairs within each bucket,
+    except buckets over ``max_bucket_size`` are star-linked through their
+    min-id representative — connectivity (and thus transitive grouping)
+    is preserved at O(n) pairs per bucket instead of O(n²). The uniform
+    bucket hash distributes *distinct* contents, but identical or
+    near-identical documents share buckets by construction; no hash fixes
+    that, only a pairing bound does."""
+    star = None
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsz"))
+        with_sz = buckets.join(sizes, bucket_cols)
+        small = with_sz.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        hot = with_sz.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
+        if log_truncated:
+            n_hot = sizes.where(F.col("_bsz") > max_bucket_size).count()
+            if n_hot:
+                _LOG.warning(
+                    "%s: %d bucket(s) over %d members star-linked through a "
+                    "representative instead of all-pairs (connectivity "
+                    "preserved; non-representative pairs in those buckets "
+                    "are indirect)",
+                    op_name,
+                    n_hot,
+                    max_bucket_size,
+                )
+        reps = hot.groupBy(*bucket_cols).agg(F.min("id").alias("_rep"))
+        star = (
+            hot.join(reps, bucket_cols)
+            .where(F.col("id") != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        buckets = small
+    a = buckets.select(F.col("id").alias("id_a"), *bucket_cols)
+    b = buckets.select(F.col("id").alias("id_b"), *bucket_cols)
+    pairs = (
+        a.join(b, bucket_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -226,41 +278,7 @@ def minhash_lsh_candidates(
         .cache()  # tiny (docs × bands); the self-join below would otherwise
         # recompute the whole signature subtree for each side
     )
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-        with_sz = banded.join(sizes, ["band", "bucket"])
-        small = with_sz.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-        hot = with_sz.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
-        if log_truncated:
-            n_hot = sizes.where(F.col("_bsz") > max_bucket_size).count()
-            if n_hot:
-                _LOG.warning(
-                    "minhash_lsh_candidates: %d band bucket(s) over %d members "
-                    "star-linked through a representative instead of all-pairs "
-                    "(connectivity preserved; non-representative pairs in those "
-                    "buckets are indirect)",
-                    n_hot,
-                    max_bucket_size,
-                )
-        reps = hot.groupBy("band", "bucket").agg(F.min("id").alias("_rep"))
-        star = (
-            hot.join(reps, ["band", "bucket"])
-            .where(F.col("id") != F.col("_rep"))
-            .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
-        )
-        banded = small
-    else:
-        star = None
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    return _bucketed_pairs(banded, ["band", "bucket"], max_bucket_size, log_truncated, "minhash_lsh_candidates")
 
 
 # ---------------------------------------------------------------------------
@@ -295,19 +313,31 @@ def simhash(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60, chunks: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    chunks: int = 4,
+    max_bucket_size: int | None = 10_000,
+    log_truncated: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on any of ``chunks`` signature
-    chunks (pigeonhole: hamming distance < chunks ⇒ some chunk equal)."""
+    chunks (pigeonhole: hamming distance < chunks ⇒ some chunk equal).
+
+    Chunk values are only ~``bits/chunks`` wide (15 bits by default), so a
+    corpus saturated with near-identical documents concentrates in few
+    chunk buckets — the scale probe measured a 1.2-billion-pair blowup at
+    320k word-salad docs without a bound. ``max_bucket_size`` star-links
+    over-full buckets exactly like ``minhash_lsh_candidates``."""
     sig = simhash(df, text_col, id_col, bits).withColumn("sig", F.col("simhash").cast("long"))
     per_chunk = bits // chunks
     chunk = F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk")
-    parts = sig.select(F.col(id_col).alias("id"), "sig", chunk).withColumn(
-        "part", F.expr(f"shiftright(sig, chunk * {per_chunk}) % {2**per_chunk}")
+    parts = (
+        sig.select(F.col(id_col).alias("id"), "sig", chunk)
+        .withColumn("part", F.expr(f"shiftright(sig, chunk * {per_chunk}) % {2**per_chunk}"))
+        .cache()  # referenced by both sides of the pair join + the size scan
     )
-    a = parts.select(F.col("id").alias("id_a"), "chunk", "part")
-    b = parts.select(F.col("id").alias("id_b"), "chunk", "part")
-    return a.join(b, ["chunk", "part"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    return _bucketed_pairs(parts, ["chunk", "part"], max_bucket_size, log_truncated, "simhash_candidates")
 
 
 # ---------------------------------------------------------------------------

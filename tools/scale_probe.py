@@ -1,0 +1,98 @@
+"""Scale probe: measure how the headline analytics operators scale as the
+corpus grows, on fixed parallelism.
+
+Replicates the sf0.1 documents/embeddings tables k× (k = 1, 8, 64) with
+deterministic perturbation — every 10th replica is byte-identical (exact
+dups at scale), the rest get a replica-suffix token (near-dups) — then
+times each operator and reports rows/sec and the empirical scaling
+exponent  α = log(t_k / t_1) / log(k).  α ≈ 1 is linear (what a
+shuffle-bounded operator should show on fixed cores); α ≫ 1 means a
+super-linear blowup that would sink a 100 TB run.
+
+Writes one JSON line; SCALE.md holds the narrated results.
+
+Usage: python tools/scale_probe.py [k ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics import dedup, multimodal, text
+from apache_cassandra_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicated_docs(spark, k: int) -> DataFrame:
+    """k copies of documents with unique doc_ids; replica 0 is the
+    original, replicas r>0 perturb the text unless doc_id % 10 == 0."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n = 1_000_000  # id stride per replica
+    reps = base.crossJoin(spark.range(k).withColumnRenamed("id", "rep"))
+    return reps.select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.when(
+            (F.col("rep") > 0) & (F.col("doc_id") % 10 != 0),
+            F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+OPS = {
+    "dedup_exact": lambda d: dedup.exact_dup_groups(d).count(),
+    "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d).count(),
+    "dedup_simhash": lambda d: dedup.simhash_candidates(d).count(),
+    "text_repetition": lambda d: text.repetition_features(d).count(),
+    "text_gopher": lambda d: text.gopher_quality(d).count(),
+    "media_decode": lambda d: multimodal.decode_media(multimodal.media_from_documents(d)).count(),
+}
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 8, 64]
+    spark = get_spark(app_name="scale_probe")
+    results: dict[str, dict] = {}
+    for k in ks:
+        docs = replicated_docs(spark, k).cache()
+        n_docs = docs.count()  # materialize once; ops time their own work
+        for op, fn in OPS.items():
+            t0 = time.perf_counter()
+            out_rows = fn(docs)
+            dt = time.perf_counter() - t0
+            if dt < 30:
+                # steady-state: first run absorbs codegen/JIT/page-cache
+                # one-offs (bench.py measured 0.5-14s spread on run order);
+                # re-time anything cheap enough to run twice
+                t0 = time.perf_counter()
+                out_rows = fn(docs)
+                dt = time.perf_counter() - t0
+            results.setdefault(op, {})[str(k)] = {
+                "n_docs": n_docs,
+                "sec": round(dt, 3),
+                "rows_out": out_rows,
+                "docs_per_sec": round(n_docs / dt),
+            }
+        docs.unpersist()
+        spark.catalog.clearCache()
+    for op, per_k in results.items():
+        k_lo, k_hi = str(min(ks)), str(max(ks))
+        if k_lo != k_hi:
+            ratio = per_k[k_hi]["sec"] / per_k[k_lo]["sec"]
+            per_k["alpha"] = round(math.log(ratio) / math.log(int(k_hi) / int(k_lo)), 2)
+    print(json.dumps({"sf_dir": SF_DIR, "ks": ks, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
