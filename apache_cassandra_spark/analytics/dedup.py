@@ -413,3 +413,61 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
+    then drop every vector that has a lower-id neighbor with cosine ≥
+    ``threshold`` **within its own cluster**. Returns survivors as
+    ``(vec_id, cluster)``.
+
+    Everything is deterministic and externally reproducible: centroids
+    are the ``n_clusters`` vectors with smallest md5(id) (the seedless
+    sample the IVF index also uses), assignment is argmax of the cosine
+    rounded to 6 (ties → smallest centroid id), and the drop rule
+    compares rounded cosines — so an ANSI-SQL oracle can replay the whole
+    pipeline exactly.
+
+    Scale: centroids broadcast (k rows); assignment is a map over the
+    corpus; the dedup join is all-pairs **within a cluster only** —
+    choose ``n_clusters`` ∝ corpus size (the paper uses ~√n .. n/1000) to
+    keep per-cluster occupancy bounded; the join key is the cluster id,
+    AQE splits skewed clusters."""
+    from apache_cassandra_spark.analytics.similarity import cosine
+
+    cents = (
+        df.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), "cent_id")
+        .limit(n_clusters)
+    )
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    assigned = (
+        v.join(F.broadcast(cents), how="cross")
+        .select("id", "v", "cent_id", F.round(cosine(F.col("v"), F.col("cent")), 6).alias("cos_c"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("id", "v", F.col("cent_id").alias("cluster"))
+        .cache()  # both sides of the within-cluster join + the anti-join
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), F.col("cluster").cast("long").alias("cluster"))
+    )

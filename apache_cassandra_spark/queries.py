@@ -604,6 +604,15 @@ def q_dedup_embedding_exact(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the planted-dup corpus so the drop path actually
+    fires: each (id, id+100k) pair sits at cos≈0.989; the planted twin is
+    dropped whenever both land in the same coarse cluster (cross-cluster
+    escapes are SemDeDup's documented approximation — deterministic here,
+    and replayed exactly by the oracle)."""
+    return dedup.semantic_dedup(_planted_dup_corpus(spark, sf_dir))
+
+
 def q_sim_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
@@ -1200,6 +1209,32 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CASE WHEN len(g) = 0 THEN md5(text) ELSE list_aggregate(g, 'min') END AS fingerprint
         FROM grams
     """,
+    "semantic_dedup": """
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pert AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_transform(generate_series(1, 64), i -> v[i] + 0.15 * r[i]) AS v
+          FROM (SELECT vec_id, v, list_concat(v[2:], v[1:1]) AS r FROM base)),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        cents AS (
+          SELECT vec_id AS cent_id, v AS cent
+          FROM corpus ORDER BY md5(cast(vec_id as varchar)), vec_id LIMIT 16),
+        assigned AS (
+          SELECT vec_id, v, cent_id AS cluster FROM (
+            SELECT e.vec_id, e.v, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round(list_cosine_similarity(e.v, c.cent), 6) DESC,
+                              c.cent_id) AS r
+            FROM corpus e, cents c) t
+          WHERE r = 1),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95)
+        SELECT a.vec_id, cast(a.cluster as bigint) AS cluster
+        FROM assigned a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
     "media_decode": """
         WITH m AS (
           SELECT doc_id,
@@ -1334,6 +1369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_exact": q_dedup_embedding_exact,
+    "semantic_dedup": q_semantic_dedup,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,

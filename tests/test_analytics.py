@@ -270,3 +270,22 @@ def test_lsh_small_buckets_still_all_pairs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df, max_bucket_size=10).collect()}
     assert (1, 2) in pairs
+
+
+def test_semantic_dedup_keeps_lowest_id_per_ball(spark):
+    # vectors 1,2 nearly identical; 3 orthogonal-ish; 4 = copy of 3
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.01, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, n_clusters=1, threshold=0.95)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # 2 collapses into 1, 4 into 3 (cos > 0.95); 5 survives
+    assert kept == [1, 3, 5]
+    # with one cluster per vector no within-cluster pair exists -> no drops
+    # (the cross-cluster escape SemDeDup documents, at its extreme)
+    assert dedup.semantic_dedup(df, n_clusters=5, threshold=0.95).count() == 5
