@@ -415,6 +415,49 @@ def embedding_dup_pairs(
     )
 
 
+def dup_groups_from_pairs(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over candidate pairs → ``(id, group_id)``
+    with ``group_id`` = the smallest id in the component. The grouping
+    step every pair-producing dedup operator assumes downstream (collapse
+    a component to its representative instead of materializing O(n²)
+    pair lists).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels; converged when the (monotonically
+    non-increasing) label sum stops changing — one scalar aggregate per
+    round, no driver-side graph. ``localCheckpoint`` cuts the growing
+    lineage so round k doesn't replay rounds 1..k-1.
+
+    Rounds needed = component diameter. Dedup components are shallow by
+    construction (hot buckets are star-linked → diameter ≤ 2 per bucket;
+    near-dup chains are short); the cap is a safety net, not the expected
+    regime. For adversarially long chains switch to alternating
+    large-star/small-star (same join shape, O(log n) rounds).
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
+    labels = edges.select(F.col("a").alias("id")).distinct().select("id", F.col("id").alias("label"))
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select("id", F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break  # labels only decrease; equal sum == fixpoint
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("group_id"))
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 16,

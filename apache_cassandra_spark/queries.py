@@ -604,6 +604,37 @@ def q_dedup_embedding_exact(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """MinHash candidates → connected components: the full dedup-grouping
+    pipeline (pair generation + transitive closure) under one oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_groups_from_pairs(dedup.minhash_lsh_candidates(docs))
+
+
+def _min_label_closure_sql(pairs_cte: str, iters: int = 8) -> str:
+    """Fixed-iteration min-label propagation in portable SQL: l0 = own id,
+    l{k+1} = least(own, min over neighbors of l{k}). Matches the Spark
+    fixpoint whenever component diameter <= iters (gate corpora are
+    shallow; the Spark side converges to the same fixpoint).
+
+    ``AS MATERIALIZED`` on the pair/edge CTEs is load-bearing: DuckDB
+    inlines CTEs by default, which would re-evaluate the whole upstream
+    candidate pipeline in every closure round."""
+    sql = [
+        f"pairs AS MATERIALIZED ({pairs_cte})",
+        "e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs)",
+        "l0 AS (SELECT DISTINCT a AS id, a AS label FROM e)",
+    ]
+    for k in range(iters):
+        sql.append(
+            f"l{k + 1} AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label "
+            f"FROM l{k} l LEFT JOIN e ON e.a = l.id LEFT JOIN l{k} n ON n.id = e.b "
+            "GROUP BY l.id, l.label)"
+        )
+    return ", ".join(sql) + f" SELECT id, label AS group_id FROM l{iters}"
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the planted-dup corpus so the drop path actually
     fires: each (id, id+100k) pair sits at cos≈0.989; the planted twin is
@@ -1328,6 +1359,10 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# transitive closure over the minhash candidate pairs (same pairs CTE as
+# dedup_minhash_lsh, then 8 fixed min-label rounds)
+ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_write_path": q_write_path,
     "cass_get_slice": q_get_slice,
@@ -1370,6 +1405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "semantic_dedup": q_semantic_dedup,
+    "dedup_groups": q_dedup_groups,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,

@@ -289,3 +289,23 @@ def test_semantic_dedup_keeps_lowest_id_per_ball(spark):
     # with one cluster per vector no within-cluster pair exists -> no drops
     # (the cross-cluster escape SemDeDup documents, at its extreme)
     assert dedup.semantic_dedup(df, n_clusters=5, threshold=0.95).count() == 5
+
+
+def test_dup_groups_chain_two_components_cycle(spark):
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["group_id"] for r in dedup.dup_groups_from_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dup_groups_star_linked_hot_bucket_collapses(spark):
+    """End-to-end with the LSH guard: 40 identical docs, cap 10 -> star
+    pairs -> one component under the min id."""
+    rows = [(i, "same text everywhere again and again") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df, max_bucket_size=10)
+    groups = dedup.dup_groups_from_pairs(pairs).collect()
+    assert len(groups) == 40 and {r["group_id"] for r in groups} == {0}
