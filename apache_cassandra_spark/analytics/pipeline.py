@@ -1,0 +1,66 @@
+"""End-to-end training-corpus preparation: the composition a pretraining
+data pipeline actually runs, as ONE declarative DataFrame graph.
+
+    quality gate (Gopher rules) → exact dedup (content-hash, min-id keeper)
+    → near-dup grouping (MinHash-LSH candidates → connected components)
+    → representative selection (component min-id survives)
+
+Every stage is an already-oracle-gated operator; the composition itself
+is gate-checked too (``prepare_corpus`` query), so stage wiring — which
+frame feeds which, what survives each join — is pinned, not just the
+stages in isolation.
+
+Scale: one pass for features + hash dedup (hash aggregates), the LSH
+banded join on survivors only (the quality gate and exact dedup shrink
+the corpus *before* the expensive pair generation — ordering matters at
+100 TB), closure over candidate pairs (diameter-bounded rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics.dedup import (
+    dup_groups_from_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+)
+from apache_cassandra_spark.analytics.text import gopher_quality
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Returns the cleaned corpus ``(doc_id, text, n_tokens)``.
+
+    Thresholds default to the Gopher paper's; pass corpus-appropriate
+    values (the synthetic fixture needs ``min_stop_hits=1`` — its
+    vocabulary only contains one of the eight Gopher stopwords)."""
+    q = gopher_quality(docs, text_col, id_col)
+    passed_ids = q.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("alpha_frac") > min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    ).select(id_col, "n_tokens")
+    passed = docs.select(id_col, text_col).join(passed_ids, id_col)
+    survivors = exact_dedup(passed, text_col, id_col).cache()
+    pairs = minhash_lsh_candidates(survivors, text_col, id_col)
+    groups = dup_groups_from_pairs(pairs)
+    non_reps = groups.where(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return survivors.join(non_reps, id_col, "left_anti").select(id_col, text_col, "n_tokens")

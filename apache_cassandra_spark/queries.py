@@ -620,6 +620,14 @@ def _min_label_closure_sql(pairs_cte: str, iters: int = 8) -> str:
     ``AS MATERIALIZED`` on the pair/edge CTEs is load-bearing: DuckDB
     inlines CTEs by default, which would re-evaluate the whole upstream
     candidate pipeline in every closure round."""
+    return (
+        ", ".join(_closure_ctes(pairs_cte, iters))
+        + f" SELECT id, label AS group_id FROM l{iters}"
+    )
+
+
+def _closure_ctes(pairs_cte: str, iters: int = 8) -> list[str]:
+    """CTE chain for the min-label closure, ending at ``l{iters}``."""
     sql = [
         f"pairs AS MATERIALIZED ({pairs_cte})",
         "e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs "
@@ -632,7 +640,78 @@ def _min_label_closure_sql(pairs_cte: str, iters: int = 8) -> str:
             f"FROM l{k} l LEFT JOIN e ON e.a = l.id LEFT JOIN l{k} n ON n.id = e.b "
             "GROUP BY l.id, l.label)"
         )
-    return ", ".join(sql) + f" SELECT id, label AS group_id FROM l{iters}"
+    return sql
+
+
+def q_prepare_corpus(spark, sf_dir):
+    """The full training-corpus prep composition under one oracle:
+    Gopher gate (min_stop_hits=1 — the fixture vocabulary has only one of
+    the eight Gopher stopwords) → exact dedup → minhash near-dup groups →
+    representative selection."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_corpus
+
+    return prepare_corpus(load_table(spark, sf_dir, "documents"), min_stop_hits=1)
+
+
+def _prepare_corpus_oracle() -> str:
+    gopher_features = """
+        qf AS (
+          SELECT doc_id,
+                 cast(len(t) as bigint) AS n_tokens,
+                 round(list_sum(list_transform(t, x -> len(x))) / greatest(len(t), 1), 6) AS mean_word_len,
+                 round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / greatest(len(t), 1), 6) AS symbol_ratio,
+                 round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(len(t), 1), 6) AS alpha_frac,
+                 cast(
+                   list_contains(list_transform(t, x -> lower(x)), 'the')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'be')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'to')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'of')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'and')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'that')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'have')::int +
+                   list_contains(list_transform(t, x -> lower(x)), 'with')::int
+                 as bigint) AS stop_hits
+          FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents))"""
+    passed_exact = """
+        passed AS (
+          SELECT d.doc_id, d.text, qf.n_tokens
+          FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+          WHERE qf.n_tokens >= 50 AND qf.n_tokens <= 100000
+            AND qf.mean_word_len >= 3 AND qf.mean_word_len <= 10
+            AND qf.symbol_ratio < 0.1 AND qf.alpha_frac > 0.8 AND qf.stop_hits >= 1),
+        exact AS MATERIALIZED (
+          SELECT doc_id, text, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM passed) t
+          WHERE rn = 1)"""
+    mbanded = """
+        mbanded AS MATERIALIZED (
+          SELECT id, p // 4 AS band,
+                 md5(string_agg(lpad(cast(p as varchar), 2, '0') || ':' || cast(mh as varchar), ','
+                     ORDER BY lpad(cast(p as varchar), 2, '0') || ':' || cast(mh as varchar))) AS bucket
+          FROM (SELECT id, p, min((h * (2*p + 1) + p*p + 7) % 2147483647) AS mh
+                FROM (SELECT id, ('0x' || substr(md5('mh:' || shingle), 1, 15))::bigint % 2147483647 AS h
+                      FROM (SELECT DISTINCT id, shingle
+                            FROM (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                                  FROM (SELECT doc_id AS id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t
+                                        FROM exact))))
+                     , (SELECT unnest(generate_series(0, 15)) AS p)
+                GROUP BY id, p)
+          GROUP BY id, p // 4)"""
+    minhash_pairs = (
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM mbanded a "
+        "JOIN mbanded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"
+    )
+    ctes = [gopher_features, passed_exact, mbanded] + _closure_ctes(minhash_pairs, iters=8)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + """
+        SELECT doc_id, text, n_tokens FROM exact
+        WHERE doc_id NOT IN (SELECT id FROM l8 WHERE id <> label)
+    """
+    )
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1362,6 +1441,7 @@ ORACLES: dict[str, str] = {
 # transitive closure over the minhash candidate pairs (same pairs CTE as
 # dedup_minhash_lsh, then 8 fixed min-label rounds)
 ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
+ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_write_path": q_write_path,
@@ -1406,6 +1486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "semantic_dedup": q_semantic_dedup,
     "dedup_groups": q_dedup_groups,
+    "prepare_corpus": q_prepare_corpus,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,

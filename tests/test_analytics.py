@@ -309,3 +309,24 @@ def test_dup_groups_star_linked_hot_bucket_collapses(spark):
     pairs = dedup.minhash_lsh_candidates(df, max_bucket_size=10)
     groups = dedup.dup_groups_from_pairs(pairs).collect()
     assert len(groups) == 40 and {r["group_id"] for r in groups} == {0}
+
+
+def test_prepare_corpus_composition(spark):
+    from apache_cassandra_spark.analytics.pipeline import prepare_corpus
+
+    good = "the data and table be " + " ".join(f"word{i}" for i in range(55))
+    near = good + " extra"            # near dup of doc 1
+    other = "the rows and joins be " + " ".join(f"item{i}" for i in range(55))
+    rows = [
+        (1, good),
+        (2, good),        # exact dup -> dropped by content hash
+        (3, near),        # near dup -> grouped with 1, non-representative
+        (4, other),       # distinct survivor
+        (5, "too tiny"),  # fails the quality gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(docs)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 4]
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert n_tok[1] == 60
