@@ -1,0 +1,117 @@
+"""K-means over an embedding column — Lloyd's algorithm, Spark-shaped.
+
+The iteration pattern is the standard distributed one (same as Spark
+MLlib's KMeans): centroids are tiny (k × dim floats), so each round
+collects them to the driver and re-embeds them as *literal* expressions —
+the assignment pass is then a pure codegen'd map over the corpus (no
+join, no shuffle for assignment), followed by one groupBy(cluster) with
+per-dimension averages (k·dim partial aggregates, map-side combined).
+
+Everything is deterministic: init is the k vectors with smallest
+md5(id) (the same seedless sample the IVF index and SemDeDup use),
+distance ties break to the lowest centroid index, and empty clusters
+keep their previous centroid. Fixed iteration count — the usual
+convergence-threshold variant adds a driver-side delta check without
+changing the per-round shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None or first["d"] is None:
+        raise ValueError("empty corpus or null first vector; pass vectors")
+    return first["d"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Returns ``(id_col, cluster)`` — cluster ∈ [0, k) after ``iters``
+    Lloyd rounds from the deterministic seedless init."""
+    dim = _dim_of(df, vec_col)
+    v = df.select(F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"))
+
+    # farthest-point init (deterministic k-means++ flavor): first seed =
+    # smallest md5(id); each next seed = the point farthest from its
+    # nearest chosen seed (ties → lowest id). Greedy max-min puts one
+    # seed per well-separated mode — plain sampled init can drop two
+    # seeds in one blob and Lloyd's never recovers.
+    first_row = v.orderBy(F.md5(F.col(id_col).cast("string")), id_col).limit(1).select("_v").collect()
+    if not first_row:
+        raise ValueError("empty corpus")
+    centroids: list[list[float]] = [list(first_row[0]["_v"])]
+    while len(centroids) < k:
+        min_dist = F.least(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(c)) for c in cent]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                )
+                for cent in centroids
+            ]
+        ) if len(centroids) > 1 else F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(float(c)) for c in centroids[0]]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        far = (
+            v.withColumn("_d", min_dist)
+            .orderBy(F.col("_d").desc(), id_col)
+            .limit(1)
+            .select("_v")
+            .collect()
+        )
+        centroids.append(list(far[0]["_v"]))
+
+    def assign(frame: DataFrame) -> DataFrame:
+        # dist to each centroid as a literal-folded expression; argmin via
+        # array_min over (dist, index) structs — ties take the lower index
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_v"),
+                            F.array(*[F.lit(float(c)) for c in cent]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("dist"),
+                    F.lit(i).alias("idx"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+        return frame.withColumn("cluster", F.array_min(cands).idx)
+
+    for _ in range(iters):
+        assigned = assign(v)
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        # empty cluster -> keep previous centroid (deterministic)
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
+
+    return assign(v).select(id_col, "cluster")

@@ -728,6 +728,16 @@ def q_sim_topk(spark, sf_dir):
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
 
 
+def q_cluster_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means (farthest-point init) — rows-only
+    entry: the fixpoint of an iterative algorithm has no portable
+    single-statement SQL equivalent; determinism + blob-recovery are
+    pinned by tests/test_analytics.py."""
+    from apache_cassandra_spark.analytics.clustering import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN in the gate as a rows-only entry: approximate by
     design, so there is deliberately no SQL oracle — recall vs the exact
@@ -1489,6 +1499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prepare_corpus": q_prepare_corpus,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "cluster_kmeans": q_cluster_kmeans,
     "sim_ann_ivf": q_sim_ann_ivf,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,

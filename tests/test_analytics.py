@@ -330,3 +330,28 @@ def test_prepare_corpus_composition(spark):
     assert kept == [1, 4]
     n_tok = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
     assert n_tok[1] == 60
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    from apache_cassandra_spark.analytics.clustering import kmeans_assign
+
+    # three tight blobs on orthogonal axes, 6 points each
+    rows = []
+    for b, axis in enumerate([0, 1, 2]):
+        for j in range(6):
+            vec = [0.0, 0.0, 0.0]
+            vec[axis] = 10.0 + (j % 3) * 0.1
+            vec[(axis + 1) % 3] = 0.01 * j
+            rows.append((b * 10 + j, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=3, iters=4)
+    by_blob = {}
+    for r in out.collect():
+        by_blob.setdefault(r["vec_id"] // 10, set()).add(r["cluster"])
+    # each blob maps to exactly one cluster, and the three clusters differ
+    assert all(len(c) == 1 for c in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+    # determinism: second run identical
+    again = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=3, iters=4).collect()}
+    first = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert first == again
