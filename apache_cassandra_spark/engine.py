@@ -150,7 +150,15 @@ class Engine:
             for cf_name, muts in by_cf.items():
                 for m in muts:
                     V.validate_mutation(self.catalog, ks, cf_name, m)
-        for cf_name, batch in W.batch_mutate(mutations, local_deletion_time=ldt).items():
+        super_cfs = {
+            cf_name
+            for by_cf in mutations.values()
+            for cf_name in by_cf
+            if self.catalog.keyspace(ks).cf(cf_name).is_super
+        }
+        for cf_name, batch in W.batch_mutate(
+            mutations, local_deletion_time=ldt, super_cfs=super_cfs
+        ).items():
             self.store.apply(ks, cf_name, batch, durable)
 
     def flush(self, ks: str | None = None, cf_name: str | None = None) -> None:

@@ -63,24 +63,35 @@ def remove(key: str, path: ColumnPath, timestamp: int, local_deletion_time: int 
     return b
 
 
-def _apply_deletion(b: MutationBatch, key: str, d: Deletion, ldt: int) -> None:
+def _apply_deletion(b: MutationBatch, key: str, d: Deletion, ldt: int, is_super: bool = False) -> None:
     if d.predicate is None:
         b.container_tombstones.append((key, d.super_column, d.timestamp, ldt))
         return
     if d.predicate.column_names is None:
         raise ValueError("Deletion predicate must be by names (slice-range deletes are not in 0.6 either)")
     for name in d.predicate.column_names:
-        b.cells.append((key, d.super_column, name, None, d.timestamp, True, ldt))
+        if is_super and d.super_column is None:
+            # on a Super CF a name-predicate deletion WITHOUT super_column
+            # addresses whole supercolumns: each name becomes a container
+            # tombstone, not a cell tombstone (RowMutation.java:354-355)
+            b.container_tombstones.append((key, name, d.timestamp, ldt))
+        else:
+            b.cells.append((key, d.super_column, name, None, d.timestamp, True, ldt))
 
 
 def batch_mutate(
     mutations: dict[str, dict[str, list[Mutation]]],
     local_deletion_time: int | None = None,
+    super_cfs: set[str] | frozenset[str] = frozenset(),
 ) -> dict[str, MutationBatch]:
     """W3 ``batch_mutate`` — per-row-atomic batch of upserts and deletes
     (``CassandraServer.java:384-425``). Returns one MutationBatch per CF
     name; caller commits each (the per-CF commit is the atomicity unit,
     matching the reference's per-row RowMutation application).
+
+    ``super_cfs`` names the Super CFs in the batch: a name-predicate
+    deletion without ``super_column`` on one of those deletes whole
+    supercolumns (``RowMutation.java:348-364``).
 
     Deletion ``local_deletion_time`` is stamped server-side to *now* when
     not supplied, matching ``RowMutation.java:207``."""
@@ -92,7 +103,7 @@ def batch_mutate(
             b = out.setdefault(cf_name, MutationBatch())
             for m in muts:
                 if m.deletion is not None:
-                    _apply_deletion(b, key, m.deletion, local_deletion_time)
+                    _apply_deletion(b, key, m.deletion, local_deletion_time, cf_name in super_cfs)
                 else:
                     if m.column_name is None or m.timestamp is None:
                         raise ValueError("insert Mutation needs column_name and timestamp")

@@ -162,3 +162,56 @@ def test_batch_mutate_standard_columns(engine):
     for k in keys:
         r = engine.get("Keyspace1", k, ColumnPath("Standard1", column=b"c1")).collect()
         assert len(r) == 1 and bytes(r[0]["value"]) == b"value1"
+
+
+def test_batch_mutate_super_deletion(engine):
+    # test_server.py:1008 — a name-predicate deletion WITHOUT super_column
+    # on a Super CF addresses whole supercolumns (RowMutation.java:354)
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    _insert_super(engine)
+    d = Deletion(timestamp=1, predicate=SlicePredicate(column_names=[b"sc1"]))
+    engine.batch_mutate("Keyspace1", {"key1": {"Super1": [Mutation(deletion=d)]}}, durable=False)
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc1") == []
+    # sc2 untouched
+    assert len(slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2")) == 2
+
+
+def test_batch_mutate_remove_super_columns_none_given_underneath(engine):
+    # test_server.py:419 — Deletion(ts, super_column=sc) with no predicate
+    # removes the whole container
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    _insert_super(engine)
+    muts = [
+        Mutation(deletion=Deletion(timestamp=20, super_column=b"sc1")),
+        Mutation(deletion=Deletion(timestamp=20, super_column=b"sc2")),
+    ]
+    engine.batch_mutate("Keyspace1", {"key1": {"Super1": muts}}, durable=False)
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc1") == []
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == []
+
+
+def test_batch_mutate_remove_super_columns_entire_row(engine):
+    # test_server.py:448 — Deletion(ts) with neither super_column nor
+    # predicate is a row tombstone
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    _insert_super(engine)
+    engine.batch_mutate(
+        "Keyspace1", {"key1": {"Super1": [Mutation(deletion=Deletion(timestamp=20))]}}, durable=False
+    )
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc1") == []
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == []
+
+
+def test_super_reinsert(engine):
+    # test_server.py:222 — delete a supercolumn, then reinsert at a higher
+    # timestamp: the new subcolumns resurrect, old ones stay shadowed
+    for i in range(3):
+        ins(engine, "Keyspace1", "Super1", "key1", _i64(i), b"value2", 2, sc=b"sc2")
+    engine.remove("Keyspace1", "key1", ColumnPath("Super1", super_column=b"sc2"), 3, durable=False)
+    for i in range(10, 13):
+        ins(engine, "Keyspace1", "Super1", "key1", _i64(i), b"value4", 4, sc=b"sc2")
+    cols = slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2")
+    assert [(c, v) for c, v, _ in cols] == [(_i64(i), b"value4") for i in range(10, 13)]
