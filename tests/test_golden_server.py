@@ -215,3 +215,49 @@ def test_super_reinsert(engine):
         ins(engine, "Keyspace1", "Super1", "key1", _i64(i), b"value4", 4, sc=b"sc2")
     cols = slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2")
     assert [(c, v) for c, v, _ in cols] == [(_i64(i), b"value4") for i in range(10, 13)]
+
+
+def test_empty_slice_and_missing_super(engine):
+    # test_server.py:197,201
+    assert slice_cols(engine, "Keyspace1", "Standard1", "key1") == []
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1") == []
+    _insert_super(engine)
+    # sc1 has subcolumn 4 only; subcolumn 1 is missing
+    r = engine.get("Keyspace1", "key1", ColumnPath("Super1", super_column=b"sc1", column=_i64(1))).collect()
+    assert r == []
+
+
+def test_count_parent_shapes(engine):
+    # test_server.py:206 — count of absent row is 0; super parent counts
+    # supercolumns; sc-addressed parent counts subcolumns
+    _insert_simple(engine)
+    _insert_super(engine)
+    def cnt(cf, sc=None):
+        return engine.get_count("Keyspace1", "key1", cf, super_column=sc)
+    assert cnt("Standard1") == 2
+    assert engine.get_count("Keyspace1", "nokey", "Standard1") == 0
+    assert cnt("Super1", sc=b"sc2") == 2
+    assert cnt("Super1") == 2  # two supercolumns
+
+
+def test_super_subcolumn_limit(engine):
+    # test_server.py:241 — count applies per subcolumn slice; reversed
+    # takes from the high end (LongType order)
+    _insert_super(engine)
+    one = SlicePredicate(slice_range=SliceRange(count=1))
+    cols = slice_cols(engine, "Keyspace1", "Super1", "key1", pred=one, sc=b"sc2")
+    assert [(c, v) for c, v, _ in cols] == [(_i64(5), b"value5")]
+    rev = SlicePredicate(slice_range=SliceRange(count=1, reversed=True))
+    cols = slice_cols(engine, "Keyspace1", "Super1", "key1", pred=rev, sc=b"sc2")
+    assert [(c, v) for c, v, _ in cols] == [(_i64(6), b"value6")]
+
+
+def test_super_cf_resurrect_subcolumn(engine):
+    # test_server.py:757 — subcolumn reinserted ABOVE the container
+    # tombstone's timestamp is visible again
+    ins(engine, "Keyspace1", "Super1", "vijay", _i64(4), b"value4", 0, sc=b"sc1")
+    engine.remove("Keyspace1", "vijay", ColumnPath("Super1", super_column=b"sc1"), 1, durable=False)
+    assert slice_cols(engine, "Keyspace1", "Super1", "vijay", sc=b"sc1") == []
+    ins(engine, "Keyspace1", "Super1", "vijay", _i64(4), b"value4", 2, sc=b"sc1")
+    cols = slice_cols(engine, "Keyspace1", "Super1", "vijay", sc=b"sc1")
+    assert [(c, v) for c, v, _ in cols] == [(_i64(4), b"value4")]
