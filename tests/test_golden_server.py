@@ -30,6 +30,7 @@ def engine(spark, tmp_path):
                 "Super1": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "LongType"},
             },
             "Keyspace2": {
+                "Super3": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "BytesType"},
                 "Super4": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "TimeUUIDType"},
             },
         }
@@ -261,3 +262,73 @@ def test_super_cf_resurrect_subcolumn(engine):
     ins(engine, "Keyspace1", "Super1", "vijay", _i64(4), b"value4", 2, sc=b"sc1")
     cols = slice_cols(engine, "Keyspace1", "Super1", "vijay", sc=b"sc1")
     assert [(c, v) for c, v, _ in cols] == [(_i64(4), b"value4")]
+
+
+@pytest.fixture()
+def opp_engine(spark, tmp_path):
+    """The reference's system tests run under OrderPreservingPartitioner
+    (test storage-conf) — key-addressed ranges compare lexically."""
+    from apache_cassandra_spark.functions.tokens import OrderPreservingPartitioner
+
+    catalog = Catalog.from_dict(
+        {
+            "Keyspace2": {
+                "Super3": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "BytesType"},
+            },
+        }
+    )
+    return Engine(spark, str(tmp_path), catalog, partitioner=OrderPreservingPartitioner())
+
+
+def test_get_range_slice_super(opp_engine):
+    # test_server.py:843 — range scan over a super CF, sc-addressed parent
+    # with a by-names predicate; then parent-level names selecting whole
+    # supercolumns
+    from apache_cassandra_spark.model import KeyRange
+    from apache_cassandra_spark.operators import read as R
+
+    engine = opp_engine
+    for key in ["key1", "key2", "key3", "key4", "key5"]:
+        for cname in [b"col1", b"col2", b"col3", b"col4", b"col5"]:
+            ins(engine, "Keyspace2", "Super3", key, cname, b"v-" + cname, 0, sc=b"sc1")
+    cf = engine.cf("Keyspace2", "Super3")
+    pred = SlicePredicate(column_names=[b"col1", b"col3"])
+    kr = KeyRange(start_key="key2", end_key="key4", count=5)
+    rows = R.get_range_slices(cf, pred, kr, super_column=b"sc1").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(bytes(r["column"]))
+    assert sorted(by_key) == ["key2", "key3", "key4"]
+    assert all(sorted(cols) == [b"col1", b"col3"] for cols in by_key.values())
+
+    # parent-level names address supercolumns
+    sc_pred = SlicePredicate(column_names=[b"sc1"])
+    rows = R.get_range_slices(cf, sc_pred, kr).collect()
+    assert {bytes(r["sc"]) for r in rows} == {b"sc1"}
+    assert len({r["key"] for r in rows}) == 3
+
+
+def test_get_range_slice_after_deletion(opp_engine):
+    # test_server.py:859 — sc-level count=1 slices through delete/reinsert
+    from apache_cassandra_spark.model import KeyRange
+    from apache_cassandra_spark.operators import read as R
+
+    engine = opp_engine
+    key = "key1"
+    for i in range(1, 4):
+        ins(engine, "Keyspace2", "Super3", key, b"col1", b"val1", 0, sc=f"sc{i}".encode())
+    cf = engine.cf("Keyspace2", "Super3")
+    pred = SlicePredicate(slice_range=SliceRange(start=b"sc1", finish=b"sc3", count=1))
+    kr = KeyRange(start_key=key, end_key=key, count=1)
+    rows = R.get_range_slices(cf, pred, kr).collect()
+    assert {bytes(r["sc"]) for r in rows} == {b"sc1"}  # count=1 keeps one sc
+
+    engine.remove("Keyspace2", key, ColumnPath("Super3", super_column=b"sc1"), 1, durable=False)
+    cf = engine.cf("Keyspace2", "Super3")
+    rows = R.get_range_slices(cf, pred, kr).collect()
+    assert {bytes(r["sc"]) for r in rows} == {b"sc2"}  # next sc takes the slot
+
+    ins(engine, "Keyspace2", "Super3", key, b"col1", b"val1", 2, sc=b"sc1")
+    cf = engine.cf("Keyspace2", "Super3")
+    rows = R.get_range_slices(cf, pred, kr).collect()
+    assert {bytes(r["sc"]) for r in rows} == {b"sc1"}  # resurrected above ts
