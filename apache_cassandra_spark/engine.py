@@ -111,18 +111,22 @@ class Engine:
         return R.get(self.cf(ks, path.column_family), key, path)
 
     def get_slice(self, ks: str, key: str, cf_name: str, predicate: SlicePredicate, super_column=None) -> DataFrame:
+        V.validate_key(key)
+        V.validate_slice_range(V.validate_cf(self.catalog, ks, cf_name), predicate, super_column)
         return R.get_slice(self.cf(ks, cf_name), key, predicate, super_column)
 
     def multiget(self, ks: str, keys: list[str], path: ColumnPath) -> DataFrame:
         return R.multiget(self.cf(ks, path.column_family), keys, path)
 
     def multiget_slice(self, ks: str, keys, cf_name: str, predicate, super_column=None) -> DataFrame:
+        V.validate_slice_range(V.validate_cf(self.catalog, ks, cf_name), predicate, super_column)
         return R.multiget_slice(self.cf(ks, cf_name), keys, predicate, super_column)
 
     def get_count(self, ks: str, key: str, cf_name: str, super_column=None) -> int:
         return R.get_count(self.cf(ks, cf_name), key, super_column).collect()[0]["count"]
 
     def get_range_slices(self, ks: str, cf_name: str, predicate, key_range: KeyRange, super_column=None) -> DataFrame:
+        V.validate_slice_range(V.validate_cf(self.catalog, ks, cf_name), predicate, super_column)
         return R.get_range_slices(self.cf(ks, cf_name), predicate, key_range, super_column)
 
     def rows_may_exist(self, ks: str, cf_name: str, keys: list[str]) -> DataFrame:

@@ -51,6 +51,13 @@ class AbstractComparator:
         direction) == the reference comparator's ascending order."""
         return [(col, True)]
 
+    def py_key(self, name: bytes):
+        """Driver-side total-order key mirroring ``keys`` — used by request
+        validation (slice bound ordering) where no DataFrame exists. Must
+        stay in lockstep with ``keys``; the property suite fuzzes both
+        against the reference compare() models."""
+        return bytes(name)
+
     # -- derived helpers ----------------------------------------------------
     def order_exprs(self, col: Column, reverse: bool = False) -> list[Column]:
         """Ready for ``orderBy`` / window ``orderBy``."""
@@ -89,6 +96,25 @@ class AbstractComparator:
         return self._cmp(b, a, strict=False)
 
 
+class _ReversedBytes:
+    """Sort-key wrapper that inverts lexicographic byte order (correct for
+    prefix pairs, unlike byte negation)."""
+
+    __slots__ = ("b",)
+
+    def __init__(self, b: bytes):
+        self.b = b
+
+    def __lt__(self, other: "_ReversedBytes") -> bool:
+        return other.b < self.b
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _ReversedBytes) and other.b == self.b
+
+    def __hash__(self) -> int:
+        return hash(self.b)
+
+
 class BytesType(AbstractComparator):
     name = "BytesType"
 
@@ -116,6 +142,11 @@ class LongType(AbstractComparator):
     def keys(self, col: Column) -> list[tuple[Column, bool]]:
         return [(F.coalesce(_signed64(F.hex(col)), F.lit(_TWO_63 * -1)), True)]
 
+    def py_key(self, name: bytes):
+        import struct as _struct
+
+        return _struct.unpack(">q", bytes(name))[0] if len(name) == 8 else -_TWO_63
+
 
 class TimeUUIDType(AbstractComparator):
     """v1-UUID 60-bit timestamp order, raw-byte tiebreak; empty name first
@@ -133,6 +164,13 @@ class TimeUUIDType(AbstractComparator):
         empty_first = F.when(F.length(col) == 0, 0).otherwise(1)
         return [(empty_first, True), (F.coalesce(ts, F.lit(Decimal(-1))), True), (col, True)]
 
+    def py_key(self, name: bytes):
+        b = bytes(name)
+        if len(b) == 0:
+            return (0, -1, b)
+        ts = ((b[6] & 0x0F) << 56) | (b[7] << 48) | (b[4] << 40) | (b[5] << 32) | int.from_bytes(b[0:4], "big")
+        return (1, ts, b)
+
 
 class LexicalUUIDType(AbstractComparator):
     """UUID msb/lsb compared as signed longs (Java ``UUID.compareTo``;
@@ -147,6 +185,14 @@ class LexicalUUIDType(AbstractComparator):
         lsb = F.coalesce(_signed64(F.substring(h, 17, 16)), neg)
         return [(msb, True), (lsb, True)]
 
+    def py_key(self, name: bytes):
+        b = bytes(name)
+        if len(b) != 16:
+            return (-_TWO_63, -_TWO_63)
+        msb = int.from_bytes(b[0:8], "big", signed=True)
+        lsb = int.from_bytes(b[8:16], "big", signed=True)
+        return (msb, lsb)
+
 
 class FreshTimestampType(AbstractComparator):
     """Fork type: reverse byte order, "fresh first"; the empty name is the
@@ -157,6 +203,12 @@ class FreshTimestampType(AbstractComparator):
     def keys(self, col: Column) -> list[tuple[Column, bool]]:
         empty_first = F.when(F.length(col) == 0, 0).otherwise(1)
         return [(empty_first, True), (col, False)]
+
+    def py_key(self, name: bytes):
+        # NB not a negated-bytes trick: negation fails to reverse order for
+        # prefix pairs ("a" vs "ab"); wrap with a reversed __lt__ instead
+        b = bytes(name)
+        return (0 if len(b) == 0 else 1, _ReversedBytes(b))
 
 
 _REGISTRY: dict[str, AbstractComparator] = {}

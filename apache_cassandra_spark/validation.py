@@ -37,6 +37,9 @@ def validate_cf(catalog: Catalog, keyspace: str, cf_name: str) -> CFDef:
 def validate_column_name(cfdef: CFDef, name: bytes, sub: bool = False) -> None:
     if name is None or len(name) == 0:
         raise InvalidRequest("column name may not be empty")
+    if len(name) > MAX_KEY_LENGTH:
+        # test_server.py:545 test_column_name_lengths: 2^16-1 ok, 2^16 rejected
+        raise InvalidRequest(f"column name length {len(name)} exceeds {MAX_KEY_LENGTH}")
     comparator = cfdef.subcomparator if sub else cfdef.comparator
     if comparator.name == "LongType" and len(name) != 8:
         raise InvalidRequest(f"LongType column names must be 8 bytes (got {len(name)})")
@@ -104,3 +107,33 @@ def validate_deletion(cfdef: CFDef, d: Deletion) -> None:
     if d.predicate is not None:
         for n in d.predicate.column_names:
             validate_column_name(cfdef, n, sub=d.super_column is not None)
+
+
+def validate_slice_range(cfdef: CFDef, predicate, super_column: bytes | None = None) -> None:
+    """``ThriftValidation.validateRange``: a non-empty start must not sort
+    after a non-empty finish (or before it when reversed), under the
+    comparator the slice addresses (sub-comparator when a supercolumn
+    coordinate is given; the supercolumn comparator at the parent level).
+    Also rejects bounds the comparator cannot decode (e.g. a 3-byte
+    LongType name — test_server.py:557 test_bad_calls)."""
+    sr = getattr(predicate, "slice_range", None)
+    if sr is None:
+        return
+    sub = cfdef.is_super and super_column is not None
+    comparator = cfdef.subcomparator if sub else cfdef.comparator
+    for bound in (sr.start, sr.finish):
+        if bound:
+            _validate_decodable_name(comparator, bound)
+    if sr.start and sr.finish:
+        a, b = comparator.py_key(sr.start), comparator.py_key(sr.finish)
+        if sr.reversed and a < b:
+            raise InvalidRequest("range finish must come before start in reversed order")
+        if not sr.reversed and a > b:
+            raise InvalidRequest("range finish must come after start")
+
+
+def _validate_decodable_name(comparator, name: bytes) -> None:
+    if comparator.name == "LongType" and len(name) != 8:
+        raise InvalidRequest(f"LongType slice bound must be 8 bytes (got {len(name)})")
+    if comparator.name in ("TimeUUIDType", "LexicalUUIDType") and len(name) != 16:
+        raise InvalidRequest(f"{comparator.name} slice bound must be 16 bytes (got {len(name)})")

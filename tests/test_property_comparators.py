@@ -90,3 +90,29 @@ class _NegBytes:
 @given(st.lists(name_bytes, min_size=1, max_size=8, unique=True))
 def test_fresh_timestamp_order(spark, names):
     assert spark_order(spark, "FreshTimestampType", names) == sorted(names, key=_fresh_key)
+
+
+@settings(**COMMON)
+@given(st.lists(name_bytes, min_size=1, max_size=8, unique=True))
+def test_py_key_matches_spark_order_bytes_fresh(spark, names):
+    """Driver-side py_key (used by slice-bound validation) must induce the
+    same total order as the Spark sort-key expressions."""
+    for cmp_name in ("BytesType", "FreshTimestampType"):
+        cmp = get_comparator(cmp_name)
+        assert sorted(names, key=cmp.py_key) == spark_order(spark, cmp_name, names)
+
+
+@settings(**COMMON)
+@given(st.lists(longs, min_size=1, max_size=8, unique=True))
+def test_py_key_matches_spark_order_long(spark, vals):
+    names = [struct.pack(">q", v) for v in vals]
+    cmp = get_comparator("LongType")
+    assert sorted(names, key=cmp.py_key) == spark_order(spark, "LongType", names)
+
+
+@settings(**COMMON)
+@given(st.lists(uuid16, min_size=1, max_size=8, unique=True))
+def test_py_key_matches_spark_order_uuids(spark, names):
+    for cmp_name in ("TimeUUIDType", "LexicalUUIDType"):
+        cmp = get_comparator(cmp_name)
+        assert sorted(names, key=cmp.py_key) == spark_order(spark, cmp_name, names)

@@ -83,3 +83,43 @@ def test_bare_column_mutation_on_super_cf_rejected(engine):
     m = Mutation(column_name=b"\x00" * 8, value=b"v", timestamp=1)
     with pytest.raises(InvalidRequest, match="supercolumn"):
         engine.batch_mutate("KS", {"k": {"Sup": [m]}})
+
+
+def test_column_name_length_cap(engine):
+    # test_server.py:545 — 2^16-1 bytes ok, 2^16 rejected
+    from apache_cassandra_spark.model import ColumnPath
+
+    ok = b"x" * (2**16 - 1)
+    engine.insert("KS", "key1", ColumnPath("Std", column=ok), b"v", 0, durable=False)
+    with pytest.raises(InvalidRequest):
+        engine.insert(
+            "KS", "key1", ColumnPath("Std", column=b"x" * 2**16), b"v", 0, durable=False
+        )
+
+
+def test_slice_bounds_validated(engine):
+    # test_server.py:557 — undecodable bound and start>finish rejected,
+    # standard and supercolumn-addressed variants
+    from apache_cassandra_spark.model import SlicePredicate, SliceRange
+    import struct
+
+    def i64(i):
+        return struct.pack(">q", i)
+
+    bad_type = SlicePredicate(slice_range=SliceRange(start=b"x", count=1))
+    with pytest.raises(InvalidRequest):
+        engine.get_slice("KS", "key1", "StdLong", bad_type)
+    backwards = SlicePredicate(slice_range=SliceRange(start=i64(10), finish=i64(0), count=1))
+    with pytest.raises(InvalidRequest):
+        engine.get_slice("KS", "key1", "StdLong", backwards)
+    # supercolumn-addressed: bounds validated under the SUB comparator
+    with pytest.raises(InvalidRequest):
+        engine.get_slice("KS", "key1", "Sup", bad_type, super_column=b"sc1")
+    with pytest.raises(InvalidRequest):
+        engine.get_slice("KS", "key1", "Sup", backwards, super_column=b"sc1")
+    # reversed flips the requirement: start must sort at-or-after finish
+    rev_ok = SlicePredicate(slice_range=SliceRange(start=i64(10), finish=i64(0), reversed=True, count=1))
+    engine.get_slice("KS", "key1", "StdLong", rev_ok)  # no raise
+    rev_bad = SlicePredicate(slice_range=SliceRange(start=i64(0), finish=i64(10), reversed=True, count=1))
+    with pytest.raises(InvalidRequest):
+        engine.get_slice("KS", "key1", "StdLong", rev_bad)
