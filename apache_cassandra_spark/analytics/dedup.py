@@ -195,7 +195,9 @@ def _bucketed_pairs(
     that, only a pairing bound does."""
     star = None
     if max_bucket_size is not None:
-        sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsz"))
+        # small (one row per distinct bucket); cached because both the
+        # membership join and the truncation-visibility count read it
+        sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsz")).cache()
         with_sz = buckets.join(sizes, bucket_cols)
         small = with_sz.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
         hot = with_sz.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
