@@ -6,11 +6,15 @@ Formats with a genuinely parsed decode path:
 * **netpbm P6/P5** (binary PPM/PGM) — header + raw pixel planes
 * **BMP** (uncompressed 24-bit BI_RGB, bottom-up) — struct header + padded rows
 * **WAV** (PCM16 RIFF) — stdlib ``wave`` reader
+* **PNG** (8-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced) —
+  chunk walk + stdlib ``zlib`` inflate + numpy scanline unfiltering
+  (all five PNG filter types)
 
-Compressed codecs (JPEG/PNG/MP3/H.264) still raise
-``NotImplementedError`` — those need PIL/ffmpeg, which this container
-doesn't ship; the dispatch keeps an honest boundary between the real and
-unavailable paths instead of faking them.
+Codecs whose *entropy coding* has no stdlib implementation
+(JPEG/MP3/H.264) still raise ``NotImplementedError`` — those need
+PIL/ffmpeg, which this container doesn't ship; the dispatch keeps an
+honest boundary between the real and unavailable paths instead of
+faking them.
 
 The decode functions are plain ``bytes -> dict`` so they are trivially
 testable and are applied inside Arrow-batched ``mapInPandas`` (see
@@ -23,6 +27,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -150,7 +155,125 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "wav": decode_wav}
+#: PNG color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk; validates the 8-byte signature
+    and per-chunk CRC32 (ISO-3309, the same polynomial zlib uses)."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG ended without IEND")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+
+    Up is vectorized across the row; Sub/Average/Paeth recur on the left
+    neighbor so they run per-pixel-column — rows are short (w*bpp bytes)
+    and the loop is numpy-int arithmetic, fine for the Arrow-batched
+    decode path."""
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw_arr = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(h, 1 + stride)
+    for y in range(h):
+        ftype = int(raw_arr[y, 0])
+        row = raw_arr[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a PNG: real chunk/CRC walk, zlib inflate of the IDAT
+    stream, scanline unfiltering, palette expansion. Supports bit depth
+    8, color types 0/2/3/4/6, non-interlaced (the overwhelming
+    common case); Adam7 interlace and 16-bit depth raise
+    ``NotImplementedError``."""
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_id, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if ctype_id not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {ctype_id}")
+    bpp = _PNG_CHANNELS[ctype_id]
+    raster = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+    px = raster.reshape(h, w, bpp)
+    if ctype_id == 3:  # palette → RGB
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    rgb = px[:, :, :3] if px.shape[2] >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    means = rgb.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "format": "png",
+        "width": w,
+        "height": h,
+        "channels": 3 if ctype_id == 3 else _PNG_CHANNELS[ctype_id],
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "wav": decode_wav, "png": decode_png}
 
 
 def decode_bytes(payload: bytes) -> dict:
@@ -177,6 +300,78 @@ def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     """P6 with a constant fill — matches the Spark-side JVM generator in
     ``multimodal.synthetic_ppm_payload`` byte for byte."""
     return (f"P6\n{width} {height}\n255\n").encode("ascii") + bytes(rgb) * (width * height)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+
+def _png_filter_row(cur: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one unfiltered row (test encoder —
+    exercises every unfilter branch in ``decode_png``)."""
+    c = cur.astype(np.int32)
+    p = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, dtype=np.int32), c[:-bpp]]) if len(c) > bpp else np.zeros_like(c)
+    upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), p[:-bpp]]) if len(p) > bpp else np.zeros_like(p)
+    if ftype == 0:
+        out = c
+    elif ftype == 1:
+        out = c - left
+    elif ftype == 2:
+        out = c - p
+    elif ftype == 3:
+        out = c - ((left + p) >> 1)
+    elif ftype == 4:
+        pr = left + p - upleft
+        pa, pb, pc = np.abs(pr - left), np.abs(pr - p), np.abs(pr - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p, upleft))
+        out = c - pred
+    else:
+        raise ValueError(f"bad filter type {ftype}")
+    return bytes([ftype]) + (out & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_png(pixels: np.ndarray, color_type: int = 2, filter_type: int = 0, palette: np.ndarray | None = None) -> bytes:
+    """General PNG encoder (bit depth 8, non-interlaced): ``pixels`` is
+    (h, w, channels) uint8 — channels must match ``color_type``. Used by
+    tests to exercise every decode path (all filters, all color types)."""
+    h, w, ch = pixels.shape
+    assert ch == _PNG_CHANNELS[color_type], (ch, color_type)
+    raw = b"".join(
+        _png_filter_row(
+            pixels[y].reshape(-1),
+            pixels[y - 1].reshape(-1) if y > 0 else np.zeros(w * ch, dtype=np.uint8),
+            filter_type,
+            ch,
+        )
+        for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        chunks.append(_png_chunk(b"PLTE", palette.astype(np.uint8).tobytes()))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(raw)))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+def encode_png_stored(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Constant-fill RGB8 PNG whose IDAT is a single *stored* (BTYPE=00)
+    deflate block — matches ``multimodal.synthetic_png_payload`` byte for
+    byte (stored blocks + closed-form Adler32 are what make the payload
+    expressible as pure JVM expressions)."""
+    row = bytes([0]) + bytes(rgb) * width
+    raw = row * height
+    assert len(raw) < 0x10000, "stored-block fixture limited to one deflate block"
+    deflate = bytes([0x01]) + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF) + raw
+    stream = b"\x78\x01" + deflate + struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", stream)
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_wav_constant(n_frames: int, amplitude: int, rate: int = 8000) -> bytes:

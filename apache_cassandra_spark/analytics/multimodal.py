@@ -2,8 +2,9 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The decode path is REAL for formats parseable with numpy/stdlib alone —
-binary netpbm (PPM/PGM), 24-bit BMP, PCM16 WAV (see
-``analytics.codecs``); compressed codecs (JPEG/PNG/MP3) raise
+binary netpbm (PPM/PGM), 24-bit BMP, PCM16 WAV, and 8-bit PNG (stdlib
+``zlib`` inflate + numpy unfiltering; see ``analytics.codecs``); codecs
+whose entropy coding has no stdlib implementation (JPEG/MP3) raise
 ``NotImplementedError`` because their libraries aren't in this container.
 ``decode_stub``/``deterministic_fake`` remain for pipelines that want a
 reproducible stand-in feature vector regardless of format.
@@ -233,6 +234,71 @@ def synthetic_wav_payload(doc_id: Column) -> Column:
         F.repeat(sample_hex, n),
     )
     return F.unhex(hex_all)
+
+
+def _be_hex(col: Column, nbytes: int) -> Column:
+    """Big-endian fixed-width hex of a non-negative integral column."""
+    return F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+
+
+def synthetic_png_payload(doc_id: Column) -> Column:
+    """A REAL, spec-valid PNG built entirely from JVM expressions — no
+    Python, no compression library on the write path. Three tricks make
+    this possible (mirrored byte-for-byte by ``codecs.encode_png_stored``):
+
+    * the IDAT deflate stream uses a single *stored* block (BTYPE=00) —
+      a 5-byte header plus the raw scanlines, no Huffman coding;
+    * Adler32 over constant-fill scanlines has a closed form
+      (s1 = 1+Σb, s2 = n+Σ(n-i+1)·bᵢ — arithmetic over the repeating
+      row pattern), so the zlib trailer is pure modular arithmetic;
+    * chunk CRCs come from Spark's builtin ``crc32`` (same ISO-3309
+      polynomial PNG specifies).
+
+    Decoded by the honest ``codecs.decode_png`` (chunk/CRC walk, zlib
+    inflate, unfilter) — so the gate genuinely round-trips a compressed
+    container format through JVM generation and Python parsing."""
+    w = F.lit(8) + F.pmod(doc_id, F.lit(9))
+    h = F.lit(4) + F.pmod(doc_id, F.lit(5))
+    r, g, b = (F.pmod(doc_id * k, F.lit(256)) for k in (3, 5, 11))
+    pixel_hex = F.concat(*[F.lpad(F.hex(c), 2, "0") for c in (r, g, b)])
+    raw_hex = F.repeat(F.concat(F.lit("00"), F.repeat(pixel_hex, w)), h)
+    row_len = F.lit(1) + w * 3  # filter byte + RGB samples
+    n = h * row_len
+    deflate_hex = F.concat(F.lit("01"), _le_hex(n, 2), _le_hex(F.lit(65535) - n, 2), raw_hex)
+    # Adler32 closed form over h identical rows of [0, (r,g,b)*w]
+    s_row = w * (r + g + b)
+    w_row = (
+        r * (F.lit(2) * w + F.lit(3) * F.shiftright(w * (w - 1), 1))
+        + g * (F.lit(3) * w + F.lit(3) * F.shiftright(w * (w - 1), 1))
+        + b * (F.lit(4) * w + F.lit(3) * F.shiftright(w * (w - 1), 1))
+    )
+    t_sum = s_row * (h * (n + 1) - row_len * F.shiftright(h * (h - 1), 1)) - h * w_row
+    s1 = F.pmod(F.lit(1) + h * s_row, F.lit(65521))
+    s2 = F.pmod(n + t_sum, F.lit(65521))
+    zlib_hex = F.concat(F.lit("7801"), deflate_hex, _be_hex(s2 * 65536 + s1, 4))
+    ihdr_hex = F.concat(_be_hex(w, 4), _be_hex(h, 4), F.lit("0802000000"))
+    hex_all = F.concat(
+        F.lit("89504e470d0a1a0a"),  # signature
+        F.lit("0000000d49484452"),  # IHDR length + type
+        ihdr_hex,
+        _be_hex(F.crc32(F.unhex(F.concat(F.lit("49484452"), ihdr_hex))), 4),
+        _be_hex(n + 11, 4),  # IDAT length: 2 zlib hdr + 5 stored hdr + n + 4 adler
+        F.lit("49444154"),
+        zlib_hex,
+        _be_hex(F.crc32(F.unhex(F.concat(F.lit("49444154"), zlib_hex))), 4),
+        F.lit("0000000049454e44ae426082"),  # IEND
+    )
+    return F.unhex(hex_all)
+
+
+def png_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose every payload is a JVM-generated real PNG."""
+    doc_id = F.col("doc_id")
+    return docs.select(
+        doc_id.alias("media_id"),
+        F.lit("image").alias("media_type"),
+        synthetic_png_payload(doc_id).alias("payload"),
+    )
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

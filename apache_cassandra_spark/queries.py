@@ -830,6 +830,29 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_decode_png(spark, sf_dir):
+    """Compressed-container decode in the gate: every payload is a REAL
+    spec-valid PNG generated from pure JVM expressions (stored-block
+    deflate + closed-form Adler32 + builtin crc32 — see
+    ``multimodal.synthetic_png_payload``), parsed by the honest Python
+    PNG decoder (chunk/CRC walk, zlib inflate, scanline unfilter). The
+    oracle recomputes every field from doc_id arithmetic; a wrong header
+    read, bad checksum, or mis-unfiltered scanline mismatches the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decode_media(multimodal.png_media_from_documents(docs))
+    return dec.select(
+        "media_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_lexicaluuid_comparator_slice(spark, sf_dir):
     """LexicalUUIDType comparator in the gate: column names are 16-byte
     pseudo-UUIDs (md5 of the event id), ordered by *signed* msb then lsb
@@ -1378,6 +1401,23 @@ ORACLES: dict[str, str] = {
                round(cast(CASE WHEN doc_id % 2 = 1 THEN amp END as double), 6) AS rms
         FROM m
     """,
+    "media_decode_png": """
+        WITH m AS (
+          SELECT doc_id,
+                 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+                 (3 * doc_id) % 256 AS r, (5 * doc_id) % 256 AS g, (11 * doc_id) % 256 AS b
+          FROM documents)
+        SELECT doc_id AS media_id,
+               cast(68 + h * (1 + 3 * w) as bigint) AS n_bytes,
+               'png' AS format,
+               cast(w as integer) AS width,
+               cast(h as integer) AS height,
+               cast(3 as integer) AS channels,
+               round(cast(r as double), 6) AS mean_r,
+               round(cast(g as double), 6) AS mean_g,
+               round(cast(b as double), 6) AS mean_b
+        FROM m
+    """,
     "text_repetition": """
         WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         base AS (
@@ -1506,6 +1546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "text_fingerprint": q_text_fingerprint,
     "media_decode": q_media_decode,
+    "media_decode_png": q_media_decode_png,
     "text_repetition": q_text_repetition,
     "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,

@@ -2,6 +2,7 @@
 sampling. The codec is stubbed (no PIL/ffmpeg in this container) — the
 Spark-side schema/batching/partitioning is what's under test."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -103,9 +104,69 @@ def test_wav_roundtrip():
 def test_decode_bytes_dispatch_and_honest_failures():
     assert codecs.decode_bytes(codecs.encode_ppm(2, 2, (0, 0, 0)))["format"] == "ppm"
     assert codecs.decode_bytes(codecs.encode_wav_constant(10, 5))["format"] == "wav"
-    for bad in (b"\xff\xd8\xffjpeg", b"\x89PNG\r\n\x1a\nrest", b"garbage"):
+    assert codecs.decode_bytes(codecs.encode_png_stored(3, 2, (1, 2, 3)))["format"] == "png"
+    for bad in (b"\xff\xd8\xffjpeg", b"garbage"):
         with pytest.raises(NotImplementedError):
             codecs.decode_bytes(bad)
+    # PNG is a real decoder now: malformed input is a parse error, not a stub
+    with pytest.raises(ValueError):
+        codecs.decode_bytes(b"\x89PNG\r\n\x1a\nrest")
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    rng = np.random.RandomState(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for ft in range(5):
+            px = rng.randint(0, 256, size=(6, 11, ch), dtype=np.uint8)
+            out = codecs.decode_png(codecs.encode_png(px, color_type=ct, filter_type=ft))
+            assert (out["width"], out["height"]) == (11, 6)
+            rgb = px[:, :, :3] if ch >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+            exp = rgb.astype(np.float64).mean(axis=(0, 1))
+            got = np.array([out["mean_r"], out["mean_g"], out["mean_b"]])
+            assert np.allclose(exp, got), (ct, ft)
+
+
+def test_png_palette_expansion():
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(4, 7, 1), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(idx, color_type=3, filter_type=2, palette=pal))
+    exp = pal[idx[:, :, 0]].astype(np.float64).mean(axis=(0, 1))
+    assert np.allclose(exp, [out["mean_r"], out["mean_g"], out["mean_b"]])
+    assert out["channels"] == 3
+
+
+def test_png_rejects_corruption_and_unsupported():
+    good = codecs.encode_png_stored(4, 3, (9, 8, 7))
+    # flip a raster byte inside IDAT -> CRC mismatch must be caught
+    bad = bytearray(good)
+    bad[48] ^= 0xFF
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        codecs.decode_png(good[:20])
+    # 16-bit depth and Adam7 are honestly unsupported
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = _s.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        p = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            codecs.decode_png(p)
+
+
+def test_png_jvm_payloads_byte_identical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    rows = {r["media_id"]: bytes(r["payload"]) for r in mm.png_media_from_documents(docs).collect()}
+    for i in range(25):
+        exp = codecs.encode_png_stored(8 + i % 9, 4 + i % 5, (3 * i % 256, 5 * i % 256, 11 * i % 256))
+        assert rows[i] == exp
+        d = codecs.decode_png(rows[i])
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (3 * i % 256, 5 * i % 256, 11 * i % 256)
 
 
 def test_jvm_payloads_byte_identical_to_python_encoders(spark):
