@@ -460,6 +460,84 @@ def dup_groups_from_pairs(
     return labels.select("id", F.col("label").alias("group_id"))
 
 
+def dup_groups_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components by alternating **large-star / small-star**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) → ``(id, group_id)``, ``group_id`` = component min — same
+    contract as ``dup_groups_from_pairs``, different convergence class:
+    O(log n) rounds regardless of component *diameter*, vs. diameter
+    rounds for plain min-label propagation. This is the scale path for
+    adversarial chain-shaped components (e.g. near-dup chains a→b→c→…
+    from boilerplate drift) where diameter ≈ component size.
+
+    Each round is two shuffles of the (shrinking) edge set:
+
+    * large-star: every node links its *larger* neighbors to its current
+      minimum — ``groupBy(u).min`` + join back; no ``collect_list``, so
+      a hot node (huge component hub) never materializes its neighbor
+      list in one task.
+    * small-star: orient edges (hi, lo); link each hi and all its los to
+      ``min(lo)`` over the group.
+
+    Convergence: the edge multiset reaches a fixpoint (a star forest).
+    Detected with a cheap order-independent signature (count + sums +
+    product-mod hash) — one tiny aggregate per round, no edge-set diff
+    join. ``localCheckpoint`` cuts lineage growth per round."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(F.col(id_a) != F.col(id_b))
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .cache()
+    )
+    # undirected edge set, canonically oriented (hi > lo)
+    edges = (
+        e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")).distinct().localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # -- large-star: directed views; for every neighbor v > u attach v to m(u) = min(N(u) ∪ {u})
+        directed = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = directed.groupBy("u").agg(F.min("v").alias("_mn")).select("u", F.least("u", "_mn").alias("m"))
+        edges = (
+            directed.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # -- small-star: for each hi, attach hi and all its los to min(lo)
+        g = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = edges.join(g, "hi")
+        edges = (
+            joined.select(F.col("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                joined.where(F.col("lo") != F.col("m")).select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+            F.sum(F.pmod(F.col("hi") * F.col("lo"), F.lit(2147483647)).cast("decimal(38,0)")).alias("sp"),
+        ).collect()[0]
+        sig = tuple(sig)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = edges.select(F.col("hi").alias("id"), F.col("lo").alias("group_id"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("group_id", "id").alias("group_id"))
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 16,

@@ -611,6 +611,15 @@ def q_dedup_groups(spark, sf_dir):
     return dedup.dup_groups_from_pairs(dedup.minhash_lsh_candidates(docs))
 
 
+def q_dedup_groups_star(spark, sf_dir):
+    """Same dedup-grouping contract as ``dedup_groups`` computed by the
+    alternating large-star/small-star algorithm (O(log n) rounds instead
+    of diameter-bound label propagation) — both gate entries share one
+    oracle, so the two algorithms are pinned to identical output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_groups_star(dedup.minhash_lsh_candidates(docs))
+
+
 def _min_label_closure_sql(pairs_cte: str, iters: int = 8) -> str:
     """Fixed-iteration min-label propagation in portable SQL: l0 = own id,
     l{k+1} = least(own, min over neighbors of l{k}). Matches the Spark
@@ -1491,6 +1500,7 @@ ORACLES: dict[str, str] = {
 # transitive closure over the minhash candidate pairs (same pairs CTE as
 # dedup_minhash_lsh, then 8 fixed min-label rounds)
 ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
+ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1536,6 +1546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "semantic_dedup": q_semantic_dedup,
     "dedup_groups": q_dedup_groups,
+    "dedup_groups_star": q_dedup_groups_star,
     "prepare_corpus": q_prepare_corpus,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,

@@ -311,6 +311,33 @@ def test_dup_groups_star_linked_hot_bucket_collapses(spark):
     assert len(groups) == 40 and {r["group_id"] for r in groups} == {0}
 
 
+def test_dup_groups_star_matches_label_propagation(spark):
+    # random sparse graph: both CC algorithms must agree exactly
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    lab = {r["id"]: r["group_id"] for r in dedup.dup_groups_from_pairs(df).collect()}
+    star = {r["id"]: r["group_id"] for r in dedup.dup_groups_star(df).collect()}
+    assert lab == star and len(star) > 0
+
+
+def test_dup_groups_star_long_chain(spark):
+    # a 64-node chain: diameter 63 would need 63 label-prop rounds; the
+    # alternating star algorithm converges in O(log n) — well under the cap
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain + [(100, 101)], "id_a long, id_b long")
+    out = {r["id"]: r["group_id"] for r in dedup.dup_groups_star(df, max_iters=10).collect()}
+    assert all(out[i] == 0 for i in range(64)) and out[100] == 100 and out[101] == 100
+
+
+def test_dup_groups_star_empty_and_selfpairs(spark):
+    df = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
+    assert dedup.dup_groups_star(df).count() == 0
+
+
 def test_prepare_corpus_composition(spark):
     from apache_cassandra_spark.analytics.pipeline import prepare_corpus
 
