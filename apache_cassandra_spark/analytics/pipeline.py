@@ -64,3 +64,64 @@ def prepare_corpus(
         F.col("id").alias(id_col)
     )
     return survivors.join(non_reps, id_col, "left_anti").select(id_col, text_col, "n_tokens")
+
+
+def _uniform_hash(id_col: str, resolution: int = 1_000_000) -> F.Column:
+    """Deterministic, seedless uniform draw in [0, resolution) from the
+    document id: first 60 bits of md5 (int64-safe), mod resolution. The
+    same expression is one line of ANSI SQL, so sampling decisions are
+    externally reproducible row by row — the property a training-data
+    pipeline needs for audits ("why is this document in the corpus?")."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(resolution),
+    )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with deterministic hash draws —
+    the language-rebalancing step of corpus prep (e.g. keep 100% of the
+    low-resource languages, 10% of English). Map-only: the per-row draw
+    and the rate lookup are literal expressions, so the plan has **no
+    shuffle and no join** — it scales linearly and composes with
+    predicate pushdown (the sample filter rides the Parquet scan).
+
+    ``rates`` maps stratum value → keep-rate in [0, 1]; anything else
+    gets ``default_rate``. Sampling is by ``u < rate * 1e6`` on the
+    md5-derived draw, so a row's fate is a pure function of its id."""
+    u = _uniform_hash(id_col)
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return docs.where(u < (rate * 1_000_000).cast("long"))
+
+
+def sample_quota(
+    docs: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum quota: keep the ``quota`` documents with the
+    smallest hash draw in each stratum — a deterministic "uniform
+    without replacement" sample whose membership is stable under corpus
+    growth only where draws are (adding docs can only displace the
+    largest draws). The window top-k compiles to WindowGroupLimit, so
+    each partition pre-truncates to ``quota`` rows before the stratum
+    shuffle — the shuffle moves O(strata × quota), not the corpus."""
+    from pyspark.sql import Window
+
+    u = _uniform_hash(id_col)
+    w = Window.partitionBy(strata_col).orderBy(F.col("_draw"), F.col(id_col))
+    return (
+        docs.withColumn("_draw", u)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .drop("_draw", "_rk")
+    )

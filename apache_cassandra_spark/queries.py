@@ -262,6 +262,24 @@ def q_lww_events(spark, sf_dir):
     return _strings(cf.live(), with_ts=True)
 
 
+#: snapshot cutoff for cass_read_at_ts — 2024-01-16T00:00Z in epoch-us,
+#: mid-stream at every sf of the events fixture
+_SNAPSHOT_TS_US = 1_705_363_200_000_000
+
+
+def q_read_at_ts(spark, sf_dir):
+    """Snapshot (time-travel) read: the LWW view as of a fixed timestamp.
+    Client-supplied timestamps make every historical state well-defined —
+    the reference materializes exactly this on commitlog replay with
+    ``recover(maxReplayTimestamp)`` (``db/commitlog/CommitLog.java:173``);
+    here it is one cell-level predicate ``ts <= T`` *below* the reconcile
+    aggregate, so it pushes to the Parquet scan and the snapshot read
+    costs less than the full-history read, not more."""
+    cells = _event_cells(spark, sf_dir, where=F.col("ts") <= _SNAPSHOT_TS_US * 1000)
+    cf = CF(cfdef=CFDef(name="events", compare_with="UTF8Type"), cells=cells)
+    return _strings(cf.live(), with_ts=True)
+
+
 def q_lww_row_tombstones(spark, sf_dir):
     """Container-tombstone shadowing: each user's 'error' events mark the
     row deleted at that ts; only strictly-newer cells survive."""
@@ -650,6 +668,29 @@ def _closure_ctes(pairs_cte: str, iters: int = 8) -> list[str]:
             "GROUP BY l.id, l.label)"
         )
     return sql
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sampling (the corpus
+    rebalancing step): keep-rate looked up per stratum, the draw a pure
+    md5 function of doc_id — map-only plan, no shuffle, and every keep
+    decision is replayable by one line of ANSI SQL."""
+    from apache_cassandra_spark.analytics.pipeline import sample_stratified
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_stratified(docs, {"en": 0.25, "zh": 0.8, "de": 1.0}, default_rate=0.5)
+    return out.select("doc_id", "lang", "source")
+
+
+def q_corpus_sample_quota(spark, sf_dir):
+    """Exact per-language quota sampling: the 30 smallest md5 draws per
+    stratum survive (deterministic uniform-without-replacement).
+    WindowGroupLimit pre-truncates each partition to the quota before
+    the stratum shuffle."""
+    from apache_cassandra_spark.analytics.pipeline import sample_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_quota(docs, 30).select("doc_id", "lang")
 
 
 def q_prepare_corpus(spark, sf_dir):
@@ -1102,6 +1143,16 @@ ORACLES: dict[str, str] = {
           FROM cells) t
         WHERE rn = 1
     """,
+    "cass_read_at_ts": """
+        WITH cells AS (
+          SELECT cast(user_id as varchar) AS key, event_type AS "column",
+                 cast(cast(value as decimal(18,4)) as varchar) AS value, epoch_us(ts) AS ts
+          FROM events WHERE epoch_us(ts) <= 1705363200000000)
+        SELECT key, "column", value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY key, "column" ORDER BY ts DESC, value DESC) AS rn
+          FROM cells) t
+        WHERE rn = 1
+    """,
     "cass_lww_row_tombstones": """
         WITH cells AS (
           SELECT cast(user_id as varchar) AS key, event_type AS "column",
@@ -1410,6 +1461,23 @@ ORACLES: dict[str, str] = {
                round(cast(CASE WHEN doc_id % 2 = 1 THEN amp END as double), 6) AS rms
         FROM m
     """,
+    "corpus_sample_stratified": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000
+              < cast(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.8 WHEN 'de' THEN 1.0 ELSE 0.5 END
+                     * 1000000 AS bigint)
+    """,
+    "corpus_sample_quota": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000, doc_id
+                 ) AS rk
+          FROM documents)
+        WHERE rk <= 30
+    """,
     "media_decode_png": """
         WITH m AS (
           SELECT doc_id,
@@ -1517,6 +1585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_super_slice": q_super_slice,
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
     "cass_lww_events": q_lww_events,
+    "cass_read_at_ts": q_read_at_ts,
     "cass_lww_row_tombstones": q_lww_row_tombstones,
     "cass_super_get_count": q_super_get_count,
     "cass_multiget": q_multiget,
@@ -1545,6 +1614,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_sample_quota": q_corpus_sample_quota,
     "dedup_groups": q_dedup_groups,
     "dedup_groups_star": q_dedup_groups_star,
     "prepare_corpus": q_prepare_corpus,

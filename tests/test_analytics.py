@@ -338,6 +338,36 @@ def test_dup_groups_star_empty_and_selfpairs(spark):
     assert dedup.dup_groups_star(df).count() == 0
 
 
+def test_sample_stratified_deterministic_and_rate_bounded(spark):
+    from apache_cassandra_spark.analytics.pipeline import sample_stratified
+
+    rows = [(i, "t", ["en", "de", "fr"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = sample_stratified(df, {"en": 0.5, "de": 1.0}, default_rate=0.0)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {r["doc_id"] for r in out.collect()}  # deterministic
+    by_lang = {lang: sum(1 for i in got if rows[i][2] == lang) for lang in ("en", "de", "fr")}
+    assert by_lang["de"] == 200 and by_lang["fr"] == 0
+    assert 60 <= by_lang["en"] <= 140  # ~0.5 of 200
+    # map-only: no exchange in the plan
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_quota_exact_and_stable(spark):
+    from apache_cassandra_spark.analytics.pipeline import sample_quota
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_quota(df, 20)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert len(got) == 40
+    # growing the corpus can only displace, never add, previous survivors
+    bigger = spark.createDataFrame(rows + [(i, "en") for i in range(300, 400)], "doc_id long, lang string")
+    got2 = {r["doc_id"] for r in sample_quota(bigger, 20).collect()}
+    assert got2 <= set(got) | set(range(300, 400))
+    assert "WindowGroupLimit" in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_prepare_corpus_composition(spark):
     from apache_cassandra_spark.analytics.pipeline import prepare_corpus
 
