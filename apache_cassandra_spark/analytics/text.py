@@ -225,6 +225,40 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf → ``(doc_id, term, tf, df,
+    tfidf)`` — the rarity-weighting primitive of corpus analysis
+    (keyword extraction, boilerplate spotting, quality weighting).
+
+    ``tf`` = raw in-document count; ``idf = ln(N / df)``; ``tfidf``
+    rounded to 6 and used for BOTH ranking and output, so the ordering
+    is reproducible across engines (ties → lexicographic term).
+
+    Scale shape: one explode feeds the (doc, term) count — the only
+    corpus-sized shuffle; document frequency is a second partial
+    aggregation of that (already small) frame, and both the df table
+    (≤ vocabulary) and the 1-row corpus count come back as broadcast
+    joins. The per-doc top-k is WindowGroupLimit-truncated before its
+    shuffle. No Python anywhere."""
+    from pyspark.sql import Window
+
+    toked = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over word
     n-gram hashes — one stable 128-bit id per document's content

@@ -670,6 +670,13 @@ def _closure_ctes(pairs_cte: str, iters: int = 8) -> list[str]:
     return sql
 
 
+def q_text_tfidf(spark, sf_dir):
+    """tf·idf keyword extraction in the gate: top-3 terms per document,
+    rank and score pinned by the oracle (rounded score is the ranking
+    key, so cross-engine float noise can't flip the order)."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_corpus_sample_stratified(spark, sf_dir):
     """Deterministic per-language Bernoulli sampling (the corpus
     rebalancing step): keep-rate looked up per stratum, the draw a pure
@@ -1461,6 +1468,22 @@ ORACLES: dict[str, str] = {
                round(cast(CASE WHEN doc_id % 2 = 1 THEN amp END as double), 6) AS rms
         FROM m
     """,
+    "text_tfidf": """
+        WITH toked AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * ln(cast(n.n_docs as double) / dfreq.df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, tfidf FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+        WHERE rk <= 3
+    """,
     "corpus_sample_stratified": """
         SELECT doc_id, lang, source
         FROM documents
@@ -1627,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_token_stats": q_text_token_stats,
     "text_fingerprint": q_text_fingerprint,
+    "text_tfidf": q_text_tfidf,
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
     "text_repetition": q_text_repetition,

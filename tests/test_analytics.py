@@ -338,6 +338,23 @@ def test_dup_groups_star_empty_and_selfpairs(spark):
     assert dedup.dup_groups_star(df).count() == 0
 
 
+def test_tfidf_top_terms_hand_checked(spark):
+    import math
+
+    from apache_cassandra_spark.analytics.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date date date")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tfidf_top_terms(df, k=1).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5); apple wins
+    r = out[(1, "apple")]
+    assert r["tf"] == 2 and r["df"] == 1 and r["tfidf"] == round(2 * math.log(3.0), 6)
+    # doc 3: date tf=3 df=1 wins over cherry
+    assert (3, "date") in out and len(out) == 3
+
+
 def test_sample_stratified_deterministic_and_rate_bounded(spark):
     from apache_cassandra_spark.analytics.pipeline import sample_stratified
 
