@@ -235,15 +235,19 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     is reproducible across engines (ties → lexicographic term).
 
     Scale shape: one explode feeds the (doc, term) count — the only
-    corpus-sized shuffle; document frequency is a second partial
-    aggregation of that (already small) frame, and both the df table
-    (≤ vocabulary) and the 1-row corpus count come back as broadcast
-    joins. The per-doc top-k is WindowGroupLimit-truncated before its
-    shuffle. No Python anywhere."""
+    corpus-sized shuffle — and that frame is **cached**: it has two
+    consumers (the per-doc scores and the document-frequency roll-up),
+    and Spark's ReuseExchange can't unify them (self-join attribute
+    dedup gives the branches different expression ids), so without the
+    cache the corpus would be scanned and exploded twice. Document
+    frequency is a partial-aggregated roll-up of the cached frame; it
+    and the 1-row corpus count come back as broadcast joins. The
+    per-doc top-k is WindowGroupLimit-truncated before its shuffle.
+    No Python anywhere."""
     from pyspark.sql import Window
 
     toked = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
     scored = (

@@ -43,7 +43,11 @@ BENCH_QUERIES = [
     "sim_topk",
     "text_quality",
     "text_repetition",
+    "text_tfidf",
     "media_decode",
+    "media_decode_png",
+    "dedup_groups_star",
+    "corpus_sample_quota",
 ]
 
 
