@@ -28,6 +28,7 @@ def engine(spark, tmp_path):
                 "Standard1": {"compare_with": "BytesType"},
                 "StandardLong1": {"compare_with": "LongType"},
                 "Super1": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "LongType"},
+                "Super2": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "LongType"},
             },
             "Keyspace2": {
                 "Super3": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "BytesType"},
@@ -204,6 +205,46 @@ def test_batch_mutate_remove_super_columns_entire_row(engine):
     )
     assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc1") == []
     assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == []
+
+
+def test_batch_mutate_insertions_and_deletions(engine):
+    # test_server.py:473 — one batch_mutate carrying BOTH supercolumn
+    # inserts and name-predicate deletions, across two Super CFs and two
+    # keys, applied atomically per row
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    keys = ["key_30", "key_31"]
+    for k in keys:
+        for i in (22, 23):
+            ins(engine, "Keyspace1", "Super1", k, _i64(i), f"value{i}".encode(), 0, sc=b"sc1")
+            ins(engine, "Keyspace1", "Super2", k, _i64(i), f"value{i}".encode(), 0, sc=b"sc2")
+    first_insert = [
+        Mutation(column_name=_i64(i), value=f"value{i}".encode(), timestamp=3, super_column=b"sc1")
+        for i in (20, 21)
+    ]
+    first_deletion = Mutation(
+        deletion=Deletion(timestamp=3, super_column=b"sc1", predicate=SlicePredicate(column_names=[_i64(22), _i64(23)]))
+    )
+    second_deletion = Mutation(
+        deletion=Deletion(timestamp=2, super_column=b"sc2", predicate=SlicePredicate(column_names=[_i64(22), _i64(23)]))
+    )
+    mutation_map = {
+        "Super1": first_insert + [first_deletion],
+        "Super2": [second_deletion] + list(first_insert),
+    }
+    engine.batch_mutate("Keyspace1", {k: mutation_map for k in keys}, durable=False)
+    for k in keys:
+        # deleted names gone from both CFs
+        assert slice_cols(engine, "Keyspace1", "Super1", k, sc=b"sc1") == [
+            (_i64(20), b"value20", 3),
+            (_i64(21), b"value21", 3),
+        ]
+        assert slice_cols(engine, "Keyspace1", "Super2", k, sc=b"sc2") == []
+        # and the same-batch insert landed in Super2/sc1
+        assert slice_cols(engine, "Keyspace1", "Super2", k, sc=b"sc1") == [
+            (_i64(20), b"value20", 3),
+            (_i64(21), b"value21", 3),
+        ]
 
 
 def test_super_reinsert(engine):

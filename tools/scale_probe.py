@@ -54,9 +54,12 @@ OPS = {
     "dedup_exact": lambda d: dedup.exact_dup_groups(d).count(),
     "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d).count(),
     "dedup_simhash": lambda d: dedup.simhash_candidates(d).count(),
+    "dedup_groups_star": lambda d: dedup.dup_groups_star(dedup.minhash_lsh_candidates(d)).count(),
     "text_repetition": lambda d: text.repetition_features(d).count(),
     "text_gopher": lambda d: text.gopher_quality(d).count(),
+    "text_tfidf": lambda d: text.tfidf_top_terms(d).count(),
     "media_decode": lambda d: multimodal.decode_media(multimodal.media_from_documents(d)).count(),
+    "media_decode_png": lambda d: multimodal.decode_media(multimodal.png_media_from_documents(d)).count(),
 }
 
 
