@@ -111,10 +111,31 @@ _EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    default; read ``ts`` as raw nanos (long). Falls back to an Arrow-side
-    read if the session forbids the legacy conf. Memoized per session (the
-    readability probe costs a job)."""
+    """events table with ``ts`` normalized to bigint epoch-NANOS whatever
+    the file's physical type. Generations of the driver testdata have
+    shipped ``ts`` as TIMESTAMP(NANOS) (rejected by Spark 4 unless read as
+    raw long via the legacy conf) and as TIMESTAMP(MICROS) (read as
+    timestamp_ntz); every downstream query does ``ts div 1000`` to get
+    epoch-us, so the contract here is: ``ts`` is always nanos. The session
+    timezone is UTC (session.py), so the ntz→timestamp cast below matches
+    DuckDB's naive-as-UTC ``epoch_us(ts)`` in the oracles. Falls back to an
+    Arrow-side read if the session forbids the legacy conf. Memoized per
+    session (the readability probe costs a job)."""
+    return _events_norm(load_events_raw(spark, sf_dir))
+
+
+def _events_norm(df: DataFrame) -> DataFrame:
+    """Normalize a raw events frame so ``ts`` is bigint epoch-nanos."""
+    if dict(df.dtypes)["ts"].startswith("timestamp"):
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
+
+
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as read — ``ts`` may be long (nanos) or timestamp.
+    Predicates that must reach the parquet scan (snapshot reads) belong on
+    THIS frame, typed against the raw column; `_events_norm`'s
+    ``unix_micros`` projection would otherwise block pushdown."""
     cache_key = (id(spark), sf_dir)
     if cache_key in _EVENTS_CACHE:
         return _EVENTS_CACHE[cache_key]
@@ -128,8 +149,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         import pyarrow.parquet as pq
 
-        pdf = pq.read_table(path).to_pandas()
-        pdf["ts"] = pdf["ts"].astype("int64")
+        tbl = pq.read_table(path)
+        unit = getattr(tbl.schema.field("ts").type, "unit", "ns")
+        pdf = tbl.to_pandas()
+        pdf["ts"] = pdf["ts"].astype("int64") * {
+            "s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1
+        }[unit]
         df = spark.createDataFrame(
             pdf, "event_id long, ts long, user_id long, event_type string, value double, props string"
         )
@@ -240,8 +265,21 @@ def q_super_subcolumn_slice(spark, sf_dir):
     return _strings(R.get_slice(cf, "1", pred, super_column=b"7"), with_sc=True)
 
 
-def _event_cells(spark, sf_dir, where=None):
-    ev = load_events(spark, sf_dir)
+def _event_cells(spark, sf_dir, where=None, ts_nanos_leq=None):
+    """``ts_nanos_leq`` is the snapshot cutoff, applied to the RAW frame
+    with a literal of the raw column's own type so it reaches the parquet
+    scan as a pushed ``ts <= _`` filter (a post-normalization predicate on
+    the ``unix_micros`` projection would not push)."""
+    raw = load_events_raw(spark, sf_dir)
+    if ts_nanos_leq is not None:
+        if dict(raw.dtypes)["ts"].startswith("timestamp"):
+            cutoff = F.timestamp_micros(F.lit(ts_nanos_leq // 1000)).cast(
+                raw.schema["ts"].dataType
+            )
+        else:
+            cutoff = F.lit(ts_nanos_leq)
+        raw = raw.where(F.col("ts") <= cutoff)
+    ev = _events_norm(raw)
     if where is not None:
         ev = ev.where(where)
     return ev.select(
@@ -275,7 +313,7 @@ def q_read_at_ts(spark, sf_dir):
     here it is one cell-level predicate ``ts <= T`` *below* the reconcile
     aggregate, so it pushes to the Parquet scan and the snapshot read
     costs less than the full-history read, not more."""
-    cells = _event_cells(spark, sf_dir, where=F.col("ts") <= _SNAPSHOT_TS_US * 1000)
+    cells = _event_cells(spark, sf_dir, ts_nanos_leq=_SNAPSHOT_TS_US * 1000)
     cf = CF(cfdef=CFDef(name="events", compare_with="UTF8Type"), cells=cells)
     return _strings(cf.live(), with_ts=True)
 
