@@ -594,3 +594,71 @@ def semantic_dedup(
         assigned.join(dropped, "id", "left_anti")
         .select(F.col("id").alias(id_col), F.col("cluster").cast("long").alias("cluster"))
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup: every distinct line survives
+    only in its globally-first occurrence (smallest ``(doc_id, position)``),
+    and documents are reassembled from their surviving lines — the
+    span-level dedup step of C4-style web-corpus cleaning (there it is
+    "any three-sentence span occurring more than once"; the unit here is
+    the ``delim``-separated line, the common practical variant for
+    boilerplate removal: nav bars, cookie banners, license headers).
+
+    ``min_chars``: lines shorter than this are kept everywhere (deduping
+    one-character or empty lines would destroy formatting, not remove
+    boilerplate). A document whose every line is removed disappears from
+    the output — fully-boilerplate documents are exactly what the operator
+    exists to drop.
+
+    Scale: the winner per line is ``min`` over ``(id, pos)`` BIT-PACKED
+    into one bigint (``id * 2^21 + pos``) — ``min(bigint)`` stays a
+    HashAggregate with map-side partial combine (``min(struct)`` falls
+    back to SortAggregate), so a boilerplate line repeated in a billion
+    documents reduces to one row per input partition before the shuffle
+    and nothing ever sorts by line. Packing bounds: ≤ 2^21 lines per
+    document, non-negative ids < 2^42 — both loudly beyond real corpora.
+    The join back is an equality join on the line string; its hot keys
+    are exactly the boilerplate lines, one winner row each — AQE's
+    skew-join splitting handles the probe-side fan-in. Reassembly
+    shuffles each doc's surviving lines once (bounded by document size).
+    """
+    _POS_BITS = 21  # 2M lines/doc; keeps id*2^21+pos inside int64 for id < 2^42
+    packed = (F.col("id").cast("long") * (1 << _POS_BITS) + F.col("pos")).alias("_pk")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).select("id", "pos", "line", packed)
+    firsts = (
+        lines.where(F.length("line") >= min_chars)
+        .groupBy("line")
+        .agg(F.min("_pk").alias("_first"))
+    )
+    surviving = (
+        lines.join(firsts, "line", "left")
+        .where(F.col("_first").isNull() | (F.col("_pk") == F.col("_first")))
+    )
+    return (
+        surviving.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                delim,
+            ).alias(text_col)
+        )
+        .select(F.col("id").alias(id_col), text_col)
+    )

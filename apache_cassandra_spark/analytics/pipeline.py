@@ -125,3 +125,59 @@ def sample_quota(
         .where(F.col("_rk") <= quota)
         .drop("_draw", "_rk")
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/test overlap detection: flag every training document that
+    shares at least one word ``n``-gram with the evaluation set — the
+    decontamination check language-model pipelines run before training
+    (the GPT-3 paper's 13-gram filter; Gopher and The Pile use the same
+    shape with different n). Returns ``(doc_id, contaminated)`` for every
+    training document.
+
+    Scale: the eval side is DISTINCT n-grams of the *eval set* — eval
+    suites are thousands of documents while the corpus is billions, so the
+    eval n-gram set broadcasts (``broadcast_eval``), making the whole
+    check a map-side semi-join over the training shingle stream: no
+    shuffle of corpus data at all. Set ``broadcast_eval=False`` only if
+    the "eval" side is itself corpus-scale (then it's a shuffled semi-join
+    on the uniform shingle string)."""
+    from apache_cassandra_spark.analytics.dedup import _shingle_stream
+
+    ev = _shingle_stream(eval_df, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        _shingle_stream(train, text_col, id_col, n)
+        .join(ev, "shingle", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(F.col("id").alias(id_col), F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The corpus with contaminated documents removed (see
+    ``contamination_flags`` for semantics and the broadcast design)."""
+    flags = contamination_flags(train, eval_df, text_col, id_col, n, broadcast_eval)
+    dirty = flags.where(F.col("contaminated")).select(id_col)
+    return train.join(dirty, id_col, "left_anti")

@@ -818,6 +818,50 @@ def q_semantic_dedup(spark, sf_dir):
     return dedup.semantic_dedup(_planted_dup_corpus(spark, sf_dir))
 
 
+#: the boilerplate line planted into every document by _multiline_corpus —
+#: line-level dedup must keep it only in its first occurrence
+_BOILER_LINE = "subscribe to our newsletter for more updates and follow us on social media"
+
+
+def _multiline_corpus(spark, sf_dir):
+    """documents rewritten as three newline-joined lines — an 80-char
+    prefix, a boilerplate line shared by EVERY document, and the tail —
+    so the line-dedup drop path fires corpus-wide. The construction is
+    pure string arithmetic reproduced verbatim in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 80),
+            F.lit(_BOILER_LINE),
+            F.expr("substring(text, 81)"),
+        ).alias("text"),
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-wide line dedup: each distinct line survives only
+    at its first (doc_id, position) occurrence; documents reassemble from
+    surviving lines. On the planted corpus the shared boilerplate line
+    must survive in exactly one document."""
+    return dedup.remove_duplicate_lines(_multiline_corpus(spark, sf_dir), min_chars=5)
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """Train/eval overlap flags (GPT-3-style n-gram decontamination):
+    eval set = every 50th doc, train = the rest; a train doc is
+    contaminated iff it shares any word trigram with the eval set. The
+    eval n-gram set is broadcast — the check is a map-side semi-join with
+    no corpus shuffle (the design point at 100 TB)."""
+    from apache_cassandra_spark.analytics.pipeline import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_flags(tr, ev, n=3)
+
+
 def q_sim_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
@@ -1343,6 +1387,43 @@ ORACLES: dict[str, str] = {
         SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
         FROM documents GROUP BY 1
     """,
+    # same planted 3-line corpus as q_dedup_lines (_multiline_corpus);
+    # winner of each distinct line = smallest (doc, pos); short lines
+    # (< 5 chars, e.g. the empty tail of short docs) are kept everywhere
+    "dedup_lines": f"""
+        WITH corpus AS (SELECT doc_id,
+                               substr(text, 1, 80) || chr(10) || '{_BOILER_LINE}'
+                               || chr(10) || substr(text, 81) AS text
+                        FROM documents),
+        parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus),
+        lines AS (SELECT doc_id AS id, struct_extract(r, 'pos') AS pos,
+                         struct_extract(r, 'line') AS line
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(generate_series(1, len(p)),
+                                      i -> {{'pos': i, 'line': p[i]}})) AS r
+                        FROM parts)),
+        ranked AS (SELECT id, pos, line,
+                          row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn,
+                          length(line) >= 5 AS elig
+                   FROM lines),
+        keep AS (SELECT id, pos, line FROM ranked WHERE NOT elig OR rn = 1)
+        SELECT id AS doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM keep GROUP BY id
+    """,
+    # word trigrams; eval = doc_id % 50 = 0, train = rest (q_corpus_decontaminate)
+    "corpus_decontaminate": """
+        WITH toks AS (SELECT doc_id AS id,
+                             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                      FROM documents),
+        sh AS (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                                i -> array_to_string(t[i:i+2], ' '))) AS shingle
+               FROM toks),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
+        dirty AS (SELECT DISTINCT id FROM sh
+                  WHERE id % 50 <> 0 AND shingle IN (SELECT shingle FROM ev))
+        SELECT doc_id, (doc_id IN (SELECT id FROM dirty)) AS contaminated
+        FROM documents WHERE doc_id % 50 <> 0
+    """,
     "dedup_ngram_jaccard": f"""
         WITH {_DOC_SHINGLES},
         sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
@@ -1669,6 +1750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_order_per_customer": q_latest_order_per_customer,
     "status_priority_matrix": q_status_priority_matrix,
     "dedup_exact": q_dedup_exact,
+    "dedup_lines": q_dedup_lines,
+    "corpus_decontaminate": q_corpus_decontaminate,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

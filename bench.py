@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "media_decode_png",
     "dedup_groups_star",
     "corpus_sample_quota",
+    "dedup_lines",
+    "corpus_decontaminate",
 ]
 
 

@@ -429,3 +429,49 @@ def test_kmeans_recovers_separated_blobs(spark):
     again = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, k=3, iters=4).collect()}
     first = {r["vec_id"]: r["cluster"] for r in out.collect()}
     assert first == again
+
+
+def test_remove_duplicate_lines_keeps_first_occurrence(spark):
+    rows = [
+        (1, "unique line one\nshared boilerplate line\nunique line two"),
+        (2, "another doc line\nshared boilerplate line\nmore content here"),
+        (3, "shared boilerplate line\nfinal doc text"),
+        (4, "shared boilerplate line"),  # all-boilerplate doc: vanishes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_lines(df, min_chars=5).collect()}
+    assert out[1] == "unique line one\nshared boilerplate line\nunique line two"
+    assert out[2] == "another doc line\nmore content here"
+    assert out[3] == "final doc text"
+    assert 4 not in out  # every line removed -> document dropped
+
+
+def test_remove_duplicate_lines_short_lines_kept_everywhere(spark):
+    rows = [(1, "aa\nlong enough line"), (2, "aa\ndifferent long line"), (3, "aa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_lines(df, min_chars=5).collect()}
+    # "aa" is under min_chars: survives in every doc, including alone
+    assert out == {1: "aa\nlong enough line", 2: "aa\ndifferent long line", 3: "aa"}
+
+
+def test_contamination_flags_and_decontaminate(spark):
+    from apache_cassandra_spark.analytics.pipeline import contamination_flags, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),  # shares trigram with eval
+            (2, "totally unrelated words about engines and turbines"),
+            (3, "short text"),  # too short for a trigram: clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    flags = {r["doc_id"]: r["contaminated"] for r in contamination_flags(train, ev, n=3).collect()}
+    assert flags == {1: True, 2: False, 3: False}
+    clean = sorted(r["doc_id"] for r in decontaminate(train, ev, n=3).collect())
+    assert clean == [2, 3]
+    # the eval shingle set must broadcast: no shuffle of the train stream
+    plan = contamination_flags(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -196,3 +196,36 @@ def test_media_decode_has_no_shuffle(spark):
     plan = plan_of(decode_media(media_from_documents(docs)))
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_line_dedup_winner_is_hash_aggregate(spark):
+    """The per-line winner must be min over the bit-packed (id, pos)
+    bigint — a HashAggregate with map-side partial combine. min(struct)
+    would fall back to SortAggregate and sort corpus-scale line streams;
+    a window rank would put every occurrence of a hot boilerplate line
+    into one task."""
+    from apache_cassandra_spark.analytics.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame([(1, "x\ny")], "doc_id long, text string")
+    plan = plan_of(remove_duplicate_lines(docs))
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_decontamination_eval_side_broadcasts(spark):
+    """The eval n-gram set must broadcast (map-side LeftSemi): eval
+    suites are tiny next to the corpus, so the train shingle stream must
+    never shuffle on the shingle key."""
+    from apache_cassandra_spark.analytics.pipeline import contamination_flags
+
+    tr = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    plan = plan_of(contamination_flags(tr, ev, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the train->flag id join may legitimately sort-merge (both sides are
+    # corpus-scale); the invariant is that the SHINGLE join is broadcast —
+    # the train shingle stream must never sort-merge on the shingle key
+    import re
+
+    assert not re.search(r"SortMergeJoin \[shingle", plan)
