@@ -862,6 +862,28 @@ def q_corpus_decontaminate(spark, sf_dir):
     return contamination_flags(tr, ev, n=3)
 
 
+def q_corpus_shard_roundtrip(spark, sf_dir):
+    """Sharded-sink round-trip: documents written as ``shard=NN`` JSONL
+    directories (closed-form md5 shard membership, bounded files,
+    deterministic in-file order) and read back schema-first. The oracle
+    recomputes every row INCLUDING its shard id from the original table —
+    so the gate pins the sink's layout arithmetic, the JSON value
+    round-trip, and the reader's partition-column handling at once."""
+    import tempfile
+
+    from apache_cassandra_spark.sources import corpus as corpus_io
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="corpus_shards_")
+    corpus_io.write_sharded(docs, out_dir, key_col="doc_id", n_shards=8, rows_per_file=200, fmt="json")
+    back = corpus_io.read_corpus(
+        spark, out_dir, fmt="json", schema="doc_id long, text string, lang string, n_chars long"
+    )
+    return back.select(
+        "doc_id", "text", "lang", "n_chars", F.col("shard").cast("long").alias("shard")
+    )
+
+
 def q_sim_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
@@ -890,6 +912,17 @@ def q_sim_ann_ivf(spark, sf_dir):
     rows-only gate entry, same rationale as the LSH variant."""
     em = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(em, em.where(F.col("vec_id") < 5), k=5)
+
+
+def q_sim_ann_ivf_exact(spark, sf_dir):
+    """IVF with ``nprobe == n_cells`` probes every cell, so the output
+    must EQUAL exact brute-force top-k — a full value-hash oracle for the
+    IVF machinery itself (deterministic centroid sample, single-cell
+    assignment, per-cell scoring, rank tie-break). The approximate
+    ``nprobe < n_cells`` entry above stays rows-only by design; this one
+    pins that the *plumbing* loses nothing."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(em, em.where(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=8)
 
 
 def q_text_quality(spark, sf_dir):
@@ -1610,6 +1643,13 @@ ORACLES: dict[str, str] = {
               < cast(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.8 WHEN 'de' THEN 1.0 ELSE 0.5 END
                      * 1000000 AS bigint)
     """,
+    # the sharded-sink round-trip must reproduce every row plus its
+    # closed-form shard id (sources/corpus.shard_expr arithmetic)
+    "corpus_shard_roundtrip": """
+        SELECT doc_id, text, lang, n_chars,
+               ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 8 AS shard
+        FROM documents
+    """,
     "corpus_sample_quota": """
         SELECT doc_id, lang FROM (
           SELECT doc_id, lang,
@@ -1711,6 +1751,8 @@ ORACLES: dict[str, str] = {
 # dedup_minhash_lsh, then 8 fixed min-label rounds)
 ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
 ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
+# IVF probing every cell must equal exact brute-force top-k (same oracle)
+ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1760,6 +1802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_sample_quota": q_corpus_sample_quota,
+    "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "dedup_groups": q_dedup_groups,
     "dedup_groups_star": q_dedup_groups_star,
     "prepare_corpus": q_prepare_corpus,
@@ -1767,6 +1810,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_lsh": q_sim_ann_lsh,
     "cluster_kmeans": q_cluster_kmeans,
     "sim_ann_ivf": q_sim_ann_ivf,
+    "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_token_stats": q_text_token_stats,
