@@ -50,6 +50,42 @@ def replicated_docs(spark, k: int) -> DataFrame:
     )
 
 
+def _multiline(d: DataFrame) -> DataFrame:
+    """3-line form with a boilerplate line shared by EVERY document — the
+    line-dedup worst case (one line with corpus-cardinality occurrence)."""
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.lit("shared boilerplate line planted in every probe document"),
+            F.expr("substring(text, 81)"),
+        ).alias("text"),
+    )
+
+
+def _decontaminate(d: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.pipeline import contamination_flags
+
+    ev = d.where(F.col("doc_id") % 1000 == 0)  # same base docs per replica
+    tr = d.where(F.col("doc_id") % 1000 != 0)
+    return contamination_flags(tr, ev, n=3).count()
+
+
+def _shard_write(d: DataFrame) -> int:
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.sources import corpus as corpus_io
+
+    out = tempfile.mkdtemp(prefix="probe_shards_")
+    try:
+        corpus_io.write_sharded(d, out, key_col="doc_id", n_shards=32, fmt="parquet")
+        return d.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 OPS = {
     "dedup_exact": lambda d: dedup.exact_dup_groups(d).count(),
     "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d).count(),
@@ -60,7 +96,16 @@ OPS = {
     "text_tfidf": lambda d: text.tfidf_top_terms(d).count(),
     "media_decode": lambda d: multimodal.decode_media(multimodal.media_from_documents(d)).count(),
     "media_decode_png": lambda d: multimodal.decode_media(multimodal.png_media_from_documents(d)).count(),
+    "dedup_lines": lambda d: dedup.remove_duplicate_lines(_multiline(d), min_chars=5).count(),
+    "decontaminate": _decontaminate,
+    "corpus_shard_write": _shard_write,
 }
+
+# SPARK_GRAFT_PROBE_OPS=a,b,c restricts the run (probe a new operator
+# without re-timing the whole suite)
+_ops_filter = os.environ.get("SPARK_GRAFT_PROBE_OPS")
+if _ops_filter:
+    OPS = {k: v for k, v in OPS.items() if k in _ops_filter.split(",")}
 
 
 def main() -> None:
