@@ -181,3 +181,65 @@ def decontaminate(
     flags = contamination_flags(train, eval_df, text_col, id_col, n, broadcast_eval)
     dirty = flags.where(F.col("contaminated")).select(id_col)
     return train.join(dirty, id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign each document to a
+    fixed-token-budget training sequence — the batch-construction step
+    between a cleaned corpus and a trainer (documents are concatenated
+    until the window is full, then a new sequence starts).
+
+    Deterministic contract: within a shard, documents are taken in
+    ``id_col`` order and a document starts the sequence its *cumulative
+    prefix* ends in: ``seq = floor((cumsum(tokens) - tokens) / budget)``.
+    A document longer than the remaining window therefore *straddles*
+    into its sequence (the trainer truncates or spills — the assignment
+    stays a pure function of the corpus, which is the reproducibility
+    property that matters: "which sequence is doc X in?" has a
+    closed-form answer any engine can recompute).
+
+    Returns ``(doc_id, shard, seq_id, offset, n_tokens)`` where
+    ``offset`` is the document's token start within its shard's stream.
+
+    Scale: the window is partitioned by shard (md5 of the id when
+    ``shard_col`` is None) — each shard's running sum is independent, so
+    parallelism = ``n_shards`` regardless of corpus size, and no global
+    sort exists anywhere. Sequence ids are made globally unique by
+    prefixing the shard id."""
+    from pyspark.sql import Window
+
+    from apache_cassandra_spark.analytics.text import token_count
+
+    if shard_col is None:
+        from apache_cassandra_spark.sources.corpus import shard_expr
+
+        docs = docs.withColumn("shard", shard_expr(id_col, n_shards))
+        shard_col = "shard"
+    toks = docs.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    # integer `div`, not floor(double): token offsets pass 2^53 at corpus
+    # scale and double rounding would misassign sequences
+    return (
+        toks.withColumn("offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("seq_in_shard", F.expr(f"offset div {int(budget)}"))
+        .select(
+            id_col,
+            "shard",
+            "seq_in_shard",
+            "offset",
+            "n_tokens",
+            (F.col("shard").cast("long") * F.lit(1 << 40) + F.col("seq_in_shard")).alias("seq_id"),
+        )
+    )

@@ -884,6 +884,32 @@ def q_corpus_shard_roundtrip(spark, sf_dir):
     )
 
 
+def q_corpus_ngram_topk(spark, sf_dir):
+    """Corpus-level n-gram frequency (top-50 word bigrams) — the LM-stats
+    generalization of wordcount: explode → hash-aggregate → top-k. The
+    orderBy feeds a limit, so the plan is TakeOrderedAndProject (partial
+    per-partition top-50, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dedup._shingle_stream(docs, "text", "doc_id", n=2)
+    return (
+        grams.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Greedy contiguous packing of the corpus into 512-token training
+    sequences, 8 shard streams: each document's sequence/offset is a
+    closed-form function of (shard hash, id order, cumulative tokens) —
+    the oracle recomputes every assignment in SQL."""
+    from apache_cassandra_spark.analytics.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, n_shards=8)
+
+
 def q_sim_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
@@ -1643,6 +1669,33 @@ ORACLES: dict[str, str] = {
               < cast(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.8 WHEN 'de' THEN 1.0 ELSE 0.5 END
                      * 1000000 AS bigint)
     """,
+    # word bigrams (lowered, space-split) — same tokenization as the
+    # dedup shingles; top-50 by count with bigram tiebreak
+    "corpus_ngram_topk": """
+        WITH toks AS (SELECT doc_id AS id,
+                             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                      FROM documents),
+        sh AS (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+                                                i -> array_to_string(t[i:i+1], ' '))) AS bigram
+               FROM toks)
+        SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
+        ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+    # greedy contiguous packing: seq = floor(prefix-token-offset / budget)
+    # within md5-shard streams ordered by doc_id (pipeline.pack_sequences)
+    "corpus_pack_sequences": """
+        WITH t AS (SELECT doc_id,
+                          ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 8 AS shard,
+                          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+              FROM t)
+        SELECT doc_id, shard, (cum - n_tokens) // 512 AS seq_in_shard,
+               cum - n_tokens AS offset, n_tokens,
+               shard * 1099511627776 + (cum - n_tokens) // 512 AS seq_id
+        FROM c
+    """,
     # the sharded-sink round-trip must reproduce every row plus its
     # closed-form shard id (sources/corpus.shard_expr arithmetic)
     "corpus_shard_roundtrip": """
@@ -1803,6 +1856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_sample_quota": q_corpus_sample_quota,
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_ngram_topk": q_corpus_ngram_topk,
     "dedup_groups": q_dedup_groups,
     "dedup_groups_star": q_dedup_groups_star,
     "prepare_corpus": q_prepare_corpus,

@@ -475,3 +475,38 @@ def test_contamination_flags_and_decontaminate(spark):
     # the eval shingle set must broadcast: no shuffle of the train stream
     plan = contamination_flags(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_hand_checked(spark):
+    from apache_cassandra_spark.analytics.pipeline import pack_sequences
+
+    # one shard stream, budget 10: docs of 4/5/3/12/2 tokens.
+    # offsets:   0   4   9   12   24
+    # seq:       0   0   0   1    2   (doc 3 straddles: starts in seq 1)
+    rows = [
+        (1, "a b c d", 0),
+        (2, "a b c d e", 0),
+        (3, "a b c", 0),
+        (4, " ".join(["t"] * 12), 0),
+        (5, "x y", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp int")
+    out = {
+        r["doc_id"]: (r["seq_in_shard"], r["offset"], r["n_tokens"])
+        for r in pack_sequences(df, budget=10, shard_col="grp").collect()
+    }
+    assert out == {1: (0, 0, 4), 2: (0, 4, 5), 3: (0, 9, 3), 4: (1, 12, 12), 5: (2, 24, 2)}
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    from apache_cassandra_spark.analytics.pipeline import pack_sequences
+
+    rows = [(i, "w " * 5, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp int")
+    out = pack_sequences(df, budget=10, shard_col="grp").collect()
+    # each shard's offsets restart at 0 and advance by its own docs only
+    for grp in (0, 1):
+        offs = sorted(r["offset"] for r in out if r["shard"] == grp)
+        assert offs == [0, 5, 10, 15, 20]
+    # globally-unique seq ids across shards
+    assert len({(r["seq_id"]) for r in out}) == len({(r["shard"], r["seq_in_shard"]) for r in out})
