@@ -384,3 +384,74 @@ def encode_wav_constant(n_frames: int, amplitude: int, rate: int = 8000) -> byte
         wf.setframerate(rate)
         wf.writeframes(struct.pack(f"<{n_frames}h", *([amplitude] * n_frames)))
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# pixel-level access: decode to raster, nearest-neighbor resize, re-encode
+# ---------------------------------------------------------------------------
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, ch) uint8 raster in RGB channel order for the image formats
+    with a real codec (ppm/pgm, bmp, png). Raises NotImplementedError for
+    non-image or entropy-coded formats — same honesty boundary as
+    ``decode_bytes``."""
+    fmt = sniff(payload)
+    if fmt == "ppm":
+        magic, w, h, maxval, off = _ppm_header(payload)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        ch = 3 if magic == "P6" else 1
+        return np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off).reshape(h, w, ch)
+    if fmt == "bmp":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        _, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+        w_abs = abs(w)
+        _, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only 24bpp BI_RGB supported")
+        h_abs = abs(int(np.int32(h)))
+        stride = (w_abs * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_off)
+        rows = rows.reshape(h_abs, stride)[:, : w_abs * 3].reshape(h_abs, w_abs, 3)
+        bgr = rows[::-1] if int(np.int32(h)) > 0 else rows
+        return bgr[:, :, ::-1].copy()  # BGR -> RGB
+    if fmt == "png":
+        ihdr = None
+        palette = None
+        idat = bytearray()
+        for ctype, data in _png_chunks(payload):
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.extend(data)
+        w, h, depth, ctype_id, comp, filt, interlace = ihdr
+        if depth != 8 or interlace != 0:
+            raise NotImplementedError("PNG: 8-bit non-interlaced only")
+        bpp = _PNG_CHANNELS[ctype_id]
+        px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp).reshape(h, w, bpp)
+        if ctype_id == 3:
+            px = palette[px[:, :, 0]]
+        return px[:, :, :3] if px.shape[2] >= 3 else px[:, :, :1]
+    raise NotImplementedError(f"no pixel codec for format {fmt!r}")
+
+
+def resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample: output (y, x) takes source pixel
+    (floor(y*h/height), floor(x*w/width)) — integer arithmetic only, so
+    the mapping is exactly reproducible anywhere."""
+    h, w = px.shape[:2]
+    rows = (np.arange(height, dtype=np.int64) * h) // height
+    cols = (np.arange(width, dtype=np.int64) * w) // width
+    return px[rows][:, cols]
+
+
+def encode_ppm_pixels(px: np.ndarray) -> bytes:
+    """P6 from an (h, w, ch) uint8 raster (grayscale expands to RGB)."""
+    h, w = px.shape[:2]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    return (f"P6\n{w} {h}\n255\n").encode("ascii") + px.astype(np.uint8).tobytes()

@@ -1028,6 +1028,32 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """REAL resize in the gate: the PPM/WAV fixture corpus goes through
+    ``multimodal.resize_media`` (decode raster → integer nearest-neighbor
+    → re-encode P6) and the resized payloads are then *decoded again*; the
+    oracle recomputes every post-resize field from doc_id arithmetic
+    (4×3 dims, 47-byte P6, constant fill preserved; WAV rows pass through
+    to the original decode record untouched)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = multimodal.resize_media(multimodal.media_from_documents(docs), width=4, height=3)
+    dec = multimodal.decode_media(resized)
+    return dec.select(
+        "media_id",
+        "n_bytes",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_frames",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_media_decode_png(spark, sf_dir):
     """Compressed-container decode in the gate: every payload is a REAL
     spec-valid PNG generated from pure JVM expressions (stored-block
@@ -1646,6 +1672,29 @@ ORACLES: dict[str, str] = {
                round(cast(CASE WHEN doc_id % 2 = 1 THEN amp END as double), 6) AS rms
         FROM m
     """,
+    # post-resize decode: even ids (ppm) become 4x3 constant-fill P6
+    # (header "P6\\n4 3\\n255\\n" = 11 bytes + 36 pixel bytes); odd ids
+    # (wav) pass through identical to the media_decode oracle
+    "media_resize": """
+        WITH m AS (
+          SELECT doc_id,
+                 doc_id % 256 AS r, (7 * doc_id) % 256 AS g, (13 * doc_id) % 256 AS b,
+                 50 + doc_id % 50 AS n, abs(doc_id % 1001 - 500) AS amp
+          FROM documents)
+        SELECT doc_id AS media_id,
+               cast(CASE WHEN doc_id % 2 = 0 THEN 47 ELSE 44 + 2 * n END as bigint) AS n_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS format,
+               cast(CASE WHEN doc_id % 2 = 0 THEN 4 END as integer) AS width,
+               cast(CASE WHEN doc_id % 2 = 0 THEN 3 END as integer) AS height,
+               cast(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END as integer) AS channels,
+               cast(CASE WHEN doc_id % 2 = 1 THEN 8000 END as integer) AS sample_rate,
+               cast(CASE WHEN doc_id % 2 = 1 THEN n END as integer) AS n_frames,
+               round(cast(CASE WHEN doc_id % 2 = 0 THEN r END as double), 6) AS mean_r,
+               round(cast(CASE WHEN doc_id % 2 = 0 THEN g END as double), 6) AS mean_g,
+               round(cast(CASE WHEN doc_id % 2 = 0 THEN b END as double), 6) AS mean_b,
+               round(cast(CASE WHEN doc_id % 2 = 1 THEN amp END as double), 6) AS rms
+        FROM m
+    """,
     "text_tfidf": """
         WITH toked AS (
           SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
@@ -1873,6 +1922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf": q_text_tfidf,
     "media_decode": q_media_decode,
     "media_decode_png": q_media_decode_png,
+    "media_resize": q_media_resize,
     "text_repetition": q_text_repetition,
     "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,

@@ -226,3 +226,42 @@ def test_decode_stub_uses_real_codecs_when_parseable():
     assert feats == [1.0, 0.0, 128 / 255.0, 4.0, 2.0]
     wav_feats = mm.decode_stub(codecs.encode_wav_constant(20, 16384), "audio")
     assert wav_feats == [0.5, 20.0, 8000.0]
+
+
+def test_decode_pixels_roundtrip_formats():
+    # gradient raster so a wrong resample/row-order bug can't hide
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    assert np.array_equal(codecs.decode_pixels(codecs.encode_ppm_pixels(px)), px)
+    assert np.array_equal(
+        codecs.decode_pixels(codecs.encode_png(px, color_type=2)), px
+    )
+
+
+def test_resize_nearest_exact_mapping():
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = codecs.resize_nearest(px, 3, 5)
+    rows = (np.arange(5) * 8) // 5
+    cols = (np.arange(3) * 8) // 3
+    assert out.shape == (5, 3, 3)
+    assert np.array_equal(out, px[rows][:, cols])
+    # upscale repeats source pixels, never interpolates
+    up = codecs.resize_nearest(px[:2, :2], 4, 4)
+    assert set(np.unique(up)) <= set(np.unique(px[:2, :2]))
+
+
+def test_resize_media_real_and_passthrough(spark):
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    rows = [
+        (1, "image", bytearray(codecs.encode_ppm_pixels(px))),
+        (2, "image", bytearray(codecs.encode_png(px, color_type=2))),
+        (3, "audio", bytearray(b"RIFF....WAVEjunk")),  # sniffs wav, codec fails -> passthrough
+        (4, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in mm.resize_media(df, width=2, height=3).collect()}
+    expect = codecs.resize_nearest(px, 2, 3)
+    for mid in (1, 2):  # both image formats decode, resample identically, re-encode P6
+        assert got[mid]["resized"] is True
+        assert np.array_equal(codecs.decode_pixels(bytes(got[mid]["payload"])), expect)
+    assert got[3]["resized"] is False and bytes(got[3]["payload"]) == b"RIFF....WAVEjunk"
+    assert got[4]["resized"] is False and got[4]["payload"] is None
