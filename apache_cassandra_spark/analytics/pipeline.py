@@ -243,3 +243,43 @@ def pack_sequences(
             (F.col("shard").cast("long") * F.lit(1 << 40) + F.col("seq_in_shard")).alias("seq_id"),
         )
     )
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Token-budget corpus mixing: keep documents per stratum until that
+    stratum's TOKEN budget is reached — the mixing step of LM data
+    recipes quoted in tokens, not documents ("100B tokens of web, 5B of
+    code"). Within a stratum, documents are taken in md5-draw order (the
+    same deterministic uniform draw as ``sample_stratified``), and a
+    document is kept iff its token span *starts* inside the budget — so
+    the kept set is a prefix of the draw order, stable under reruns, and
+    one document may straddle the boundary (trainers truncate; an
+    exact-under cut would instead need a second pass).
+
+    Scale: one window (running token sum per stratum, ordered by draw) —
+    parallelism is per-stratum like ``sample_quota``; no joins, no
+    global sort. Strata not named in ``budgets`` are dropped (budget 0).
+    """
+    from pyspark.sql import Window
+
+    from apache_cassandra_spark.analytics.text import token_count
+
+    budget = F.lit(None).cast("long")
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(budget)
+    toked = docs.withColumn("_draw", _uniform_hash(id_col)).withColumn(
+        "_ntok", token_count(F.col(text_col))
+    )
+    w = Window.partitionBy(strata_col).orderBy("_draw", id_col)
+    start = (F.sum("_ntok").over(w) - F.col("_ntok")).cast("long")
+    return (
+        toked.withColumn("_start", start)
+        .where(budget.isNotNull() & (F.col("_start") < budget))
+        .drop("_draw", "_ntok", "_start")
+    )

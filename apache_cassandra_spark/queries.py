@@ -899,6 +899,18 @@ def q_corpus_ngram_topk(spark, sf_dir):
     )
 
 
+def q_corpus_sample_token_budget(spark, sf_dir):
+    """Token-budget corpus mixing: src0 capped at 700 tokens (partial
+    keep), src1 at 5000 (whole stratum fits), src2 at 300, every other
+    source dropped — all three budget regimes in one gate. Keep order is
+    the md5 draw, so the oracle replays each decision."""
+    from apache_cassandra_spark.analytics.pipeline import sample_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_token_budget(docs, {"src0": 700, "src1": 5000, "src2": 300})
+    return out.select("doc_id", "source")
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Greedy contiguous packing of the corpus into 512-token training
     sequences, 8 shard streams: each document's sequence/offset is a
@@ -1730,6 +1742,19 @@ ORACLES: dict[str, str] = {
         SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
         ORDER BY cnt DESC, bigram LIMIT 50
     """,
+    # token-budget mixing: keep docs (in md5-draw order per source) whose
+    # token span STARTS inside the stratum budget (pipeline.sample_token_budget)
+    "corpus_sample_token_budget": """
+        WITH t AS (SELECT doc_id, source,
+                          ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000 AS draw,
+                          len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+                   FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        c AS (SELECT doc_id, source,
+                     sum(ntok) OVER (PARTITION BY source ORDER BY draw, doc_id) - ntok AS tok_start,
+                     CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 5000 ELSE 300 END AS budget
+              FROM t)
+        SELECT doc_id, source FROM c WHERE tok_start < budget
+    """,
     # greedy contiguous packing: seq = floor(prefix-token-offset / budget)
     # within md5-shard streams ordered by doc_id (pipeline.pack_sequences)
     "corpus_pack_sequences": """
@@ -1907,6 +1932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_ngram_topk": q_corpus_ngram_topk,
+    "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,
     "dedup_groups_star": q_dedup_groups_star,
     "prepare_corpus": q_prepare_corpus,

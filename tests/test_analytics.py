@@ -510,3 +510,32 @@ def test_pack_sequences_shards_are_independent(spark):
         assert offs == [0, 5, 10, 15, 20]
     # globally-unique seq ids across shards
     assert len({(r["seq_id"]) for r in out}) == len({(r["shard"], r["seq_in_shard"]) for r in out})
+
+
+def test_sample_token_budget_invariants(spark):
+    from apache_cassandra_spark.analytics.pipeline import _uniform_hash, sample_token_budget
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5)), ["a", "b", "c"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budgets = {"a": 20, "b": 10_000}  # partial keep / whole stratum / c dropped
+    out = sample_token_budget(df, budgets)
+    got = out.withColumn("_d", _uniform_hash("doc_id")).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"a", "b"}  # unnamed stratum dropped
+    assert len(by_src["b"]) == 20  # budget >> tokens: whole stratum kept
+    ntok = {i: 3 + i % 5 for i in range(60)}
+    # kept set is the prefix of draw order whose token spans START in-budget
+    a_all = [r["doc_id"] for r in spark.createDataFrame(
+        [(i,) for i in range(60) if i % 3 == 0], "doc_id long"
+    ).withColumn("_d", _uniform_hash("doc_id")).orderBy("_d", "doc_id").collect()]
+    cum, expect = 0, []
+    for i in a_all:
+        if cum < budgets["a"]:
+            expect.append(i)
+        cum += ntok[i]
+    assert sorted(r["doc_id"] for r in by_src["a"]) == sorted(expect)
+    # deterministic across invocations
+    again = {r["doc_id"] for r in sample_token_budget(df, budgets).collect()}
+    assert again == {r["doc_id"] for r in got}
