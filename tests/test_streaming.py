@@ -217,3 +217,44 @@ def test_decode_media_works_on_streams(spark, tmp_path):
     assert len(out) == 6
     assert out[0]["format"] == "ppm" and out[1]["format"] == "wav"
     assert out[2]["width"] == 10 and out[3]["rms"] == 497.0
+
+
+def test_stream_to_shards_matches_batch_layout(spark, tmp_path):
+    """Streaming shard writes land in the batch writer's layout: same
+    closed-form shard membership, readable by read_corpus, and a second
+    micro-batch round appends without rewriting earlier data."""
+    import glob
+    import json as _json
+
+    from apache_cassandra_spark.sources.corpus import read_corpus, shard_expr
+    from apache_cassandra_spark.streaming.corpus import document_stream, stream_to_shards
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def arrive(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n")
+
+    arrive("a.jsonl", range(0, 40))
+    stream = document_stream(spark, str(src), schema)
+    stream_to_shards(stream, out, ckpt, n_shards=4, available_now=True).awaitTermination(120)
+    first_files = set(glob.glob(f"{out}/shard=*/part-*"))
+    assert first_files
+
+    arrive("b.jsonl", range(40, 60))
+    stream_to_shards(
+        document_stream(spark, str(src), schema), out, ckpt, n_shards=4, available_now=True
+    ).awaitTermination(120)
+
+    back = read_corpus(spark, out, fmt="parquet")
+    assert back.count() == 60
+    from pyspark.sql import functions as F
+
+    assert back.where(F.col("shard") != shard_expr("doc_id", 4)).count() == 0
+    # append-only: batch 1 files still present, untouched
+    assert first_files <= set(glob.glob(f"{out}/shard=*/part-*"))
