@@ -534,6 +534,48 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a user's events belong to one session
+    until a silence longer than 30 minutes, the classic event-analytics
+    operator the reference delegated to Hadoop. One window pass per user
+    (lag → new-session flag → running sum); session ids are (user,
+    ordinal), deterministic. Emits per-session aggregates."""
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    sessions = (
+        ev.select("user_id", "event_id", us.alias("_us"))
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("_us") - F.col("_prev") > gap_us), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("_new").over(w))
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        ((F.max("_us") - F.min("_us")) / F.lit(1_000_000)).alias("duration_s"),
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus inventory (docs, tokens, char bounds) — the
+    one-pass summary every mixing/sampling decision starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     """The Structured-Streaming windowed operator (streaming/ingest.py),
     exercised on the batch frame — identical code path to the stream."""
@@ -1742,6 +1784,28 @@ ORACLES: dict[str, str] = {
         SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
         ORDER BY cnt DESC, bigram LIMIT 50
     """,
+    # 30-minute-gap sessionization over epoch-us event times
+    "events_sessionize": """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        flagged AS (SELECT user_id, event_id, us,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                     OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS newf
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sess AS (SELECT user_id, us,
+                        sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_no
+                 FROM flagged)
+        SELECT user_id, session_no, count(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us,
+               (max(us) - min(us)) / 1000000 AS duration_s
+        FROM sess GROUP BY 1, 2
+    """,
+    "corpus_stats": """
+        SELECT source, count(*) AS n_docs,
+               sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               round(sum(n_chars) / count(*), 6) AS avg_chars
+        FROM documents GROUP BY 1
+    """,
     # token-budget mixing: keep docs (in md5-draw order per source) whose
     # token span STARTS inside the stratum budget (pipeline.sample_token_budget)
     "corpus_sample_token_budget": """
@@ -1914,6 +1978,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_nations": q_top_nations,
     "events_hourly": q_events_hourly,
     "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "corpus_stats": q_corpus_stats,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,
     "latest_order_per_customer": q_latest_order_per_customer,
