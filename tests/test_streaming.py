@@ -258,3 +258,58 @@ def test_stream_to_shards_matches_batch_layout(spark, tmp_path):
     assert back.where(F.col("shard") != shard_expr("doc_id", 4)).count() == 0
     # append-only: batch 1 files still present, untouched
     assert first_files <= set(glob.glob(f"{out}/shard=*/part-*"))
+
+
+def test_session_window_matches_lag_based_sessionize(spark):
+    """Native session_window membership == the batch lag+running-sum
+    sessionization: same (user, session start, end, count) sets on the
+    sf0.001 events fixture — the two formulations can't drift."""
+    from apache_cassandra_spark.queries import QUERIES, load_events
+    from apache_cassandra_spark.streaming.sessions import sessionized_stats
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_events(spark, sf).withColumn("ts_micros", F.expr("ts div 1000"))
+    native = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in sessionized_stats(ev).collect()
+    }
+    lag_based = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in QUERIES["events_sessionize"](spark, sf).collect()
+    }
+    assert native == lag_based
+
+
+def test_sessionized_stats_streaming_mode(spark, tmp_path):
+    """The same operator runs as a stateful stream: session state merges
+    across micro-batches and closed sessions emit identical rows."""
+    import json as _json
+
+    from apache_cassandra_spark.streaming.sessions import sessionized_stats
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts_micros": 0},
+        {"user_id": 1, "ts_micros": 60_000_000},          # same session
+        {"user_id": 1, "ts_micros": 10_000_000_000},      # new session (gap > 30 min)
+        {"user_id": 2, "ts_micros": 0},
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("user_id long, ts_micros long").json(str(src))
+    q = (
+        sessionized_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got == {(1, 0, 60_000_000, 2), (1, 10_000_000_000, 10_000_000_000, 1), (2, 0, 0, 1)}
