@@ -550,6 +550,11 @@ def q_events_sessionize(spark, sf_dir):
         ev.select("user_id", "event_id", us.alias("_us"))
         .withColumn("_prev", F.lag("_us").over(w))
         .withColumn(
+            # strict >: native session_window merges an event landing
+            # EXACTLY `gap` after the previous one (closed [t, t+gap]
+            # interval — verified against Spark's operator in
+            # test_session_boundary_exact_gap_merges), so the lag rule
+            # and the oracle both split only on silence STRICTLY longer
             "_new",
             F.when(F.col("_prev").isNull() | (F.col("_us") - F.col("_prev") > gap_us), 1).otherwise(0),
         )

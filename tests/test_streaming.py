@@ -313,3 +313,42 @@ def test_sessionized_stats_streaming_mode(spark, tmp_path):
         for r in spark.sql("select * from sess_out").collect()
     }
     assert got == {(1, 0, 60_000_000, 2), (1, 10_000_000_000, 10_000_000_000, 1), (2, 0, 0, 1)}
+
+
+def test_session_boundary_exact_gap_merges(spark):
+    """Boundary semantics, verified against Spark's NATIVE operator: an
+    event landing EXACTLY `gap` after the previous one MERGES into the
+    session (closed [t, t+gap] interval); only strictly-longer silence
+    splits. Both formulations agree on both sides of the boundary —
+    the edge where a >= lag rule would silently diverge."""
+    from apache_cassandra_spark.streaming.sessions import sessionized_stats
+
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        (1, 0), (1, gap_us),                # exactly gap apart -> SAME session
+        (2, 0), (2, gap_us + 1),            # 1us beyond -> 2 sessions
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_micros long")
+    native = sorted(
+        (r["user_id"], r["start_us"], r["n_events"]) for r in sessionized_stats(ev).collect()
+    )
+    assert native == [(1, 0, 2), (2, 0, 1), (2, gap_us + 1, 1)]
+    # lag-based path (the events_sessionize rule) must agree
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_micros")
+    lagged = (
+        ev.withColumn("_prev", F.lag("ts_micros").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("ts_micros") - F.col("_prev") > gap_us), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("_new").over(w))
+    )
+    lag_sessions = sorted(
+        (r["user_id"], r["start_us"], r["n_events"])
+        for r in lagged.groupBy("user_id", "session_no")
+        .agg(F.min("ts_micros").alias("start_us"), F.count("*").alias("n_events"))
+        .collect()
+    )
+    assert lag_sessions == native
