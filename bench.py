@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "corpus_sample_quota",
     "dedup_lines",
     "corpus_decontaminate",
+    "corpus_pack_sequences",
+    "events_sessionize",
 ]
 
 
