@@ -26,6 +26,7 @@ def engine(spark, tmp_path):
         {
             "Keyspace1": {
                 "Standard1": {"compare_with": "BytesType"},
+                "Standard2": {"compare_with": "BytesType"},
                 "StandardLong1": {"compare_with": "LongType"},
                 "Super1": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "LongType"},
                 "Super2": {"column_type": "Super", "compare_with": "BytesType", "compare_subcolumns_with": "LongType"},
@@ -373,3 +374,89 @@ def test_get_range_slice_after_deletion(opp_engine):
     cf = engine.cf("Keyspace2", "Super3")
     rows = R.get_range_slices(cf, pred, kr).collect()
     assert {bytes(r["sc"]) for r in rows} == {b"sc1"}  # resurrected above ts
+
+
+def test_batch_mutate_remove_standard_columns_across_keys_and_cfs(engine):
+    """test_server.py:362 — one batch deletes NAMED standard columns in
+    two CFs for ten keys at once; every addressed cell must be gone."""
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    keys = [f"key_{i}" for i in range(11, 21)]
+    for key in keys:
+        for cf in ("Standard1", "Standard2"):
+            ins(engine, "Keyspace1", cf, key, b"c1", b"value1", 0)
+            ins(engine, "Keyspace1", cf, key, b"c2", b"value2", 0)
+    d = Deletion(timestamp=20, predicate=SlicePredicate(column_names=[b"c1", b"c2"]))
+    muts = {key: {cf: [Mutation(deletion=d)] for cf in ("Standard1", "Standard2")} for key in keys}
+    engine.batch_mutate("Keyspace1", muts, durable=False)
+    for cf in ("Standard1", "Standard2"):
+        for key in keys:
+            assert slice_cols(engine, "Keyspace1", cf, key) == []
+
+
+def test_batch_mutate_remove_standard_row_across_keys_and_cfs(engine):
+    """test_server.py:378 — Deletion with NO predicate is a whole-row
+    tombstone, applied through batch_mutate to two CFs × ten keys."""
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    keys = [f"key_{i}" for i in range(11, 21)]
+    for key in keys:
+        for cf in ("Standard1", "Standard2"):
+            ins(engine, "Keyspace1", cf, key, b"c1", b"value1", 0)
+            ins(engine, "Keyspace1", cf, key, b"c2", b"value2", 0)
+    muts = {key: {cf: [Mutation(deletion=Deletion(timestamp=20))] for cf in ("Standard1", "Standard2")} for key in keys}
+    engine.batch_mutate("Keyspace1", muts, durable=False)
+    for cf in ("Standard1", "Standard2"):
+        for key in keys:
+            assert slice_cols(engine, "Keyspace1", cf, key) == []
+
+
+def test_batch_mutate_remove_super_columns_by_subnames(engine):
+    """test_server.py:395 — sc-scoped Deletion with a NAMES predicate
+    over the subcolumns, fanned over two super CFs × ten keys."""
+    from apache_cassandra_spark.model import Deletion, Mutation
+
+    keys = [f"key_{i}" for i in range(11, 21)]
+    for key in keys:
+        for cf in ("Super1", "Super2"):
+            ins(engine, "Keyspace1", cf, key, _i64(4), b"value4", 0, sc=b"sc1")
+            ins(engine, "Keyspace1", cf, key, _i64(5), b"value5", 0, sc=b"sc2")
+            ins(engine, "Keyspace1", cf, key, _i64(6), b"value6", 0, sc=b"sc2")
+    muts = {
+        key: {
+            cf: [
+                Mutation(deletion=Deletion(timestamp=20, super_column=b"sc1",
+                                           predicate=SlicePredicate(column_names=[_i64(4)]))),
+                Mutation(deletion=Deletion(timestamp=20, super_column=b"sc2",
+                                           predicate=SlicePredicate(column_names=[_i64(5), _i64(6)]))),
+            ]
+            for cf in ("Super1", "Super2")
+        }
+        for key in keys
+    }
+    engine.batch_mutate("Keyspace1", muts, durable=False)
+    for cf in ("Super1", "Super2"):
+        for key in keys:
+            assert slice_cols(engine, "Keyspace1", cf, key, sc=b"sc1") == []
+            assert slice_cols(engine, "Keyspace1", cf, key, sc=b"sc2") == []
+
+
+def test_super_cf_remove_supercolumn_and_resurrect(engine):
+    """test_server.py:720 — remove() scoped to one supercolumn: only sc2
+    dies, sc1 and the standard CF stay; re-insert below the tombstone
+    stays dead, above it resurrects; subcolumn slice agrees."""
+    _insert_simple(engine)
+    _insert_super(engine)
+    engine.remove("Keyspace1", "key1", ColumnPath("Super1", super_column=b"sc2"), 5, durable=False)
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == []
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc1") == [(_i64(4), b"value4", 0)]
+    assert slice_cols(engine, "Keyspace1", "Standard1", "key1") == [
+        (b"c1", b"value1", 0),
+        (b"c2", b"value2", 0),
+    ]
+    # older timestamp stays shadowed
+    ins(engine, "Keyspace1", "Super1", "key1", _i64(5), b"value5", 1, sc=b"sc2")
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == []
+    # newer timestamp resurrects
+    ins(engine, "Keyspace1", "Super1", "key1", _i64(5), b"value5", 6, sc=b"sc2")
+    assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == [(_i64(5), b"value5", 6)]
