@@ -568,6 +568,55 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → click → purchase: a user
+    advances only with an event STRICTLY after their previous stage time
+    (min-timestamp chaining). Three user-keyed aggregates + joins —
+    co-partitioned after the first shuffle, no windows."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    s1 = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(F.min("us").alias("t1"))
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count("*").alias("n_users")).select(F.lit("x1_signup").alias("stage"), "n_users"),
+        s2.agg(F.count("*").alias("n_users")).select(F.lit("x2_click").alias("stage"), "n_users"),
+        s3.agg(F.count("*").alias("n_users")).select(F.lit("x3_purchase").alias("stage"), "n_users"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly retention cohorts: cohort = the user's first-activity week
+    (integer epoch-week), each cell = distinct users of that cohort
+    active ``week_offset`` weeks later. Pure integer arithmetic so every
+    cell replays in SQL."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("(ts div 1000) div 604800000000").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = ev.distinct().join(first, "user_id")
+    return act.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source corpus inventory (docs, tokens, char bounds) — the
     one-pass summary every mixing/sampling decision starts from."""
@@ -1804,6 +1853,24 @@ ORACLES: dict[str, str] = {
                (max(us) - min(us)) / 1000000 AS duration_s
         FROM sess GROUP BY 1, 2
     """,
+    "events_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        SELECT 'x1_signup' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT 'x2_click', count(*) FROM s2
+        UNION ALL SELECT 'x3_purchase', count(*) FROM s3
+    """,
+    "events_retention": """
+        WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM e JOIN first USING (user_id) GROUP BY 1, 2
+    """,
     "corpus_stats": """
         SELECT source, count(*) AS n_docs,
                sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens,
@@ -1984,6 +2051,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "corpus_stats": q_corpus_stats,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,
