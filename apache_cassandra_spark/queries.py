@@ -617,6 +617,60 @@ def q_events_retention(spark, sf_dir):
     ).agg(F.count_distinct("user_id").alias("n_users"))
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's newest click AT OR
+    BEFORE it — the interleave/window implementation (one shuffle on the
+    key, no inequality join, no BroadcastNestedLoop). Clicks are
+    pre-reduced to one row per (user, time) so the oracle's winner rule
+    is plain max()."""
+    from apache_cassandra_spark.analytics.temporal import asof_join
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "us"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("us").alias("click_us"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(purchases, clicks, "user_id", "us", "click_us")
+    return out.select(
+        "user_id", "purchase_id", "us",
+        F.col("click_us_right").alias("click_us"),
+        F.col("click_id_right").alias("click_id"),
+    )
+
+
+#: 2024-01-01T00:00Z in epoch-us — the events fixture's first day
+_JAN1_US = 1_704_067_200_000_000
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join via bucketized equality: 30 one-hour "promo windows"
+    (noon each January day) joined to the events inside them — interval
+    containment as a hash join on the hour slot (no theta-join
+    fallback), exact bounds filtered after the match."""
+    from apache_cassandra_spark.analytics.temporal import range_join
+
+    hour_us = 3_600 * 1_000_000
+    promos = (
+        spark.range(0, 30)
+        .select(
+            F.col("id").alias("promo_id"),
+            (F.lit(_JAN1_US) + (F.col("id") * 24 + 12) * hour_us).alias("start_us"),
+            (F.lit(_JAN1_US) + (F.col("id") * 24 + 13) * hour_us).alias("end_us"),
+        )
+    )
+    ev = load_events(spark, sf_dir).select("user_id", F.expr("ts div 1000").alias("us"))
+    joined = range_join(ev, promos, "us", "start_us", "end_us", bucket=hour_us)
+    return joined.groupBy("promo_id").agg(
+        F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users")
+    )
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source corpus inventory (docs, tokens, char bounds) — the
     one-pass summary every mixing/sampling decision starts from."""
@@ -1853,6 +1907,30 @@ ORACLES: dict[str, str] = {
                (max(us) - min(us)) / 1000000 AS duration_s
         FROM sess GROUP BY 1, 2
     """,
+    # as-of: newest click at-or-before each purchase per user
+    "events_asof": """
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, us FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, us AS click_us, max(event_id) AS click_id
+              FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        m AS (SELECT p.user_id, p.purchase_id, p.us, max(c.click_us) AS click_us
+              FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_us <= p.us
+              GROUP BY 1, 2, 3)
+        SELECT m.user_id, m.purchase_id, m.us, m.click_us, c.click_id
+        FROM m LEFT JOIN c ON m.user_id = c.user_id AND m.click_us = c.click_us
+    """,
+    # events inside 30 one-hour noon promo windows
+    "events_range_join": """
+        WITH promos AS (
+          SELECT d AS promo_id,
+                 1704067200000000 + (d * 24 + 12) * 3600000000 AS start_us,
+                 1704067200000000 + (d * 24 + 13) * 3600000000 AS end_us
+          FROM generate_series(0, 29) AS t(d)),
+        e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+        SELECT promo_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        FROM e JOIN promos ON us >= start_us AND us < end_us
+        GROUP BY 1
+    """,
     "events_funnel": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
@@ -2053,6 +2131,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "corpus_stats": q_corpus_stats,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

@@ -539,3 +539,54 @@ def test_sample_token_budget_invariants(spark):
     # deterministic across invocations
     again = {r["doc_id"] for r in sample_token_budget(df, budgets).collect()}
     assert again == {r["doc_id"] for r in got}
+
+
+def test_asof_join_hand_checked(spark):
+    from apache_cassandra_spark.analytics.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (1, 50, "p0"), (2, 300, "p3")],
+        "user long, lt long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "cA"), (1, 200, "cB"), (1, 90, "cC"), (2, 400, "cD")],
+        "user long, rt long, tag string",
+    )
+    out = {r["name"]: (r["rt_right"], r["tag_right"])
+           for r in asof_join(left, right, "user", "lt", "rt").collect()}
+    assert out["p1"] == (100, "cA")   # equal time matches (at-or-before)
+    assert out["p2"] == (200, "cB")   # newest preceding, not just any
+    assert out["p0"] == (None, None)  # nothing at or before 50
+    assert out["p3"] == (None, None)  # right row exists but only AFTER
+
+
+def test_asof_join_tolerance_and_tie_reduction(spark):
+    from apache_cassandra_spark.analytics.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1000, "x")], "user long, lt long, name string")
+    right = spark.createDataFrame(
+        [(1, 100, "old"), (1, 100, "zzz")], "user long, rt long, tag string"
+    )
+    # match exists but is older than tolerance -> nulled out
+    got = asof_join(left, right, "user", "lt", "rt", tolerance=500).collect()[0]
+    assert got["rt_right"] is None and got["tag_right"] is None
+    # without tolerance: deterministic winner among same-(key,time) rows
+    # is the lexicographically-largest payload tuple
+    got = asof_join(left, right, "user", "lt", "rt").collect()[0]
+    assert (got["rt_right"], got["tag_right"]) == (100, "zzz")
+
+
+def test_range_join_bounds_and_straddling(spark):
+    from apache_cassandra_spark.analytics.temporal import range_join
+
+    rows = spark.createDataFrame([(9,), (10,), (19,), (20,), (35,)], "t long")
+    ivals = spark.createDataFrame(
+        [(1, 10, 20), (2, 15, 40)], "iv long, s long, e long"
+    )
+    # bucket smaller than the intervals: both straddle several slots
+    out = sorted(
+        (r["t"], r["iv"]) for r in range_join(rows, ivals, "t", "s", "e", bucket=7).collect()
+    )
+    # start inclusive, end exclusive; t=19 in both intervals
+    expected = [(10, 1), (19, 1), (19, 2), (20, 2), (35, 2)]
+    assert out == expected
