@@ -229,3 +229,29 @@ def test_decontamination_eval_side_broadcasts(spark):
     import re
 
     assert not re.search(r"SortMergeJoin \[shingle", plan)
+
+
+def test_asof_join_has_no_theta_join(spark):
+    """The as-of join must compile to hash shuffles + one window — an
+    inequality-condition join would fall back to BroadcastNestedLoopJoin
+    and explode at corpus scale."""
+    from apache_cassandra_spark.analytics.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k long, lt long, v string")
+    right = spark.createDataFrame([(1, 5, "b")], "k long, rt long, w string")
+    plan = plan_of(asof_join(left, right, "k", "lt", "rt"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Interval containment must ride the bucketized equality key (hash
+    join), with the true bounds as a post-join filter."""
+    from apache_cassandra_spark.analytics.temporal import range_join
+
+    rows = spark.createDataFrame([(10,)], "t long")
+    ivals = spark.createDataFrame([(1, 5, 15)], "iv long, s long, e long")
+    plan = plan_of(range_join(rows, ivals, "t", "s", "e", bucket=10))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

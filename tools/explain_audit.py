@@ -41,6 +41,8 @@ AUDITED = {
     "events_sessionize": "sessionization: ONE Exchange on user_id feeding lag + running-sum Window then a partial HashAggregate — per-user parallelism, no global sort",
     "corpus_stats": "per-source rollup: Generate-free token count (size(split)), partial+final HashAggregate on source",
     "corpus_sample_token_budget": "token-budget mix: literal CASE budget, one per-stratum window cumsum over the draw order, filter — no joins",
+    "events_asof": "as-of join: interleave union → ONE Exchange(user) → per-key Window last(ignorenulls) → hash join back for the payload — no inequality join, no BroadcastNestedLoop",
+    "events_range_join": "range join: interval slots explode (30 rows), events hash to their hour slot, BroadcastHashJoin on the slot, exact bounds as post-join filter",
 }
 
 
