@@ -568,6 +568,33 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Native grouping-sets surface: ROLLUP over (status, priority) with
+    the grouping-id disambiguating subtotal levels; decimal-exact sums so
+    the float addition order can't break the cross-engine hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def q_lineitem_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per return flag — Spark
+    ``percentile`` and standard SQL ``quantile_cont``/``percentile_cont``
+    share the interpolation formula, so values hash-match at 4 digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered conversion funnel signup → click → purchase: a user
     advances only with an event STRICTLY after their previous stage time
@@ -1907,6 +1934,19 @@ ORACLES: dict[str, str] = {
                (max(us) - min(us)) / 1000000 AS duration_s
         FROM sess GROUP BY 1, 2
     """,
+    "orders_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total,
+               cast(grouping(o_orderstatus, o_orderpriority) AS bigint) AS gid
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "lineitem_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY 1
+    """,
     # as-of: newest click at-or-before each purchase per user
     "events_asof": """
         WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
@@ -2133,6 +2173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "orders_rollup": q_orders_rollup,
+    "lineitem_quantiles": q_lineitem_quantiles,
     "corpus_stats": q_corpus_stats,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,
