@@ -925,6 +925,26 @@ def q_prepare_corpus(spark, sf_dir):
     return prepare_corpus(load_table(spark, sf_dir, "documents"), min_stop_hits=1)
 
 
+def q_prepare_corpus_full(spark, sf_dir):
+    """The END-TO-END pipeline a pretraining data build actually runs,
+    under ONE oracle: Gopher quality gate → exact dedup → minhash
+    near-dup representatives → eval-set decontamination (trigrams vs
+    every 50th doc) → greedy packing of the survivors into 512-token
+    sequences across 8 shard streams. Pins the wiring between every
+    stage, not just the stages."""
+    from apache_cassandra_spark.analytics.pipeline import (
+        decontaminate,
+        pack_sequences,
+        prepare_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    cleaned = prepare_corpus(docs, min_stop_hits=1)
+    survivors = decontaminate(cleaned, ev, n=3)
+    return pack_sequences(survivors, budget=512, n_shards=8)
+
+
 def _prepare_corpus_oracle() -> str:
     gopher_features = """
         qf AS (
@@ -982,6 +1002,45 @@ def _prepare_corpus_oracle() -> str:
         + """
         SELECT doc_id, text, n_tokens FROM exact
         WHERE doc_id NOT IN (SELECT id FROM l8 WHERE id <> label)
+    """
+    )
+
+
+def _prepare_corpus_full_oracle() -> str:
+    """prepare_corpus's CTE chain extended with decontamination (trigrams
+    vs the doc_id % 50 = 0 eval split of the RAW corpus) and greedy
+    512-token/8-shard packing of the survivors — the SQL twin of
+    q_prepare_corpus_full stage for stage."""
+    base = _prepare_corpus_oracle()
+    head, _, _ = base.rpartition("SELECT doc_id, text, n_tokens FROM exact")
+    return (
+        head
+        + """, surv AS MATERIALIZED (
+          SELECT doc_id, text, n_tokens FROM exact
+          WHERE doc_id NOT IN (SELECT id FROM l8 WHERE id <> label)),
+        evsh AS (SELECT DISTINCT shingle
+                 FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                                    i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                       FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                             FROM documents WHERE doc_id % 50 = 0))),
+        dirty AS (SELECT DISTINCT id
+                  FROM (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                        FROM (SELECT doc_id AS id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                              FROM surv))
+                  WHERE shingle IN (SELECT shingle FROM evsh)),
+        clean AS (SELECT doc_id, n_tokens FROM surv WHERE doc_id NOT IN (SELECT id FROM dirty)),
+        sharded AS (SELECT doc_id,
+                           ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 8 AS shard,
+                           n_tokens
+                    FROM clean),
+        packed AS (SELECT doc_id, shard, n_tokens,
+                          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+                   FROM sharded)
+        SELECT doc_id, shard, (cum - n_tokens) // 512 AS seq_in_shard,
+               cum - n_tokens AS offset, n_tokens,
+               shard * 1099511627776 + (cum - n_tokens) // 512 AS seq_id
+        FROM packed
     """
     )
 
@@ -2135,6 +2194,7 @@ ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 # IVF probing every cell must equal exact brute-force top-k (same oracle)
 ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
+ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_write_path": q_write_path,
@@ -2198,6 +2258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": q_dedup_groups,
     "dedup_groups_star": q_dedup_groups_star,
     "prepare_corpus": q_prepare_corpus,
+    "prepare_corpus_full": q_prepare_corpus_full,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "cluster_kmeans": q_cluster_kmeans,
