@@ -568,6 +568,31 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_rolling(spark, sf_dir):
+    """Trailing-hour rolling aggregates per user (RANGE frame on event
+    time): for every event, how many events and how much value the user
+    produced in the preceding hour — the per-entity rate/feature operator
+    of both abuse detection and feature pipelines. Decimal-exact sum so
+    in-frame addition order can't break the hash."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
 def q_orders_rollup(spark, sf_dir):
     """Native grouping-sets surface: ROLLUP over (status, priority) with
     the grouping-id disambiguating subtotal levels; decimal-exact sums so
@@ -1993,6 +2018,14 @@ ORACLES: dict[str, str] = {
                (max(us) - min(us)) / 1000000 AS duration_s
         FROM sess GROUP BY 1, 2
     """,
+    "events_rolling": """
+        SELECT user_id, event_id, us,
+               count(*) OVER w AS n_last_hour,
+               cast(sum(cast(value AS decimal(18,4))) OVER w AS double) AS value_last_hour
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
     "orders_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total,
@@ -2233,6 +2266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "events_rolling": q_events_rolling,
     "orders_rollup": q_orders_rollup,
     "lineitem_quantiles": q_lineitem_quantiles,
     "corpus_stats": q_corpus_stats,
