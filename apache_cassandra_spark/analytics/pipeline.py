@@ -68,14 +68,12 @@ def prepare_corpus(
 
 def _uniform_hash(id_col: str, resolution: int = 1_000_000) -> F.Column:
     """Deterministic, seedless uniform draw in [0, resolution) from the
-    document id: first 60 bits of md5 (int64-safe), mod resolution. The
-    same expression is one line of ANSI SQL, so sampling decisions are
-    externally reproducible row by row — the property a training-data
-    pipeline needs for audits ("why is this document in the corpus?")."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("bigint"),
-        F.lit(resolution),
-    )
+    document id — the engine's shared hash (``functions.hashing``), so
+    sampling decisions are externally reproducible row by row and use
+    the SAME arithmetic as batch/streaming shard membership."""
+    from apache_cassandra_spark.functions.hashing import uniform_hash
+
+    return uniform_hash(id_col, resolution)
 
 
 def sample_stratified(

@@ -4,17 +4,16 @@ built as exact compositions of native ops (no UDFs, no state).
 * ``asof_join`` — each left row matched to the newest right row at or
   before it (per key): the time-series enrichment join (trades→quotes,
   purchases→latest-preceding-click). Implemented with the interleave
-  trick: union both sides tagged, ONE per-key ordered window pass takes
+  trick: union both sides tagged, a per-key ordered window pass takes
   ``last(right_time, ignorenulls=True)`` over the preceding rows, then
   the right payload comes back via an equi-join on the matched
-  timestamp. Cost = one shuffle on the key (both sides) + one window —
-  there is no inequality join anywhere, so no range-explosion and no
-  BroadcastNestedLoop fallback.
+  timestamp. There is no inequality join anywhere, so no
+  range-explosion and no BroadcastNestedLoop fallback.
 * ``range_join`` — rows matched to intervals containing them, as an
   equality join on bucketized time (interval spans explode to the
   buckets they cover), turning a theta-join into an equi-join the
-  planner hash-partitions. Exact: candidates are filtered by the true
-  bounds after the bucket match.
+  planner hash-partitions. Exact: the true bounds ride in the join
+  condition.
 """
 
 from __future__ import annotations
@@ -41,9 +40,12 @@ def asof_join(
     ``tolerance``: matches older than ``left_time - tolerance`` are
     discarded (null columns), like pandas ``merge_asof``.
 
-    Scale: both sides shuffle once on ``key_col``; the window sort is
-    per-key; the payload retrieval is an equi-join on
-    (key, matched_time) — hash joins end to end."""
+    Scale — the honest plan shape is three exchanges, all hash/equi:
+    the interleaved union shuffles on ``key_col`` for the window, the
+    right side is scanned again and shuffled on (key, time) for the
+    deterministic payload reduction, and the payload equi-join on
+    (key, matched_time) adds one more. Every sort is per-key; nothing
+    is quadratic and nothing falls back to a nested-loop join."""
     lt, rt = F.col(left_time), F.col(right_time)
     l_tag = left.select(
         F.col(key_col).alias("_k"), lt.alias("_t"), F.lit(1).alias("_is_left"), F.struct(*left.columns).alias("_lrow")
@@ -94,18 +96,45 @@ def range_join(
     """Rows joined to the intervals containing them
     (``start <= t < end``) via bucketized equality: each interval
     explodes to every ``bucket``-sized time slot it overlaps, rows hash
-    to their slot, and the true-bounds filter runs after the equi-join.
-    Choose ``bucket`` near the median interval length — each interval
-    then lands in O(1) slots and the join is a plain shuffled hash join
-    (no BroadcastNestedLoopJoin theta-join fallback)."""
-    t = F.col(time_col)
+    to their slot, and the true bounds ride IN the join condition (so
+    outer semantics survive — a post-join filter would silently turn a
+    left join back into an inner one). Choose ``bucket`` near the median
+    interval length — each interval then lands in O(1) slots and the
+    join is a plain shuffled hash join on the slot (no
+    BroadcastNestedLoopJoin theta-join fallback).
+
+    ``how``: inner / left / left_semi / left_anti — shapes where each
+    probe row meets an interval in exactly its own slot, so no
+    duplicates arise. right/full would emit one row per exploded slot
+    for unmatched intervals and are rejected.
+
+    Time and bound columns must be integral (the slot arithmetic
+    truncates; fractional times would silently miss their final partial
+    bucket). Degenerate intervals (``end <= start``) contain nothing and
+    are dropped before exploding — an inverted pair would otherwise
+    fan out to every slot between the bounds in reverse."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"range_join supports inner/left/left_semi/left_anti, not {how!r}")
+    if "_slot" in rows.columns or "_slot" in intervals.columns:
+        raise ValueError("range_join reserves the column name '_slot'")
+    types = dict(rows.dtypes) | dict(intervals.dtypes)
+    for c in (time_col, start_col, end_col):
+        if types[c] not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(f"range_join needs integral time columns; {c} is {types[c]}")
     slot_seq = F.sequence(
         (F.col(start_col) / bucket).cast("long"),
         ((F.col(end_col) - 1) / bucket).cast("long"),
     )
-    iv = intervals.withColumn("_slot", F.explode(slot_seq))
-    rw = rows.withColumn("_slot", (t / bucket).cast("long"))
-    joined = rw.join(iv, "_slot", how).where(
-        (t >= F.col(start_col)) & (t < F.col(end_col))
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "_slot", F.explode(slot_seq)
     )
-    return joined.drop("_slot")
+    rw = rows.withColumn("_slot", (F.col(time_col) / bucket).cast("long"))
+    cond = (
+        (rw["_slot"] == iv["_slot"])
+        & (rw[time_col] >= iv[start_col])
+        & (rw[time_col] < iv[end_col])
+    )
+    joined = rw.join(iv, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return joined.drop("_slot")
+    return joined.drop(iv["_slot"]).drop(rw["_slot"])

@@ -36,11 +36,12 @@ _FORMATS = ("parquet", "json", "csv")
 
 
 def shard_expr(key_col: str, n_shards: int) -> F.Column:
-    """Deterministic shard id in [0, n_shards): first 60 bits of
-    md5(key) mod n_shards — one line of ANSI SQL, reproducible outside
-    Spark (the same arithmetic as pipeline._uniform_hash)."""
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("bigint")
-    return F.pmod(h, F.lit(n_shards))
+    """Deterministic shard id in [0, n_shards): the engine's shared
+    uniform hash (``functions.hashing.uniform_hash`` — one line of ANSI
+    SQL, identical arithmetic to the sampling draws by construction)."""
+    from apache_cassandra_spark.functions.hashing import uniform_hash
+
+    return uniform_hash(key_col, n_shards)
 
 
 def read_corpus(
@@ -56,7 +57,10 @@ def read_corpus(
         raise ValueError(f"unsupported corpus format {fmt!r}; one of {_FORMATS}")
     reader = spark.read
     if fmt == "parquet":
-        return reader.parquet(path)
+        # a caller-declared schema is a contract for parquet too: apply
+        # it so a type drift in the files fails at read time, not three
+        # jobs downstream
+        return (reader.schema(schema) if schema is not None else reader).parquet(path)
     if schema is None:
         raise ValueError(f"{fmt} corpus needs an explicit schema (inference = extra full pass)")
     reader = reader.schema(schema)
@@ -84,6 +88,12 @@ def write_sharded(
     ``maxRecordsPerFile`` — uniform load units for downstream readers."""
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported corpus format {fmt!r}; one of {_FORMATS}")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column (e.g. a corpus read back from "
+            "this layout) — drop or rename it; write_sharded recomputes shard "
+            "membership from the key and would silently overwrite it"
+        )
     out = (
         df.withColumn("shard", shard_expr(key_col, n_shards))
         .repartition(n_shards, F.col("shard"))
@@ -94,4 +104,4 @@ def write_sharded(
         writer = writer.option("maxRecordsPerFile", rows_per_file)
     if fmt == "csv":
         writer = writer.option("header", "true")
-    getattr(writer, "parquet" if fmt == "parquet" else fmt)(path)
+    getattr(writer, fmt)(path)

@@ -58,6 +58,11 @@ def stream_to_shards(
     Shard membership is identical to the batch writer's (``shard_expr``),
     so batch and streaming writes into the same root compose: a document
     lands in the same ``shard=NN`` whichever path wrote it."""
+    if "shard" in docs.columns:
+        raise ValueError(
+            "stream already has a 'shard' column — drop or rename it; "
+            "stream_to_shards recomputes shard membership from the key"
+        )
     out = docs.withColumn("shard", shard_expr(key_col, n_shards))
     writer = (
         out.writeStream.outputMode("append")

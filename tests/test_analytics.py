@@ -590,3 +590,42 @@ def test_range_join_bounds_and_straddling(spark):
     # start inclusive, end exclusive; t=19 in both intervals
     expected = [(10, 1), (19, 1), (19, 2), (20, 2), (35, 2)]
     assert out == expected
+
+
+def test_range_join_left_preserves_unmatched_rows(spark):
+    from apache_cassandra_spark.analytics.temporal import range_join
+
+    rows = spark.createDataFrame([(5,), (100,)], "t long")
+    ivals = spark.createDataFrame([(10, 0, 8)], "iv long, s long, e long")
+    out = {(r["t"], r["iv"]) for r in range_join(rows, ivals, "t", "s", "e", bucket=4, how="left").collect()}
+    assert out == {(5, 10), (100, None)}  # unmatched row survives with nulls
+    semi = {r["t"] for r in range_join(rows, ivals, "t", "s", "e", bucket=4, how="left_semi").collect()}
+    assert semi == {5}
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(rows, ivals, "t", "s", "e", bucket=4, how="full")
+
+
+def test_range_join_guards(spark):
+    from apache_cassandra_spark.analytics.temporal import range_join
+
+    rows = spark.createDataFrame([(10.4,)], "t double")
+    ivals = spark.createDataFrame([(1, 0, 11)], "iv long, s long, e long")
+    with pytest.raises(ValueError, match="integral"):
+        range_join(rows, ivals, "t", "s", "e", bucket=1)
+    # inverted interval contains nothing (and must not explode)
+    rows_i = spark.createDataFrame([(5,)], "t long")
+    bad = spark.createDataFrame([(1, 1_000_000, 0)], "iv long, s long, e long")
+    assert range_join(rows_i, bad, "t", "s", "e", bucket=10).count() == 0
+
+
+def test_corpus_io_guards(spark, tmp_path):
+    from apache_cassandra_spark.sources import corpus as C
+
+    df = spark.createDataFrame([(1, "t", 0)], "doc_id long, text string, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        C.write_sharded(df, str(tmp_path / "x"))
+    # parquet read applies a declared schema as a contract
+    clean = df.drop("shard")
+    clean.write.parquet(str(tmp_path / "p"))
+    got = C.read_corpus(spark, str(tmp_path / "p"), fmt="parquet", schema="doc_id long, text string")
+    assert dict(got.dtypes) == {"doc_id": "bigint", "text": "string"}
