@@ -40,25 +40,51 @@ def prepare_corpus(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    ngram_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    verify_jaccard: float | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus ``(doc_id, text, n_tokens)``.
 
     Thresholds default to the Gopher paper's; pass corpus-appropriate
     values (the synthetic fixture needs ``min_stop_hits=1`` — its
-    vocabulary only contains one of the eight Gopher stopwords)."""
-    q = gopher_quality(docs, text_col, id_col)
-    passed_ids = q.where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_ratio") < max_symbol_ratio)
-        & (F.col("alpha_frac") > min_alpha_frac)
-        & (F.col("stop_hits") >= min_stop_hits)
-    ).select(id_col, "n_tokens")
+    vocabulary only contains one of the eight Gopher stopwords).
+
+    Near-dup removal drops non-representatives of LSH *candidate*
+    components. With the default ``verify_jaccard=None`` a band
+    collision alone links two docs — at 16 perms / 4 bands a pair at
+    Jaccard ~0.3 still collides with p ≈ 3%, and connected components
+    merge transitively, so distinct-but-boilerplate-heavy docs can be
+    dropped. Tighten with more perms/bands, or set ``verify_jaccard``
+    to a threshold: candidates are then semi-joined against the exact
+    inverted-index Jaccard pairs at that threshold before grouping (one
+    extra shingle pass) — the precision/cost tradeoff is the caller's."""
+    q = gopher_quality(
+        docs,
+        text_col,
+        id_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        min_alpha_frac=min_alpha_frac,
+        min_stop_hits=min_stop_hits,
+    )
+    passed_ids = q.where(F.col("gopher_pass")).select(id_col, "n_tokens")
     passed = docs.select(id_col, text_col).join(passed_ids, id_col)
     survivors = exact_dedup(passed, text_col, id_col).cache()
-    pairs = minhash_lsh_candidates(survivors, text_col, id_col)
+    pairs = minhash_lsh_candidates(
+        survivors, text_col, id_col, n=ngram_n, num_perm=num_perm, bands=bands
+    )
+    if verify_jaccard is not None:
+        from apache_cassandra_spark.analytics.dedup import ngram_jaccard_pairs
+
+        exact_pairs = ngram_jaccard_pairs(
+            survivors, text_col, id_col, n=ngram_n, threshold=verify_jaccard
+        ).select("id_a", "id_b")
+        pairs = pairs.join(exact_pairs, ["id_a", "id_b"], "left_semi")
     groups = dup_groups_from_pairs(pairs)
     non_reps = groups.where(F.col("id") != F.col("group_id")).select(
         F.col("id").alias(id_col)
@@ -91,13 +117,16 @@ def sample_stratified(
     predicate pushdown (the sample filter rides the Parquet scan).
 
     ``rates`` maps stratum value → keep-rate in [0, 1]; anything else
-    gets ``default_rate``. Sampling is by ``u < rate * 1e6`` on the
-    md5-derived draw, so a row's fate is a pure function of its id."""
+    gets ``default_rate``. Sampling is by ``u < round(rate * 1e6)`` on
+    the md5-derived draw, so a row's fate is a pure function of its id.
+    Thresholds are integerized in PYTHON (``round``), not as a Spark
+    double cast — IEEE truncation (0.000249 * 1e6 = 248.999…97 → 248)
+    would otherwise diverge from any decimal-arithmetic SQL replay."""
     u = _uniform_hash(id_col)
-    rate = F.lit(default_rate)
+    thresh = F.lit(int(round(default_rate * 1_000_000)))
     for k, v in sorted(rates.items()):
-        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
-    return docs.where(u < (rate * 1_000_000).cast("long"))
+        thresh = F.when(F.col(strata_col) == k, F.lit(int(round(v * 1_000_000)))).otherwise(thresh)
+    return docs.where(u < thresh)
 
 
 def sample_quota(
@@ -112,10 +141,15 @@ def sample_quota(
     growth only where draws are (adding docs can only displace the
     largest draws). The window top-k compiles to WindowGroupLimit, so
     each partition pre-truncates to ``quota`` rows before the stratum
-    shuffle — the shuffle moves O(strata × quota), not the corpus."""
+    shuffle — the shuffle moves O(strata × quota), not the corpus.
+
+    The rank draw uses the FULL 60-bit hash (not the 1e6-resolution
+    Bernoulli draw): at a billion docs a 1e6-valued draw has ~1000-way
+    ties per value and the id tiebreak would bias the sample toward the
+    numerically-smallest ids; 60 bits makes ties vanishingly rare."""
     from pyspark.sql import Window
 
-    u = _uniform_hash(id_col)
+    u = _uniform_hash(id_col, resolution=1 << 60)
     w = Window.partitionBy(strata_col).orderBy(F.col("_draw"), F.col(id_col))
     return (
         docs.withColumn("_draw", u)
@@ -142,27 +176,40 @@ def contamination_flags(
 
     Scale: the eval side is DISTINCT n-grams of the *eval set* — eval
     suites are thousands of documents while the corpus is billions, so the
-    eval n-gram set broadcasts (``broadcast_eval``), making the whole
-    check a map-side semi-join over the training shingle stream: no
-    shuffle of corpus data at all. Set ``broadcast_eval=False`` only if
+    eval n-gram set broadcasts (``broadcast_eval``), making hit
+    detection a map-side semi-join over the training shingle stream (the
+    SHINGLE stream never shuffles; only distinct hit ids and the flag
+    join move ids). Set ``broadcast_eval=False`` only if
     the "eval" side is itself corpus-scale (then it's a shuffled semi-join
     on the uniform shingle string)."""
+    hits = _contaminated_ids(train, eval_df, text_col, id_col, n, broadcast_eval)
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits.withColumn("_hit", F.lit(True)), "id", "left")
+        .select(F.col("id").alias(id_col), F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+def _contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    broadcast_eval: bool,
+) -> DataFrame:
+    """Distinct train ids sharing >= 1 word n-gram with the eval set
+    (column name ``id``)."""
     from apache_cassandra_spark.analytics.dedup import _shingle_stream
 
     ev = _shingle_stream(eval_df, text_col, id_col, n).select("shingle").distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
-    hits = (
+    return (
         _shingle_stream(train, text_col, id_col, n)
         .join(ev, "shingle", "left_semi")
         .select("id")
         .distinct()
-        .withColumn("_hit", F.lit(True))
-    )
-    return (
-        train.select(F.col(id_col).alias("id"))
-        .join(hits, "id", "left")
-        .select(F.col("id").alias(id_col), F.coalesce("_hit", F.lit(False)).alias("contaminated"))
     )
 
 
@@ -175,10 +222,12 @@ def decontaminate(
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """The corpus with contaminated documents removed (see
-    ``contamination_flags`` for semantics and the broadcast design)."""
-    flags = contamination_flags(train, eval_df, text_col, id_col, n, broadcast_eval)
-    dirty = flags.where(F.col("contaminated")).select(id_col)
-    return train.join(dirty, id_col, "left_anti")
+    ``contamination_flags`` for semantics and the broadcast design).
+    Anti-joins directly against the hit-id set — going through the full
+    flag frame would add a redundant all-train-ids join just to filter
+    it back down to the hits."""
+    hits = _contaminated_ids(train, eval_df, text_col, id_col, n, broadcast_eval)
+    return train.join(hits.withColumnRenamed("id", id_col), id_col, "left_anti")
 
 
 def pack_sequences(
@@ -210,16 +259,31 @@ def pack_sequences(
     ``shard_col`` is None) — each shard's running sum is independent, so
     parallelism = ``n_shards`` regardless of corpus size, and no global
     sort exists anywhere. Sequence ids are made globally unique by
-    prefixing the shard id."""
+    prefixing the shard id (so the shard column must be integral — a
+    string shard would cast to NULL and silently null every seq_id)."""
     from pyspark.sql import Window
 
     from apache_cassandra_spark.analytics.text import token_count
 
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     if shard_col is None:
+        if "shard" in docs.columns:
+            raise ValueError(
+                "input already has a 'shard' column — pass shard_col='shard' to "
+                "use it, or drop/rename it; recomputing silently would change "
+                "shard membership"
+            )
         from apache_cassandra_spark.sources.corpus import shard_expr
 
         docs = docs.withColumn("shard", shard_expr(id_col, n_shards))
         shard_col = "shard"
+    elif dict(docs.dtypes)[shard_col] not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"shard_col {shard_col!r} must be integral (is "
+            f"{dict(docs.dtypes)[shard_col]}); a non-numeric shard casts to "
+            "NULL in the seq_id arithmetic"
+        )
     toks = docs.select(
         F.col(id_col),
         F.col(shard_col).alias("shard"),
@@ -263,6 +327,8 @@ def sample_token_budget(
     Scale: one window (running token sum per stratum, ordered by draw) —
     parallelism is per-stratum like ``sample_quota``; no joins, no
     global sort. Strata not named in ``budgets`` are dropped (budget 0).
+    The draw is the full 60-bit hash (see ``sample_quota`` — a coarse
+    draw would tie-cluster and bias the kept prefix toward small ids).
     """
     from pyspark.sql import Window
 
@@ -271,7 +337,7 @@ def sample_token_budget(
     budget = F.lit(None).cast("long")
     for k, v in sorted(budgets.items()):
         budget = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(budget)
-    toked = docs.withColumn("_draw", _uniform_hash(id_col)).withColumn(
+    toked = docs.withColumn("_draw", _uniform_hash(id_col, resolution=1 << 60)).withColumn(
         "_ntok", token_count(F.col(text_col))
     )
     w = Window.partitionBy(strata_col).orderBy("_draw", id_col)

@@ -167,12 +167,26 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
     """Gopher quality-rule flags (Rae et al. 2021 §A1.1), line rules
     omitted for the single-line corpus: token-count bounds, mean word
     length bounds, symbol-to-word ratio (``#``/ellipsis), alphabetic-word
-    fraction, ≥2 distinct hits from the 8-word stopword set; ``gopher_pass``
-    is the conjunction. Pure built-in expressions — whole-stage codegen."""
+    fraction, distinct hits from the 8-word stopword set; ``gopher_pass``
+    is the conjunction of the thresholds (defaults = the paper's). THE
+    single source of truth for the rule set — prepare_corpus filters on
+    this flag rather than rebuilding the conjunction. Pure built-in
+    expressions — whole-stage codegen."""
     t = F.col(text_col)
     toked = df.select(F.col(id_col), tokens(t).alias("_toks"), t.alias("_t"))
     n = F.size("_toks")
@@ -195,13 +209,13 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
     return out.withColumn(
         "gopher_pass",
-        (F.col("n_tokens") >= 50)
-        & (F.col("n_tokens") <= 100_000)
-        & (F.col("mean_word_len") >= 3)
-        & (F.col("mean_word_len") <= 10)
-        & (F.col("symbol_ratio") < 0.1)
-        & (F.col("alpha_frac") > 0.8)
-        & (F.col("stop_hits") >= 2),
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("alpha_frac") > min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits),
     )
 
 

@@ -2092,7 +2092,7 @@ ORACLES: dict[str, str] = {
     # token span STARTS inside the stratum budget (pipeline.sample_token_budget)
     "corpus_sample_token_budget": """
         WITH t AS (SELECT doc_id, source,
-                          ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000 AS draw,
+                          ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint AS draw,
                           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
                    FROM documents WHERE source IN ('src0', 'src1', 'src2')),
         c AS (SELECT doc_id, source,
@@ -2128,7 +2128,7 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, lang,
                  row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000, doc_id
+                   ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint, doc_id
                  ) AS rk
           FROM documents)
         WHERE rk <= 30

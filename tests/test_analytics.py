@@ -519,7 +519,7 @@ def test_sample_token_budget_invariants(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     budgets = {"a": 20, "b": 10_000}  # partial keep / whole stratum / c dropped
     out = sample_token_budget(df, budgets)
-    got = out.withColumn("_d", _uniform_hash("doc_id")).collect()
+    got = out.withColumn("_d", _uniform_hash("doc_id", 1 << 60)).collect()
     by_src = {}
     for r in got:
         by_src.setdefault(r["source"], []).append(r)
@@ -529,7 +529,7 @@ def test_sample_token_budget_invariants(spark):
     # kept set is the prefix of draw order whose token spans START in-budget
     a_all = [r["doc_id"] for r in spark.createDataFrame(
         [(i,) for i in range(60) if i % 3 == 0], "doc_id long"
-    ).withColumn("_d", _uniform_hash("doc_id")).orderBy("_d", "doc_id").collect()]
+    ).withColumn("_d", _uniform_hash("doc_id", 1 << 60)).orderBy("_d", "doc_id").collect()]
     cum, expect = 0, []
     for i in a_all:
         if cum < budgets["a"]:
@@ -629,3 +629,47 @@ def test_corpus_io_guards(spark, tmp_path):
     clean.write.parquet(str(tmp_path / "p"))
     got = C.read_corpus(spark, str(tmp_path / "p"), fmt="parquet", schema="doc_id long, text string")
     assert dict(got.dtypes) == {"doc_id": "bigint", "text": "string"}
+
+
+def test_pack_sequences_guards(spark):
+    from apache_cassandra_spark.analytics.pipeline import pack_sequences
+
+    df = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="integral"):
+        pack_sequences(df, budget=10, shard_col="lang")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+    shard_df = spark.createDataFrame([(1, "a b", 3)], "doc_id long, text string, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        pack_sequences(shard_df, budget=10)  # existing shard col, shard_col=None
+    # explicit shard_col='shard' uses it instead of raising
+    out = pack_sequences(shard_df, budget=10, shard_col="shard").collect()[0]
+    assert out["shard"] == 3 and out["seq_id"] == 3 * (1 << 40)
+
+
+def test_sample_stratified_integer_threshold_rounds(spark):
+    """IEEE truncation (0.000249*1e6 = 248.999...97 -> 248) must not leak
+    into the keep threshold: the rate integerizes by round() in Python,
+    matching decimal-arithmetic SQL replay."""
+    from apache_cassandra_spark.analytics.pipeline import _uniform_hash, sample_stratified
+
+    rows = [(i, "t", "en") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r["doc_id"] for r in sample_stratified(df, {"en": 0.000249}).collect()}
+    draws = {r["doc_id"]: r["_d"] for r in df.withColumn("_d", _uniform_hash("doc_id")).collect()}
+    assert kept == {i for i in range(5000) if draws[i] < 249}  # 249, not 248
+
+
+def test_prepare_corpus_verify_jaccard_tightens(spark):
+    """With verify_jaccard set, an LSH candidate pair below the exact
+    Jaccard threshold must NOT cost a document its place."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_corpus
+
+    base = "the be to of and that have with " + " ".join(f"wordish{i}" for i in range(50))
+    other = "the be to of and that have with " + " ".join(f"xenolith{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    strict = prepare_corpus(docs, verify_jaccard=0.8)
+    ids = sorted(r["doc_id"] for r in strict.collect())
+    assert ids == [1, 3]  # exact dup collapsed; doc 3 never dropped
