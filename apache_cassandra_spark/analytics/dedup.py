@@ -662,3 +662,42 @@ def remove_duplicate_lines(
         )
         .select(F.col("id").alias(id_col), text_col)
     )
+
+
+def dedup_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Intra-document repeated-segment removal: each ``delim``-separated
+    segment survives only at its first position WITHIN its own document,
+    and the document reassembles from the survivors — the within-page
+    half of repetition cleaning (duplicated paragraphs from template
+    rendering, scraper page-stitching, pagination overlap), complementing
+    the corpus-wide ``remove_duplicate_lines``.
+
+    Returns ``(id, text, n_segments, n_dropped)``.
+
+    Scale: a 100%% per-row computation, so unlike the corpus-wide pass it
+    needs NO shuffle and no join — an index-aware higher-order ``filter``
+    keeps element ``i`` iff its first occurrence index equals ``i``.
+    ``array_position`` makes that O(segments²) per document — segments
+    per page are tens-to-hundreds, and the quadratic term is in-register
+    string compares inside codegen, not a distributed operation.
+    """
+    import re
+
+    segs = F.split(F.col(text_col), re.escape(delim))  # literal, not regex
+    kept = F.filter(segs, lambda s, i: F.array_position(segs, s) == i + 1)
+    # The rebuilt text gets a TEMP name: aliasing it straight to text_col
+    # shadows the input column, and when Catalyst splits the projection to
+    # extract the lambdas, the count expressions re-resolve their inner
+    # split(text) against the ALREADY-DEDUPED output (measured: n_dropped
+    # off by one on a doc with two distinct repeats).
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, delim).alias("_dedup_text"),
+        F.size(segs).cast("long").alias("n_segments"),
+        (F.size(segs) - F.size(kept)).cast("long").alias("n_dropped"),
+    ).withColumnRenamed("_dedup_text", text_col)

@@ -347,3 +347,77 @@ def sample_token_budget(
         .where(budget.isNotNull() & (F.col("_start") < budget))
         .drop("_draw", "_ntok", "_start")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed token-window chunks per document, with optional overlap:
+    ``(id, chunk_id, chunk, n_tokens)`` — the context-length splitter a
+    pretraining pipeline runs between cleaning and packing.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; every
+    start offset below the document's token count yields a chunk, so the
+    tail chunk may be short (trainers pad or pack it — dropping it would
+    silently lose up to ``window - 1`` tokens per document). ``stride <
+    window`` overlaps (e.g. window 512 / stride 384 ≈ 25% overlap for
+    long-range continuity); ``stride == window`` (default) partitions.
+
+    Scale: pure per-row built-ins — ``sequence`` over start offsets,
+    ``posexplode``, ``slice``; no shuffle, no UDF, whole-stage codegen.
+    The explode multiplies rows ~n_tokens/stride × but each output row is
+    a narrow slice of the input, so bytes grow by ~window/stride.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    stride = window if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    from apache_cassandra_spark.analytics.text import tokens
+
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+        .select(id_col, "_toks", F.posexplode("_starts").alias("chunk_id", "_start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(F.slice("_toks", F.col("_start") + 1, window), " ").alias("chunk"),
+            F.least(F.size("_toks") - F.col("_start"), F.lit(window))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def sample_by_score(
+    docs: DataFrame,
+    score: "F.Column",
+    scale: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance resampling: keep each row with probability
+    ``min(1, scale * score)`` — quality-weighted downsampling (keep the
+    good, thin the mediocre, drop-biased against junk) as one map-only
+    filter, the DSIR-shaped reweighting step of a pretraining pipeline.
+
+    The draw is the same deterministic md5 hash as ``sample_stratified``
+    (a row's fate is a pure function of its id), so reruns and replays
+    agree. The keep threshold is ``round(min(1, scale*score) * 1e6)`` —
+    rounding to the integer draw resolution absorbs last-ulp differences
+    between engines computing the same score arithmetic, exactly like
+    the 6-decimal rounding in ``gopher_quality``'s features. Build
+    ``score`` from integer-derived arithmetic for cross-engine replay.
+
+    Scale: no shuffle, no join; the filter rides the scan.
+    """
+    u = _uniform_hash(id_col)
+    thresh = F.round(F.least(score * F.lit(float(scale)), F.lit(1.0)) * 1_000_000).cast("long")
+    return docs.where(u < thresh)

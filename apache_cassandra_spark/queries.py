@@ -1183,6 +1183,50 @@ def q_corpus_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=512, n_shards=8)
 
 
+def q_dedup_within_doc(spark, sf_dir):
+    """Intra-document repeated-segment removal on a corpus with a planted
+    duplicated paragraph: text rebuilt as prefix / boiler / boiler / tail,
+    so every document must drop exactly one segment (plus any incidental
+    repeats among prefix/tail). Shuffle-free per-row lambda filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 80),
+            F.lit(_BOILER_LINE),
+            F.lit(_BOILER_LINE),
+            F.expr("substring(text, 81)"),
+        ).alias("text"),
+    )
+    return dedup.dedup_within_doc(planted)
+
+
+def q_corpus_chunk(spark, sf_dir):
+    """Context-length chunking: every document split into 32-token
+    windows at stride 24 (25% overlap); tail chunks kept. Pure
+    sequence/posexplode/slice built-ins — the oracle replays the same
+    arithmetic with DuckDB list slicing."""
+    from apache_cassandra_spark.analytics.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=32, stride=24)
+
+
+def q_corpus_sample_importance(spark, sf_dir):
+    """Quality-weighted resampling: keep-probability = 0.5·(stopword
+    richness) + 0.5·(length saturation at 80 tokens). Both score terms
+    are integer-derived, so the oracle reproduces the exact threshold."""
+    from apache_cassandra_spark.analytics.pipeline import sample_by_score
+    from apache_cassandra_spark.analytics.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = gopher_quality(docs).select("doc_id", "n_tokens", "stop_hits")
+    scored = docs.join(feats, "doc_id")
+    score = (F.col("stop_hits") / 16.0) + (F.least(F.col("n_tokens"), F.lit(80)) / 160.0)
+    return sample_by_score(scored, score).select("doc_id", "lang", "source")
+
+
 def q_sim_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
@@ -2003,6 +2047,59 @@ ORACLES: dict[str, str] = {
         SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
         ORDER BY cnt DESC, bigram LIMIT 50
     """,
+    # within-doc first-occurrence segment filter via the index lambda;
+    # list_position = first 1-based index, i is 1-based in duckdb lambdas
+    "dedup_within_doc": f"""
+        WITH corpus AS (SELECT doc_id,
+                               substr(text, 1, 80) || chr(10) || '{_BOILER_LINE}'
+                               || chr(10) || '{_BOILER_LINE}'
+                               || chr(10) || substr(text, 81) AS text
+                        FROM documents),
+        parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus),
+        dd AS (SELECT doc_id, p,
+                      list_filter(p, (x, i) -> list_position(p, x) = i) AS kept
+               FROM parts)
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS text,
+               cast(len(p) as bigint) AS n_segments,
+               cast(len(p) - len(kept) as bigint) AS n_dropped
+        FROM dd
+    """,
+    # keep-prob = stop_hits/16 + min(n_tokens,80)/160, thresholded at the
+    # integer draw resolution (round absorbs last-ulp double noise)
+    "corpus_sample_importance": """
+        WITH t AS (SELECT doc_id, lang, source,
+                          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                   FROM documents),
+        f AS (SELECT doc_id, lang, source,
+                     cast(
+                       list_contains(list_transform(tk, x -> lower(x)), 'the')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'be')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'to')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'of')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'and')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'that')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'have')::int +
+                       list_contains(list_transform(tk, x -> lower(x)), 'with')::int
+                     as bigint) AS stop_hits,
+                     cast(len(tk) as bigint) AS n_tokens
+              FROM t)
+        SELECT doc_id, lang, source FROM f
+        WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000
+              < cast(round(least(stop_hits/16.0 + least(n_tokens, 80)/160.0, 1.0) * 1000000) as bigint)
+    """,
+    # 32-token windows at stride 24; chunk i covers [i*24, i*24+32);
+    # DuckDB list slice toks[s+1 : s+32] == Spark slice(toks, s+1, 32)
+    "corpus_chunk": """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+              FROM t WHERE len(toks) > 0)
+        SELECT doc_id, (start // 24)::bigint AS chunk_id,
+               array_to_string(toks[start+1 : start+32], ' ') AS chunk,
+               least(len(toks) - start, 32)::bigint AS n_tokens
+        FROM s
+    """,
     # 30-minute-gap sessionization over epoch-us event times
     "events_sessionize": """
         WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -2287,6 +2384,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_quota": q_corpus_sample_quota,
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_chunk": q_corpus_chunk,
+    "corpus_sample_importance": q_corpus_sample_importance,
+    "dedup_within_doc": q_dedup_within_doc,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,

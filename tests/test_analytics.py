@@ -673,3 +673,65 @@ def test_prepare_corpus_verify_jaccard_tightens(spark):
     strict = prepare_corpus(docs, verify_jaccard=0.8)
     ids = sorted(r["doc_id"] for r in strict.collect())
     assert ids == [1, 3]  # exact dup collapsed; doc 3 never dropped
+
+
+def test_chunk_documents_partitions_and_overlaps(spark):
+    from apache_cassandra_spark.analytics.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only two"), (3, "")],
+        "doc_id long, text string",
+    )
+    # stride == window: chunks partition the token stream exactly
+    part = chunk_documents(df, window=4).orderBy("doc_id", "chunk_id").collect()
+    rebuilt = " ".join(r["chunk"] for r in part if r["doc_id"] == 1)
+    assert rebuilt == " ".join(f"t{i}" for i in range(10))
+    assert [r["n_tokens"] for r in part if r["doc_id"] == 1] == [4, 4, 2]
+    assert all(r["doc_id"] != 3 for r in part)  # empty doc -> no chunks
+    # stride < window: consecutive chunks share window-stride tokens
+    ov = chunk_documents(df, window=4, stride=2).orderBy("doc_id", "chunk_id").collect()
+    d1 = [r["chunk"].split(" ") for r in ov if r["doc_id"] == 1]
+    for a, b in zip(d1, d1[1:]):
+        assert a[2:] == b[: len(a) - 2]
+    with pytest.raises(ValueError, match="window"):
+        chunk_documents(df, window=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window=4, stride=0)
+
+
+def test_sample_by_score_invariants(spark):
+    from apache_cassandra_spark.analytics.pipeline import sample_by_score
+
+    df = spark.createDataFrame([(i, "x") for i in range(400)], "doc_id long, text string")
+    assert sample_by_score(df, F.lit(1.0)).count() == 400      # p=1 keeps all
+    assert sample_by_score(df, F.lit(5.0)).count() == 400      # clamped at 1
+    assert sample_by_score(df, F.lit(0.0)).count() == 0        # p=0 drops all
+    half = sample_by_score(df, F.lit(0.5)).count()
+    assert 120 < half < 280                                    # ~Bernoulli(0.5)
+    # kept set at scale s is a subset of kept set at scale 2s (same draw)
+    lo = {r["doc_id"] for r in sample_by_score(df, F.lit(0.3)).collect()}
+    hi = {r["doc_id"] for r in sample_by_score(df, F.lit(0.3), scale=2.0).collect()}
+    assert lo <= hi
+
+
+def test_dedup_within_doc_first_occurrence(spark):
+    from apache_cassandra_spark.analytics.dedup import dedup_within_doc
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "solo"), (3, ""), (4, "p.q\np.q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_within_doc(df).collect()}
+    # first occurrence survives in order; counts measured on the INPUT
+    # segments (regression: aliasing the rebuilt text over the input name
+    # made Catalyst re-resolve the counts against the deduped text)
+    assert got[1]["text"] == "a\nb\nc"
+    assert (got[1]["n_segments"], got[1]["n_dropped"]) == (5, 2)
+    assert got[2]["text"] == "solo" and got[2]["n_dropped"] == 0
+    assert got[3]["text"] == "" and got[3]["n_segments"] == 1
+    assert got[4]["text"] == "p.q" and got[4]["n_dropped"] == 1
+    # custom delimiter is literal, not regex
+    dot = dedup_within_doc(
+        spark.createDataFrame([(1, "a.b.a")], "doc_id long, text string"), delim="."
+    ).collect()[0]
+    assert dot["text"] == "a.b" and dot["n_segments"] == 3
