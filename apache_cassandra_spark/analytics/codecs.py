@@ -455,3 +455,47 @@ def encode_ppm_pixels(px: np.ndarray) -> bytes:
     if px.shape[2] == 1:
         px = np.repeat(px, 3, axis=2)
     return (f"P6\n{w} {h}\n255\n").encode("ascii") + px.astype(np.uint8).tobytes()
+
+
+def wav_samples(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, int16 sample vector) of a PCM16 WAV — the raw-signal
+    accessor behind ``multimodal.audio_features`` (``decode_wav`` returns
+    summary stats only)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(f"only PCM16 supported (sampwidth={wf.getsampwidth()})")
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2")
+
+
+def encode_wav_pcm16(samples: "np.ndarray | list[int]", rate: int = 8000) -> bytes:
+    """Mono PCM16 WAV from an arbitrary sample vector (test fixture side
+    of ``multimodal.synthetic_wav_sawtooth_payload``)."""
+    arr = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream (the synthetic "video" container:
+    frames laid head-to-tail) into per-frame byte slices by walking
+    header + raster lengths. Raises ValueError on a malformed boundary
+    (non-P6 magic mid-stream) — honest failure, not silent truncation."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"expected P6 magic at offset {pos}")
+        magic, w, h, maxval, off = _ppm_header(payload[pos:])
+        end = pos + off + w * h * 3
+        if end > len(payload):
+            raise ValueError(f"truncated frame at offset {pos}")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames

@@ -377,3 +377,188 @@ def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
+
+
+def synthetic_wav_sawtooth_payload(doc_id: Column) -> Column:
+    """A RIFF/WAVE PCM16 mono file whose samples actually VARY — sample
+    ``i`` is ``((doc_id*31 + i*411) % 2048) - 1024`` over ``50 + doc_id %
+    50`` frames at 8 kHz. The constant-amplitude fixture makes RMS
+    degenerate (RMS == |amp|); this sawtooth exercises the whole signal
+    path — RMS, peak, zero crossings — while every byte is still
+    closed-form ``doc_id`` arithmetic an external SQL engine can replay.
+    JVM-only: per-sample hex via ``transform`` over a ``sequence``."""
+    n = F.lit(50) + F.pmod(doc_id, F.lit(50))
+    rate = F.lit(8000)
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _le_hex(
+                F.pmod(F.pmod(doc_id * 31 + i * 411, F.lit(2048)) - F.lit(1024), F.lit(65536)), 2
+            ),
+        ),
+        "",
+    )
+    hex_all = F.concat(
+        F.lit("52494646"),  # 'RIFF'
+        _le_hex(F.lit(36) + n * 2, 4),
+        F.lit("57415645666d7420"),  # 'WAVE' 'fmt '
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),  # PCM
+        _le_hex(F.lit(1), 2),  # mono
+        _le_hex(rate, 4),
+        _le_hex(rate * 2, 4),  # byte rate
+        _le_hex(F.lit(2), 2),  # block align
+        _le_hex(F.lit(16), 2),  # bits/sample
+        F.lit("64617461"),  # 'data'
+        _le_hex(n * 2, 4),
+        sample_hex,
+    )
+    return F.unhex(hex_all)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("n_zero_cross", T.IntegerType(), True),
+        T.StructField("mean_amp", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Signal-level audio features from REAL PCM16 decode (stdlib ``wave``
+    + numpy, Arrow-batched ``mapInPandas``): duration, RMS, peak,
+    zero-crossing count (sign flips across consecutive samples, zero
+    counted non-negative), mean amplitude. Doubles round to 6 decimals —
+    the sums are integer-exact in IEEE doubles, so an external engine
+    replaying the sample arithmetic reproduces every field bit-for-bit.
+
+    Scale shape: stateless per-row map, no shuffle; payloads never visit
+    the driver."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, s = codecs.wav_samples(bytes(payload or b""))
+                sf = s.astype(np.float64)
+                nonneg = sf >= 0
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_frames": len(s),
+                        "duration_ms": round(len(s) * 1000.0 / rate, 6) if rate else None,
+                        "rms": round(float(np.sqrt((sf**2).mean())), 6) if len(s) else None,
+                        "peak": int(np.abs(sf).max()) if len(s) else None,
+                        "n_zero_cross": int((nonneg[1:] != nonneg[:-1]).sum()),
+                        "mean_amp": round(float(sf.mean()), 6) if len(s) else None,
+                    }
+                )
+            out = pd.DataFrame(recs, columns=[f.name for f in AUDIO_SCHEMA.fields])
+            for c in ("sample_rate", "n_frames", "peak", "n_zero_cross"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.select(F.col(id_col).alias("media_id"), "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def _ppm_frame_hex_parts(w: Column, h: Column, r: Column, g: Column, b: Column) -> Column:
+    """One P6 frame as binary, constant fill (header UTF-8 + raster)."""
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    pixel_hex = F.concat(*[F.lpad(F.hex(c), 2, "0") for c in (r, g, b)])
+    return F.concat(F.encode(header, "UTF-8"), F.unhex(F.repeat(pixel_hex, w * h)))
+
+
+#: frame-count bound for the synthetic video container (2..5 frames)
+_VIDEO_MAX_FRAMES = 5
+
+
+def synthetic_video_payload(doc_id: Column) -> Column:
+    """A "video" container that is genuinely parseable: ``2 + doc_id % 4``
+    P6 frames laid head-to-tail, constant per-video dimensions, per-frame
+    fill color ``((doc_id + 17f) % 256, (7·doc_id + 29f) % 256,
+    (13·doc_id + 41f) % 256)`` — every byte closed-form arithmetic. The
+    real codec boundary stays honest (an MP4/H.264 demux needs ffmpeg,
+    not in this container); what this fixture exercises is the actual
+    distributed shape of video work: variable-length binary payloads,
+    per-frame fan-out, pixel-level reads."""
+    w = F.lit(8) + F.pmod(doc_id, F.lit(9))
+    h = F.lit(4) + F.pmod(doc_id, F.lit(5))
+    n = F.lit(2) + F.pmod(doc_id, F.lit(4))
+    frames = [
+        F.when(
+            F.lit(f) < n,
+            _ppm_frame_hex_parts(
+                w,
+                h,
+                F.pmod(doc_id + 17 * f, F.lit(256)),
+                F.pmod(doc_id * 7 + 29 * f, F.lit(256)),
+                F.pmod(doc_id * 13 + 41 * f, F.lit(256)),
+            ),
+        ).otherwise(F.unhex(F.lit("")))
+        for f in range(_VIDEO_MAX_FRAMES)
+    ]
+    return F.concat(*frames)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, id_col: str = "media_id") -> DataFrame:
+    """REAL frame sampling over the concatenated-P6 video container: walk
+    the stream (``codecs.split_ppm_stream``), keep every ``k``-th frame,
+    decode each kept frame's raster to channel means. One row per kept
+    frame — ``(media_id, frame_no, n_frames, width, height, mean_r/g/b)``.
+
+    Scale shape: stateless Arrow-batched ``mapInPandas``; the per-frame
+    fan-out happens executor-side (no explode-then-shuffle of payload
+    bytes, no driver contact). Means round to 6 decimals for
+    cross-engine replay."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = codecs.split_ppm_stream(bytes(payload or b""))
+                for fno in range(0, len(frames), every_k):
+                    d = codecs.decode_ppm(frames[fno])
+                    recs.append(
+                        {
+                            "media_id": mid,
+                            "frame_no": fno,
+                            "n_frames": len(frames),
+                            "width": d["width"],
+                            "height": d["height"],
+                            "mean_r": round(d["mean_r"], 6),
+                            "mean_g": round(d["mean_g"], 6),
+                            "mean_b": round(d["mean_b"], 6),
+                        }
+                    )
+            out = pd.DataFrame(recs, columns=[f.name for f in FRAME_SCHEMA.fields])
+            for c in ("frame_no", "n_frames", "width", "height"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.select(F.col(id_col).alias("media_id"), "payload").mapInPandas(run, FRAME_SCHEMA)

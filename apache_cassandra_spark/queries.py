@@ -1183,6 +1183,44 @@ def q_corpus_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=512, n_shards=8)
 
 
+def q_media_audio_features(spark, sf_dir):
+    """Signal-level audio features over JVM-generated sawtooth WAVs:
+    Spark builds real RIFF/PCM16 bytes from doc_id arithmetic, Python
+    decodes them with stdlib wave + numpy, and the oracle recomputes
+    every field from the same arithmetic — the binary round-trip is the
+    thing under test. All sums are integer-exact in doubles, so rounded
+    values match bit-for-bit."""
+    from apache_cassandra_spark.analytics.multimodal import (
+        audio_features,
+        synthetic_wav_sawtooth_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synthetic_wav_sawtooth_payload(F.col("doc_id")).alias("payload"),
+    )
+    return audio_features(media)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Every-2nd-frame sampling over JVM-generated multi-frame P6 video
+    containers: Spark builds the concatenated-frame bytes from doc_id
+    arithmetic, Python walks and decodes the stream, the oracle replays
+    the frame/color arithmetic."""
+    from apache_cassandra_spark.analytics.multimodal import (
+        sample_frames,
+        synthetic_video_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synthetic_video_payload(F.col("doc_id")).alias("payload"),
+    )
+    return sample_frames(media, every_k=2)
+
+
 def q_dedup_within_doc(spark, sf_dir):
     """Intra-document repeated-segment removal on a corpus with a planted
     duplicated paragraph: text rebuilt as prefix / boiler / boiler / tail,
@@ -2047,6 +2085,45 @@ ORACLES: dict[str, str] = {
         SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
         ORDER BY cnt DESC, bigram LIMIT 50
     """,
+    # sawtooth sample i = ((doc_id*31 + i*411) % 2048) - 1024 over
+    # 50 + doc_id%50 frames at 8 kHz; zero crossings = sign flips with
+    # zero counted non-negative (lag over sample index)
+    "media_audio_features": """
+        WITH n AS (SELECT doc_id, 50 + doc_id % 50 AS nf FROM documents),
+        s AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS i FROM n),
+        v AS (SELECT doc_id, nf, i,
+                     ((doc_id*31 + i*411) % 2048) - 1024 AS samp
+              FROM s),
+        f AS (SELECT doc_id, nf, i, samp,
+                     CASE WHEN (samp >= 0) <> lag(samp >= 0) OVER (PARTITION BY doc_id ORDER BY i)
+                          THEN 1 ELSE 0 END AS zc
+              FROM v)
+        SELECT doc_id AS media_id,
+               cast(8000 as int) AS sample_rate,
+               cast(any_value(nf) as int) AS n_frames,
+               round(any_value(nf) * 1000.0 / 8000, 6) AS duration_ms,
+               round(sqrt(sum(samp * samp) / count(*)), 6) AS rms,
+               cast(max(abs(samp)) as int) AS peak,
+               cast(sum(zc) as int) AS n_zero_cross,
+               round(sum(samp) / count(*), 6) AS mean_amp
+        FROM f GROUP BY doc_id
+    """,
+    # video container: 2 + doc_id%4 frames, dims (8+doc_id%9, 4+doc_id%5),
+    # frame f fill color ((doc_id+17f)%256, (7doc_id+29f)%256, (13doc_id+41f)%256);
+    # constant fill -> channel means == the fill color exactly
+    "media_frame_sample": """
+        WITH n AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+        f AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fno FROM n)
+        SELECT doc_id AS media_id,
+               cast(fno as int) AS frame_no,
+               cast(nf as int) AS n_frames,
+               cast(8 + doc_id % 9 as int) AS width,
+               cast(4 + doc_id % 5 as int) AS height,
+               round(((doc_id + 17*fno) % 256) * 1.0, 6) AS mean_r,
+               round(((doc_id*7 + 29*fno) % 256) * 1.0, 6) AS mean_g,
+               round(((doc_id*13 + 41*fno) % 256) * 1.0, 6) AS mean_b
+        FROM f WHERE fno % 2 = 0
+    """,
     # within-doc first-occurrence segment filter via the index lambda;
     # list_position = first 1-based index, i is 1-based in duckdb lambdas
     "dedup_within_doc": f"""
@@ -2387,6 +2464,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_chunk": q_corpus_chunk,
     "corpus_sample_importance": q_corpus_sample_importance,
     "dedup_within_doc": q_dedup_within_doc,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,

@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "text_tfidf",
     "media_decode",
     "media_decode_png",
+    "media_audio_features",
+    "media_frame_sample",
+    "corpus_chunk",
+    "dedup_within_doc",
     "dedup_groups_star",
     "corpus_sample_quota",
     "dedup_lines",

@@ -265,3 +265,37 @@ def test_resize_media_real_and_passthrough(spark):
         assert np.array_equal(codecs.decode_pixels(bytes(got[mid]["payload"])), expect)
     assert got[3]["resized"] is False and bytes(got[3]["payload"]) == b"RIFF....WAVEjunk"
     assert got[4]["resized"] is False and got[4]["payload"] is None
+
+
+def test_split_ppm_stream_and_errors():
+    f1 = codecs.encode_ppm(2, 2, (1, 2, 3))
+    f2 = codecs.encode_ppm(3, 1, (9, 8, 7))
+    assert codecs.split_ppm_stream(f1 + f2) == [f1, f2]
+    assert codecs.split_ppm_stream(b"") == []
+    with pytest.raises(ValueError, match="magic"):
+        codecs.split_ppm_stream(f1 + b"XX")
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.split_ppm_stream(f1[:-1])
+
+
+def test_audio_features_measures_the_signal(spark):
+    # hand-built signal with known stats: [3, -4, 3, -4] at 1 kHz
+    wav = codecs.encode_wav_pcm16([3, -4, 3, -4], rate=1000)
+    df = spark.createDataFrame([(1, bytearray(wav))], "media_id long, payload binary")
+    r = mm.audio_features(df).collect()[0]
+    assert r["sample_rate"] == 1000 and r["n_frames"] == 4
+    assert r["duration_ms"] == 4.0
+    assert r["rms"] == round((3**2 + 4**2) ** 0.5 / 2**0.5, 6)  # sqrt(25/2)
+    assert r["peak"] == 4 and r["n_zero_cross"] == 3
+    assert r["mean_amp"] == -0.5
+
+
+def test_sample_frames_every_k(spark):
+    frames = [codecs.encode_ppm(2, 2, (f, f, f)) for f in range(5)]
+    df = spark.createDataFrame(
+        [(7, bytearray(b"".join(frames)))], "media_id long, payload binary"
+    )
+    got = mm.sample_frames(df, every_k=3).orderBy("frame_no").collect()
+    assert [(r["frame_no"], r["n_frames"], r["mean_r"]) for r in got] == [(0, 5, 0.0), (3, 5, 3.0)]
+    with pytest.raises(ValueError, match="every_k"):
+        mm.sample_frames(df, every_k=0)
