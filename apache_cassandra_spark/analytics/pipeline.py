@@ -421,3 +421,56 @@ def sample_by_score(
     u = _uniform_hash(id_col)
     thresh = F.round(F.least(score * F.lit(float(scale)), F.lit(1.0)) * 1_000_000).cast("long")
     return docs.where(u < thresh)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Data-mixture rebalancing: downsample each stratum so surviving
+    token mass approaches the target ``weights`` (source → share of the
+    total). The keep-rate for stratum ``s`` is ``min(1, weight_s ·
+    T_total / T_s)`` — token counts measured from the data itself — and
+    rows are kept by the deterministic md5 Bernoulli draw. A stratum
+    already under its target keeps everything (rate clamps at 1; this
+    operator only removes, it cannot invent data). Strata not named in
+    ``weights`` are dropped.
+
+    The rate is a ratio of integer-exact token sums, so the IEEE double
+    and its ``round(rate·1e6)`` threshold replay identically in any
+    engine — no rounding drift between the Spark filter and a SQL audit.
+
+    Scale shape: one token-count aggregate per stratum (tiny result),
+    broadcast back onto the corpus, map-side filter. The corpus itself
+    never shuffles."""
+    from apache_cassandra_spark.analytics.text import token_count
+
+    wlit = F.lit(None).cast("double")
+    for k, v in sorted(weights.items()):
+        wlit = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(wlit)
+    toked = docs.withColumn("_ntok", token_count(F.col(text_col)))
+    per_stratum = (
+        toked.groupBy(strata_col).agg(F.sum("_ntok").alias("_t_s")).where(wlit.isNotNull())
+    )
+    # the total is over the strata IN the mixture — a dropped stratum's
+    # tokens must not inflate everyone else's target share
+    total = per_stratum.agg(F.sum("_t_s").alias("_t_all"))
+    rates = (
+        per_stratum.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            F.round(F.least(wlit * F.col("_t_all") / F.col("_t_s"), F.lit(1.0)) * 1_000_000)
+            .cast("long")
+            .alias("_thresh"),
+        )
+        .where(F.col("_thresh").isNotNull())
+    )
+    u = _uniform_hash(id_col)
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .where(u < F.col("_thresh"))
+        .drop("_thresh")
+    )

@@ -285,3 +285,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n
     grams = toked.withColumn("_grams", ngrams_from_tokens(F.col("_toks"), n))
     fp = F.array_min(F.transform(F.col("_grams"), F.md5))
     return grams.select(F.col(id_col), F.coalesce(fp, F.md5(F.col(text_col))).alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style LM
+    quality signal with the corpus as its own model: token ``t`` scores
+    ``ln(count(t) / total_tokens)``, a document scores the sum/mean over
+    its tokens. Low mean log-probability = rare-token-heavy (gibberish,
+    boilerplate IDs, stray wrong-language fragments); high = stopword soup.
+
+    Returns ``(id, n_tokens, logprob_micro, mean_logprob)``. Per-token
+    log-probs are quantized to integer micro-units (``round(ln(p)·1e6)``)
+    BEFORE the per-document sum, so the sum is integer-exact — immune to
+    floating-point addition order across partitions — and an external
+    engine replaying the arithmetic matches bit-for-bit (the only
+    residual hazard is a library ``ln`` differing in the last ulp
+    exactly on a rounding boundary, the same accepted risk as
+    ``tfidf_top_terms``). Zero-token documents are dropped (no tokens,
+    no score).
+
+    Scale shape: one explode feeds both the vocabulary roll-up and the
+    per-doc join; the vocabulary (bounded by distinct tokens, zipf-small
+    next to the corpus) broadcasts back by default — the corpus-sized
+    token stream never shuffles. Set ``broadcast_vocab=False`` when the
+    vocabulary itself is huge (then it's a shuffled join and AQE handles
+    the hot-stopword skew)."""
+    toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    vocab = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    scored_vocab = (
+        vocab.crossJoin(F.broadcast(total))
+        .select("tok", F.round(F.log(F.col("cnt") / F.col("_total")) * 1_000_000).cast("long").alias("_lq"))
+    )
+    if broadcast_vocab:
+        scored_vocab = F.broadcast(scored_vocab)
+    return (
+        toked.join(scored_vocab, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_lq").alias("logprob_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "logprob_micro",
+            F.round(F.col("logprob_micro") / F.col("n_tokens") / 1_000_000, 6).alias("mean_logprob"),
+        )
+    )

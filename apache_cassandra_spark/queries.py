@@ -1183,6 +1183,27 @@ def q_corpus_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=512, n_shards=8)
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scores with the corpus as its own model:
+    per-token ln-probabilities quantized to integer micro-units before
+    the per-doc sum, so every value replays exactly in SQL."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Token-mass mixture rebalancing toward fixed source shares:
+    src0 capped at 2% of the named-strata token total, src1 at 30%
+    (clamps to keep-all), src2 at 10%; every other source dropped.
+    Rates derive from integer token sums, so the oracle recomputes the
+    exact thresholds."""
+    from apache_cassandra_spark.analytics.pipeline import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, {"src0": 0.02, "src1": 0.30, "src2": 0.10}).select(
+        "doc_id", "source"
+    )
+
+
 def q_media_audio_features(spark, sf_dir):
     """Signal-level audio features over JVM-generated sawtooth WAVs:
     Spark builds real RIFF/PCM16 bytes from doc_id arithmetic, Python
@@ -2085,6 +2106,43 @@ ORACLES: dict[str, str] = {
         SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
         ORDER BY cnt DESC, bigram LIMIT 50
     """,
+    # per-token ln(cnt/total) quantized to micro-units BEFORE the doc sum
+    # (integer-exact across engines); zero-token docs drop out
+    "text_unigram_logprob": """
+        WITH toks AS (SELECT doc_id AS id,
+                             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+                      FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS total FROM vocab),
+        sv AS (SELECT tok, cast(round(ln(cnt / total) * 1000000) as bigint) AS lq
+               FROM vocab, tot)
+        SELECT id AS doc_id,
+               cast(count(*) as bigint) AS n_tokens,
+               sum(lq) AS logprob_micro,
+               round(sum(lq) / count(*) / 1000000, 6) AS mean_logprob
+        FROM toks JOIN sv USING (tok)
+        GROUP BY id
+    """,
+    # keep-rate_s = min(1, w_s * T_named / T_s) from integer token sums;
+    # unnamed sources dropped and excluded from the total
+    "corpus_mixture": """
+        WITH t AS (SELECT doc_id, source,
+                          len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+                   FROM documents),
+        per_s AS (SELECT source, sum(ntok) AS t_s FROM t
+                  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+        tot AS (SELECT sum(t_s) AS t_all FROM per_s),
+        rates AS (SELECT source,
+                         cast(round(least(
+                           CASE source WHEN 'src0' THEN 0.02
+                                       WHEN 'src1' THEN 0.30
+                                       WHEN 'src2' THEN 0.10 END * t_all / t_s,
+                           1.0) * 1000000) as bigint) AS thresh
+                  FROM per_s, tot)
+        SELECT doc_id, source
+        FROM documents JOIN rates USING (source)
+        WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000 < thresh
+    """,
     # sawtooth sample i = ((doc_id*31 + i*411) % 2048) - 1024 over
     # 50 + doc_id%50 frames at 8 kHz; zero crossings = sign flips with
     # zero counted non-negative (lag over sample index)
@@ -2466,6 +2524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_within_doc": q_dedup_within_doc,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
+    "text_unigram_logprob": q_text_unigram_logprob,
+    "corpus_mixture": q_corpus_mixture,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,

@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "media_frame_sample",
     "corpus_chunk",
     "dedup_within_doc",
+    "text_unigram_logprob",
+    "corpus_mixture",
     "dedup_groups_star",
     "corpus_sample_quota",
     "dedup_lines",

@@ -735,3 +735,40 @@ def test_dedup_within_doc_first_occurrence(spark):
         spark.createDataFrame([(1, "a.b.a")], "doc_id long, text string"), delim="."
     ).collect()[0]
     assert dot["text"] == "a.b" and dot["n_segments"] == 3
+
+
+def test_unigram_logprob_model(spark):
+    import math
+
+    from apache_cassandra_spark.analytics.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus counts: a=2, b=2, c=1, total=5
+    lq = {t: round(math.log(c / 5) * 1_000_000) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert got[1]["logprob_micro"] == 2 * lq["a"] + lq["b"] and got[1]["n_tokens"] == 3
+    assert got[2]["logprob_micro"] == lq["b"] + lq["c"]
+    assert 3 not in got  # zero-token doc drops out
+    assert got[1]["mean_logprob"] == round(got[1]["logprob_micro"] / 3 / 1e6, 6)
+    # rarer tokens -> lower score
+    assert got[2]["mean_logprob"] < got[1]["mean_logprob"]
+
+
+def test_mixture_sample_rates(spark):
+    from apache_cassandra_spark.analytics.pipeline import _uniform_hash, mixture_sample
+
+    rows = [(i, "w " * 10, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # equal token mass per stratum; a targets 5% of T_named (T_named = a+b),
+    # so rate_a = min(1, .05 * 2) = 0.1; b targets 90% -> clamps to 1; c dropped
+    out = mixture_sample(df, {"a": 0.05, "b": 0.90})
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert "c" not in got
+    assert len(got["b"]) == 1000  # clamped at keep-all
+    draws = {r["doc_id"]: r["_d"] for r in df.withColumn("_d", _uniform_hash("doc_id")).collect()}
+    expect_a = {i for i in range(3000) if i % 3 == 0 and draws[i] < 100_000}
+    assert got.get("a", set()) == expect_a

@@ -255,3 +255,60 @@ def test_range_join_is_equi_join(spark):
     plan = plan_of(range_join(rows, ivals, "t", "s", "e", bucket=10))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from apache_cassandra_spark.analytics.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = plan_of(chunk_documents(df, window=4, stride=2))
+    assert "Exchange" not in plan  # pure generate/project: per-partition map
+
+
+def test_sample_by_score_is_map_only(spark):
+    from apache_cassandra_spark.analytics.pipeline import sample_by_score
+
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    plan = plan_of(sample_by_score(df, F.lit(0.5)))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_dedup_within_doc_is_shuffle_free(spark):
+    from apache_cassandra_spark.analytics.dedup import dedup_within_doc
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = plan_of(dedup_within_doc(df))
+    assert "Exchange" not in plan
+
+
+def test_media_feature_paths_are_shuffle_free(spark):
+    from apache_cassandra_spark.analytics import multimodal as mm
+
+    df = spark.createDataFrame([(1,)], "doc_id long").select(
+        F.col("doc_id").alias("media_id"),
+        mm.synthetic_wav_sawtooth_payload(F.col("doc_id")).alias("payload"),
+    )
+    assert "Exchange" not in plan_of(mm.audio_features(df))
+    vid = spark.createDataFrame([(1,)], "doc_id long").select(
+        F.col("doc_id").alias("media_id"),
+        mm.synthetic_video_payload(F.col("doc_id")).alias("payload"),
+    )
+    assert "Exchange" not in plan_of(mm.sample_frames(vid))
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    from apache_cassandra_spark.analytics.text import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = plan_of(unigram_logprob(df))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the token stream never shuffles for the join
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    from apache_cassandra_spark.analytics.pipeline import mixture_sample
+
+    df = spark.createDataFrame([(1, "a b", "s")], "doc_id long, text string, source string")
+    plan = plan_of(mixture_sample(df, {"s": 0.5}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -99,6 +99,27 @@ OPS = {
     "dedup_lines": lambda d: dedup.remove_duplicate_lines(_multiline(d), min_chars=5).count(),
     "decontaminate": _decontaminate,
     "corpus_shard_write": _shard_write,
+    "corpus_chunk": lambda d: __import__(
+        "apache_cassandra_spark.analytics.pipeline", fromlist=["chunk_documents"]
+    ).chunk_documents(d, window=32, stride=24).count(),
+    # count() would column-prune the whole projection away (no shuffle to
+    # anchor it) — aggregate an output column so the dedup actually runs
+    "dedup_within_doc": lambda d: dedup.dedup_within_doc(_multiline(d))
+    .agg(F.sum("n_dropped"), F.sum(F.length("text")))
+    .collect()
+    and d.count(),
+    "media_audio_features": lambda d: multimodal.audio_features(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            multimodal.synthetic_wav_sawtooth_payload(F.col("doc_id")).alias("payload"),
+        )
+    ).count(),
+    "media_frame_sample": lambda d: multimodal.sample_frames(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            multimodal.synthetic_video_payload(F.col("doc_id")).alias("payload"),
+        )
+    ).count(),
 }
 
 # SPARK_GRAFT_PROBE_OPS=a,b,c restricts the run (probe a new operator
