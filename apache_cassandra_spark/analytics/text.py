@@ -178,6 +178,7 @@ def gopher_quality(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher quality-rule flags (Rae et al. 2021 §A1.1), line rules
     omitted for the single-line corpus: token-count bounds, mean word
@@ -186,9 +187,16 @@ def gopher_quality(
     is the conjunction of the thresholds (defaults = the paper's). THE
     single source of truth for the rule set — prepare_corpus filters on
     this flag rather than rebuilding the conjunction. Pure built-in
-    expressions — whole-stage codegen."""
+    expressions — whole-stage codegen.
+
+    ``keep_cols`` carries extra input columns through to the output —
+    consumers needing features alongside payload columns get them in ONE
+    per-row projection instead of re-joining the corpus to its own
+    features (a corpus-by-corpus self-join at scale)."""
     t = F.col(text_col)
-    toked = df.select(F.col(id_col), tokens(t).alias("_toks"), t.alias("_t"))
+    toked = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], tokens(t).alias("_toks"), t.alias("_t")
+    )
     n = F.size("_toks")
     safe_n = F.greatest(n, F.lit(1))
     mean_len = F.aggregate("_toks", F.lit(0), lambda a, x: a + F.length(x)) / safe_n
@@ -201,6 +209,7 @@ def gopher_quality(
     )
     out = toked.select(
         id_col,
+        *keep_cols,
         n.cast("long").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(n_symbols / safe_n, 6).alias("symbol_ratio"),

@@ -1280,8 +1280,9 @@ def q_corpus_sample_importance(spark, sf_dir):
     from apache_cassandra_spark.analytics.text import gopher_quality
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = gopher_quality(docs).select("doc_id", "n_tokens", "stop_hits")
-    scored = docs.join(feats, "doc_id")
+    # keep_cols carries the payload columns through the feature projection
+    # — one per-row pass, no corpus-to-its-own-features self-join
+    scored = gopher_quality(docs, keep_cols=("lang", "source"))
     score = (F.col("stop_hits") / 16.0) + (F.least(F.col("n_tokens"), F.lit(80)) / 160.0)
     return sample_by_score(scored, score).select("doc_id", "lang", "source")
 

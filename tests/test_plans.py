@@ -312,3 +312,13 @@ def test_mixture_sample_broadcasts_rates(spark):
     plan = plan_of(mixture_sample(df, {"s": 0.5}))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_importance_sampling_is_map_only_via_keep_cols(spark):
+    from apache_cassandra_spark.analytics.pipeline import sample_by_score
+    from apache_cassandra_spark.analytics.text import gopher_quality
+
+    df = spark.createDataFrame([(1, "t", "en")], "doc_id long, text string, lang string")
+    scored = gopher_quality(df, keep_cols=("lang",))
+    plan = plan_of(sample_by_score(scored, F.col("stop_hits") / 16.0))
+    assert "Join" not in plan and "Exchange" not in plan

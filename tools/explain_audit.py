@@ -43,6 +43,13 @@ AUDITED = {
     "corpus_sample_token_budget": "token-budget mix: literal CASE budget, one per-stratum window cumsum over the draw order, filter — no joins",
     "events_asof": "as-of join: interleave union → ONE Exchange(user) → per-key Window last(ignorenulls) → hash join back for the payload — no inequality join, no BroadcastNestedLoop",
     "events_range_join": "range join: interval slots explode (30 rows), events hash to their hour slot, BroadcastHashJoin on the slot, exact bounds as post-join filter",
+    "corpus_chunk": "chunking: scan → Generate(posexplode over start sequence) → Project(slice/array_join) — all codegen, NO Exchange",
+    "dedup_within_doc": "within-doc dedup: single Project with the index-lambda filter — per-row, NO Exchange, no join",
+    "corpus_sample_importance": "importance resampling: ONE per-row projection (gopher features via keep_cols passthrough) + deterministic Bernoulli filter — map-only, NO join, NO Exchange",
+    "media_audio_features": "audio features: JVM sawtooth WAV synthesis (per-sample transform/hex codegen) → one MapInPandas decode, no shuffle",
+    "media_frame_sample": "frame sampling: JVM multi-frame container synthesis → one MapInPandas stream-walk decode with per-frame fan-out executor-side, no shuffle",
+    "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab; scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
+    "corpus_mixture": "mixture rebalancing: per-stratum token HashAggregate (tiny) → rate table BroadcastHashJoin back onto the scan → map-side filter — the corpus never shuffles",
 }
 
 
