@@ -462,7 +462,13 @@ def mixture_sample(
         per_stratum.crossJoin(F.broadcast(total))
         .select(
             strata_col,
-            F.round(F.least(wlit * F.col("_t_all") / F.col("_t_s"), F.lit(1.0)) * 1_000_000)
+            # a zero-token stratum has no mass to weigh — drop it rather
+            # than divide by zero (ANSI mode makes that an error, and
+            # keep-all would hand unbounded row count to a 0-weight share)
+            F.when(
+                F.col("_t_s") > 0,
+                F.round(F.least(wlit * F.col("_t_all") / F.col("_t_s"), F.lit(1.0)) * 1_000_000),
+            )
             .cast("long")
             .alias("_thresh"),
         )
