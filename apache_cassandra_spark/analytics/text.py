@@ -347,3 +347,42 @@ def unigram_logprob(
             F.round(F.col("logprob_micro") / F.col("n_tokens") / 1_000_000, 6).alias("mean_logprob"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the counting
+    step of byte-pair-encoding vocabulary induction (the top pair is the
+    next BPE merge; iterating this with a merge table trains a
+    tokenizer). Returns the top-``k`` pairs ``(pair, cnt)`` weighted by
+    word frequency, ties broken lexicographically.
+
+    Scale shape: the corpus collapses to its word-frequency table FIRST
+    (hash aggregate — vocabulary-sized, zipf-small), so pair explosion
+    runs over distinct words × their lengths, not corpus tokens. Top-k
+    via TakeOrderedAndProject (per-partition truncation, no global
+    sort)."""
+    toked = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+    words = toked.groupBy("word").agg(F.count(F.lit(1)).alias("_c"))
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, 2),
+                )
+            ).alias("pair"),
+            F.col("_c"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("_c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )

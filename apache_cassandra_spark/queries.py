@@ -1190,6 +1190,13 @@ def q_text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    """BPE vocabulary-induction counting step: top-60 adjacent character
+    pairs weighted by word frequency. The corpus collapses to its word
+    table before the pair explosion."""
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=60)
+
+
 def q_corpus_mixture(spark, sf_dir):
     """Token-mass mixture rebalancing toward fixed source shares:
     src0 capped at 2% of the named-strata token total, src1 at 30%
@@ -2124,6 +2131,17 @@ ORACLES: dict[str, str] = {
         FROM toks JOIN sv USING (tok)
         GROUP BY id
     """,
+    # adjacent char pairs over the word-frequency table, weighted by word
+    # count; duckdb string slice word[i:i+1] == 2 chars, 1-based inclusive
+    "text_bpe_pairs": """
+        WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+                      FROM documents),
+        w AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        p AS (SELECT unnest(list_transform(generate_series(1, len(word)-1), i -> word[i:i+1])) AS pair, c
+              FROM w WHERE len(word) >= 2)
+        SELECT pair, cast(sum(c) as bigint) AS cnt
+        FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 60
+    """,
     # keep-rate_s = min(1, w_s * T_named / T_s) from integer token sums;
     # unnamed sources dropped and excluded from the total
     "corpus_mixture": """
@@ -2527,6 +2545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "text_unigram_logprob": q_text_unigram_logprob,
     "corpus_mixture": q_corpus_mixture,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_within_doc",
     "text_unigram_logprob",
     "corpus_mixture",
+    "text_bpe_pairs",
     "dedup_groups_star",
     "corpus_sample_quota",
     "dedup_lines",

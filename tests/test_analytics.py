@@ -772,3 +772,20 @@ def test_mixture_sample_rates(spark):
     draws = {r["doc_id"]: r["_d"] for r in df.withColumn("_d", _uniform_hash("doc_id")).collect()}
     expect_a = {i for i in range(3000) if i % 3 == 0 and draws[i] < 100_000}
     assert got.get("a", set()) == expect_a
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from apache_cassandra_spark.analytics.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new newest a I")], "doc_id long, text string"
+    )
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(df, k=3).collect()]
+    # lo/ow appear in low(x2)+lower(x1); ew ties ne/we at 2 and wins the
+    # lexicographic tiebreak; single-char words contribute nothing
+    assert got == [("lo", 3), ("ow", 3), ("ew", 2)]
+    top = bpe_pair_counts(df, k=100).collect()
+    assert all(len(r["pair"]) == 2 for r in top)
+    # empty corpus -> empty result, no error
+    empty = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_pair_counts(empty).count() == 0

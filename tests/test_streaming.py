@@ -352,3 +352,46 @@ def test_session_boundary_exact_gap_merges(spark):
         .collect()
     )
     assert lag_sessions == native
+
+
+def test_corpus_prep_operators_work_on_streams(spark, tmp_path):
+    """The round-3 per-row corpus operators (chunking, within-doc dedup,
+    quality gate + importance filter) are stateless maps — the exact same
+    operator graph must run under readStream and match its batch output."""
+    from apache_cassandra_spark.analytics.dedup import dedup_within_doc
+    from apache_cassandra_spark.analytics.pipeline import chunk_documents, sample_by_score
+    from apache_cassandra_spark.analytics.text import gopher_quality
+
+    rows = [(i, " ".join(f"w{j % 7}" for j in range(i + 3))) for i in range(12)]
+    src = str(tmp_path / "docs_parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    stream_df = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    def graph(df):
+        chunks = chunk_documents(df, window=4, stride=3)
+        deduped = dedup_within_doc(chunks, text_col="chunk", id_col="doc_id")
+        scored = gopher_quality(df, min_tokens=1, min_stop_hits=0)
+        kept = sample_by_score(scored, F.col("n_tokens") / 20.0)
+        return chunks, deduped, kept
+
+    b_chunks, b_dedup, b_kept = graph(batch_df)
+    s_chunks, s_dedup, s_kept = graph(stream_df)
+    for name, sdf in (("chunks", s_chunks), ("dedup", s_dedup), ("kept", s_kept)):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(f"corpus_stream_{name}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    assert sorted(map(tuple, b_chunks.collect())) == sorted(
+        map(tuple, spark.sql("SELECT * FROM corpus_stream_chunks").collect())
+    )
+    assert sorted(map(tuple, b_dedup.collect())) == sorted(
+        map(tuple, spark.sql("SELECT * FROM corpus_stream_dedup").collect())
+    )
+    assert sorted(map(tuple, b_kept.collect())) == sorted(
+        map(tuple, spark.sql("SELECT * FROM corpus_stream_kept").collect())
+    )
