@@ -64,10 +64,13 @@ def sniff(payload: bytes) -> str:
     return "unknown"
 
 
-def _ppm_header(payload: bytes) -> tuple[str, int, int, int, int]:
-    """Parse the netpbm header: magic, whitespace/comment-separated width,
-    height, maxval; returns (magic, width, height, maxval, data_offset)."""
-    pos = 2
+def _ppm_header(payload: bytes, offset: int = 0) -> tuple[str, int, int, int, int]:
+    """Parse the netpbm header starting at ``offset``: magic, whitespace/
+    comment-separated width, height, maxval; returns (magic, width,
+    height, maxval, data_offset) with data_offset RELATIVE to ``offset``.
+    The offset form lets a multi-frame stream walk parse in place instead
+    of re-slicing the remaining payload per frame (O(n²) bytes copied)."""
+    pos = offset + 2
     fields: list[int] = []
     while len(fields) < 3:
         # skip whitespace and '#' comment lines
@@ -82,7 +85,8 @@ def _ppm_header(payload: bytes) -> tuple[str, int, int, int, int]:
             pos += 1
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raster
-    return payload[:2].decode("ascii"), fields[0], fields[1], fields[2], pos
+    magic = payload[offset : offset + 2].decode("ascii")
+    return magic, fields[0], fields[1], fields[2], pos - offset
 
 
 def decode_ppm(payload: bytes) -> dict:
@@ -492,7 +496,7 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
     while pos < len(payload):
         if payload[pos : pos + 2] != b"P6":
             raise ValueError(f"expected P6 magic at offset {pos}")
-        magic, w, h, maxval, off = _ppm_header(payload[pos:])
+        magic, w, h, maxval, off = _ppm_header(payload, pos)  # in-place, no tail copy
         end = pos + off + w * h * 3
         if end > len(payload):
             raise ValueError(f"truncated frame at offset {pos}")

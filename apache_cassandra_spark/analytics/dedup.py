@@ -669,6 +669,7 @@ def dedup_within_doc(
     text_col: str = "text",
     id_col: str = "doc_id",
     delim: str = "\n",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Intra-document repeated-segment removal: each ``delim``-separated
     segment survives only at its first position WITHIN its own document,
@@ -677,7 +678,10 @@ def dedup_within_doc(
     rendering, scraper page-stitching, pagination overlap), complementing
     the corpus-wide ``remove_duplicate_lines``.
 
-    Returns ``(id, text, n_segments, n_dropped)``.
+    Returns ``(id, *keep_cols, text, n_segments, n_dropped)`` —
+    ``keep_cols`` carries extra input columns (a chunk id, a source tag)
+    through the projection, so consumers keep their row key without
+    re-joining the corpus to its own output.
 
     Scale: a 100%% per-row computation, so unlike the corpus-wide pass it
     needs NO shuffle and no join — an index-aware higher-order ``filter``
@@ -697,6 +701,7 @@ def dedup_within_doc(
     # off by one on a doc with two distinct repeats).
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array_join(kept, delim).alias("_dedup_text"),
         F.size(segs).cast("long").alias("n_segments"),
         (F.size(segs) - F.size(kept)).cast("long").alias("n_dropped"),

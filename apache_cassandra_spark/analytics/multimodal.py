@@ -24,6 +24,7 @@ inputs bounded even when payloads are MBs each.
 
 from __future__ import annotations
 
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -248,23 +249,14 @@ def synthetic_ppm_payload(doc_id: Column) -> Column:
     w = F.lit(8) + F.pmod(doc_id, F.lit(9))
     h = F.lit(4) + F.pmod(doc_id, F.lit(5))
     r, g, b = (F.pmod(doc_id * k, F.lit(256)) for k in (1, 7, 13))
-    header = F.concat(
-        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
-    )
-    pixel_hex = F.concat(*[F.lpad(F.hex(c), 2, "0") for c in (r, g, b)])
-    return F.concat(F.encode(header, "UTF-8"), F.unhex(F.repeat(pixel_hex, w * h)))
+    return _ppm_frame_hex_parts(w, h, r, g, b)
 
 
-def synthetic_wav_payload(doc_id: Column) -> Column:
-    """A real RIFF/WAVE PCM16 mono file from JVM expressions: constant
-    amplitude ``doc_id % 1001 - 500`` over ``50 + doc_id % 50`` frames at
-    8 kHz — byte-identical to ``codecs.encode_wav_constant`` (the stdlib
-    ``wave`` writer's canonical 44-byte header)."""
-    n = F.lit(50) + F.pmod(doc_id, F.lit(50))
-    amp = F.pmod(doc_id, F.lit(1001)) - F.lit(500)
-    rate = F.lit(8000)
-    sample_hex = _le_hex(F.pmod(amp, F.lit(65536)), 2)
-    hex_all = F.concat(
+def _wav_container_hex(n: Column, rate: Column, samples_hex: Column) -> Column:
+    """RIFF/WAVE PCM16-mono container hex around an already-built sample
+    stream — ONE source of truth for the 44-byte header (the stdlib
+    ``wave`` writer's canonical layout) shared by every WAV fixture."""
+    return F.concat(
         F.lit("52494646"),  # 'RIFF'
         _le_hex(F.lit(36) + n * 2, 4),
         F.lit("57415645666d7420"),  # 'WAVE' 'fmt '
@@ -277,9 +269,18 @@ def synthetic_wav_payload(doc_id: Column) -> Column:
         _le_hex(F.lit(16), 2),  # bits/sample
         F.lit("64617461"),  # 'data'
         _le_hex(n * 2, 4),
-        F.repeat(sample_hex, n),
+        samples_hex,
     )
-    return F.unhex(hex_all)
+
+
+def synthetic_wav_payload(doc_id: Column) -> Column:
+    """A real RIFF/WAVE PCM16 mono file from JVM expressions: constant
+    amplitude ``doc_id % 1001 - 500`` over ``50 + doc_id % 50`` frames at
+    8 kHz — byte-identical to ``codecs.encode_wav_constant``."""
+    n = F.lit(50) + F.pmod(doc_id, F.lit(50))
+    amp = F.pmod(doc_id, F.lit(1001)) - F.lit(500)
+    sample_hex = _le_hex(F.pmod(amp, F.lit(65536)), 2)
+    return F.unhex(_wav_container_hex(n, F.lit(8000), F.repeat(sample_hex, n)))
 
 
 def _be_hex(col: Column, nbytes: int) -> Column:
@@ -388,7 +389,6 @@ def synthetic_wav_sawtooth_payload(doc_id: Column) -> Column:
     closed-form ``doc_id`` arithmetic an external SQL engine can replay.
     JVM-only: per-sample hex via ``transform`` over a ``sequence``."""
     n = F.lit(50) + F.pmod(doc_id, F.lit(50))
-    rate = F.lit(8000)
     sample_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), n - 1),
@@ -398,22 +398,7 @@ def synthetic_wav_sawtooth_payload(doc_id: Column) -> Column:
         ),
         "",
     )
-    hex_all = F.concat(
-        F.lit("52494646"),  # 'RIFF'
-        _le_hex(F.lit(36) + n * 2, 4),
-        F.lit("57415645666d7420"),  # 'WAVE' 'fmt '
-        _le_hex(F.lit(16), 4),
-        _le_hex(F.lit(1), 2),  # PCM
-        _le_hex(F.lit(1), 2),  # mono
-        _le_hex(rate, 4),
-        _le_hex(rate * 2, 4),  # byte rate
-        _le_hex(F.lit(2), 2),  # block align
-        _le_hex(F.lit(16), 2),  # bits/sample
-        F.lit("64617461"),  # 'data'
-        _le_hex(n * 2, 4),
-        sample_hex,
-    )
-    return F.unhex(hex_all)
+    return F.unhex(_wav_container_hex(n, F.lit(8000), sample_hex))
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -446,7 +431,15 @@ def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                rate, s = codecs.wav_samples(bytes(payload or b""))
+                try:
+                    # wave.open raises bare EOFError on empty/truncated
+                    # input, wave.Error on a non-RIFF header — a NULL or
+                    # malformed payload must surface as a null-feature row
+                    # (visible, joinable), not abort the whole job
+                    rate, s = codecs.wav_samples(bytes(payload or b""))
+                except (EOFError, wave.Error, NotImplementedError, ValueError):
+                    recs.append({"media_id": mid})
+                    continue
                 sf = s.astype(np.float64)
                 nonneg = sf >= 0
                 recs.append(

@@ -416,10 +416,16 @@ def sample_by_score(
     the 6-decimal rounding in ``gopher_quality``'s features. Build
     ``score`` from integer-derived arithmetic for cross-engine replay.
 
+    A NULL score keeps nothing: it coalesces to 0 BEFORE the clamp —
+    Spark's ``least`` skips nulls, so without the coalesce a null score
+    would clamp to 1.0 and malformed rows would be kept unconditionally,
+    the exact inverse of drop-biased-against-junk.
+
     Scale: no shuffle, no join; the filter rides the scan.
     """
     u = _uniform_hash(id_col)
-    thresh = F.round(F.least(score * F.lit(float(scale)), F.lit(1.0)) * 1_000_000).cast("long")
+    safe = F.coalesce(score, F.lit(0.0))
+    thresh = F.round(F.least(safe * F.lit(float(scale)), F.lit(1.0)) * 1_000_000).cast("long")
     return docs.where(u < thresh)
 
 
@@ -451,15 +457,19 @@ def mixture_sample(
     wlit = F.lit(None).cast("double")
     for k, v in sorted(weights.items()):
         wlit = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(wlit)
+    from pyspark.sql import Window
+
     toked = docs.withColumn("_ntok", token_count(F.col(text_col)))
     per_stratum = (
         toked.groupBy(strata_col).agg(F.sum("_ntok").alias("_t_s")).where(wlit.isNotNull())
     )
     # the total is over the strata IN the mixture — a dropped stratum's
-    # tokens must not inflate everyone else's target share
-    total = per_stratum.agg(F.sum("_t_s").alias("_t_all"))
+    # tokens must not inflate everyone else's target share. Computed as a
+    # window over the per-stratum frame (strata-count rows through one
+    # task, trivially small) — an agg().crossJoin() here would RE-RUN the
+    # whole corpus tokenize+aggregate subtree for a second scan.
     rates = (
-        per_stratum.crossJoin(F.broadcast(total))
+        per_stratum.withColumn("_t_all", F.sum("_t_s").over(Window.partitionBy()))
         .select(
             strata_col,
             # a zero-token stratum has no mass to weigh — drop it rather

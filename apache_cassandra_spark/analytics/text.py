@@ -325,7 +325,11 @@ def unigram_logprob(
     vocabulary itself is huge (then it's a shuffled join and AQE handles
     the hot-stopword skew)."""
     toked = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    vocab = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocab is CACHED: it has two consumers (the total and the scored
+    # join side), and total = vocab.agg(...) would otherwise re-run the
+    # whole corpus explode+aggregate subtree — a third full corpus pass
+    # (same two-consumer shape, and fix, as tfidf_top_terms' tf frame)
+    vocab = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
     total = vocab.agg(F.sum("cnt").alias("_total"))
     scored_vocab = (
         vocab.crossJoin(F.broadcast(total))

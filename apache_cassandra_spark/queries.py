@@ -1255,14 +1255,17 @@ def q_dedup_within_doc(spark, sf_dir):
     so every document must drop exactly one segment (plus any incidental
     repeats among prefix/tail). Shuffle-free per-row lambda filter."""
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce(text, ''): Spark's concat_ws SKIPS nulls while SQL '||'
+    # nullifies the whole string — a null-text doc would silently build
+    # different fixtures in the two engines
     planted = docs.select(
         "doc_id",
         F.concat_ws(
             "\n",
-            F.substring(F.col("text"), 1, 80),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
             F.lit(_BOILER_LINE),
             F.lit(_BOILER_LINE),
-            F.expr("substring(text, 81)"),
+            F.expr("substring(coalesce(text, ''), 81)"),
         ).alias("text"),
     )
     return dedup.dedup_within_doc(planted)
@@ -2205,9 +2208,9 @@ ORACLES: dict[str, str] = {
     # list_position = first 1-based index, i is 1-based in duckdb lambdas
     "dedup_within_doc": f"""
         WITH corpus AS (SELECT doc_id,
-                               substr(text, 1, 80) || chr(10) || '{_BOILER_LINE}'
+                               substr(coalesce(text, ''), 1, 80) || chr(10) || '{_BOILER_LINE}'
                                || chr(10) || '{_BOILER_LINE}'
-                               || chr(10) || substr(text, 81) AS text
+                               || chr(10) || substr(coalesce(text, ''), 81) AS text
                         FROM documents),
         parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM corpus),
         dd AS (SELECT doc_id, p,

@@ -786,6 +786,21 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert got == [("lo", 3), ("ow", 3), ("ew", 2)]
     top = bpe_pair_counts(df, k=100).collect()
     assert all(len(r["pair"]) == 2 for r in top)
-    # empty corpus -> empty result, no error
-    empty = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # single-char words contribute no pairs
+    singles = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_pair_counts(singles).count() == 0
+    # genuinely empty corpus -> empty result, no error
+    empty = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_pair_counts(empty).count() == 0
+
+
+def test_sample_by_score_null_score_drops(spark):
+    """Spark's least() skips NULLs — without the coalesce-to-0 a null
+    score would clamp to 1.0 and keep junk rows unconditionally."""
+    from apache_cassandra_spark.analytics.pipeline import sample_by_score
+
+    df = spark.createDataFrame([(i, None if i % 2 else "t") for i in range(100)],
+                               "doc_id long, text string")
+    score = F.when(F.col("text").isNotNull(), 1.0)  # null text -> null score
+    kept = {r["doc_id"] for r in sample_by_score(df, score).collect()}
+    assert kept == {i for i in range(100) if i % 2 == 0}

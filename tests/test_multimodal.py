@@ -299,3 +299,16 @@ def test_sample_frames_every_k(spark):
     assert [(r["frame_no"], r["n_frames"], r["mean_r"]) for r in got] == [(0, 5, 0.0), (3, 5, 3.0)]
     with pytest.raises(ValueError, match="every_k"):
         mm.sample_frames(df, every_k=0)
+
+
+def test_audio_features_null_and_malformed_payloads(spark):
+    """A NULL/empty/non-RIFF payload must yield a null-feature row
+    (visible, joinable), not abort the job — wave.open raises bare
+    EOFError on empty input."""
+    wav = codecs.encode_wav_pcm16([3, -4], rate=1000)
+    rows = [(1, bytearray(wav)), (2, None), (3, bytearray(b"")), (4, bytearray(b"junkjunkjunk"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in mm.audio_features(df).collect()}
+    assert out[1]["rms"] == 3.535534 and out[1]["n_frames"] == 2
+    for mid in (2, 3, 4):
+        assert out[mid]["sample_rate"] is None and out[mid]["rms"] is None

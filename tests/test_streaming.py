@@ -370,7 +370,9 @@ def test_corpus_prep_operators_work_on_streams(spark, tmp_path):
 
     def graph(df):
         chunks = chunk_documents(df, window=4, stride=3)
-        deduped = dedup_within_doc(chunks, text_col="chunk", id_col="doc_id")
+        deduped = dedup_within_doc(
+            chunks, text_col="chunk", id_col="doc_id", keep_cols=("chunk_id",)
+        )
         scored = gopher_quality(df, min_tokens=1, min_stop_hits=0)
         kept = sample_by_score(scored, F.col("n_tokens") / 20.0)
         return chunks, deduped, kept

@@ -48,8 +48,8 @@ AUDITED = {
     "corpus_sample_importance": "importance resampling: ONE per-row projection (gopher features via keep_cols passthrough) + deterministic Bernoulli filter — map-only, NO join, NO Exchange",
     "media_audio_features": "audio features: JVM sawtooth WAV synthesis (per-sample transform/hex codegen) → one MapInPandas decode, no shuffle",
     "media_frame_sample": "frame sampling: JVM multi-frame container synthesis → one MapInPandas stream-walk decode with per-frame fan-out executor-side, no shuffle",
-    "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab; scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
-    "corpus_mixture": "mixture rebalancing: per-stratum token HashAggregate (tiny) → rate table BroadcastHashJoin back onto the scan → map-side filter — the corpus never shuffles",
+    "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab (CACHED — total and join side both read the InMemoryRelation, not a re-explode); scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
+    "corpus_mixture": "mixture rebalancing: ONE corpus scan measures per-stratum token mass (HashAggregate), total via window over the strata-count frame (no second corpus pass), rate table BroadcastHashJoin back onto the filter scan",
 }
 
 
