@@ -390,3 +390,86 @@ def bpe_pair_counts(
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def _apply_bpe_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of merge ``(a, b) -> a+b`` to a
+    symbol array — a fold: append each symbol, collapsing it with the
+    accumulator's tail when the pair matches. Matches reference BPE's
+    non-overlapping left-to-right replacement ("aaa" + (a,a) -> [aa, a])."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge-table training (Sennrich et al. 2016) on
+    the corpus: repeatedly find the most frequent adjacent symbol pair
+    (weighted by word frequency, ties broken lexicographically) and fuse
+    it corpus-wide. Returns the learned merge list ``[(left, right,
+    count), ...]`` in training order — the artifact a tokenizer loads.
+
+    Scale shape: the corpus collapses ONCE to its word-frequency table;
+    every round then runs over that vocabulary-sized frame — pair count
+    (hash aggregate + top-1 collect, the k-means collect-k pattern) and a
+    JVM-side fold applying the merge. ``localCheckpoint`` per round
+    truncates the growing lineage (same iterative-plan discipline as
+    ``clustering.kmeans_assign``). Driver work is O(n_merges) rows.
+    Training is inherently sequential in the merge list — the
+    parallelism is within each round, as in any BPE trainer."""
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")), lambda i: F.substring(F.col("word"), i, 1)
+            ).alias("syms"),
+            F.col("_c"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        # guard single-symbol words: sequence(1, 0) auto-steps BACKWARDS
+        # ([1, 0]) instead of returning empty, and index 0/size+1 throws
+        idx = F.when(
+            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        top = (
+            words.select(
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                F.col("_c"),
+            )
+            .groupBy("p")
+            .agg(F.sum("_c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], top[0]["cnt"]
+        merges.append((a, b, int(cnt)))
+        words = words.select(
+            _apply_bpe_merge(F.col("syms"), a, b).alias("syms"), F.col("_c")
+        ).localCheckpoint()
+    return merges

@@ -1197,6 +1197,18 @@ def q_text_bpe_pairs(spark, sf_dir):
     return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=60)
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """Iterative BPE merge-table training (8 rounds) — genuinely
+    sequential in the merge list, so no SQL oracle (same exemption as
+    cluster_kmeans); correctness is pinned by the reference-algorithm
+    equivalence test in tests/test_analytics.py."""
+    merges = text.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left string, right string, cnt long",
+    )
+
+
 def q_corpus_mixture(spark, sf_dir):
     """Token-mass mixture rebalancing toward fixed source shares:
     src0 capped at 2% of the named-strata token total, src1 at 30%
@@ -2549,6 +2561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_logprob": q_text_unigram_logprob,
     "corpus_mixture": q_corpus_mixture,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "text_bpe_train": q_text_bpe_train,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,

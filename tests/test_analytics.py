@@ -804,3 +804,49 @@ def test_sample_by_score_null_score_drops(spark):
     score = F.when(F.col("text").isNotNull(), 1.0)  # null text -> null score
     kept = {r["doc_id"] for r in sample_by_score(df, score).collect()}
     assert kept == {i for i in range(100) if i % 2 == 0}
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """The learned merge table must equal the classic Sennrich algorithm
+    run over the same word-frequency dict (greedy most-frequent pair,
+    lexicographic tiebreak, left-to-right application)."""
+    corpus = ["low low low lower lower newest newest newest newest widest",
+              "low lower newest widest widest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    def python_bpe(texts, n_merges):
+        freq = {}
+        for t in texts:
+            for w in t.split():
+                freq[w] = freq.get(w, 0) + 1
+        vocab = {tuple(w): c for w, c in freq.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+            if not pairs:
+                break
+            (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, cnt))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return merges
+
+    got = text.bpe_train(df, n_merges=6)
+    assert got == python_bpe(corpus, 6)
+    # classic example: 'e s' then 'es t' dominate via newest(5) + widest(3)
+    assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
