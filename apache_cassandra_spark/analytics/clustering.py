@@ -115,3 +115,45 @@ def kmeans_assign(
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
 
     return assign(v).select(id_col, "cluster")
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid list —
+    ``(id, cluster, dist)`` with ``dist`` the Euclidean distance ROUNDED
+    to 6 decimals, and the argmin taken over the rounded value (ties →
+    lower centroid index). Rounding before the argmin is what makes the
+    assignment replayable in any engine (the ``sim_topk`` float-parity
+    pattern); the iterative ``kmeans_assign`` keeps full precision
+    internally and stays rows-only.
+
+    Scale: centroids fold into the plan as literals (k × dim doubles) —
+    a map-only projection, no join, no shuffle."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col(vec_col),
+                                F.array(*[F.lit(float(c)) for c in cent]),
+                                lambda x, c: (x - c) * (x - c),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, d: acc + d,
+                        )
+                    ),
+                    6,
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(cands)
+    return df.select(F.col(id_col), best.idx.alias("cluster"), best.dist.alias("dist"))

@@ -1324,6 +1324,22 @@ def q_cluster_kmeans(spark, sf_dir):
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=3)
 
 
+def q_cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment against fixed centroids (the
+    embeddings of vec_id 0..7): distances rounded to 6 BEFORE the argmin,
+    so the oracle's list_distance replays every assignment exactly —
+    the oracle-gated half of the clustering surface (the iterative
+    kmeans fixpoint stays rows-only)."""
+    from apache_cassandra_spark.analytics.clustering import assign_to_centroids
+
+    em = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in em.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return assign_to_centroids(em, cents)
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN in the gate as a rows-only entry: approximate by
     design, so there is deliberately no SQL oracle — recall vs the exact
@@ -1964,6 +1980,18 @@ ORACLES: dict[str, str] = {
         WHERE a.vec_id < b.vec_id
           AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
     """,
+    # fixed centroids = embeddings of vec_id 0..7; argmin over the
+    # 6-rounded euclidean distance, ties -> lower centroid index
+    "cluster_assign": """
+        WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT e.vec_id, c.cid,
+                     round(list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS dist
+              FROM embeddings e, c),
+        r AS (SELECT vec_id, cid, dist,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d)
+        SELECT vec_id, cast(cid as int) AS cluster, dist FROM r WHERE rn = 1
+    """,
     "sim_topk": """
         SELECT query_id, neighbor_id, cos, cast(rank as integer) AS rank FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2571,6 +2599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "cluster_kmeans": q_cluster_kmeans,
+    "cluster_assign": q_cluster_assign,
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
     "text_quality": q_text_quality,

@@ -850,3 +850,16 @@ def test_bpe_train_matches_reference_algorithm(spark):
     assert got == python_bpe(corpus, 6)
     # classic example: 'e s' then 'es t' dominate via newest(5) + widest(3)
     assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
+
+
+def test_assign_to_centroids_rounded_argmin(spark, vecs):
+    from apache_cassandra_spark.analytics.clustering import assign_to_centroids
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in assign_to_centroids(vecs, cents).collect()}
+    assert got[1] == (0, 0.0) and got[3] == (1, 0.0)
+    assert got[2][0] == 0  # (0.9, 0.1, 0) nearest the x-axis centroid
+    assert got[5][0] == 1  # (-1,0,0): dist 2.0 to c0, ~1.414 to c1
+    # equidistant -> lower centroid index wins
+    mid = spark.createDataFrame([(9, [0.5, 0.5, 0.0])], "vec_id long, embedding array<float>")
+    assert assign_to_centroids(mid, cents).collect()[0]["cluster"] == 0
