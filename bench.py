@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "corpus_mixture",
     "text_bpe_pairs",
+    "cluster_assign",
     "dedup_groups_star",
     "corpus_sample_quota",
     "dedup_lines",

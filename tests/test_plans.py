@@ -322,3 +322,11 @@ def test_importance_sampling_is_map_only_via_keep_cols(spark):
     scored = gopher_quality(df, keep_cols=("lang",))
     plan = plan_of(sample_by_score(scored, F.col("stop_hits") / 16.0))
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_assign_to_centroids_is_map_only(spark):
+    from apache_cassandra_spark.analytics.clustering import assign_to_centroids
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    plan = plan_of(assign_to_centroids(df, [[1.0, 0.0], [0.0, 1.0]]))
+    assert "Exchange" not in plan and "Join" not in plan  # centroids are literals
