@@ -473,3 +473,75 @@ def bpe_train(
             _apply_bpe_merge(F.col("syms"), a, b).alias("syms"), F.col("_c")
         ).localCheckpoint()
     return merges
+
+
+def _chars(word: Column) -> Column:
+    """Split a word into its character array (array<string>)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    )
+
+
+def _apply_merges(syms: Column, merges: list) -> Column:
+    """Apply a trained merge table in training order to a symbol array —
+    the BPE *encode* step (Sennrich et al. 2016 `apply_bpe`): each merge
+    is one greedy left-to-right fold, chained. Accepts `(a, b)` or
+    `(a, b, count)` tuples (the shape `bpe_train` returns)."""
+    for m in merges:
+        syms = _apply_bpe_merge(syms, m[0], m[1])
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE encoding with a trained merge table: every word is
+    split to characters and the merge list is folded over it in training
+    order. Returns ``(id_col, bpe_tokens array<string>, n_bpe_tokens)``.
+
+    Scale shape: map-only — one nested JVM higher-order projection per
+    row, no shuffle, no Python. The merge table is folded into the plan
+    as literals (the tokenizer artifact is driver-side and tiny: a few
+    10k merges in production)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    encoded = F.flatten(F.transform(toks, lambda w: _apply_merges(_chars(w), merges)))
+    return df.select(
+        F.col(id_col),
+        encoded.alias("bpe_tokens"),
+        F.size(encoded).alias("n_bpe_tokens"),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus BPE-token histogram under a trained merge table: top-``k``
+    ``(token, cnt)`` weighted by word frequency, ties lexicographic — the
+    vocabulary-usage profile a tokenizer-training pipeline reports.
+
+    Scale shape: the corpus collapses to its word-frequency table FIRST
+    (hash aggregate, zipf-small), the merge fold then runs once per
+    DISTINCT word — not once per corpus token — and the final histogram
+    is a vocabulary-sized hash aggregate + TakeOrderedAndProject."""
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    encoded = words.select(
+        F.explode(_apply_merges(_chars(F.col("word")), merges)).alias("token"),
+        F.col("_c"),
+    )
+    return (
+        encoded.groupBy("token")
+        .agg(F.sum("_c").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -1209,6 +1209,64 @@ def q_text_bpe_train(spark, sf_dir):
     )
 
 
+#: fixed BPE merge table for the encode gate — literal (not trained at
+#: query time) so the gate is deterministic at every sf; includes a
+#: 4-deep chained family (t+a→ta→tab→tabl→table) so multi-level merge
+#: application is actually exercised, not just pair fusion.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("s", "t"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("tab", "l"),
+    ("tabl", "e"),
+    ("o", "w"),
+    ("q", "u"),
+    ("er", "y"),
+]
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE *encode* under a fixed merge table: corpus token histogram
+    after folding the merges (in training order) over every distinct
+    word. The library entry (`text.bpe_encode`) also does per-document
+    encoding; the gate uses the vocabulary-frame histogram so the fold
+    runs per distinct word, not per corpus token."""
+    return text.bpe_token_counts(load_table(spark, sf_dir, "documents"), BPE_MERGES, k=50)
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_encode_oracle(k: int = 50) -> str:
+    """Oracle for q_text_bpe_encode: each merge is one `list_reduce`
+    left-fold accumulating a space-delimited symbol string (space cannot
+    appear inside a symbol — words are space-split), fusing the incoming
+    symbol with the accumulator tail when the (a, b) pair matches —
+    byte-identical to the Spark-side `_apply_bpe_merge` fold. A plain
+    string `replace(' a b ', ' ab ')` oracle is WRONG for a==b runs
+    ('a a a a a a' needs >2 passes); the fold is exact by construction."""
+    expr = "list_transform(generate_series(1, len(word)), i -> word[i:i])"
+    for a, b in BPE_MERGES:
+        a_, b_ = _sql_quote(a), _sql_quote(b)
+        fold = (
+            f"list_reduce({expr}, (acc, x) -> CASE WHEN x = '{b_}' AND "
+            f"(acc = '{a_}' OR ends_with(acc, ' {a_}')) THEN acc || '{b_}' "
+            f"ELSE acc || ' ' || x END)"
+        )
+        expr = f"string_split({fold}, ' ')"
+    return f"""
+        WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+                      FROM documents),
+        w AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+        enc AS (SELECT unnest({expr}) AS token, c FROM w)
+        SELECT token, cast(sum(c) as bigint) AS cnt
+        FROM enc GROUP BY token ORDER BY cnt DESC, token LIMIT {k}
+    """
+
+
 def q_corpus_mixture(spark, sf_dir):
     """Token-mass mixture rebalancing toward fixed source shares:
     src0 capped at 2% of the named-strata token total, src1 at 30%
@@ -2522,6 +2580,7 @@ ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
+ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_write_path": q_write_path,
@@ -2590,6 +2649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mixture": q_corpus_mixture,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_bpe_train": q_text_bpe_train,
+    "text_bpe_encode": q_text_bpe_encode,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "dedup_groups": q_dedup_groups,

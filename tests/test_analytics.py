@@ -852,6 +852,56 @@ def test_bpe_train_matches_reference_algorithm(spark):
     assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
 
 
+def python_bpe_encode(word: str, merges) -> list[str]:
+    """Reference encode: fold each merge, greedy left-to-right
+    non-overlapping, in training order."""
+    syms = list(word)
+    for m in merges:
+        a, b = m[0], m[1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_model(spark):
+    """Per-document encode vs the classic apply_bpe fold — includes an
+    a==a run ('aaaaaa' under (a,a): [aa,aa,aa], NOT [aa,a,aa,a] as a
+    naive two-pass string replace would give) and a 4-deep merge chain."""
+    merges = [("a", "a"), ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e")]
+    corpus = ["aaaaaa table stable aaa ta", "tableaa batable aa a"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bpe_tokens"] for r in text.bpe_encode(df, merges).collect()}
+    for i, t in enumerate(corpus):
+        expect = [tok for w in t.split() for tok in python_bpe_encode(w, merges)]
+        assert got[i] == expect, (i, got[i], expect)
+    n = {r["doc_id"]: r["n_bpe_tokens"] for r in text.bpe_encode(df, merges).collect()}
+    assert n[0] == len([tok for w in corpus[0].split() for tok in python_bpe_encode(w, merges)])
+
+
+def test_bpe_encode_roundtrips_with_trained_table(spark):
+    """bpe_train -> bpe_encode composition: encoding with the trained
+    table reproduces each word on concatenation, and every emitted token
+    is either a single char or a trained merge product."""
+    corpus = ["low low low lower lower newest newest newest newest widest"]
+    df = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
+    merges = text.bpe_train(df, n_merges=5)
+    learned = {a + b for a, b, _ in merges}
+    row = text.bpe_encode(df, merges).first()
+    toks = row["bpe_tokens"]
+    assert "".join(toks) == corpus[0].replace(" ", "")
+    assert all(len(t) == 1 or t in learned for t in toks)
+    assert row["n_bpe_tokens"] == len(toks)
+
+
 def test_assign_to_centroids_rounded_argmin(spark, vecs):
     from apache_cassandra_spark.analytics.clustering import assign_to_centroids
 
