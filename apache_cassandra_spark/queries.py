@@ -534,6 +534,51 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_salted_agg(spark, sf_dir):
+    """Skew-salted two-phase aggregation over the zipf-headed event_type
+    key: hash(event_id) spreads each type over 16 reduce partitions,
+    then a group-count-sized merge shuffle. Result-identical to the
+    plain GROUP BY (the oracle)."""
+    from apache_cassandra_spark.functions.skew import salted_agg
+
+    ev = load_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "total": ("sum", F.col("value").cast("decimal(18,4)")),
+            "max_value": ("max", F.col("value").cast("decimal(18,4)")),
+        },
+        n_salts=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+def q_events_salted_join(spark, sf_dir):
+    """Replicate-salt join: events (big, skewed on user_id) against
+    orders replicated 8x on a deterministic hash(event_id) salt, then a
+    per-event_type match count. Result-identical to the plain equi-join
+    (the oracle); the salt never escapes the operator."""
+    from apache_cassandra_spark.functions.skew import salted_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    joined = salted_join(
+        ev, orders, on=[("user_id", "o_custkey")], n_salts=8, salt_on="event_id"
+    )
+    return (
+        joined.groupBy("event_type", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization: a user's events belong to one session
     until a silence longer than 30 minutes, the classic event-analytics
@@ -1929,6 +1974,19 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
+    # the salted two-phase plan must be result-identical to the plain agg
+    "events_salted_agg": """
+        SELECT event_type, count(*) AS n,
+               cast(sum(cast(value as decimal(18,4))) as double) AS total,
+               cast(max(cast(value as decimal(18,4))) as double) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    # the replicate-salt join must be result-identical to the plain join
+    "events_salted_join": """
+        SELECT event_type, o_orderstatus, count(*) AS n_matches
+        FROM events JOIN orders ON user_id = o_custkey
+        GROUP BY event_type, o_orderstatus
+    """,
     "latest_order_per_customer": """
         SELECT o_custkey, o_orderkey AS latest_orderkey,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS latest_orderdate
@@ -2615,6 +2673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_salted_agg": q_events_salted_agg,
+    "events_salted_join": q_events_salted_join,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_asof": q_events_asof,

@@ -330,3 +330,32 @@ def test_assign_to_centroids_is_map_only(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     plan = plan_of(assign_to_centroids(df, [[1.0, 0.0], [0.0, 1.0]]))
     assert "Exchange" not in plan and "Join" not in plan  # centroids are literals
+
+
+def test_salted_agg_is_two_hash_aggregate_phases(spark):
+    """Both phases must be HashAggregate with an exchange on (keys, salt)
+    first — the hot key fans out over n_salts partitions; a SortAggregate
+    or a single direct keys-only exchange would defeat the salting."""
+    from apache_cassandra_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    out = salted_agg(df, ["k"], {"n": ("count", "id"), "s": ("sum", "v")},
+                     n_salts=8, salt_on="id")
+    plan = plan_of(out)
+    assert "SortAggregate" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan.split("Exchange hashpartitioning")[2]  # phase-1 exchange carries the salt
+
+
+def test_salted_join_replicates_small_side(spark):
+    """The salted join's condition must include the salt key and the
+    plan must contain the explode (replication) of the small side."""
+    from apache_cassandra_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10, "x")], "id long, k long, payload string")
+    small = spark.createDataFrame([(10, "d")], "sk long, dim string")
+    out = salted_join(big, small, on=[("k", "sk")], n_salts=4, salt_on="id")
+    plan = plan_of(out)
+    assert "Generate explode" in plan
+    assert "_salt" in plan
+    assert set(out.columns) == {"id", "k", "payload", "sk", "dim"}

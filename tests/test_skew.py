@@ -1,0 +1,70 @@
+"""Salted aggregation / replicate-salt join: result-equivalence with the
+unsalted plan on a zipf-skewed frame, multiplicity preservation, and
+input validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.functions.skew import salted_agg, salted_join
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 900 rows of the hot key, 10 keys x 10 rows tail
+    rows = [(i, "hot", float(i % 7)) for i in range(900)]
+    rows += [(1000 + k * 10 + j, f"k{k}", float(j)) for k in range(10) for j in range(10)]
+    return spark.createDataFrame(rows, "id long, k string, v double")
+
+
+def test_salted_agg_equals_plain_agg(spark, skewed):
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            skewed, ["k"],
+            {"n": ("count", "id"), "s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")},
+            n_salts=8, salt_on="id",
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skewed.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_non_algebraic(skewed):
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(skewed, ["k"], {"a": ("avg", "v")}, salt_on="id")
+    with pytest.raises(ValueError, match="salt_on"):
+        salted_agg(skewed, ["k"], {"n": ("count", "id")})
+
+
+def test_salted_join_equals_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k0", 3), ("missing", 4)], "dk string, tag int"
+    )
+    got = sorted(
+        (r["id"], r["tag"])
+        for r in salted_join(skewed, dim, on=[("k", "dk")], n_salts=4, salt_on="id").collect()
+    )
+    want = sorted(
+        (r["id"], r["tag"])
+        for r in skewed.join(dim, skewed["k"] == dim["dk"]).collect()
+    )
+    assert got == want and len(got) == 900 + 2 * 10  # dup dim rows preserved
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1)], "dk string, tag int")
+    out = salted_join(skewed, dim, on=[("k", "dk")], n_salts=4, salt_on="id", how="left")
+    assert out.count() == skewed.count()  # exactly one replica matches per row
+    assert out.where(F.col("tag").isNull()).count() == 100
+
+
+def test_salted_join_rejects_right_outer(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1)], "dk string, tag int")
+    with pytest.raises(ValueError, match="unsupported how"):
+        salted_join(skewed, dim, on=[("k", "dk")], how="right", salt_on="id")
