@@ -1417,6 +1417,23 @@ def q_sim_topk(spark, sf_dir):
     return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization audit: per-vector scale plus integer
+    aggregates of the quantized vector (sum / min / max / l2sq) — the
+    arithmetic is half-up `floor(x/scale + 0.5)` in IEEE doubles, so the
+    oracle reproduces every value bit-for-bit."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(em)
+    return q.select(
+        "vec_id",
+        F.col("scale"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x * x).alias("q_l2sq"),
+    )
+
+
 def q_cluster_kmeans(spark, sf_dir):
     """Deterministic Lloyd's k-means (farthest-point init) — rows-only
     entry: the fixpoint of an iterative algorithm has no portable
@@ -2108,6 +2125,25 @@ ORACLES: dict[str, str] = {
               FROM d)
         SELECT vec_id, cast(cid as int) AS cluster, dist FROM r WHERE rn = 1
     """,
+    # identical IEEE-double arithmetic to quantize_embeddings: the scale
+    # is computed once (absmax/127.0), each element half-up rounded
+    "embedding_quantize": """
+        WITH m AS (SELECT vec_id, embedding,
+                          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+                   FROM embeddings),
+        q AS (SELECT vec_id, absmax / 127.0 AS scale,
+                     CASE WHEN absmax = 0 THEN list_transform(embedding, x -> 0)
+                          ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS INT))
+                     END AS qv
+              FROM m)
+        SELECT vec_id, scale,
+               cast(list_sum(qv) as bigint) AS q_sum,
+               cast(list_min(qv) as int) AS q_min,
+               cast(list_max(qv) as int) AS q_max,
+               cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS q_l2sq
+        FROM q
+    """,
     "sim_topk": """
         SELECT query_id, neighbor_id, cos, cast(rank as integer) AS rank FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2717,6 +2753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prepare_corpus": q_prepare_corpus,
     "prepare_corpus_full": q_prepare_corpus_full,
     "sim_topk": q_sim_topk,
+    "embedding_quantize": q_embedding_quantize,
     "sim_ann_lsh": q_sim_ann_lsh,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_assign": q_cluster_assign,

@@ -913,3 +913,48 @@ def test_assign_to_centroids_rounded_argmin(spark, vecs):
     # equidistant -> lower centroid index wins
     mid = spark.createDataFrame([(9, [0.5, 0.5, 0.0])], "vec_id long, embedding array<float>")
     assert assign_to_centroids(mid, cents).collect()[0]["cluster"] == 0
+
+
+def test_quantize_embeddings_half_up_and_zero_vector(spark):
+    rows = [(1, [1.0, -1.0, 0.5, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["qvec"], r["scale"]) for r in
+           similarity.quantize_embeddings(df).collect()}
+    # scale = 1/127; 0.5/scale = 63.5 -> half-up 64; -1 -> -127
+    assert got[1][0] == [127, -127, 64, 0]
+    assert abs(got[1][1] - 1.0 / 127.0) < 1e-15
+    assert got[2] == ([0, 0, 0, 0], 0.0)
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = similarity.quantize_embeddings(em)
+    joined = em.join(q, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    similarity.dequantize(F.col("qvec"), F.col("scale")),
+                    lambda x, d: F.abs(x.cast("double") - d)
+                    / F.greatest(F.col("scale"), F.lit(1e-300)),
+                )
+            )
+        ).alias("worst_steps")
+    ).first()
+    assert joined["worst_steps"] <= 0.5 + 1e-9  # half-up rounding: error <= scale/2
+
+
+def test_quantized_topk_recall(spark):
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = em.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(em, q, k=5).collect()}
+    rows = similarity.quantized_cosine_topk(em, q, k=5).collect()
+    quant = {(r["query_id"], r["corpus_id"]) for r in rows}
+    # clustered synthetic embeddings have near-tie tails: int8 flips some
+    # rank-4/5 neighbors, but the top hit must survive quantization
+    assert len(quant & exact) / len(exact) >= 0.75
+    top1_exact = {(r["query_id"], r["neighbor_id"])
+                  for r in similarity.cosine_topk(em, q, k=1).collect()}
+    top1_quant = {(r["query_id"], r["corpus_id"]) for r in rows if r["rank"] == 1}
+    assert top1_quant == top1_exact
