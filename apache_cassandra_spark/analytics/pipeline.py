@@ -490,3 +490,25 @@ def mixture_sample(
         .where(u < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def filter_blocklist(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    col: str = "source",
+) -> DataFrame:
+    """Drop rows whose ``col`` appears in a blocklist — the standard
+    domain/source exclusion pass of a web-corpus pipeline (licensing
+    takedowns, spam domains, opt-outs).
+
+    ``blocked`` as a DataFrame (single column, any name): broadcast
+    LEFT ANTI join — a production blocklist is millions of domains,
+    far beyond a literal IN but well under broadcast size (~10s of MB);
+    the corpus never shuffles. As a Python list (small, driver-known):
+    a literal ``isin`` filter that pushes down to the Parquet scan."""
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(F.col(blocked.columns[0]).alias("_blocked")).distinct()
+        return df.join(
+            F.broadcast(bl), df[col] == bl["_blocked"], "left_anti"
+        )
+    return df.where(~F.col(col).isin(list(blocked)))

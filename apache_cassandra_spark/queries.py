@@ -534,6 +534,23 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_daily_active(spark, sf_dir):
+    """Daily active users — exact distinct-count per day (Spark plans
+    the two-phase Expand dedup itself). The scale path for wider windows
+    is `approx_count_distinct` (HLL++): test_analytics pins its error
+    within 5% of this exact result, but the GATE stays exact so any sf
+    hash-matches."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    return (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q_events_salted_agg(spark, sf_dir):
     """Skew-salted two-phase aggregation over the zipf-headed event_type
     key: hash(event_id) spreads each type over 16 reduce partitions,
@@ -765,6 +782,21 @@ def q_events_range_join(spark, sf_dir):
     joined = range_join(ev, promos, "us", "start_us", "end_us", bucket=hour_us)
     return joined.groupBy("promo_id").agg(
         F.count("*").alias("n_events"), F.count_distinct("user_id").alias("n_users")
+    )
+
+
+def q_corpus_blocklist(spark, sf_dir):
+    """Blocklist exclusion via broadcast LEFT ANTI join (the
+    million-domain production path — exercised here with a two-row
+    blocklist frame), then a per-source survivor count."""
+    from apache_cassandra_spark.analytics.pipeline import filter_blocklist
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame([("src1",), ("src3",)], "domain string")
+    return (
+        filter_blocklist(docs, blocked)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
@@ -1991,6 +2023,15 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
+    "corpus_blocklist": """
+        SELECT source, count(*) AS n_docs FROM documents
+        WHERE source NOT IN ('src1', 'src3') GROUP BY source
+    """,
+    "events_daily_active": """
+        SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS dau, count(*) AS n_events
+        FROM events GROUP BY 1
+    """,
     # the salted two-phase plan must be result-identical to the plain agg
     "events_salted_agg": """
         SELECT event_type, count(*) AS n,
@@ -2709,6 +2750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_daily_active": q_events_daily_active,
     "events_salted_agg": q_events_salted_agg,
     "events_salted_join": q_events_salted_join,
     "events_funnel": q_events_funnel,
@@ -2719,6 +2761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_rollup": q_orders_rollup,
     "lineitem_quantiles": q_lineitem_quantiles,
     "corpus_stats": q_corpus_stats,
+    "corpus_blocklist": q_corpus_blocklist,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,
     "latest_order_per_customer": q_latest_order_per_customer,

@@ -958,3 +958,33 @@ def test_quantized_topk_recall(spark):
                   for r in similarity.cosine_topk(em, q, k=1).collect()}
     top1_quant = {(r["query_id"], r["corpus_id"]) for r in rows if r["rank"] == 1}
     assert top1_quant == top1_exact
+
+
+def test_filter_blocklist_list_and_frame_paths_agree(spark):
+    from apache_cassandra_spark.analytics.pipeline import filter_blocklist
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(20)], "doc_id long, source string"
+    )
+    bl_frame = spark.createDataFrame([("src1",), ("src3",)], "d string")
+    via_frame = {r["doc_id"] for r in filter_blocklist(docs, bl_frame).collect()}
+    via_list = {r["doc_id"] for r in filter_blocklist(docs, ["src1", "src3"]).collect()}
+    assert via_frame == via_list == {i for i in range(20) if i % 4 in (0, 2)}
+
+
+def test_approx_distinct_within_5pct_of_exact(spark):
+    """The HLL++ scale path for events_daily_active: approx DAU must land
+    within 5% of the exact distinct count on the real events table."""
+    from apache_cassandra_spark.queries import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    day = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    both = (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert both and all(abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]) for r in both)
