@@ -512,3 +512,62 @@ def filter_blocklist(
             F.broadcast(bl), df[col] == bl["_blocked"], "left_anti"
         )
     return df.where(~F.col(col).isin(list(blocked)))
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Graded train/eval overlap: for every training document, the
+    fraction of its DISTINCT word ``n``-grams that appear anywhere in
+    the eval set — the thresholdable form of `contamination_flags`
+    (binary >=1-gram hit is too trigger-happy for short boilerplate;
+    overlap-fraction filters are what large-LM pipelines actually tune).
+    Returns ``(doc_id, n_ngrams, n_hit, overlap_frac)``; docs with fewer
+    than ``n`` tokens have zero n-grams and report overlap 0.
+
+    Scale: same broadcast shape as `contamination_flags` — the eval
+    n-gram set broadcasts, the train shingle stream never shuffles for
+    the probe; the only shuffle is the per-doc distinct+count aggregate
+    (uniform on doc id)."""
+    from apache_cassandra_spark.analytics.dedup import _shingle_stream
+
+    ev = (
+        _shingle_stream(eval_df, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    grams = (
+        _shingle_stream(train, text_col, id_col, n)
+        .select("id", "shingle")
+        .distinct()
+        .join(ev, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(grams, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("n_hit", F.lit(0)) / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )

@@ -247,3 +247,56 @@ def quantized_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def rademacher_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign(k, i) = parity of the
+    first md5 byte of ``"rp:k:i"``. Any engine (or the oracle SQL
+    generator) can re-derive it from the formula; in practice it's
+    embedded as literals — out_dim×in_dim ints are driver-trivial."""
+    import hashlib
+
+    return [
+        [1 - 2 * (hashlib.md5(f"rp:{k}:{i}".encode()).digest()[0] & 1) for i in range(in_dim)]
+        for k in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    in_dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a Rademacher
+    (±1) matrix (Achlioptas 2003): ``proj_k = (1/sqrt(out_dim)) *
+    sum_i x_i * sign(k, i)`` — distances are preserved within
+    ~(1 ± eps) at out_dim = O(log n / eps²), which is what you project
+    a 100 TB embedding column through BEFORE the ANN index, not after.
+
+    Map-only: one JVM fold per output dim, the ±1 matrix folded into
+    the plan as literals; no shuffle, no Python. The left-to-right
+    fold from an explicit 0.0 keeps the summation order (and therefore
+    every IEEE double) reproducible across engines."""
+    import math
+
+    if in_dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None or first["d"] is None or first["d"] <= 0:
+            return df.sparkSession.createDataFrame(
+                [], f"{id_col} long, " + ", ".join(f"proj_{k} double" for k in range(out_dim))
+            )
+        in_dim = first["d"]
+    signs = rademacher_signs(out_dim, in_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for k in range(out_dim):
+        s_arr = F.array(*[F.lit(v) for v in signs[k]])
+        total = F.aggregate(
+            F.zip_with(F.col(vec_col), s_arr, lambda x, s: x.cast("double") * s.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(total * F.lit(scale), 6).alias(f"proj_{k}"))
+    return df.select(F.col(id_col), *cols)

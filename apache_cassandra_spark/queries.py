@@ -1186,6 +1186,19 @@ def q_dedup_lines(spark, sf_dir):
     return dedup.remove_duplicate_lines(_multiline_corpus(spark, sf_dir), min_chars=5)
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Graded decontamination: per-train-doc fraction of distinct word
+    trigrams appearing in the eval set (every 50th doc) — the
+    thresholdable overlap metric, same broadcast-probe shape as
+    corpus_decontaminate."""
+    from apache_cassandra_spark.analytics.pipeline import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_overlap(tr, ev, n=3)
+
+
 def q_corpus_decontaminate(spark, sf_dir):
     """Train/eval overlap flags (GPT-3-style n-gram decontamination):
     eval set = every 50th doc, train = the rest; a train doc is
@@ -1464,6 +1477,34 @@ def q_embedding_quantize(spark, sf_dir):
         F.array_max("qvec").alias("q_max"),
         F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x * x).alias("q_l2sq"),
     )
+
+
+def q_embedding_project(spark, sf_dir):
+    """Rademacher (±1) Johnson–Lindenstrauss projection to 4 dims — the
+    pre-ANN dimensionality reducer. Deterministic md5-derived sign
+    matrix; the oracle replays the same literal matrix with the same
+    left-to-right summation order, so doubles match bit-for-bit."""
+    return similarity.random_project(
+        load_table(spark, sf_dir, "embeddings"), out_dim=4, in_dim=64
+    )
+
+
+def _embedding_project_oracle(out_dim: int = 4, in_dim: int = 64) -> str:
+    """Same literal sign matrix, same fold: 0.0-seeded left-to-right sum
+    (the trailing `+ 0.0` also normalizes a would-be -0.0)."""
+    import math
+
+    signs = similarity.rademacher_signs(out_dim, in_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = []
+    for k in range(out_dim):
+        arr = "[" + ", ".join(str(v) for v in signs[k]) + "]"
+        fold = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {in_dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr}::INT[])[i])), (acc, x) -> acc + x)"
+        )
+        cols.append(f"round(({fold} + 0.0) * {scale}, 6) AS proj_{k}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 
 
 def q_cluster_kmeans(spark, sf_dir):
@@ -2098,6 +2139,25 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, (doc_id IN (SELECT id FROM dirty)) AS contaminated
         FROM documents WHERE doc_id % 50 <> 0
     """,
+    "corpus_overlap": """
+        WITH toks AS (SELECT doc_id AS id,
+                             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                                i -> array_to_string(t[i:i+2], ' '))) AS shingle
+               FROM toks),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
+        g AS (SELECT id, count(*) AS n_ngrams,
+                     sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS n_hit
+              FROM sh WHERE id % 50 <> 0 GROUP BY id)
+        SELECT d.doc_id,
+               cast(coalesce(g.n_ngrams, 0) as bigint) AS n_ngrams,
+               cast(coalesce(g.n_hit, 0) as bigint) AS n_hit,
+               round(CASE WHEN coalesce(g.n_ngrams, 0) > 0
+                          THEN coalesce(g.n_hit, 0) / g.n_ngrams ELSE 0.0 END, 6) AS overlap_frac
+        FROM documents d LEFT JOIN g ON d.doc_id = g.id
+        WHERE d.doc_id % 50 <> 0
+    """,
     "dedup_ngram_jaccard": f"""
         WITH {_DOC_SHINGLES},
         sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
@@ -2716,6 +2776,7 @@ ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
+ORACLES["embedding_project"] = _embedding_project_oracle()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_write_path": q_write_path,
@@ -2769,6 +2830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_lines": q_dedup_lines,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_overlap": q_corpus_overlap,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -2797,6 +2859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prepare_corpus_full": q_prepare_corpus_full,
     "sim_topk": q_sim_topk,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_project": q_embedding_project,
     "sim_ann_lsh": q_sim_ann_lsh,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_assign": q_cluster_assign,

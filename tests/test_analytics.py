@@ -988,3 +988,51 @@ def test_approx_distinct_within_5pct_of_exact(spark):
         .collect()
     )
     assert both and all(abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]) for r in both)
+
+
+def test_random_project_preserves_distances_roughly(spark):
+    """JL sanity on real embeddings: projecting 64 -> 16 dims keeps
+    pairwise euclidean distances within a generous distortion band for
+    most pairs (Rademacher matrices satisfy JL with k = O(log n / eps^2))."""
+    import math
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(F.col("vec_id") < 30)
+    rows = {r["vec_id"]: r["embedding"] for r in em.collect()}
+    proj = {r["vec_id"]: [r[f"proj_{k}"] for k in range(16)]
+            for r in similarity.random_project(em, out_dim=16, in_dim=64).collect()}
+
+    def d(u, v):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(u, v)))
+
+    ratios = []
+    ids = sorted(rows)
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        orig = d(rows[a], rows[b])
+        if orig > 1e-9:
+            ratios.append(d(proj[a], proj[b]) / orig)
+    assert ratios
+    within = sum(1 for r in ratios if 0.4 <= r <= 1.6) / len(ratios)
+    assert within >= 0.8, ratios
+
+
+def test_random_project_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.random_project(empty, out_dim=3)
+    assert out.columns == ["vec_id", "proj_0", "proj_1", "proj_2"]
+    assert out.count() == 0
+
+
+def test_contamination_overlap_fraction_values(spark):
+    from apache_cassandra_spark.analytics.pipeline import contamination_overlap
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w"), (3, "a b")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(100, "a b c q")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_hit"], r["overlap_frac"])
+           for r in contamination_overlap(train, ev, n=2).collect()}
+    # doc1 bigrams: ab, bc, cd; eval has ab, bc, cq -> 2/3 hit
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (1, 1, 1.0)

@@ -359,3 +359,25 @@ def test_salted_join_replicates_small_side(spark):
     assert "Generate explode" in plan
     assert "_salt" in plan
     assert set(out.columns) == {"id", "k", "payload", "sk", "dim"}
+
+
+def test_random_project_and_quantize_are_map_only(spark):
+    from apache_cassandra_spark.analytics.similarity import quantize_embeddings, random_project
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    for out in (random_project(df, out_dim=2, in_dim=2), quantize_embeddings(df)):
+        plan = plan_of(out)
+        assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_contamination_overlap_broadcasts_eval(spark):
+    from apache_cassandra_spark.analytics.pipeline import contamination_overlap
+
+    tr = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ev = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    plan = plan_of(contamination_overlap(tr, ev, n=2))
+    # the shingle probe (the corpus-sized stream) must be broadcast, never
+    # shuffled on the shingle key; the final per-id outer join on uniform
+    # ids may be SMJ — same accepted shape as contamination_flags
+    assert "BroadcastHashJoin [shingle" in plan
+    assert "SortMergeJoin [shingle" not in plan
