@@ -60,6 +60,14 @@ BENCH_QUERIES = [
     "corpus_decontaminate",
     "corpus_pack_sequences",
     "events_sessionize",
+    "text_bpe_encode",
+    "embedding_quantize",
+    "embedding_project",
+    "events_salted_agg",
+    "events_salted_join",
+    "events_daily_active",
+    "corpus_blocklist",
+    "corpus_overlap",
 ]
 
 

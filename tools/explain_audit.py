@@ -48,6 +48,14 @@ AUDITED = {
     "corpus_sample_importance": "importance resampling: ONE per-row projection (gopher features via keep_cols passthrough) + deterministic Bernoulli filter — map-only, NO join, NO Exchange",
     "media_audio_features": "audio features: JVM sawtooth WAV synthesis (per-sample transform/hex codegen) → one MapInPandas decode, no shuffle",
     "media_frame_sample": "frame sampling: JVM multi-frame container synthesis → one MapInPandas stream-walk decode with per-frame fan-out executor-side, no shuffle",
+    "text_bpe_encode": "BPE encode: corpus collapses to vocab (HashAggregate(word)) FIRST, 10 nested JVM merge folds per DISTINCT word, explode → HashAggregate(token) → TakeOrderedAndProject top-k",
+    "events_salted_agg": "salted agg: TWO HashAggregate phases — phase-1 Exchange on (event_type, _salt) spreads the hot key over 16 partitions, phase-2 Exchange moves |groups|×16 rows",
+    "events_salted_join": "replicate-salt join: Generate explode(0..7) replicates the dim, join keys include _salt so the hot key's rows land on 8 partitions, SMJ/shuffle-hash on (key, salt)",
+    "events_daily_active": "exact distinct rollup: Expand-based two-phase distinct (partial dedup on (day,user) before the day-level count) — no single hot reducer",
+    "corpus_blocklist": "blocklist: blocklist frame deduped then BroadcastExchange, LEFT ANTI BroadcastHashJoin — the corpus never shuffles",
+    "embedding_quantize": "int8 quantize: single Project of JVM higher-order exprs (array_max/transform/floor) — map-only, no Exchange, no Python",
+    "embedding_project": "JL projection: single Project, ±1 matrix as literals, per-dim zip_with/aggregate folds — map-only, no Exchange",
+    "corpus_overlap": "overlap fraction: eval shingles dedup + BroadcastExchange, probe is BroadcastHashJoin on shingle (corpus stream never shuffles on shingle); per-doc distinct + count aggregates on uniform doc id",
     "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab (CACHED — total and join side both read the InMemoryRelation, not a re-explode); scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
     "corpus_mixture": "mixture rebalancing: ONE corpus scan measures per-stratum token mass (HashAggregate), total via window over the strata-count frame (no second corpus pass), rate table BroadcastHashJoin back onto the filter scan",
 }
