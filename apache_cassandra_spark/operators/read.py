@@ -412,3 +412,32 @@ def describe_splits(
         if bounds[-1] < true_max:
             bounds[-1] = true_max
     return bounds
+
+
+def join_cf(left, right, how: str = "inner") -> DataFrame:
+    """Cross-CF row join on ``(key[, sc], column)`` over the live views —
+    the Spark-native answer to multi-CF reads, which the reference could
+    only fan out client-side (one Thrift call per CF, merge in the app;
+    ``thrift/CassandraServer.java`` has no join of any kind).
+
+    Co-location: when both CFs are post-compaction bucketed tables with
+    the SAME bucket count, each scan reports ``HashPartitioning(key)``,
+    which satisfies the join's clustered distribution on (key, column)
+    (same key ⇒ same bucket on both sides) — the join runs with NO
+    shuffle exchange; at 100 TB that is the difference between a metadata
+    operation and re-shuffling two tables. test_plans locks the
+    exchange-free shape. With deltas present the sides reconcile first
+    and shuffle as usual — correctness never depends on layout.
+
+    Super CFs join on (key, sc, column); mixing a super and a standard CF
+    is rejected (their coordinate systems differ)."""
+    if left.is_super != right.is_super:
+        raise ValueError("cannot join a super CF with a standard CF")
+    keys = ["key", "sc", "column"] if left.is_super else ["key", "column"]
+    a = left.live().select(
+        *keys, F.col("value").alias("value_a"), F.col("ts").alias("ts_a")
+    )
+    b = right.live().select(
+        *keys, F.col("value").alias("value_b"), F.col("ts").alias("ts_b")
+    )
+    return a.join(b, keys, how)

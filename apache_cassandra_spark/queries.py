@@ -800,6 +800,50 @@ def q_corpus_blocklist(spark, sf_dir):
     )
 
 
+def q_cf_join(spark, sf_dir):
+    """Cross-CF co-located join: two CFs written through the real write
+    path (LWW overwrites included), compacted to same-bucket-count
+    tables, joined on (key, column) via `read.join_cf` — exchange-free
+    post-compaction (plan-locked in test_plans); the oracle replays the
+    mutation logs and the join in SQL."""
+    import tempfile
+
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.engine import Engine
+    from apache_cassandra_spark.model import ColumnPath
+    from apache_cassandra_spark.operators import maintenance
+    from apache_cassandra_spark.operators import read as R2
+
+    ks = "Gate"
+    root = tempfile.mkdtemp(prefix="cfjoin_gate_")
+    eng = Engine(
+        spark, root,
+        Catalog.from_dict({ks: {"JA": {"compare_with": "UTF8Type"},
+                                "JB": {"compare_with": "UTF8Type"}}}),
+    )
+    # CF JA: profile-ish cells, with one LWW overwrite and one JA-only row
+    for k in range(8):
+        eng.insert(ks, f"u{k}", ColumnPath("JA", column=b"name"), f"n{k}".encode(), 100)
+        eng.insert(ks, f"u{k}", ColumnPath("JA", column=b"age"), str(20 + k).encode(), 100)
+    eng.insert(ks, "u3", ColumnPath("JA", column=b"name"), b"renamed", 200)
+    eng.insert(ks, "only_a", ColumnPath("JA", column=b"name"), b"solo", 100)
+    # CF JB: overlapping keys, same 'name' coordinate + a JB-only column
+    for k in range(5):
+        eng.insert(ks, f"u{k}", ColumnPath("JB", column=b"name"), f"m{k}".encode(), 100)
+        eng.insert(ks, f"u{k}", ColumnPath("JB", column=b"city"), f"c{k}".encode(), 100)
+    maintenance.compact(eng.store, ks, "JA", buckets=4)
+    maintenance.compact(eng.store, ks, "JB", buckets=4)
+    out = R2.join_cf(eng.cf(ks, "JA"), eng.cf(ks, "JB"))
+    return out.select(
+        "key",
+        F.col("column").cast("string").alias("column"),
+        F.col("value_a").cast("string").alias("value_a"),
+        "ts_a",
+        F.col("value_b").cast("string").alias("value_b"),
+        "ts_b",
+    )
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-source corpus inventory (docs, tokens, char bounds) — the
     one-pass summary every mixing/sampling decision starts from."""
@@ -2073,6 +2117,37 @@ ORACLES: dict[str, str] = {
                count(DISTINCT user_id) AS dau, count(*) AS n_events
         FROM events GROUP BY 1
     """,
+    # replay of q_cf_join's two mutation logs: LWW per CF, then the join
+    "cf_join": """
+        WITH ja(key, "column", value, ts) AS (VALUES
+          ('u0','name','n0',100),('u0','age','20',100),
+          ('u1','name','n1',100),('u1','age','21',100),
+          ('u2','name','n2',100),('u2','age','22',100),
+          ('u3','name','n3',100),('u3','age','23',100),
+          ('u4','name','n4',100),('u4','age','24',100),
+          ('u5','name','n5',100),('u5','age','25',100),
+          ('u6','name','n6',100),('u6','age','26',100),
+          ('u7','name','n7',100),('u7','age','27',100),
+          ('u3','name','renamed',200),
+          ('only_a','name','solo',100)),
+        jb(key, "column", value, ts) AS (VALUES
+          ('u0','name','m0',100),('u0','city','c0',100),
+          ('u1','name','m1',100),('u1','city','c1',100),
+          ('u2','name','m2',100),('u2','city','c2',100),
+          ('u3','name','m3',100),('u3','city','c3',100),
+          ('u4','name','m4',100),('u4','city','c4',100)),
+        la AS (SELECT key, "column", value AS value_a, ts AS ts_a FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY key, "column" ORDER BY ts DESC, value DESC) AS rn
+                 FROM ja) WHERE rn = 1),
+        lb AS (SELECT key, "column", value AS value_b, ts AS ts_b FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY key, "column" ORDER BY ts DESC, value DESC) AS rn
+                 FROM jb) WHERE rn = 1)
+        SELECT la.key, la."column", value_a, cast(ts_a as bigint) AS ts_a,
+               value_b, cast(ts_b as bigint) AS ts_b
+        FROM la JOIN lb ON la.key = lb.key AND la."column" = lb."column"
+    """,
     # the salted two-phase plan must be result-identical to the plain agg
     "events_salted_agg": """
         SELECT event_type, count(*) AS n,
@@ -2822,6 +2897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_rollup": q_orders_rollup,
     "lineitem_quantiles": q_lineitem_quantiles,
     "corpus_stats": q_corpus_stats,
+    "cf_join": q_cf_join,
     "corpus_blocklist": q_corpus_blocklist,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

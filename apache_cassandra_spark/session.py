@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # compacted CFs are bucketed by key; cross-CF joins add the column
+        # coordinate to the join keys. Allow subset-of-join-keys
+        # co-partitioning (the pre-3.3 behavior) so HashPartitioning(key)
+        # on both sides satisfies the (key, column) join with NO exchange —
+        # the co-located bucket-join design point (read.join_cf).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -381,3 +381,64 @@ def test_contamination_overlap_broadcasts_eval(spark):
     # ids may be SMJ — same accepted shape as contamination_flags
     assert "BroadcastHashJoin [shingle" in plan
     assert "SortMergeJoin [shingle" not in plan
+
+
+def test_bucketed_cf_join_has_no_exchange(spark, tmp_path_factory):
+    """Two compacted CFs with the same bucket count join on (key, column)
+    with NO shuffle: each bucketed scan's HashPartitioning(key) satisfies
+    the join's clustered distribution (same key -> same bucket both
+    sides). The 100 TB co-located join design point."""
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.model import ColumnPath
+    from apache_cassandra_spark.operators import maintenance, read, write
+    from apache_cassandra_spark.sources.cellstore import CellStore
+
+    root = str(tmp_path_factory.mktemp("cojoin"))
+    store = CellStore(
+        spark, root,
+        Catalog.from_dict({"KS": {"A": {"compare_with": "UTF8Type"},
+                                  "B": {"compare_with": "UTF8Type"}}}),
+    )
+    for cfn, val in (("A", b"va"), ("B", b"vb")):
+        for k in range(20):
+            store.apply("KS", cfn, write.insert(f"k{k}", ColumnPath(cfn, column=b"c1"), val, 100))
+        maintenance.compact(store, "KS", cfn, buckets=4)
+
+    # at test size AQE would broadcast; disable it so the plan shows the
+    # co-located SMJ shape a 100 TB (unbroadcastable) join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = read.join_cf(store.cf("KS", "A"), store.cf("KS", "B"))
+        plan = plan_of(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(bytes(r["value_a"]) == b"va" and bytes(r["value_b"]) == b"vb" for r in rows)
+
+
+def test_cf_join_correct_with_deltas(spark, tmp_path_factory):
+    """With uncompacted deltas the join must reconcile first (exchanges
+    reappear) and still produce LWW-correct pairs."""
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.model import ColumnPath
+    from apache_cassandra_spark.operators import read, write
+    from apache_cassandra_spark.sources.cellstore import CellStore
+
+    root = str(tmp_path_factory.mktemp("cojoin_delta"))
+    store = CellStore(
+        spark, root,
+        Catalog.from_dict({"KS": {"A": {"compare_with": "UTF8Type"},
+                                  "B": {"compare_with": "UTF8Type"}}}),
+    )
+    store.apply("KS", "A", write.insert("k", ColumnPath("A", column=b"c"), b"old", 100))
+    store.apply("KS", "A", write.insert("k", ColumnPath("A", column=b"c"), b"new", 200))
+    store.apply("KS", "B", write.insert("k", ColumnPath("B", column=b"c"), b"b", 100))
+    store.apply("KS", "B", write.insert("k2", ColumnPath("B", column=b"c"), b"b2", 100))
+    out = read.join_cf(store.cf("KS", "A"), store.cf("KS", "B"), how="full")
+    got = {r["key"]: (r["value_a"] and bytes(r["value_a"]), r["value_b"] and bytes(r["value_b"]))
+           for r in out.collect()}
+    assert got == {"k": (b"new", b"b"), "k2": (None, b"b2")}
