@@ -397,3 +397,70 @@ def test_corpus_prep_operators_work_on_streams(spark, tmp_path):
     assert sorted(map(tuple, b_kept.collect())) == sorted(
         map(tuple, spark.sql("SELECT * FROM corpus_stream_kept").collect())
     )
+
+
+# --- stream-stream interval join ---------------------------------------------
+
+
+def _imp_click_frames(spark):
+    # impressions (left) and clicks (right); click 902 is outside the
+    # 30-minute horizon of impression 2 and must not match
+    # base offset keeps event times off epoch 0: a row AT the stream's
+    # initial watermark (0) is filtered as late before it can join
+    H = 3_600_000_000  # 1h in micros
+    imps = [(1, 10 * H, "ad_a"), (1, 12 * H, "ad_b"), (2, 10 * H, "ad_c")]
+    clicks = [
+        (1, 10 * H + 60_000_000, "c900"),     # matches ad_a (1 min later)
+        (1, 12 * H + 120_000_000, "c901"),    # matches ad_b
+        (2, 10 * H + 2_700_000_000, "c902"),  # 45 min later: outside horizon
+    ]
+    li = spark.createDataFrame(imps, "user_id long, ts_micros long, ad string")
+    cl = spark.createDataFrame(clicks, "user_id long, ts_micros long, click string")
+    return li, cl
+
+
+def test_interval_join_batch_semantics(spark):
+    from apache_cassandra_spark.streaming.joins import interval_join
+
+    li, cl = _imp_click_frames(spark)
+    out = interval_join(li, cl, horizon="30 minutes").collect()
+    got = sorted((r["user_id"], r["l_ad"], r["r_click"]) for r in out)
+    assert got == [(1, "ad_a", "c900"), (1, "ad_b", "c901")]
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    from apache_cassandra_spark.streaming.joins import interval_join
+
+    li, cl = _imp_click_frames(spark)
+    expected = sorted(
+        (r["user_id"], r["left_ts"], r["right_ts"], r["l_ad"], r["r_click"])
+        for r in interval_join(li, cl, horizon="30 minutes").collect()
+    )
+
+    lsrc, rsrc = tmp_path / "imps", tmp_path / "clicks"
+    lsrc.mkdir(), rsrc.mkdir()
+    li.coalesce(1).write.parquet(str(lsrc / "f0"))
+    cl.coalesce(1).write.parquet(str(rsrc / "f0"))
+    ls = (
+        spark.readStream.schema("user_id long, ts_micros long, ad string")
+        .option("recursiveFileLookup", "true").parquet(str(lsrc))
+    )
+    rs = (
+        spark.readStream.schema("user_id long, ts_micros long, click string")
+        .option("recursiveFileLookup", "true").parquet(str(rsrc))
+    )
+    rows = []
+    # watermark must cover the fixture's full event-time spread: availableNow
+    # may process the two sources in separate micro-batches, and a tight
+    # watermark would drop the older side's rows as late before they join
+    q = (
+        interval_join(ls, rs, horizon="30 minutes", watermark="1 day")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["user_id"], r["left_ts"], r["right_ts"], r["l_ad"], r["r_click"]) for r in rows)
+    assert got == expected
