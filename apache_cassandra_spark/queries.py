@@ -551,6 +551,24 @@ def q_events_daily_active(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Batch form of the stream-stream interval join (streaming/joins.py):
+    click events joined to the same user's view events within a 1-hour
+    horizon, aggregated to per-user-bucket match counts so the gate frame
+    stays small. The streaming path is pinned equal by
+    test_interval_join_stream_matches_batch."""
+    from apache_cassandra_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_micros", F.expr("ts div 1000"))
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts_micros", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts_micros", "event_id")
+    joined = interval_join(views, clicks, horizon="1 hour")
+    return (
+        joined.groupBy(F.pmod("user_id", F.lit(100)).cast("int").alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q_events_salted_agg(spark, sf_dir):
     """Skew-salted two-phase aggregation over the zipf-headed event_type
     key: hash(event_id) spreads each type over 16 reduce partitions,
@@ -2148,6 +2166,16 @@ ORACLES: dict[str, str] = {
                value_b, cast(ts_b as bigint) AS ts_b
         FROM la JOIN lb ON la.key = lb.key AND la."column" = lb."column"
     """,
+    # batch twin of the stream-stream interval join
+    "events_interval_join": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        c AS (SELECT user_id, us FROM e WHERE event_type = 'click')
+        SELECT cast(v.user_id % 100 as int) AS user_bucket, count(*) AS n_pairs
+        FROM v JOIN c ON v.user_id = c.user_id
+                     AND c.us >= v.us AND c.us <= v.us + 3600000000
+        GROUP BY 1
+    """,
     # the salted two-phase plan must be result-identical to the plain agg
     "events_salted_agg": """
         SELECT event_type, count(*) AS n,
@@ -2887,6 +2915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_daily_active": q_events_daily_active,
+    "events_interval_join": q_events_interval_join,
     "events_salted_agg": q_events_salted_agg,
     "events_salted_join": q_events_salted_join,
     "events_funnel": q_events_funnel,

@@ -442,3 +442,16 @@ def test_cf_join_correct_with_deltas(spark, tmp_path_factory):
     got = {r["key"]: (r["value_a"] and bytes(r["value_a"]), r["value_b"] and bytes(r["value_b"]))
            for r in out.collect()}
     assert got == {"k": (b"new", b"b"), "k2": (None, b"b2")}
+
+
+def test_interval_join_is_equi_join_with_range_filter(spark):
+    """The time range must ride the user-id equi-join as a post-locate
+    filter — a BroadcastNestedLoopJoin/Cartesian theta join here would be
+    corpus x corpus at 100 TB."""
+    from apache_cassandra_spark.streaming.joins import interval_join
+
+    a = spark.createDataFrame([(1, 10_000_000, "x")], "user_id long, ts_micros long, ad string")
+    b = spark.createDataFrame([(1, 11_000_000, "y")], "user_id long, ts_micros long, click string")
+    plan = plan_of(interval_join(a, b))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
