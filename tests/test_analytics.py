@@ -1036,3 +1036,16 @@ def test_contamination_overlap_fraction_values(spark):
     assert got[1] == (3, 2, round(2 / 3, 6))
     assert got[2] == (3, 0, 0.0)
     assert got[3] == (1, 1, 1.0)
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """The sketch path for lineitem_quantiles: percentile_approx must land
+    within 1% relative error of the exact interpolated percentile on the
+    real lineitem column (the gate itself stays exact)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact"),
+        F.expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)").alias("approx"),
+    ).first()
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) <= 0.01 * abs(e) + 1e-9

@@ -99,3 +99,35 @@ def test_mixture_sample_matches_python_model(spark, data, wa, wb):
         if _draw(i) < thresh:
             expect.add(i)
     assert got == expect
+
+
+# --- skew salting -------------------------------------------------------------
+
+salted_rows_st = st.lists(
+    st.tuples(st.sampled_from(["hot", "k1", "k2"]), st.integers(-50, 50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=salted_rows_st, n_salts=st.integers(1, 9))
+def test_salted_agg_matches_python_model(spark, rows, n_salts):
+    from apache_cassandra_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)], "id long, k string, v double"
+    )
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", "id"), "s": ("sum", "v"), "mn": ("min", "v"), "mx": ("max", "v")},
+            n_salts=n_salts, salt_on="id",
+        ).collect()
+    }
+    model = {}
+    for _, (k, v) in enumerate(rows):
+        n, s, mn, mx = model.get(k, (0, 0.0, float("inf"), float("-inf")))
+        model[k] = (n + 1, s + v, min(mn, float(v)), max(mx, float(v)))
+    assert got == model

@@ -464,3 +464,42 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["user_id"], r["left_ts"], r["right_ts"], r["l_ad"], r["r_click"]) for r in rows)
     assert got == expected
+
+
+def test_embedding_operators_work_on_streams(spark, tmp_path):
+    """quantize_embeddings / random_project / filter_blocklist are
+    stateless per-row maps (or broadcast anti-joins) — the same operator
+    graph must run under readStream and match its batch output."""
+    from apache_cassandra_spark.analytics.pipeline import filter_blocklist
+    from apache_cassandra_spark.analytics.similarity import quantize_embeddings, random_project
+
+    vec_rows = [(i, [float((i + j) % 5) - 2.0 for j in range(8)]) for i in range(10)]
+    vsrc = str(tmp_path / "vecs_parquet")
+    spark.createDataFrame(vec_rows, "vec_id long, embedding array<float>").write.parquet(vsrc)
+    batch_v = spark.read.parquet(vsrc)
+    stream_v = spark.readStream.schema("vec_id long, embedding array<float>").parquet(vsrc)
+
+    doc_rows = [(i, f"src{i % 3}") for i in range(9)]
+    dsrc = str(tmp_path / "docs_parquet2")
+    spark.createDataFrame(doc_rows, "doc_id long, source string").write.parquet(dsrc)
+    batch_d = spark.read.parquet(dsrc)
+    stream_d = spark.readStream.schema("doc_id long, source string").parquet(dsrc)
+
+    cases = [
+        ("quant", quantize_embeddings(batch_v), quantize_embeddings(stream_v)),
+        ("proj", random_project(batch_v, out_dim=2, in_dim=8),
+         random_project(stream_v, out_dim=2, in_dim=8)),
+        ("block", filter_blocklist(batch_d, ["src1"]), filter_blocklist(stream_d, ["src1"])),
+    ]
+    for name, bdf, sdf in cases:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(f"emb_stream_{name}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_emb_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(str, spark.sql(f"SELECT * FROM emb_stream_{name}").collect()))
+        want = sorted(map(str, bdf.collect()))
+        assert got == want, name
