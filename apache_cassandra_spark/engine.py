@@ -135,6 +135,15 @@ class Engine:
     def columns_may_exist(self, ks: str, cf_name: str, key: str, names: list[bytes]) -> DataFrame:
         return X.columns_may_exist(self.cf(ks, cf_name), key, names)
 
+    def join_cf(self, ks: str, left_cf: str, right_cf: str, how: str = "inner") -> DataFrame:
+        """Spark-native extension (no Thrift equivalent — reference clients
+        fanned out one call per CF and merged app-side): (key, column) join
+        of two CFs' live views; exchange-free when both are compacted with
+        the same bucket count (see operators/read.py:join_cf)."""
+        V.validate_cf(self.catalog, ks, left_cf)
+        V.validate_cf(self.catalog, ks, right_cf)
+        return R.join_cf(self.cf(ks, left_cf), self.cf(ks, right_cf), how)
+
     # -- writes (§2.2), validated like ThriftValidation ---------------------
     def insert(self, ks: str, key: str, path: ColumnPath, value: bytes, timestamp: int, durable: bool = True) -> None:
         V.validate_key(key)

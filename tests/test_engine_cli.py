@@ -118,3 +118,25 @@ def test_minor_compaction_keeps_tombstones(engine):
 def test_no_minor_when_below_threshold(engine):
     engine.insert("Keyspace1", "k", ColumnPath("Standard1", column=b"c"), b"v", 1)
     assert submit_minor_if_needed(engine.store, "Keyspace1", "Standard1", min_threshold=4) is False
+
+
+def test_engine_join_cf(spark, tmp_path):
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.engine import Engine
+    from apache_cassandra_spark.model import ColumnPath
+
+    eng = Engine(
+        spark, str(tmp_path / "jstore"),
+        Catalog.from_dict({"KS": {"A": {"compare_with": "UTF8Type"},
+                                  "B": {"compare_with": "UTF8Type"}}}),
+    )
+    eng.insert("KS", "k", ColumnPath("A", column=b"c"), b"va", 100)
+    eng.insert("KS", "k", ColumnPath("B", column=b"c"), b"vb", 100)
+    out = eng.join_cf("KS", "A", "B").collect()
+    assert len(out) == 1 and bytes(out[0]["value_a"]) == b"va" and bytes(out[0]["value_b"]) == b"vb"
+
+    import pytest as _pytest
+    from apache_cassandra_spark.validation import InvalidRequest
+
+    with _pytest.raises(InvalidRequest):
+        eng.join_cf("KS", "A", "Nope")

@@ -120,7 +120,47 @@ OPS = {
             multimodal.synthetic_video_payload(F.col("doc_id")).alias("payload"),
         )
     ).count(),
+    "text_bpe_encode": lambda d: text.bpe_token_counts(
+        d, [("e", "r"), ("i", "n"), ("s", "t"), ("t", "a"), ("ta", "b"), ("tab", "l")]
+    ).count(),
+    # zipf head: 90% of rows share one key — the shape salting exists for
+    "salted_agg": lambda d: __import__(
+        "apache_cassandra_spark.functions.skew", fromlist=["salted_agg"]
+    ).salted_agg(
+        d.select("doc_id", F.when(F.col("doc_id") % 10 < 9, "hot")
+                 .otherwise((F.col("doc_id") % 97).cast("string")).alias("k"),
+                 F.length("text").cast("double").alias("v")),
+        ["k"], {"n": ("count", "doc_id"), "s": ("sum", "v")}, n_salts=16, salt_on="doc_id",
+    ).count(),
+    "corpus_overlap": lambda d: __import__(
+        "apache_cassandra_spark.analytics.pipeline", fromlist=["contamination_overlap"]
+    ).contamination_overlap(
+        d.where(F.col("doc_id") % 1000 != 0), d.where(F.col("doc_id") % 1000 == 0), n=3
+    ).count(),
+    "embedding_quantize": lambda d: _emb_op(d, "quantize"),
+    "embedding_project": lambda d: _emb_op(d, "project"),
 }
+
+
+def _emb_op(docs: DataFrame, which: str) -> int:
+    """Synthesize a deterministic embedding per probe doc (8 dims of
+    doc_id arithmetic — the op cost scales with rows x dims either way)
+    and run the map-only embedding operator over it."""
+    from apache_cassandra_spark.analytics import similarity
+
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (F.pmod(F.col("doc_id") * 31 + j * 7, F.lit(200)) - 100.0) / 10.0,
+        ).cast("array<float>").alias("embedding"),
+    )
+    if which == "quantize":
+        out = similarity.quantize_embeddings(vecs)
+        return out.agg(F.sum("scale")).collect() and vecs.count()
+    out = similarity.random_project(vecs, out_dim=4, in_dim=8)
+    return out.agg(F.sum("proj_0")).collect() and vecs.count()
+
 
 # SPARK_GRAFT_PROBE_OPS=a,b,c restricts the run (probe a new operator
 # without re-timing the whole suite)
