@@ -545,3 +545,65 @@ def bpe_token_counts(
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(k)
     )
+
+
+#: fixed linear quality-classifier weights (fasttext/CCNet-shaped model
+#: distilled to its scoring arithmetic): stopword density is positive
+#: evidence of running prose, punctuation soup / shouting negative,
+#: length capped so one long doc can't saturate. Literal weights keep the
+#: score engine-replayable; swap in trained weights per corpus.
+QUALITY_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "stopword_ratio": 2.5,
+    "punct_ratio": -3.0,
+    "upper_ratio": -1.5,
+    "len_norm": 0.8,        # min(n_tokens, 500)/500 — rational, no ln()
+    "mean_token_len": -0.1,
+}
+
+
+def quality_score(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = -0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over the
+    `quality_features` columns — the CCNet/LLaMA-style learned filter
+    reduced to its scoring arithmetic (weights are a literal artifact,
+    exactly like the BPE merge table). Emits the integer ``logit_e7`` and the ``keep`` decision at ``threshold``; the logit is computed in
+    integer 1e-7 units from the micro-quantized features, so any engine
+    reproduces it exactly (weights are interpreted at 0.1 resolution; no
+    exp/ln in the gate path — apply a sigmoid downstream if a
+    probability is needed).
+
+    Map-only: one projection over `quality_features`' projection."""
+    w = dict(QUALITY_WEIGHTS, **(weights or {}))
+    feats = quality_features(df, text_col, id_col)
+    len_norm = F.round(F.least(F.col("n_tokens"), F.lit(500)) / F.lit(500.0), 6)
+
+    # integer micro-quantization (the unigram_logprob trick): each rounded
+    # feature is the double nearest k/1e6, so round(x*1e6) recovers k
+    # exactly in any engine; the logit then lives in integer 1e-7 units
+    # (weights x10) — no float rounding boundary can flip the last digit.
+    def micro(c: Column) -> Column:
+        return F.round(c * F.lit(1_000_000.0)).cast("bigint")
+
+    def w7(name: str) -> Column:
+        return F.lit(int(round(w[name] * 10)))
+
+    logit_e7 = (
+        F.lit(int(round(w["bias"] * 10_000_000)))
+        + w7("stopword_ratio") * micro(F.col("stopword_ratio"))
+        + w7("punct_ratio") * micro(F.col("punct_ratio"))
+        + w7("upper_ratio") * micro(F.col("upper_ratio"))
+        + w7("len_norm") * micro(len_norm)
+        + w7("mean_token_len") * micro(F.col("mean_token_len"))
+    )
+    thr_e7 = int(round(threshold * 10_000_000))
+    return feats.select(
+        F.col(id_col),
+        logit_e7.alias("logit_e7"),
+        (logit_e7 > F.lit(thr_e7)).alias("keep"),
+    )

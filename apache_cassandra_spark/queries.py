@@ -803,6 +803,14 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_text_quality_score(spark, sf_dir):
+    """Model-based quality filter: fixed-weight linear classifier over
+    the quality features (logit + keep decision). The oracle recomputes
+    the same fixed-order linear combination over the same rounded
+    features — bit-exact, no transcendental in the gate path."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_blocklist(spark, sf_dir):
     """Blocklist exclusion via broadcast LEFT ANTI join (the
     million-domain production path — exercised here with a two-row
@@ -2360,6 +2368,32 @@ ORACLES: dict[str, str] = {
           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id) t
         WHERE rank <= 5
     """,
+    # same fixed-order linear combination as text.quality_score
+    "text_quality_score": """
+        WITH f AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+                 len(list_filter(string_split(text, ' '),
+                     x -> lower(x) IN ('the','and','of','to','a','in','is','for','with','that',
+                                       'it','on','as','at','by','an','be','this'))) AS n_stop,
+                 len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 cast(round(round(n_punct / greatest(n_chars, 1), 6) * 1000000.0) as bigint) AS punct6,
+                 cast(round(round(n_stop / greatest(n_tokens, 1), 6) * 1000000.0) as bigint) AS stop6,
+                 cast(round(round(n_upper / greatest(n_chars, 1), 6) * 1000000.0) as bigint) AS upper6,
+                 cast(round(round((n_chars - n_tokens + 1) / greatest(n_tokens, 1), 6) * 1000000.0) as bigint) AS mtl6,
+                 cast(round(round(least(n_tokens, 500) / 500.0, 6) * 1000000.0) as bigint) AS len6
+          FROM f),
+        s AS (
+          SELECT doc_id,
+                 -10000000 + 25 * stop6 - 30 * punct6 - 15 * upper6
+                           + 8 * len6 - 1 * mtl6 AS logit_e7
+          FROM r)
+        SELECT doc_id, logit_e7, (logit_e7 > -5000000) AS keep FROM s
+    """,
     "text_quality": """
         WITH f AS (
           SELECT doc_id, length(text) AS n_chars,
@@ -2971,6 +3005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
     "text_quality": q_text_quality,
+    "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
     "text_token_stats": q_text_token_stats,
     "text_fingerprint": q_text_fingerprint,

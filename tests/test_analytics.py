@@ -1049,3 +1049,21 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
     ).first()
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) <= 0.01 * abs(e) + 1e-9
+
+
+def test_quality_score_linear_model(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat on a mat with it"),  # stopword-rich prose
+         (2, "@@@!!! ### $$$ %%% ^^^")],                   # punctuation soup
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["logit_e7"], r["keep"]) for r in text.quality_score(df).collect()}
+    assert got[1][1] is True and got[2][1] is False
+    assert got[1][0] > got[2][0]
+    # integer-exact replay: recompute doc 1's logit from its features
+    f = text.quality_features(df).where(F.col("doc_id") == 1).first()
+    micro = lambda x: int(round(x * 1_000_000))  # noqa: E731
+    len6 = micro(round(min(f["n_tokens"], 500) / 500.0, 6))
+    expect = (-10_000_000 + 25 * micro(f["stopword_ratio"]) - 30 * micro(f["punct_ratio"])
+              - 15 * micro(f["upper_ratio"]) + 8 * len6 - 1 * micro(f["mean_token_len"]))
+    assert got[1][0] == expect
