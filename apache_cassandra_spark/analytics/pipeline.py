@@ -571,3 +571,36 @@ def contamination_overlap(
             ).alias("overlap_frac"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row draws
+    ``uniform_hash(id) % resolution`` and lands in the split whose
+    cumulative weight interval contains the draw — disjoint, exhaustive,
+    reproducible across runs and engines (the md5 arithmetic is one line
+    of ANSI SQL), and stable under corpus growth: adding documents never
+    moves an existing document's split, which data-lineage audits of
+    training runs depend on.
+
+    ``weights``: split name -> fraction (must sum to ~1). Returns the
+    input plus a ``split`` column. Map-only — no shuffle, no sampling
+    state; the draw IS the assignment."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    draw = _uniform_hash(id_col, resolution)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)  # deterministic interval order
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(round(acc * resolution))
+        cond = draw < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

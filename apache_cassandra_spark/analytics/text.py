@@ -607,3 +607,27 @@ def quality_score(
         logit_e7.alias("logit_e7"),
         (logit_e7 > F.lit(thr_e7)).alias("keep"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text cleanup — the first pass of every corpus pipeline:
+    control characters become spaces, whitespace runs collapse to one
+    space, ends trimmed. Pure regexp expressions (codegen, replayable in
+    any POSIX-regex engine); Unicode NFC normalization is NOT applied
+    (no JVM-builtin expression for it — run a Pandas-UDF pass if the
+    corpus needs it). Emits the cleaned column plus a ``changed`` flag
+    so pipelines can report how much of the corpus was touched."""
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, r"[\x00-\x1F\x7F]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        (cleaned != t).alias("changed"),
+        F.length(cleaned).alias("n_chars"),
+    )

@@ -811,6 +811,37 @@ def q_text_quality_score(spark, sf_dir):
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical cleanup pass over a deliberately-dirtied corpus (tabs,
+    newlines, double spaces injected from doc_id arithmetic so every sf
+    has changed rows): md5 of the cleaned text pins the exact output."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\t")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("  trailing\n")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text.normalize_text(dirty)
+    return out.select("doc_id", F.md5("text").alias("text_md5"), "changed", "n_chars")
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by the engine's
+    shared md5 draw — per-split doc and token counts. A document's split
+    is a pure function of its id (stable under corpus growth)."""
+    from apache_cassandra_spark.analytics.pipeline import split_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_corpus_blocklist(spark, sf_dir):
     """Blocklist exclusion via broadcast LEFT ANTI join (the
     million-domain production path — exercised here with a two-row
@@ -2134,6 +2165,34 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
+    # same dirtying arithmetic + same regexp pipeline as normalize_text
+    "text_normalize": """
+        WITH dirty AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN chr(9) ELSE '' END) || text ||
+                 (CASE WHEN doc_id % 2 = 0 THEN '  trailing' || chr(10) ELSE '' END) AS text
+          FROM documents),
+        c AS (SELECT doc_id, text AS orig,
+                     trim(regexp_replace(regexp_replace(text, '[' || chr(0) || '-' || chr(31) || chr(127) || ']', ' ', 'g'),
+                                         ' +', ' ', 'g')) AS text
+              FROM dirty)
+        SELECT doc_id, md5(text) AS text_md5, (text <> orig) AS changed,
+               length(text) AS n_chars
+        FROM c
+    """,
+    # same md5 draw + cumulative intervals as pipeline.split_corpus
+    "corpus_split": """
+        WITH d AS (SELECT doc_id, text,
+                          ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000 AS u
+                   FROM documents),
+        s AS (SELECT CASE WHEN u < 100000 THEN 'test'
+                          WHEN u < 900000 THEN 'train'
+                          ELSE 'val' END AS split,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+              FROM d)
+        SELECT split, count(*) AS n_docs, cast(sum(ntok) as bigint) AS n_tokens
+        FROM s GROUP BY split
+    """,
     "corpus_blocklist": """
         SELECT source, count(*) AS n_docs FROM documents
         WHERE source NOT IN ('src1', 'src3') GROUP BY source
@@ -2961,6 +3020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_quantiles": q_lineitem_quantiles,
     "corpus_stats": q_corpus_stats,
     "cf_join": q_cf_join,
+    "text_normalize": q_text_normalize,
+    "corpus_split": q_corpus_split,
     "corpus_blocklist": q_corpus_blocklist,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

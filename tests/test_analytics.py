@@ -1067,3 +1067,39 @@ def test_quality_score_linear_model(spark):
     expect = (-10_000_000 + 25 * micro(f["stopword_ratio"]) - 30 * micro(f["punct_ratio"])
               - 15 * micro(f["upper_ratio"]) + 8 * len6 - 1 * micro(f["mean_token_len"]))
     assert got[1][0] == expect
+
+
+def test_normalize_text_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "  hello\tworld\x00!  "), (2, "clean text")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["text"], r["changed"], r["n_chars"])
+           for r in text.normalize_text(df).collect()}
+    assert got[1] == ("hello world !", True, 13)
+    assert got[2] == ("clean text", False, 10)
+
+
+def test_split_corpus_disjoint_exhaustive_stable(spark):
+    from apache_cassandra_spark.analytics.pipeline import split_corpus
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_corpus(docs, w).collect()
+    assert len(out) == 500  # exhaustive, no dup/loss
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == 500
+    assert len(by_split["train"]) > len(by_split["val"])  # roughly weighted
+    # stability: a bigger corpus never moves an existing doc's split
+    bigger = split_corpus(
+        spark.createDataFrame([(i,) for i in range(1000)], "doc_id long"), w
+    ).where(F.col("doc_id") < 500).collect()
+    assert {r["doc_id"]: r["split"] for r in bigger} == {
+        r["doc_id"]: r["split"] for r in out
+    }
+
+    import pytest as _p
+    with _p.raises(ValueError, match="sum to 1"):
+        split_corpus(docs, {"a": 0.5})
