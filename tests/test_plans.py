@@ -455,3 +455,32 @@ def test_interval_join_is_equi_join_with_range_filter(spark):
     plan = plan_of(interval_join(a, b))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cf_join_super_and_mixed_rejected(spark, tmp_path_factory):
+    from apache_cassandra_spark.catalog import Catalog
+    from apache_cassandra_spark.model import ColumnPath
+    from apache_cassandra_spark.operators import read, write
+    from apache_cassandra_spark.sources.cellstore import CellStore
+
+    root = str(tmp_path_factory.mktemp("cojoin_super"))
+    store = CellStore(
+        spark, root,
+        Catalog.from_dict({
+            "KS": {
+                "SA": {"column_type": "Super", "compare_with": "BytesType"},
+                "SB": {"column_type": "Super", "compare_with": "BytesType"},
+                "STD": {"compare_with": "BytesType"},
+            }
+        }),
+    )
+    for cfn, val in (("SA", b"a"), ("SB", b"b")):
+        store.apply("KS", cfn, write.insert(
+            "k", ColumnPath(cfn, super_column=b"sc1", column=b"c"), val, 100))
+    out = read.join_cf(store.cf("KS", "SA"), store.cf("KS", "SB")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert bytes(r["sc"]) == b"sc1" and bytes(r["value_a"]) == b"a" and bytes(r["value_b"]) == b"b"
+
+    with pytest.raises(ValueError, match="super"):
+        read.join_cf(store.cf("KS", "SA"), store.cf("KS", "STD"))

@@ -56,6 +56,11 @@ AUDITED = {
     "embedding_quantize": "int8 quantize: single Project of JVM higher-order exprs (array_max/transform/floor) — map-only, no Exchange, no Python",
     "embedding_project": "JL projection: single Project, ±1 matrix as literals, per-dim zip_with/aggregate folds — map-only, no Exchange",
     "corpus_overlap": "overlap fraction: eval shingles dedup + BroadcastExchange, probe is BroadcastHashJoin on shingle (corpus stream never shuffles on shingle); per-doc distinct + count aggregates on uniform doc id",
+    "cf_join": "cross-CF co-located join: both sides are bucketed scans (Bucketed: true, SelectedBucketsCount), SMJ on (key, column) with NO Exchange — HashPartitioning(key) satisfies the join via subset co-partitioning",
+    "events_interval_join": "interval join: user_id equi-join carries the shuffle (SMJ/shuffled hash), the event-time range rides as join filter — no BroadcastNestedLoop/Cartesian theta join",
+    "text_quality_score": "model-based quality filter: single Project (features + integer logit) over the scan — map-only, no Exchange, no Python",
+    "corpus_split": "train/val/test split: literal CASE over the md5 draw + partial/final HashAggregate on split — the assignment itself is map-only",
+    "text_normalize": "normalization: one Project of regexp expressions — map-only, codegen",
     "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab (CACHED — total and join side both read the InMemoryRelation, not a re-explode); scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
     "corpus_mixture": "mixture rebalancing: ONE corpus scan measures per-stratum token mass (HashAggregate), total via window over the strata-count frame (no second corpus pass), rate table BroadcastHashJoin back onto the filter scan",
 }
