@@ -101,3 +101,21 @@ def windowed_event_stats(
             "total",
         )
     )
+
+
+def changes_stream(store: CellStore, ks: str, cf: str) -> DataFrame:
+    """CDC *out*: the CF's delta directory as a streaming source — every
+    durable mutation (insert or tombstone) appears as one cell row in
+    arrival order. The write path appends immutable Parquet files per
+    commit (the WAL), which is exactly the contract Spark's file stream
+    source tails, so the store's changelog needs no extra machinery:
+    downstream jobs (cache invalidation, replica feeds, materialized
+    views) subscribe with a checkpoint and replay from any point —
+    the reference's commitlog ``recover()`` as a live subscription.
+
+    Raw multi-version cells, NOT the LWW view: consumers see every
+    write, including ones a newer timestamp later shadows (that's what
+    a changelog is). Compaction rewrites into a separate generation
+    directory, never into this one, so the stream sees each mutation
+    exactly once."""
+    return store.spark.readStream.schema(CELL_SCHEMA).parquet(store._cells_dir(ks, cf))

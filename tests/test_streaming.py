@@ -503,3 +503,39 @@ def test_embedding_operators_work_on_streams(spark, tmp_path):
         got = sorted(map(str, spark.sql(f"SELECT * FROM emb_stream_{name}").collect()))
         want = sorted(map(str, bdf.collect()))
         assert got == want, name
+
+
+def test_changes_stream_emits_mutations_in_arrival_order(spark, tmp_path, store):
+    from apache_cassandra_spark.model import ColumnPath
+    from apache_cassandra_spark.operators import write
+    from apache_cassandra_spark.streaming.ingest import changes_stream
+
+    store.apply("KS", "Streamed", write.insert("k1", ColumnPath("Streamed", column=b"c"), b"v1", 100))
+    store.apply("KS", "Streamed", write.remove("k1", ColumnPath("Streamed", column=b"c"), 200))
+
+    rows = []
+    q = (
+        changes_stream(store, "KS", "Streamed")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["key"], bytes(r["column"]), r["ts"], r["tombstone"]) for r in rows)
+    assert got == [("k1", b"c", 100, False), ("k1", b"c", 200, True)]
+
+    # a later mutation arrives in the NEXT trigger from the same checkpoint
+    store.apply("KS", "Streamed", write.insert("k2", ColumnPath("Streamed", column=b"c"), b"v2", 300))
+    rows2 = []
+    q = (
+        changes_stream(store, "KS", "Streamed")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: rows2.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r["key"], r["ts"]) for r in rows2] == [("k2", 300)]
