@@ -1,0 +1,69 @@
+"""Co-occurrence / market-basket mining: pairwise item support counts.
+
+The classic "customers who bought X also bought Y" aggregation — and,
+in a training-data pipeline, the same shape computes tag/domain/source
+co-occurrence for mixture design. The reference fork delegated exactly
+this kind of job to Hadoop/Pig; here it is one DataFrame graph.
+
+Scale design (the quadratic trap): pairs-per-basket grows as |basket|²,
+and real order/tag data has a zipf tail of pathological mega-baskets
+(a crawler session with 10k tags → 5·10⁷ pairs from one basket).
+``max_basket_size`` drops those baskets outright — same bounded-blowup
+philosophy as the Jaccard ``max_doc_freq`` stop-shingle guard — and
+``min_item_support`` prunes rare items BEFORE pair generation (classic
+a-priori: a pair can't be frequent if either member isn't), which is
+what keeps the explode small at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str = "o_orderkey",
+    item_col: str = "l_partkey",
+    min_pair_support: int = 2,
+    min_item_support: int = 2,
+    max_basket_size: int = 1_000,
+    k: int | None = None,
+) -> DataFrame:
+    """``(item_a, item_b, support)`` for item pairs co-occurring in at
+    least ``min_pair_support`` baskets, ``item_a < item_b``; optionally
+    top-``k`` by support (ties broken by the pair, deterministic).
+
+    Plan shape: distinct (basket, item) → item-support prune (a-priori)
+    → per-basket self-join (equality on the basket id — never a cross
+    join) → pair hash-aggregate. The only corpus-sized shuffles are on
+    the basket id (uniform) and the pair key."""
+    items = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
+    if min_item_support > 1:
+        freq = (
+            items.groupBy("i")
+            .agg(F.count(F.lit(1)).alias("_s"))
+            .where(F.col("_s") >= min_item_support)
+            .select("i")
+        )
+        items = items.join(freq, "i", "left_semi")
+    if max_basket_size is not None:
+        ok = (
+            items.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_basket_size)
+            .select("b")
+        )
+        items = items.join(ok, "b", "left_semi")
+    a = items.select("b", F.col("i").alias("item_a"))
+    c = items.select("b", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(c, "b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_pair_support)
+    )
+    if k is not None:
+        pairs = pairs.orderBy(F.col("support").desc(), "item_a", "item_b").limit(k)
+    return pairs

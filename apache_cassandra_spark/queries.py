@@ -828,6 +828,19 @@ def q_text_normalize(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("text_md5"), "changed", "n_chars")
 
 
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence over lineitem: part pairs sharing an
+    order, a-priori item pruning + basket-size guard before the pair
+    join, top-25 by support."""
+    from apache_cassandra_spark.analytics.basket import frequent_item_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_item_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_pair_support=1, min_item_support=2, k=25,
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test split (80/10/10) by the engine's
     shared md5 draw — per-split doc and token counts. A document's split
@@ -2180,6 +2193,19 @@ ORACLES: dict[str, str] = {
                length(text) AS n_chars
         FROM c
     """,
+    # same a-priori pruning arithmetic as frequent_item_pairs
+    "basket_pairs": """
+        WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        freq AS (SELECT i FROM items GROUP BY i HAVING count(*) >= 2),
+        kept AS (SELECT b, i FROM items WHERE i IN (SELECT i FROM freq)),
+        sized AS (SELECT b FROM kept GROUP BY b HAVING count(*) <= 1000),
+        k2 AS (SELECT b, i FROM kept WHERE b IN (SELECT b FROM sized)),
+        p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS support
+              FROM k2 a JOIN k2 c ON a.b = c.b AND a.i < c.i
+              GROUP BY 1, 2 HAVING count(*) >= 1)
+        SELECT item_a, item_b, cast(support as bigint) AS support
+        FROM p ORDER BY support DESC, item_a, item_b LIMIT 25
+    """,
     # same md5 draw + cumulative intervals as pipeline.split_corpus
     "corpus_split": """
         WITH d AS (SELECT doc_id, text,
@@ -3022,6 +3048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cf_join": q_cf_join,
     "text_normalize": q_text_normalize,
     "corpus_split": q_corpus_split,
+    "basket_pairs": q_basket_pairs,
     "corpus_blocklist": q_corpus_blocklist,
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

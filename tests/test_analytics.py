@@ -1103,3 +1103,29 @@ def test_split_corpus_disjoint_exhaustive_stable(spark):
     import pytest as _p
     with _p.raises(ValueError, match="sum to 1"):
         split_corpus(docs, {"a": 0.5})
+
+
+def test_frequent_item_pairs_guards(spark):
+    from apache_cassandra_spark.analytics.basket import frequent_item_pairs
+
+    rows = [(1, "a"), (1, "b"), (1, "a"),       # dup (1,a) collapses
+            (2, "a"), (2, "b"), (2, "rare"),
+            (3, "a"), (3, "b")]
+    # one mega-basket that must be dropped by the size guard
+    rows += [(99, f"x{i}") for i in range(50)] + [(99, "a"), (99, "b")]
+    df = spark.createDataFrame(rows, "basket string, item string")
+    got = {(r["item_a"], r["item_b"]): r["support"]
+           for r in frequent_item_pairs(
+               df, basket_col="basket", item_col="item",
+               min_pair_support=2, min_item_support=1, max_basket_size=10).collect()}
+    # basket 99 dropped by the size guard (52 items > 10); 'rare' pairs
+    # fall under min_pair_support; (a,b) co-occur in baskets 1,2,3
+    assert got == {("a", "b"): 3}
+
+    # a-priori pruning runs FIRST: with min_item_support=2 the 50 rare
+    # fillers vanish, basket 99 shrinks to {a,b} and is kept -> support 4
+    got2 = {(r["item_a"], r["item_b"]): r["support"]
+            for r in frequent_item_pairs(
+                df, basket_col="basket", item_col="item",
+                min_pair_support=2, min_item_support=2, max_basket_size=10).collect()}
+    assert got2 == {("a", "b"): 4}
