@@ -511,7 +511,10 @@ def filter_blocklist(
         return df.join(
             F.broadcast(bl), df[col] == bl["_blocked"], "left_anti"
         )
-    return df.where(~F.col(col).isin(list(blocked)))
+    # NULL sources are KEPT (matching the anti-join branch, where a NULL
+    # comparison never matches a blocklist row); bare `~isin` would
+    # evaluate to NULL and silently drop them
+    return df.where(F.coalesce(~F.col(col).isin(list(blocked)), F.lit(True)))
 
 
 def contamination_overlap(

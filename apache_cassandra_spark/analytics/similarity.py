@@ -202,17 +202,24 @@ def quantize_embeddings(
     storage and shuffle width 4x and keeps cosine ranking nearly intact
     (see test_quantized_topk_recall). Map-only — one JVM higher-order
     projection, no shuffle, no Python."""
+    # bind absmax/scale through an intermediate projection: referencing the
+    # unbound array_max expression inside the per-element transform lambda
+    # re-evaluates it for EVERY element (O(d^2) per row — the same
+    # Catalyst re-evaluation trap ngrams_from_tokens documents). Spark's
+    # CollapseProject keeps the split because the bound column is
+    # referenced d times.
     x = F.col(vec_col)
     absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    scale = absmax / F.lit(127.0)
+    bound = df.select(F.col(id_col), x.alias("_v"), (absmax / F.lit(127.0)).alias("scale"))
     qv = F.when(
-        absmax == 0.0, F.transform(x, lambda v: F.lit(0))
+        F.col("scale") == 0.0, F.transform(F.col("_v"), lambda v: F.lit(0))
     ).otherwise(
         F.transform(
-            x, lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int")
+            F.col("_v"),
+            lambda v: F.floor(v.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
         )
     )
-    return df.select(F.col(id_col), qv.alias("qvec"), scale.alias("scale"))
+    return bound.select(F.col(id_col), qv.alias("qvec"), F.col("scale"))
 
 
 def dequantize(qvec: Column, scale: Column) -> Column:
@@ -282,10 +289,15 @@ def random_project(
     import math
 
     if in_dim is None:
+        # driver-blocking inference job — pass in_dim explicitly on hot /
+        # streaming paths (first() is not available on a streaming frame)
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None or first["d"] is None or first["d"] <= 0:
+            id_type = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(
-                [], f"{id_col} long, " + ", ".join(f"proj_{k} double" for k in range(out_dim))
+                [],
+                f"{id_col} {id_type}, "
+                + ", ".join(f"proj_{k} double" for k in range(out_dim)),
             )
         in_dim = first["d"]
     signs = rademacher_signs(out_dim, in_dim)

@@ -431,12 +431,7 @@ def bpe_train(
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")), lambda i: F.substring(F.col("word"), i, 1)
-            ).alias("syms"),
-            F.col("_c"),
-        )
+        .select(_chars(F.col("word")).alias("syms"), F.col("_c"))
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
@@ -476,7 +471,11 @@ def bpe_train(
 
 
 def _chars(word: Column) -> Column:
-    """Split a word into its character array (array<string>)."""
+    """Split a word into its character array (array<string>).
+
+    Callers must guarantee non-empty input (``tokens()`` drops empties):
+    ``sequence(1, 0)`` auto-steps BACKWARDS ([1, 0]) instead of returning
+    an empty array, which would mis-produce two empty-string symbols."""
     return F.transform(
         F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
     )

@@ -23,7 +23,10 @@ SQL equivalent.
 
 Salts are deterministic (`uniform_hash` — md5-derived), never `rand()`:
 task retries must land each row in the same salt bucket or shuffle
-retries double-count.
+retries double-count. A NULL `salt_on` value hashes via a sentinel
+(md5(NULL) is NULL, which would make the salt-equality predicate never
+match and silently drop the row from a salted join — breaking the
+result-preserving contract).
 """
 
 from __future__ import annotations
@@ -32,6 +35,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from apache_cassandra_spark.functions.hashing import uniform_hash
+
+
+def _salt(col: str | Column, n_salts: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return uniform_hash(F.coalesce(c.cast("string"), F.lit("\x00:null")), n_salts)
 
 #: re-aggregable (algebraic) aggregates: second phase re-applies a merge
 #: aggregate over the per-salt partials
@@ -75,7 +83,7 @@ def salted_agg(
         for out, (fn, col) in aggs.items()
     ]
     partial = (
-        df.withColumn(_SALT, uniform_hash(salt_on, n_salts))
+        df.withColumn(_SALT, _salt(salt_on, n_salts))
         .groupBy(*keys, _SALT)
         .agg(*phase1)
     )
@@ -114,7 +122,7 @@ def salted_join(
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"unsupported how={how!r}: salting replicates the small side")
 
-    salted_big = big.withColumn(_SALT, uniform_hash(salt_on, n_salts))
+    salted_big = big.withColumn(_SALT, _salt(salt_on, n_salts))
     replicas = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -58,6 +58,13 @@ def get_spark(
         # co-partitioning (the pre-3.3 behavior) so HashPartitioning(key)
         # on both sides satisfies the (key, column) join with NO exchange —
         # the co-located bucket-join design point (read.join_cf).
+        # Session-wide by design, not per-operator: the conf is read at
+        # PLAN time (action), so a set/restore around DataFrame
+        # construction would not stick, and it is always semantics-safe —
+        # equal join keys still co-locate under any subset partitioning;
+        # the only trade is reusing the existing partition count/skew
+        # instead of reshuffling, which for this engine's key-bucketed
+        # tables is exactly the intent.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():

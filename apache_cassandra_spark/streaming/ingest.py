@@ -110,12 +110,27 @@ def changes_stream(store: CellStore, ks: str, cf: str) -> DataFrame:
     commit (the WAL), which is exactly the contract Spark's file stream
     source tails, so the store's changelog needs no extra machinery:
     downstream jobs (cache invalidation, replica feeds, materialized
-    views) subscribe with a checkpoint and replay from any point —
-    the reference's commitlog ``recover()`` as a live subscription.
+    views) subscribe with a checkpoint and replay.
 
     Raw multi-version cells, NOT the LWW view: consumers see every
     write, including ones a newer timestamp later shadows (that's what
-    a changelog is). Compaction rewrites into a separate generation
-    directory, never into this one, so the stream sees each mutation
-    exactly once."""
+    a changelog is).
+
+    Retention contract — the commitlog analogy cuts both ways: major
+    compaction CONSUMES the delta files (they are folded into the next
+    bucketed generation and removed), exactly as the reference recycles
+    commitlog segments once their memtables flush
+    (``db/commitlog/CommitLog.java`` segment deletion). A subscriber
+    must therefore drain the changelog before compaction runs (schedule
+    compaction after the subscriber checkpoint advances, or don't
+    compact the CF while a subscription is live); replay reaches back to
+    the last compaction, not the beginning of time. Domain-split CFs are
+    rejected: their compaction swaps the reconciled table back INTO the
+    partitioned delta directory, which would re-emit surviving cells as
+    fresh mutations."""
+    if store._domain_split(ks, cf):
+        raise ValueError(
+            "changes_stream does not support domain-split CFs: compaction "
+            "rewrites into the streamed directory (see retention contract)"
+        )
     return store.spark.readStream.schema(CELL_SCHEMA).parquet(store._cells_dir(ks, cf))

@@ -1129,3 +1129,14 @@ def test_frequent_item_pairs_guards(spark):
                 df, basket_col="basket", item_col="item",
                 min_pair_support=2, min_item_support=2, max_basket_size=10).collect()}
     assert got2 == {("a", "b"): 4}
+
+
+def test_filter_blocklist_null_source_kept_both_paths(spark):
+    from apache_cassandra_spark.analytics.pipeline import filter_blocklist
+
+    docs = spark.createDataFrame([(1, "src1"), (2, None), (3, "src2")],
+                                 "doc_id long, source string")
+    bl = spark.createDataFrame([("src1",)], "d string")
+    via_frame = {r["doc_id"] for r in filter_blocklist(docs, bl).collect()}
+    via_list = {r["doc_id"] for r in filter_blocklist(docs, ["src1"]).collect()}
+    assert via_frame == via_list == {2, 3}

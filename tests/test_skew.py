@@ -68,3 +68,24 @@ def test_salted_join_rejects_right_outer(spark, skewed):
     dim = spark.createDataFrame([("hot", 1)], "dk string, tag int")
     with pytest.raises(ValueError, match="unsupported how"):
         salted_join(skewed, dim, on=[("k", "dk")], how="right", salt_on="id")
+
+
+def test_salted_join_null_salt_and_key_rows_preserved(spark):
+    """NULL in the salt column must not drop rows: hash(NULL) would be
+    NULL and the salt equality would never match (review finding)."""
+    big = spark.createDataFrame(
+        [(None, 10, "null-salt"), (1, 10, "x"), (2, 99, "no-match")],
+        "id long, k long, payload string",
+    )
+    dim = spark.createDataFrame([(10, "d")], "sk long, tag string")
+    got = sorted(r["payload"] for r in
+                 salted_join(big, dim, on=[("k", "sk")], n_salts=4, salt_on="id").collect())
+    want = sorted(r["payload"] for r in big.join(dim, big["k"] == dim["sk"]).collect())
+    assert got == want == ["null-salt", "x"]
+
+
+def test_salted_agg_null_salt_rows_counted(spark):
+    df = spark.createDataFrame([(None, "k", 1.0), (1, "k", 2.0)], "id long, k string, v double")
+    got = salted_agg(df, ["k"], {"n": ("count", "id"), "s": ("sum", "v")},
+                     n_salts=4, salt_on="id").collect()[0]
+    assert (got["n"], got["s"]) == (2, 3.0)
