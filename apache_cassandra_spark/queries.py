@@ -936,6 +936,41 @@ def q_events_windowed(spark, sf_dir):
     return windowed_event_stats(ev)
 
 
+def q_events_sliding(spark, sf_dir):
+    """SLIDING event-time windows (2h length, 1h slide): every event lands
+    in exactly two overlapping windows — the hopping-aggregate shape the
+    tumbling `events_windowed` gate doesn't cover. Runs identically under
+    readStream (same `F.window` operator)."""
+    ev = load_events(spark, sf_dir)
+    t = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.groupBy(F.window(t, "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (crosstab): daily event counts with one column per event
+    type — the reshape operator; oracle = conditional aggregation."""
+    ev = load_events(spark, sf_dir)
+    day = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    types = ["click", "purchase", "signup", "view", "error"]
+    return (
+        ev.groupBy(day.alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def q_tpch_q3ish(spark, sf_dir):
     """Join + filter + group + top-k (shipping-priority shape)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2259,6 +2294,26 @@ ORACLES: dict[str, str] = {
                value_b, cast(ts_b as bigint) AS ts_b
         FROM la JOIN lb ON la.key = lb.key AND la."column" = lb."column"
     """,
+    # sliding windows: each event belongs to the 2 hour-aligned 2h windows covering it
+    "events_sliding": """
+        WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        slots AS (SELECT us, event_type,
+                         unnest([ (us // 3600000000) * 3600000000,
+                                  (us // 3600000000) * 3600000000 - 3600000000 ]) AS w_start
+                  FROM e)
+        SELECT strftime(make_timestamp(w_start), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n
+        FROM slots GROUP BY 1, 2
+    """,
+    "events_pivot": """
+        SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d') AS day,
+               cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+               cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
+               cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) as bigint) AS n_signup,
+               cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+               cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS n_error
+        FROM events GROUP BY 1
+    """,
     # batch twin of the stream-stream interval join
     "events_interval_join": """
         WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
@@ -3032,6 +3087,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_top_nations": q_top_nations,
     "events_hourly": q_events_hourly,
     "events_windowed": q_events_windowed,
+    "events_sliding": q_events_sliding,
+    "events_pivot": q_events_pivot,
     "events_sessionize": q_events_sessionize,
     "events_daily_active": q_events_daily_active,
     "events_interval_join": q_events_interval_join,

@@ -131,3 +131,44 @@ def test_salted_agg_matches_python_model(spark, rows, n_salts):
         n, s, mn, mx = model.get(k, (0, 0.0, float("inf"), float("-inf")))
         model[k] = (n + 1, s + v, min(mn, float(v)), max(mx, float(v)))
     assert got == model
+
+
+# --- BPE encode ---------------------------------------------------------------
+
+bpe_word_st = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=6
+)
+bpe_merge_st = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+              st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"])),
+    min_size=0, max_size=4,
+)
+
+
+def _encode_model(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(words=bpe_word_st, merges=bpe_merge_st)
+def test_bpe_encode_fuzz_matches_python_model(spark, words, merges):
+    """Greedy merge-fold equivalence on adversarial a/b strings — chains
+    like 'aaaa' under (a,a) exercise the non-overlap tie-off that naive
+    string replacement gets wrong."""
+    from apache_cassandra_spark.analytics.text import bpe_encode
+
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = bpe_encode(df, merges).first()["bpe_tokens"]
+    want = [tok for w in words for tok in _encode_model(w, merges)]
+    assert got == want, (words, merges, got, want)
