@@ -38,6 +38,10 @@ def frequent_item_pairs(
     → per-basket self-join (equality on the basket id — never a cross
     join) → pair hash-aggregate. The only corpus-sized shuffles are on
     the basket id (uniform) and the pair key."""
+    # NOT cached: the distinct frame feeds five consumers, but they all
+    # live under one action and ReuseExchange shares the distinct's
+    # shuffle between them (verified: caching changed nothing at sf0.1);
+    # the operator's cost is the five genuine shuffles, linear in rows
     items = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
     if min_item_support > 1:
         freq = (

@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "events_daily_active",
     "corpus_blocklist",
     "corpus_overlap",
+    "events_sliding",
+    "events_pivot",
+    "basket_pairs",
+    "corpus_split",
+    "text_quality_score",
 ]
 
 
