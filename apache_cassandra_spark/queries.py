@@ -1690,6 +1690,15 @@ def q_sim_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(em, em.where(F.col("vec_id") < 5), k=5)
 
 
+def q_sim_ann_lsh_exact(spark, sf_dir):
+    """LSH degenerate-exact anchor: with planes=0 every vector hashes to
+    the single empty bucket, candidates = the whole corpus, and the LSH
+    path must EQUAL brute-force top-k — same oracle as sim_topk (the
+    IVF family has the identical anchor via nprobe == n_cells)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(em, em.where(F.col("vec_id") < 5), k=5, planes=0)
+
+
 def q_sim_ann_ivf(spark, sf_dir):
     """IVF-flat ANN (deterministic sampled centroids, nprobe cells) —
     rows-only gate entry, same rationale as the LSH variant."""
@@ -3050,6 +3059,7 @@ ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhas
 ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 # IVF probing every cell must equal exact brute-force top-k (same oracle)
 ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
+ORACLES["sim_ann_lsh_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
@@ -3145,6 +3155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_project": q_embedding_project,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_assign": q_cluster_assign,
     "sim_ann_ivf": q_sim_ann_ivf,
