@@ -61,6 +61,9 @@ AUDITED = {
     "text_quality_score": "model-based quality filter: single Project (features + integer logit) over the scan — map-only, no Exchange, no Python",
     "corpus_split": "train/val/test split: literal CASE over the md5 draw + partial/final HashAggregate on split — the assignment itself is map-only",
     "text_normalize": "normalization: one Project of regexp expressions — map-only, codegen",
+    "events_sliding": "sliding windows: Expand (2 rows per event, one per overlapping window) then partial+final HashAggregate — no window function, no sort",
+    "events_pivot": "pivot: single partial+final HashAggregate with pivot-first aggregates — one shuffle on day, no per-type scans",
+    "basket_pairs": "co-occurrence: distinct -> a-priori semi-joins -> equality self-join on the basket id (never cross) -> pair HashAggregate + TakeOrderedAndProject",
     "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab (CACHED — total and join side both read the InMemoryRelation, not a re-explode); scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
     "corpus_mixture": "mixture rebalancing: ONE corpus scan measures per-stratum token mass (HashAggregate), total via window over the strata-count frame (no second corpus pass), rate table BroadcastHashJoin back onto the filter scan",
 }
