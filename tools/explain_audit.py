@@ -77,6 +77,11 @@ def main() -> None:
     for name, expectation in AUDITED.items():
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # plans can embed literal control characters (e.g. the normalize
+        # regexp's \x00-\x1F class) — escape them so PLANS.md stays text
+        plan = "".join(
+            ch if ch in "\n\t" or ord(ch) >= 32 else f"\\x{ord(ch):02X}" for ch in plan
+        )
         out.append(f"\n## {name}\n\n*Expectation: {expectation}*\n\n```\n{plan}\n```\n")
     with open("PLANS.md", "w") as f:
         f.write("".join(out))
