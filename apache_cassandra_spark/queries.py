@@ -1288,9 +1288,9 @@ def _prepare_corpus_full_oracle() -> str:
         packed AS (SELECT doc_id, shard, n_tokens,
                           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
                    FROM sharded)
-        SELECT doc_id, shard, (cum - n_tokens) // 512 AS seq_in_shard,
-               cum - n_tokens AS offset, n_tokens,
-               shard * 1099511627776 + (cum - n_tokens) // 512 AS seq_id
+        SELECT doc_id, shard, cast((cum - n_tokens) // 512 AS bigint) AS seq_in_shard,
+               cast(cum - n_tokens AS bigint) AS offset, n_tokens,
+               cast(shard * 1099511627776 + (cum - n_tokens) // 512 AS bigint) AS seq_id
         FROM packed
     """
     )
@@ -2708,7 +2708,7 @@ ORACLES: dict[str, str] = {
                FROM vocab, tot)
         SELECT id AS doc_id,
                cast(count(*) as bigint) AS n_tokens,
-               sum(lq) AS logprob_micro,
+               cast(sum(lq) AS bigint) AS logprob_micro,
                round(sum(lq) / count(*) / 1000000, 6) AS mean_logprob
         FROM toks JOIN sv USING (tok)
         GROUP BY id
@@ -2778,9 +2778,9 @@ ORACLES: dict[str, str] = {
                cast(nf as int) AS n_frames,
                cast(8 + doc_id % 9 as int) AS width,
                cast(4 + doc_id % 5 as int) AS height,
-               round(((doc_id + 17*fno) % 256) * 1.0, 6) AS mean_r,
-               round(((doc_id*7 + 29*fno) % 256) * 1.0, 6) AS mean_g,
-               round(((doc_id*13 + 41*fno) % 256) * 1.0, 6) AS mean_b
+               round(cast((doc_id + 17*fno) % 256 AS double), 6) AS mean_r,
+               round(cast((doc_id*7 + 29*fno) % 256 AS double), 6) AS mean_g,
+               round(cast((doc_id*13 + 41*fno) % 256 AS double), 6) AS mean_b
         FROM f WHERE fno % 2 = 0
     """,
     # within-doc first-occurrence segment filter via the index lambda;
@@ -2844,7 +2844,7 @@ ORACLES: dict[str, str] = {
                                      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS newf
                     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         sess AS (SELECT user_id, us,
-                        sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_no
+                        cast(sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS bigint) AS session_no
                  FROM flagged)
         SELECT user_id, session_no, count(*) AS n_events,
                min(us) AS start_us, max(us) AS end_us,
@@ -2916,7 +2916,7 @@ ORACLES: dict[str, str] = {
     """,
     "corpus_stats": """
         SELECT source, count(*) AS n_docs,
-               sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens,
+               cast(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS bigint) AS n_tokens,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                round(sum(n_chars) / count(*), 6) AS avg_chars
         FROM documents GROUP BY 1
@@ -2944,9 +2944,9 @@ ORACLES: dict[str, str] = {
         c AS (SELECT doc_id, shard, n_tokens,
                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
               FROM t)
-        SELECT doc_id, shard, (cum - n_tokens) // 512 AS seq_in_shard,
-               cum - n_tokens AS offset, n_tokens,
-               shard * 1099511627776 + (cum - n_tokens) // 512 AS seq_id
+        SELECT doc_id, shard, cast((cum - n_tokens) // 512 AS bigint) AS seq_in_shard,
+               cast(cum - n_tokens AS bigint) AS offset, n_tokens,
+               cast(shard * 1099511627776 + (cum - n_tokens) // 512 AS bigint) AS seq_id
         FROM c
     """,
     # the sharded-sink round-trip must reproduce every row plus its
