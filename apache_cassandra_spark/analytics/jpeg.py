@@ -1,0 +1,593 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure numpy/stdlib, no PIL.
+
+Closes the last stubbed codec surface from round 3: ``codecs.decode_bytes``
+previously raised ``NotImplementedError`` for JPEG, the most common
+real-corpus image payload. This module implements the *sequential baseline
+DCT* profile end to end:
+
+* decoder: marker walk (SOI/APP/COM/DQT/SOF0/SOF1/DHT/DRI/SOS/RST/EOI),
+  Huffman entropy decode with byte-unstuffing and restart-interval
+  resync, dequantization, zigzag, 8x8 IDCT, chroma upsampling for
+  arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), and
+  JFIF YCbCr -> RGB conversion;
+* encoder (fixture generation + tests): RGB/grayscale in, 4:4:4 or
+  4:2:0 out, standard Annex K Huffman tables, caller-supplied
+  quantization tables (default all-ones).
+
+Progressive (SOF2), arithmetic coding, hierarchical, and 12-bit
+precision raise ``NotImplementedError`` — the same honesty boundary as
+the other codecs.
+
+Exactness contract used by the ``media_decode_jpeg`` gate query: with
+all-ones quantization tables a *constant-fill* image survives the whole
+encode/decode chain bit-exactly (each 8x8 block is DC-only, DC = 8 *
+(level-shifted value) is an exact integer, and the IDCT of a DC-only
+block lands within 1e-12 of that integer, far from the round-half-up
+boundary). The color-convert expressions below are written in the exact
+left-associated operand order that the DuckDB oracle SQL uses, so both
+engines evaluate identical IEEE-double chains.
+
+Reference parity anchor: the reference stores media as opaque column
+values (`db/ColumnFamily.java` byte[] values); decode/feature-extract is
+client-side there, first-class mapInPandas here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K — public spec constants)
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Annex K.3: typical Huffman tables. bits[i] = number of codes of length
+# i+1 (16 entries); vals = symbols in code order.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: 8-point DCT-II basis: _DCT_A[u, x] = C(u)/2 * cos((2x+1)u*pi/16);
+#: forward F = A @ f @ A.T, inverse f = A.T @ F @ A.
+_DCT_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT_A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) — the rounding mode shared with the DuckDB oracle
+    (Python/numpy banker's rounding would diverge at .5 boundaries)."""
+    return np.floor(x + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (shared by encoder and decoder)
+# ---------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the decoder."""
+    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec F.1.2.3
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Skip to just past the next RSTn marker and byte-align."""
+        self._acc = 0
+        self._nbits = 0
+        while True:
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `cat` magnitude bits to a signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF color convert with floor(x+0.5) rounding; the operand order of
+    each expression mirrors the media_decode_jpeg oracle SQL verbatim."""
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    cb = np.clip(np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0, 255)
+    cr = np.clip(np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, 255)
+    return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
+
+
+def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
+    """Edge-replicate to (bh, bw) — the spec's recommended extension."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def _encode_block(
+    block: np.ndarray,
+    qtable: np.ndarray,
+    dc_pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    bw: _BitWriter,
+) -> int:
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
+    shifted = block.astype(np.float64) - 128.0
+    coef = _DCT_A @ shifted @ _DCT_A.T
+    q = _round_half_up(coef / qtable).astype(np.int64)
+    zz = [int(q[r, c]) for r, c in ZIGZAG]
+
+    diff = zz[0] - dc_pred
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return zz[0]
+
+
+def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tid: int, qtable: np.ndarray) -> bytes:
+    zz = bytes(int(qtable[r, c]) for r, c in ZIGZAG)
+    body = bytes([tid]) + zz
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_baseline(
+    px: np.ndarray,
+    subsampling: str = "444",
+    qtable_luma: np.ndarray | None = None,
+    qtable_chroma: np.ndarray | None = None,
+) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 raster
+    as sequential-baseline JFIF. ``subsampling`` is '444' or '420' (color
+    only). Default quantization tables are all-ones (lossless for
+    constant-fill images — see module docstring)."""
+    if qtable_luma is None:
+        qtable_luma = np.ones((8, 8))
+    if qtable_chroma is None:
+        qtable_chroma = np.ones((8, 8))
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("image dimensions out of range")
+
+    if gray:
+        planes = [px]
+        samplings = [(1, 1)]
+        qids = [0]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(px)
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            samplings = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            # box-average 2x2 with edge replication for odd dims,
+            # floor(x+0.5) rounding
+            ype = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            cbs = np.floor((ype[0::2, 0::2] + ype[0::2, 1::2] + ype[1::2, 0::2] + ype[1::2, 1::2]) / 4.0 + 0.5)
+            rpe = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            crs = np.floor((rpe[0::2, 0::2] + rpe[0::2, 1::2] + rpe[1::2, 0::2] + rpe[1::2, 1::2]) / 4.0 + 0.5)
+            planes = [y, cbs.astype(np.uint8), crs.astype(np.uint8)]
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qtable_luma)
+    if not gray:
+        out += _dqt_segment(1, qtable_chroma)
+
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samplings[i][0] << 4) | samplings[i][1], qids[i]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = 0 if i == 0 else 1
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_lc = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_lc = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_cc = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_cc = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    padded = []
+    for plane, (hi, vi) in zip(planes, samplings):
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        padded.append(_pad_plane(plane[:ch, :cw] if plane.shape == (h, w) else plane, mcus_x * 8 * hi, mcus_y * 8 * vi))
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    qts = [qtable_luma if q == 0 else qtable_chroma for q in qids]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hi, vi = samplings[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (my * vi + by) * 8
+                        c0 = (mx * hi + bx) * 8
+                        block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                        preds[ci] = _encode_block(
+                            block,
+                            qts[ci],
+                            preds[ci],
+                            dc_lc if ci == 0 else dc_cc,
+                            ac_lc if ci == 0 else ac_cc,
+                            bw,
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an (h, w, ch) uint8 raster (RGB for
+    3-component YCbCr, single channel for grayscale)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hi, vi, qid)])
+    n = len(payload)
+
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                tbl = np.zeros((8, 8))
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = seg[p + 1 + i]
+                qtables[tq] = tbl
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential DCT
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only sequential baseline JPEG (SOF0/SOF1) supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            pos += seglen
+            return _decode_scan(payload, pos, frame, scan, qtables, huff, restart_interval)
+        pos += seglen
+    raise ValueError("no SOS found")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
+    fh, fw, comps = frame
+    by_id = {cid: (hi, vi, qid) for cid, hi, vi, qid in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    planes = {}
+    meta = []
+    for cs, td, ta in scan:
+        hi, vi, qid = by_id[cs]
+        planes[cs] = np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
+        meta.append((cs, hi, vi, qtables[qid], huff[(0, td)], huff[(1, ta)]))
+
+    br = _BitReader(data, pos)
+    preds = {cs: 0 for cs, *_ in meta}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                preds = {cs: 0 for cs in preds}
+            try:
+                for cs, hi, vi, qt, dct, act in meta:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = np.zeros(64)
+                            cat = _decode_symbol(br, dct)
+                            diff = _extend(br.read_bits(cat), cat)
+                            preds[cs] += diff
+                            zz[0] = preds[cs]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_symbol(br, act)
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC index out of range")
+                                zz[k] = _extend(br.read_bits(size), size)
+                                k += 1
+                            coef = np.zeros((8, 8))
+                            for i, (r, c) in enumerate(ZIGZAG):
+                                coef[r, c] = zz[i]
+                            coef *= qt
+                            block = _DCT_A.T @ coef @ _DCT_A + 128.0
+                            r0 = (my * vi + by) * 8
+                            c0 = (mx * hi + bx) * 8
+                            planes[cs][r0 : r0 + 8, c0 : c0 + 8] = block
+            except _RestartMarker:
+                raise ValueError("restart marker inside MCU")
+            mcu_count += 1
+
+    full = []
+    for cs, hi, vi, *_ in meta:
+        cw = -(-fw * hi // hmax)
+        ch = -(-fh * vi // vmax)
+        p = np.clip(np.floor(planes[cs][:ch, :cw] + 0.5), 0, 255)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:fh, :fw])
+
+    if len(full) == 1:
+        return full[0].astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1], full[2]
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """``codecs.decode_bytes``-shaped record for a baseline JPEG."""
+    px = decode_jpeg_pixels(payload)
+    h, w, ch = px.shape
+    rgb = px if ch == 3 else np.repeat(px, 3, axis=2)
+    means = rgb.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "format": "jpeg",
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
