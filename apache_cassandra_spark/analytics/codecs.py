@@ -9,10 +9,13 @@ Formats with a genuinely parsed decode path:
 * **PNG** (8-bit gray/RGB/palette/gray-alpha/RGBA, non-interlaced) —
   chunk walk + stdlib ``zlib`` inflate + numpy scanline unfiltering
   (all five PNG filter types)
+* **JPEG** (sequential baseline, SOF0/SOF1) — full T.81 decode in
+  ``analytics.jpeg`` (Huffman entropy decode, restart resync, IDCT,
+  chroma upsampling, JFIF color convert)
 
-Codecs whose *entropy coding* has no stdlib implementation
-(JPEG/MP3/H.264) still raise ``NotImplementedError`` — those need
-PIL/ffmpeg, which this container doesn't ship; the dispatch keeps an
+Codecs whose *entropy coding* has no stdlib implementation (MP3/H.264)
+and JPEG profiles beyond sequential baseline (progressive, arithmetic,
+12-bit) still raise ``NotImplementedError`` — the dispatch keeps an
 honest boundary between the real and unavailable paths instead of
 faking them.
 
@@ -277,13 +280,28 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "wav": decode_wav, "png": decode_png}
+def _decode_jpeg(payload: bytes) -> dict:
+    # deferred import: jpeg.py builds numpy DCT/Huffman tables at import
+    # time; only pay that on the first JPEG payload
+    from apache_cassandra_spark.analytics import jpeg
+
+    return jpeg.decode_jpeg(payload)
+
+
+_DECODERS = {
+    "ppm": decode_ppm,
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+    "png": decode_png,
+    "jpeg": _decode_jpeg,
+}
 
 
 def decode_bytes(payload: bytes) -> dict:
     """Sniff + decode one payload into the unified DECODE_FIELDS record.
 
-    Real parse for ppm/bmp/wav; compressed formats raise
+    Real parse for ppm/bmp/wav/png/baseline-jpeg; codecs with no stdlib
+    entropy implementation (MP3/H.264, progressive JPEG) raise
     ``NotImplementedError`` (install PIL/ffmpeg and register a decoder in
     ``_DECODERS`` to extend — the Spark plumbing is format-agnostic)."""
     fmt = sniff(payload)

@@ -8,7 +8,8 @@ DCT* profile end to end:
 * decoder: marker walk (SOI/APP/COM/DQT/SOF0/SOF1/DHT/DRI/SOS/RST/EOI),
   Huffman entropy decode with byte-unstuffing and restart-interval
   resync, dequantization, zigzag, 8x8 IDCT, chroma upsampling for
-  arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), and
+  integer-ratio sampling factor layouts (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1;
+  fractional ratios like 3:2 raise ``NotImplementedError``), and
   JFIF YCbCr -> RGB conversion;
 * encoder (fixture generation + tests): RGB/grayscale in, 4:4:4 or
   4:2:0 out, standard Annex K Huffman tables, caller-supplied
@@ -175,8 +176,12 @@ class _BitReader:
         self._nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy segment")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy segment")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -205,11 +210,12 @@ class _BitReader:
         """Skip to just past the next RSTn marker and byte-align."""
         self._acc = 0
         self._nbits = 0
-        while True:
+        while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
             self.pos += 1
+        raise ValueError("truncated entropy segment")
 
 
 class _RestartMarker(Exception):
@@ -319,11 +325,14 @@ def encode_jpeg_baseline(
     subsampling: str = "444",
     qtable_luma: np.ndarray | None = None,
     qtable_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 raster
     as sequential-baseline JFIF. ``subsampling`` is '444' or '420' (color
     only). Default quantization tables are all-ones (lossless for
-    constant-fill images — see module docstring)."""
+    constant-fill images — see module docstring). ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that-many MCUs
+    (byte-aligned, DC predictors reset — T.81 F.1.2.3 / E.2.4)."""
     if qtable_luma is None:
         qtable_luma = np.ones((8, 8))
     if qtable_chroma is None:
@@ -381,6 +390,9 @@ def encode_jpeg_baseline(
         out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     sos = bytes([ncomp])
     for i in range(ncomp):
         t = 0 if i == 0 else 1
@@ -402,8 +414,15 @@ def encode_jpeg_baseline(
     bw = _BitWriter()
     preds = [0] * ncomp
     qts = [qtable_luma if q == 0 else qtable_chroma for q in qids]
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                # RST markers go in raw (no byte stuffing), past _BitWriter
+                bw.out += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) & 7)])
+                preds = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 hi, vi = samplings[ci]
                 for by in range(vi):
@@ -451,7 +470,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if pos + 2 > n:
+            raise ValueError("truncated segment header")
         seglen = struct.unpack_from(">H", payload, pos)[0]
+        if pos + seglen > n:
+            raise ValueError("truncated segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -459,15 +482,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quantization tables not supported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
                 tbl = np.zeros((8, 8))
                 for i, (r, c) in enumerate(ZIGZAG):
                     tbl[r, c] = seg[p + 1 + i]
                 qtables[tq] = tbl
                 p += 65
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential DCT
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
             comps = []
             for i in range(ncomp):
                 cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
@@ -482,6 +511,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
@@ -512,6 +543,12 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
     meta = []
     for cs, td, ta in scan:
         hi, vi, qid = by_id[cs]
+        if hmax % hi or vmax % vi:
+            # np.repeat upsampling below needs integer ratios; fractional
+            # layouts (e.g. 3:2) would silently misalign planes
+            raise NotImplementedError(
+                f"non-integer-ratio sampling factors {hi}x{vi} vs max {hmax}x{vmax}"
+            )
         planes[cs] = np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
         meta.append((cs, hi, vi, qtables[qid], huff[(0, td)], huff[(1, ta)]))
 

@@ -2,10 +2,12 @@
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The decode path is REAL for formats parseable with numpy/stdlib alone —
-binary netpbm (PPM/PGM), 24-bit BMP, PCM16 WAV, and 8-bit PNG (stdlib
-``zlib`` inflate + numpy unfiltering; see ``analytics.codecs``); codecs
-whose entropy coding has no stdlib implementation (JPEG/MP3) raise
-``NotImplementedError`` because their libraries aren't in this container.
+binary netpbm (PPM/PGM), 24-bit BMP, PCM16 WAV, 8-bit PNG (stdlib
+``zlib`` inflate + numpy unfiltering), and sequential-baseline JPEG
+(full T.81 Huffman/IDCT decode in ``analytics.jpeg``; see
+``analytics.codecs``); codecs whose entropy coding has no stdlib
+implementation (MP3/H.264) raise ``NotImplementedError`` because their
+libraries aren't in this container.
 ``decode_stub``/``deterministic_fake`` remain for pipelines that want a
 reproducible stand-in feature vector regardless of format.
 
@@ -346,6 +348,56 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("image").alias("media_type"),
         synthetic_png_payload(doc_id).alias("payload"),
     )
+
+
+def jpeg_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose every payload is a real sequential-baseline JPEG
+    (``analytics.jpeg.encode_jpeg_baseline``, all-ones quantization
+    tables): ``doc_id % 3`` picks grayscale / RGB 4:4:4 / RGB 4:2:0, the
+    dims (8..16 x 4..8, deliberately off the 8/16 MCU grid to exercise
+    edge padding) and the constant fill color derive from ``doc_id``
+    arithmetic. Unlike the PPM/PNG fixtures the entropy coding can't be
+    a JVM expression — encoding runs in Arrow-batched ``mapInPandas`` on
+    the executors (per-row map, no shuffle, nothing through the driver).
+
+    With all-ones qtables a constant-fill image is bit-exact through
+    encode -> decode except for the JFIF color convert, whose exact
+    IEEE-double chain the ``media_decode_jpeg`` oracle replays in SQL
+    (see ``analytics.jpeg`` module docstring)."""
+    import numpy as np
+
+    from apache_cassandra_spark.analytics import jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 8 + doc_id % 9
+                h = 4 + doc_id % 5
+                r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+                mode = doc_id % 3
+                if mode == 0:
+                    px = np.full((h, w), r, dtype=np.uint8)
+                    payload = jpeg.encode_jpeg_baseline(px)
+                else:
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0], px[:, :, 1], px[:, :, 2] = r, g, b
+                    payload = jpeg.encode_jpeg_baseline(
+                        px, subsampling="444" if mode == 1 else "420"
+                    )
+                recs.append({"media_id": doc_id, "media_type": "image", "payload": payload})
+            yield pd.DataFrame(recs, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(run, out_schema)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

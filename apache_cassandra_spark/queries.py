@@ -1843,6 +1843,37 @@ def q_media_decode_png(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """Baseline-JPEG decode in the gate: every payload is a REAL T.81
+    sequential-baseline JPEG (Annex K Huffman tables, all-ones
+    quantization) encoded on the executors from doc_id arithmetic
+    (``multimodal.jpeg_media_from_documents`` — grayscale / 4:4:4 /
+    4:2:0 by ``doc_id % 3``, dims off the MCU grid), then decoded by the
+    full Huffman/IDCT/upsample decoder (``analytics.jpeg``). With
+    all-ones qtables a constant fill is exact through the DCT chain, so
+    the only lossy step is the JFIF color convert — whose IEEE-double
+    expression chain the oracle replays verbatim (same left-associated
+    operand order, same floor(x+0.5) rounding). A misread Huffman code,
+    bad restart handling, wrong dequant, or misaligned upsample all
+    shift the decoded means and mismatch the hash.
+
+    Reference parity: media are opaque byte[] column values
+    (``db/ColumnFamily.java:37``); decode was client-side there,
+    first-class mapInPandas here."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decode_media(multimodal.jpeg_media_from_documents(docs))
+    return dec.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_lexicaluuid_comparator_slice(spark, sf_dir):
     """LexicalUUIDType comparator in the gate: column names are 16-byte
     pseudo-UUIDs (md5 of the event id), ordered by *signed* msb then lsb
@@ -2983,6 +3014,37 @@ ORACLES: dict[str, str] = {
                round(cast(b as double), 6) AS mean_b
         FROM m
     """,
+    "media_decode_jpeg": """
+        -- replays the ONLY lossy step of the all-ones-qtable constant-fill
+        -- encode->decode chain: the JFIF color convert, in the exact
+        -- IEEE-double operand order of analytics.jpeg._rgb_to_ycbcr and
+        -- decode_jpeg_pixels (floor(x+0.5) rounding both sides)
+        WITH m AS (
+          SELECT doc_id, doc_id % 3 AS mode,
+                 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+                 CAST(doc_id % 256 AS DOUBLE) AS r,
+                 CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+                 CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+          FROM documents),
+        yc AS (
+          SELECT doc_id, mode, w, h, r,
+            least(255, greatest(0, floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+            least(255, greatest(0, floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+            least(255, greatest(0, floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+          FROM m)
+        SELECT doc_id AS media_id,
+               'jpeg' AS format,
+               cast(w as integer) AS width,
+               cast(h as integer) AS height,
+               cast(CASE WHEN mode = 0 THEN 1 ELSE 3 END as integer) AS channels,
+               round(CASE WHEN mode = 0 THEN r
+                     ELSE least(255, greatest(0, floor(y + 1.402 * (cr - 128) + 0.5))) END, 6) AS mean_r,
+               round(CASE WHEN mode = 0 THEN r
+                     ELSE least(255, greatest(0, floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))) END, 6) AS mean_g,
+               round(CASE WHEN mode = 0 THEN r
+                     ELSE least(255, greatest(0, floor(y + 1.772 * (cb - 128) + 0.5))) END, 6) AS mean_b
+        FROM yc
+    """,
     "text_repetition": """
         WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         base AS (
@@ -3120,8 +3182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_write_path": q_write_path,
     "cass_lww_events": q_lww_events,
     "cf_join": q_cf_join,
-    # --- new in round 4 (window slots 47-50) ---
-    # (inserted here as they land)
+    # --- new in round 5 ---
+    "media_decode_jpeg": q_media_decode_jpeg,
     # --- previously driver-green (r1-r3 rows exist) ---
     "cass_get_slice": q_get_slice,
     "cass_get_slice_names": q_get_slice_names,

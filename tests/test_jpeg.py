@@ -1,0 +1,173 @@
+"""Baseline JPEG codec (``analytics.jpeg``): encode/decode round-trips,
+the constant-fill exactness contract the ``media_decode_jpeg`` gate
+relies on, restart-interval resync, and honest parse failures.
+
+Reference parity anchor: the reference stores media as opaque byte[]
+column values (db/ColumnFamily.java:37); decode is first-class here."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from apache_cassandra_spark.analytics import codecs, jpeg
+
+
+def _color_chain(r, g, b):
+    """The decoded constant-fill RGB the gate oracle predicts: the JFIF
+    color convert is the only lossy step with all-ones qtables (same
+    IEEE-double operand order as _rgb_to_ycbcr / decode_jpeg_pixels)."""
+    y = min(255.0, max(0.0, np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+    cb = min(255.0, max(0.0, np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+    cr = min(255.0, max(0.0, np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+    return (
+        min(255.0, max(0.0, np.floor(y + 1.402 * (cr - 128) + 0.5))),
+        min(255.0, max(0.0, np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))),
+        min(255.0, max(0.0, np.floor(y + 1.772 * (cb - 128) + 0.5))),
+    )
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_constant_fill_contract(subsampling):
+    # the exact fixture arithmetic of jpeg_media_from_documents
+    for doc_id in (1, 2, 47, 100, 255, 511):
+        w, h = 8 + doc_id % 9, 4 + doc_id % 5
+        r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 0], px[:, :, 1], px[:, :, 2] = r, g, b
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg_baseline(px, subsampling=subsampling))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == _color_chain(r, g, b)
+
+
+def test_constant_fill_grayscale_exact():
+    for v in (0, 1, 127, 128, 200, 255):
+        px = np.full((13, 11), v, np.uint8)
+        d = jpeg.decode_jpeg(jpeg.encode_jpeg_baseline(px))
+        assert d["channels"] == 1
+        assert d["mean_r"] == d["mean_g"] == d["mean_b"] == float(v)
+
+
+def test_smooth_gradient_grayscale_exact():
+    # DCT of a linear ramp has small coefficients; all-ones qtables keep
+    # every block within rounding of exact
+    px = np.repeat(np.arange(32, dtype=np.uint8)[None, :] * 8, 16, axis=0)
+    out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px))
+    assert np.array_equal(out[:, :, 0], px)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_harsh_gradient_near_exact(subsampling):
+    # wrap-around discontinuities: per-coefficient quant rounding error
+    # accumulates to at most ±3 per sample at all-ones qtables
+    px = np.zeros((21, 29, 3), np.uint8)
+    px[:, :, 0] = np.arange(29)[None, :] * 8 % 256
+    px[:, :, 1] = np.arange(21)[:, None] * 11 % 256
+    px[:, :, 2] = 77
+    out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, subsampling=subsampling))
+    assert out.shape == (21, 29, 3)
+    ref = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, subsampling="444"))
+    if subsampling == "444":
+        y, cb, cr = jpeg._rgb_to_ycbcr(px)
+        back = np.stack(
+            [
+                np.clip(np.floor(y + 1.402 * (cr.astype(np.float64) - 128) + 0.5), 0, 255),
+                np.clip(
+                    np.floor(
+                        y
+                        - 0.344136 * (cb.astype(np.float64) - 128)
+                        - 0.714136 * (cr.astype(np.float64) - 128)
+                        + 0.5
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(np.floor(y + 1.772 * (cb.astype(np.float64) - 128) + 0.5), 0, 255),
+            ],
+            axis=2,
+        )
+        assert np.abs(out.astype(int) - back.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [1, 2, 7])
+def test_restart_interval_resync(subsampling, restart_interval):
+    px = np.zeros((21, 29, 3), np.uint8)
+    px[:, :, 0] = np.arange(29)[None, :] * 8 % 256
+    px[:, :, 1] = np.arange(21)[:, None] * 11 % 256
+    px[:, :, 2] = 77
+    pay = jpeg.encode_jpeg_baseline(px, subsampling=subsampling, restart_interval=restart_interval)
+    assert b"\xff\xdd" in pay  # DRI emitted
+    mcu = 8 if subsampling == "444" else 16
+    n_mcus = -(-29 // mcu) * -(-21 // mcu)
+    if n_mcus > restart_interval:
+        assert any(bytes([0xFF, 0xD0 + m]) in pay for m in range(8))  # RSTn present
+    # restart markers + DC predictor resets must not change a single pixel
+    assert np.array_equal(
+        jpeg.decode_jpeg_pixels(pay),
+        jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, subsampling=subsampling)),
+    )
+
+
+def test_lossy_quant_tables_still_decode():
+    q = np.full((8, 8), 16.0)
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :, 0] = 200
+    px[8:, :, 2] = 200
+    out = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_baseline(px, qtable_luma=q, qtable_chroma=q)
+    )
+    # lossy but sane: block means survive within quantization error
+    assert abs(float(out[:8, :, 0].mean()) - 200) < 24
+    assert abs(float(out[8:, :, 2].mean()) - 200) < 24
+
+
+def test_truncated_entropy_is_value_error():
+    pay = jpeg.encode_jpeg_baseline(np.full((16, 16), 55, np.uint8))
+    for cut in (len(pay) // 2, len(pay) - 3):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg_pixels(pay[:cut])
+
+
+def test_progressive_raises_not_implemented():
+    pay = bytearray(jpeg.encode_jpeg_baseline(np.full((8, 8), 9, np.uint8)))
+    sof = pay.index(b"\xff\xc0")
+    pay[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg_pixels(bytes(pay))
+
+
+def test_fractional_sampling_ratio_raises():
+    pay = bytearray(jpeg.encode_jpeg_baseline(np.full((8, 8, 3), 9, np.uint8), subsampling="420"))
+    sof = pay.index(b"\xff\xc0")
+    # SOF layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then
+    # per-component cid(1) hv(1) qid(1) — luma hv byte is sof+11
+    assert pay[sof + 11] == 0x22
+    pay[sof + 11] = 0x32  # luma 3x2 vs chroma 1x1 -> hmax=3, 3 % 2 ratios ok
+    pay[sof + 14] = 0x21  # chroma-b 2x1: 3 % 2 != 0 -> fractional ratio
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg_pixels(bytes(pay))
+
+
+def test_not_a_jpeg_and_garbage_markers():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(b"\x00\x00")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(b"\xff\xd8\xffjpeg")
+
+
+def test_dimensions_and_odd_mcu_padding():
+    # dims straddling MCU boundaries for both 8- and 16-pixel grids
+    for w, h in [(1, 1), (7, 3), (8, 8), (9, 17), (16, 16), (17, 9)]:
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 1] = 123
+        for mode in ("444", "420"):
+            d = jpeg.decode_jpeg(jpeg.encode_jpeg_baseline(px, subsampling=mode))
+            assert (d["width"], d["height"]) == (w, h), (w, h, mode)
+            assert (d["mean_r"], d["mean_g"], d["mean_b"]) == _color_chain(0, 123, 0)
+
+
+def test_sniff_and_registry():
+    pay = jpeg.encode_jpeg_baseline(np.full((8, 8), 1, np.uint8))
+    assert codecs.sniff(pay) == "jpeg"
+    assert codecs.decode_bytes(pay)["format"] == "jpeg"

@@ -105,12 +105,24 @@ def test_decode_bytes_dispatch_and_honest_failures():
     assert codecs.decode_bytes(codecs.encode_ppm(2, 2, (0, 0, 0)))["format"] == "ppm"
     assert codecs.decode_bytes(codecs.encode_wav_constant(10, 5))["format"] == "wav"
     assert codecs.decode_bytes(codecs.encode_png_stored(3, 2, (1, 2, 3)))["format"] == "png"
-    for bad in (b"\xff\xd8\xffjpeg", b"garbage"):
-        with pytest.raises(NotImplementedError):
-            codecs.decode_bytes(bad)
-    # PNG is a real decoder now: malformed input is a parse error, not a stub
+    with pytest.raises(NotImplementedError):
+        codecs.decode_bytes(b"garbage")
+    # PNG and JPEG are real decoders now: malformed input is a parse
+    # error, not a stub
     with pytest.raises(ValueError):
         codecs.decode_bytes(b"\x89PNG\r\n\x1a\nrest")
+    with pytest.raises(ValueError):
+        codecs.decode_bytes(b"\xff\xd8\xffjpeg")
+
+
+def test_decode_bytes_jpeg_dispatch():
+    from apache_cassandra_spark.analytics import jpeg
+
+    px = np.zeros((9, 10, 3), dtype=np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 10, 20, 30
+    d = codecs.decode_bytes(jpeg.encode_jpeg_baseline(px))
+    assert (d["format"], d["width"], d["height"], d["channels"]) == ("jpeg", 10, 9, 3)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (10.0, 20.0, 30.0)
 
 
 def test_png_roundtrip_all_color_types_and_filters():
