@@ -117,6 +117,79 @@ def kmeans_assign(
     return assign(v).select(id_col, "cluster")
 
 
+def kmeans_assign_exact(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means whose every step is replayable in any SQL engine —
+    the oracle-gated twin of ``kmeans_assign``. Three quantization points
+    make the fixpoint portable (the ``cluster_assign`` float-parity
+    pattern): init = the vectors with ``id < k`` (no sampling), each
+    assignment takes argmin over euclidean distance ROUNDED to 6 decimals
+    (ties -> lower centroid index), and each new centroid coordinate is
+    the per-dimension mean ROUNDED to 6 decimals (empty cluster keeps
+    the previous centroid). ``kmeans_assign`` keeps full precision and
+    the farthest-point init, and stays rows-only.
+
+    Scale shape is identical to ``kmeans_assign``: per round one
+    map-only literal-folded assignment (no join/shuffle) plus one
+    groupBy(cluster) with k x dim map-side-combined partial averages;
+    only k x dim floats ever reach the driver."""
+    dim = _dim_of(df, vec_col)
+    v = df.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+    init = v.where(F.col(id_col) < k).orderBy(id_col).collect()
+    if len(init) < k:
+        raise ValueError(f"need ids 0..{k - 1} for deterministic init")
+    centroids: list[list[float]] = [list(r["_v"]) for r in init]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.sqrt(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("_v"),
+                                    F.array(*[F.lit(float(c)) for c in cent]),
+                                    lambda x, c: (x - c) * (x - c),
+                                ),
+                                F.lit(0.0),
+                                lambda acc, d: acc + d,
+                            )
+                        ),
+                        6,
+                    ).alias("dist"),
+                    F.lit(i).alias("idx"),
+                )
+                for i, cent in enumerate(centroids)
+            ]
+        )
+        return frame.withColumn("_best", F.array_min(cands))
+
+    for _ in range(iters):
+        assigned = assign(v)
+        new_rows = (
+            assigned.groupBy(F.col("_best").idx.alias("cluster"))
+            .agg(*[F.round(F.avg(F.col("_v")[i]), 6).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
+
+    final = assign(v)
+    return final.select(
+        id_col,
+        F.col("_best").idx.alias("cluster"),
+        F.col("_best").dist.alias("dist"),
+    )
+
+
 def assign_to_centroids(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1666,6 +1666,55 @@ def q_cluster_kmeans(spark, sf_dir):
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=3)
 
 
+def q_cluster_kmeans_exact(spark, sf_dir):
+    """Oracle-gated Lloyd's k-means (k=4, 2 rounds): init = vectors with
+    vec_id < 4, argmin over round-6 distances (ties -> lower index), new
+    centroids = per-dim means rounded to 6, empty clusters keep the
+    previous centroid. The oracle unrolls both rounds as CTEs and
+    replays assignment -> mean -> reassignment exactly — this anchors
+    the iterative machinery that the full-precision ``cluster_kmeans``
+    (farthest-point init, rows-only) shares."""
+    from apache_cassandra_spark.analytics.clustering import kmeans_assign_exact
+
+    return kmeans_assign_exact(load_table(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+def _kmeans_exact_oracle(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd rounds: a{i} assigns under centroid set c{i} (round-6
+    distance, row_number ties -> lower cid), m{i+1}/c{i+1} rebuild round-6
+    per-dimension means with a coalesce fallback for empty clusters."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cent "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY round(list_distance(e.embedding::DOUBLE[], c.cent), 6), c.cid) AS rn "
+            f"FROM embeddings e, c{i} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i + 1} AS (SELECT a.cid, t.i, round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS av "
+            f"FROM a{i} a JOIN embeddings e USING (vec_id) "
+            f"CROSS JOIN generate_series(1, {dim}) t(i) GROUP BY a.cid, t.i)"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c{i}.cid, coalesce(n.cent, c{i}.cent) AS cent "
+            f"FROM c{i} LEFT JOIN (SELECT cid, list(av ORDER BY i) AS cent "
+            f"FROM m{i + 1} GROUP BY cid) n USING (cid))"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT vec_id, cast(cid as int) AS cluster, dist FROM ("
+        f"SELECT e.vec_id, c.cid, round(list_distance(e.embedding::DOUBLE[], c.cent), 6) AS dist, "
+        f"row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY round(list_distance(e.embedding::DOUBLE[], c.cent), 6), c.cid) AS rn "
+        f"FROM embeddings e, c{iters} c) WHERE rn = 1"
+    )
+
+
 def q_cluster_assign(spark, sf_dir):
     """Nearest-centroid assignment against fixed centroids (the
     embeddings of vec_id 0..7): distances rounded to 6 BEFORE the argmin,
@@ -3126,6 +3175,7 @@ ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
 ORACLES["embedding_project"] = _embedding_project_oracle()
+ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. r1-r3 covered the core read/write/event families, so
@@ -3184,6 +3234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cf_join": q_cf_join,
     # --- new in round 5 ---
     "media_decode_jpeg": q_media_decode_jpeg,
+    "cluster_kmeans_exact": q_cluster_kmeans_exact,
     # --- previously driver-green (r1-r3 rows exist) ---
     "cass_get_slice": q_get_slice,
     "cass_get_slice_names": q_get_slice_names,

@@ -431,6 +431,35 @@ def test_kmeans_recovers_separated_blobs(spark):
     assert first == again
 
 
+def test_kmeans_exact_quantized_lloyd(spark):
+    from apache_cassandra_spark.analytics.clustering import kmeans_assign_exact
+
+    # two blobs; ids 0/1 land in different blobs so the id<k init splits
+    rows = []
+    for j in range(5):
+        rows.append((2 * j, [10.0 + 0.1 * j, 0.0]))  # blob A: even ids
+        rows.append((2 * j + 1, [0.0, 10.0 + 0.1 * j]))  # blob B: odd ids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in kmeans_assign_exact(df, k=2, iters=2).collect()}
+    assert {out[i]["cluster"] for i in range(0, 10, 2)} == {0}
+    assert {out[i]["cluster"] for i in range(1, 10, 2)} == {1}
+    # distances are round-6 quantized (the oracle-replay contract)
+    for r in out.values():
+        assert r["dist"] == round(r["dist"], 6)
+    # determinism: second run identical
+    again = {r["vec_id"]: r["cluster"] for r in kmeans_assign_exact(df, k=2, iters=2).collect()}
+    assert again == {i: out[i]["cluster"] for i in out}
+    # empty-cluster fallback: all points on one spot, k=2 -> cluster 1
+    # starves after round 1 and keeps its previous centroid (no crash,
+    # assignments stay in range)
+    one = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    res = kmeans_assign_exact(one, k=2, iters=2).collect()
+    assert {r["cluster"] for r in res} <= {0, 1}
+    assert len(res) == 6
+
+
 def test_remove_duplicate_lines_keeps_first_occurrence(spark):
     rows = [
         (1, "unique line one\nshared boilerplate line\nunique line two"),
