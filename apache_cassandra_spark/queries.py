@@ -2065,6 +2065,56 @@ def q_write_path(spark, sf_dir):
     return _strings(eng.cf(ks, cfn).live(), with_ts=True)
 
 
+def q_streaming_lww_replay(spark, sf_dir):
+    """Stateful streaming in the gate: the SAME event-derived cell log as
+    ``cass_lww_events``, replayed through a REAL multi-micro-batch
+    Structured Streaming pipeline — file source with maxFilesPerTrigger,
+    ``applyInPandasWithState`` incremental LWW (``streaming.stateful``),
+    ``foreachBatch`` sink staging each batch's state *changes* — then the
+    last emitted update per coordinate is the final materialized state.
+    Hash-matched against the identical DuckDB model as the batch view:
+    commitlog-replay parity (reference ``db/commitlog/CommitLog.java:168-189``
+    recovers the memtable by replaying mutations through ``resolve``; the
+    stream is that replay, incrementalized — ``db/Memtable.java:120-139``).
+
+    Batch boundaries don't affect the fixpoint (LWW is commutative +
+    idempotent), so the nondeterministic file split is safe; what the
+    gate pins is that losers emit nothing, winners overwrite state, and
+    the final state equals the one-shot reconcile."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from apache_cassandra_spark.streaming.stateful import lww_updates
+
+    cells = _event_cells(spark, sf_dir).drop("ldt")
+    root = tempfile.mkdtemp(prefix="stream_gate_")  # left for the lazy read
+    src, staging, ckpt = f"{root}/src", f"{root}/updates", f"{root}/ckpt"
+    cells.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(cells.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    updates = lww_updates(stream)
+
+    def sink(df, bid):
+        df.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(staging)
+
+    q = (
+        updates.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming LWW replay did not finish")
+
+    upd = spark.read.parquet(staging)
+    w = Window.partitionBy("key", "column").orderBy(F.col("batch_id").desc())
+    final = upd.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return _strings(final.where(~F.col("tombstone")), with_ts=True)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -3176,6 +3226,8 @@ ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
 ORACLES["embedding_project"] = _embedding_project_oracle()
 ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
+# the streaming replay fixpoint IS the batch LWW view — same oracle model
+ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. r1-r3 covered the core read/write/event families, so
@@ -3235,6 +3287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5 ---
     "media_decode_jpeg": q_media_decode_jpeg,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
+    "streaming_lww_replay": q_streaming_lww_replay,
     # --- previously driver-green (r1-r3 rows exist) ---
     "cass_get_slice": q_get_slice,
     "cass_get_slice_names": q_get_slice_names,
