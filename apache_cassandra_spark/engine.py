@@ -5,8 +5,9 @@ the reference can switch call-for-call.
 
 Meta/DDL-ish surface (§2.3) included: ``describe_keyspaces``,
 ``describe_keyspace``, ``describe_partitioner``, ``describe_version``,
-``describe_cluster_name``, ``describe_ring``, ``login`` (no-op —
-single-tenant engine; the reference's SimpleAuthenticator collapses).
+``describe_cluster_name``, ``describe_ring``, and ``login`` delegating
+to a pluggable authenticator (``auth.AllowAllAuthenticator`` default,
+``auth.SimpleAuthenticator`` for passwd/ACL parity with the reference).
 """
 
 from __future__ import annotations
@@ -33,9 +34,13 @@ class Engine:
         catalog: Catalog,
         partitioner: Partitioner | None = None,
         cluster_name: str = "pyspark-widecolumn",
+        authenticator=None,
     ) -> None:
+        from apache_cassandra_spark.auth import AllowAllAuthenticator
+
         self.spark = spark
         self.catalog = catalog
+        self.authenticator = authenticator or AllowAllAuthenticator()
         self.partitioner = partitioner or RandomPartitioner()
         self.store = CellStore(spark, root, catalog, self.partitioner)
         self.cluster_name = cluster_name
@@ -49,7 +54,11 @@ class Engine:
 
     # -- meta (§2.3) --------------------------------------------------------
     def login(self, keyspace: str, credentials: dict | None = None) -> None:
-        """No-op: single-tenant engine (reference auth/SimpleAuthenticator)."""
+        """``CassandraServer.login`` analog: delegates to the configured
+        authenticator — AllowAll by default, ``auth.SimpleAuthenticator``
+        for passwd-file + keyspace-ACL parity (raises
+        AuthenticationException / AuthorizationException)."""
+        self.authenticator.login(keyspace, credentials)
 
     def describe_keyspaces(self) -> list[str]:
         return self.catalog.describe_keyspaces()
