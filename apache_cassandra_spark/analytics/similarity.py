@@ -290,8 +290,10 @@ def random_project(
 
     if in_dim is None:
         # driver-blocking inference job — pass in_dim explicitly on hot /
-        # streaming paths (first() is not available on a streaming frame)
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        # streaming paths (aggregation is not available pre-start on a
+        # streaming frame). max() skips NULL vectors, so a NULL first row
+        # doesn't masquerade as an empty corpus.
+        first = df.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
         if first is None or first["d"] is None or first["d"] <= 0:
             id_type = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(

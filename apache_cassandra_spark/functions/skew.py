@@ -45,13 +45,20 @@ def _salt(col: str | Column, n_salts: int) -> Column:
 #: aggregate over the per-salt partials
 _MERGEABLE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
-_SALT = "_salt"
+def _salt_name(*frames: DataFrame) -> str:
+    """A working-column name free in every given frame — a user column
+    literally named `_salt` must survive the transform untouched."""
+    taken = {c for f in frames for c in f.columns}
+    name = "_salt"
+    while name in taken:
+        name = "_" + name
+    return name
 
 
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, tuple[str, str]],
+    aggs: dict[str, tuple[str, str | Column]],
     n_salts: int = 16,
     salt_on: str | Column | None = None,
 ) -> DataFrame:
@@ -82,9 +89,10 @@ def salted_agg(
         (F.count(F.lit(1)) if fn == "count" else _MERGEABLE[fn](col)).alias(out)
         for out, (fn, col) in aggs.items()
     ]
+    salt_col = _salt_name(df)
     partial = (
-        df.withColumn(_SALT, _salt(salt_on, n_salts))
-        .groupBy(*keys, _SALT)
+        df.withColumn(salt_col, _salt(salt_on, n_salts))
+        .groupBy(*keys, salt_col)
         .agg(*phase1)
     )
     phase2 = [
@@ -122,11 +130,12 @@ def salted_join(
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"unsupported how={how!r}: salting replicates the small side")
 
-    salted_big = big.withColumn(_SALT, _salt(salt_on, n_salts))
+    salt_col = _salt_name(big, small)
+    salted_big = big.withColumn(salt_col, _salt(salt_on, n_salts))
     replicas = small.withColumn(
-        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     cond = [salted_big[b] == replicas[s] for b, s in on]
-    cond.append(salted_big[_SALT] == replicas[_SALT])
+    cond.append(salted_big[salt_col] == replicas[salt_col])
     joined = salted_big.join(replicas, cond, how)
-    return joined.drop(salted_big[_SALT]).drop(replicas[_SALT])
+    return joined.drop(salted_big[salt_col]).drop(replicas[salt_col])

@@ -320,12 +320,31 @@ def validate(cf, buckets: int = 16) -> DataFrame:
     bucketed = live.select(
         F.abs(F.hash(token) % buckets).alias("bucket"), cell_hash.alias("h")
     )
-    # order-insensitive combine: md5 of the sorted per-cell hashes
+    # order-insensitive combine in CONSTANT memory per bucket: two
+    # independent 64-bit projections of each cell hash, reduced by the
+    # commutative pair (wrap-proof decimal sum, bit_xor) + count, then one
+    # md5 over the five scalars. A collect_list of per-cell hashes would
+    # buffer the whole bucket in one aggregation buffer — billions of
+    # strings per bucket at 100 TB; the reference's MerkleTree
+    # (utils/MerkleTree.java) is constant-memory per range for the same
+    # reason. Partial aggregation (map-side combine) applies, and the
+    # digest is independent of row order and partitioning.
+    x1 = F.xxhash64(F.col("h"))
+    x2 = F.xxhash64(F.reverse(F.col("h")))
     return (
         bucketed.groupBy("bucket")
         .agg(
             F.count("*").alias("n_cells"),
-            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))).alias("content_hash"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sum(x1.cast("decimal(38,0)")).cast("string"),
+                    F.expr("bit_xor(xxhash64(h))").cast("string"),
+                    F.sum(x2.cast("decimal(38,0)")).cast("string"),
+                    F.expr("bit_xor(xxhash64(reverse(h)))").cast("string"),
+                    F.count("*").cast("string"),
+                )
+            ).alias("content_hash"),
         )
     )
 

@@ -1052,6 +1052,20 @@ def test_random_project_empty_corpus(spark):
     assert out.count() == 0
 
 
+def test_random_project_null_first_row_not_empty(spark):
+    """Dim inference must skip NULL vectors: a NULL first row used to
+    make the whole corpus project to zero rows (review finding)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0, 3.0, 4.0]), (2, [0.5, 0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.random_project(df, out_dim=2)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[1]["proj_0"] is not None
+    assert rows[0]["proj_0"] is None  # null vector stays null, not dropped
+
+
 def test_contamination_overlap_fraction_values(spark):
     from apache_cassandra_spark.analytics.pipeline import contamination_overlap
 

@@ -84,6 +84,20 @@ def test_salted_join_null_salt_and_key_rows_preserved(spark):
     assert got == want == ["null-salt", "x"]
 
 
+def test_user_salt_column_survives(spark):
+    """A user column literally named `_salt` must pass through both
+    transforms untouched (review finding: the working column used to
+    clobber it)."""
+    big = spark.createDataFrame(
+        [(1, "k", "keep-me"), (2, "k", "me-too")], "id long, k string, _salt string"
+    )
+    dim = spark.createDataFrame([("k", "d")], "dk string, tag string")
+    out = salted_join(big, dim, on=[("k", "dk")], n_salts=4, salt_on="id")
+    assert sorted(r["_salt"] for r in out.collect()) == ["keep-me", "me-too"]
+    agg = salted_agg(big, ["_salt"], {"n": ("count", "id")}, n_salts=4, salt_on="id")
+    assert {(r["_salt"], r["n"]) for r in agg.collect()} == {("keep-me", 1), ("me-too", 1)}
+
+
 def test_salted_agg_null_salt_rows_counted(spark):
     df = spark.createDataFrame([(None, "k", 1.0), (1, "k", 2.0)], "id long, k string, v double")
     got = salted_agg(df, ["k"], {"n": ("count", "id"), "s": ("sum", "v")},

@@ -80,7 +80,7 @@ def main() -> None:
         # plans can embed literal control characters (e.g. the normalize
         # regexp's \x00-\x1F class) — escape them so PLANS.md stays text
         plan = "".join(
-            ch if ch in "\n\t" or ord(ch) >= 32 else f"\\x{ord(ch):02X}" for ch in plan
+            ch if ch in "\n\t" or 32 <= ord(ch) != 127 else f"\\x{ord(ch):02X}" for ch in plan
         )
         out.append(f"\n## {name}\n\n*Expectation: {expectation}*\n\n```\n{plan}\n```\n")
     with open("PLANS.md", "w") as f:
