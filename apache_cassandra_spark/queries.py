@@ -3236,7 +3236,61 @@ ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 # write/LWW/join paths. Rotate again in later rounds until every entry has
 # had a driver-green row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-checked before round 4 (41 entries) ---
+    # --- driver window (first 50): new round-5 entries ---
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "cluster_kmeans_exact": q_cluster_kmeans_exact,
+    "streaming_lww_replay": q_streaming_lww_replay,
+    # --- stale: last driver row in round 2, code untouched since ---
+    "tpch_q3ish": q_tpch_q3ish,
+    "customers_without_orders": q_customers_without_orders,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "status_priority_matrix": q_status_priority_matrix,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
+    "sim_topk": q_sim_topk,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_token_stats": q_text_token_stats,
+    "text_fingerprint": q_text_fingerprint,
+    # --- implementation touched in round 5 (re-verify) ---
+    "events_salted_agg": q_events_salted_agg,
+    "events_salted_join": q_events_salted_join,
+    "embedding_project": q_embedding_project,
+    "media_decode": q_media_decode,
+    "media_decode_png": q_media_decode_png,
+    "media_resize": q_media_resize,
+    "cass_write_path": q_write_path,
+    "cass_lww_events": q_lww_events,
+    # --- oldest remaining driver rows (round 3) ---
+    "cass_multiget_slice": q_multiget_slice,
+    "cass_get_count": q_get_count,
+    "cass_range_slices_keys": q_range_slices_keys,
+    "cass_range_slice_deprecated": q_range_slice_deprecated,
+    "cass_range_slices_wrapped": q_range_slices_wrapped,
+    "cass_super_slice": q_super_slice,
+    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
+    "cass_read_at_ts": q_read_at_ts,
+    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_super_get_count": q_super_get_count,
+    "cass_multiget": q_multiget,
+    "events_props_json": q_events_props_json,
+    "cass_long_comparator_slice": q_long_comparator_slice,
+    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
+    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
+    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
+    "rows_may_exist": q_rows_may_exist,
+    "columns_may_exist": q_columns_may_exist,
+    "describe_splits": q_describe_splits,
+    "pig_group_count": q_pig_parity,
+    "wordcount": q_wordcount,
+    "tpch_q1ish": q_tpch_q1ish,
+    "tpch_top_nations": q_top_nations,
+    "events_hourly": q_events_hourly,
+    # --- freshest rows (round 3/4) — cycle back in later rounds ---
     "corpus_blocklist": q_corpus_blocklist,
     "dedup_lines": q_dedup_lines,
     "corpus_decontaminate": q_corpus_decontaminate,
@@ -3263,7 +3317,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prepare_corpus": q_prepare_corpus,
     "prepare_corpus_full": q_prepare_corpus_full,
     "embedding_quantize": q_embedding_quantize,
-    "embedding_project": q_embedding_project,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
     "cluster_kmeans": q_cluster_kmeans,
@@ -3272,58 +3325,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
     "text_quality_score": q_text_quality_score,
     "text_tfidf": q_text_tfidf,
-    "media_decode": q_media_decode,
-    "media_decode_png": q_media_decode_png,
-    "media_resize": q_media_resize,
     "text_repetition": q_text_repetition,
     "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,
-    # --- sentinels: confirm the r4 hugeint-cast fix + core path coverage ---
     "events_sessionize": q_events_sessionize,
     "corpus_stats": q_corpus_stats,
-    "cass_write_path": q_write_path,
-    "cass_lww_events": q_lww_events,
     "cf_join": q_cf_join,
-    # --- new in round 5 ---
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "cluster_kmeans_exact": q_cluster_kmeans_exact,
-    "streaming_lww_replay": q_streaming_lww_replay,
-    # --- previously driver-green (r1-r3 rows exist) ---
     "cass_get_slice": q_get_slice,
     "cass_get_slice_names": q_get_slice_names,
     "cass_get_slice_reversed": q_get_slice_reversed,
     "cass_get_slice_bounded": q_get_slice_bounded,
-    "cass_multiget_slice": q_multiget_slice,
-    "cass_get_count": q_get_count,
-    "cass_range_slices_keys": q_range_slices_keys,
-    "cass_range_slice_deprecated": q_range_slice_deprecated,
-    "cass_range_slices_wrapped": q_range_slices_wrapped,
-    "cass_super_slice": q_super_slice,
-    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
-    "cass_read_at_ts": q_read_at_ts,
-    "cass_lww_row_tombstones": q_lww_row_tombstones,
-    "cass_super_get_count": q_super_get_count,
-    "cass_multiget": q_multiget,
-    "events_props_json": q_events_props_json,
-    "cass_long_comparator_slice": q_long_comparator_slice,
-    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
-    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
-    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
-    "rows_may_exist": q_rows_may_exist,
-    "columns_may_exist": q_columns_may_exist,
-    "describe_splits": q_describe_splits,
-    "pig_group_count": q_pig_parity,
-    "wordcount": q_wordcount,
-    "tpch_q1ish": q_tpch_q1ish,
-    "tpch_top_nations": q_top_nations,
-    "events_hourly": q_events_hourly,
     "events_windowed": q_events_windowed,
     "events_sliding": q_events_sliding,
     "events_pivot": q_events_pivot,
     "events_daily_active": q_events_daily_active,
     "events_interval_join": q_events_interval_join,
-    "events_salted_agg": q_events_salted_agg,
-    "events_salted_join": q_events_salted_join,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_asof": q_events_asof,
@@ -3334,19 +3350,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "corpus_split": q_corpus_split,
     "basket_pairs": q_basket_pairs,
-    "tpch_q3ish": q_tpch_q3ish,
-    "customers_without_orders": q_customers_without_orders,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "status_priority_matrix": q_status_priority_matrix,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_exact": q_dedup_embedding_exact,
-    "sim_topk": q_sim_topk,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "text_token_stats": q_text_token_stats,
-    "text_fingerprint": q_text_fingerprint,
 }
