@@ -484,3 +484,52 @@ def test_cf_join_super_and_mixed_rejected(spark, tmp_path_factory):
 
     with pytest.raises(ValueError, match="super"):
         read.join_cf(store.cf("KS", "SA"), store.cf("KS", "STD"))
+
+
+def test_jpeg_decode_pipeline_has_no_shuffle(spark):
+    """JPEG fixture encode and T.81 decode are both stateless mapInPandas
+    stages: the whole pipeline must be exchange-free (payload bytes stay
+    on the executors)."""
+    from apache_cassandra_spark.analytics.multimodal import (
+        decode_media,
+        jpeg_media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    plan = plan_of(decode_media(jpeg_media_from_documents(docs)))
+    assert plan.count("MapInPandas") >= 2
+    assert "Exchange" not in plan
+
+
+def test_basket_pairs_generation_has_no_join(spark):
+    """With the prune semi-joins disabled, pair generation must be the
+    in-array explode (Generate), never a per-basket self-join — the
+    join shape paid two extra exchanges + SMJ sorts for nothing."""
+    from apache_cassandra_spark.analytics.basket import frequent_item_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "basket string, item string"
+    )
+    plan = plan_of(
+        frequent_item_pairs(
+            df, basket_col="basket", item_col="item",
+            min_item_support=1, max_basket_size=None, min_pair_support=1,
+        )
+    )
+    assert "Generate" in plan  # in-array pair explode
+    assert "Join" not in plan
+
+
+def test_kmeans_exact_final_assignment_is_map_only(spark):
+    """The returned assignment must be one literal-folded projection over
+    the corpus — no join, no exchange (centroids fold into the plan as
+    literals; the Lloyd iterations already ran eagerly)."""
+    from apache_cassandra_spark.analytics.clustering import kmeans_assign_exact
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(kmeans_assign_exact(df, k=2, iters=1))
+    assert "Join" not in plan
+    assert "Exchange" not in plan

@@ -61,9 +61,11 @@ AUDITED = {
     "text_quality_score": "model-based quality filter: single Project (features + integer logit) over the scan — map-only, no Exchange, no Python",
     "corpus_split": "train/val/test split: literal CASE over the md5 draw + partial/final HashAggregate on split — the assignment itself is map-only",
     "text_normalize": "normalization: one Project of regexp expressions — map-only, codegen",
+    "media_decode_jpeg": "baseline JPEG path: scan → MapInPandas encode fixture → MapInPandas T.81 decode — two Python crossings, NO Exchange anywhere",
+    "basket_pairs": "co-occurrence: distinct(b,i) Exchange → a-priori + size-prune semi joins → groupBy(b) sorted-array build (reuses the b partitioning) → Generate (in-array pair explode, NO pair self-join) → pair HashAggregate",
+    "cluster_kmeans_exact": "quantized Lloyd final assignment: literal-folded centroid distances in one Project over the corpus — NO join, NO Exchange (the iteration aggregates ran eagerly at build time)",
     "events_sliding": "sliding windows: Expand (2 rows per event, one per overlapping window) then partial+final HashAggregate — no window function, no sort",
     "events_pivot": "pivot: single partial+final HashAggregate with pivot-first aggregates — one shuffle on day, no per-type scans",
-    "basket_pairs": "co-occurrence: distinct -> a-priori semi-joins -> equality self-join on the basket id (never cross) -> pair HashAggregate + TakeOrderedAndProject",
     "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab (CACHED — total and join side both read the InMemoryRelation, not a re-explode); scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
     "corpus_mixture": "mixture rebalancing: ONE corpus scan measures per-stratum token mass (HashAggregate), total via window over the strata-count frame (no second corpus pass), rate table BroadcastHashJoin back onto the filter scan",
 }
