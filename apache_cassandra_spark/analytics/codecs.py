@@ -415,10 +415,14 @@ def encode_wav_constant(n_frames: int, amplitude: int, rate: int = 8000) -> byte
 
 def decode_pixels(payload: bytes) -> np.ndarray:
     """(h, w, ch) uint8 raster in RGB channel order for the image formats
-    with a real codec (ppm/pgm, bmp, png). Raises NotImplementedError for
-    non-image or entropy-coded formats — same honesty boundary as
-    ``decode_bytes``."""
+    with a real codec (ppm/pgm, bmp, png, baseline jpeg). Raises
+    NotImplementedError for non-image formats and unsupported profiles —
+    same honesty boundary as ``decode_bytes``."""
     fmt = sniff(payload)
+    if fmt == "jpeg":
+        from apache_cassandra_spark.analytics import jpeg
+
+        return jpeg.decode_jpeg_pixels(payload)
     if fmt == "ppm":
         magic, w, h, maxval, off = _ppm_header(payload)
         if maxval > 255:

@@ -167,6 +167,19 @@ def test_dimensions_and_odd_mcu_padding():
             assert (d["mean_r"], d["mean_g"], d["mean_b"]) == _color_chain(0, 123, 0)
 
 
+def test_decode_pixels_and_resize_path():
+    # jpeg payloads now participate in the raster path resize_media uses
+    px = np.zeros((6, 9, 3), np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 40, 50, 60
+    pay = jpeg.encode_jpeg_baseline(px)
+    raster = codecs.decode_pixels(pay)
+    assert raster.shape == (6, 9, 3)
+    small = codecs.resize_nearest(raster, 3, 2)
+    out = codecs.decode_ppm(codecs.encode_ppm_pixels(small))
+    assert (out["width"], out["height"]) == (3, 2)
+    assert (out["mean_r"], out["mean_g"], out["mean_b"]) == _color_chain(40, 50, 60)
+
+
 def test_sniff_and_registry():
     pay = jpeg.encode_jpeg_baseline(np.full((8, 8), 1, np.uint8))
     assert codecs.sniff(pay) == "jpeg"
