@@ -108,6 +108,11 @@ for _u in range(8):
         _DCT_A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
 
 
+#: decode-side sanity bound on declared raster size (268 MP) — JPEG allows
+#: 65535x65535, but a corrupt header must not OOM a 100 TB pipeline task
+MAX_PIXELS = 1 << 28
+
+
 def _round_half_up(x: np.ndarray) -> np.ndarray:
     """floor(x + 0.5) — the rounding mode shared with the DuckDB oracle
     (Python/numpy banker's rounding would diverge at .5 boundaries)."""
@@ -462,6 +467,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     n = len(payload)
 
     while pos < n:
+        if pos + 1 >= n:
+            raise ValueError("truncated marker")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
@@ -493,6 +500,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if fh == 0 or fw == 0:
+                raise ValueError("zero image dimension")
+            if fh * fw > MAX_PIXELS:
+                # a bit-flipped dimension field must fail fast, not OOM
+                # the executor allocating a phantom 4-gigapixel plane
+                raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             if len(seg) < 6 + 3 * ncomp:
@@ -520,7 +533,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS segment")
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -533,7 +550,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
     fh, fw, comps = frame
+    if len(scan) != len(comps) or len(comps) not in (1, 3):
+        # sequential baseline: one interleaved scan covering all components
+        raise ValueError(f"unsupported scan layout ({len(scan)} of {len(comps)} components)")
     by_id = {cid: (hi, vi, qid) for cid, hi, vi, qid in comps}
+    if any(hi < 1 or vi < 1 or hi > 4 or vi > 4 for _, hi, vi, _ in comps):
+        raise ValueError("invalid sampling factors in SOF")  # T.81: 1..4
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))
@@ -542,7 +564,13 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
     planes = {}
     meta = []
     for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references undeclared component {cs}")
         hi, vi, qid = by_id[cs]
+        if qid not in qtables:
+            raise ValueError(f"scan references undefined quantization table {qid}")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(f"scan references undefined Huffman table ({td}, {ta})")
         if hmax % hi or vmax % vi:
             # np.repeat upsampling below needs integer ratios; fractional
             # layouts (e.g. 3:2) would silently misalign planes

