@@ -117,18 +117,22 @@ def decode_bmp(payload: bytes) -> dict:
     rows padded to 4 bytes, BGR order)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 34:
+        raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)[:3]
     w_abs = abs(w)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only 24bpp BI_RGB supported (bpp={bpp}, comp={compression})")
-    h_abs = abs(int(np.int32(h)))
+    h_abs = abs(h)  # height is a signed LONG: negative = top-down rows
+    if w_abs == 0 or h_abs == 0:
+        raise ValueError("zero BMP dimension")
     stride = (w_abs * 3 + 3) & ~3
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_off)
     rows = rows.reshape(h_abs, stride)[:, : w_abs * 3].reshape(h_abs, w_abs, 3)
-    bgr = rows[::-1] if int(np.int32(h)) > 0 else rows  # bottom-up unless height negative
+    bgr = rows[::-1] if h > 0 else rows  # bottom-up unless height negative
     means = bgr.astype(np.float64).mean(axis=(0, 1))
     return {
         "format": "bmp",
@@ -142,13 +146,19 @@ def decode_bmp(payload: bytes) -> dict:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Decode PCM WAV via the stdlib reader; RMS over PCM16 samples."""
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        ch = wf.getnchannels()
-        rate = wf.getframerate()
-        n = wf.getnframes()
-        width = wf.getsampwidth()
-        frames = wf.readframes(n)
+    """Decode PCM WAV via the stdlib reader; RMS over PCM16 samples.
+    Corrupt containers surface as ValueError (the stdlib reader's
+    wave.Error/EOFError/RuntimeError zoo normalized — a corpus-scale
+    decode task needs one classifiable failure type)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            ch = wf.getnchannels()
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            frames = wf.readframes(n)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        raise ValueError(f"malformed WAV container: {e}") from e
     if width != 2:
         raise NotImplementedError(f"only PCM16 supported (sampwidth={width})")
     samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
@@ -176,7 +186,7 @@ def _png_chunks(payload: bytes):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) < length:
+        if len(data) < length or pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
@@ -261,7 +271,11 @@ def decode_png(payload: bytes) -> dict:
     if ctype_id not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {ctype_id}")
     bpp = _PNG_CHANNELS[ctype_id]
-    raster = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raster = _png_unfilter(inflated, w, h, bpp)
     px = raster.reshape(h, w, bpp)
     if ctype_id == 3:  # palette → RGB
         if palette is None:
@@ -430,18 +444,22 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         ch = 3 if magic == "P6" else 1
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off).reshape(h, w, ch)
     if fmt == "bmp":
+        if len(payload) < 34:
+            raise ValueError("truncated BMP header")
         data_off = struct.unpack_from("<I", payload, 10)[0]
-        _, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
+        _, w, h = struct.unpack_from("<Iii", payload, 14)[:3]
         w_abs = abs(w)
         _, bpp = struct.unpack_from("<HH", payload, 26)
         compression = struct.unpack_from("<I", payload, 30)[0]
         if bpp != 24 or compression != 0:
             raise NotImplementedError("only 24bpp BI_RGB supported")
-        h_abs = abs(int(np.int32(h)))
+        h_abs = abs(h)
+        if w_abs == 0 or h_abs == 0:
+            raise ValueError("zero BMP dimension")
         stride = (w_abs * 3 + 3) & ~3
         rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_off)
         rows = rows.reshape(h_abs, stride)[:, : w_abs * 3].reshape(h_abs, w_abs, 3)
-        bgr = rows[::-1] if int(np.int32(h)) > 0 else rows
+        bgr = rows[::-1] if h > 0 else rows
         return bgr[:, :, ::-1].copy()  # BGR -> RGB
     if fmt == "png":
         ihdr = None
@@ -458,7 +476,11 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         if depth != 8 or interlace != 0:
             raise NotImplementedError("PNG: 8-bit non-interlaced only")
         bpp = _PNG_CHANNELS[ctype_id]
-        px = _png_unfilter(zlib.decompress(bytes(idat)), w, h, bpp).reshape(h, w, bpp)
+        try:
+            inflated = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+        px = _png_unfilter(inflated, w, h, bpp).reshape(h, w, bpp)
         if ctype_id == 3:
             px = palette[px[:, :, 0]]
         return px[:, :, :3] if px.shape[2] >= 3 else px[:, :, :1]

@@ -115,6 +115,66 @@ def test_decode_bytes_dispatch_and_honest_failures():
         codecs.decode_bytes(b"\xff\xd8\xffjpeg")
 
 
+def test_fuzz_all_codecs_raise_typed_errors():
+    """Truncations and byte flips across every codec must raise only
+    ValueError/NotImplementedError — a corpus-scale decode task needs one
+    classifiable failure type, not the stdlib's wave.Error/EOFError/
+    struct.error/zlib.error zoo or raw Index/Key errors. (Exhaustive
+    offline fuzz was clean; this is the bounded regression slice.)"""
+    import random
+    import struct
+
+    w, h = 4, 3
+    stride = (w * 3 + 3) & ~3
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + stride * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        + bytes(range(stride * h))
+    )
+    fixtures = [
+        bmp,
+        codecs.encode_ppm(5, 4, (1, 2, 3)),
+        codecs.encode_png(
+            np.arange(60, dtype=np.uint8).reshape(4, 5, 3), color_type=2, filter_type=2
+        ),
+        codecs.encode_wav_constant(30, 100),
+    ]
+    rng = random.Random(13)
+    for pay in fixtures:
+        for cut in range(0, len(pay), 3):
+            try:
+                codecs.decode_bytes(pay[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(400):
+            b = bytearray(pay)
+            b[rng.randrange(len(pay))] = rng.randrange(256)
+            try:
+                codecs.decode_bytes(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_bmp_top_down_height_is_signed():
+    """BITMAPINFOHEADER height is a signed LONG: negative = top-down row
+    order (no flip). Regression for the unsigned parse + np.int32 cast."""
+    import struct
+
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    rows = bytes(range(stride * h))
+    mk = lambda hh: (  # noqa: E731
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + stride * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, hh, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        + rows
+    )
+    up, down = codecs.decode_pixels(mk(h)), codecs.decode_pixels(mk(-h))
+    assert up.shape == down.shape == (2, 3, 3)
+    assert np.array_equal(up, down[::-1])
+
+
 def test_decode_bytes_jpeg_dispatch():
     from apache_cassandra_spark.analytics import jpeg
 
