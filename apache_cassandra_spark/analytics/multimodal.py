@@ -207,31 +207,61 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """REAL decode of media payloads (netpbm/BMP/WAV) via ``mapInPandas``.
+#: DECODED_SCHEMA + the permissive-mode error column (Spark's own
+#: from_json/from_csv corrupt-record convention)
+DECODED_PERMISSIVE_SCHEMA = T.StructType(
+    list(DECODED_SCHEMA.fields) + [T.StructField("decode_error", T.StringType(), True)]
+)
 
-    One Arrow batch in, one out; unknown/compressed formats surface as
-    ``NotImplementedError`` from the task (honest failure, not a fake).
-    Scale shape: pure per-row map — no shuffle; payload bytes stay on the
-    executors, and a metadata-only downstream select prunes the payload
-    column at the Parquet scan."""
+
+def decode_media(media: DataFrame, id_col: str = "media_id", mode: str = "FAILFAST") -> DataFrame:
+    """REAL decode of media payloads (netpbm/BMP/WAV/PNG/baseline JPEG)
+    via ``mapInPandas``.
+
+    ``mode='FAILFAST'`` (default): a malformed or unsupported payload
+    raises from the task — honest failure for curated fixtures.
+    ``mode='PERMISSIVE'``: the row survives with null decode fields and
+    the exception text in a ``decode_error`` column (the ``from_json``
+    corrupt-record convention) — at corpus scale one corrupt payload
+    must not kill a multi-thousand-row Arrow batch and with it the task,
+    stage, and job; the errors stay queryable for triage
+    (``WHERE decode_error IS NOT NULL``). Codec failures are normalized
+    to ValueError/NotImplementedError (fuzz-locked), so PERMISSIVE
+    catches exactly those and still propagates genuine bugs.
+
+    One Arrow batch in, one out; pure per-row map — no shuffle; payload
+    bytes stay on the executors, and a metadata-only downstream select
+    prunes the payload column at the Parquet scan."""
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
+    permissive = mode == "PERMISSIVE"
+    schema = DECODED_PERMISSIVE_SCHEMA if permissive else DECODED_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                d = codecs.decode_bytes(bytes(payload or b""))
+                raw = bytes(payload or b"")
+                if permissive:
+                    try:
+                        d = codecs.decode_bytes(raw)
+                        d["decode_error"] = None
+                    except (ValueError, NotImplementedError) as e:
+                        d = {k: None for k in codecs.DECODE_FIELDS}
+                        d["decode_error"] = f"{type(e).__name__}: {e}"
+                else:
+                    d = codecs.decode_bytes(raw)
                 d["media_id"] = mid
-                d["n_bytes"] = len(payload or b"")
+                d["n_bytes"] = len(raw)
                 recs.append(d)
-            out = pd.DataFrame(recs, columns=[f.name for f in DECODED_SCHEMA.fields])
+            out = pd.DataFrame(recs, columns=[f.name for f in schema.fields])
             # None-able int fields arrive as float64+NaN; Arrow's unsafe
             # cast to int32 would mangle them — use nullable Int32
             for c in ("width", "height", "channels", "sample_rate", "n_frames"):
                 out[c] = out[c].astype("Int32")
             yield out
 
-    return media.select(F.col(id_col).alias("media_id"), "payload").mapInPandas(run, DECODED_SCHEMA)
+    return media.select(F.col(id_col).alias("media_id"), "payload").mapInPandas(run, schema)
 
 
 def _le_hex(col: Column, nbytes: int) -> Column:

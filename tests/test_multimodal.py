@@ -156,6 +156,29 @@ def test_fuzz_all_codecs_raise_typed_errors():
                 pass
 
 
+def test_decode_media_permissive_mode(spark):
+    """PERMISSIVE decode: corrupt payloads become rows with null fields
+    and the error text in decode_error — the batch and task survive.
+    FAILFAST (default) still raises."""
+    from pyspark.errors import PythonException
+
+    rows = [
+        (1, "image", bytearray(codecs.encode_ppm(2, 2, (9, 9, 9)))),
+        (2, "image", bytearray(b"\xff\xd8\xffgarbage")),  # malformed jpeg
+        (3, "image", bytearray(b"not media at all")),  # unknown format
+    ]
+    media = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    out = {r["media_id"]: r for r in mm.decode_media(media, mode="PERMISSIVE").collect()}
+    assert out[1]["format"] == "ppm" and out[1]["decode_error"] is None
+    assert out[2]["format"] is None and "ValueError" in out[2]["decode_error"]
+    assert out[3]["format"] is None and "NotImplementedError" in out[3]["decode_error"]
+    assert out[2]["n_bytes"] == len(b"\xff\xd8\xffgarbage")  # row still carries metadata
+    with pytest.raises(PythonException):
+        mm.decode_media(media).collect()  # FAILFAST default
+    with pytest.raises(ValueError, match="FAILFAST or PERMISSIVE"):
+        mm.decode_media(media, mode="lenient")
+
+
 def test_bmp_top_down_height_is_signed():
     """BITMAPINFOHEADER height is a signed LONG: negative = top-down row
     order (no flip). Regression for the unsigned parse + np.int32 cast."""
