@@ -53,11 +53,31 @@ class OrderPreservingPartitioner(Partitioner):
 
 
 class CollatingOrderPreservingPartitioner(OrderPreservingPartitioner):
-    """Byte-collated key order (``dht/CollatingOrderPreservingPartitioner.java``).
-    For UTF-8 string keys, byte order == codepoint order, so this coincides
-    with OrderPreservingPartitioner here."""
+    """en_US-collated key order (``dht/CollatingOrderPreservingPartitioner.java:31``:
+    token = ``Collator.getInstance(en_US)`` collation key). Model of the
+    collator for ASCII keys: punctuation is primary-ignorable, so
+    ``'-a'`` sorts WITH ``'a'`` (just after it), not before ``'0'`` —
+    the "collated ordering rather than ascii" the reference pins in
+    ``test/system/test_server.py:791-799`` (test_range_collation). Token
+    = primary key (case-folded alphanumerics, punctuation stripped) +
+    NUL + tertiary tiebreak (punctuation replaced by a high sentinel, so
+    a bare key sorts before its punctuated variants). Full ICU weights
+    (accents, locale tailorings) are out of scope — the ASCII subset is
+    what the reference's own tests exercise."""
 
     name = "CollatingOrderPreservingPartitioner"
+
+    def token(self, key: Column) -> Column:
+        primary = F.lower(F.regexp_replace(key, "[^0-9A-Za-z]+", ""))
+        tie = F.regexp_replace(key, "[^0-9A-Za-z]", "￿")
+        return F.concat(primary, F.lit("\x00"), tie)
+
+    def token_of(self, key: str) -> str:
+        import re
+
+        primary = re.sub(r"[^0-9A-Za-z]+", "", key).lower()
+        tie = re.sub(r"[^0-9A-Za-z]", "￿", key)
+        return primary + "\x00" + tie
 
 
 class OdklDomainPartitioner(Partitioner):

@@ -460,3 +460,66 @@ def test_super_cf_remove_supercolumn_and_resurrect(engine):
     # newer timestamp resurrects
     ins(engine, "Keyspace1", "Super1", "key1", _i64(5), b"value5", 6, sc=b"sc2")
     assert slice_cols(engine, "Keyspace1", "Super1", "key1", sc=b"sc2") == [(_i64(5), b"value5", 6)]
+
+
+COLLATED = (  # test_server.py:796 — "the collated ordering rather than ascii"
+    ['0', '1', '10', '11', '12', '13', '14', '15', '16', '17', '18', '19', '2',
+     '20', '21', '22', '23', '24', '25', '26', '27', '28', '29', '3', '30', '31',
+     '32', '33', '34', '35', '36', '37', '38', '39', '4', '40', '41', '42', '43',
+     '44', '45', '46', '47', '48', '49', '5', '50', '51', '52', '53', '54', '55',
+     '56', '57', '58', '59', '6', '60', '61', '62', '63', '64', '65', '66', '67',
+     '68', '69', '7', '70', '71', '72', '73', '74', '75', '76', '77', '78', '79',
+     '8', '80', '81', '82', '83', '84', '85', '86', '87', '88', '89', '9', '90',
+     '91', '92', '93', '94', '95', '96', '97', '98', '99', 'a', '-a', 'b', '-b']
+)
+
+
+@pytest.fixture()
+def collating_engine(spark, tmp_path):
+    """test_range_collation/test_range_partial ran under
+    CollatingOrderPreservingPartitioner (Collator.getInstance(en_US)
+    keys: punctuation primary-ignorable)."""
+    from apache_cassandra_spark.functions.tokens import CollatingOrderPreservingPartitioner
+
+    catalog = Catalog.from_dict({"Keyspace1": {"Standard1": {"compare_with": "BytesType"}}})
+    eng = Engine(spark, str(tmp_path), catalog, partitioner=CollatingOrderPreservingPartitioner())
+    for key in COLLATED:
+        ins(eng, "Keyspace1", "Standard1", key, key.encode(), b"v", 0)
+    return eng
+
+
+def _range_keys(engine, start, end, count=1000):
+    from apache_cassandra_spark.model import KeyRange
+    from apache_cassandra_spark.operators import read as R
+
+    kr = KeyRange(start_key=start, end_key=end, count=count)
+    rows = R.get_range_slices(engine.cf("Keyspace1", "Standard1"), BIG, kr).collect()
+    return {r["key"] for r in rows}
+
+
+def test_range_collation(collating_engine):
+    """test_server.py:791 — the full scan sees every key, and the token
+    order the count cap consumes is the COLLATED order ('-a' sorts with
+    'a', not before '0')."""
+    assert _range_keys(collating_engine, "", "") == set(COLLATED)
+    # count truncation consumes collated order, not ascii order
+    for n in (1, 8, 100, 101):
+        assert _range_keys(collating_engine, "", "", count=n) == set(COLLATED[:n])
+
+
+def test_range_partial(collating_engine):
+    """test_server.py:801 — bounded/counted sub-ranges in collated order."""
+    assert _range_keys(collating_engine, "a", "") == {"a", "-a", "b", "-b"}
+    assert _range_keys(collating_engine, "", "15") == set(COLLATED[:8])
+    assert _range_keys(collating_engine, "50", "51") == {"50", "51"}
+    assert _range_keys(collating_engine, "1", "", count=10) == {
+        "1", "10", "11", "12", "13", "14", "15", "16", "17", "18"}
+
+
+def test_collation_token_order_matches_java_collator():
+    """The partitioner's driver-side token reproduces the reference's
+    hard-coded en_US collation sequence exactly."""
+    from apache_cassandra_spark.functions.tokens import CollatingOrderPreservingPartitioner
+
+    p = CollatingOrderPreservingPartitioner()
+    assert sorted(COLLATED, key=p.token_of) == COLLATED
