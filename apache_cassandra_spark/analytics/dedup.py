@@ -721,3 +721,105 @@ def dedup_within_doc(
         F.size(segs).cast("long").alias("n_segments"),
         (F.size(segs) - F.size(kept)).cast("long").alias("n_dropped"),
     ).withColumnRenamed("_dedup_text", text_col)
+
+
+def dedup_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact duplicated-SPAN removal: every ``k``-token window
+    that occurs more than once anywhere in the corpus survives only at its
+    globally-first occurrence (smallest ``(doc_id, position)``); every
+    other occurrence has its ``k`` token positions cut, and each document
+    reassembles from its surviving tokens. This is the substring-level
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022) — there built on a corpus suffix array; the
+    distributed re-expression is rolling window keys + a winner aggregate,
+    which finds exactly the duplicated windows a suffix array would (any
+    repeated substring of length ≥ k contains a repeated k-window at each
+    offset, so its non-winner copies are fully covered by cut windows).
+
+    Unlike document-level dedup (``exact_dedup``) or line-level
+    (``remove_duplicate_lines``), this removes duplicated passages that
+    are EMBEDDED in otherwise-unique documents — quote chains, syndicated
+    paragraphs, boilerplate that ignores line structure. Documents shorter
+    than ``k`` tokens pass through untouched; a fully-duplicated document
+    stays in the output with empty text (the caller decides whether an
+    emptied doc is droppable — a different policy than
+    ``remove_duplicate_lines``, which drops).
+
+    Returns ``(id_col, text_col, n_tokens, n_removed)`` with tokens
+    re-joined by single spaces (whitespace is not preserved — tokens are
+    the unit, as in the reference algorithm's byte-span analog).
+
+    Scale shape (the reason this beats a literal suffix array at 100 TB):
+
+    * window stream is ONE ``posexplode`` over a per-row ``transform`` —
+      linear in corpus tokens, no self-join;
+    * the winner per window key is ``min`` over ``(doc_id, pos)``
+      BIT-PACKED into one bigint (same packing as
+      ``remove_duplicate_lines``): ``min(bigint)`` keeps the aggregate a
+      map-side-combinable HashAggregate, so a window repeated a billion
+      times reduces to one row per input partition before the shuffle;
+    * the join back is an equality join on the window key; its hot keys
+      are the duplicated windows themselves — AQE skew-split territory,
+      never a cross join;
+    * cut-position expansion is ``sequence(pos, pos+k-1)`` per non-winner
+      occurrence (``k``× fan-out, bounded by input size × k);
+    * reassembly shuffles each doc's surviving tokens once, bounded by
+      document size (the same bound as holding the document itself).
+
+    Packing bounds: ≤ 2^21 tokens per document, non-negative ids < 2^42.
+    """
+    _POS_BITS = 21  # 2M tokens/doc; id*2^21+pos fits int64 for id < 2^42
+    from apache_cassandra_spark.analytics.text import tokens as _tokens
+
+    base = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
+
+    # one row per k-token window: (id, pos, window-string). Tokens contain
+    # no spaces (space-split), so single-space join is an injective window
+    # key — no hash, no collisions, oracle-reproducible.
+    grams = base.where(F.size("toks") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    packed = (F.col("id") * (1 << _POS_BITS) + F.col("pos")).alias("_pk")
+    grams = grams.select("id", "pos", "gram", packed)
+
+    winners = grams.groupBy("gram").agg(
+        F.min("_pk").alias("_first"), F.count(F.lit(1)).alias("_occ")
+    )
+
+    # positions covered by any non-winner occurrence of a duplicated window
+    cut = (
+        grams.join(winners, "gram")
+        .where((F.col("_occ") > 1) & (F.col("_pk") != F.col("_first")))
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("pos"))
+        .distinct()
+    )
+
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    kept = toks.join(cut, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
+            " ",
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.coalesce("_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

@@ -1335,6 +1335,14 @@ def q_dedup_lines(spark, sf_dir):
     return dedup.remove_duplicate_lines(_multiline_corpus(spark, sf_dir), min_chars=5)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Suffix-array-style exact duplicated-span removal (Lee et al., ACL
+    2022): every 8-token window occurring more than once corpus-wide is
+    cut everywhere except its globally-first (doc_id, pos) occurrence;
+    documents reassemble from surviving tokens."""
+    return dedup.dedup_spans(load_table(spark, sf_dir, "documents"), k=8)
+
+
 def q_corpus_overlap(spark, sf_dir):
     """Graded decontamination: per-train-doc fraction of distinct word
     trigrams appearing in the eval set (every 50th doc) — the
@@ -2515,6 +2523,44 @@ ORACLES: dict[str, str] = {
         SELECT id AS doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         FROM keep GROUP BY id
     """,
+    # exact duplicated-8-gram removal, winner = smallest (doc_id, pos);
+    # windows compared as literal token strings (space-join is injective
+    # over space-split tokens) — mirrors dedup.dedup_spans exactly
+    "dedup_spans": """
+        WITH docs AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, i AS pos, toks[i+1] AS tok
+            FROM docs, UNNEST(range(len(toks))) u(i)
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram,
+                   doc_id * 2097152 + i AS pk
+            FROM docs, UNNEST(range(len(toks) - 8 + 1)) u(i)
+            WHERE len(toks) >= 8
+        ),
+        winners AS (SELECT gram, min(pk) AS first_pk, count(*) AS occ FROM grams GROUP BY gram),
+        cut AS (
+            SELECT DISTINCT g.doc_id, g.pos + o AS pos
+            FROM grams g JOIN winners w ON g.gram = w.gram, UNNEST(range(8)) uu(o)
+            WHERE w.occ > 1 AND g.pk <> w.first_pk
+        ),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toks t ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        ),
+        rebuilt AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(r.text, '') AS text,
+               cast(len(d.toks) as bigint) AS n_tokens,
+               cast(len(d.toks) - coalesce(r.n_kept, 0) as bigint) AS n_removed
+        FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
     # word trigrams; eval = doc_id % 50 = 0, train = rest (q_corpus_decontaminate)
     "corpus_decontaminate": """
         WITH toks AS (SELECT doc_id AS id,
@@ -3240,6 +3286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_jpeg": q_media_decode_jpeg,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,
+    "dedup_spans": q_dedup_spans,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

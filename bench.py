@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -73,6 +74,7 @@ BENCH_QUERIES = [
     "basket_pairs",
     "corpus_split",
     "text_quality_score",
+    "dedup_spans",
 ]
 
 
@@ -91,6 +93,17 @@ def timed(fn, *, warmup: bool = False) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def timed_median(fn, *, reps: int = 3, warmup: bool = False) -> float:
+    """Median-of-N timing for I/O-bound ops whose single-shot numbers swing
+    with sandbox disk/page-cache state (stress_insert moved +48% across two
+    rounds with zero code change). The median of 3 separates a real plan
+    regression from one unlucky run.
+    """
+    if warmup:
+        fn()
+    return round(statistics.median(timed(fn) for _ in range(reps)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,46 +112,58 @@ def main() -> None:
     results: dict[str, float] = {}
 
     # -- py_stress-shaped storage ops ---------------------------------------
-    root = tempfile.mkdtemp(prefix="bench_store_")
+    # Write ops (insert/compact) are disk-state-bound: a single shot swings
+    # ±50% with page-cache luck. Run the load→compact cycle 3× on fresh
+    # stores and report per-op medians; reads reuse the final store.
+    from apache_cassandra_spark.operators import maintenance
+
+    roots: list[str] = []
     try:
-        store = CellStore(
-            spark, root, Catalog.from_dict({"Bench": {"Orders": {"compare_with": "UTF8Type"}}})
-        )
         orders = load_table(spark, sf_dir, "orders")
         cells = cells_from_table(orders, "o_orderkey", sorted(TABLES["orders"]["cols"]))
+        cells.persist()  # same input for every rep: exclude source-scan noise
+        n_keys = orders.count()
 
-        # Inserter analog: bulk write all cells (N keys × 5 cols)
-        results["stress_insert"] = timed(lambda: store.bulk_load("Bench", "Orders", cells))
-
-        # major compaction: sorted, bucketed store (the intended read layout)
-        from apache_cassandra_spark.operators import maintenance
-
-        results["stress_compact"] = timed(lambda: maintenance.compact(store, "Bench", "Orders"))
+        insert_times, compact_times = [], []
+        store = None
+        for _ in range(3):
+            root = tempfile.mkdtemp(prefix="bench_store_")
+            roots.append(root)
+            store = CellStore(
+                spark, root, Catalog.from_dict({"Bench": {"Orders": {"compare_with": "UTF8Type"}}})
+            )
+            # Inserter analog: bulk write all cells (N keys × 5 cols)
+            insert_times.append(timed(lambda: store.bulk_load("Bench", "Orders", cells)))
+            # major compaction: sorted, bucketed store (the intended read layout)
+            compact_times.append(timed(lambda: maintenance.compact(store, "Bench", "Orders")))
+        cells.unpersist()
+        results["stress_insert"] = statistics.median(insert_times)
+        results["stress_compact"] = statistics.median(compact_times)
 
         cf = store.cf("Bench", "Orders")
-        n_keys = orders.count()
 
         # Reader analog: 100 point get_slices (batched as one multiget)
         keys = [str(k) for k in range(1, 101)]
         pred = SlicePredicate(slice_range=SliceRange(count=100))
-        results["stress_multiget_100"] = timed(
+        results["stress_multiget_100"] = timed_median(
             lambda: R.multiget_slice(cf, keys, pred).count(), warmup=True
         )
 
         # point get
-        results["stress_point_get"] = timed(
+        results["stress_point_get"] = timed_median(
             lambda: R.get(cf, "42", ColumnPath("Orders", column=b"o_totalprice")).count(),
             warmup=True,
         )
 
         # RangeSlicer analog: one 100-row page in token order
         kr = KeyRange(start_token="", end_token="", count=100)
-        results["stress_range_page_100"] = timed(
+        results["stress_range_page_100"] = timed_median(
             lambda: R.get_range_slices(cf, pred, kr).count(), warmup=True
         )
         results["_stress_n_keys"] = float(n_keys)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        for root in roots:
+            shutil.rmtree(root, ignore_errors=True)
 
     # -- analytical headliners ----------------------------------------------
     for name in BENCH_QUERIES:

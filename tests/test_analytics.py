@@ -1183,3 +1183,46 @@ def test_filter_blocklist_null_source_kept_both_paths(spark):
     via_frame = {r["doc_id"] for r in filter_blocklist(docs, bl).collect()}
     via_list = {r["doc_id"] for r in filter_blocklist(docs, ["src1"]).collect()}
     assert via_frame == via_list == {2, 3}
+
+
+def test_dedup_spans_keeps_first_occurrence(spark):
+    """Cross-doc duplicated-k-gram removal: the globally-first (doc_id,
+    pos) copy of a duplicated window survives; other copies are cut and
+    docs reassemble from surviving tokens."""
+    dup = "w1 w2 w3 w4"  # duplicated 4-token span
+    rows = [
+        (1, f"a b {dup} c d"),          # first occurrence: survives intact
+        (2, f"x y z {dup} q"),          # embedded copy: span cut
+        (3, dup),                       # doc IS the span: emptied, row kept
+        (4, "u v w"),                   # shorter than k: untouched
+        (5, ""),                        # empty: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.dedup_spans(df, k=4).collect()}
+    assert got[1]["text"] == f"a b {dup} c d" and got[1]["n_removed"] == 0
+    assert got[2]["text"] == "x y z q" and got[2]["n_removed"] == 4
+    assert got[3]["text"] == "" and got[3]["n_removed"] == 4
+    assert got[4]["text"] == "u v w" and got[4]["n_removed"] == 0
+    assert got[5]["text"] == "" and got[5]["n_tokens"] == 0
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_dedup_spans_overlapping_windows_merge(spark):
+    """A repeated substring LONGER than k produces overlapping duplicated
+    windows; their union covers the whole non-winner copy (the suffix-array
+    equivalence property)."""
+    long_dup = "s1 s2 s3 s4 s5 s6"  # 6 tokens, k=4 -> 3 overlapping windows
+    rows = [(1, f"{long_dup} tail1"), (2, f"head2 {long_dup}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup.dedup_spans(df, k=4).collect()}
+    assert got[1]["text"] == f"{long_dup} tail1"
+    assert got[2]["text"] == "head2" and got[2]["n_removed"] == 6
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    """Duplication within one document dedups too: second copy cut."""
+    df = spark.createDataFrame(
+        [(7, "m1 m2 m3 m4 mid m1 m2 m3 m4")], "doc_id long, text string"
+    )
+    (row,) = dedup.dedup_spans(df, k=4).collect()
+    assert row["text"] == "m1 m2 m3 m4 mid" and row["n_removed"] == 4

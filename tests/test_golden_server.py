@@ -523,3 +523,27 @@ def test_collation_token_order_matches_java_collator():
 
     p = CollatingOrderPreservingPartitioner()
     assert sorted(COLLATED, key=p.token_of) == COLLATED
+
+
+def test_batch_insert_super(engine):
+    # test_server.py:610 — W2 batch_insert of _SUPER_COLUMNS into BOTH
+    # Super1 and Super2 in one call, then _verify_super on each: sc1={4},
+    # sc2={5,6}, subcolumns in Long comparator order
+    from apache_cassandra_spark.model import Mutation
+    from apache_cassandra_spark.operators import write as W
+
+    muts = [
+        Mutation(super_column=b"sc1", column_name=_i64(4), value=b"value4", timestamp=0),
+        Mutation(super_column=b"sc2", column_name=_i64(5), value=b"value5", timestamp=0),
+        Mutation(super_column=b"sc2", column_name=_i64(6), value=b"value6", timestamp=0),
+    ]
+    for cf_name, batch in W.batch_insert("key1", {"Super1": muts, "Super2": muts}).items():
+        engine.store.apply("Keyspace1", cf_name, batch, durable=False)
+    for cf in ("Super1", "Super2"):
+        assert slice_cols(engine, "Keyspace1", cf, "key1", sc=b"sc1") == [
+            (_i64(4), b"value4", 0)
+        ]
+        assert slice_cols(engine, "Keyspace1", cf, "key1", sc=b"sc2") == [
+            (_i64(5), b"value5", 0),
+            (_i64(6), b"value6", 0),
+        ]

@@ -533,3 +533,18 @@ def test_kmeans_exact_final_assignment_is_map_only(spark):
     plan = plan_of(kmeans_assign_exact(df, k=2, iters=1))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_span_dedup_winner_is_hash_aggregate_no_cross(spark):
+    """dedup_spans: the per-window winner must stay a HashAggregate over
+    the bit-packed bigint (map-side combinable for hot windows); nothing
+    may window globally or fall to a nested-loop/cartesian join — the
+    window stream is corpus-token-scale."""
+    from apache_cassandra_spark.analytics.dedup import dedup_spans
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = plan_of(dedup_spans(docs, k=4))
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan

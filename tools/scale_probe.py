@@ -108,6 +108,12 @@ OPS = {
     .agg(F.sum("n_dropped"), F.sum(F.length("text")))
     .collect()
     and d.count(),
+    # replicas make every window of a %10 doc k-hot; aggregate the output
+    # columns so the reassembly is not pruned away
+    "dedup_spans": lambda d: dedup.dedup_spans(d, k=8)
+    .agg(F.sum("n_removed"), F.sum(F.length("text")))
+    .collect()
+    and d.count(),
     "media_audio_features": lambda d: multimodal.audio_features(
         d.select(
             F.col("doc_id").alias("media_id"),
