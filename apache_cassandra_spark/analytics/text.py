@@ -353,6 +353,102 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    lam_uni: float = 0.3,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document interpolated BIGRAM language-model score — the next
+    step up from ``unigram_logprob`` and the shape CCNet's KenLM filter
+    takes with the corpus as its own model: each bigram ``(prev, cur)``
+    scores ``ln(λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/total)`` (Jelinek-
+    Mercer interpolation with the unigram model, so unseen-bigram mass
+    never zeroes — every observed bigram IS seen here, but interpolation
+    still damps the one-count bigram spikes a raw MLE would score 0.0
+    for repeated boilerplate), and a document scores the sum/mean over
+    its ``n_tokens − 1`` bigrams. Captures word-ORDER disfluency that
+    unigram scoring is blind to: shuffled text keeps its unigram score
+    but craters here.
+
+    Returns ``(id, n_bigrams, logprob_micro, mean_logprob)``. Same
+    integer-micro quantization discipline as ``unigram_logprob``: each
+    bigram's log-prob rounds to micro-units BEFORE the per-document sum,
+    so the sum is addition-order-exact across partitions and an external
+    engine replaying the arithmetic (same association order:
+    ``(λ·cb)/cp + (λ_uni·cc)/total``) matches bit-for-bit. The two
+    weights are SEPARATE literal parameters (not ``1 − lam``) on
+    purpose: ``1.0 - 0.7`` is not the double ``0.3``, and a replaying
+    engine parses ``0.3`` as the nearest double — both sides must feed
+    the identical bit pattern into the product. Documents with fewer
+    than two tokens are dropped (no bigrams, no score).
+
+    Scale shape: the corpus token stream is read twice (unigram roll-up,
+    bigram roll-up) but shuffles only on vocabulary-sized keys; the
+    scored bigram table (vocab², zipf-truncated to bigrams that actually
+    occur) joins back to the per-doc bigram stream — broadcast by
+    default, set ``broadcast_model=False`` at web-corpus vocabulary
+    sizes to fall back to a shuffled join (AQE splits the hot-stopword-
+    pair skew)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    uni = base.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
+    total = uni.agg(F.sum("c").alias("_total"))
+    bi_stream = base.where(F.size("t") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("prev"),
+                    F.element_at("t", i + 2).alias("cur"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    bic = bi_stream.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bic.join(uni.select(F.col("tok").alias("prev"), F.col("c").alias("cp")), "prev")
+        .join(uni.select(F.col("tok").alias("cur"), F.col("c").alias("cc")), "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    (F.lit(lam) * F.col("cb")) / F.col("cp")
+                    + (F.lit(lam_uni) * F.col("cc")) / F.col("_total")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("_lq"),
+        )
+    )
+    if broadcast_model:
+        scored = F.broadcast(scored)
+    return (
+        bi_stream.join(scored, ["prev", "cur"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_lq").alias("logprob_micro"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "logprob_micro",
+            F.round(F.col("logprob_micro") / F.col("n_bigrams") / 1_000_000, 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     k: int = 100,

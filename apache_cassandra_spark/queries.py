@@ -1437,6 +1437,14 @@ def q_text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM quality scores (Jelinek-Mercer λ=0.7 with
+    the corpus unigram model): per-bigram ln-probabilities quantized to
+    integer micro-units before the per-doc sum — word-order disfluency
+    signal, exactly replayable in SQL."""
+    return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_bpe_pairs(spark, sf_dir):
     """BPE vocabulary-induction counting step: top-60 adjacent character
     pairs weighted by word frequency. The corpus collapses to its word
@@ -2889,6 +2897,32 @@ ORACLES: dict[str, str] = {
         FROM toks JOIN sv USING (tok)
         GROUP BY id
     """,
+    # interpolated bigram LM, λ=0.7: per-bigram ln((0.7*cb)/cp + (0.3*cc)/total)
+    # with the SAME association order as the Spark expression, micro-quantized
+    # before the per-doc sum (addition-order-exact)
+    "text_bigram_logprob": """
+        WITH docs AS (SELECT doc_id AS id,
+                             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                      FROM documents),
+        uni AS (SELECT tok, count(*) AS c
+                FROM (SELECT unnest(t) AS tok FROM docs) GROUP BY tok),
+        tot AS (SELECT sum(c) AS total FROM uni),
+        bi AS (SELECT id, t[i+1] AS prev, t[i+2] AS cur
+               FROM docs, UNNEST(range(len(t) - 1)) u(i)
+               WHERE len(t) >= 2),
+        bic AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY prev, cur),
+        scored AS (SELECT b.prev, b.cur,
+                          cast(round(ln((0.7::DOUBLE * b.cb) / pu.c + (0.3::DOUBLE * cu.c) / t.total) * 1000000) as bigint) AS lq
+                   FROM bic b
+                   JOIN uni pu ON b.prev = pu.tok
+                   JOIN uni cu ON b.cur = cu.tok, tot t)
+        SELECT id AS doc_id,
+               cast(count(*) as bigint) AS n_bigrams,
+               cast(sum(lq) as bigint) AS logprob_micro,
+               round(sum(lq) / count(*) / 1000000, 6) AS mean_logprob
+        FROM bi JOIN scored USING (prev, cur)
+        GROUP BY id
+    """,
     # adjacent char pairs over the word-frequency table, weighted by word
     # count; duckdb string slice word[i:i+1] == 2 chars, 1-based inclusive
     "text_bpe_pairs": """
@@ -3287,6 +3321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,
     "dedup_spans": q_dedup_spans,
+    "text_bigram_logprob": q_text_bigram_logprob,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

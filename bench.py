@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "corpus_split",
     "text_quality_score",
     "dedup_spans",
+    "text_bigram_logprob",
 ]
 
 

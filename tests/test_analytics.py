@@ -1226,3 +1226,38 @@ def test_dedup_spans_within_doc_repeat(spark):
     )
     (row,) = dedup.dedup_spans(df, k=4).collect()
     assert row["text"] == "m1 m2 m3 m4 mid" and row["n_removed"] == 4
+
+
+def test_bigram_logprob_orders_and_drops(spark):
+    """Bigram LM: word-order sensitivity (shuffled text scores lower than
+    fluent text with identical unigrams), <2-token docs dropped, and the
+    micro-quantized sum equals the n_bigrams-weighted mean."""
+    from apache_cassandra_spark.analytics.text import bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"  # same unigram histogram
+    rows = [(i, fluent) for i in range(1, 6)]  # transitions seen 5x corpus-wide
+    rows += [(6, shuffled), (7, "solo"), (8, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # <2 tokens: no bigrams, no score
+    assert got[1]["n_bigrams"] == 5 and got[6]["n_bigrams"] == 5
+    # fluent docs share 5-count transitions; the lone scrambled doc's
+    # 1-count transitions score lower despite identical unigrams
+    assert got[1]["mean_logprob"] > got[6]["mean_logprob"]
+    for r in got.values():
+        assert r["mean_logprob"] == round(r["logprob_micro"] / r["n_bigrams"] / 1_000_000, 6)
+
+
+def test_bigram_logprob_interpolation_never_zero_mass(spark):
+    """Every observed bigram scores a finite negative logprob (the unigram
+    interpolation term keeps mass off the rails even for one-count
+    bigrams)."""
+    from apache_cassandra_spark.analytics.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma delta")], "doc_id long, text string"
+    )
+    rows = bigram_logprob(df).collect()
+    assert len(rows) == 2
+    assert all(r["logprob_micro"] < 0 for r in rows)

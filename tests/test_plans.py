@@ -548,3 +548,17 @@ def test_span_dedup_winner_is_hash_aggregate_no_cross(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bigram_logprob_model_broadcasts(spark):
+    """bigram_logprob (default broadcast_model=True): the scored bigram
+    model must come back to the corpus-scale bigram stream via
+    BroadcastHashJoin, and every roll-up must stay a HashAggregate — no
+    SortAggregate, no global Window."""
+    from apache_cassandra_spark.analytics.text import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    plan = plan_of(bigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
