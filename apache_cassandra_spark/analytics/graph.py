@@ -1,0 +1,108 @@
+"""Graph analytics over DataFrame edge lists.
+
+The reference has no graph surface at all (analytical composition was
+delegated to Hadoop/Pig — SURVEY.md §2.6); connected-components grouping
+already lives in ``dedup.dup_groups_star``. This module adds the other
+workhorse a web-scale corpus pipeline needs: PageRank, used for
+link-graph quality weighting of crawled documents (the CommonCrawl-style
+harmonic/PageRank centrality signal).
+
+**Integer-exact discipline.** Classic PageRank iterates double sums whose
+value depends on addition order across partitions — unreproducible
+between engines. Here ranks live in integer MICRO-units (1.0 ==
+1_000_000), the damping factor is a rational (85/100 by default), and
+every per-edge contribution is a bigint floor-division — all arithmetic
+is integer, so the fixpoint is bit-exact in any engine that replays it
+(the same discipline as ``text.unigram_logprob``'s micro-quantization).
+Cost: each division truncates up to 1 micro-unit of mass; over a few
+iterations the drift is < iters × micro, far below any ranking decision
+threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, ``iters`` fixed
+    synchronous iterations from a uniform start (every node 1.0).
+
+    Update rule (all integer arithmetic, see module docstring)::
+
+        contrib(s→d) = (rank_micro[s] * w(s,d)) div out_weight[s]
+        rank_micro[d] = base + (damping_num * Σ contrib) div damping_den
+        base          = (MICRO * (damping_den − damping_num)) div damping_den
+
+    Dangling nodes (no out-edges) keep receiving the base term but their
+    mass is not redistributed — the standard simplification when ranks
+    are used as a relative quality signal rather than a probability
+    distribution. Nodes with no in-edges settle at ``base``.
+
+    Returns ``(node, rank_micro, rank)`` — ``rank`` is the micro value
+    scaled back to a double, rounded to 6 places for display.
+
+    Scale shape: per iteration, one equality join of the edge list with
+    the rank table on ``src`` and one hash-aggregate on ``dst`` — the
+    Pregel message shape, partial (map-side) combinable since the
+    per-edge contributions sum with plain bigint ``sum``. Hot pages
+    (celebrity in-degree) are hot *aggregation* keys, not join-explosion
+    keys. The edge list (annotated with out-weights) is reused every
+    iteration — persist it for many-iteration runs; at the default 3
+    iterations ReuseExchange already shares the scan. Overflow bound:
+    ``n_nodes × MICRO × max_weight`` must stay inside int64 — loud at
+    ~10^9 nodes with 1000-weight edges, far beyond a per-job graph.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+    base = (MICRO * (damping_den - damping_num)) // damping_den
+
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e0 = (
+        edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .agg(F.sum(w).cast("long").alias("w"))
+    )
+    outw = e0.groupBy("src").agg(F.sum("w").alias("wout"))
+    e = e0.join(outw, "src")
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("(r * w) div wout").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r") / MICRO, 6).alias("rank"),
+    )

@@ -1445,6 +1445,30 @@ def q_text_bigram_logprob(spark, sf_dir):
     return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_events_pagerank(spark, sf_dir):
+    """PageRank over the per-user clickstream transition graph: nodes are
+    props.k page ids, an edge src→dst for each consecutive pair in a
+    user's ts-ordered event stream; 3 integer-exact iterations (micro-unit
+    ranks, 85/100 rational damping) so the fixpoint replays bit-for-bit
+    in SQL."""
+    from pyspark.sql import Window
+
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    ev = load_events(spark, sf_dir)
+    stream = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).where(F.col("page").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = stream.select(
+        F.col("page").alias("src"), F.lead("page").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    return pagerank(edges, iters=3)
+
+
 def q_text_bpe_pairs(spark, sf_dir):
     """BPE vocabulary-induction counting step: top-60 adjacent character
     pairs weighted by word frequency. The corpus collapses to its word
@@ -2897,6 +2921,41 @@ ORACLES: dict[str, str] = {
         FROM toks JOIN sv USING (tok)
         GROUP BY id
     """,
+    # integer-exact PageRank, 3 unrolled iterations: micro-unit ranks,
+    # 85/100 rational damping, bigint floor-div contributions — identical
+    # arithmetic to analytics.graph.pagerank (div == // on non-negatives)
+    "events_pagerank": """
+        WITH stream AS (
+            SELECT user_id, ts, event_id,
+                   cast(json_extract_string(props, '$.k') as integer) AS page
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        pairs AS (
+            SELECT page AS src,
+                   lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM stream
+        ),
+        e0 AS (SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+        outw AS (SELECT src, cast(sum(w) as bigint) AS wout FROM e0 GROUP BY 1),
+        e AS (SELECT e0.src, e0.dst, e0.w, outw.wout FROM e0 JOIN outw USING (src)),
+        nodes AS (SELECT DISTINCT src AS node FROM e0
+                  UNION SELECT DISTINCT dst AS node FROM e0),
+        it0 AS (SELECT node, cast(1000000 as bigint) AS r FROM nodes),
+        it1 AS (SELECT n.node, cast(150000 + (85 * coalesce(s.c, 0)) // 100 as bigint) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, cast(sum((p.r * e.w) // e.wout) as bigint) AS c
+                    FROM e JOIN it0 p ON e.src = p.node GROUP BY e.dst) s USING (node)),
+        it2 AS (SELECT n.node, cast(150000 + (85 * coalesce(s.c, 0)) // 100 as bigint) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, cast(sum((p.r * e.w) // e.wout) as bigint) AS c
+                    FROM e JOIN it1 p ON e.src = p.node GROUP BY e.dst) s USING (node)),
+        it3 AS (SELECT n.node, cast(150000 + (85 * coalesce(s.c, 0)) // 100 as bigint) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, cast(sum((p.r * e.w) // e.wout) as bigint) AS c
+                    FROM e JOIN it2 p ON e.src = p.node GROUP BY e.dst) s USING (node))
+        SELECT node, r AS rank_micro, round(r / 1000000.0, 6) AS "rank" FROM it3
+    """,
     # interpolated bigram LM, λ=0.7: per-bigram ln((0.7*cb)/cp + (0.3*cc)/total)
     # with the SAME association order as the Spark expression, micro-quantized
     # before the per-doc sum (addition-order-exact)
@@ -3322,6 +3381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_lww_replay": q_streaming_lww_replay,
     "dedup_spans": q_dedup_spans,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "events_pagerank": q_events_pagerank,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_quality_score",
     "dedup_spans",
     "text_bigram_logprob",
+    "events_pagerank",
 ]
 
 

@@ -1261,3 +1261,60 @@ def test_bigram_logprob_interpolation_never_zero_mass(spark):
     rows = bigram_logprob(df).collect()
     assert len(rows) == 2
     assert all(r["logprob_micro"] < 0 for r in rows)
+
+
+def _pagerank_model(edges, iters=3, num=85, den=100):
+    """Independent integer-PageRank replay (plain dicts) for verifying the
+    distributed implementation."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for s, d in edges:
+        w[(s, d)] += 1
+    wout = defaultdict(int)
+    for (s, _), c in w.items():
+        wout[s] += c
+    nodes = {n for e in w for n in e}
+    base = (1_000_000 * (den - num)) // den
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for (a, b), c in w.items():
+            s[b] += (r[a] * c) // wout[a]
+        r = {n: base + (num * s[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_model(spark):
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()}
+    assert got == _pagerank_model(edges)
+    # sink gets the most mass: c has two in-edges incl. the heavy a->b->c path
+    assert got["c"] > got["a"]
+
+
+def test_pagerank_dangling_and_source_nodes(spark):
+    """A node with no in-edges settles at base (150000); a dangling node
+    (no out-edges) still accumulates rank; both stay in the output."""
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    df = spark.createDataFrame([("s", "m"), ("m", "t")], "src string, dst string")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()}
+    assert set(got) == {"s", "m", "t"}
+    assert got["s"] == 150_000          # no in-edges: pure base term
+    assert got == _pagerank_model([("s", "m"), ("m", "t")])
+
+
+def test_pagerank_weighted_edges(spark):
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, w long"
+    )
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, weight_col="w", iters=2).collect()}
+    # 3x weight: b receives 3/4 of a's mass each round
+    assert got["b"] > got["c"]
+    assert got == _pagerank_model([("a", "b")] * 3 + [("a", "c")], iters=2)

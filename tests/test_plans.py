@@ -562,3 +562,17 @@ def test_bigram_logprob_model_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortAggregate" not in plan
     assert "Window" not in plan
+
+
+def test_pagerank_iteration_is_join_plus_hash_aggregate(spark):
+    """pagerank: each iteration must be an equality join (src == node) +
+    a partial-combinable HashAggregate on dst — the Pregel message shape.
+    No cartesian/nested-loop joins, no windows, no SortAggregate."""
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    plan = plan_of(pagerank(df, iters=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
