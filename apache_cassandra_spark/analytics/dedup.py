@@ -776,7 +776,12 @@ def dedup_spans(
     _POS_BITS = 21  # 2M tokens/doc; id*2^21+pos fits int64 for id < 2^42
     from apache_cassandra_spark.analytics.text import tokens as _tokens
 
-    base = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
+    # NULL text folds to the empty document (size(NULL) is -1, which would
+    # leak a negative n_tokens); the oracle replay coalesces identically
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
 
     # one row per k-token window: (id, pos, window-string). Tokens contain
     # no spaces (space-split), so single-space join is an injective window

@@ -71,8 +71,11 @@ def pagerank(
     base = (MICRO * (damping_den - damping_num)) // damping_den
 
     w = F.col(weight_col) if weight_col else F.lit(1)
+    # a NULL endpoint is not a node: drop the edge rather than growing a
+    # phantom NULL vertex whose join key never matches itself
     e0 = (
-        edges.groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .agg(F.sum(w).cast("long").alias("w"))
     )
     outw = e0.groupBy("src").agg(F.sum("w").alias("wout"))

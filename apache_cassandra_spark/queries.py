@@ -2560,7 +2560,7 @@ ORACLES: dict[str, str] = {
     # over space-split tokens) — mirrors dedup.dedup_spans exactly
     "dedup_spans": """
         WITH docs AS (
-            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '') AS toks
             FROM documents
         ),
         toks AS (

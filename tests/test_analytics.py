@@ -1318,3 +1318,21 @@ def test_pagerank_weighted_edges(spark):
     # 3x weight: b receives 3/4 of a's mass each round
     assert got["b"] > got["c"]
     assert got == _pagerank_model([("a", "b")] * 3 + [("a", "c")], iters=2)
+
+
+def test_dedup_spans_null_text_is_empty_doc(spark):
+    from apache_cassandra_spark.analytics.dedup import dedup_spans
+
+    df = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_spans(df, k=2).collect()}
+    assert got[1]["text"] == "" and got[1]["n_tokens"] == 0 and got[1]["n_removed"] == 0
+
+
+def test_pagerank_null_endpoint_edges_dropped(spark):
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None), (None, "b")], "src string, dst string"
+    )
+    got = {r["node"] for r in pagerank(df, iters=1).collect()}
+    assert got == {"a", "b"}
