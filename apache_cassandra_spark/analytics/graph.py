@@ -109,3 +109,102 @@ def pagerank(
         F.col("r").alias("rank_micro"),
         F.round(F.col("r") / MICRO, 6).alias("rank"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge list, ``iters``
+    fixed synchronous iterations — the complementary centrality to
+    :func:`pagerank`: a good HUB points at good authorities, a good
+    AUTHORITY is pointed at by good hubs. On a crawl graph, authority
+    ranks content pages while PageRank conflates them with navigational
+    hubs.
+
+    Integer-exact variant (module docstring discipline): scores live in
+    micro-units and each half-step max-normalizes by integer division —
+    ``a = (a_raw * MICRO) div max(a_raw)`` — instead of the classic L2
+    norm, whose square root is a float no two engines reproduce. Update
+    per iteration::
+
+        a_raw(d) = Σ_{s→d} h(s)·w(s,d)      then max-normalize to MICRO
+        h_raw(s) = Σ_{s→d} a(d)·w(s,d)      then max-normalize to MICRO
+
+    Max-normalization pins the top hub/authority at exactly ``MICRO``
+    and keeps every score in ``[0, MICRO]`` — same fixpoint ordering as
+    L2 for ranking purposes. Nodes outside the edge direction (pure
+    sources have authority 0; pure sinks have hub 0) stay in the output.
+
+    Returns ``(node, hub_micro, auth_micro, hub, authority)``.
+
+    Scale shape: two join+hash-aggregate passes per iteration (the same
+    Pregel message shape as PageRank) plus one scalar ``max`` aggregate
+    per half-step (a broadcastable single row — no second shuffle).
+    Overflow bound: ``MICRO × max_weight × max_degree`` inside int64.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = (
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .agg(F.sum(w).cast("long").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _normalize(scores: DataFrame) -> DataFrame:
+        """(node, raw) -> (node, s) with max pinned to MICRO (integer)."""
+        mx = scores.agg(F.max("raw").alias("_mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.when(F.col("_mx") > 0, F.expr(f"(raw * {MICRO}) div _mx"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("s"),
+        )
+
+    hubs = nodes.select("node", F.lit(MICRO).cast("long").alias("s"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .select(F.col("dst").alias("node"), (F.col("s") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        auths = _normalize(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("raw", F.lit(0)).alias("raw")
+            )
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["node"])
+            .select(F.col("src").alias("node"), (F.col("s") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        hubs = _normalize(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("raw", F.lit(0)).alias("raw")
+            )
+        )
+
+    return (
+        nodes.join(hubs.withColumnRenamed("s", "hub_micro"), "node")
+        .join(auths.withColumnRenamed("s", "auth_micro"), "node")
+        .select(
+            "node",
+            "hub_micro",
+            "auth_micro",
+            F.round(F.col("hub_micro") / MICRO, 6).alias("hub"),
+            F.round(F.col("auth_micro") / MICRO, 6).alias("authority"),
+        )
+    )

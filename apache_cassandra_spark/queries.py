@@ -1445,15 +1445,11 @@ def q_text_bigram_logprob(spark, sf_dir):
     return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
-def q_events_pagerank(spark, sf_dir):
-    """PageRank over the per-user clickstream transition graph: nodes are
-    props.k page ids, an edge src→dst for each consecutive pair in a
-    user's ts-ordered event stream; 3 integer-exact iterations (micro-unit
-    ranks, 85/100 rational damping) so the fixpoint replays bit-for-bit
-    in SQL."""
+def _clickstream_edges(spark, sf_dir):
+    """Per-user page-transition edges: nodes are props.k page ids, one
+    edge src→dst per consecutive pair in a user's ts-ordered stream (the
+    per-user lead window is bounded by that user's event count)."""
     from pyspark.sql import Window
-
-    from apache_cassandra_spark.analytics.graph import pagerank
 
     ev = load_events(spark, sf_dir)
     stream = ev.select(
@@ -1463,10 +1459,28 @@ def q_events_pagerank(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("int").alias("page"),
     ).where(F.col("page").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = stream.select(
+    return stream.select(
         F.col("page").alias("src"), F.lead("page").over(w).alias("dst")
     ).where(F.col("dst").isNotNull())
-    return pagerank(edges, iters=3)
+
+
+def q_events_pagerank(spark, sf_dir):
+    """PageRank over the per-user clickstream transition graph: 3
+    integer-exact iterations (micro-unit ranks, 85/100 rational damping)
+    so the fixpoint replays bit-for-bit in SQL."""
+    from apache_cassandra_spark.analytics.graph import pagerank
+
+    return pagerank(_clickstream_edges(spark, sf_dir), iters=3)
+
+
+def q_events_hits(spark, sf_dir):
+    """HITS hubs/authorities over the same clickstream graph: 2
+    integer-exact iterations with max-normalization by integer division
+    (top score pinned at MICRO) — the float-free replayable variant of
+    the classic L2 normalization."""
+    from apache_cassandra_spark.analytics.graph import hits
+
+    return hits(_clickstream_edges(spark, sf_dir), iters=2)
 
 
 def q_text_bpe_pairs(spark, sf_dir):
@@ -2956,6 +2970,55 @@ ORACLES: dict[str, str] = {
                     FROM e JOIN it2 p ON e.src = p.node GROUP BY e.dst) s USING (node))
         SELECT node, r AS rank_micro, round(r / 1000000.0, 6) AS "rank" FROM it3
     """,
+    # integer-exact HITS, 2 unrolled iterations: each half-step sums h·w (or
+    # a·w) over edges then max-normalizes by integer division — identical
+    # arithmetic to analytics.graph.hits
+    "events_hits": """
+        WITH stream AS (
+            SELECT user_id, ts, event_id,
+                   cast(json_extract_string(props, '$.k') as integer) AS page
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        pairs AS (
+            SELECT page AS src,
+                   lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM stream
+        ),
+        e AS (SELECT src, dst, cast(count(*) as bigint) AS w
+              FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst AS node FROM e),
+        h0 AS (SELECT node, cast(1000000 as bigint) AS s FROM nodes),
+        a1r AS (SELECT n.node, cast(coalesce(x.c, 0) as bigint) AS raw
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, cast(sum(h.s * e.w) as bigint) AS c
+                    FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst) x USING (node)),
+        a1 AS (SELECT node, cast(CASE WHEN m.mx > 0 THEN (raw * 1000000) // m.mx ELSE 0 END as bigint) AS s
+               FROM a1r, (SELECT max(raw) AS mx FROM a1r) m),
+        h1r AS (SELECT n.node, cast(coalesce(x.c, 0) as bigint) AS raw
+                FROM nodes n LEFT JOIN (
+                    SELECT e.src AS node, cast(sum(a.s * e.w) as bigint) AS c
+                    FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src) x USING (node)),
+        h1 AS (SELECT node, cast(CASE WHEN m.mx > 0 THEN (raw * 1000000) // m.mx ELSE 0 END as bigint) AS s
+               FROM h1r, (SELECT max(raw) AS mx FROM h1r) m),
+        a2r AS (SELECT n.node, cast(coalesce(x.c, 0) as bigint) AS raw
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS node, cast(sum(h.s * e.w) as bigint) AS c
+                    FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst) x USING (node)),
+        a2 AS (SELECT node, cast(CASE WHEN m.mx > 0 THEN (raw * 1000000) // m.mx ELSE 0 END as bigint) AS s
+               FROM a2r, (SELECT max(raw) AS mx FROM a2r) m),
+        h2r AS (SELECT n.node, cast(coalesce(x.c, 0) as bigint) AS raw
+                FROM nodes n LEFT JOIN (
+                    SELECT e.src AS node, cast(sum(a.s * e.w) as bigint) AS c
+                    FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src) x USING (node)),
+        h2 AS (SELECT node, cast(CASE WHEN m.mx > 0 THEN (raw * 1000000) // m.mx ELSE 0 END as bigint) AS s
+               FROM h2r, (SELECT max(raw) AS mx FROM h2r) m)
+        SELECT n.node, h2.s AS hub_micro, a2.s AS auth_micro,
+               round(h2.s / 1000000.0, 6) AS hub,
+               round(a2.s / 1000000.0, 6) AS authority
+        FROM nodes n JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
+    """,
     # interpolated bigram LM, λ=0.7: per-bigram ln((0.7*cb)/cp + (0.3*cc)/total)
     # with the SAME association order as the Spark expression, micro-quantized
     # before the per-doc sum (addition-order-exact)
@@ -3382,6 +3445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "text_bigram_logprob": q_text_bigram_logprob,
     "events_pagerank": q_events_pagerank,
+    "events_hits": q_events_hits,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "text_bigram_logprob",
     "events_pagerank",
+    "events_hits",
 ]
 
 

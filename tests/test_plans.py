@@ -576,3 +576,16 @@ def test_pagerank_iteration_is_join_plus_hash_aggregate(spark):
     assert "Window" not in plan
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_hits_normalize_max_is_broadcast_scalar(spark):
+    """hits: the per-half-step max must come back as a single-row
+    BroadcastExchange (scalar crossJoin), never a shuffle; message passes
+    stay HashAggregates; no cartesian products between row-bearing sides."""
+    from apache_cassandra_spark.analytics.graph import hits
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    plan = plan_of(hits(df, iters=1))
+    assert "BroadcastExchange" in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

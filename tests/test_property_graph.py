@@ -53,3 +53,57 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError):
         pagerank(df, damping_num=100, damping_den=100)
+
+
+def hits_model(edges, iters=2):
+    from apache_cassandra_spark.analytics.graph import MICRO
+
+    w = defaultdict(int)
+    for s, d in edges:
+        w[(s, d)] += 1
+    nodes = {n for e in w for n in e}
+
+    def norm(raw):
+        mx = max(raw.values())
+        return {n: (v * MICRO) // mx if mx > 0 else 0 for n, v in raw.items()}
+
+    h = {n: MICRO for n in nodes}
+    a = None
+    for _ in range(iters):
+        a_raw = {n: 0 for n in nodes}
+        for (s, d), c in w.items():
+            a_raw[d] += h[s] * c
+        a = norm(a_raw)
+        h_raw = {n: 0 for n in nodes}
+        for (s, d), c in w.items():
+            h_raw[s] += a[d] * c
+        h = norm(h_raw)
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=graph_st, iters=st.integers(1, 3))
+def test_hits_matches_python_model(spark, edges, iters):
+    from apache_cassandra_spark.analytics.graph import hits
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(df, iters=iters).collect()
+    }
+    assert got == hits_model(edges, iters)
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    """Star-out node is the top hub with zero authority; its targets are
+    authorities with zero hub score; top score pinned at MICRO."""
+    from apache_cassandra_spark.analytics.graph import MICRO, hits
+
+    df = spark.createDataFrame(
+        [("hub", "p1"), ("hub", "p2"), ("hub", "p2")], "src string, dst string"
+    )
+    got = {r["node"]: r for r in hits(df, iters=2).collect()}
+    assert got["hub"]["hub_micro"] == MICRO and got["hub"]["auth_micro"] == 0
+    assert got["p2"]["auth_micro"] == MICRO  # heavier in-edge: top authority
+    assert 0 < got["p1"]["auth_micro"] < MICRO
+    assert got["p1"]["hub_micro"] == got["p2"]["hub_micro"] == 0
