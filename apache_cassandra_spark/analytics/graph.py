@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Weakly-connected components of an (undirected-interpreted) edge
+    list → ``(node, component)``, component id = the component's minimum
+    node. Thin graph-API front for the alternating large-star/small-star
+    implementation in :func:`dedup.dup_groups_star` (Kiveris et al.,
+    SoCC'14 — O(log n) rounds regardless of component diameter); see its
+    docstring for the scale analysis. Lives there because duplicate-group
+    closure is its production caller; exposed here so the graph surface
+    (pagerank / hits / components) is one import. Node ids must be
+    NUMERIC (the underlying fixpoint signature is arithmetic over ids);
+    hash or dictionary-encode string ids first."""
+    from apache_cassandra_spark.analytics.dedup import dup_groups_star
+
+    out = dup_groups_star(edges, id_a=src_col, id_b=dst_col, max_iters=max_iters)
+    return out.select(F.col("id").alias("node"), F.col("group_id").alias("component"))
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -107,3 +107,11 @@ def test_hits_hub_vs_authority_roles(spark):
     assert got["p2"]["auth_micro"] == MICRO  # heavier in-edge: top authority
     assert 0 < got["p1"]["auth_micro"] < MICRO
     assert got["p1"]["hub_micro"] == got["p2"]["hub_micro"] == 0
+
+
+def test_connected_components_wrapper(spark):
+    from apache_cassandra_spark.analytics.graph import connected_components
+
+    df = spark.createDataFrame([(2, 1), (3, 2), (8, 9)], "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
