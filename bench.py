@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "text_bigram_logprob",
     "events_pagerank",
     "events_hits",
+    "media_decode_jpeg",
 ]
 
 

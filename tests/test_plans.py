@@ -578,14 +578,17 @@ def test_pagerank_iteration_is_join_plus_hash_aggregate(spark):
     assert "HashAggregate" in plan
 
 
-def test_hits_normalize_max_is_broadcast_scalar(spark):
-    """hits: the per-half-step max must come back as a single-row
-    BroadcastExchange (scalar crossJoin), never a shuffle; message passes
-    stay HashAggregates; no cartesian products between row-bearing sides."""
+def test_hits_iterations_are_checkpointed(spark):
+    """hits executes its half-steps eagerly (localCheckpoint per
+    normalize, same pattern as dup_groups_star): the returned plan joins
+    node-count-sized checkpointed score tables — no SortAggregate and no
+    cartesian between row-bearing sides; without the lineage cut every
+    half-step re-executed the whole upstream DAG (measured 30s → ~6s on
+    100k edges)."""
     from apache_cassandra_spark.analytics.graph import hits
 
     df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
     plan = plan_of(hits(df, iters=1))
-    assert "BroadcastExchange" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed score tables
     assert "SortAggregate" not in plan
-    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
