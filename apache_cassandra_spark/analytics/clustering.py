@@ -142,9 +142,12 @@ def kmeans_assign_exact(
     v = df.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     )
-    init = v.where(F.col(id_col) < k).orderBy(id_col).collect()
-    if len(init) < k:
-        raise ValueError(f"need ids 0..{k - 1} for deterministic init")
+    init = v.where((F.col(id_col) >= 0) & (F.col(id_col) < k)).orderBy(id_col).collect()
+    if len(init) < k or [r[id_col] for r in init] != list(range(k)):
+        # count alone is not enough: ids like {-1,0,1,2} would pass a
+        # len check while cluster labels (list position) diverged from
+        # the oracle's id-based labels
+        raise ValueError(f"need ids exactly 0..{k - 1} for deterministic init")
     centroids: list[list[float]] = [list(r["_v"]) for r in init]
 
     def assign(frame: DataFrame) -> DataFrame:

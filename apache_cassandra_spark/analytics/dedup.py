@@ -771,7 +771,9 @@ def dedup_spans(
     * reassembly shuffles each doc's surviving tokens once, bounded by
       document size (the same bound as holding the document itself).
 
-    Packing bounds: ≤ 2^21 tokens per document, non-negative ids < 2^42.
+    Packing bounds (ENFORCED with a loud ``raise_error`` — silent aliasing
+    would corrupt winner selection corpus-wide with the oracle agreeing):
+    ≤ 2^21 tokens per document, non-negative ids < 2^42.
     """
     _POS_BITS = 21  # 2M tokens/doc; id*2^21+pos fits int64 for id < 2^42
     from apache_cassandra_spark.analytics.text import tokens as _tokens
@@ -795,7 +797,27 @@ def dedup_spans(
             )
         ).alias("pos", "gram"),
     )
-    packed = (F.col("id") * (1 << _POS_BITS) + F.col("pos")).alias("_pk")
+    # packing bounds are ENFORCED, not just documented: an oversized doc
+    # would silently alias into the next doc_id's packed range and elect a
+    # wrong corpus-wide winner (both engines share the packing, so the
+    # oracle would agree on the wrong answer — fail loudly instead)
+    packed = (
+        F.when(
+            (F.col("pos") < (1 << _POS_BITS))
+            & (F.col("id") >= 0)
+            & (F.col("id") < (1 << (63 - _POS_BITS))),
+            F.col("id") * (1 << _POS_BITS) + F.col("pos"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"dedup_spans: (doc_id, pos) outside packing bounds "
+                    f"(need 0 <= id < 2^{63 - _POS_BITS}, pos < 2^{_POS_BITS})"
+                )
+            ).cast("long")
+        )
+        .alias("_pk")
+    )
     grams = grams.select("id", "pos", "gram", packed)
 
     winners = grams.groupBy("gram").agg(

@@ -171,7 +171,12 @@ def hits(
     and without the cut every half-step would RE-EXECUTE the entire
     upstream lineage — measured 30s → ~6s on a 100k-edge graph at
     iters=2. Same eager-loop pattern as ``dedup.dup_groups_star``.
-    Overflow bound: ``MICRO × max_weight × max_degree`` inside int64.
+    Overflow bound: normalization computes ``raw × MICRO``, so each
+    node's raw score (≤ MICRO × its total in-weight) must stay ≤
+    ``(2^63−1) / MICRO`` ≈ 9.2e12, i.e. per-node in-weight ≤ ~9.2e6 —
+    enforced with a loud ``raise_error`` at the normalization barrier
+    (non-ANSI Spark would otherwise wrap silently); rescale edge
+    weights (e.g. log-counts) for hotter graphs.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -192,6 +197,12 @@ def hits(
         .localCheckpoint(eager=True)
     )
 
+    # raw * MICRO must not wrap int64: raw is bounded by MICRO x in-weight,
+    # so the loud ceiling is in-weight <= ~9.2e6 per node. Silent wraparound
+    # would produce garbage scores while the SQL replay errors — fail fast
+    # instead (non-ANSI Spark arithmetic wraps without this guard).
+    _raw_ceiling = (2**63 - 1) // MICRO
+
     def _normalize(scores: DataFrame) -> DataFrame:
         """(node, raw) -> (node, s) with max pinned to MICRO (integer).
         Eagerly materialized: see the lineage-cut note in the docstring."""
@@ -200,7 +211,16 @@ def hits(
             scores.crossJoin(F.broadcast(mx))
             .select(
                 "node",
-                F.when(F.col("_mx") > 0, F.expr(f"(raw * {MICRO}) div _mx"))
+                F.when(
+                    F.col("_mx") > F.lit(_raw_ceiling),
+                    F.raise_error(
+                        F.lit(
+                            "hits: raw score exceeds int64-safe normalization "
+                            f"ceiling ({_raw_ceiling}); rescale edge weights"
+                        )
+                    ).cast("long"),
+                )
+                .when(F.col("_mx") > 0, F.expr(f"(raw * {MICRO}) div _mx"))
                 .otherwise(F.lit(0))
                 .cast("long")
                 .alias("s"),

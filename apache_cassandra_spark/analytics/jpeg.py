@@ -529,6 +529,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                # struct.error would escape the ValueError contract the
+                # PERMISSIVE decode path catches (multimodal.decode_media)
+                raise ValueError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:

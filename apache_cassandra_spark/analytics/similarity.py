@@ -291,9 +291,14 @@ def random_project(
     if in_dim is None:
         # driver-blocking inference job — pass in_dim explicitly on hot /
         # streaming paths (aggregation is not available pre-start on a
-        # streaming frame). max() skips NULL vectors, so a NULL first row
-        # doesn't masquerade as an empty corpus.
-        first = df.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
+        # streaming frame). Filter-then-first short-circuits after ONE
+        # non-null row (a full-corpus max() would scan everything just to
+        # learn the dimension) while still surviving NULL leading rows.
+        first = (
+            df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
         if first is None or first["d"] is None or first["d"] <= 0:
             id_type = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(

@@ -46,11 +46,12 @@ def load_properties(path: str) -> dict[str, str]:
             line = line.strip()
             if not line or line[0] in "#!":
                 continue
-            for sep in ("=", ":"):
-                if sep in line:
-                    k, _, v = line.partition(sep)
-                    props[k.strip()] = v.strip()
-                    break
+            # java.util.Properties splits at the FIRST separator char in
+            # the line, whichever it is — trying '=' before ':' would
+            # misparse 'alice: p=ss' as key 'alice: p'
+            cut = min((i for i in (line.find("="), line.find(":")) if i >= 0), default=-1)
+            if cut >= 0:
+                props[line[:cut].strip()] = line[cut + 1 :].strip()
     return props
 
 

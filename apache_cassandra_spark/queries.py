@@ -2164,7 +2164,10 @@ def q_streaming_lww_replay(spark, sf_dir):
         raise RuntimeError("streaming LWW replay did not finish")
 
     upd = spark.read.parquet(staging)
-    w = Window.partitionBy("key", "column").orderBy(F.col("batch_id").desc())
+    # the reduction key must equal lww_updates' STATE key (key, sc,
+    # column) — dropping sc happened to work only because _event_cells
+    # hardcodes sc=NULL; a super-CF log would lose coordinates
+    w = Window.partitionBy("key", "sc", "column").orderBy(F.col("batch_id").desc())
     final = upd.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     return _strings(final.where(~F.col("tombstone")), with_ts=True)
 

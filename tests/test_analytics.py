@@ -1336,3 +1336,18 @@ def test_pagerank_null_endpoint_edges_dropped(spark):
     )
     got = {r["node"] for r in pagerank(df, iters=1).collect()}
     assert got == {"a", "b"}
+
+
+def test_kmeans_assign_exact_requires_ids_exactly_0_to_k(spark):
+    """A count-only init check would accept ids {-1,0,1} for k=3 while
+    cluster labels diverged from the oracle's id-based labels."""
+    import pytest
+
+    from apache_cassandra_spark.analytics.clustering import kmeans_assign_exact
+
+    df = spark.createDataFrame(
+        [(-1, [0.0, 1.0]), (0, [1.0, 0.0]), (1, [0.5, 0.5]), (5, [1.0, 1.0])],
+        "vec_id long, vec array<float>",
+    )
+    with pytest.raises(ValueError, match="exactly 0..2"):
+        kmeans_assign_exact(df, k=3, iters=1, id_col="vec_id", vec_col="vec")

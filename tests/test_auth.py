@@ -113,3 +113,14 @@ def test_engine_login_delegates(spark, tmp_path):
         eng2.login("Keyspace1", {"username": "alice", "password": "bad"})
     with pytest.raises(AuthorizationException):
         eng2.login("Private", {"username": "bob", "password": "hunter2"})
+
+
+def test_properties_first_separator_wins(tmp_path):
+    """java.util.Properties splits at the FIRST separator char: a
+    colon-separated line whose value contains '=' must not be misparsed."""
+    from apache_cassandra_spark.auth import load_properties
+
+    p = tmp_path / "passwd.properties"
+    p.write_text("alice: p=ss\nbob=secret:x\n")
+    props = load_properties(str(p))
+    assert props == {"alice": "p=ss", "bob": "secret:x"}

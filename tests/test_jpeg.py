@@ -223,3 +223,14 @@ def test_sniff_and_registry():
     pay = jpeg.encode_jpeg_baseline(np.full((8, 8), 1, np.uint8))
     assert codecs.sniff(pay) == "jpeg"
     assert codecs.decode_bytes(pay)["format"] == "jpeg"
+
+
+def test_truncated_dri_is_value_error():
+    """A DRI segment shorter than 2 bytes must fail with the ValueError
+    contract (struct.error would escape PERMISSIVE decode_media)."""
+    import pytest
+
+    from apache_cassandra_spark.analytics.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(b"\xff\xd8\xff\xdd\x00\x02\xff\xd9")

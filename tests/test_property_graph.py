@@ -115,3 +115,23 @@ def test_connected_components_wrapper(spark):
     df = spark.createDataFrame([(2, 1), (3, 2), (8, 9)], "src long, dst long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_hits_overflow_guard_raises(spark):
+    """A raw score past the int64-safe normalization ceiling must fail
+    loudly, not wrap silently into garbage scores."""
+    from apache_cassandra_spark.analytics.graph import hits
+
+    df = spark.createDataFrame([("a", "b", 10_000_000_000)], "src string, dst string, w long")
+    with pytest.raises(Exception, match="ceiling|USER_RAISED"):
+        hits(df, weight_col="w", iters=1)
+
+
+def test_dedup_spans_packing_bounds_raise(spark):
+    from apache_cassandra_spark.analytics.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(-1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="packing bounds|USER_RAISED"):
+        dedup_spans(df, k=4).collect()
