@@ -133,6 +133,86 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    undirected view of an edge list, ``iters`` fixed rounds →
+    ``(node, community)``. Completes the graph family: components find
+    *connectivity*, PageRank/HITS find *centrality*, label propagation
+    finds *density* — clusters of pages denser inside than out (topic
+    hubs in a crawl graph, template families in a near-dup graph).
+
+    Classic LPA is notoriously nondeterministic (random update order,
+    random tie-breaks). This variant is replayable by construction:
+
+    * labels start as the node id;
+    * each round EVERY node simultaneously adopts the label with the
+      largest total incident edge weight among its neighbors' current
+      labels — ties broken by the SMALLEST label (min over an orderable
+      column, not a coin flip);
+    * isolated direction (a node with no neighbors cannot occur here —
+      every node is on an edge) and self-loops just vote for the node's
+      own label.
+
+    Fixed ``iters`` + synchronous update + total-order tie-break = one
+    deterministic answer any engine reproduces exactly. (Synchronous LPA
+    can oscillate between two labelings on bipartite-ish structure;
+    with fixed ``iters`` the output is still exact — oscillation is a
+    property of the algorithm, not a reproducibility hazard.)
+
+    Scale shape per round: the undirected edge view joins the label
+    table on the neighbor endpoint (equality join), then two
+    hash-aggregates — ``(node, label) → Σw`` and the argmax reduction
+    ``(node) → (max Σw, min label)``; the argmax is two aggregates
+    instead of one window so a celebrity node's votes stay map-side
+    combinable and never sort in one task. Label tables are
+    node-count-sized and eagerly checkpointed per round (lineage cut,
+    as :func:`hits`).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    directed = edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.cast("long").alias("w"))
+    und = (
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(labels, und["v"] == labels["node"])
+            .select(F.col("u"), F.col("label"), F.col("w"))
+            .groupBy("u", "label")
+            .agg(F.sum("w").alias("_wsum"))
+        )
+        best_w = votes.groupBy("u").agg(F.max("_wsum").alias("_best"))
+        labels = (
+            votes.join(best_w, "u")
+            .where(F.col("_wsum") == F.col("_best"))
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def hits(
     edges: DataFrame,
     src_col: str = "src",

@@ -1483,6 +1483,16 @@ def q_events_hits(spark, sf_dir):
     return hits(_clickstream_edges(spark, sf_dir), iters=2)
 
 
+def q_events_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (min-label ties) over
+    the undirected clickstream graph, 2 rounds — density communities,
+    complementing components (connectivity) and PageRank/HITS
+    (centrality); replayable because every step is a sum/max/min."""
+    from apache_cassandra_spark.analytics.graph import label_propagation
+
+    return label_propagation(_clickstream_edges(spark, sf_dir), iters=2)
+
+
 def q_text_bpe_pairs(spark, sf_dir):
     """BPE vocabulary-induction counting step: top-60 adjacent character
     pairs weighted by word frequency. The corpus collapses to its word
@@ -2973,6 +2983,39 @@ ORACLES: dict[str, str] = {
                     FROM e JOIN it2 p ON e.src = p.node GROUP BY e.dst) s USING (node))
         SELECT node, r AS rank_micro, round(r / 1000000.0, 6) AS "rank" FROM it3
     """,
+    # synchronous label propagation, 2 unrolled rounds: vote = sum of
+    # incident undirected weight per neighbor label; winner = max weight,
+    # min label — identical reduction to analytics.graph.label_propagation
+    "events_communities": """
+        WITH stream AS (
+            SELECT user_id, ts, event_id,
+                   cast(json_extract_string(props, '$.k') as integer) AS page
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        pairs AS (
+            SELECT page AS src,
+                   lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM stream
+        ),
+        d0 AS (SELECT src AS u, dst AS v, count(*) AS w
+               FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2),
+        und AS (SELECT u, v, cast(sum(w) as bigint) AS w FROM (
+                    SELECT u, v, w FROM d0
+                    UNION ALL SELECT v AS u, u AS v, w FROM d0) GROUP BY u, v),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+        v1 AS (SELECT e.u, l.label, cast(sum(e.w) as bigint) AS ws
+               FROM und e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.label),
+        b1 AS (SELECT u, max(ws) AS best FROM v1 GROUP BY u),
+        l1 AS (SELECT v1.u AS node, min(v1.label) AS label
+               FROM v1 JOIN b1 ON v1.u = b1.u AND v1.ws = b1.best GROUP BY v1.u),
+        v2 AS (SELECT e.u, l.label, cast(sum(e.w) as bigint) AS ws
+               FROM und e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.label),
+        b2 AS (SELECT u, max(ws) AS best FROM v2 GROUP BY u),
+        l2 AS (SELECT v2.u AS node, min(v2.label) AS label
+               FROM v2 JOIN b2 ON v2.u = b2.u AND v2.ws = b2.best GROUP BY v2.u)
+        SELECT node, label AS community FROM l2
+    """,
     # integer-exact HITS, 2 unrolled iterations: each half-step sums h·w (or
     # a·w) over edges then max-normalizes by integer division — identical
     # arithmetic to analytics.graph.hits
@@ -3449,6 +3492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": q_text_bigram_logprob,
     "events_pagerank": q_events_pagerank,
     "events_hits": q_events_hits,
+    "events_communities": q_events_communities,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "events_pagerank",
     "events_hits",
     "media_decode_jpeg",
+    "events_communities",
 ]
 
 

@@ -135,3 +135,51 @@ def test_dedup_spans_packing_bounds_raise(spark):
     )
     with pytest.raises(Exception, match="packing bounds|USER_RAISED"):
         dedup_spans(df, k=4).collect()
+
+
+def lpa_model(edges, iters=2):
+    und = defaultdict(int)
+    for s, d in edges:
+        und[(s, d)] += 1
+        und[(d, s)] += 1
+    nodes = {n for e in und for n in e}
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        votes = defaultdict(lambda: defaultdict(int))
+        for (u, v), w in und.items():
+            votes[u][lab[v]] += w
+        lab = {
+            u: min(l for l, ws in vs.items() if ws == max(vs.values()))
+            for u, vs in votes.items()
+        }
+    return lab
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=graph_st, iters=st.integers(1, 3))
+def test_label_propagation_matches_python_model(spark, edges, iters):
+    from apache_cassandra_spark.analytics.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == lpa_model(edges, iters)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: each triangle converges to
+    its own min-label community."""
+    from apache_cassandra_spark.analytics.graph import label_propagation
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(tri1 + tri2 + [("c", "x")], "src string, dst string")
+    got = {r["node"]: r["community"] for r in label_propagation(df, iters=3).collect()}
+    # converged fixpoint: each triangle one community, labels distinct
+    # (tri2's label is "c" — propagated through the bridge — not "x";
+    # what matters is the two-community structure)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "c"
+    assert got == lpa_model(tri1 + tri2 + [("c", "x")], 3)
