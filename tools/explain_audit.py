@@ -36,7 +36,7 @@ AUDITED = {
     "dedup_spans": "suffix-array-style span dedup: window stream is one Generate (posexplode of per-row transform) — linear, no self-join; winner = HashAggregate min(bigint) over bit-packed (id,pos); cut expansion a sequence-explode; reassembly collect_list bounded per doc; no Window, no CartesianProduct",
     "text_bigram_logprob": "interpolated bigram LM: corpus token stream aggregates only on vocab-sized keys (uni + bigram HashAggregates); scored bigram table joins the unigram model on vocab keys then BROADCASTS back to the per-doc bigram stream — the corpus-scale stream never shuffles on a token key",
     "events_pagerank": "integer-exact PageRank, 3 unrolled iterations: per iteration one equality join (src==node) + one partial-combinable HashAggregate on dst (Pregel message shape); edge derivation is a per-user bounded window; no cartesian, no SortAggregate",
-    "events_hits": "integer-exact HITS: two join+HashAggregate passes per iteration plus one scalar max per half-step (single-row BroadcastExchange, no second shuffle); max-normalize is an integer div — no float L2 norm",
+    "events_hits": "integer-exact HITS: half-steps execute EAGERLY (localCheckpoint lineage cuts — see SCALE.md), so the printed plan is the final join of node-count-sized checkpointed score tables; each half-step was one equality join + HashAggregate + a single-row broadcast max; max-normalize is an integer div — no float L2 norm",
     "events_communities": "synchronous label propagation: per round one equality join (neighbor label) + (node,label) HashAggregate + argmax as TWO aggregates (max weight, then min label) — no window, so celebrity-node votes stay map-side combinable",
     "corpus_decontaminate": "decontamination: eval shingle set deduped then BroadcastExchange; train shingle stream consumed by a map-side LeftSemi BroadcastHashJoin — the only corpus-keyed Exchange is the doc-id distinct for the flag frame",
     "corpus_pack_sequences": "sequence packing: ONE Exchange on the md5 shard id, per-shard Sort + running-sum Window (parallelism = n_shards, no global sort); integer div for the sequence id",
