@@ -650,7 +650,26 @@ def remove_duplicate_lines(
     shuffles each doc's surviving lines once (bounded by document size).
     """
     _POS_BITS = 21  # 2M lines/doc; keeps id*2^21+pos inside int64 for id < 2^42
-    packed = (F.col("id").cast("long") * (1 << _POS_BITS) + F.col("pos")).alias("_pk")
+    # bounds enforced, not just documented (same rationale as dedup_spans:
+    # silent aliasing into a neighboring doc's packed range elects wrong
+    # corpus-wide winners with the oracle agreeing)
+    packed = (
+        F.when(
+            (F.col("pos") < (1 << _POS_BITS))
+            & (F.col("id").cast("long") >= 0)
+            & (F.col("id").cast("long") < (1 << (63 - _POS_BITS))),
+            F.col("id").cast("long") * (1 << _POS_BITS) + F.col("pos"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"remove_duplicate_lines: (id, pos) outside packing bounds "
+                    f"(need 0 <= id < 2^{63 - _POS_BITS}, pos < 2^{_POS_BITS})"
+                )
+            ).cast("long")
+        )
+        .alias("_pk")
+    )
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
