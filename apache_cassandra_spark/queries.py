@@ -3478,11 +3478,11 @@ ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
 ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
-# entries per round. r1-r3 covered the core read/write/event families, so
-# round 4 rotates the 41 entries that have never had a driver row into the
-# window, plus sentinels re-confirming the r4 oracle-cast fix and the core
-# write/LWW/join paths. Rotate again in later rounds until every entry has
-# had a driver-green row.
+# entries per round. Rotation policy: new/never-checked entries lead, then
+# the entries whose newest driver row is oldest, then core sentinels
+# (write path, LWW, slices, ranges, comparators). Round 5 leads with the
+# 8 new round-5 operators + the 15 entries last checked in round 2;
+# everything outside the window has a green row from round 3 or 4.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): new round-5 entries ---
     "media_decode_jpeg": q_media_decode_jpeg,

@@ -547,3 +547,26 @@ def test_batch_insert_super(engine):
             (_i64(5), b"value5", 0),
             (_i64(6), b"value6", 0),
         ]
+
+
+def test_long_order(engine):
+    # test_server.py:253 — 243 8-byte-long column names inserted in
+    # numeric order; an unbounded slice returns them in LongType
+    # comparator order (numeric, not lexical-bytes)
+    names = [_i64(i) for i in range(0, 104294967296, 429496729)]
+    for name in names:
+        ins(engine, "Keyspace1", "StandardLong1", "key1", name, b"v", 0)
+    got = [c for c, _, _ in slice_cols(engine, "Keyspace1", "StandardLong1", "key1")]
+    assert got == names
+
+
+def test_empty_range(engine):
+    # test_server.py:769 — range scans over empty CFs return no rows,
+    # before and after unrelated inserts into a different CF
+    from apache_cassandra_spark.model import KeyRange
+
+    kr = KeyRange(start_key="", end_key="", count=1000)
+    pred = SlicePredicate(column_names=[b"c1"])
+    assert engine.get_range_slices("Keyspace1", "Standard1", pred, kr).count() == 0
+    _insert_simple(engine)  # Standard1 now has rows; Super1 still empty
+    assert engine.get_range_slices("Keyspace1", "Super1", pred, kr).count() == 0
