@@ -319,3 +319,137 @@ def random_project(
         )
         cols.append(F.round(total * F.lit(scale), 6).alias(f"proj_{k}"))
     return df.select(F.col(id_col), *cols)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (the PQ half of the IVF-PQ stack)
+# ---------------------------------------------------------------------------
+
+
+def _sub_euclid_raw(sub: Column, cent: list[float]) -> Column:
+    """euclidean distance between a subvector column and a literal
+    codeword — left-to-right fold, same association as DuckDB's
+    list_distance (the cross-engine parity the kmeans gate established).
+    UNROUNDED: call sites quantize exactly once (round-6 for encode
+    argmin, round-0 micro for the ADC LUT) — rounding twice with
+    different grids is how replays diverge."""
+    c_arr = F.array(*[F.lit(float(v)) for v in cent])
+    sq = F.aggregate(
+        F.zip_with(sub, c_arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.sqrt(sq)
+
+
+def _sub_euclid(sub: Column, cent: list[float]) -> Column:
+    return F.round(_sub_euclid_raw(sub, cent), 6)
+
+
+def pq_codebooks_from_first_k(
+    df: DataFrame, m: int = 4, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subspace ``j``'s codewords are the
+    ``j``-th subvector slices of the vectors with ids exactly ``0..k-1``
+    — the same fixed-init discipline as ``clustering.kmeans_assign_exact``
+    (no sampling, no RNG), so any engine rebuilds the identical codebook
+    from the table. Returns ``codebooks[j][c] -> list[float]``. A
+    Lloyd-refined codebook plugs into the same ``pq_encode``; the fixed
+    path is what the oracle gate replays."""
+    rows = (
+        df.where((F.col(id_col) >= 0) & (F.col(id_col) < k)).orderBy(id_col).collect()
+    )
+    if len(rows) < k or [r[id_col] for r in rows] != list(range(k)):
+        raise ValueError(f"need ids exactly 0..{k - 1} for deterministic codebooks")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    return [
+        [[float(v) for v in r[vec_col][j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    subvectors and replace each with the index of its nearest codeword
+    (round-6 euclidean, ties → lower code) → ``(id, codes array<int>)``.
+    With m=4 × k=8 that is 4 bytes per vector instead of 256 — the
+    compression that makes billion-vector ANN indexes fit in memory.
+
+    Scale shape: entirely MAP-ONLY — the codebooks fold into the plan as
+    literals (k × m × sub_dim floats), every argmin is a JVM
+    ``array_min`` over a per-row candidate struct array, no shuffle, no
+    Python. The same shape as ``cluster_assign``; IVF routing
+    (``ivf_topk``) composes in front for the full IVF-PQ stack."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for j in range(m):
+        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(_sub_euclid(subvec, cent).alias("d"), F.lit(c).alias("c"))
+                for c, cent in enumerate(codebooks[j])
+            ]
+        )
+        code_cols.append(F.array_min(cands)["c"])
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k_top: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    each subspace contributes a lookup-table distance to its assigned
+    codeword, and the ADC distance is the SUM of ``m`` table entries →
+    smallest ``k_top`` by ``(distance, id)``.
+
+    The LUT entries are integer MICRO-units (``round(d × 1e6)``), so the
+    per-row sum is integer-exact — addition-order-free and bit-identical
+    in any replaying engine (the ``graph`` module's discipline); the
+    float distance column is derived from the integer at the end.
+
+    Scale shape: ``pq_encode``'s map-only argmin + one literal-array
+    lookup per subspace + ``TakeOrderedAndProject`` — the index scan
+    costs m array-index reads per row instead of a dim-length float
+    fold, which is the entire point of PQ at 10^9 vectors."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query) != m * sub:
+        raise ValueError(f"query dim {len(query)} != {m * sub}")
+    encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    total = None
+    for j in range(m):
+        q_sub = [float(v) for v in query[j * sub : (j + 1) * sub]]
+        lut = F.array(
+            *[
+                F.round(
+                    _sub_euclid_raw(F.array(*[F.lit(v) for v in q_sub]), cent) * 1_000_000
+                ).cast("long")
+                for cent in codebooks[j]
+            ]
+        )
+        term = F.element_at(lut, F.col("codes")[j] + 1)
+        total = term if total is None else total + term
+    return (
+        encoded.select(F.col(id_col), total.alias("dist_micro"))
+        .orderBy("dist_micro", id_col)
+        .limit(k_top)
+        .select(
+            id_col,
+            "dist_micro",
+            F.round(F.col("dist_micro") / 1_000_000, 6).alias("adc_dist"),
+        )
+    )

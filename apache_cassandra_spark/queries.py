@@ -1702,6 +1702,34 @@ def q_embedding_project(spark, sf_dir):
     )
 
 
+def _pq_codebooks(spark, sf_dir):
+    return similarity.pq_codebooks_from_first_k(
+        load_table(spark, sf_dir, "embeddings"), m=4, k=8
+    )
+
+
+def q_embedding_pq_encode(spark, sf_dir):
+    """Product-quantization encode (m=4 subspaces × k=8 codewords from
+    the vectors with ids 0..7): each 64-dim vector compresses to 4 code
+    bytes — map-only, codebooks folded as plan literals; the oracle
+    rebuilds the identical codebook from the table and replays the
+    round-6 argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, _pq_codebooks(spark, sf_dir))
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-25 for query vector vec_id=0 over
+    the PQ codes: per-subspace lookup-table distances in integer
+    micro-units, so the per-row sum is addition-order-exact and the SQL
+    replay matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(spark, sf_dir)
+    (qrow,) = emb.where(F.col("vec_id") == 0).collect()
+    query = [float(v) for v in qrow["embedding"]]
+    return similarity.pq_adc_topk(emb, query, cb, k_top=25)
+
+
 def _embedding_project_oracle(out_dim: int = 4, in_dim: int = 64) -> str:
     """Same literal sign matrix, same fold: 0.0-seeded left-to-right sum
     (the trailing `+ 0.0` also normalizes a would-be -0.0)."""
@@ -2983,6 +3011,57 @@ ORACLES: dict[str, str] = {
                     FROM e JOIN it2 p ON e.src = p.node GROUP BY e.dst) s USING (node))
         SELECT node, r AS rank_micro, round(r / 1000000.0, 6) AS "rank" FROM it3
     """,
+    # PQ: codebook = subvector slices of vec_ids 0..7 (m=4 x 16 dims);
+    # encode argmin on round-6 list_distance, ties -> lower cid — the
+    # identical reduction as similarity.pq_encode
+    "embedding_pq_encode": """
+        WITH cb AS (
+            SELECT t.j, e.vec_id AS cid,
+                   (e.embedding::DOUBLE[])[t.j*16+1 : t.j*16+16] AS cent
+            FROM embeddings e, generate_series(0, 3) t(j)
+            WHERE e.vec_id BETWEEN 0 AND 7
+        ),
+        enc AS (
+            SELECT vec_id, j, cid AS code FROM (
+                SELECT e.vec_id, cb.j, cb.cid,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.j
+                           ORDER BY round(list_distance(
+                               (e.embedding::DOUBLE[])[cb.j*16+1 : cb.j*16+16],
+                               cb.cent), 6), cb.cid) AS rn
+                FROM embeddings e, cb) WHERE rn = 1
+        )
+        SELECT vec_id, list(cast(code as int) ORDER BY j) AS codes
+        FROM enc GROUP BY vec_id
+    """,
+    # ADC top-25 for vec_id 0: per-subspace LUT distance in integer
+    # micro-units (round(d * 1e6)), integer sum over m=4 subspaces
+    "sim_pq_topk": """
+        WITH cb AS (
+            SELECT t.j, e.vec_id AS cid,
+                   (e.embedding::DOUBLE[])[t.j*16+1 : t.j*16+16] AS cent
+            FROM embeddings e, generate_series(0, 3) t(j)
+            WHERE e.vec_id BETWEEN 0 AND 7
+        ),
+        enc AS (
+            SELECT vec_id, j, cid AS code FROM (
+                SELECT e.vec_id, cb.j, cb.cid,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.j
+                           ORDER BY round(list_distance(
+                               (e.embedding::DOUBLE[])[cb.j*16+1 : cb.j*16+16],
+                               cb.cent), 6), cb.cid) AS rn
+                FROM embeddings e, cb) WHERE rn = 1
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        lut AS (SELECT cb.j, cb.cid,
+                       cast(round(list_distance((q.qv)[cb.j*16+1 : cb.j*16+16], cb.cent)
+                                  * 1000000) as bigint) AS dm
+                FROM cb, q),
+        dists AS (SELECT e.vec_id, cast(sum(l.dm) as bigint) AS dist_micro
+                  FROM enc e JOIN lut l ON e.j = l.j AND e.code = l.cid
+                  GROUP BY e.vec_id)
+        SELECT vec_id, dist_micro, round(dist_micro / 1000000.0, 6) AS adc_dist
+        FROM dists ORDER BY dist_micro, vec_id LIMIT 25
+    """,
     # synchronous label propagation, 2 unrolled rounds: vote = sum of
     # incident undirected weight per neighbor label; winner = max weight,
     # min label — identical reduction to analytics.graph.label_propagation
@@ -3493,6 +3572,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_pagerank": q_events_pagerank,
     "events_hits": q_events_hits,
     "events_communities": q_events_communities,
+    "embedding_pq_encode": q_embedding_pq_encode,
+    "sim_pq_topk": q_sim_pq_topk,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

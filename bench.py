@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "events_hits",
     "media_decode_jpeg",
     "events_communities",
+    "embedding_pq_encode",
+    "sim_pq_topk",
 ]
 
 

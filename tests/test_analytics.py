@@ -1351,3 +1351,45 @@ def test_kmeans_assign_exact_requires_ids_exactly_0_to_k(spark):
     )
     with pytest.raises(ValueError, match="exactly 0..2"):
         kmeans_assign_exact(df, k=3, iters=1, id_col="vec_id", vec_col="vec")
+
+
+def test_pq_encode_exact_codeword_match(spark):
+    """A vector equal to codeword c in every subspace encodes as [c]*m;
+    codebook ids must be exactly 0..k-1."""
+    import pytest
+
+    from apache_cassandra_spark.analytics.similarity import (
+        pq_codebooks_from_first_k,
+        pq_encode,
+    )
+
+    rows = [(i, [float(i)] * 8) for i in range(4)]  # 4 codewords, dim 8
+    rows.append((10, [2.0] * 8))  # equals codeword 2 everywhere
+    rows.append((11, [0.0] * 4 + [3.0] * 4))  # cw 0 in sub 0, cw 3 in sub 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks_from_first_k(df, m=2, k=4)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    assert got[10] == [2, 2]
+    assert got[11] == [0, 3]
+    assert got[0] == [0, 0] and got[3] == [3, 3]
+
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="exactly 0..3"):
+        pq_codebooks_from_first_k(bad, m=2, k=4)
+
+
+def test_pq_adc_self_query_is_top_with_zero_distance(spark):
+    from apache_cassandra_spark.analytics.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_first_k,
+    )
+
+    rows = [(i, [float(i), float(i % 2), 1.0, 0.0] * 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks_from_first_k(df, m=2, k=4)
+    out = pq_adc_topk(df, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0], cb, k_top=3).collect()
+    # query == vector 0 == codeword 0: ADC distance exactly 0, ranked first
+    assert out[0]["vec_id"] == 0 and out[0]["dist_micro"] == 0
+    assert [r["dist_micro"] for r in out] == sorted(r["dist_micro"] for r in out)

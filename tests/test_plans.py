@@ -592,3 +592,29 @@ def test_hits_iterations_are_checkpointed(spark):
     assert "Scan ExistingRDD" in plan  # checkpointed score tables
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_map_only(spark):
+    """pq_encode: codebooks are plan literals, every argmin a per-row
+    array_min — no join, no exchange, no Python."""
+    from apache_cassandra_spark.analytics.similarity import pq_encode
+
+    df = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
+    cb = [[[0.0] * 4, [1.0] * 4], [[0.0] * 4, [1.0] * 4]]
+    plan = plan_of(pq_encode(df, cb))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pq_adc_topk_is_take_ordered(spark):
+    """pq_adc_topk: map-only scoring into TakeOrderedAndProject — no
+    global sort, no window."""
+    from apache_cassandra_spark.analytics.similarity import pq_adc_topk
+
+    df = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
+    cb = [[[0.0] * 4, [1.0] * 4], [[0.0] * 4, [1.0] * 4]]
+    plan = plan_of(pq_adc_topk(df, [0.0] * 8, cb, k_top=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
