@@ -453,3 +453,58 @@ def pq_adc_topk(
             F.round(F.col("dist_micro") / 1_000_000, 6).alias("adc_dist"),
         )
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k_top: int = 25,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed IVF-PQ index scan — the canonical billion-vector ANN
+    architecture: IVF coarse routing restricts the scan to the query's
+    ``nprobe`` nearest cells, then PQ asymmetric distance ranks the
+    survivors. Both halves are the engine's oracle-gated primitives
+    (`ivf_topk`'s deterministic md5-sample centroids; `pq_adc_topk`'s
+    integer-micro LUT scoring), so the composition is deterministic
+    end-to-end; with ``nprobe == n_cells`` it degenerates to exactly
+    ``pq_adc_topk`` over the whole corpus (the testable contract).
+
+    Scale shape: cell assignment and ADC scoring are both map-only with
+    broadcast centroids; the cell filter drops (1 − nprobe/n_cells) of
+    the corpus before any distance math; top-k is TakeOrderedAndProject.
+    """
+    qdf = corpus.sparkSession.createDataFrame(
+        [([float(v) for v in query],)], f"{vec_col} array<double>"
+    )
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(n_cells)
+    )
+    assign_w = Window.partitionBy("rid").orderBy(F.col("d").desc(), F.col("cent_id"))
+    assigned = (
+        corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("cv"))
+        .join(F.broadcast(cents), how="cross")
+        .select("rid", "cent_id", cosine(F.col("cv"), F.col("cent")).alias("d"))
+        .withColumn("r", F.row_number().over(assign_w))
+        .where(F.col("r") == 1)
+        .select("rid", "cent_id")
+    )
+    probe_w = Window.orderBy(F.col("d").desc(), F.col("cent_id"))
+    probes = (
+        qdf.join(F.broadcast(cents), how="cross")
+        .select("cent_id", cosine(F.col(vec_col), F.col("cent")).alias("d"))
+        .withColumn("r", F.row_number().over(probe_w))
+        .where(F.col("r") <= nprobe)
+        .select("cent_id")
+    )
+    routed = corpus.join(
+        assigned.join(F.broadcast(probes), "cent_id").select(F.col("rid").alias(id_col)),
+        id_col,
+    )
+    return pq_adc_topk(routed, query, codebooks, k_top=k_top, id_col=id_col, vec_col=vec_col)

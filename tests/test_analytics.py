@@ -1393,3 +1393,34 @@ def test_pq_adc_self_query_is_top_with_zero_distance(spark):
     # query == vector 0 == codeword 0: ADC distance exactly 0, ranked first
     assert out[0]["vec_id"] == 0 and out[0]["dist_micro"] == 0
     assert [r["dist_micro"] for r in out] == sorted(r["dist_micro"] for r in out)
+
+
+def test_ivf_pq_topk_degenerates_to_full_adc(spark):
+    """With nprobe == n_cells the IVF routing keeps every row, so the
+    composed scan must equal pq_adc_topk over the whole corpus; with
+    nprobe < n_cells it returns a subset ranked in the same order."""
+    from apache_cassandra_spark.analytics.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks_from_first_k,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 3), float(i % 5), 1.0] * 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks_from_first_k(df, m=2, k=4)
+    q = [float(v) for v in rows[5][1]]
+
+    full = [(r["vec_id"], r["dist_micro"]) for r in pq_adc_topk(df, q, cb, k_top=10).collect()]
+    same = [
+        (r["vec_id"], r["dist_micro"])
+        for r in ivf_pq_topk(df, q, cb, k_top=10, n_cells=4, nprobe=4).collect()
+    ]
+    assert same == full
+
+    routed = [
+        (r["vec_id"], r["dist_micro"])
+        for r in ivf_pq_topk(df, q, cb, k_top=10, n_cells=4, nprobe=1).collect()
+    ]
+    full_map = dict(full + [(r["vec_id"], r["dist_micro"]) for r in pq_adc_topk(df, q, cb, k_top=40).collect()])
+    assert all(v == full_map[i] for i, v in routed)  # same scores, subset
+    assert [v for _, v in routed] == sorted(v for _, v in routed)
