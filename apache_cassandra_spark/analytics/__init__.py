@@ -12,6 +12,6 @@ every operator is reproducible in ANSI SQL — the driver's DuckDB oracle
 validates these operators bit-for-bit.
 """
 
-from apache_cassandra_spark.analytics import dedup, multimodal, similarity, text
+from apache_cassandra_spark.analytics import dedup, graph, multimodal, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "graph", "multimodal", "similarity", "text"]
