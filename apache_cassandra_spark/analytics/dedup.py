@@ -142,6 +142,55 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: directed containment
+    ``|A ∩ B| / |A|`` over word-n-gram sets — high when document A is
+    largely embedded in B (quotes, syndicated excerpts, page-in-page
+    stitching) even when B is much larger so the symmetric Jaccard stays
+    low. One row per DIRECTED pair above ``threshold``
+    (``id_src`` contained in ``id_dst``), both directions evaluated.
+
+    Same scale machinery as ``ngram_jaccard_pairs`` (shared inverted
+    index, same ``max_doc_freq`` skew guard with the same
+    precision-preserving property: dropping a shared shingle only lowers
+    containment); the only new cost is emitting each unordered pair in
+    both directions before the threshold filter.
+    """
+    sh = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    postings = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        postings = sh.join(
+            freq.where(F.col("df") <= max_doc_freq).select("shingle"), "shingle", "left_semi"
+        )
+    a = postings.select(F.col("id").alias("id_src"), "shingle")
+    b = postings.select(F.col("id").alias("id_dst"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_src") != F.col("id_dst"))
+        .groupBy("id_src", "id_dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s_src = sizes.select(F.col("id").alias("id_src"), F.col("set_size").alias("size_src"))
+    return (
+        common.join(F.broadcast(s_src), "id_src")
+        .select(
+            "id_src",
+            "id_dst",
+            F.round(F.col("n_common") / F.col("size_src"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

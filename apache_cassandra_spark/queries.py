@@ -1042,6 +1042,15 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed n-gram containment |A∩B| / |A| ≥ 0.8 — the asymmetric
+    near-dup signal (quotes / syndicated excerpts embedded in larger
+    documents) that symmetric Jaccard misses."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4)
 
@@ -2690,6 +2699,16 @@ ORACLES: dict[str, str] = {
         FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
         WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
     """,
+    "dedup_containment": f"""
+        WITH {_DOC_SHINGLES},
+        sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+        pairs AS (SELECT a.id AS id_src, b.id AS id_dst, count(*) AS c
+                  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id <> b.id
+                  GROUP BY 1, 2)
+        SELECT id_src, id_dst, round(c / s.n, 6) AS containment
+        FROM pairs JOIN sizes s ON id_src = s.id
+        WHERE round(c / s.n, 6) >= 0.8
+    """,
     # minhash: one md5 -> 31-bit base, perm p = (h*(2p+1) + p*p+7) mod 2^31-1
     # (same arithmetic as analytics/dedup._perm_hash); min over the raw
     # shingle stream (duplicates don't affect min)
@@ -3574,6 +3593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_communities": q_events_communities,
     "embedding_pq_encode": q_embedding_pq_encode,
     "sim_pq_topk": q_sim_pq_topk,
+    "dedup_containment": q_dedup_containment,
     # --- stale: last driver row in round 2, code untouched since ---
     "tpch_q3ish": q_tpch_q3ish,
     "customers_without_orders": q_customers_without_orders,

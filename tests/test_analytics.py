@@ -1424,3 +1424,22 @@ def test_ivf_pq_topk_degenerates_to_full_adc(spark):
     full_map = dict(full + [(r["vec_id"], r["dist_micro"]) for r in pq_adc_topk(df, q, cb, k_top=40).collect()])
     assert all(v == full_map[i] for i, v in routed)  # same scores, subset
     assert [v for _, v in routed] == sorted(v for _, v in routed)
+
+
+def test_ngram_containment_is_asymmetric(spark):
+    """A short doc fully embedded in a long one: containment(src=short)
+    is 1.0 while the reverse direction and Jaccard stay below threshold."""
+    from apache_cassandra_spark.analytics.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long_)], "doc_id long, text string")
+    got = {
+        (r["id_src"], r["id_dst"]): r["containment"]
+        for r in ngram_containment_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}  # only the short->long direction survives
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
