@@ -78,6 +78,42 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     return _shingle_stream(df, text_col, id_col, n).distinct()
 
 
+def _postings_and_sizes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int | None,
+    log_dropped: bool,
+    op_name: str,
+):
+    """Shared inverted-index prep for the set-similarity pair operators:
+    returns ``(postings, sizes)`` with the ``max_doc_freq`` skew guard
+    applied (and its recall-loss warning emitted) exactly once, so
+    jaccard and containment cannot drift apart."""
+    sh = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    postings = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        rare = freq.where(F.col("df") <= max_doc_freq)
+        if log_dropped:
+            # make truncation visible: silent recall loss near the
+            # threshold is worse than one extra job over the cached frame
+            n_hot = freq.where(F.col("df") > max_doc_freq).count()
+            if n_hot:
+                _LOG.warning(
+                    "%s: skew guard dropped %d shingle(s) with doc-freq > %d; "
+                    "pairs sharing only dropped shingles are not candidates "
+                    "(recall loss near the threshold)",
+                    op_name,
+                    n_hot,
+                    max_doc_freq,
+                )
+        postings = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    return postings, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -98,25 +134,9 @@ def ngram_jaccard_pairs(
     (n_common shrinks while set sizes stay full), so the guard trades
     recall near the threshold, never precision above it.
     """
-    sh = shingle_sets(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    postings = sh
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        rare = freq.where(F.col("df") <= max_doc_freq)
-        if log_dropped:
-            # make truncation visible: silent recall loss near the
-            # threshold is worse than one extra job over the cached frame
-            n_hot = freq.where(F.col("df") > max_doc_freq).count()
-            if n_hot:
-                _LOG.warning(
-                    "ngram_jaccard_pairs: skew guard dropped %d shingle(s) with "
-                    "doc-freq > %d; pairs sharing only dropped shingles are "
-                    "not candidates (recall loss near the threshold)",
-                    n_hot,
-                    max_doc_freq,
-                )
-        postings = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    postings, sizes = _postings_and_sizes(
+        df, text_col, id_col, n, max_doc_freq, log_dropped, "ngram_jaccard_pairs"
+    )
     a = postings.select(F.col("id").alias("id_a"), "shingle")
     b = postings.select(F.col("id").alias("id_b"), "shingle")
     common = (
@@ -163,14 +183,9 @@ def ngram_containment_pairs(
     containment); the only new cost is emitting each unordered pair in
     both directions before the threshold filter.
     """
-    sh = shingle_sets(df, text_col, id_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    postings = sh
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        postings = sh.join(
-            freq.where(F.col("df") <= max_doc_freq).select("shingle"), "shingle", "left_semi"
-        )
+    postings, sizes = _postings_and_sizes(
+        df, text_col, id_col, n, max_doc_freq, True, "ngram_containment_pairs"
+    )
     a = postings.select(F.col("id").alias("id_src"), "shingle")
     b = postings.select(F.col("id").alias("id_dst"), "shingle")
     common = (
@@ -872,9 +887,11 @@ def dedup_spans(
     packed = (
         F.when(
             (F.col("pos") < (1 << _POS_BITS))
-            & (F.col("id") >= 0)
-            & (F.col("id") < (1 << (63 - _POS_BITS))),
-            F.col("id") * (1 << _POS_BITS) + F.col("pos"),
+            & (F.col("id").cast("long") >= 0)
+            & (F.col("id").cast("long") < (1 << (63 - _POS_BITS))),
+            # cast BEFORE the multiply: an IntegerType id column would
+            # wrap in 32-bit arithmetic right past the guard otherwise
+            F.col("id").cast("long") * (1 << _POS_BITS) + F.col("pos"),
         )
         .otherwise(
             F.raise_error(

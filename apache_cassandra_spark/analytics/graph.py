@@ -251,12 +251,13 @@ def hits(
     and without the cut every half-step would RE-EXECUTE the entire
     upstream lineage — measured 30s → ~6s on a 100k-edge graph at
     iters=2. Same eager-loop pattern as ``dedup.dup_groups_star``.
-    Overflow bound: normalization computes ``raw × MICRO``, so each
-    node's raw score (≤ MICRO × its total in-weight) must stay ≤
-    ``(2^63−1) / MICRO`` ≈ 9.2e12, i.e. per-node in-weight ≤ ~9.2e6 —
-    enforced with a loud ``raise_error`` at the normalization barrier
-    (non-ANSI Spark would otherwise wrap silently); rescale edge
-    weights (e.g. log-counts) for hotter graphs.
+    Overflow bound: scores ≤ MICRO, so a node's raw aggregate is ≤
+    MICRO × its total incident weight, and normalization multiplies by
+    MICRO again — int64 holds iff every node's total in- OR out-weight
+    is ≤ ``(2^63−1) / MICRO²`` ≈ 9.2e6. ENFORCED UP FRONT with one
+    aggregate over the checkpointed edge table (guarding only at
+    normalization would miss the Σ(h·w) aggregate itself wrapping
+    first); rescale edge weights (e.g. log-counts) for hotter graphs.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -277,11 +278,23 @@ def hits(
         .localCheckpoint(eager=True)
     )
 
-    # raw * MICRO must not wrap int64: raw is bounded by MICRO x in-weight,
-    # so the loud ceiling is in-weight <= ~9.2e6 per node. Silent wraparound
-    # would produce garbage scores while the SQL replay errors — fail fast
-    # instead (non-ANSI Spark arithmetic wraps without this guard).
-    _raw_ceiling = (2**63 - 1) // MICRO
+    # int64 safety must be checked BEFORE any aggregate runs: with
+    # scores <= MICRO, both the per-node raw sum (<= MICRO x incident
+    # weight) and its x MICRO normalization stay inside int64 iff every
+    # node's total in- or out-weight is <= (2^63-1)/MICRO^2. Guarding
+    # only at normalization would let the sum itself wrap first and
+    # hand the guard an innocent-looking garbage max.
+    _weight_ceiling = (2**63 - 1) // (MICRO * MICRO)
+    incident = e.select(F.col("dst").alias("n"), "w").unionByName(
+        e.select(F.col("src").alias("n"), "w")
+    )
+    mx_w = incident.groupBy("n").agg(F.sum("w").alias("tw")).agg(F.max("tw")).first()[0]
+    if mx_w is not None and mx_w > _weight_ceiling:
+        raise ValueError(
+            f"hits: a node's total incident weight {mx_w} exceeds the "
+            f"int64-safe ceiling {_weight_ceiling}; rescale edge weights "
+            "(e.g. log-counts)"
+        )
 
     def _normalize(scores: DataFrame) -> DataFrame:
         """(node, raw) -> (node, s) with max pinned to MICRO (integer).
@@ -291,16 +304,7 @@ def hits(
             scores.crossJoin(F.broadcast(mx))
             .select(
                 "node",
-                F.when(
-                    F.col("_mx") > F.lit(_raw_ceiling),
-                    F.raise_error(
-                        F.lit(
-                            "hits: raw score exceeds int64-safe normalization "
-                            f"ceiling ({_raw_ceiling}); rescale edge weights"
-                        )
-                    ).cast("long"),
-                )
-                .when(F.col("_mx") > 0, F.expr(f"(raw * {MICRO}) div _mx"))
+                F.when(F.col("_mx") > 0, F.expr(f"(raw * {MICRO}) div _mx"))
                 .otherwise(F.lit(0))
                 .cast("long")
                 .alias("s"),

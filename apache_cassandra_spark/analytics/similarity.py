@@ -144,6 +144,31 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic coarse centroids: the ``n_cells`` corpus rows with
+    the smallest md5(id) — a seedless reproducible sample. Shared by
+    ``ivf_topk`` and ``ivf_pq_topk`` so their routing can never drift."""
+    return (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")))
+        .limit(n_cells)
+    )
+
+
+def _assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(row -> nearest-centroid cell) by max cosine, centroid-id ties to
+    the lower id — the shared IVF assignment reduction."""
+    assign_w = Window.partitionBy("rid").orderBy(F.col("d").desc(), F.col("cent_id"))
+    return (
+        corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("cv"))
+        .join(F.broadcast(cents), how="cross")
+        .select("rid", "cv", "cent_id", cosine(F.col("cv"), F.col("cent")).alias("d"))
+        .withColumn("r", F.row_number().over(assign_w))
+        .where(F.col("r") == 1)
+        .select("rid", "cv", "cent_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -156,19 +181,9 @@ def ivf_topk(
     """IVF-flat style ANN: centroids = deterministic corpus sample (ids with
     smallest md5 — a seedless reproducible sample), cells = nearest
     centroid; queries probe their ``nprobe`` nearest cells only."""
-    cents = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(n_cells)
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    assign_w = Window.partitionBy("neighbor_id").orderBy(F.col("d").desc(), F.col("cent_id"))
-    assigned = (
-        c.join(F.broadcast(cents), how="cross")
-        .select("neighbor_id", "cv", "cent_id", cosine(F.col("cv"), F.col("cent")).alias("d"))
-        .withColumn("r", F.row_number().over(assign_w))
-        .where(F.col("r") == 1)
-        .select("neighbor_id", "cv", "cent_id")
+    cents = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = _assign_cells(corpus, cents, id_col, vec_col).select(
+        F.col("rid").alias("neighbor_id"), "cv", "cent_id"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cent_id"))
@@ -289,16 +304,15 @@ def random_project(
     import math
 
     if in_dim is None:
-        # driver-blocking inference job — pass in_dim explicitly on hot /
-        # streaming paths (aggregation is not available pre-start on a
-        # streaming frame). Filter-then-first short-circuits after ONE
-        # non-null row (a full-corpus max() would scan everything just to
-        # learn the dimension) while still surviving NULL leading rows.
-        first = (
-            df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-            .select(F.size(F.col(vec_col)).alias("d"))
-            .first()
-        )
+        # driver-blocking FULL-SCAN inference job — pass in_dim explicitly
+        # on hot/streaming paths. max() rather than a short-circuiting
+        # first(): first() on an unordered frame returns whichever row a
+        # partition scans first, so on a ragged corpus the inferred dim
+        # (and the whole sign matrix) would be partition-order dependent —
+        # a determinism regression this repo's replayability contract
+        # cannot afford. max() also skips NULL vectors (a NULL first row
+        # must not masquerade as an empty corpus).
+        first = df.select(F.max(F.size(F.col(vec_col))).alias("d")).first()
         if first is None or first["d"] is None or first["d"] <= 0:
             id_type = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(
@@ -357,7 +371,10 @@ def pq_codebooks_from_first_k(
     Lloyd-refined codebook plugs into the same ``pq_encode``; the fixed
     path is what the oracle gate replays."""
     rows = (
-        df.where((F.col(id_col) >= 0) & (F.col(id_col) < k)).orderBy(id_col).collect()
+        df.select(id_col, vec_col)  # don't ship unrelated payload columns
+        .where((F.col(id_col) >= 0) & (F.col(id_col) < k))
+        .orderBy(id_col)
+        .collect()
     )
     if len(rows) < k or [r[id_col] for r in rows] != list(range(k)):
         raise ValueError(f"need ids exactly 0..{k - 1} for deterministic codebooks")
@@ -481,20 +498,8 @@ def ivf_pq_topk(
     qdf = corpus.sparkSession.createDataFrame(
         [([float(v) for v in query],)], f"{vec_col} array<double>"
     )
-    cents = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")))
-        .limit(n_cells)
-    )
-    assign_w = Window.partitionBy("rid").orderBy(F.col("d").desc(), F.col("cent_id"))
-    assigned = (
-        corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("cv"))
-        .join(F.broadcast(cents), how="cross")
-        .select("rid", "cent_id", cosine(F.col("cv"), F.col("cent")).alias("d"))
-        .withColumn("r", F.row_number().over(assign_w))
-        .where(F.col("r") == 1)
-        .select("rid", "cent_id")
-    )
+    cents = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = _assign_cells(corpus, cents, id_col, vec_col).select("rid", "cent_id")
     probe_w = Window.orderBy(F.col("d").desc(), F.col("cent_id"))
     probes = (
         qdf.join(F.broadcast(cents), how="cross")

@@ -1443,3 +1443,16 @@ def test_ngram_containment_is_asymmetric(spark):
     }
     assert got == {(1, 2): 1.0}  # only the short->long direction survives
     assert ngram_jaccard_pairs(df, n=3, threshold=0.5).count() == 0
+
+
+def test_dedup_spans_int_doc_id_no_wrap(spark):
+    """IntegerType doc_id must pack in 64-bit arithmetic: id 2048 with an
+    int column would wrap 32-bit (2048*2^21 > 2^31) and alias another
+    doc's range; the winner must still be the true global first."""
+    dup = "q1 q2 q3 q4"
+    df = spark.createDataFrame(
+        [(2048, f"{dup} tail"), (3000, f"head {dup}")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup.dedup_spans(df, k=4).collect()}
+    assert got[2048]["n_removed"] == 0  # smaller id: keeps the span
+    assert got[3000]["text"] == "head" and got[3000]["n_removed"] == 4
