@@ -342,11 +342,17 @@ def random_project(
 
 def _sub_euclid_raw(sub: Column, cent: list[float]) -> Column:
     """euclidean distance between a subvector column and a literal
-    codeword — left-to-right fold, same association as DuckDB's
+    codeword — left-to-right association, identical to DuckDB's
     list_distance (the cross-engine parity the kmeans gate established).
     UNROUNDED: call sites quantize exactly once (round-6 for encode
     argmin, round-0 micro for the ADC LUT) — rounding twice with
-    different grids is how replays diverge."""
+    different grids is how replays diverge.
+
+    Stays a higher-order ``aggregate`` fold ON PURPOSE: unrolling the
+    k x m x sub_dim distance terms into explicit expression chains was
+    MEASURED SLOWER (1.5s -> 4.1s encode at sf0.1) — the ~500-node tree
+    per row blows past whole-stage-codegen limits and falls back to
+    interpreted expression eval, which loses to the lambda fold."""
     c_arr = F.array(*[F.lit(float(v)) for v in cent])
     sq = F.aggregate(
         F.zip_with(sub, c_arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
