@@ -28,7 +28,10 @@ from apache_cassandra_spark.session import get_spark
 from apache_cassandra_spark.sources.cellstore import CellStore
 from apache_cassandra_spark.sources.ingest import cells_from_table
 
-#: analytical headliners (each also an oracle-checked correctness query)
+#: analytical headliners (each also an oracle-checked correctness query).
+#: The set GROWS as operators land (round 5 added span dedup, bigram LM,
+#: PageRank/HITS/communities, PQ, JPEG decode) — compare rounds
+#: per-query, not by the headline total.
 BENCH_QUERIES = [
     "cass_lww_events",
     "cass_lww_row_tombstones",
