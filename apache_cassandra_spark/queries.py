@@ -2166,6 +2166,50 @@ def q_write_path(spark, sf_dir):
     return _strings(eng.cf(ks, cfn).live(), with_ts=True)
 
 
+def q_streaming_sessions_replay(spark, sf_dir):
+    """Native stateful session windows in the gate: the events table
+    replayed through a REAL multi-micro-batch stream (file source with
+    maxFilesPerTrigger) into ``session_window`` state, complete-mode
+    memory sink — per-(user, session) aggregates must hash-match the
+    same DuckDB lag-based sessionization model as ``events_sessionize``
+    (the batch/stream equivalence tests pin the membership rule; this
+    entry puts the STREAMING execution itself under the oracle). Session
+    state merges across micro-batches, so the result is independent of
+    the nondeterministic file split."""
+    import tempfile
+
+    from apache_cassandra_spark.streaming.sessions import sessionized_stats
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").alias("ts_micros")
+    )
+    root = tempfile.mkdtemp(prefix="sess_gate_")  # left for the lazy read
+    src = f"{root}/src"
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_micros long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    view = "stream_sessions_gate"
+    spark.catalog.dropTempView(view)  # returns False if absent
+    q = (
+        # watermark OFF: replaying history from unordered files would
+        # late-drop everything a batch behind the running max event time
+        sessionized_stats(stream, watermark=None)
+        .writeStream.format("memory")
+        .queryName(view)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming sessions replay did not finish")
+    return spark.table(view).select("user_id", "n_events", "start_us", "end_us")
+
+
 def q_streaming_lww_replay(spark, sf_dir):
     """Stateful streaming in the gate: the SAME event-derived cell log as
     ``cass_lww_events``, replayed through a REAL multi-micro-batch
@@ -3327,6 +3371,21 @@ ORACLES: dict[str, str] = {
                (max(us) - min(us)) / 1000000 AS duration_s
         FROM sess GROUP BY 1, 2
     """,
+    # same lag-based session model as events_sessionize, minus the ordinal
+    # (the streaming operator emits per-session aggregates, not ids)
+    "streaming_sessions_replay": """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        flagged AS (SELECT user_id, event_id, us,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                     OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS newf
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        sess AS (SELECT user_id, us,
+                        cast(sum(newf) OVER (PARTITION BY user_id ORDER BY us, event_id) AS bigint) AS session_no
+                 FROM flagged)
+        SELECT user_id, cast(count(*) as bigint) AS n_events,
+               min(us) AS start_us, max(us) AS end_us
+        FROM sess GROUP BY user_id, session_no
+    """,
     "events_rolling": """
         SELECT user_id, event_id, us,
                count(*) OVER w AS n_last_hour,
@@ -3586,6 +3645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_jpeg": q_media_decode_jpeg,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,
+    "streaming_sessions_replay": q_streaming_sessions_replay,
     "dedup_spans": q_dedup_spans,
     "text_bigram_logprob": q_text_bigram_logprob,
     "events_pagerank": q_events_pagerank,

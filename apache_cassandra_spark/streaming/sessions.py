@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 def sessionized_stats(
     events: DataFrame,
     gap: str = "30 minutes",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     ts_col: str = "ts_micros",
     key_col: str = "user_id",
 ) -> DataFrame:
@@ -33,9 +33,16 @@ def sessionized_stats(
 
     Scale: state is per active (key, session); the watermark bounds how
     long a session can stay open, so state size is (active keys ×
-    open sessions), not history. On batch input it's a plain aggregate."""
+    open sessions), not history. On batch input it's a plain aggregate.
+
+    ``watermark=None`` disables the lateness bound — REQUIRED when
+    replaying unordered historical files in complete mode (a batch whose
+    events lag a previous batch's max by more than the watermark would
+    silently drop them: measured 9,549 → 6,479 sessions on a 6-file
+    shuffle of the events table). Live append-mode streams should keep a
+    watermark or state never ages out."""
     with_ts = events.withColumn("_event_time", F.timestamp_micros(F.col(ts_col)))
-    if with_ts.isStreaming:
+    if with_ts.isStreaming and watermark is not None:
         with_ts = with_ts.withWatermark("_event_time", watermark)
     return (
         with_ts.groupBy(F.session_window("_event_time", gap).alias("w"), F.col(key_col))
