@@ -134,9 +134,27 @@ class Engine:
     def get_count(self, ks: str, key: str, cf_name: str, super_column=None) -> int:
         return R.get_count(self.cf(ks, cf_name), key, super_column).collect()[0]["count"]
 
-    def get_range_slices(self, ks: str, cf_name: str, predicate, key_range: KeyRange, super_column=None) -> DataFrame:
+    def get_range_slices(
+        self,
+        ks: str,
+        cf_name: str,
+        predicate,
+        key_range: KeyRange,
+        super_column=None,
+        include_empty_rows: bool = False,
+    ) -> DataFrame:
+        """``include_empty_rows=True`` is the reference's wire shape: ghost
+        rows (tombstoned or matching no requested column) come back as a
+        ``column IS NULL`` row per key, like an empty-columns KeySlice
+        (test_server.py:774-789)."""
         V.validate_slice_range(V.validate_cf(self.catalog, ks, cf_name), predicate, super_column)
-        return R.get_range_slices(self.cf(ks, cf_name), predicate, key_range, super_column)
+        return R.get_range_slices(
+            self.cf(ks, cf_name),
+            predicate,
+            key_range,
+            super_column,
+            include_empty_rows=include_empty_rows,
+        )
 
     def rows_may_exist(self, ks: str, cf_name: str, keys: list[str]) -> DataFrame:
         return X.rows_may_exist(self.cf(ks, cf_name), keys)

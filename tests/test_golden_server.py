@@ -570,3 +570,38 @@ def test_empty_range(engine):
     assert engine.get_range_slices("Keyspace1", "Standard1", pred, kr).count() == 0
     _insert_simple(engine)  # Standard1 now has rows; Super1 still empty
     assert engine.get_range_slices("Keyspace1", "Super1", pred, kr).count() == 0
+
+
+def test_range_with_remove(engine):
+    # test_server.py:774 — after tombstoning the addressed columns, the
+    # key survives the range scan as a ghost KeySlice with empty columns
+    from apache_cassandra_spark.model import KeyRange
+
+    _insert_simple(engine)
+    kr = KeyRange(start_key="key1", end_key="", count=1000)
+    pred1 = SlicePredicate(column_names=[b"c1"])
+    rows = engine.get_range_slices("Keyspace1", "Standard1", pred1, kr).collect()
+    assert rows and rows[0]["key"] == "key1"
+
+    engine.remove("Keyspace1", "key1", ColumnPath("Standard1", column=b"c1"), 1, durable=False)
+    engine.remove("Keyspace1", "key1", ColumnPath("Standard1", column=b"c2"), 1, durable=False)
+    full = KeyRange(start_key="", end_key="", count=1000)
+    ghosts = engine.get_range_slices(
+        "Keyspace1", "Standard1", SlicePredicate(column_names=[b"c1", b"c2"]), full,
+        include_empty_rows=True,
+    ).collect()
+    assert [(r["key"], r["column"]) for r in ghosts] == [("key1", None)]
+
+
+def test_range_with_remove_cf(engine):
+    # test_server.py:783 — whole-row removal: same ghost shape
+    from apache_cassandra_spark.model import KeyRange
+
+    _insert_simple(engine)
+    engine.remove("Keyspace1", "key1", ColumnPath("Standard1"), 1, durable=False)
+    full = KeyRange(start_key="", end_key="", count=1000)
+    ghosts = engine.get_range_slices(
+        "Keyspace1", "Standard1", SlicePredicate(column_names=[b"c1"]), full,
+        include_empty_rows=True,
+    ).collect()
+    assert [(r["key"], r["column"]) for r in ghosts] == [("key1", None)]
