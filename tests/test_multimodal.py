@@ -407,3 +407,58 @@ def test_audio_features_null_and_malformed_payloads(spark):
     assert out[1]["rms"] == 3.535534 and out[1]["n_frames"] == 2
     for mid in (2, 3, 4):
         assert out[mid]["sample_rate"] is None and out[mid]["rms"] is None
+
+
+# every codec must honor the PERMISSIVE exception contract: corrupt bytes
+# raise ValueError/NotImplementedError ONLY — any other exception type
+# (struct.error, IndexError, numpy errors) would escape decode_media's
+# permissive handler and kill the whole Arrow batch (the bug class the
+# truncated-DRI fix closed)
+
+
+@settings(max_examples=120, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=64))
+def test_random_bytes_never_escape_error_contract(payload):
+    try:
+        codecs.decode_bytes(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def _tiny_bmp() -> bytes:
+    """Minimal 24-bit BMP built by hand (2x2, bottom-up, padded rows)."""
+    import struct
+
+    rows = b"\x01\x02\x03\x04\x05\x06\x00\x00" * 2  # 2 px * 3B + 2B pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data(), fmt=st.sampled_from(["ppm", "bmp", "wav", "png", "jpeg"]))
+def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
+    """Real encoder output chopped/bit-flipped at a random point: the
+    decoder may succeed (flip past the parsed region) or raise the
+    contract errors, never anything else."""
+    from apache_cassandra_spark.analytics import jpeg as jpeg_codec
+
+    import numpy as np
+
+    px = np.full((4, 6, 3), (90, 60, 30), dtype=np.uint8)
+    full = {
+        "ppm": lambda: codecs.encode_ppm(6, 4, (1, 2, 3)),
+        "bmp": lambda: _tiny_bmp(),
+        "wav": lambda: codecs.encode_wav_constant(16, 100),
+        "png": lambda: codecs.encode_png_stored(6, 4, (1, 2, 3)),
+        "jpeg": lambda: jpeg_codec.encode_jpeg_baseline(px),
+    }[fmt]()
+    cut = data.draw(st.integers(0, len(full)))
+    payload = bytearray(full[:cut] if cut < len(full) else full)
+    if payload and data.draw(st.booleans()):
+        i = data.draw(st.integers(0, len(payload) - 1))
+        payload[i] ^= 1 << data.draw(st.integers(0, 7))
+    try:
+        codecs.decode_bytes(bytes(payload))
+    except (ValueError, NotImplementedError):
+        pass
