@@ -64,6 +64,8 @@ def sniff(payload: bytes) -> str:
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:4] == b"GIF8":
+        return "gif"
     return "unknown"
 
 
@@ -302,12 +304,17 @@ def _decode_jpeg(payload: bytes) -> dict:
     return jpeg.decode_jpeg(payload)
 
 
+def _decode_gif(payload: bytes) -> dict:
+    return decode_gif(payload)
+
+
 _DECODERS = {
     "ppm": decode_ppm,
     "bmp": decode_bmp,
     "wav": decode_wav,
     "png": decode_png,
     "jpeg": _decode_jpeg,
+    "gif": _decode_gif,
 }
 
 
@@ -429,7 +436,7 @@ def encode_wav_constant(n_frames: int, amplitude: int, rate: int = 8000) -> byte
 
 def decode_pixels(payload: bytes) -> np.ndarray:
     """(h, w, ch) uint8 raster in RGB channel order for the image formats
-    with a real codec (ppm/pgm, bmp, png, baseline jpeg). Raises
+    with a real codec (ppm/pgm, bmp, png, baseline jpeg, gif). Raises
     NotImplementedError for non-image formats and unsupported profiles —
     same honesty boundary as ``decode_bytes``."""
     fmt = sniff(payload)
@@ -437,6 +444,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         from apache_cassandra_spark.analytics import jpeg
 
         return jpeg.decode_jpeg_pixels(payload)
+    if fmt == "gif":
+        return decode_gif_pixels(payload)
     if fmt == "ppm":
         magic, w, h, maxval, off = _ppm_header(payload)
         if maxval > 255:
@@ -547,3 +556,262 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
         frames.append(payload[pos:end])
         pos = end
     return frames
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, real LZW both directions)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, expect: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    LSB-first bit packing, CLEAR resets the table, codes cap at 12 bits.
+    Stops after ``expect`` indices (trailing bits in the last byte are
+    padding)."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW code before table entry exists")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if len(out) >= expect:
+            # image fully covered; the END code may be cut by a sloppy
+            # encoder — accept exactly-full output
+            break
+    if len(out) < expect:
+        raise ValueError("LZW stream ended before raster was full")
+    return bytes(out[:expect])
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW encoder (table growth, width bumps, 12-bit cap with
+    CLEAR reset) — fixtures exercise the decoder's full state machine."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    buf = b""
+    for byte in indices:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code > 4095:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """Parse GIF87a/89a down to (w, h, palette, index_stream) for the
+    first image descriptor: logical screen descriptor, global/local
+    color table, extension-block skip, LZW sub-block join + decode.
+    Interlaced images raise NotImplementedError; every truncation is a
+    ValueError (the PERMISSIVE decode contract)."""
+    from apache_cassandra_spark.analytics.jpeg import MAX_PIXELS
+
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("no image descriptor before end of data")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("no image descriptor in GIF")
+        if block == 0x21:  # extension: label byte + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated extension block")
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension sub-blocks")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        break
+    if pos + 9 > len(payload):
+        raise ValueError("truncated image descriptor")
+    _ix, _iy, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if w == 0 or h == 0:
+        raise ValueError("zero image dimension")
+    if w * h > MAX_PIXELS:
+        raise ValueError(f"declared dimensions {w}x{h} exceed MAX_PIXELS")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    palette = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated local color table")
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF image has neither global nor local color table")
+    if pos >= len(payload):
+        raise ValueError("truncated LZW header")
+    min_code_size = payload[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated image sub-blocks")
+        sz = payload[pos]
+        pos += 1
+        if sz == 0:
+            break
+        if pos + sz > len(payload):
+            raise ValueError("truncated image sub-block")
+        stream += payload[pos : pos + sz]
+        pos += sz
+    indices = _lzw_decode_gif(bytes(stream), min_code_size, w * h)
+    n_pal = len(palette) // 3
+    if indices and max(indices) >= n_pal:
+        raise ValueError("palette index out of range")
+    return w, h, palette, indices
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode GIF87a/89a (first frame): see ``_parse_gif``. Raster means
+    are over the palette-mapped RGB values."""
+    w, h, palette, indices = _parse_gif(payload)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    px = pal[np.frombuffer(indices, dtype=np.uint8)].astype(np.float64)
+    means = px.mean(axis=0)
+    return {
+        "format": "gif",
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
+def decode_gif_pixels(payload: bytes) -> "np.ndarray":
+    """Full (h, w, 3) uint8 raster for the raster pipeline (resize etc.)."""
+    w, h, palette, indices = _parse_gif(payload)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    return pal[np.frombuffer(indices, dtype=np.uint8)].reshape(h, w, 3)
+
+
+def encode_gif(px: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 raster as non-interlaced GIF87a with a
+    global color table built from the raster's distinct colors (≤256) —
+    real LZW output, so decode fixtures exercise table growth, width
+    bumps and KwKwK."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif needs an (h, w, 3) raster")
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors exceed GIF's 256")
+    # palette size = power of two >= max(2, n_colors)
+    bits = max(1, (len(colors) - 1).bit_length())
+    n_pal = 1 << bits
+    palette = bytearray(colors.astype(np.uint8).tobytes())
+    palette += b"\x00" * (3 * n_pal - len(palette))
+    min_code_size = max(2, bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code_size)
+    lzw = _lzw_encode_gif(inverse.astype(np.uint8).tobytes(), min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)

@@ -637,3 +637,43 @@ def sample_frames(media: DataFrame, every_k: int = 2, id_col: str = "media_id") 
             yield out
 
     return media.select(F.col(id_col).alias("media_id"), "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def gif_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Media table whose every payload is a real LZW-compressed GIF87a:
+    doc_id-parametric column stripes of two colors (stripes exercise the
+    LZW run/table machinery; a constant fill would compress to almost
+    nothing). Like the JPEG fixtures, entropy coding can't be a JVM
+    expression — encoding runs in Arrow-batched ``mapInPandas`` on the
+    executors. GIF is lossless, so the ``media_decode_gif`` oracle
+    recomputes the exact means from the stripe arithmetic."""
+    import numpy as np
+
+    from apache_cassandra_spark.analytics import codecs
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 6 + doc_id % 9
+                h = 4 + doc_id % 5
+                c1 = (doc_id % 256, (3 * doc_id) % 256, (7 * doc_id) % 256)
+                c2 = ((11 * doc_id) % 256, (13 * doc_id) % 256, (17 * doc_id) % 256)
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, 0::2] = c1
+                px[:, 1::2] = c2
+                recs.append(
+                    {"media_id": doc_id, "media_type": "image", "payload": codecs.encode_gif(px)}
+                )
+            yield pd.DataFrame(recs, columns=["media_id", "media_type", "payload"])
+
+    return docs.select("doc_id").mapInPandas(run, out_schema)

@@ -2024,6 +2024,29 @@ def q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def q_media_decode_gif(spark, sf_dir):
+    """LZW-container decode in the gate: every payload is a real GIF87a
+    (palette + real LZW stream, built per row in mapInPandas) of
+    doc_id-parametric two-color column stripes, decoded by the honest
+    GIF parser (header/palette/extension walk + full variable-width LZW
+    with table growth and clear-reset). GIF is lossless so the oracle
+    recomputes every field from the stripe arithmetic; a wrong palette
+    read, a misstepped LZW width bump, or a dropped sub-block shifts the
+    means and mismatches the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = multimodal.decode_media(multimodal.gif_media_from_documents(docs))
+    return dec.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_lexicaluuid_comparator_slice(spark, sf_dir):
     """LexicalUUIDType comparator in the gate: column names are 16-byte
     pseudo-UUIDs (md5 of the event id), ordered by *signed* msb then lsb
@@ -3518,6 +3541,27 @@ ORACLES: dict[str, str] = {
                round(cast(b as double), 6) AS mean_b
         FROM m
     """,
+    # GIF is lossless: the stripe raster means are exact rational
+    # arithmetic — n_even = h*ceil(w/2) columns of c1, n_odd = h*floor(w/2)
+    # of c2; integer sums are exact in double, so mean = sum/n bit-matches
+    "media_decode_gif": """
+        WITH m AS (
+          SELECT doc_id,
+                 6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h,
+                 doc_id % 256 AS r1, (3 * doc_id) % 256 AS g1, (7 * doc_id) % 256 AS b1,
+                 (11 * doc_id) % 256 AS r2, (13 * doc_id) % 256 AS g2, (17 * doc_id) % 256 AS b2
+          FROM documents),
+        c AS (SELECT *, h * ((w + 1) // 2) AS n0, h * (w // 2) AS n1, w * h AS n FROM m)
+        SELECT doc_id AS media_id,
+               'gif' AS format,
+               cast(w as integer) AS width,
+               cast(h as integer) AS height,
+               cast(3 as integer) AS channels,
+               round((n0 * r1 + n1 * r2) / cast(n as double), 6) AS mean_r,
+               round((n0 * g1 + n1 * g2) / cast(n as double), 6) AS mean_g,
+               round((n0 * b1 + n1 * b2) / cast(n as double), 6) AS mean_b
+        FROM c
+    """,
     "media_decode_jpeg": """
         -- replays the ONLY lossy step of the all-ones-qtable constant-fill
         -- encode->decode chain: the JFIF color convert, in the exact
@@ -3643,6 +3687,7 @@ ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): new round-5 entries ---
     "media_decode_jpeg": q_media_decode_jpeg,
+    "media_decode_gif": q_media_decode_gif,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,
     "streaming_sessions_replay": q_streaming_sessions_replay,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "events_pagerank",
     "events_hits",
     "media_decode_jpeg",
+    "media_decode_gif",
     "events_communities",
     "embedding_pq_encode",
     "sim_pq_topk",

@@ -436,7 +436,7 @@ def _tiny_bmp() -> bytes:
 
 
 @settings(max_examples=120, deadline=None)
-@given(data=st.data(), fmt=st.sampled_from(["ppm", "bmp", "wav", "png", "jpeg"]))
+@given(data=st.data(), fmt=st.sampled_from(["ppm", "bmp", "wav", "png", "jpeg", "gif"]))
 def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
     """Real encoder output chopped/bit-flipped at a random point: the
     decoder may succeed (flip past the parsed region) or raise the
@@ -452,6 +452,7 @@ def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
         "wav": lambda: codecs.encode_wav_constant(16, 100),
         "png": lambda: codecs.encode_png_stored(6, 4, (1, 2, 3)),
         "jpeg": lambda: jpeg_codec.encode_jpeg_baseline(px),
+        "gif": lambda: codecs.encode_gif(px),
     }[fmt]()
     cut = data.draw(st.integers(0, len(full)))
     payload = bytearray(full[:cut] if cut < len(full) else full)
@@ -462,3 +463,77 @@ def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
         codecs.decode_bytes(bytes(payload))
     except (ValueError, NotImplementedError):
         pass
+
+
+# --- GIF (real LZW) ---------------------------------------------------------
+
+import numpy as np
+
+
+def test_gif_roundtrip_regimes():
+    """Bit-exact encode->decode across the LZW state machine: constant
+    fill, full-gradient table growth, 250-color noise past the 12-bit cap
+    (clear+reset), and long-run stripes (KwKwK chains)."""
+    rng = np.random.RandomState(11)
+    rasters = [
+        np.full((4, 6, 3), (10, 200, 30), dtype=np.uint8),
+        np.stack(np.meshgrid(np.arange(16) * 16, np.arange(16) * 16), -1)[
+            :, :, [0, 1, 1]
+        ].astype(np.uint8),
+        None,  # big noise, built below
+        np.where(np.arange(200)[None, :, None] % 2 == 0, 255, 0).astype(np.uint8)
+        * np.ones((64, 1, 3), dtype=np.uint8),
+    ]
+    pal = np.stack(
+        [np.arange(250), (np.arange(250) * 3) % 256, (np.arange(250) * 7) % 256], axis=1
+    ).astype(np.uint8)
+    rasters[2] = pal[rng.randint(0, 250, size=(128, 128))]
+    for px in rasters:
+        assert np.array_equal(codecs.decode_gif_pixels(codecs.encode_gif(px)), px)
+
+
+def test_gif_decode_stats_and_sniff():
+    px = np.full((4, 6, 3), (10, 200, 30), dtype=np.uint8)
+    payload = codecs.encode_gif(px)
+    assert codecs.sniff(payload) == "gif"
+    d = codecs.decode_bytes(payload)
+    assert (d["format"], d["width"], d["height"], d["channels"]) == ("gif", 6, 4, 3)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (10.0, 200.0, 30.0)
+
+
+def test_gif_89a_extension_blocks_skipped():
+    """A GIF89a graphic-control extension before the image descriptor is
+    skipped; the raster decodes identically."""
+    px = np.full((2, 3, 3), (1, 2, 3), dtype=np.uint8)
+    payload = bytearray(codecs.encode_gif(px))
+    payload[4:6] = b"9a"
+    # splice a GCE (0x21 0xF9, 4-byte block, terminator) after the GCT
+    gct_end = 13 + 3 * 2  # 2-entry palette
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(payload[:gct_end]) + gce + bytes(payload[gct_end:])
+    d = codecs.decode_bytes(spliced)
+    assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (1.0, 2.0, 3.0)
+
+
+def test_gif_interlaced_raises_not_implemented():
+    px = np.full((2, 3, 3), (1, 2, 3), dtype=np.uint8)
+    payload = bytearray(codecs.encode_gif(px))
+    # image descriptor starts after header(13) + 2-entry GCT(6) at 0x2C;
+    # its packed byte is the 9th descriptor byte
+    idesc = 13 + 6
+    assert payload[idesc] == 0x2C
+    payload[idesc + 9] |= 0x40
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        codecs.decode_bytes(bytes(payload))
+
+
+def test_gif_truncations_are_value_errors():
+    import pytest
+
+    px = np.full((3, 5, 3), (9, 9, 9), dtype=np.uint8)
+    full = codecs.encode_gif(px)
+    for cut in (5, 12, 17, len(full) - 2):
+        with pytest.raises((ValueError, NotImplementedError)):
+            codecs.decode_bytes(full[:cut])

@@ -38,6 +38,7 @@ AUDITED = {
     "events_pagerank": "integer-exact PageRank, 3 unrolled iterations: per iteration one equality join (src==node) + one partial-combinable HashAggregate on dst (Pregel message shape); edge derivation is a per-user bounded window; no cartesian, no SortAggregate",
     "events_hits": "integer-exact HITS: half-steps execute EAGERLY (localCheckpoint lineage cuts — see SCALE.md), so the printed plan is the final join of node-count-sized checkpointed score tables; each half-step was one equality join + HashAggregate + a single-row broadcast max; max-normalize is an integer div — no float L2 norm",
     "events_communities": "synchronous label propagation: per round one equality join (neighbor label) + (node,label) HashAggregate + argmax as TWO aggregates (max weight, then min label) — no window, so celebrity-node votes stay map-side combinable",
+    "media_decode_gif": "GIF path: per-row mapInPandas encode (real LZW) then one mapInPandas decode — pure map, no shuffle, payload bytes never reach the driver",
     "embedding_pq_encode": "PQ encode: codebooks are plan literals; every per-subspace argmin is a per-row array_min over codegen'd distance folds — map-only, NO join/exchange/Python; the shape that scans 10^9 vectors embarrassingly parallel",
     "sim_pq_topk": "ADC top-k: pq_encode's map-only argmin + m literal-array LUT lookups summed as integers + TakeOrderedAndProject — no window, no join, no global sort",
     "corpus_decontaminate": "decontamination: eval shingle set deduped then BroadcastExchange; train shingle stream consumed by a map-side LeftSemi BroadcastHashJoin — the only corpus-keyed Exchange is the doc-id distinct for the flag frame",
