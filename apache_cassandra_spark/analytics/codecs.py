@@ -650,12 +650,14 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
     code_size = min_code_size + 1
     emit(clear, code_size)
     buf = b""
+    emitted_since_clear = False
     for byte in indices:
         cand = buf + bytes([byte])
         if cand in table:
             buf = cand
             continue
         emit(table[buf], code_size)
+        emitted_since_clear = True
         table[cand] = next_code
         next_code += 1
         if next_code - 1 == (1 << code_size) and code_size < 12:
@@ -665,9 +667,20 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
             table = {bytes([i]): i for i in range(clear)}
             next_code = end + 1
             code_size = min_code_size + 1
+            emitted_since_clear = False
         buf = bytes([byte])
     if buf:
         emit(table[buf], code_size)
+        # a spec-strict decoder adds one table entry for this code (it has
+        # a prev unless it's the first after a clear) and may bump the
+        # code width BEFORE reading END — mirror that, or END goes out at
+        # the stale width (measured: 69/400 random rasters misread by a
+        # strict external decoder; our lenient decoder stops at w*h and
+        # never noticed)
+        if emitted_since_clear:
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
     emit(end, code_size)
     if nbits:
         out.append(acc & 0xFF)

@@ -169,6 +169,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = 10_000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: directed containment
     ``|A ∩ B| / |A|`` over word-n-gram sets — high when document A is
@@ -184,7 +185,7 @@ def ngram_containment_pairs(
     both directions before the threshold filter.
     """
     postings, sizes = _postings_and_sizes(
-        df, text_col, id_col, n, max_doc_freq, True, "ngram_containment_pairs"
+        df, text_col, id_col, n, max_doc_freq, log_dropped, "ngram_containment_pairs"
     )
     a = postings.select(F.col("id").alias("id_src"), "shingle")
     b = postings.select(F.col("id").alias("id_dst"), "shingle")

@@ -285,13 +285,16 @@ def hits(
     # only at normalization would let the sum itself wrap first and
     # hand the guard an innocent-looking garbage max.
     _weight_ceiling = (2**63 - 1) // (MICRO * MICRO)
-    incident = e.select(F.col("dst").alias("n"), "w").unionByName(
-        e.select(F.col("src").alias("n"), "w")
-    )
-    mx_w = incident.groupBy("n").agg(F.sum("w").alias("tw")).agg(F.max("tw")).first()[0]
-    if mx_w is not None and mx_w > _weight_ceiling:
+    # in- and out-weight bound SEPARATELY: auth sums are bounded by
+    # in-weight, hub sums by out-weight — summing both directions into
+    # one total would reject graphs ~2x inside the real ceiling (and
+    # double-count self-loops)
+    mx_in = e.groupBy("dst").agg(F.sum("w").alias("tw")).agg(F.max("tw")).first()[0]
+    mx_out = e.groupBy("src").agg(F.sum("w").alias("tw")).agg(F.max("tw")).first()[0]
+    mx_w = max(mx_in or 0, mx_out or 0)
+    if mx_w > _weight_ceiling:
         raise ValueError(
-            f"hits: a node's total incident weight {mx_w} exceeds the "
+            f"hits: a node's total directional weight {mx_w} exceeds the "
             f"int64-safe ceiling {_weight_ceiling}; rescale edge weights "
             "(e.g. log-counts)"
         )

@@ -2199,6 +2199,7 @@ def q_streaming_sessions_replay(spark, sf_dir):
     entry puts the STREAMING execution itself under the oracle). Session
     state merges across micro-batches, so the result is independent of
     the nondeterministic file split."""
+    import shutil
     import tempfile
 
     from apache_cassandra_spark.streaming.sessions import sessionized_stats
@@ -2206,7 +2207,11 @@ def q_streaming_sessions_replay(spark, sf_dir):
     ev = load_events(spark, sf_dir).select(
         "user_id", F.expr("ts div 1000").alias("ts_micros")
     )
-    root = tempfile.mkdtemp(prefix="sess_gate_")  # left for the lazy read
+    # unlike the LWW replay's parquet staging, the memory sink holds the
+    # result rows in the driver — the source copy is dead once the query
+    # terminates, so clean it up instead of leaking a full events copy
+    # per invocation
+    root = tempfile.mkdtemp(prefix="sess_gate_")
     src = f"{root}/src"
     ev.repartition(6).write.mode("overwrite").parquet(src)
 
@@ -2230,6 +2235,7 @@ def q_streaming_sessions_replay(spark, sf_dir):
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("streaming sessions replay did not finish")
+    shutil.rmtree(root, ignore_errors=True)
     return spark.table(view).select("user_id", "n_events", "start_us", "end_us")
 
 

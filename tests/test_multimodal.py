@@ -537,3 +537,88 @@ def test_gif_truncations_are_value_errors():
     for cut in (5, 12, 17, len(full) - 2):
         with pytest.raises((ValueError, NotImplementedError)):
             codecs.decode_bytes(full[:cut])
+
+
+def _strict_lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
+    """Spec-strict external-decoder model: never stops early, must read a
+    well-formed END code at the correct width — catches encoder width
+    desyncs our lenient decoder (which stops at w*h indices) forgives."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 0
+    prev = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = pos = 0
+    while True:
+        while nbits < code_size:
+            assert pos < len(data), "EOF mid-code (END at wrong width)"
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            assert code == len(table), "code out of range"
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    assert len(out) == expect
+    return bytes(out)
+
+
+def test_gif_encoder_satisfies_strict_external_decoder():
+    """The flush data code makes a strict decoder add a table entry and
+    possibly bump the code width BEFORE reading END; the encoder must
+    emit END at that bumped width (pre-fix: 10/400 random rasters hit
+    EOF mid-END). Fixed seeds cover the boundary-crossing shapes."""
+    rng = np.random.RandomState(3)
+    cases = [rng.randint(0, rng.randint(1, 9), size=(rng.randint(1, 12), rng.randint(1, 12))).astype(np.uint8) for _ in range(200)]
+    cases.append(rng.randint(0, 250, size=(128, 128)).astype(np.uint8))
+    cases.append(np.zeros((1, 1), dtype=np.uint8))
+    for idx in cases:
+        ncol = int(idx.max()) + 1
+        pal = (np.arange(max(ncol, 2))[:, None] * np.array([1, 3, 7]) % 256).astype(np.uint8)
+        px = pal[idx]
+        payload = codecs.encode_gif(px)
+        w, h, palette, indices = codecs._parse_gif(payload)
+        # re-extract the raw stream to strict-decode it
+        pos = 13
+        if payload[10] & 0x80:
+            pos += 3 * (2 << (payload[10] & 0x07))
+        pos += 10
+        mcs = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while True:
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            stream += payload[pos : pos + sz]
+            pos += sz
+        got = _strict_lzw_decode(bytes(stream), mcs, w * h)
+        enc_pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        assert np.array_equal(enc_pal[np.frombuffer(got, dtype=np.uint8)].reshape(h, w, 3), px)
