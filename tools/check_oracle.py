@@ -20,6 +20,33 @@ from apache_cassandra_spark.session import get_spark
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def nonscalar_spark_cols(schema) -> list[str]:
+    """Columns the driver's pandas canonicalizer cannot hash: its
+    ``sort_values`` factorizes each column and crashes on list/dict
+    cells (``TypeError: unhashable type: 'list'`` — round-5's
+    embedding_pq_encode red row). Array/struct/map output must be a
+    hard failure here, like the decimal128 guard, not stringified past."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def nonscalar_arrow_cols(schema) -> list[str]:
+    return [
+        f.name
+        for f in schema
+        if pat.is_list(f.type)
+        or pat.is_large_list(f.type)
+        or pat.is_fixed_size_list(f.type)
+        or pat.is_struct(f.type)
+        or pat.is_map(f.type)
+    ]
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -59,6 +86,14 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        bad_spark = nonscalar_spark_cols(sdf.schema)
+        if bad_spark:
+            failures.append(name)
+            print(
+                f"FAIL {name}: spark emits array/struct/map columns {bad_spark} "
+                f"(driver pandas canonicalizer crashes on list cells — emit scalars)"
+            )
+            continue
         if name not in os_:
             print(f"ok?  {name}: rows={len(s_rows)} (no oracle, rows-only check)")
             continue
@@ -80,6 +115,14 @@ def main():
             print(
                 f"FAIL {name}: oracle emits decimal128/256 columns {bad_decimal} "
                 f"(uncast hugeint sum? driver value-hash will mismatch — cast to bigint/double)"
+            )
+            continue
+        bad_arrow = nonscalar_arrow_cols(tbl.schema)
+        if bad_arrow:
+            failures.append(name)
+            print(
+                f"FAIL {name}: oracle emits array/struct/map columns {bad_arrow} "
+                f"(driver pandas canonicalizer crashes on list cells — emit scalars)"
             )
             continue
         if sorted(s_cols) != sorted(d_cols):
@@ -109,6 +152,10 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             continue
         print(f"PASS {name}: rows={len(s_rows)}")
+        # per-query isolation (same as bench.py): queries that cache
+        # intermediates (tf-idf vocab, LM counts, dedup postings) must not
+        # accumulate executor storage across a 50-entry gate session
+        spark.catalog.clearCache()
 
     print()
     if failures:
