@@ -214,7 +214,12 @@ DECODED_PERMISSIVE_SCHEMA = T.StructType(
 )
 
 
-def decode_media(media: DataFrame, id_col: str = "media_id", mode: str = "FAILFAST") -> DataFrame:
+def decode_media(
+    media: DataFrame,
+    id_col: str = "media_id",
+    mode: str = "FAILFAST",
+    exact_jpeg: bool = False,
+) -> DataFrame:
     """REAL decode of media payloads (netpbm/BMP/WAV/PNG/baseline JPEG)
     via ``mapInPandas``.
 
@@ -231,7 +236,11 @@ def decode_media(media: DataFrame, id_col: str = "media_id", mode: str = "FAILFA
 
     One Arrow batch in, one out; pure per-row map — no shuffle; payload
     bytes stay on the executors, and a metadata-only downstream select
-    prunes the payload column at the Parquet scan."""
+    prunes the payload column at the Parquet scan.
+
+    ``exact_jpeg=True`` pins the from-scratch T.81 JPEG decoder (the
+    gate's oracle anchor); default lets JPEG route through Pillow/libjpeg
+    when importable (``codecs.decode_jpeg_pil``)."""
     if mode not in ("FAILFAST", "PERMISSIVE"):
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
     permissive = mode == "PERMISSIVE"
@@ -244,13 +253,13 @@ def decode_media(media: DataFrame, id_col: str = "media_id", mode: str = "FAILFA
                 raw = bytes(payload or b"")
                 if permissive:
                     try:
-                        d = codecs.decode_bytes(raw)
+                        d = codecs.decode_bytes(raw, exact_jpeg=exact_jpeg)
                         d["decode_error"] = None
                     except (ValueError, NotImplementedError) as e:
                         d = {k: None for k in codecs.DECODE_FIELDS}
                         d["decode_error"] = f"{type(e).__name__}: {e}"
                 else:
-                    d = codecs.decode_bytes(raw)
+                    d = codecs.decode_bytes(raw, exact_jpeg=exact_jpeg)
                 d["media_id"] = mid
                 d["n_bytes"] = len(raw)
                 recs.append(d)

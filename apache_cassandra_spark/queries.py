@@ -2066,7 +2066,12 @@ def q_media_decode_jpeg(spark, sf_dir):
     (``db/ColumnFamily.java:37``); decode was client-side there,
     first-class mapInPandas here."""
     docs = load_table(spark, sf_dir, "documents")
-    dec = multimodal.decode_media(multimodal.jpeg_media_from_documents(docs))
+    # exact_jpeg pins the from-scratch decoder: the oracle replays ITS
+    # IEEE-double color-convert chain; libjpeg's integer rounding (the
+    # optional Pillow fast path) can differ by ±1 per pixel
+    dec = multimodal.decode_media(
+        multimodal.jpeg_media_from_documents(docs), exact_jpeg=True
+    )
     return dec.select(
         "media_id",
         "format",
