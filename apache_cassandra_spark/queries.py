@@ -3758,66 +3758,19 @@ ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
 ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
-# entries per round. Rotation policy: new/never-checked entries lead, then
-# the entries whose newest driver row is oldest, then core sentinels
-# (write path, LWW, slices, ranges, comparators). Round 5 leads with the
-# 8 new round-5 operators + the 15 entries last checked in round 2;
-# everything outside the window has a green row from round 3 or 4.
+# entries per round. Rotation policy: entries whose implementation changed
+# this round lead, then the entries whose newest driver row is oldest,
+# then core sentinels (write path, LWW, slice, range). Round 6 leads with
+# the 5 round-6-touched gates + the 25 entries last checked in round 3;
+# everything outside the window has a green row from round 4 or 5.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50): new round-5 entries ---
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "media_decode_gif": q_media_decode_gif,
-    "cluster_kmeans_exact": q_cluster_kmeans_exact,
-    "streaming_lww_replay": q_streaming_lww_replay,
-    "streaming_sessions_replay": q_streaming_sessions_replay,
-    "dedup_spans": q_dedup_spans,
-    "text_bigram_logprob": q_text_bigram_logprob,
-    "events_pagerank": q_events_pagerank,
-    "events_hits": q_events_hits,
-    "events_communities": q_events_communities,
+    # --- driver window (first 50): implementations touched in round 6 ---
     "embedding_pq_encode": q_embedding_pq_encode,
-    "sim_pq_topk": q_sim_pq_topk,
-    "dedup_containment": q_dedup_containment,
-    # --- stale: last driver row in round 2, code untouched since ---
-    "tpch_q3ish": q_tpch_q3ish,
-    "customers_without_orders": q_customers_without_orders,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "status_priority_matrix": q_status_priority_matrix,
-    "dedup_exact": q_dedup_exact,
+    "text_bpe_train": q_text_bpe_train,
+    "media_decode_jpeg": q_media_decode_jpeg,
     "dedup_ngram_jaccard": q_dedup_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_exact": q_dedup_embedding_exact,
-    "sim_topk": q_sim_topk,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "text_token_stats": q_text_token_stats,
-    "text_fingerprint": q_text_fingerprint,
-    # --- implementation touched in round 5 (re-verify) ---
-    "events_salted_agg": q_events_salted_agg,
-    "events_salted_join": q_events_salted_join,
-    "embedding_project": q_embedding_project,
-    "media_decode": q_media_decode,
-    "media_decode_png": q_media_decode_png,
-    "media_resize": q_media_resize,
-    "cass_write_path": q_write_path,
-    "cass_lww_events": q_lww_events,
-    # --- oldest remaining driver rows (round 3) ---
-    "cass_multiget_slice": q_multiget_slice,
-    "cass_get_count": q_get_count,
-    "cass_range_slices_keys": q_range_slices_keys,
-    "cass_range_slice_deprecated": q_range_slice_deprecated,
-    "cass_range_slices_wrapped": q_range_slices_wrapped,
-    "cass_super_slice": q_super_slice,
-    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
-    "cass_read_at_ts": q_read_at_ts,
-    "cass_lww_row_tombstones": q_lww_row_tombstones,
-    "cass_super_get_count": q_super_get_count,
-    "cass_multiget": q_multiget,
-    "events_props_json": q_events_props_json,
-    "cass_long_comparator_slice": q_long_comparator_slice,
-    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
+    "dedup_containment": q_dedup_containment,
+    # --- stale: last driver row in round 3, code untouched since ---
     "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
     "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
     "rows_may_exist": q_rows_may_exist,
@@ -3828,7 +3781,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1ish": q_tpch_q1ish,
     "tpch_top_nations": q_top_nations,
     "events_hourly": q_events_hourly,
-    # --- freshest rows (round 3/4) — cycle back in later rounds ---
+    "events_windowed": q_events_windowed,
+    "events_sliding": q_events_sliding,
+    "events_pivot": q_events_pivot,
+    "events_daily_active": q_events_daily_active,
+    "events_interval_join": q_events_interval_join,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "events_rolling": q_events_rolling,
+    "orders_rollup": q_orders_rollup,
+    "lineitem_quantiles": q_lineitem_quantiles,
+    "text_normalize": q_text_normalize,
+    "corpus_split": q_corpus_split,
+    "basket_pairs": q_basket_pairs,
+    # --- core sentinels ---
+    "cass_write_path": q_write_path,
+    "cass_lww_events": q_lww_events,
+    "cass_get_slice": q_get_slice,
+    "cass_range_slices_keys": q_range_slices_keys,
+    # --- oldest round-4 rows ---
     "corpus_blocklist": q_corpus_blocklist,
     "dedup_lines": q_dedup_lines,
     "corpus_decontaminate": q_corpus_decontaminate,
@@ -3845,8 +3818,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "text_unigram_logprob": q_text_unigram_logprob,
     "corpus_mixture": q_corpus_mixture,
+    # --- freshest rows (round 4/5) — next cycle's backlog ---
+    "media_decode_gif": q_media_decode_gif,
+    "cluster_kmeans_exact": q_cluster_kmeans_exact,
+    "streaming_lww_replay": q_streaming_lww_replay,
+    "streaming_sessions_replay": q_streaming_sessions_replay,
+    "dedup_spans": q_dedup_spans,
+    "text_bigram_logprob": q_text_bigram_logprob,
+    "events_pagerank": q_events_pagerank,
+    "events_hits": q_events_hits,
+    "events_communities": q_events_communities,
+    "sim_pq_topk": q_sim_pq_topk,
+    "tpch_q3ish": q_tpch_q3ish,
+    "customers_without_orders": q_customers_without_orders,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "status_priority_matrix": q_status_priority_matrix,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
+    "sim_topk": q_sim_topk,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_token_stats": q_text_token_stats,
+    "text_fingerprint": q_text_fingerprint,
+    "events_salted_agg": q_events_salted_agg,
+    "events_salted_join": q_events_salted_join,
+    "embedding_project": q_embedding_project,
+    "media_decode": q_media_decode,
+    "media_decode_png": q_media_decode_png,
+    "media_resize": q_media_resize,
+    "cass_multiget_slice": q_multiget_slice,
+    "cass_get_count": q_get_count,
+    "cass_range_slice_deprecated": q_range_slice_deprecated,
+    "cass_range_slices_wrapped": q_range_slices_wrapped,
+    "cass_super_slice": q_super_slice,
+    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
+    "cass_read_at_ts": q_read_at_ts,
+    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_super_get_count": q_super_get_count,
+    "cass_multiget": q_multiget,
+    "events_props_json": q_events_props_json,
+    "cass_long_comparator_slice": q_long_comparator_slice,
+    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
     "text_bpe_pairs": q_text_bpe_pairs,
-    "text_bpe_train": q_text_bpe_train,
     "text_bpe_encode": q_text_bpe_encode,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
@@ -3869,23 +3885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "corpus_stats": q_corpus_stats,
     "cf_join": q_cf_join,
-    "cass_get_slice": q_get_slice,
     "cass_get_slice_names": q_get_slice_names,
     "cass_get_slice_reversed": q_get_slice_reversed,
     "cass_get_slice_bounded": q_get_slice_bounded,
-    "events_windowed": q_events_windowed,
-    "events_sliding": q_events_sliding,
-    "events_pivot": q_events_pivot,
-    "events_daily_active": q_events_daily_active,
-    "events_interval_join": q_events_interval_join,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "events_asof": q_events_asof,
-    "events_range_join": q_events_range_join,
-    "events_rolling": q_events_rolling,
-    "orders_rollup": q_orders_rollup,
-    "lineitem_quantiles": q_lineitem_quantiles,
-    "text_normalize": q_text_normalize,
-    "corpus_split": q_corpus_split,
-    "basket_pairs": q_basket_pairs,
 }

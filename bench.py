@@ -177,9 +177,17 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
 
     # -- analytical headliners ----------------------------------------------
+    # The dedup family gets the same median-of-3 treatment as the stress ops
+    # (judge r5): dedup_minhash_lsh moved 1.40→1.83s across rounds with zero
+    # code change — its shuffle-heavy shape is page-cache-state-bound at
+    # sandbox scale, so a single shot conflates plan cost with disk luck.
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        results[name] = timed(lambda fn=fn: fn(spark, sf_dir).count(), warmup=True)
+        run = lambda fn=fn: fn(spark, sf_dir).count()
+        if name.startswith("dedup_"):
+            results[name] = timed_median(run, warmup=True)
+        else:
+            results[name] = timed(run, warmup=True)
         # per-query isolation: drop any cached intermediates the query built
         spark.catalog.clearCache()
 
