@@ -225,6 +225,55 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: what fraction of a document's
+    distinct word-n-grams appear in no other document — the standard
+    memorization / boilerplate signal for training-data curation (a
+    near-zero score means the document is assembled from corpus-common
+    phrasing; near-one means genuinely novel text). The reference's
+    closest analog is a full client-side `get_range_slices` walk per
+    document (service/StorageProxy.java:795-868) — here one declarative
+    two-aggregate plan.
+
+    Output: one row per document with ≥1 shingle —
+    ``(doc_id, n_shingles, n_unique, novelty_ppm)`` where ``novelty_ppm``
+    is integer parts-per-million (``1_000_000 * n_unique // n_shingles``)
+    so the gate hash is float-free.
+
+    Scale shape: the distinct (id, shingle) stream shuffles ONCE on
+    ``shingle`` for the corpus doc-freq aggregate; the postings→freq
+    join is then co-partitioned on the same key (no second exchange for
+    the join side), and the final per-doc roll-up shuffles the ~one-row
+    -per-(doc, shingle) stream on ``id``. Nothing is quadratic, no
+    per-document corpus scan; hot shingles cost a large posting count in
+    ONE aggregate, not a join explosion (we never pair postings).
+    """
+    shd = shingle_sets(df, text_col, id_col, n)
+    freq = shd.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        shd.join(freq, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_unique",
+            # bigint `div`, not double `/` + cast: double division can round
+            # a just-below-integer quotient UP across the truncation
+            # boundary; integer division is exact in both engines
+            F.expr("(1000000 * n_unique) div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

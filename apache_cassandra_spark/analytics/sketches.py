@@ -1,0 +1,57 @@
+"""Cardinality estimation: exact distinct counts and their HyperLogLog++
+scale twins.
+
+The reference has no server-side distinct-count at all — counting unique
+row keys meant a full `get_range_slices` client walk
+(service/StorageProxy.java:795-868) or the Hadoop/Pig bulk path
+(contrib/pig/.../CassandraStorage.java). Here both shapes are
+first-class aggregates:
+
+* ``distinct_counts`` (exact) — Spark plans COUNT(DISTINCT x) as a
+  two-phase Expand + partial/final hash aggregate: the dedup happens
+  map-side per group before the shuffle, so the exchange carries one row
+  per (group, distinct value), not per input row.
+* ``distinct_counts(approx=True)`` — HyperLogLog++ (`approx_count_distinct`),
+  the 100 TB path: constant ~1.5 KB of sketch per (group, column)
+  regardless of cardinality, merged associatively map-side. At ~10⁹
+  distinct user ids the exact Expand shuffle moves the full distinct
+  set; the HLL shuffle moves kilobytes per group. ``rsd`` trades sketch
+  width for error (default 5%, like Spark's).
+
+Gate strategy: the exact form is the oracle-anchored driver entry
+(`events_distinct_exact` hash-matches DuckDB at any sf); the HLL form is
+rows-only by design — its value is engine-specific (Spark's dense/sparse
+HLL++ registers vs DuckDB's) even though it is deterministic for a given
+input, so the unit tests pin it within rsd of the exact twin instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_cols: list[str],
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group distinct cardinality of each ``distinct_cols`` column,
+    plus the group's total row count.
+
+    Output columns: ``group_cols…, n_<col> (one per distinct col),
+    n_rows``. ``approx=True`` swaps every COUNT(DISTINCT) for
+    HyperLogLog++ with relative standard deviation ``rsd``.
+    """
+    if not distinct_cols:
+        raise ValueError("distinct_cols must be non-empty")
+    agg = [
+        (
+            F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
+        ).alias(f"n_{c}")
+        for c in distinct_cols
+    ]
+    agg.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.groupBy(*group_cols).agg(*agg)

@@ -2357,6 +2357,147 @@ def q_streaming_lww_replay(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions: multi-way OLAP join, cardinality sketches, novelty,
+# integer-exact anomaly flags, third streaming gate
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): six-table star join —
+    region→nation→(customer, supplier) with the correlation predicate
+    ``c_nationkey = s_nationkey`` tying the two dimension arms together
+    through orders→lineitem. The widest declarative join in the suite:
+    Catalyst reorders it, pushes the region/date filters to the scans,
+    and AQE picks broadcast vs shuffle per side at runtime (only the
+    two provably tiny dims are hinted). The reference could not join at
+    all server-side — this entire shape was a client-side Pig script
+    over ColumnFamilyInputFormat (contrib/pig/.../CassandraStorage.java).
+
+    Float discipline: revenue terms rounded to decimal(18,4) BEFORE the
+    sum (exact associative decimal addition), cast to double only on
+    output — the q1ish/q3ish contract."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_events_distinct_exact(spark, sf_dir):
+    """Exact per-type cardinalities (distinct users, distinct active
+    days, total events) — the oracle-anchored twin of the HLL entry.
+    Spark plans COUNT(DISTINCT) as two-phase Expand + partial aggregate:
+    dedup happens map-side, the exchange carries (group, distinct value)
+    rows, not raw events."""
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    ev = load_events(spark, sf_dir)
+    day = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    return distinct_counts(
+        ev.withColumn("day", day), ["event_type"], ["user_id", "day"]
+    )
+
+
+def q_events_distinct_hll(spark, sf_dir):
+    """HyperLogLog++ cardinalities — the 100 TB path: ~KB of mergeable
+    sketch per (group, column) instead of shuffling the distinct set.
+    Rows-only by design: the estimate is deterministic for a given input
+    but engine-specific (Spark's HLL++ registers vs DuckDB's), so the
+    unit tests pin it within rsd of the exact twin and the driver checks
+    the row shape (one row per event_type either way)."""
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    ev = load_events(spark, sf_dir)
+    day = F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    return distinct_counts(
+        ev.withColumn("day", day), ["event_type"], ["user_id", "day"], approx=True
+    )
+
+
+def q_docs_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (memorization/boilerplate signal):
+    fraction of a doc's distinct 3-gram shingles appearing in no other
+    doc, as integer parts-per-million. See dedup.ngram_novelty for the
+    one-shuffle-per-key plan shape."""
+    from apache_cassandra_spark.analytics.dedup import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Integer-exact per-user z-score outliers (k=2σ, population
+    variance, n≥5): the float-free algebraization
+    ``(n·v − S)² > k²(n·Q − S²)`` in decimal(38,0)/HUGEINT — identical
+    bits in any engine at any partitioning (anomaly.zscore_outliers)."""
+    from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+    ev = load_events(spark, sf_dir)
+    return zscore_outliers(ev, k=2, min_count=5)
+
+
+def q_streaming_windowed_replay(spark, sf_dir):
+    """Third streaming gate: native tumbling-window aggregation under a
+    REAL multi-micro-batch stream — the events table staged to parquet,
+    streamed with maxFilesPerTrigger, through the SAME
+    ``windowed_event_stats`` operator the batch ``events_windowed`` gate
+    runs, complete-mode memory sink. Window state merges across
+    micro-batches (decimal sums are associative), so the result is
+    independent of the nondeterministic file split and hash-matches the
+    batch oracle. Watermark OFF — replaying unordered history with a
+    watermark silently late-drops rows (the r5 sessions pitfall)."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.streaming.ingest import windowed_event_stats
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr("ts div 1000").alias("ts_micros"), "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="win_gate_")
+    src = f"{root}/src"
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts_micros long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    view = "stream_windowed_gate"
+    spark.catalog.dropTempView(view)  # returns False if absent
+    try:
+        q = (
+            windowed_event_stats(stream, watermark=None)
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming windowed replay did not finish")
+    finally:
+        # memory sink rows live in the driver; the staged source copy is
+        # dead whether the stream finished or raised — never leak it
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(view).select("window_start", "event_type", "n", "total")
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -2588,6 +2729,53 @@ ORACLES: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate < timestamp '1996-01-01 00:00:00' AND l_shipdate > timestamp '1996-01-01 00:00:00'
         GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "tpch_q5ish": """
+        SELECT n_name,
+               cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "events_distinct_exact": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_user_id,
+               count(DISTINCT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d')) AS n_day,
+               count(*) AS n_rows
+        FROM events GROUP BY event_type
+    """,
+    "docs_ngram_novelty": f"""
+        WITH {_DOC_SHINGLES},
+        freq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY shingle),
+        per AS (SELECT id, count(*) AS n_shingles,
+                       cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique
+                FROM shd JOIN freq USING (shingle) GROUP BY id)
+        SELECT id AS doc_id, n_shingles, n_unique,
+               (1000000 * n_unique) // n_shingles AS novelty_ppm
+        FROM per
+    """,
+    # same milli-quantization + integer inequality as anomaly.zscore_outliers:
+    # (n·v − S)² > k²(n·Q − S²) with k=2, evaluated in HUGEINT (exact, like
+    # Spark's decimal(38,0))
+    "events_anomaly": """
+        WITH ev AS (SELECT event_id, user_id,
+                           cast(round(value * 1000, 0) as bigint) AS value_milli
+                    FROM events),
+        st AS (SELECT user_id, count(*) AS n, sum(value_milli) AS s,
+                      sum(value_milli::HUGEINT * value_milli) AS q
+               FROM ev GROUP BY user_id)
+        SELECT event_id, user_id, value_milli
+        FROM ev JOIN st USING (user_id)
+        WHERE n >= 5
+          AND (n::HUGEINT * value_milli - s) * (n::HUGEINT * value_milli - s)
+              > 4 * (n::HUGEINT * q - s::HUGEINT * s)
     """,
     "customers_without_orders": """
         SELECT c_custkey, c_name FROM customer
@@ -3756,6 +3944,9 @@ ORACLES["embedding_project"] = _embedding_project_oracle()
 ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
 # the streaming replay fixpoint IS the batch LWW view — same oracle model
 ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
+# tumbling-window state merged across micro-batches converges to the batch
+# aggregate — same oracle model as events_windowed
+ORACLES["streaming_windowed_replay"] = ORACLES["events_windowed"]
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
@@ -3764,7 +3955,14 @@ ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 # the 5 round-6-touched gates + the 25 entries last checked in round 3;
 # everything outside the window has a green row from round 4 or 5.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50): implementations touched in round 6 ---
+    # --- driver window (first 50): new round-6 operators ---
+    "tpch_q5ish": q_tpch_q5ish,
+    "events_distinct_exact": q_events_distinct_exact,
+    "events_distinct_hll": q_events_distinct_hll,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "events_anomaly": q_events_anomaly,
+    "streaming_windowed_replay": q_streaming_windowed_replay,
+    # --- implementations touched in round 6 ---
     "embedding_pq_encode": q_embedding_pq_encode,
     "text_bpe_train": q_text_bpe_train,
     "media_decode_jpeg": q_media_decode_jpeg,
@@ -3812,13 +4010,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_chunk": q_corpus_chunk,
+    # --- freshest rows (round 4/5) — next cycle's backlog ---
     "corpus_sample_importance": q_corpus_sample_importance,
     "dedup_within_doc": q_dedup_within_doc,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
     "text_unigram_logprob": q_text_unigram_logprob,
     "corpus_mixture": q_corpus_mixture,
-    # --- freshest rows (round 4/5) — next cycle's backlog ---
     "media_decode_gif": q_media_decode_gif,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,

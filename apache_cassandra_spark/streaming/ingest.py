@@ -78,15 +78,21 @@ def stream_into_store(
 def windowed_event_stats(
     events: DataFrame,
     window_duration: str = "1 hour",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     ts_col: str = "ts_micros",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over an event stream —
     the reference's client-timestamp + gcGraceSeconds lateness model as a
     Structured Streaming windowed agg. Works on both streaming and batch
-    frames (for oracle comparison)."""
+    frames (for oracle comparison).
+
+    ``watermark=None`` disables late-data dropping: REQUIRED for
+    historical replay (complete-mode, unordered files), where a
+    watermark would silently drop every row a micro-batch behind the
+    running max event time — the r5 sessions-replay pitfall. Keep a
+    watermark for live append-mode streams so window state is evicted."""
     with_ts = events.withColumn("_event_time", F.timestamp_micros(F.col(ts_col)))
-    if with_ts.isStreaming:
+    if with_ts.isStreaming and watermark is not None:
         with_ts = with_ts.withWatermark("_event_time", watermark)
     return (
         with_ts.groupBy(F.window("_event_time", window_duration).alias("w"), F.col("event_type"))

@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "events_communities",
     "embedding_pq_encode",
     "sim_pq_topk",
+    "tpch_q5ish",
+    "events_distinct_exact",
+    "events_distinct_hll",
+    "docs_ngram_novelty",
+    "events_anomaly",
 ]
 
 

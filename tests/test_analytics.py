@@ -1456,3 +1456,116 @@ def test_dedup_spans_int_doc_id_no_wrap(spark):
     got = {r["doc_id"]: r for r in dedup.dedup_spans(df, k=4).collect()}
     assert got[2048]["n_removed"] == 0  # smaller id: keeps the span
     assert got[3000]["text"] == "head" and got[3000]["n_removed"] == 4
+
+
+# ---------------------------------------------------------------------------
+# round 6: cardinality sketches, n-gram novelty, integer-exact anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_counts_and_ppm(spark):
+    """'a b c' is shared between docs 1 and 2 (df=2 → not unique); each
+    doc's other shingle is corpus-unique. A <3-token doc emits no row."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.ngram_novelty(df, n=3).collect()}
+    assert set(got) == {1, 2}
+    for i in (1, 2):
+        assert got[i]["n_shingles"] == 2
+        assert got[i]["n_unique"] == 1
+        assert got[i]["novelty_ppm"] == 500_000
+
+
+def test_ngram_novelty_repeated_shingle_within_doc_counts_once(spark):
+    """Shingle sets are DISTINCT per doc: a doc repeating its own 3-gram
+    neither inflates n_shingles nor loses uniqueness."""
+    df = spark.createDataFrame([(7, "x y z x y z")], "doc_id long, text string")
+    row = dedup.ngram_novelty(df, n=3).collect()[0]
+    # distinct shingles of [x y z x y z]: "x y z", "y z x", "z x y" (the
+    # 4th window repeats "x y z")
+    assert row["n_shingles"] == 3
+    assert row["n_unique"] == 3
+    assert row["novelty_ppm"] == 1_000_000
+
+
+def test_zscore_outliers_flags_known_outlier(spark):
+    """[10]*5 + [100]: by hand (milli-units) n=6, S=150000, Q=1.05e10;
+    for v=100000 → (n·v−S)² = 2.025e11 > 4·(n·Q−S²) = 1.62e11 → outlier;
+    for v=10000 → 8.1e9 ≤ 1.62e11 → not."""
+    from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+    rows = [(i, 1, 10.0) for i in range(5)] + [(5, 1, 100.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = zscore_outliers(df, k=2, min_count=5).collect()
+    assert [(r["event_id"], r["value_milli"]) for r in got] == [(5, 100_000)]
+
+
+def test_zscore_outliers_min_count_and_constant_series(spark):
+    from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+    # 4 events (< min_count): never flagged, however extreme
+    few = [(0, 1, 1.0), (1, 1, 1.0), (2, 1, 1.0), (3, 1, 9999.0)]
+    # constant series: zero variance, (n·v−S)=0 → strict > never fires
+    const = [(i, 2, 5.0) for i in range(10, 20)]
+    df = spark.createDataFrame(few + const, "event_id long, user_id long, value double")
+    assert zscore_outliers(df, k=2, min_count=5).count() == 0
+
+
+def test_zscore_outliers_overflow_magnitude_raises(spark):
+    """|v| >= 2^31 milli-units must fail loudly (raise_error), not wrap."""
+    import pytest as _pytest
+
+    from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(i, 1, 3.0e6) for i in range(6)], "event_id long, user_id long, value double"
+    )
+    with _pytest.raises(Exception, match="milli-units"):
+        zscore_outliers(df, k=2, min_count=5).collect()
+
+
+def test_zscore_outliers_negative_values_exact(spark):
+    """Signed milli-quantization: round() is half-away-from-zero in both
+    engines; the integer inequality is sign-correct."""
+    from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+    rows = [(i, 1, -10.0) for i in range(5)] + [(5, 1, -100.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = zscore_outliers(df, k=2, min_count=5).collect()
+    assert [(r["event_id"], r["value_milli"]) for r in got] == [(5, -100_000)]
+
+
+def test_distinct_counts_exact(spark):
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"), ("b", 3, "x")],
+        "g string, u long, d string",
+    )
+    got = {r["g"]: r for r in distinct_counts(df, ["g"], ["u", "d"]).collect()}
+    assert (got["a"]["n_u"], got["a"]["n_d"], got["a"]["n_rows"]) == (2, 2, 3)
+    assert (got["b"]["n_u"], got["b"]["n_d"], got["b"]["n_rows"]) == (1, 1, 1)
+
+
+def test_distinct_counts_hll_within_rsd(spark):
+    """HLL++ estimate within ~3·rsd of exact at 2000 distinct keys (the
+    estimator is deterministic, so this is a fixed assertion, not flaky)."""
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("g"), F.col("id").alias("u")
+    )
+    row = distinct_counts(df, ["g"], ["u"], approx=True, rsd=0.05).collect()[0]
+    assert abs(row["n_u"] - 2000) / 2000 < 0.15
+    assert row["n_rows"] == 2000
+
+
+def test_distinct_counts_requires_columns(spark):
+    import pytest as _pytest
+
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        distinct_counts(spark.range(1), ["id"], [])

@@ -645,3 +645,84 @@ def test_ngram_pairs_never_force_broadcast_of_sizes(spark):
             f"{fn.__name__}: AQE did not broadcast the tiny sizes side at small sf"
         )
     spark.catalog.clearCache()
+
+
+def test_tpch_q5ish_broadcasts_dims_and_pushes_date_filter(spark):
+    """The six-table star join must broadcast the provably tiny dims
+    (region/nation) and push the order-date range into the orders scan —
+    at 100 TB the date filter is the difference between scanning one
+    year and scanning the table."""
+    from apache_cassandra_spark.queries import q_tpch_q5ish
+
+    df = q_tpch_q5ish(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("\n")[0] or \
+        "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_distinct_counts_exact_dedups_map_side(spark):
+    """COUNT(DISTINCT) must dedup BEFORE the exchange: one distinct col
+    plans as nested aggregates keyed (g, u) with a partial pass map-side;
+    two distinct cols add an Expand (one replica per distinct clause).
+    Either way the exchange carries (group, distinct value) rows, never
+    raw input rows."""
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("u"),
+        (F.col("id") % 3).alias("d"),
+    )
+    import re
+
+    one = plan_of(distinct_counts(df, ["g"], ["u"]))
+    # the (g, u)-keyed partial dedup aggregate exists below the exchange
+    assert re.search(r"HashAggregate\(keys=\[g#\d+L?, u#\d+L?\], functions=\[partial_count", one)
+    two = plan_of(distinct_counts(df, ["g"], ["u", "d"]))
+    assert "Expand" in two
+    assert two.count("HashAggregate") >= 2
+
+
+def test_distinct_counts_hll_is_partial_aggregate_no_expand(spark):
+    """The HLL++ path must NOT Expand: one mergeable sketch per group,
+    partial-aggregated map-side — that is the whole 100 TB argument."""
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    df = spark.range(100).select((F.col("id") % 5).alias("g"), F.col("id").alias("u"))
+    plan = plan_of(distinct_counts(df, ["g"], ["u"], approx=True))
+    assert "Expand" not in plan
+    assert "approx_count_distinct" in plan and "partial" in plan
+
+
+def test_zscore_outliers_is_hash_join_no_cartesian(spark):
+    """The per-key stats frame joins back on the grouping key: hash
+    join (broadcast or shuffle — AQE's call), never a nested loop; the
+    stats aggregate partial-combines map-side (three scalars per key)."""
+    from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+    df = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("user_id"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    out = zscore_outliers(df, k=2, min_count=5)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan and "partial" in plan
+
+
+def test_ngram_novelty_no_cartesian_two_aggregates(spark):
+    """Novelty is postings⋈doc-freq on the shingle key + a per-doc
+    roll-up: every join hash-partitioned, no pairing of postings (the
+    operator never goes quadratic in posting-list length)."""
+    from apache_cassandra_spark.analytics.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 3} delta epsilon") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(ngram_novelty(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct, freq, per-doc (partial+final)

@@ -76,6 +76,11 @@ AUDITED = {
     "events_pivot": "pivot: single partial+final HashAggregate with pivot-first aggregates — one shuffle on day, no per-type scans",
     "text_unigram_logprob": "unigram LM: explode feeds HashAggregate vocab (CACHED — total and join side both read the InMemoryRelation, not a re-explode); scored vocab returns as BroadcastHashJoin onto the token stream; the only corpus-keyed Exchange is the per-doc aggregate",
     "corpus_mixture": "mixture rebalancing: ONE corpus scan measures per-stratum token mass (HashAggregate), total via window over the strata-count frame (no second corpus pass), rate table BroadcastHashJoin back onto the filter scan",
+    "tpch_q5ish": "six-table star join: date range in the orders scan's PushedFilters, region/nation BroadcastHashJoin, fact-side joins left to AQE — no cartesian, one aggregate on n_name",
+    "events_distinct_exact": "exact cardinalities: Expand-based multi-distinct — partial dedup aggregates keyed (group, value) BELOW the exchange, so the shuffle carries distinct pairs, not raw events",
+    "events_distinct_hll": "HLL++ cardinalities: partial_approx_count_distinct map-side, NO Expand — constant sketch bytes per (group, col) cross the exchange; the 10^9-distinct path",
+    "docs_ngram_novelty": "n-gram novelty: distinct shingle aggregate → doc-freq HashAggregate → hash join on shingle → per-doc HashAggregate — all hash-partitioned, postings are never paired (nothing quadratic in posting length)",
+    "events_anomaly": "integer z-score outliers: (n,S,Q) HashAggregate partial-combines map-side (three scalars per key), stats re-join on the key is hash/broadcast (AQE), comparison is pure decimal(38,0) codegen — no window, no float",
 }
 
 

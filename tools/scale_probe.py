@@ -145,7 +145,35 @@ OPS = {
     ).count(),
     "embedding_quantize": lambda d: _emb_op(d, "quantize"),
     "embedding_project": lambda d: _emb_op(d, "project"),
+    # aggregate the ppm column so the doc-freq join isn't pruned to a bare count
+    "ngram_novelty": lambda d: dedup.ngram_novelty(d)
+    .agg(F.sum("novelty_ppm"))
+    .collect()
+    and d.count(),
+    "zscore_outliers": lambda d: _events_op(d, "zscore"),
+    "distinct_exact": lambda d: _events_op(d, "exact"),
+    "distinct_hll": lambda d: _events_op(d, "hll"),
 }
+
+
+def _events_op(docs: DataFrame, which: str) -> int:
+    """Synthesize an events-shaped frame from the probe docs (user key
+    with a zipf-ish head, value from text length) and run the round-6
+    per-key operators over it."""
+    ev = docs.select(
+        F.col("doc_id").alias("event_id"),
+        F.pmod(F.col("doc_id") * 37, F.lit(997)).alias("user_id"),
+        (F.pmod(F.length("text"), F.lit(500)) / 3.0).alias("value"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string").alias("event_type"),
+    )
+    if which == "zscore":
+        from apache_cassandra_spark.analytics.anomaly import zscore_outliers
+
+        return zscore_outliers(ev).count()
+    from apache_cassandra_spark.analytics.sketches import distinct_counts
+
+    out = distinct_counts(ev, ["event_type"], ["user_id"], approx=(which == "hll"))
+    return out.agg(F.sum("n_user_id")).collect() and ev.count()
 
 
 def _emb_op(docs: DataFrame, which: str) -> int:
