@@ -233,3 +233,25 @@ def assign_to_centroids(
     )
     best = F.array_min(cands)
     return df.select(F.col(id_col), best.idx.alias("cluster"), best.dist.alias("dist"))
+
+
+def cluster_quality(assigned: DataFrame) -> DataFrame:
+    """Per-cluster quality metrics over an assignment frame
+    ``(…, cluster, dist)``: member count and INERTIA (within-cluster sum
+    of squared distances — the quantity Lloyd's descends) as integer
+    micro-units, ``Σ round(dist² · 10⁶)``.
+
+    Works on any assignment source (`kmeans_assign[_exact]`,
+    `assign_to_centroids`). The micro-quantization happens per row
+    BEFORE the distributed sum (the bigram-LM float-parity discipline):
+    each term is an exact bigint, so the aggregate is
+    partition-order-proof and engine-replayable; summing raw doubles
+    would hash differently per partitioning. One map-side-combinable
+    hash aggregate on the cluster id — k output rows, no second pass
+    over the vectors.
+    """
+    sq_micro = F.expr("cast(round(dist * dist * 1000000) as bigint)")
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(sq_micro).alias("inertia_micro"),
+    )

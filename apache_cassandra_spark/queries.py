@@ -2449,6 +2449,104 @@ def q_events_anomaly(spark, sf_dir):
     return zscore_outliers(ev, k=2, min_count=5)
 
 
+def q_streaming_interval_join_replay(spark, sf_dir):
+    """Fourth streaming gate: a REAL stream-stream event-time join —
+    views and clicks staged to two parquet dirs, each streamed with its
+    own maxFilesPerTrigger, joined by the SAME ``interval_join`` operator
+    the batch ``events_interval_join`` gate runs (user equi-key + 1-hour
+    event-time range), append-mode memory sink. The symmetric-hash join
+    state buffers both sides, so every (view, click) pair is emitted
+    exactly once regardless of which micro-batch either side arrives in
+    — the post-termination roll-up hash-matches the batch oracle.
+    Watermark OFF: unordered replay with watermarks would expire state
+    early and silently lose pairs (inner joins need no watermark for
+    correctness — only for state cleanup on live streams)."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_micros", F.expr("ts div 1000"))
+    root = tempfile.mkdtemp(prefix="ij_gate_")
+    for side in ("view", "click"):
+        (
+            ev.where(F.col("event_type") == side)
+            .select("user_id", "ts_micros", "event_id")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(f"{root}/{side}")
+        )
+    schema = "user_id long, ts_micros long, event_id long"
+    views = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+        .parquet(f"{root}/view")
+    )
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/click")
+    )
+    view = "stream_ij_gate"
+    spark.catalog.dropTempView(view)  # returns False if absent
+    try:
+        q = (
+            interval_join(views, clicks, horizon="1 hour", watermark=None)
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming interval join replay did not finish")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (
+        spark.table(view)
+        .groupBy(F.pmod("user_id", F.lit(100)).cast("int").alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_cluster_inertia(spark, sf_dir):
+    """Per-cluster k-means quality (size + integer-micro inertia) over
+    the oracle-replayable 2-round Lloyd assignment: each round-6 dist is
+    squared and micro-quantized PER ROW before the distributed sum, so
+    the aggregate is partition-order-proof (clustering.cluster_quality).
+    The oracle wraps the same unrolled-CTE Lloyd replay the
+    cluster_kmeans_exact entry uses and aggregates its output."""
+    from apache_cassandra_spark.analytics.clustering import (
+        cluster_quality,
+        kmeans_assign_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_quality(kmeans_assign_exact(emb, k=4, iters=2))
+
+
+def q_tpch_q10ish(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 shape): lost revenue per
+    customer over one quarter of returned lineitems, top-20. Exercises
+    fact-fact join + selective date/flag filters (both pushed to the
+    scans) + broadcast dim + top-k without a global sort
+    (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where((F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_streaming_windowed_replay(spark, sf_dir):
     """Third streaming gate: native tumbling-window aggregation under a
     REAL multi-micro-batch stream — the events table staged to parquet,
@@ -3942,11 +4040,34 @@ ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
 ORACLES["text_bpe_train"] = _bpe_train_oracle()
 ORACLES["embedding_project"] = _embedding_project_oracle()
 ORACLES["cluster_kmeans_exact"] = _kmeans_exact_oracle()
+# inertia aggregates the SAME unrolled Lloyd replay: per-row micro-quantized
+# squared distance, then an exact bigint sum per cluster
+ORACLES["cluster_inertia"] = f"""
+    SELECT cast(cluster as int) AS cluster, count(*) AS n_vecs,
+           cast(sum(cast(round(dist * dist * 1000000) as bigint)) as bigint) AS inertia_micro
+    FROM ({_kmeans_exact_oracle()}) GROUP BY cluster
+"""
+ORACLES["tpch_q10ish"] = """
+    SELECT c_custkey, c_name, n_name,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= timestamp '1996-07-01 00:00:00'
+      AND o_orderdate <  timestamp '1996-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
 # the streaming replay fixpoint IS the batch LWW view — same oracle model
 ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
 # tumbling-window state merged across micro-batches converges to the batch
 # aggregate — same oracle model as events_windowed
 ORACLES["streaming_windowed_replay"] = ORACLES["events_windowed"]
+# the symmetric-hash stream-stream join emits each qualifying pair exactly
+# once whatever the micro-batch split — same oracle model as the batch join
+ORACLES["streaming_interval_join_replay"] = ORACLES["events_interval_join"]
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
@@ -3956,6 +4077,9 @@ ORACLES["streaming_windowed_replay"] = ORACLES["events_windowed"]
 # everything outside the window has a green row from round 4 or 5.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): new round-6 operators ---
+    "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "cluster_inertia": q_cluster_inertia,
+    "tpch_q10ish": q_tpch_q10ish,
     "tpch_q5ish": q_tpch_q5ish,
     "events_distinct_exact": q_events_distinct_exact,
     "events_distinct_hll": q_events_distinct_hll,
@@ -4007,10 +4131,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_sample_quota": q_corpus_sample_quota,
+    # --- freshest rows (round 4/5) — next cycle's backlog ---
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_chunk": q_corpus_chunk,
-    # --- freshest rows (round 4/5) — next cycle's backlog ---
     "corpus_sample_importance": q_corpus_sample_importance,
     "dedup_within_doc": q_dedup_within_doc,
     "media_audio_features": q_media_audio_features,

@@ -29,7 +29,7 @@ def interval_join(
     left_ts: str = "ts_micros",
     right_ts: str = "ts_micros",
     horizon: str = "1 hour",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     prefix: tuple[str, str] = ("l_", "r_"),
 ) -> DataFrame:
     """Join right-side events to left-side events with the same ``key``
@@ -43,6 +43,13 @@ def interval_join(
     Scale: the equi-join key carries the shuffle — the time range is a
     post-locate filter, never a theta join; state per key is the rows
     inside the horizon window only.
+
+    ``watermark=None`` disables state expiry AND late-drop: required for
+    historical replay from unordered files (a watermark would silently
+    drop every pair a micro-batch behind the running max event time —
+    the r5 sessions pitfall). Inner joins stay correct without a
+    watermark; the cost is state bounded by the replayed history instead
+    of the horizon, so keep a watermark on live streams.
     """
     lt = left.select(
         F.col(key).alias("_k"),
@@ -54,9 +61,9 @@ def interval_join(
         F.timestamp_micros(F.col(right_ts)).alias("_rt"),
         *[F.col(c).alias(prefix[1] + c) for c in right.columns if c not in (key, right_ts)],
     )
-    if lt.isStreaming:
+    if lt.isStreaming and watermark is not None:
         lt = lt.withWatermark("_lt", watermark)
-    if rt.isStreaming:
+    if rt.isStreaming and watermark is not None:
         rt = rt.withWatermark("_rt", watermark)
     cond = (
         (lt["_k"] == rt["_rk"])

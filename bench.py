@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "embedding_pq_encode",
     "sim_pq_topk",
     "tpch_q5ish",
+    "tpch_q10ish",
+    "cluster_inertia",
     "events_distinct_exact",
     "events_distinct_hll",
     "docs_ngram_novelty",

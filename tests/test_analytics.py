@@ -1569,3 +1569,19 @@ def test_distinct_counts_requires_columns(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         distinct_counts(spark.range(1), ["id"], [])
+
+
+def test_cluster_quality_inertia_by_hand(spark):
+    """Two fixed rows per cluster: inertia must equal the micro-quantized
+    sum of round-6 dist², computed by hand."""
+    from apache_cassandra_spark.analytics.clustering import cluster_quality
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.5), (2, 0, 0.25), (3, 1, 2.000001)],
+        "vec_id long, cluster int, dist double",
+    )
+    got = {r["cluster"]: r for r in cluster_quality(df).collect()}
+    assert got[0]["n_vecs"] == 2
+    assert got[0]["inertia_micro"] == 2_250_000 + 62_500
+    # (2.000001)^2 = 4.000004000001 -> round(·1e6) = 4000004
+    assert got[1]["inertia_micro"] == 4_000_004

@@ -726,3 +726,16 @@ def test_ngram_novelty_no_cartesian_two_aggregates(spark):
     plan = plan_of(ngram_novelty(docs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("HashAggregate") >= 4  # distinct, freq, per-doc (partial+final)
+
+
+def test_tpch_q10ish_pushes_flag_filter_and_takeordered(spark):
+    """The returnflag filter must reach the lineitem scan and the top-20
+    must be TakeOrderedAndProject (partial per-partition top-k), never a
+    global Sort."""
+    from apache_cassandra_spark.queries import q_tpch_q10ish
+
+    df = q_tpch_q10ish(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -81,6 +81,8 @@ AUDITED = {
     "events_distinct_hll": "HLL++ cardinalities: partial_approx_count_distinct map-side, NO Expand — constant sketch bytes per (group, col) cross the exchange; the 10^9-distinct path",
     "docs_ngram_novelty": "n-gram novelty: distinct shingle aggregate → doc-freq HashAggregate → hash join on shingle → per-doc HashAggregate — all hash-partitioned, postings are never paired (nothing quadratic in posting length)",
     "events_anomaly": "integer z-score outliers: (n,S,Q) HashAggregate partial-combines map-side (three scalars per key), stats re-join on the key is hash/broadcast (AQE), comparison is pure decimal(38,0) codegen — no window, no float",
+    "cluster_inertia": "k-means quality: literal-folded final assignment (map-only — Lloyd rounds ran eagerly at build) + ONE hash aggregate on cluster id with per-row micro-quantized squared distances — k output rows",
+    "tpch_q10ish": "returned-item top-20: returnflag + date filters in the scans' PushedFilters, nation broadcast, TakeOrderedAndProject (no global sort)",
 }
 
 
