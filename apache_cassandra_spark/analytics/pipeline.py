@@ -607,3 +607,56 @@ def split_corpus(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def interleave_corpus(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic source-INTERLEAVED global training order — the
+    "epoch shuffle" a trainer consumes — WITHOUT a global sort.
+
+    Each document gets a per-source rank (window over the deterministic
+    md5 draw, ties → id: per-source partitions sort in parallel), and
+    its 0-based ``global_pos`` in the round-robin order
+    rank-1-of-every-source, rank-2-of-every-source, … is computed in
+    CLOSED FORM from the per-source counts:
+
+        pos(s, r) = Σ_{s'} min(r−1, n_{s'})  +  |{s' < s : n_{s'} ≥ r}|
+
+    (sources compared lexicographically). Pure integer arithmetic — the
+    same formula is one ANSI-SQL expression, so the order is
+    engine-replayable and stable for a fixed corpus.
+
+    Scale: ONE shuffle (the per-source rank window — parallelism =
+    source count; for a skewed mega-source, pre-split it into virtual
+    sources upstream); the counts are |sources| rows collected once and
+    folded into the projection as literals — there is NO global-order
+    exchange, no single-partition window, and materializing the order is
+    optional: downstream can simply range-partition on ``global_pos``.
+    The literal fold targets catalog-sized source counts (≤ a few
+    thousand); past that, join the counts frame twice instead.
+    """
+    from pyspark.sql import Window
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    srcs = sorted(counts)
+    draw = _uniform_hash(id_col, 1 << 60)
+    w = Window.partitionBy(source_col).orderBy(draw, F.col(id_col))
+    r = F.row_number().over(w)
+    ranked = df.select(F.col(id_col), F.col(source_col), r.alias("rank_in_source"))
+    rr = F.col("rank_in_source")
+    before = None
+    for s in srcs:
+        n = F.lit(counts[s])
+        term = F.least(rr - 1, n) + F.when(
+            (F.lit(s) < F.col(source_col)) & (n >= rr), 1
+        ).otherwise(0)
+        before = term if before is None else before + term
+    return ranked.select(
+        id_col, source_col, "rank_in_source", before.cast("long").alias("global_pos")
+    )

@@ -2449,6 +2449,41 @@ def q_events_anomaly(spark, sf_dir):
     return zscore_outliers(ev, k=2, min_count=5)
 
 
+def q_corpus_interleave(spark, sf_dir):
+    """Deterministic source-interleaved epoch order WITHOUT a global
+    sort: per-source md5-draw rank windows (parallel) + a closed-form
+    integer position from the per-source counts
+    (pipeline.interleave_corpus). The oracle replays rank and formula
+    verbatim — pure integer arithmetic end to end."""
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_corpus(docs)
+
+
+def q_docs_novelty_topk(spark, sf_dir):
+    """Curation top-k: the 5 most novel documents per source (novelty =
+    corpus-unique n-gram ppm), ties → lower doc_id. The per-source
+    row_number ≤ 5 compiles to WindowGroupLimit — each partition
+    pre-truncates before the source shuffle, so the exchange moves
+    O(sources × k), not the corpus."""
+    from pyspark.sql import Window
+
+    from apache_cassandra_spark.analytics.dedup import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    nov = ngram_novelty(docs, n=3)
+    joined = nov.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("novelty_ppm").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "doc_id", "novelty_ppm", "rk")
+    )
+
+
 def q_streaming_interval_join_replay(spark, sf_dir):
     """Fourth streaming gate: a REAL stream-stream event-time join —
     views and clicks staged to two parquet dirs, each streamed with its
@@ -2858,6 +2893,35 @@ ORACLES: dict[str, str] = {
         SELECT id AS doc_id, n_shingles, n_unique,
                (1000000 * n_unique) // n_shingles AS novelty_ppm
         FROM per
+    """,
+    # per-source rank over the shared md5 draw + the closed-form round-robin
+    # position formula — integer arithmetic end to end
+    "corpus_interleave": """
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                    ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
+                             % 1152921504606846976, doc_id) AS r
+          FROM documents),
+        counts AS (SELECT source AS s2, count(*) AS n FROM documents GROUP BY 1)
+        SELECT doc_id, source, cast(r as int) AS rank_in_source,
+               cast(sum(least(r - 1, n) + CASE WHEN s2 < source AND n >= r THEN 1 ELSE 0 END) as bigint)
+                   AS global_pos
+        FROM ranked CROSS JOIN counts
+        GROUP BY doc_id, source, r
+    """,
+    "docs_novelty_topk": f"""
+        WITH {_DOC_SHINGLES},
+        freq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY shingle),
+        per AS (SELECT id, count(*) AS n_shingles,
+                       cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique
+                FROM shd JOIN freq USING (shingle) GROUP BY id),
+        nov AS (SELECT id AS doc_id, (1000000 * n_unique) // n_shingles AS novelty_ppm FROM per),
+        j AS (SELECT d.source, n.doc_id, n.novelty_ppm,
+                     row_number() OVER (PARTITION BY d.source
+                        ORDER BY n.novelty_ppm DESC, n.doc_id) AS rk
+              FROM nov n JOIN documents d USING (doc_id))
+        SELECT source, doc_id, novelty_ppm, cast(rk as int) AS rk FROM j WHERE rk <= 5
     """,
     # same milli-quantization + integer inequality as anomaly.zscore_outliers:
     # (n·v − S)² > k²(n·Q − S²) with k=2, evaluated in HUGEINT (exact, like
@@ -4077,6 +4141,8 @@ ORACLES["streaming_interval_join_replay"] = ORACLES["events_interval_join"]
 # everything outside the window has a green row from round 4 or 5.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window (first 50): new round-6 operators ---
+    "corpus_interleave": q_corpus_interleave,
+    "docs_novelty_topk": q_docs_novelty_topk,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
     "cluster_inertia": q_cluster_inertia,
     "tpch_q10ish": q_tpch_q10ish,
@@ -4129,9 +4195,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_overlap": q_corpus_overlap,
     "semantic_dedup": q_semantic_dedup,
+    # --- freshest rows (round 4/5) — next cycle's backlog ---
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_sample_quota": q_corpus_sample_quota,
-    # --- freshest rows (round 4/5) — next cycle's backlog ---
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_chunk": q_corpus_chunk,

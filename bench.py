@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "events_distinct_hll",
     "docs_ngram_novelty",
     "events_anomaly",
+    "corpus_interleave",
+    "docs_novelty_topk",
 ]
 
 

@@ -1585,3 +1585,32 @@ def test_cluster_quality_inertia_by_hand(spark):
     assert got[0]["inertia_micro"] == 2_250_000 + 62_500
     # (2.000001)^2 = 4.000004000001 -> round(·1e6) = 4000004
     assert got[1]["inertia_micro"] == 4_000_004
+
+
+def test_interleave_corpus_round_robin_order(spark):
+    """3 sources with sizes 3/2/1: positions must follow the round-robin
+    rank-1-of-each, rank-2-of-each, … order with exhausted sources
+    skipped — a permutation of 0..n-1 where rank r of source s precedes
+    rank r of any lexicographically later source."""
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = interleave_corpus(df).collect()
+    assert sorted(r["global_pos"] for r in got) == list(range(6))
+    by_pos = {r["global_pos"]: r for r in got}
+    order = [(by_pos[i]["rank_in_source"], by_pos[i]["source"]) for i in range(6)]
+    assert order == sorted(order)  # (rank, source) lexicographic == position order
+    # counts: rank 1 of a/b/c first (3 docs), then rank 2 of a/b, then rank 3 of a
+    assert [r[0] for r in order] == [1, 1, 1, 2, 2, 3]
+
+
+def test_interleave_corpus_deterministic(spark):
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    a = sorted(map(tuple, interleave_corpus(df).collect()))
+    b = sorted(map(tuple, interleave_corpus(df.repartition(7)).collect()))
+    assert a == b  # partitioning-independent

@@ -739,3 +739,28 @@ def test_tpch_q10ish_pushes_flag_filter_and_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interleave_has_no_global_sort_or_single_partition(spark):
+    """The epoch order must come from per-source windows + a literal
+    formula: no rangepartitioning (global sort) and no SinglePartition
+    exchange anywhere."""
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    plan = plan_of(interleave_corpus(df))
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1  # the per-source rank window only
+
+
+def test_novelty_topk_uses_window_group_limit(spark):
+    """Per-source top-5 must pre-truncate via WindowGroupLimit before
+    the source shuffle."""
+    from apache_cassandra_spark.queries import q_docs_novelty_topk
+
+    plan = plan_of(q_docs_novelty_topk(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

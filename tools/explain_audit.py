@@ -83,6 +83,8 @@ AUDITED = {
     "events_anomaly": "integer z-score outliers: (n,S,Q) HashAggregate partial-combines map-side (three scalars per key), stats re-join on the key is hash/broadcast (AQE), comparison is pure decimal(38,0) codegen — no window, no float",
     "cluster_inertia": "k-means quality: literal-folded final assignment (map-only — Lloyd rounds ran eagerly at build) + ONE hash aggregate on cluster id with per-row micro-quantized squared distances — k output rows",
     "tpch_q10ish": "returned-item top-20: returnflag + date filters in the scans' PushedFilters, nation broadcast, TakeOrderedAndProject (no global sort)",
+    "corpus_interleave": "epoch interleave: ONE Exchange (per-source rank window), closed-form literal position formula — no rangepartitioning, no SinglePartition, global order never materialized as a sort",
+    "docs_novelty_topk": "per-source curation top-5: novelty aggregates + WindowGroupLimit pre-truncation below the source shuffle — exchange moves O(sources x k)",
 }
 
 
