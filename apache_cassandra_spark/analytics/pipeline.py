@@ -613,6 +613,7 @@ def interleave_corpus(
     df: DataFrame,
     source_col: str = "source",
     id_col: str = "doc_id",
+    fold_literals: bool = True,
 ) -> DataFrame:
     """Deterministic source-INTERLEAVED global training order — the
     "epoch shuffle" a trainer consumes — WITHOUT a global sort.
@@ -635,21 +636,67 @@ def interleave_corpus(
     folded into the projection as literals — there is NO global-order
     exchange, no single-partition window, and materializing the order is
     optional: downstream can simply range-partition on ``global_pos``.
-    The literal fold targets catalog-sized source counts (≤ a few
-    thousand); past that, join the counts frame twice instead.
+
+    The literal fold (``fold_literals=True``, default) targets
+    catalog-sized source counts (≤ a few thousand: the projection is an
+    O(|sources|) expression per row, and the counts are one bounded
+    collect). ``fold_literals=False`` is the large-catalog path —
+    NO driver collect, no per-row source fold: the same closed form
+    regrouped by rank,
+
+        pos(s, r) = |{rows : rank < r}|  +  |{rows : rank = r, s' < s}|,
+
+    computed as (a) a per-rank ``row_number`` over the rank-ordered
+    sources (each source holds ≤ 1 row per rank, so a rank partition has
+    ≤ |sources| rows and parallelism = max source size) and (b) a
+    running sum of per-rank counts joined back ON the rank key — the
+    join is equi and co-partitioned with (a)'s window shuffle. The one
+    serial piece is the cumulative sum over DISTINCT ranks (= max source
+    size rows, NOT corpus rows); a source so large that its distinct
+    ranks overwhelm one partition is exactly the skewed mega-source the
+    virtual-split note above already covers. Both paths produce
+    bit-identical positions (equivalence-locked in tests).
     """
     from pyspark.sql import Window
+
+    draw = _uniform_hash(id_col, 1 << 60)
+    w = Window.partitionBy(source_col).orderBy(draw, F.col(id_col))
+    ranked = df.select(
+        F.col(id_col), F.col(source_col), F.row_number().over(w).alias("rank_in_source")
+    )
+    rr = F.col("rank_in_source")
+
+    if not fold_literals:
+        # (b) per-rank round offset: rows of earlier rounds come first
+        per_rank = ranked.groupBy("rank_in_source").agg(F.count(F.lit(1)).alias("_c"))
+        # distinct ranks = max source size rows — bounded, see docstring
+        cum = Window.orderBy("rank_in_source").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = per_rank.select(
+            "rank_in_source", F.coalesce(F.sum("_c").over(cum), F.lit(0)).alias("_before")
+        )
+        # (a) position within the round: lexicographic source order
+        in_round = Window.partitionBy("rank_in_source").orderBy(source_col)
+        return (
+            ranked.withColumn("_i", F.row_number().over(in_round) - 1)
+            .join(offsets, "rank_in_source")
+            .select(
+                id_col,
+                source_col,
+                "rank_in_source",
+                (F.col("_before") + F.col("_i")).cast("long").alias("global_pos"),
+            )
+        )
 
     counts = {
         r["s"]: r["n"]
         for r in df.groupBy(F.col(source_col).alias("s")).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not counts:
+        # empty corpus: the fold below would have no terms (ADVICE r6)
+        return ranked.select(
+            id_col, source_col, "rank_in_source", F.lit(None).cast("long").alias("global_pos")
+        )
     srcs = sorted(counts)
-    draw = _uniform_hash(id_col, 1 << 60)
-    w = Window.partitionBy(source_col).orderBy(draw, F.col(id_col))
-    r = F.row_number().over(w)
-    ranked = df.select(F.col(id_col), F.col(source_col), r.alias("rank_in_source"))
-    rr = F.col("rank_in_source")
     before = None
     for s in srcs:
         n = F.lit(counts[s])

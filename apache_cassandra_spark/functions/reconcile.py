@@ -18,8 +18,15 @@ column).agg(max_by(cell, priority))`` — Catalyst executes it hash-based
 with map-side partial aggregation, so at 100 TB the merge is a single
 shuffle on the cell coordinate, and any predicate on (key, sc, column)
 commutes with the merge and is pushed below it by the operators layer.
-Container tombstones are tiny relative to data (they're per-row deletes)
--> aggregated to one watermark per container and **broadcast**-joined.
+Container tombstones are aggregated to one watermark per container and
+left-joined on the SAME key(s) as the reconcile groupBy — so the join is
+co-partitioned with the merge shuffle and AQE broadcasts the watermark side
+only when its runtime size is actually small. No forced ``F.broadcast``:
+under a delete-heavy 100 TB workload the watermark table is unbounded (one
+row per tombstoned container) and a forced hint would override AQE's size
+check and OOM the driver (same failure class as the round-5 dedup ``sizes``
+broadcast; the reference never materializes the watermark set on one node
+either — ``db/ColumnFamilyStore.java:1036-1045``).
 """
 
 from __future__ import annotations
@@ -129,6 +136,15 @@ def shadow_containers(
     ``tomb.ts >= cell.ts`` (reference ``QueryFilter.isRelevant``: relevant
     when the column's timestamp is *greater than* markedForDeleteAt).
     Only the max watermark per container matters.
+
+    Scale note (round 7): the watermark joins carry NO broadcast hint.
+    The watermark table has one row per tombstoned container — unbounded
+    under delete-heavy workloads — so the decision is left to AQE, which
+    broadcasts when the built side is genuinely under the threshold and
+    falls back to a shuffle join (co-partitioned on ``key``, the same key
+    as the reconcile aggregate, hence nearly free) when it is not.
+    Plan-locked in tests/test_plans.py: small-sf plans still show
+    BroadcastHashJoin via AQE.
     """
     if container_tombstones is None:
         return cells
@@ -139,7 +155,7 @@ def shadow_containers(
         .agg(F.max("ts").alias("row_del_ts"))
     )
     out = (
-        cells.join(F.broadcast(row_w), "key", "left")
+        cells.join(row_w, "key", "left")
         .where(F.col("row_del_ts").isNull() | (F.col("ts") > F.col("row_del_ts")))
         .drop("row_del_ts")
     )
@@ -152,7 +168,7 @@ def shadow_containers(
             .agg(F.max("ts").alias("sc_del_ts"))
         )
         out = (
-            out.join(F.broadcast(sc_w), ["key", "sc"], "left")
+            out.join(sc_w, ["key", "sc"], "left")
             .where(F.col("sc_del_ts").isNull() | (F.col("ts") > F.col("sc_del_ts")))
             .drop("sc_del_ts")
         )

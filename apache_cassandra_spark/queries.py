@@ -516,7 +516,9 @@ def q_top_nations(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with SF — no forced broadcast (AQE decides; the
+        # nation dim is provably 25 rows, that hint stays)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
