@@ -26,6 +26,8 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apache_cassandra_spark.cachectl import adopt, owned_cache
+
 _LOG = logging.getLogger(__name__)
 
 def _hash64(c: Column, salt: Column | str | int) -> Column:
@@ -97,10 +99,11 @@ def _postings_and_sizes(
     doubles the shingle-scan cost for a log line. Opt in when tuning
     ``max_doc_freq`` on a sample.
 
-    Cache contract: the returned frames reference the cached shingle
-    stream; callers in long-lived sessions should
-    ``spark.catalog.clearCache()`` after the final action (bench.py and
-    tools/check_oracle.py do, per query)."""
+    Cache contract (self-enforcing since round 7): the returned frames
+    reference the cached shingle stream, which is ALSO returned so the
+    caller can tie its lifetime to the final frame via
+    ``cachectl.owned_cache`` — unpersisted on garbage collection of the
+    result or eagerly via ``cachectl.release``."""
     sh = shingle_sets(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     postings = sh
@@ -121,7 +124,7 @@ def _postings_and_sizes(
                     max_doc_freq,
                 )
         postings = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    return postings, sizes
+    return postings, sizes, sh
 
 
 def ngram_jaccard_pairs(
@@ -144,7 +147,7 @@ def ngram_jaccard_pairs(
     (n_common shrinks while set sizes stay full), so the guard trades
     recall near the threshold, never precision above it.
     """
-    postings, sizes = _postings_and_sizes(
+    postings, sizes, sh = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, log_dropped, "ngram_jaccard_pairs"
     )
     a = postings.select(F.col("id").alias("id_a"), "shingle")
@@ -176,7 +179,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
+    return owned_cache(out, sh)
 
 
 def ngram_containment_pairs(
@@ -201,7 +204,7 @@ def ngram_containment_pairs(
     containment); the only new cost is emitting each unordered pair in
     both directions before the threshold filter.
     """
-    postings, sizes = _postings_and_sizes(
+    postings, sizes, sh = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, log_dropped, "ngram_containment_pairs"
     )
     a = postings.select(F.col("id").alias("id_src"), "shingle")
@@ -214,7 +217,7 @@ def ngram_containment_pairs(
     )
     # no broadcast hint: `sizes` is per-document (see ngram_jaccard_pairs)
     s_src = sizes.select(F.col("id").alias("id_src"), F.col("set_size").alias("size_src"))
-    return (
+    out = (
         common.join(s_src, "id_src")
         .select(
             "id_src",
@@ -223,6 +226,7 @@ def ngram_containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+    return owned_cache(out, sh)
 
 
 def ngram_novelty(
@@ -361,7 +365,8 @@ def _bucketed_pairs(
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    out = pairs.distinct()
+    return owned_cache(out, sizes) if max_bucket_size is not None else out
 
 
 def minhash_lsh_candidates(
@@ -412,7 +417,8 @@ def minhash_lsh_candidates(
         .cache()  # tiny (docs × bands); the self-join below would otherwise
         # recompute the whole signature subtree for each side
     )
-    return _bucketed_pairs(banded, ["band", "bucket"], max_bucket_size, log_truncated, "minhash_lsh_candidates")
+    out = _bucketed_pairs(banded, ["band", "bucket"], max_bucket_size, log_truncated, "minhash_lsh_candidates")
+    return owned_cache(out, banded)
 
 
 # ---------------------------------------------------------------------------
@@ -471,7 +477,8 @@ def simhash_candidates(
         .withColumn("part", F.expr(f"shiftright(sig, chunk * {per_chunk}) % {2**per_chunk}"))
         .cache()  # referenced by both sides of the pair join + the size scan
     )
-    return _bucketed_pairs(parts, ["chunk", "part"], max_bucket_size, log_truncated, "simhash_candidates")
+    out = _bucketed_pairs(parts, ["chunk", "part"], max_bucket_size, log_truncated, "simhash_candidates")
+    return owned_cache(out, parts)
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +596,9 @@ def dup_groups_from_pairs(
         if cur_sum == prev_sum:
             break  # labels only decrease; equal sum == fixpoint
         prev_sum = cur_sum
+    # labels is an eager localCheckpoint — its lineage no longer touches
+    # the cached edge frame, so the cache can be dropped right here
+    edges.unpersist()
     return labels.select("id", F.col("label").alias("group_id"))
 
 
@@ -679,10 +689,14 @@ def dup_groups_star(
         prev_sig = sig
         n = int(sig[0])  # next round's frontier width follows the measured size
     labels = edges.select(F.col("hi").alias("id"), F.col("lo").alias("group_id"))
-    return (
+    out = (
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("group_id", "id").alias("group_id"))
     )
+    # `nodes` materializes lazily at the caller's action THROUGH the input
+    # pair frame's plan — adopt the input's owned caches so they survive
+    # until then (labels is checkpointed, it needs nothing)
+    return adopt(owned_cache(out, nodes), pairs)
 
 
 def semantic_dedup(
@@ -737,10 +751,11 @@ def semantic_dedup(
         .select(F.col("id_a").alias("id"))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(dropped, "id", "left_anti")
         .select(F.col("id").alias(id_col), F.col("cluster").cast("long").alias("cluster"))
     )
+    return owned_cache(out, assigned)
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from apache_cassandra_spark.analytics.dedup import (
     minhash_lsh_candidates,
 )
 from apache_cassandra_spark.analytics.text import gopher_quality
+from apache_cassandra_spark.cachectl import owned_cache
 
 
 def prepare_corpus(
@@ -81,15 +82,21 @@ def prepare_corpus(
     if verify_jaccard is not None:
         from apache_cassandra_spark.analytics.dedup import ngram_jaccard_pairs
 
-        exact_pairs = ngram_jaccard_pairs(
+        # reassignments drop the original owned frames — adopt their
+        # caches so they live until the CC loop materializes the pairs
+        from apache_cassandra_spark.cachectl import adopt
+
+        ep = ngram_jaccard_pairs(
             survivors, text_col, id_col, n=ngram_n, threshold=verify_jaccard
-        ).select("id_a", "id_b")
-        pairs = pairs.join(exact_pairs, ["id_a", "id_b"], "left_semi")
+        )
+        exact_pairs = adopt(ep.select("id_a", "id_b"), ep)
+        pairs = adopt(pairs.join(exact_pairs, ["id_a", "id_b"], "left_semi"), pairs, exact_pairs)
     groups = dup_groups_from_pairs(pairs)
     non_reps = groups.where(F.col("id") != F.col("group_id")).select(
         F.col("id").alias(id_col)
     )
-    return survivors.join(non_reps, id_col, "left_anti").select(id_col, text_col, "n_tokens")
+    out = survivors.join(non_reps, id_col, "left_anti").select(id_col, text_col, "n_tokens")
+    return owned_cache(out, survivors)
 
 
 def _uniform_hash(id_col: str, resolution: int = 1_000_000) -> F.Column:

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apache_cassandra_spark.cachectl import owned_cache
+
 #: tiny per-language marker-word lists for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "for", "with", "that"),
@@ -279,11 +281,12 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
+    out = (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
+    return owned_cache(out, tf)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
@@ -337,7 +340,7 @@ def unigram_logprob(
     )
     if broadcast_vocab:
         scored_vocab = F.broadcast(scored_vocab)
-    return (
+    out = (
         toked.join(scored_vocab, "tok")
         .groupBy("id")
         .agg(
@@ -351,6 +354,7 @@ def unigram_logprob(
             F.round(F.col("logprob_micro") / F.col("n_tokens") / 1_000_000, 6).alias("mean_logprob"),
         )
     )
+    return owned_cache(out, vocab)
 
 
 def bigram_logprob(
@@ -393,11 +397,11 @@ def bigram_logprob(
     sizes to fall back to a shuffled join (AQE splits the hot-stopword-
     pair skew).
 
-    Cache contract (judge r5 advice): the returned frame references a
-    cached unigram-count intermediate that Spark only frees on
-    eviction. Long-lived sessions issuing many calls should
-    ``spark.catalog.clearCache()`` (or unpersist) after the final
-    action — bench.py and tools/check_oracle.py do this per query."""
+    Cache contract (self-enforcing since round 7): the returned frame
+    references a cached unigram-count intermediate, owned via
+    ``cachectl.owned_cache`` — it is unpersisted automatically when the
+    returned frame is garbage-collected, or eagerly via
+    ``cachectl.release(result)`` after the terminal action."""
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
     uni = base.select(F.explode("t").alias("tok")).groupBy("tok").agg(
@@ -437,7 +441,7 @@ def bigram_logprob(
     )
     if broadcast_model:
         scored = F.broadcast(scored)
-    return (
+    out = (
         bi_stream.join(scored, ["prev", "cur"])
         .groupBy("id")
         .agg(
@@ -453,6 +457,7 @@ def bigram_logprob(
             ),
         )
     )
+    return owned_cache(out, uni)
 
 
 def bpe_pair_counts(

@@ -1200,11 +1200,15 @@ def q_prepare_corpus_full(spark, sf_dir):
         prepare_corpus,
     )
 
+    from apache_cassandra_spark.cachectl import adopt
+
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 50 == 0)
     cleaned = prepare_corpus(docs, min_stop_hits=1)
     survivors = decontaminate(cleaned, ev, n=3)
-    return pack_sequences(survivors, budget=512, n_shards=8)
+    # lazy derivation: the packed result must adopt cleaned's owned cache
+    # or GC at return would unpersist it before the driver's action
+    return adopt(pack_sequences(survivors, budget=512, n_shards=8), cleaned)
 
 
 def _prepare_corpus_oracle() -> str:

@@ -78,6 +78,12 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # per-query isolation (same as bench.py): queries that cache
+        # intermediates (tf-idf vocab, LM counts, dedup postings) must not
+        # accumulate executor storage across a 50-entry gate session.
+        # At loop TOP, not on the PASS path — FAIL/continue branches must
+        # not skip it (ADVICE r6)
+        spark.catalog.clearCache()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -152,10 +158,6 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             continue
         print(f"PASS {name}: rows={len(s_rows)}")
-        # per-query isolation (same as bench.py): queries that cache
-        # intermediates (tf-idf vocab, LM counts, dedup postings) must not
-        # accumulate executor storage across a 50-entry gate session
-        spark.catalog.clearCache()
 
     print()
     if failures:
