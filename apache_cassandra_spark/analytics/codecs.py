@@ -329,26 +329,29 @@ def _pil_available() -> bool:
 
 def decode_jpeg_pil(payload: bytes) -> dict:
     """libjpeg-backed JPEG decode (requires Pillow) under the SAME error
-    contract as the from-scratch path: corrupt/truncated → ``ValueError``,
-    Pillow missing → ``NotImplementedError``. Output shape matches
-    ``jpeg.decode_jpeg`` exactly; pixel values may differ from the
-    from-scratch decoder by ±1 (libjpeg's integer IDCT/color-convert
-    rounding), which is why the ORACLE-ANCHORED gate query pins the
-    exact decoder (`decode_media(..., exact_jpeg=True)`) while bulk
-    pipelines get the fast path."""
+    contract AND the same acceptance set as the from-scratch path:
+    ``jpeg.prescan_jpeg`` runs first, so a payload the exact decoder
+    rejects (progressive SOF2, CMYK, 12-bit, 16-bit DQT, fractional
+    sampling) raises the identical exception here even though Pillow
+    could decode it — the default ``decode_media`` output is therefore
+    environment-independent (ADVICE r6). Corrupt/truncated →
+    ``ValueError``, Pillow missing → ``NotImplementedError``. Output
+    shape matches ``jpeg.decode_jpeg`` exactly; pixel values may differ
+    from the from-scratch decoder by ±1 (libjpeg's integer
+    IDCT/color-convert rounding), which is why the ORACLE-ANCHORED gate
+    query pins the exact decoder (`decode_media(..., exact_jpeg=True)`)
+    while bulk pipelines get the fast path."""
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - container has no PIL
         raise NotImplementedError("Pillow not installed") from e
-    from apache_cassandra_spark.analytics.jpeg import MAX_PIXELS
+    from apache_cassandra_spark.analytics.jpeg import prescan_jpeg
 
+    # mirror the exact decoder's acceptance set BEFORE Pillow sees the
+    # payload (also covers the MAX_PIXELS bit-flip guard)
+    width, height, ncomp = prescan_jpeg(payload)
     try:
         im = Image.open(io.BytesIO(payload))
-        if im.width * im.height > MAX_PIXELS:
-            raise ValueError(
-                f"declared dimensions {im.width}x{im.height} exceed MAX_PIXELS"
-            )
-        channels = {"L": 1, "RGB": 3, "YCbCr": 3, "CMYK": 4}.get(im.mode, 3)
         rgb = np.asarray(im.convert("RGB"), dtype=np.float64)
     except ValueError:
         raise
@@ -357,9 +360,9 @@ def decode_jpeg_pil(payload: bytes) -> dict:
     means = rgb.mean(axis=(0, 1))
     return {
         "format": "jpeg",
-        "width": im.width,
-        "height": im.height,
-        "channels": channels,
+        "width": width,
+        "height": height,
+        "channels": ncomp,
         "mean_r": float(means[0]),
         "mean_g": float(means[1]),
         "mean_b": float(means[2]),

@@ -454,6 +454,99 @@ def encode_jpeg_baseline(
 # ---------------------------------------------------------------------------
 
 
+def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
+    """Header-only acceptance check mirroring ``decode_jpeg``'s
+    pre-entropy rejection set — returns ``(width, height, ncomp)``.
+
+    The libjpeg fast path (``codecs.decode_jpeg_pil``) runs this BEFORE
+    handing the payload to Pillow, so the set of payloads the default
+    decode path accepts is environment-independent (ADVICE r6): a
+    progressive or CMYK JPEG that Pillow could decode raises here with
+    the SAME exception type and reason the from-scratch decoder raises,
+    whether or not Pillow is installed. Cost is a marker walk over
+    segment headers only — no entropy decode, no pixel work.
+
+    Mirrored rejections (same type, same condition as decode_jpeg):
+
+    * NotImplementedError — non-baseline SOF (progressive SOF2 etc.),
+      non-8-bit precision, 16-bit quantization tables, fractional
+      sampling ratios;
+    * ValueError — missing SOI, truncated segments, zero dimensions,
+      MAX_PIXELS, component count not in (1, 3) (CMYK), sampling
+      factors outside 1..4, no SOS.
+
+    Entropy-level corruption past the SOS marker is NOT checked — both
+    decoders raise ValueError for it at decode time (Pillow's OSError is
+    wrapped), so the contract already agrees there.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, n = 2, len(payload)
+    frame = None
+    while pos < n:
+        if pos + 1 >= n:
+            raise ValueError("truncated marker")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if pos + seglen > n:
+            raise ValueError("truncated segment")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT: only 8-bit tables supported
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4 != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if fh == 0 or fw == 0:
+                raise ValueError("zero image dimension")
+            if fh * fw > MAX_PIXELS:
+                raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                # decode_jpeg raises this at scan assembly; same class here
+                raise ValueError(f"unsupported scan layout ({ncomp} components)")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
+            factors = []
+            for i in range(ncomp):
+                hv = seg[7 + 3 * i]
+                factors.append((hv >> 4, hv & 0x0F))
+            if any(h < 1 or v < 1 or h > 4 or v > 4 for h, v in factors):
+                raise ValueError("invalid sampling factors in SOF")
+            hmax = max(h for h, _ in factors)
+            vmax = max(v for _, v in factors)
+            for h, v in factors:
+                if hmax % h or vmax % v:
+                    raise NotImplementedError(
+                        f"non-integer-ratio sampling factors {h}x{v} vs max {hmax}x{vmax}"
+                    )
+            frame = (fw, fh, ncomp)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only sequential baseline JPEG (SOF0/SOF1) supported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return frame
+        pos += seglen
+    raise ValueError("no SOS found")
+
+
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an (h, w, ch) uint8 raster (RGB for
     3-component YCbCr, single channel for grayscale)."""
