@@ -352,3 +352,81 @@ def hits(
             F.round(F.col("auth_micro") / MICRO, 6).alias("authority"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected-interpreted edge list
+    → ``(node, n_triangles)`` for every node of the simple graph
+    (self-loops dropped, multi-edges collapsed). Exact and
+    engine-replayable — pure joins and integer counts, no floats.
+
+    Scale shape — **degree-ordered orientation** (Chiba–Nishizeki
+    compact-forward; the MapReduce analysis is Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    every edge is directed from the endpoint of lower ``(degree, id)``
+    rank to the higher, so each node's OUT-degree is bounded by
+    O(sqrt(m)) on any graph (arboricity bound) — the wedge join
+    ``e1(u→v) ⋈ e2(u→w)`` that dominates cost then generates
+    Σ outdeg(u)² = O(m^1.5) wedges worst-case instead of the
+    Σ deg(hub)² blowup a raw id-ordering suffers on power-law graphs
+    (the "last reducer" holding the hub). The closing-edge check is one
+    more equi-join, co-partitioned on the (v, w) pair. Each triangle is
+    generated exactly once (its rank-minimal apex), then exploded to its
+    three corners for the per-node roll-up.
+
+    All three joins shuffle on keys the optimizer sees (node id, then
+    the pair), AQE broadcasts the rank map when small; nothing is
+    quadratic in nodes, nothing collects.
+    """
+    e_raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).where(
+        F.col(src_col) != F.col(dst_col)
+    )
+    # simple undirected edge set, canonical (lo, hi) by node id
+    und = (
+        e_raw.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation rank: (degree, id) — total order, no window needed (the
+    # pair itself is the rank); comparison is lexicographic on the struct
+    rank_of = lambda side: F.struct(F.col(f"deg_{side}").alias("d"), F.col(side).alias("i"))  # noqa: E731
+    ranked = (
+        und.join(deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi")), "hi")
+        .select(
+            F.when(rank_of("lo") < rank_of("hi"), F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(rank_of("lo") < rank_of("hi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
+            F.when(rank_of("lo") < rank_of("hi"), F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
+            F.when(rank_of("lo") < rank_of("hi"), F.col("deg_lo")).otherwise(F.col("deg_hi")).alias("deg_u"),
+        )
+    )
+    dir_e = ranked.select("u", "v", "deg_u", "deg_v")
+    # wedges at apex u: pairs of out-neighbors (v, w) with rank(v) < rank(w)
+    left = dir_e.select(F.col("u"), F.col("v"), F.col("deg_v"))
+    right = dir_e.select(F.col("u"), F.col("v").alias("w"), F.col("deg_v").alias("deg_w"))
+    wedge_lt = (F.struct(F.col("deg_v").alias("d"), F.col("v").alias("i"))
+                < F.struct(F.col("deg_w").alias("d"), F.col("w").alias("i")))
+    wedges = left.join(right, "u").where(wedge_lt).select("u", "v", "w")
+    # close the wedge: directed edge v→w exists iff {v, w} is an edge
+    closing = dir_e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+    )
+    counts = corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        deg.select("node")
+        .join(counts, "node", "left")
+        .select("node", F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"))
+    )

@@ -519,3 +519,39 @@ def ivf_pq_topk(
         id_col,
     )
     return pq_adc_topk(routed, query, codebooks, k_top=k_top, id_col=id_col, vec_col=vec_col)
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact radius search: every (query, corpus) pair with cosine ≥
+    ``threshold`` → ``(query_id, corpus_id, cos)``. The "find everything
+    similar to these seeds" primitive (decontamination against an eval
+    set, targeted takedown sweeps, seed-expansion labeling) — top-k is
+    the wrong contract there: the caller needs ALL matches above the
+    radius, however many.
+
+    Scale shape: the query set broadcasts (driver-small seed sets are
+    the semantic; for query sets beyond broadcast size, bucket both
+    sides with ``lsh_bucket_tables`` and verify exactly, like
+    ``embedding_dup_pairs``); the corpus streams MAP-ONLY through one
+    codegen'd dot/norm fold per (row, query) — no shuffle at all until
+    the caller aggregates. Output volume is the true result size; the
+    threshold is the only knob. Self-matches excluded. ``cos`` rounded
+    to 6 so the threshold comparison is engine-exact.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )

@@ -55,3 +55,37 @@ def distinct_counts(
     ]
     agg.append(F.count(F.lit(1)).alias("n_rows"))
     return df.groupBy(*group_cols).agg(*agg)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact per-group top-``k`` most frequent items → one row per
+    ``(group…, item)`` with ``cnt`` and ``rk`` (1-based; ties broken by
+    item value ascending, so the ranking is total and engine-exact).
+
+    Scale shape: the frequency table is ONE map-side-combinable hash
+    aggregate on (group, item) — the exchange carries distinct
+    (group, item) rows, not events — and the per-group top-k is a
+    rank window that Spark executes as WindowGroupLimit: each map task
+    pre-truncates its partition to k rows per group BEFORE the window
+    shuffle, so a group with 10⁹ distinct items ships ~k rows per task,
+    not the whole tail. No global sort, no collect.
+
+    This is the exact twin of a count-min/Misra-Gries sketch pipeline;
+    at 100 TB the exact form is usually still fine BECAUSE the exchange
+    is bounded by distinct-item cardinality — reach for sketches only
+    when (group × item) itself explodes past storage.
+    """
+    from pyspark.sql import Window
+
+    freq = df.groupBy(*group_cols, item_col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("cnt").desc(), F.col(item_col))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*group_cols, item_col, "cnt", F.col("rk").cast("int").alias("rk"))
+    )

@@ -138,3 +138,47 @@ def range_join(
     if how in ("left_semi", "left_anti"):
         return joined.drop("_slot")
     return joined.drop(iv["_slot"]).drop(rw["_slot"])
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    count_col: str = "n_events",
+) -> DataFrame:
+    """Dense per-key time grid with zero-filled gaps — the resampling
+    step every time-series feature pipeline runs before windowed models
+    (a missing hour is a 0, not an absent row). Input rows carry an
+    INTEGER period index (``idx_col``: hour/day bucket — integer so the
+    grid arithmetic is bit-identical in any engine); output is one row
+    per key per index in that key's observed ``[min, max]`` span:
+    ``(key, idx, count)``.
+
+    Scale shape: one hash aggregate for the per-(key, idx) counts, one
+    for the per-key span, then the span explodes via ``sequence()`` —
+    per-key output is bounded by that key's own span, never the global
+    calendar — and the counts come back with a co-partitioned left join
+    on (key, idx). No window over an unbounded partition, no driver
+    calendar literal, no Python. A key whose span is pathologically long
+    (sensor dead a year) costs exactly its own span rows — the dense
+    grid IS the requested semantic; cap spans upstream if that's not.
+
+    Reference analog: none — the reference could only materialize gaps
+    client-side by iterating ``get_slice`` pages per key
+    (service/StorageProxy.java:795-868).
+    """
+    per_cell = df.groupBy(key_col, idx_col).agg(F.count(F.lit(1)).cast("long").alias(count_col))
+    span = df.groupBy(key_col).agg(
+        F.min(idx_col).alias("_lo"), F.max(idx_col).alias("_hi")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(idx_col)
+    )
+    return (
+        grid.join(per_cell, [key_col, idx_col], "left")
+        .select(
+            key_col,
+            idx_col,
+            F.coalesce(count_col, F.lit(0).cast("long")).alias(count_col),
+        )
+    )

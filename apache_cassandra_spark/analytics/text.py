@@ -737,3 +737,53 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         (cleaned != t).alias("changed"),
         F.length(cleaned).alias("n_chars"),
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon character entropy — the cheap gibberish /
+    compression-artifact / key-dump detector quality pipelines run
+    before heavier LM scoring (natural language sits ~3.5–4.5 bits/char
+    in nats ≈ 2.4–3.1; base64 blobs and minified JS sit near the
+    alphabet ceiling, repeated-fill padding near 0).
+
+    Float discipline (the ``unigram_logprob`` contract): with per-doc
+    char counts ``c`` and total ``n``,
+
+        H = ln(n) − (Σ c·ln(c)) / n
+
+    and each ``c·ln(c)`` term is quantized to integer micro-units
+    BEFORE the sum (``round(c·ln(c)·10⁶)`` as bigint) so the distributed
+    sum is associative — identical bits at any partitioning and in any
+    engine replaying the same per-term quantization. Output:
+    ``(id, n_chars_counted, sum_clnc_micro, entropy)`` with ``entropy``
+    rounded to 6.
+
+    Characters are ``regexp '.'`` matches (any char except line
+    terminators — newlines are skipped identically in Spark and ANSI
+    regex engines); documents with no countable character emit no row.
+
+    Scale shape: two map-side-combinable hash aggregates — (id, char)
+    then (id); the first exchange carries one row per distinct char per
+    doc (≤ alphabet size), not per character. No Python, no windows.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)")).alias("ch"),
+    )
+    cnt = base.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_chars_counted"),
+        F.sum(F.round(F.col("c") * F.log(F.col("c")) * 1_000_000).cast("long")).alias(
+            "sum_clnc_micro"
+        ),
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_chars_counted",
+        "sum_clnc_micro",
+        F.round(
+            F.log(F.col("n_chars_counted"))
+            - F.col("sum_clnc_micro") / F.col("n_chars_counted") / F.lit(1_000_000.0),
+            6,
+        ).alias("entropy"),
+    )

@@ -2636,6 +2636,163 @@ def q_streaming_windowed_replay(spark, sf_dir):
     return spark.table(view).select("window_start", "event_type", "n", "total")
 
 
+def q_corpus_interleave_joins(spark, sf_dir):
+    """The large-catalog interleave path (``fold_literals=False``): no
+    driver collect, no O(|sources|) per-row expression — per-rank
+    ``row_number`` + a running per-rank offset joined back on the rank
+    key. Same closed-form positions as ``corpus_interleave`` (same
+    oracle), different physical plan — hash-green here proves the two
+    paths agree on driver data, not just in unit tests."""
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_corpus(docs, fold_literals=False)
+
+
+def q_events_heavy_hitters(spark, sf_dir):
+    """Exact per-event-type heavy hitters: top-5 users by event count
+    (sketches.heavy_hitters). One map-side-combinable aggregate on
+    (type, user) + a WindowGroupLimit top-k — the exchange carries
+    distinct (type, user) rows, the window shuffle carries ~k rows per
+    upstream task. The exact twin of a count-min pipeline."""
+    from apache_cassandra_spark.analytics.sketches import heavy_hitters
+
+    ev = load_events(spark, sf_dir)
+    return heavy_hitters(ev, ["event_type"], "user_id", k=5)
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Dense per-user daily activity grid with zero-filled gaps
+    (temporal.gap_fill): integer day index = epoch-seconds div 86400, so
+    the grid arithmetic is bit-identical in any engine. Per-key output
+    bounded by that key's own [min, max] day span — no global calendar,
+    no driver literals."""
+    from apache_cassandra_spark.analytics.temporal import gap_fill
+
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.expr("ts div 1000000000 div 86400").alias("day_idx")
+    )
+    return gap_fill(days, "user_id", "day_idx")
+
+
+def q_events_triangles(spark, sf_dir):
+    """Per-page triangle counts over the clickstream transition graph
+    (graph.triangle_counts): degree-ordered orientation bounds the wedge
+    join by the arboricity (no "last reducer" hub blowup), each triangle
+    generated exactly once at its rank-minimal apex. Pure joins +
+    integer counts — the oracle replays the naive a<b<c listing and must
+    agree exactly."""
+    from apache_cassandra_spark.analytics.graph import triangle_counts
+
+    edges = _clickstream_edges(spark, sf_dir)
+    return triangle_counts(edges, "src", "dst").select(
+        F.col("node").alias("page"), "n_triangles"
+    )
+
+
+def q_text_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy (text.char_entropy) — the
+    gibberish/base64/fill detector. Per-term micro-quantization before
+    the distributed sum keeps the hash partitioning-proof; the final
+    entropy float is one identical expression in both engines."""
+    from apache_cassandra_spark.analytics.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def q_sim_range_search(spark, sf_dir):
+    """Exact radius search: all corpus vectors with cosine ≥ 0.2 of any
+    of the 5 seed queries (similarity.range_search) — broadcast seeds,
+    map-only scored scan, output = the true match set (the
+    decontamination / seed-expansion contract where top-k is wrong)."""
+    from apache_cassandra_spark.analytics.similarity import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return range_search(emb, q, threshold=0.2)
+
+
+def q_tpch_q18ish(spark, sf_dir):
+    """Large-volume-customer report (TPC-H Q18 shape): orders whose
+    total lineitem quantity exceeds 300, with customer identity, top-100
+    by price. Exercises aggregate-then-semi-join — the quantity roll-up
+    is partial-aggregated before its single shuffle, the tiny qualifying
+    set comes back as an AQE-decided join against orders, and the top-k
+    is TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qty"))
+        .where(F.col("_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_streaming_dedup_replay(spark, sf_dir):
+    """Fifth streaming gate: stateful streaming DEDUP AGGREGATION — the
+    documents table staged to parquet, streamed across multiple
+    micro-batches (maxFilesPerTrigger=2 over 6 files), grouped by the
+    SAME md5 content hash batch ``exact_dedup`` uses, keeping the
+    min-id representative and the duplicate count in complete-mode
+    state. min/count are associative, so the final state is independent
+    of the nondeterministic file split and hash-matches the batch
+    oracle. (dropDuplicates would be first-ARRIVAL-wins — split-
+    dependent — which is exactly why the gate pins the aggregate form.)"""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.streaming.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dedup_gate_")
+    src = f"{root}/src"
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    view = "stream_dedup_gate"
+    spark.catalog.dropTempView(view)
+    try:
+        q = (
+            stream.withColumn("content_hash", content_hash(["text"]))
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("keeper_id"),
+                F.count(F.lit(1)).cast("long").alias("n_copies"),
+            )
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming dedup replay did not finish")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(view).select("content_hash", "keeper_id", "n_copies")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -4138,81 +4295,160 @@ ORACLES["streaming_windowed_replay"] = ORACLES["events_windowed"]
 # the symmetric-hash stream-stream join emits each qualifying pair exactly
 # once whatever the micro-batch split — same oracle model as the batch join
 ORACLES["streaming_interval_join_replay"] = ORACLES["events_interval_join"]
+# the join-based interleave computes the SAME closed-form positions as the
+# literal fold — one oracle, two physical paths
+ORACLES["corpus_interleave_joins"] = ORACLES["corpus_interleave"]
+# streaming min/count dedup state converges to the batch hash aggregate
+ORACLES["streaming_dedup_replay"] = """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+ORACLES["events_heavy_hitters"] = """
+    SELECT event_type, user_id, cnt, cast(rk as int) AS rk FROM (
+      SELECT event_type, user_id, count(*) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rk
+      FROM events GROUP BY event_type, user_id) t
+    WHERE rk <= 5
+"""
+ORACLES["events_gap_fill"] = """
+    WITH d AS (SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS day_idx
+               FROM events),
+    cells AS (SELECT user_id, day_idx, count(*) AS n FROM d GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day_idx) AS lo, max(day_idx) AS hi FROM d GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day_idx FROM span)
+    SELECT g.user_id, g.day_idx, cast(coalesce(c.n, 0) as bigint) AS n_events
+    FROM grid g LEFT JOIN cells c USING (user_id, day_idx)
+"""
+# naive a<b<c triangle listing — must agree exactly with the degree-ordered
+# orientation the engine runs (both enumerate each triangle once)
+ORACLES["events_triangles"] = """
+    WITH stream AS (
+        SELECT user_id, ts, event_id,
+               cast(json_extract_string(props, '$.k') as integer) AS page
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+        SELECT page AS src,
+               lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM stream
+    ),
+    ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM pairs WHERE dst IS NOT NULL AND src <> dst),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+                       JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS page FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    nodes AS (SELECT a AS page FROM ed UNION SELECT b AS page FROM ed)
+    SELECT n.page, cast(coalesce(c.cnt, 0) as bigint) AS n_triangles
+    FROM nodes n LEFT JOIN (SELECT page, count(*) AS cnt FROM corners GROUP BY 1) c
+    USING (page)
+"""
+# same per-term micro-quantization before the sum as the engine:
+# round(c*ln(c)*1e6) per distinct char, bigint-summed (associative)
+ORACLES["text_char_entropy"] = """
+    WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+                FROM documents),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    per AS (SELECT doc_id, cast(sum(c) as bigint) AS n_chars_counted,
+                   cast(sum(cast(round(c * ln(c) * 1000000, 0) as bigint)) as bigint)
+                       AS sum_clnc_micro
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_chars_counted, sum_clnc_micro,
+           round(ln(n_chars_counted) - sum_clnc_micro / n_chars_counted / 1000000.0, 6)
+               AS entropy
+    FROM per
+"""
+ORACLES["sim_range_search"] = """
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      AND round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.2
+"""
+ORACLES["tpch_q18ish"] = """
+    WITH big AS (
+        SELECT l_orderkey, sum(cast(l_quantity as decimal(18,4))) AS qty
+        FROM lineitem GROUP BY l_orderkey HAVING qty > 300)
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           cast(o_totalprice as double) AS o_totalprice,
+           cast(qty as double) AS total_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+                JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
-# then core sentinels (write path, LWW, slice, range). Round 6 leads with
-# the 5 round-6-touched gates + the 25 entries last checked in round 3;
-# everything outside the window has a green row from round 4 or 5.
+# then core sentinels (write path, LWW, slice, range). Round 7 leads with
+# the 8 new operators + 4 touched implementations + the 34 hash-greenable
+# entries whose newest row was round 4 (judge r6 ask #2) + the sentinels.
+# By-design approximates (HLL, LSH/IVF ANN, k-means) sit permanently below
+# position 50 — they can never produce the hash-green rows the window's
+# slots are for (judge r6 ask #3); their exact twins are windowed instead.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50): new round-6 operators ---
-    "corpus_interleave": q_corpus_interleave,
-    "docs_novelty_topk": q_docs_novelty_topk,
-    "streaming_interval_join_replay": q_streaming_interval_join_replay,
-    "cluster_inertia": q_cluster_inertia,
-    "tpch_q10ish": q_tpch_q10ish,
-    "tpch_q5ish": q_tpch_q5ish,
-    "events_distinct_exact": q_events_distinct_exact,
-    "events_distinct_hll": q_events_distinct_hll,
-    "docs_ngram_novelty": q_docs_ngram_novelty,
+    # --- driver window (first 50): new round-7 operators ---
+    "corpus_interleave_joins": q_corpus_interleave_joins,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_gap_fill": q_events_gap_fill,
+    "events_triangles": q_events_triangles,
+    "text_char_entropy": q_text_char_entropy,
+    "sim_range_search": q_sim_range_search,
+    "tpch_q18ish": q_tpch_q18ish,
+    "streaming_dedup_replay": q_streaming_dedup_replay,
+    # --- implementations touched in round 7 ---
     "events_anomaly": q_events_anomaly,
-    "streaming_windowed_replay": q_streaming_windowed_replay,
-    # --- implementations touched in round 6 ---
-    "embedding_pq_encode": q_embedding_pq_encode,
-    "text_bpe_train": q_text_bpe_train,
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
-    "dedup_containment": q_dedup_containment,
-    # --- stale: last driver row in round 3, code untouched since ---
-    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
-    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
-    "rows_may_exist": q_rows_may_exist,
-    "columns_may_exist": q_columns_may_exist,
-    "describe_splits": q_describe_splits,
-    "pig_group_count": q_pig_parity,
-    "wordcount": q_wordcount,
-    "tpch_q1ish": q_tpch_q1ish,
+    "corpus_interleave": q_corpus_interleave,
     "tpch_top_nations": q_top_nations,
-    "events_hourly": q_events_hourly,
-    "events_windowed": q_events_windowed,
-    "events_sliding": q_events_sliding,
-    "events_pivot": q_events_pivot,
-    "events_daily_active": q_events_daily_active,
-    "events_interval_join": q_events_interval_join,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "events_asof": q_events_asof,
-    "events_range_join": q_events_range_join,
-    "events_rolling": q_events_rolling,
-    "orders_rollup": q_orders_rollup,
-    "lineitem_quantiles": q_lineitem_quantiles,
-    "text_normalize": q_text_normalize,
-    "corpus_split": q_corpus_split,
-    "basket_pairs": q_basket_pairs,
+    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    # --- stale: last driver row in round 4, code untouched since ---
+    "cass_get_slice_bounded": q_get_slice_bounded,
+    "cass_get_slice_names": q_get_slice_names,
+    "cass_get_slice_reversed": q_get_slice_reversed,
+    "cf_join": q_cf_join,
+    "cluster_assign": q_cluster_assign,
+    "corpus_ngram_topk": q_corpus_ngram_topk,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_sample_importance": q_corpus_sample_importance,
+    "corpus_sample_quota": q_corpus_sample_quota,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_sample_token_budget": q_corpus_sample_token_budget,
+    "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
+    "corpus_stats": q_corpus_stats,
+    "corpus_chunk": q_corpus_chunk,
+    "corpus_mixture": q_corpus_mixture,
+    "dedup_groups": q_dedup_groups,
+    "dedup_groups_star": q_dedup_groups_star,
+    "dedup_within_doc": q_dedup_within_doc,
+    "embedding_quantize": q_embedding_quantize,
+    "events_sessionize": q_events_sessionize,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
+    "prepare_corpus": q_prepare_corpus,
+    "prepare_corpus_full": q_prepare_corpus_full,
+    "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
+    "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
+    "text_bpe_encode": q_text_bpe_encode,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "text_gopher": q_text_gopher,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_quality_score": q_text_quality_score,
+    "text_repetition": q_text_repetition,
+    "text_tfidf": q_text_tfidf,
+    "text_unigram_logprob": q_text_unigram_logprob,
     # --- core sentinels ---
     "cass_write_path": q_write_path,
     "cass_lww_events": q_lww_events,
     "cass_get_slice": q_get_slice,
     "cass_range_slices_keys": q_range_slices_keys,
-    # --- oldest round-4 rows ---
-    "corpus_blocklist": q_corpus_blocklist,
-    "dedup_lines": q_dedup_lines,
-    "corpus_decontaminate": q_corpus_decontaminate,
-    "corpus_overlap": q_corpus_overlap,
-    "semantic_dedup": q_semantic_dedup,
-    # --- freshest rows (round 4/5) — next cycle's backlog ---
-    "corpus_sample_stratified": q_corpus_sample_stratified,
-    "corpus_sample_quota": q_corpus_sample_quota,
-    "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
-    "corpus_pack_sequences": q_corpus_pack_sequences,
-    "corpus_chunk": q_corpus_chunk,
-    "corpus_sample_importance": q_corpus_sample_importance,
-    "dedup_within_doc": q_dedup_within_doc,
-    "media_audio_features": q_media_audio_features,
-    "media_frame_sample": q_media_frame_sample,
-    "text_unigram_logprob": q_text_unigram_logprob,
-    "corpus_mixture": q_corpus_mixture,
+    # --- below the window: round-5 rows — round 8's rotation backlog ---
     "media_decode_gif": q_media_decode_gif,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,
@@ -4250,36 +4486,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cass_super_slice": q_super_slice,
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
     "cass_read_at_ts": q_read_at_ts,
-    "cass_lww_row_tombstones": q_lww_row_tombstones,
     "cass_super_get_count": q_super_get_count,
     "cass_multiget": q_multiget,
     "events_props_json": q_events_props_json,
     "cass_long_comparator_slice": q_long_comparator_slice,
     "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
-    "text_bpe_pairs": q_text_bpe_pairs,
-    "text_bpe_encode": q_text_bpe_encode,
-    "corpus_ngram_topk": q_corpus_ngram_topk,
-    "corpus_sample_token_budget": q_corpus_sample_token_budget,
-    "dedup_groups": q_dedup_groups,
-    "dedup_groups_star": q_dedup_groups_star,
-    "prepare_corpus": q_prepare_corpus,
-    "prepare_corpus_full": q_prepare_corpus_full,
-    "embedding_quantize": q_embedding_quantize,
+    # --- by-design approximates: rows-only, never hash-green; exact twins windowed ---
+    "events_distinct_hll": q_events_distinct_hll,
     "sim_ann_lsh": q_sim_ann_lsh,
-    "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
-    "cluster_kmeans": q_cluster_kmeans,
-    "cluster_assign": q_cluster_assign,
     "sim_ann_ivf": q_sim_ann_ivf,
-    "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
-    "text_quality_score": q_text_quality_score,
-    "text_tfidf": q_text_tfidf,
-    "text_repetition": q_text_repetition,
-    "text_gopher": q_text_gopher,
-    "text_pii_scrub": q_text_pii_scrub,
-    "events_sessionize": q_events_sessionize,
-    "corpus_stats": q_corpus_stats,
-    "cf_join": q_cf_join,
-    "cass_get_slice_names": q_get_slice_names,
-    "cass_get_slice_reversed": q_get_slice_reversed,
-    "cass_get_slice_bounded": q_get_slice_bounded,
+    "cluster_kmeans": q_cluster_kmeans,
+    # --- round-6 rows — freshest; round 9's backlog ---
+    "docs_novelty_topk": q_docs_novelty_topk,
+    "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "cluster_inertia": q_cluster_inertia,
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q5ish": q_tpch_q5ish,
+    "events_distinct_exact": q_events_distinct_exact,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "streaming_windowed_replay": q_streaming_windowed_replay,
+    "embedding_pq_encode": q_embedding_pq_encode,
+    "text_bpe_train": q_text_bpe_train,
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_containment": q_dedup_containment,
+    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
+    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
+    "rows_may_exist": q_rows_may_exist,
+    "columns_may_exist": q_columns_may_exist,
+    "describe_splits": q_describe_splits,
+    "pig_group_count": q_pig_parity,
+    "wordcount": q_wordcount,
+    "tpch_q1ish": q_tpch_q1ish,
+    "events_hourly": q_events_hourly,
+    "events_windowed": q_events_windowed,
+    "events_sliding": q_events_sliding,
+    "events_pivot": q_events_pivot,
+    "events_daily_active": q_events_daily_active,
+    "events_interval_join": q_events_interval_join,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "events_rolling": q_events_rolling,
+    "orders_rollup": q_orders_rollup,
+    "lineitem_quantiles": q_lineitem_quantiles,
+    "text_normalize": q_text_normalize,
+    "corpus_split": q_corpus_split,
+    "basket_pairs": q_basket_pairs,
+    "corpus_blocklist": q_corpus_blocklist,
+    "dedup_lines": q_dedup_lines,
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_overlap": q_corpus_overlap,
+    "semantic_dedup": q_semantic_dedup,
 }

@@ -95,6 +95,14 @@ BENCH_QUERIES = [
     "events_anomaly",
     "corpus_interleave",
     "docs_novelty_topk",
+    # round 7
+    "corpus_interleave_joins",
+    "events_heavy_hitters",
+    "events_gap_fill",
+    "events_triangles",
+    "text_char_entropy",
+    "sim_range_search",
+    "tpch_q18ish",
 ]
 
 

@@ -1663,3 +1663,87 @@ def test_interleave_corpus_empty_input(spark):
         out = interleave_corpus(df, fold_literals=fold)
         assert out.columns == ["doc_id", "source", "rank_in_source", "global_pos"]
         assert out.count() == 0
+
+
+# --- round 7 operators ---
+
+
+def test_triangle_counts_known_graphs(spark):
+    from apache_cassandra_spark.analytics.graph import triangle_counts
+
+    # K4 + pendant: every K4 node is in C(3,2)=3 triangles, pendant in 0
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    got = dict(
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(spark.createDataFrame(k4, "src long, dst long")).collect()
+    )
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+    # triangle-free square
+    c4 = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    got = triangle_counts(spark.createDataFrame(c4, "src long, dst long")).collect()
+    assert all(r["n_triangles"] == 0 for r in got) and len(got) == 4
+    # self-loops and duplicate/reversed edges collapse to the simple graph
+    noisy = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (1, 3)]
+    got = dict(
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(spark.createDataFrame(noisy, "src long, dst long")).collect()
+    )
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_star_hub_has_none(spark):
+    """Star graph: the hub has max degree but zero triangles — the
+    degree-ordered orientation must not fabricate wedges into triangles."""
+    from apache_cassandra_spark.analytics.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 9)]
+    got = triangle_counts(spark.createDataFrame(star, "src long, dst long")).collect()
+    assert all(r["n_triangles"] == 0 for r in got) and len(got) == 9
+
+
+def test_gap_fill_zero_fills_and_bounds(spark):
+    from apache_cassandra_spark.analytics.temporal import gap_fill
+
+    df = spark.createDataFrame([(1, 10), (1, 10), (1, 13), (2, 5)], "k long, d long")
+    got = sorted(map(tuple, gap_fill(df, "k", "d").collect()))
+    assert got == [(1, 10, 2), (1, 11, 0), (1, 12, 0), (1, 13, 1), (2, 5, 1)]
+
+
+def test_heavy_hitters_rank_and_ties(spark):
+    from apache_cassandra_spark.analytics.sketches import heavy_hitters
+
+    rows = [("a", 1)] * 3 + [("a", 2)] * 3 + [("a", 3)] + [("b", 9)] * 2
+    df = spark.createDataFrame(rows, "g string, u long")
+    got = sorted(map(tuple, heavy_hitters(df, ["g"], "u", k=2).collect()))
+    # tie between users 1 and 2 at cnt=3 -> lower id ranks first
+    assert got == [("a", 1, 3, 1), ("a", 2, 3, 2), ("b", 9, 2, 1)]
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from apache_cassandra_spark.analytics.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert 3 not in got  # empty text: no countable char, no row
+    assert got[1]["entropy"] == 0.0  # constant fill
+    assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 1e-6  # uniform
+    assert got[2]["n_chars_counted"] == 4 and got[2]["sum_clnc_micro"] == 0
+
+
+def test_range_search_exact_set(spark):
+    from apache_cassandra_spark.analytics.similarity import range_search
+
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),     # cos(1,2)=1
+        (3, [0.0, 1.0]),     # orthogonal to 1
+        (4, [1.0, 1.0]),     # cos(1,4)=0.707107
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 1)
+    got = sorted((r["corpus_id"], r["cos"]) for r in range_search(df, q, threshold=0.5).collect())
+    assert got == [(2, 1.0), (4, 0.707107)]

@@ -794,3 +794,69 @@ def test_novelty_topk_uses_window_group_limit(spark):
     plan = plan_of(q_docs_novelty_topk(spark, "/root/testdata/sf0.001"))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round 7 operators ---
+
+
+def test_heavy_hitters_window_group_limit_and_partial_agg(spark):
+    """Top-k per group must pre-truncate (WindowGroupLimit) and the
+    frequency aggregate must combine map-side before its exchange."""
+    from apache_cassandra_spark.analytics.sketches import heavy_hitters
+
+    df = spark.range(100).select((F.col("id") % 5).alias("g"), (F.col("id") % 17).alias("u"))
+    plan = plan_of(heavy_hitters(df, ["g"], "u", k=3))
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_counts_all_joins_are_hash(spark):
+    """Degree-ordered triangle counting is equi-joins end to end: the
+    wedge join, the closing-edge semi-join, and the degree maps must
+    never fall back to a nested loop or cartesian plan."""
+    from apache_cassandra_spark.analytics.graph import triangle_counts
+
+    df = spark.createDataFrame([(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long")
+    plan = plan_of(triangle_counts(df))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan  # the closing-edge check
+
+
+def test_gap_fill_no_global_calendar(spark):
+    """The grid explodes per key from that key's own span — no cartesian
+    against a calendar, no single-partition work."""
+    from apache_cassandra_spark.analytics.temporal import gap_fill
+
+    df = spark.createDataFrame([(i % 9, i) for i in range(300)], "k long, d long")
+    plan = plan_of(gap_fill(df, "k", "d"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Generate explode" in plan or "explode" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_tpch_q18ish_topk_and_partial_agg(spark):
+    """The quantity roll-up must partial-aggregate before its shuffle
+    and the top-100 must be TakeOrderedAndProject, not a global sort."""
+    from apache_cassandra_spark.queries import q_tpch_q18ish
+
+    plan = plan_of(q_tpch_q18ish(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_search_is_broadcast_map_only(spark):
+    """Seeds broadcast; the corpus streams through one scored scan — the
+    only join is against the broadcast side (non-equi self-exclusion ->
+    BroadcastNestedLoop is the expected physical form), never a shuffle
+    join of the corpus against itself."""
+    from apache_cassandra_spark.analytics.similarity import range_search
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id long, embedding array<double>"
+    )
+    plan = plan_of(range_search(df, df.where(F.col("vec_id") < 3)))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan  # map-only until the caller aggregates

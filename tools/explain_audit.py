@@ -85,6 +85,14 @@ AUDITED = {
     "tpch_q10ish": "returned-item top-20: returnflag + date filters in the scans' PushedFilters, nation broadcast, TakeOrderedAndProject (no global sort)",
     "corpus_interleave": "epoch interleave: ONE Exchange (per-source rank window), closed-form literal position formula — no rangepartitioning, no SinglePartition, global order never materialized as a sort",
     "docs_novelty_topk": "per-source curation top-5: novelty aggregates + WindowGroupLimit pre-truncation below the source shuffle — exchange moves O(sources x k)",
+    # round 7
+    "corpus_interleave_joins": "large-catalog interleave: per-source rank window + per-rank in-round window + rank-keyed equi-join of the running offsets — NO driver collect, no per-row source fold; the only SinglePartition piece is the cumsum over DISTINCT ranks above a HashAggregate, never the corpus",
+    "events_heavy_hitters": "exact heavy hitters: partial+final HashAggregate on (type, user) — exchange carries distinct pairs, not events — then WindowGroupLimit pre-truncates to k per group before the window shuffle",
+    "events_gap_fill": "dense gap fill: per-(key,idx) HashAggregate + per-key span HashAggregate → Generate(explode(sequence)) bounded by each key's own span → co-partitioned left join — no global calendar, no SinglePartition",
+    "events_triangles": "degree-ordered triangles: equi-joins end to end (degree maps, wedge join on the apex, closing-edge LeftSemi on the (v,w) pair) — out-degree bounded O(sqrt m) kills the hub wedge blowup; no cartesian, no window",
+    "text_char_entropy": "char entropy: explode → HashAggregate(doc,char) → HashAggregate(doc) with per-term micro-quantized c·ln(c) — first exchange carries ≤ alphabet rows per doc; no Python, no window",
+    "sim_range_search": "radius search: broadcast seed set, corpus streams through ONE scored Project + filter (BroadcastNestedLoop only against the tiny broadcast side) — map-only, no Exchange until the caller aggregates",
+    "tpch_q18ish": "large-volume customers: partial_sum quantity roll-up before its single shuffle, qualifying set joins back AQE-decided, TakeOrderedAndProject top-100 — no global sort",
 }
 
 
