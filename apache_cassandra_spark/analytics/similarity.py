@@ -544,14 +544,23 @@ def range_search(
     threshold is the only knob. Self-matches excluded. ``cos`` rounded
     to 6 so the threshold comparison is engine-exact.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    # norms are projected ONCE PER SIDE before the join: computing
+    # cosine() per pair would re-run two interpreted norm folds per
+    # (row, query) — measured 3x the per-pair cost (probe α crept to
+    # 1.11 before this; the per-pair work is now a single dot fold).
+    # Bit-identical result: the same double norm values multiply either way.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("_cn")
+    )
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
         .select(
             "query_id",
             "corpus_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
         )
         .where(F.col("cos") >= F.lit(threshold))
     )

@@ -153,7 +153,65 @@ OPS = {
     "zscore_outliers": lambda d: _events_op(d, "zscore"),
     "distinct_exact": lambda d: _events_op(d, "exact"),
     "distinct_hll": lambda d: _events_op(d, "hll"),
+    # round 7: the two interleave paths over a 50-source synthetic catalog
+    # (aggregate global_pos so the position formula isn't pruned away)
+    "interleave": lambda d: _interleave_op(d, fold_literals=True),
+    "interleave_joins": lambda d: _interleave_op(d, fold_literals=False),
+    # disjoint 1000-node community blocks: block count scales with the
+    # corpus, density constant — triangles grow linearly by construction,
+    # so α measures the plan, not the output blowup
+    "triangle_counts": lambda d: _triangles_op(d),
+    "gap_fill": lambda d: _gapfill_op(d),
+    "heavy_hitters": lambda d: _events_op(d, "hh"),
+    "char_entropy": lambda d: __import__(
+        "apache_cassandra_spark.analytics.text", fromlist=["char_entropy"]
+    ).char_entropy(d).agg(F.sum("sum_clnc_micro")).collect() and d.count(),
+    "range_search": lambda d: _range_search_op(d),
 }
+
+
+def _interleave_op(docs: DataFrame, fold_literals: bool) -> int:
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    d = docs.select("doc_id", F.pmod(F.col("doc_id"), F.lit(50)).cast("string").alias("source"))
+    out = interleave_corpus(d, fold_literals=fold_literals)
+    return out.agg(F.sum("global_pos")).collect() and docs.count()
+
+
+def _triangles_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.graph import triangle_counts
+
+    block = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(1000))
+    edges = docs.select(
+        (block + F.pmod(F.col("doc_id") * 31, F.lit(1000))).alias("src"),
+        (block + F.pmod(F.col("doc_id") * 53 + 7, F.lit(1000))).alias("dst"),
+    )
+    return triangle_counts(edges).agg(F.sum("n_triangles")).collect() and docs.count()
+
+
+def _gapfill_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.temporal import gap_fill
+
+    d = docs.select(
+        F.pmod(F.col("doc_id") * 37, F.lit(997)).alias("user_id"),
+        F.pmod(F.col("doc_id"), F.lit(720)).alias("idx"),
+    )
+    return gap_fill(d, "user_id", "idx").agg(F.sum("n_events")).collect() and docs.count()
+
+
+def _range_search_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics import similarity
+
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: (F.pmod(F.col("doc_id") * 31 + j * 7, F.lit(200)) - 100.0) / 10.0,
+        ).cast("array<float>").alias("embedding"),
+    )
+    q = vecs.where(F.col("vec_id") < 5)  # fixed seed set — corpus grows, seeds don't
+    out = similarity.range_search(vecs, q, threshold=0.95)
+    return out.agg(F.sum("cos")).collect() and docs.count()
 
 
 def _events_op(docs: DataFrame, which: str) -> int:
@@ -170,6 +228,11 @@ def _events_op(docs: DataFrame, which: str) -> int:
         from apache_cassandra_spark.analytics.anomaly import zscore_outliers
 
         return zscore_outliers(ev).count()
+    if which == "hh":
+        from apache_cassandra_spark.analytics.sketches import heavy_hitters
+
+        out = heavy_hitters(ev, ["event_type"], "user_id", k=5)
+        return out.agg(F.sum("cnt")).collect() and ev.count()
     from apache_cassandra_spark.analytics.sketches import distinct_counts
 
     out = distinct_counts(ev, ["event_type"], ["user_id"], approx=(which == "hll"))
