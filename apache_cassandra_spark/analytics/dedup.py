@@ -26,7 +26,7 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from apache_cassandra_spark.cachectl import adopt, owned_cache
+from apache_cassandra_spark.cachectl import owned_cache
 
 _LOG = logging.getLogger(__name__)
 
@@ -639,15 +639,20 @@ def dup_groups_star(
         return max(1, min(spark_parts, n_edges // 50_000 + 1))
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(F.col(id_a) != F.col(id_b))
-    nodes = (
-        e.select(F.col("a").alias("id"))
-        .unionByName(e.select(F.col("b").alias("id")))
-        .distinct()
-        .cache()
-    )
     # undirected edge set, canonically oriented (hi > lo)
     edges = (
         e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")).distinct().localCheckpoint(eager=True)
+    )
+    # node set from the CHECKPOINTED edges, not the input pairs: deriving
+    # it from `pairs` would re-execute the whole candidate-generation
+    # subtree (LSH banding, bucket joins) a second time at the final
+    # action — measured 2x the operator cost. The checkpoint is the
+    # lineage cut; endpoints of the canonical edges are exactly the
+    # non-isolated nodes, so no cache is needed at all.
+    nodes = (
+        edges.select(F.col("hi").alias("id"))
+        .unionByName(edges.select(F.col("lo").alias("id")))
+        .distinct()
     )
     n = edges.count()
     prev_sig = None
@@ -689,14 +694,13 @@ def dup_groups_star(
         prev_sig = sig
         n = int(sig[0])  # next round's frontier width follows the measured size
     labels = edges.select(F.col("hi").alias("id"), F.col("lo").alias("group_id"))
-    out = (
+    # both sides derive from eager checkpoints — the input pair frame's
+    # plan (and its owned caches) is fully consumed by the first
+    # checkpoint above, so nothing needs adopting
+    return (
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("group_id", "id").alias("group_id"))
     )
-    # `nodes` materializes lazily at the caller's action THROUGH the input
-    # pair frame's plan — adopt the input's owned caches so they survive
-    # until then (labels is checkpointed, it needs nothing)
-    return adopt(owned_cache(out, nodes), pairs)
 
 
 def semantic_dedup(
