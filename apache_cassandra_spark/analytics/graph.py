@@ -405,11 +405,12 @@ def triangle_counts(
         .select(
             F.when(rank_of("lo") < rank_of("hi"), F.col("lo")).otherwise(F.col("hi")).alias("u"),
             F.when(rank_of("lo") < rank_of("hi"), F.col("hi")).otherwise(F.col("lo")).alias("v"),
+            # deg_v rides along for the in-wedge ordering; the apex's own
+            # degree is not needed past this point
             F.when(rank_of("lo") < rank_of("hi"), F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_v"),
-            F.when(rank_of("lo") < rank_of("hi"), F.col("deg_lo")).otherwise(F.col("deg_hi")).alias("deg_u"),
         )
     )
-    dir_e = ranked.select("u", "v", "deg_u", "deg_v")
+    dir_e = ranked.select("u", "v", "deg_v")
     # wedges at apex u: pairs of out-neighbors (v, w) with rank(v) < rank(w)
     left = dir_e.select(F.col("u"), F.col("v"), F.col("deg_v"))
     right = dir_e.select(F.col("u"), F.col("v").alias("w"), F.col("deg_v").alias("deg_w"))

@@ -542,6 +542,16 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            # sequential baseline is ONE interleaved scan covering all
+            # components (decode_jpeg's _decode_scan contract) — a
+            # per-component multi-scan file must be rejected here too,
+            # or Pillow would accept what the exact decoder rejects
+            if not seg:
+                raise ValueError("truncated SOS segment")
+            if seg[0] != frame[2]:
+                raise ValueError(
+                    f"unsupported scan layout ({seg[0]} of {frame[2]} components)"
+                )
             return frame
         pos += seglen
     raise ValueError("no SOS found")

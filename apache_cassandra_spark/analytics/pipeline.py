@@ -666,6 +666,20 @@ def interleave_corpus(
     """
     from pyspark.sql import Window
 
+    # NULL sources fail LOUDLY and identically on BOTH paths (the literal
+    # fold would crash sorting a None key driver-side; the join path would
+    # silently order NULLs first — same-answer-or-same-error is the
+    # equivalence contract)
+    df = df.withColumn(
+        source_col,
+        F.when(
+            F.col(source_col).isNull(),
+            F.raise_error(
+                F.lit("interleave_corpus: source column contains NULL; "
+                      "assign a sentinel source first")
+            ),
+        ).otherwise(F.col(source_col)),
+    )
     draw = _uniform_hash(id_col, 1 << 60)
     w = Window.partitionBy(source_col).orderBy(draw, F.col(id_col))
     ranked = df.select(

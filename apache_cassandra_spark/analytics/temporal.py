@@ -168,7 +168,11 @@ def gap_fill(
     (service/StorageProxy.java:795-868).
     """
     per_cell = df.groupBy(key_col, idx_col).agg(F.count(F.lit(1)).cast("long").alias(count_col))
-    span = df.groupBy(key_col).agg(
+    # span from the already-reduced cell frame, NOT the raw input: min/max
+    # over distinct (key, idx) equals min/max over events, reads the much
+    # smaller aggregate, and reuses its exchange instead of scanning the
+    # input twice
+    span = per_cell.groupBy(key_col).agg(
         F.min(idx_col).alias("_lo"), F.max(idx_col).alias("_hi")
     )
     grid = span.select(

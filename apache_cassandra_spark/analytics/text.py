@@ -758,17 +758,26 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ``(id, n_chars_counted, sum_clnc_micro, entropy)`` with ``entropy``
     rounded to 6.
 
-    Characters are ``regexp '.'`` matches (any char except line
-    terminators — newlines are skipped identically in Spark and ANSI
-    regex engines); documents with no countable character emit no row.
+    Characters are matches of the EXPLICIT class
+    ``[^\\n\\r\\u0085\\u2028\\u2029]`` — a bare ``'.'`` is NOT
+    engine-portable (Java excludes \\r/\\u0085/\\u2028/\\u2029 from
+    ``.``, RE2 excludes only \\n), so the exclusion set is spelled out
+    and identical in both engines. Documents with no countable
+    character emit no row.
 
     Scale shape: two map-side-combinable hash aggregates — (id, char)
     then (id); the first exchange carries one row per distinct char per
     doc (≤ alphabet size), not per character. No Python, no windows.
     """
+    # literal codepoints inside the class (not escape sequences) so no
+    # Python escapes resolve to literal codepoints, so no SQL-string
+    # escaping layer can reinterpret the class
+    line_terminators = "[^\n\r\u0085\u2028\u2029]"
     base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)")).alias("ch"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(line_terminators), F.lit(0))
+        ).alias("ch"),
     )
     cnt = base.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
     per = cnt.groupBy("id").agg(

@@ -2757,8 +2757,6 @@ def q_streaming_dedup_replay(spark, sf_dir):
     import shutil
     import tempfile
 
-    from apache_cassandra_spark.streaming.dedup import content_hash
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="dedup_gate_")
     src = f"{root}/src"
@@ -2772,8 +2770,12 @@ def q_streaming_dedup_replay(spark, sf_dir):
     view = "stream_dedup_gate"
     spark.catalog.dropTempView(view)
     try:
+        # md5(text) directly — the batch exact_dedup key — NOT
+        # streaming.dedup.content_hash: its concat_ws coalesces NULL text
+        # to md5('') while the oracle's md5(text) keeps NULL, and the two
+        # would group NULL-text rows differently
         q = (
-            stream.withColumn("content_hash", content_hash(["text"]))
+            stream.withColumn("content_hash", F.md5("text"))
             .groupBy("content_hash")
             .agg(
                 F.min("doc_id").alias("keeper_id"),
@@ -4350,9 +4352,14 @@ ORACLES["events_triangles"] = """
     USING (page)
 """
 # same per-term micro-quantization before the sum as the engine:
-# round(c*ln(c)*1e6) per distinct char, bigint-summed (associative)
+# round(c*ln(c)*1e6) per distinct char, bigint-summed (associative).
+# The char class spells out the line-terminator exclusions — a bare '.'
+# differs between Java regex (excludes \\r, U+0085, U+2028, U+2029) and
+# RE2 (excludes only \\n); RE2 reads the backslash escapes below itself
+# (DuckDB standard strings don't process them)
 ORACLES["text_char_entropy"] = """
-    WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+    WITH ch AS (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[^\\n\\r\\x{0085}\\x{2028}\\x{2029}]')) AS ch
                 FROM documents),
     cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
     per AS (SELECT doc_id, cast(sum(c) as bigint) AS n_chars_counted,

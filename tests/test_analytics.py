@@ -1747,3 +1747,17 @@ def test_range_search_exact_set(spark):
     q = df.where(F.col("vec_id") == 1)
     got = sorted((r["corpus_id"], r["cos"]) for r in range_search(df, q, threshold=0.5).collect())
     assert got == [(2, 1.0), (4, 0.707107)]
+
+
+def test_interleave_corpus_null_source_fails_loudly_both_paths(spark):
+    """code-review r7: a NULL source must raise identically on both
+    paths (the literal fold would otherwise crash driver-side sorting a
+    None key; the join path would silently order NULLs first)."""
+    import pytest as _pytest
+
+    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "doc_id long, source string")
+    for fold in (True, False):
+        with _pytest.raises(Exception, match="contains NULL"):
+            interleave_corpus(df, fold_literals=fold).collect()

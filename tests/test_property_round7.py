@@ -102,15 +102,20 @@ def test_heavy_hitters_match_model(spark, rows, k):
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-@given(texts=st.lists(st.text(alphabet="abcX ?", max_size=30), min_size=1, max_size=8))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcX ?\r\n ", max_size=30), min_size=1, max_size=8
+    )
+)
 def test_char_entropy_matches_model(spark, texts):
     from apache_cassandra_spark.analytics.text import char_entropy
 
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    terminators = set("\n\r  ")
     for i, t in rows:
-        counts = Counter(t)  # regexp '.' matches every char in these alphabets
+        counts = Counter(c for c in t if c not in terminators)
         n = sum(counts.values())
         if n == 0:
             assert i not in got
