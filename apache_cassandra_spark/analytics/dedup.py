@@ -1022,3 +1022,40 @@ def dedup_spans(
             (F.size("toks") - F.coalesce("_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def dedup_against_reference(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: today's crawl against the historical
+    corpus. A new document is dropped if its exact content (md5) already
+    exists in ``ref_docs``; the survivors are then deduped WITHIN the
+    batch (min-id winner, same rule as :func:`exact_dedup`). Returns the
+    surviving new rows plus their ``content_hash``.
+
+    This is the operator a continuously-growing training corpus runs
+    every ingest cycle — re-deduping the full corpus from scratch each
+    day is O(corpus) per day, this is O(batch + probe).
+
+    Scale shape: the reference side reduces to its DISTINCT hash set
+    (one shuffle on the hash, map-side combined), then the batch
+    anti-joins it ON the hash — co-partitioned with the batch's own
+    dedup aggregate, NO broadcast hint (the reference hash set is
+    corpus-cardinality; AQE broadcasts only when it is genuinely small).
+    At 100 TB the reference hashes live as a compacted table partitioned
+    by hash prefix — this plan's anti-join keys line up with that layout
+    so the probe prunes to matching partitions.
+    """
+    h = F.md5(F.col(text_col))
+    ref_hashes = ref_docs.select(h.alias("content_hash")).distinct()
+    hashed = new_docs.withColumn("content_hash", h)
+    fresh = hashed.join(ref_hashes, "content_hash", "left_anti")
+    keep = (
+        fresh.groupBy("content_hash")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    return fresh.join(keep, id_col, "left_semi")

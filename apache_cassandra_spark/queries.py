@@ -2795,6 +2795,115 @@ def q_streaming_dedup_replay(spark, sf_dir):
     return spark.table(view).select("content_hash", "keeper_id", "n_copies")
 
 
+# --- pre-built for the round-8 window (declared BELOW position 50 this
+# round; rotated in next round when slots free up) ---
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest dedup (dedup.dedup_against_reference): today's
+    batch (all docs + 50 re-labeled copies planted as within-batch dups)
+    against a reference corpus (every 5th doc). Ref-duplicated content is
+    dropped by an anti-join on the content hash (no broadcast — the ref
+    hash set is corpus-cardinality), then the batch dedups itself with
+    the min-id winner rule."""
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 5 == 0)
+    batch = docs.unionByName(
+        docs.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_against_reference(batch, ref).select("doc_id", "content_hash")
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated per-type value percentiles — the events twin of
+    lineitem_quantiles (Spark `percentile` and SQL quantile_cont share
+    the interpolation formula; 4-digit round pins the hash)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_tpch_q14ish(spark, sf_dir):
+    """Promo revenue share (TPC-H Q14 shape): conditional aggregation
+    over a part⋈lineitem fact join with a one-month date filter pushed
+    to the lineitem scan. Integer-exact inner sums (decimal), one final
+    division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    j = (
+        li.where((F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .join(p, li.l_partkey == p.p_partkey)
+    )
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.round(
+            F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            / F.sum(rev).cast("double")
+            * 100,
+            4,
+        ).alias("promo_pct"),
+    )
+
+
+def q_streaming_heavy_hitters_replay(spark, sf_dir):
+    """Sixth streaming gate (round-8 window): per-type user counts as a
+    complete-mode streaming aggregation replayed across micro-batches,
+    then the SAME deterministic top-5 rank applied to the final state —
+    counts merge associatively, so the result is independent of the file
+    split and matches the batch events_heavy_hitters oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="hh_gate_")
+    src = f"{root}/src"
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    view = "stream_hh_gate"
+    spark.catalog.dropTempView(view)
+    try:
+        q = (
+            stream.groupBy("event_type", "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming heavy-hitters replay did not finish")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("user_id"))
+    return (
+        spark.table(view)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "user_id", "cnt", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -4378,6 +4487,49 @@ ORACLES["sim_range_search"] = """
     WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
       AND round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.2
 """
+# the streaming complete-mode counts converge to the batch frequency
+# table; the same deterministic top-5 rank applies to both
+ORACLES["streaming_heavy_hitters_replay"] = """
+    SELECT event_type, user_id, cnt, cast(rk as int) AS rk FROM (
+      SELECT event_type, user_id, count(*) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rk
+      FROM events GROUP BY event_type, user_id) t
+    WHERE rk <= 5
+"""
+ORACLES["dedup_incremental"] = """
+    WITH batch AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+    ref_hashes AS (SELECT DISTINCT md5(text) AS content_hash
+                   FROM documents WHERE doc_id % 5 = 0),
+    fresh AS (SELECT b.doc_id, md5(b.text) AS content_hash FROM batch b
+              WHERE md5(b.text) NOT IN (SELECT content_hash FROM ref_hashes)),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY content_hash)
+    SELECT f.doc_id, f.content_hash FROM fresh f
+    WHERE f.doc_id IN (SELECT doc_id FROM keep)
+"""
+ORACLES["events_quantiles"] = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1
+"""
+ORACLES["tpch_q14ish"] = """
+    WITH j AS (
+        SELECT p_type,
+               cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4)) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= timestamp '1996-03-01 00:00:00'
+          AND l_shipdate <  timestamp '1996-04-01 00:00:00')
+    SELECT cast(sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE cast(0 as decimal(18,4)) END) as double) AS promo_revenue,
+           cast(sum(rev) as double) AS total_revenue,
+           round(cast(sum(CASE WHEN p_type = 'ECONOMY' THEN rev ELSE cast(0 as decimal(18,4)) END) as double)
+                 / cast(sum(rev) as double) * 100, 4) AS promo_pct
+    FROM j
+"""
 ORACLES["tpch_q18ish"] = """
     WITH big AS (
         SELECT l_orderkey, sum(cast(l_quantity as decimal(18,4))) AS qty
@@ -4546,4 +4698,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_overlap": q_corpus_overlap,
     "semantic_dedup": q_semantic_dedup,
+    # --- pre-built for the round-8 window (below 50 this round by design:
+    # every window slot is owed to the round-4-stale rotation; these four
+    # rotate in next round) ---
+    "dedup_incremental": q_dedup_incremental,
+    "events_quantiles": q_events_quantiles,
+    "tpch_q14ish": q_tpch_q14ish,
+    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
 }

@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "sim_range_search",
     "tpch_q18ish",
+    # pre-built for round 8
+    "dedup_incremental",
+    "events_quantiles",
+    "tpch_q14ish",
 ]
 
 

@@ -1761,3 +1761,18 @@ def test_interleave_corpus_null_source_fails_loudly_both_paths(spark):
     for fold in (True, False):
         with _pytest.raises(Exception, match="contains NULL"):
             interleave_corpus(df, fold_literals=fold).collect()
+
+
+def test_dedup_against_reference_semantics(spark):
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    ref = spark.createDataFrame([(100, "known"), (101, "other")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "known"), (2, "fresh"), (3, "fresh"), (4, "unique")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_against_reference(batch, ref).collect())
+    # 1 dropped (ref dup), 3 dropped (within-batch dup of 2), 2 and 4 survive
+    assert got == [2, 4]
+    out = dedup_against_reference(batch, ref)
+    assert set(out.columns) == {"doc_id", "text", "content_hash"}

@@ -860,3 +860,28 @@ def test_range_search_is_broadcast_map_only(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "Exchange hashpartitioning" not in plan  # map-only until the caller aggregates
+
+
+def test_dedup_incremental_no_forced_broadcast_and_anti_join(spark):
+    """The reference hash set is corpus-cardinality: the anti-join must
+    carry NO broadcast hint (AQE decides), and the plan must be an
+    anti+semi join pair on the hash/id keys — no cartesian."""
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 30}") for i in range(100)], "doc_id long, text string"
+    )
+    out = dedup_against_reference(docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20))
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = plan_of(out)
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_tpch_q14ish_pushes_date_filter(spark):
+    from apache_cassandra_spark.queries import q_tpch_q14ish
+
+    plan = plan_of(q_tpch_q14ish(spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+    assert "CartesianProduct" not in plan

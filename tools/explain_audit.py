@@ -93,6 +93,10 @@ AUDITED = {
     "text_char_entropy": "char entropy: explode → HashAggregate(doc,char) → HashAggregate(doc) with per-term micro-quantized c·ln(c) — first exchange carries ≤ alphabet rows per doc; no Python, no window",
     "sim_range_search": "radius search: broadcast seed set, corpus streams through ONE scored Project + filter (BroadcastNestedLoop only against the tiny broadcast side) — map-only, no Exchange until the caller aggregates",
     "tpch_q18ish": "large-volume customers: partial_sum quantity roll-up before its single shuffle, qualifying set joins back AQE-decided, TakeOrderedAndProject top-100 — no global sort",
+    # pre-built for round 8
+    "dedup_incremental": "incremental-ingest dedup: reference reduces to its distinct hash set (map-side combined), batch LeftAnti-joins it on the hash with NO broadcast hint (corpus-cardinality side — AQE decides), then the in-batch min-id winner via LeftSemi — the O(batch + probe) daily-crawl shape",
+    "events_quantiles": "exact per-type percentiles: single sort-based percentile aggregate per group, partial-combined — one shuffle keyed on event_type",
+    "tpch_q14ish": "promo revenue share: one-month l_shipdate range in the lineitem scan's PushedFilters, part join AQE-decided, conditional decimal sums in ONE aggregate pass",
 }
 
 
