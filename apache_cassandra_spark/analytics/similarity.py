@@ -46,11 +46,23 @@ def cosine_topk(
     query sets beyond broadcast size, bucket both sides instead).
     Excludes self-matches. Ties broken by neighbor id for determinism.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms hoisted into the per-side projections (round 7): cosine() per
+    # pair re-runs two interpreted norm folds per (row, query) — 3x the
+    # per-pair cost, measured on the range_search probe. Same bits:
+    # dot/(qnorm*cnorm) with the original operand order.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("_cn")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -129,16 +141,21 @@ def ann_lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH bucket.
     Join key = bucket id (equality shuffle, ~|corpus|/2^planes rows per
     bucket), so cost per query is the bucket size, not the corpus size."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
-        "bucket", lsh_bucket(F.col("cv"), planes)
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "bucket", lsh_bucket(F.col("qv"), planes)
-    )
+    # per-side norm hoist (round 7): see cosine_topk
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("_cn")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -159,10 +176,18 @@ def _assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str
     """(row -> nearest-centroid cell) by max cosine, centroid-id ties to
     the lower id — the shared IVF assignment reduction."""
     assign_w = Window.partitionBy("rid").orderBy(F.col("d").desc(), F.col("cent_id"))
+    # row norm computed ONCE per row, centroid norm once per centroid —
+    # not once per (row, centroid) inside the k-way cross (round 7)
+    cn = cents.withColumn("_centn", norm(F.col("cent")))
     return (
-        corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("cv"))
-        .join(F.broadcast(cents), how="cross")
-        .select("rid", "cv", "cent_id", cosine(F.col("cv"), F.col("cent")).alias("d"))
+        corpus.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("_rn"))
+        .join(F.broadcast(cn), how="cross")
+        .select(
+            "rid",
+            "cv",
+            "cent_id",
+            (dot(F.col("cv"), F.col("cent")) / (F.col("_rn") * F.col("_centn"))).alias("d"),
+        )
         .withColumn("r", F.row_number().over(assign_w))
         .where(F.col("r") == 1)
         .select("rid", "cv", "cent_id")
@@ -185,19 +210,33 @@ def ivf_topk(
     assigned = _assign_cells(corpus, cents, id_col, vec_col).select(
         F.col("rid").alias("neighbor_id"), "cv", "cent_id"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
+    )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cent_id"))
+    cn = cents.withColumn("_centn", norm(F.col("cent")))
     probes = (
-        q.join(F.broadcast(cents), how="cross")
-        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cent")).alias("d"))
+        q.join(F.broadcast(cn), how="cross")
+        .select(
+            "query_id",
+            "qv",
+            "_qn",
+            "cent_id",
+            (dot(F.col("qv"), F.col("cent")) / (F.col("_qn") * F.col("_centn"))).alias("d"),
+        )
         .withColumn("r", F.row_number().over(probe_w))
         .where(F.col("r") <= nprobe)
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "_qn", "cent_id")
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cent_id")
+        assigned.withColumn("_cn", norm(F.col("cv")))
+        .join(F.broadcast(probes), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -257,15 +296,16 @@ def quantized_cosine_topk(
     qq = quantize_embeddings(queries, vec_col, id_col)
     c = qc.select(
         F.col(id_col).alias("corpus_id"), dequantize(F.col("qvec"), F.col("scale")).alias("cv")
-    )
+    ).withColumn("_cn", norm(F.col("cv")))
     q = qq.select(
         F.col(id_col).alias("query_id"), dequantize(F.col("qvec"), F.col("scale")).alias("qv")
-    )
-    # same contract as cosine_topk: self-matches excluded
+    ).withColumn("_qn", norm(F.col("qv")))
+    # same contract as cosine_topk: self-matches excluded; norms hoisted
+    # per side (round 7) — dequantize runs once per row too, not per pair
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id")).select(
         "query_id",
         "corpus_id",
-        cosine(F.col("cv"), F.col("qv")).alias("cos"),
+        (dot(F.col("cv"), F.col("qv")) / (F.col("_cn") * F.col("_qn"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
