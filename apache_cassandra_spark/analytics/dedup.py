@@ -1049,28 +1049,37 @@ def dedup_against_reference(
     ref_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ref_hashed: bool = False,
 ) -> DataFrame:
     """Incremental-ingest dedup: today's crawl against the historical
     corpus. A new document is dropped if its exact content (md5) already
     exists in ``ref_docs``; the survivors are then deduped WITHIN the
     batch (min-id winner, same rule as :func:`exact_dedup`). Returns the
-    surviving new rows plus their ``content_hash``.
+    surviving new rows plus their ``content_hash``. NULL-text rows hash
+    to NULL, which never equi-matches the reference set (anti-join
+    keeps them); within the batch all NULL hashes form one group.
 
-    This is the operator a continuously-growing training corpus runs
-    every ingest cycle — re-deduping the full corpus from scratch each
-    day is O(corpus) per day, this is O(batch + probe).
+    With ``ref_hashed=False`` (the small-corpus default) ``ref_docs``
+    holds raw documents and this call hashes them — an O(corpus) scan
+    per invocation. The O(batch + probe) ingest-cycle shape requires
+    ``ref_hashed=True``: ``ref_docs`` is then a pre-reduced
+    ``content_hash`` table (exactly what this function RETURNS — feed
+    each cycle's survivors back in), stored compacted and partitioned by
+    hash so the anti-join probes only matching partitions instead of
+    re-hashing 100 TB of history every day.
 
     Scale shape: the reference side reduces to its DISTINCT hash set
-    (one shuffle on the hash, map-side combined), then the batch
-    anti-joins it ON the hash — co-partitioned with the batch's own
-    dedup aggregate, NO broadcast hint (the reference hash set is
-    corpus-cardinality; AQE broadcasts only when it is genuinely small).
-    At 100 TB the reference hashes live as a compacted table partitioned
-    by hash prefix — this plan's anti-join keys line up with that layout
-    so the probe prunes to matching partitions.
+    (one shuffle on the hash, map-side combined; skipped entirely when
+    ``ref_hashed``), then the batch anti-joins it ON the hash —
+    co-partitioned with the batch's own dedup aggregate, NO broadcast
+    hint (the reference hash set is corpus-cardinality; AQE broadcasts
+    only when it is genuinely small).
     """
     h = F.md5(F.col(text_col))
-    ref_hashes = ref_docs.select(h.alias("content_hash")).distinct()
+    if ref_hashed:
+        ref_hashes = ref_docs.select("content_hash").distinct()
+    else:
+        ref_hashes = ref_docs.select(h.alias("content_hash")).distinct()
     hashed = new_docs.withColumn("content_hash", h)
     fresh = hashed.join(ref_hashes, "content_hash", "left_anti")
     keep = (

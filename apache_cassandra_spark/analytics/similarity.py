@@ -186,11 +186,12 @@ def _assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str
             "rid",
             "cv",
             "cent_id",
+            "_rn",
             (dot(F.col("cv"), F.col("cent")) / (F.col("_rn") * F.col("_centn"))).alias("d"),
         )
         .withColumn("r", F.row_number().over(assign_w))
         .where(F.col("r") == 1)
-        .select("rid", "cv", "cent_id")
+        .select("rid", "cv", "cent_id", "_rn")
     )
 
 
@@ -207,8 +208,10 @@ def ivf_topk(
     smallest md5 — a seedless reproducible sample), cells = nearest
     centroid; queries probe their ``nprobe`` nearest cells only."""
     cents = _ivf_centroids(corpus, n_cells, id_col, vec_col)
+    # carry the assignment's per-row norm into scoring instead of
+    # recomputing the interpreted fold over every corpus row
     assigned = _assign_cells(corpus, cents, id_col, vec_col).select(
-        F.col("rid").alias("neighbor_id"), "cv", "cent_id"
+        F.col("rid").alias("neighbor_id"), "cv", "cent_id", F.col("_rn").alias("_cn")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
@@ -229,8 +232,7 @@ def ivf_topk(
         .select("query_id", "qv", "_qn", "cent_id")
     )
     scored = (
-        assigned.withColumn("_cn", norm(F.col("cv")))
-        .join(F.broadcast(probes), "cent_id")
+        assigned.join(F.broadcast(probes), "cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -4505,7 +4505,12 @@ ORACLES["dedup_incremental"] = """
     ref_hashes AS (SELECT DISTINCT md5(text) AS content_hash
                    FROM documents WHERE doc_id % 5 = 0),
     fresh AS (SELECT b.doc_id, md5(b.text) AS content_hash FROM batch b
-              WHERE md5(b.text) NOT IN (SELECT content_hash FROM ref_hashes)),
+              -- NOT EXISTS, not NOT IN: left_anti keeps NULL-keyed rows
+              -- (NULL never equi-matches) while NOT IN would go NULL and
+              -- drop them -- and one NULL reference hash would empty the
+              -- whole batch. NOT EXISTS matches Spark's semantics exactly.
+              WHERE NOT EXISTS (SELECT 1 FROM ref_hashes r
+                                WHERE r.content_hash = md5(b.text))),
     keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY content_hash)
     SELECT f.doc_id, f.content_hash FROM fresh f
     WHERE f.doc_id IN (SELECT doc_id FROM keep)

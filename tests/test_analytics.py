@@ -1776,3 +1776,38 @@ def test_dedup_against_reference_semantics(spark):
     assert got == [2, 4]
     out = dedup_against_reference(batch, ref)
     assert set(out.columns) == {"doc_id", "text", "content_hash"}
+
+
+def test_dedup_against_reference_null_text(spark):
+    """NULL text hashes to NULL: the anti-join keeps such rows (NULL never
+    equi-matches, even against a NULL reference hash) and within the batch
+    all NULL hashes form ONE group — matching the oracle's NOT EXISTS."""
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    ref = spark.createDataFrame([(100, "known"), (101, None)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "known"), (2, None), (3, None), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in dedup_against_reference(batch, ref).collect())
+    # 1 dropped (ref dup); 2 kept (NULL hash never matches ref, min of NULL group);
+    # 3 dropped (second member of the NULL group); 4 kept
+    assert got == [2, 4]
+
+
+def test_dedup_against_reference_prehashed(spark):
+    """ref_hashed=True consumes the operator's own output table — the
+    O(batch + probe) ingest-cycle path — and matches the raw-docs path."""
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    ref = spark.createDataFrame([(100, "known"), (101, "other")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "known"), (2, "fresh"), (3, "fresh"), (4, "unique")],
+        "doc_id long, text string",
+    )
+    ref_hashes = ref.selectExpr("md5(text) AS content_hash")
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_reference(batch, ref_hashes, ref_hashed=True).collect()
+    )
+    assert got == [2, 4]
