@@ -229,6 +229,106 @@ def ngram_containment_pairs(
     return owned_cache(out, sh)
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard self-join via PREFIX FILTERING (PPJoin family, Xiao
+    et al., WWW'08 / Chaudhuri et al., ICDE'06 SSJoin): same output
+    contract as :func:`ngram_jaccard_pairs` — one row per unordered pair
+    with word-n-gram Jaccard >= ``threshold`` — but the candidate join
+    touches only each document's PREFIX tokens instead of its full
+    shingle set.
+
+    Why this is the 100 TB shape: the inverted-index join's cost is
+    Σ_shingle df(shingle)², dominated by common shingles. Order every
+    document's shingles by global rarity (doc-freq asc, shingle asc —
+    one total order shared by all documents) and take the first
+    ``|A| − ceil(t·|A|) + 1`` as the prefix π(A). If
+    ``J(A,B) >= t`` then ``|A∩B| >= ceil(t·|A|)`` (since
+    ``|A∪B| >= |A|``), and a pair whose intersection avoided π(A)
+    entirely would need all of it inside the ``ceil(t·|A|) − 1``-token
+    suffix — contradiction. So every qualifying pair collides inside
+    both prefixes and the prefix join is LOSSLESS; it just concentrates
+    the join on each document's rarest tokens, where df (hence df²) is
+    smallest. A length filter prunes candidates further: ``J(A,B) >= t``
+    forces ``t·|A| <= |B| <= |A|/t``. Verification then counts the true
+    intersection only for surviving candidates — cost Σ_cand |A|,
+    linear in candidates.
+
+    At ``max_doc_freq=None`` (default) the result is bit-identical to
+    ``ngram_jaccard_pairs(..., max_doc_freq=None)`` — the oracle gate
+    replays the naive all-pairs form and must agree exactly. With a
+    skew guard the prefix theorem holds on the guarded shingle universe
+    (both operators drop the same hot shingles).
+
+    Scale notes: the doc-freq table is joined, never collected, never
+    broadcast by hint (corpus-cardinality — AQE decides); the per-doc
+    prefix rank is a window partitioned by doc id (no global sort);
+    the verification fan-out joins are equi-joins on (id, shingle).
+    """
+    postings, sizes, sh = _postings_and_sizes(
+        df, text_col, id_col, n, max_doc_freq, False, "prefix_jaccard_pairs"
+    )
+    from pyspark.sql import Window
+
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = postings.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        ),
+    )
+    with_size = ranked.join(sizes, "id")
+    # prefix length ℓ = n − ceil(t·n) + 1. The 1e-9 slack makes float
+    # rounding err toward a LONGER prefix (extra candidates, never a
+    # missed pair): if t·n lands a hair above its true integer value,
+    # a bare ceil would shorten the prefix below the safe bound.
+    prefix = with_size.where(
+        F.col("pos")
+        <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size") - 1e-9) + 1
+    ).select("id", "shingle", "set_size")
+    pa = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("set_size").alias("size_a"))
+    pb = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("set_size").alias("size_b"))
+    cands = (
+        pa.join(pb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: t·|A| <= |B| <= |A|/t (symmetric on the pair);
+        # same 1e-9 slack so float error only ever admits extra candidates
+        .where(
+            (F.col("size_b") >= F.lit(threshold) * F.col("size_a") - 1e-9)
+            & (F.col("size_a") >= F.lit(threshold) * F.col("size_b") - 1e-9)
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    # verification: true intersection count over the candidates only —
+    # fan each candidate out by A's full set, match against B's postings
+    post_a = postings.select(F.col("id").alias("id_a"), "shingle")
+    post_b = postings.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cands.join(post_a, "id_a")
+        .join(post_b, ["id_b", "shingle"], "left_semi")
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return owned_cache(out, sh)
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

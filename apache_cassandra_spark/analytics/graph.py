@@ -431,3 +431,98 @@ def triangle_counts(
         .join(counts, "node", "left")
         .select("node", F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
+    """k-core decomposition peel over an undirected-interpreted edge list
+    → ``(node, degree)`` for every node of the k-core subgraph (degree =
+    the node's degree *within* the core). The k-core is the maximal
+    subgraph in which every node has degree >= k — the standard dense-
+    region extractor (Seidman 1983; distributed peel analysis in
+    Montresor et al., "Distributed k-Core Decomposition", PODC'11):
+    community kernels in link graphs, template/boilerplate cluster cores
+    in dedup candidate graphs, spam-farm detection.
+
+    Semantics knobs:
+
+    * ``rounds=None`` (production): peel to convergence — drop all
+      nodes with degree < k, recompute degrees, repeat until stable
+      (at most ``max_iters`` rounds; raises if not converged, loud like
+      the dup_groups_star fixpoint).
+    * ``rounds=N`` (replay): exactly N peel rounds, converged or not.
+      Bit-exact in any engine that unrolls the same N rounds — the
+      oracle-gate mode (an unrolled SQL CTE chain replays it), same
+      bounded-replay discipline as ``cluster_inertia``'s Lloyd unroll.
+
+    Exact and engine-replayable: pure integer degrees, no floats, no
+    ordering sensitivity.
+
+    Scale shape: per round, one hash-aggregate on node id (map-side
+    combinable count) and two semi-joins of the symmetric edge list
+    against the survivor set — both on the node-id key the aggregate
+    just used. No forced broadcast anywhere (survivor sets start at
+    |V| — corpus-sized); AQE broadcasts the survivor side when it
+    shrinks below the threshold, which it does monotonically as the
+    peel proceeds. ``localCheckpoint`` cuts lineage each round (the
+    dup_groups_star pattern — without it round r re-executes all
+    r-1 prior rounds at every action). Round count is bounded: real
+    peels converge in a handful of rounds (degeneracy ordering), and
+    the loop is O(E) work per round — the PODC'11 message-passing
+    shape, not a per-node sequential peel.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e_raw = edges.where(
+        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+    ).where(F.col(src_col) != F.col(dst_col))
+    und = (
+        e_raw.select(
+            F.least(src_col, dst_col).alias("lo"), F.greatest(src_col, dst_col).alias("hi")
+        )
+        .distinct()
+    )
+    # symmetric view: one row per (node, neighbor) direction, so degree
+    # is a plain count on the first column
+    sym = (
+        und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .unionByName(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+
+    n_prev = sym.count()
+    bounded = rounds is not None
+    n_rounds = rounds if bounded else max_iters
+    for _ in range(n_rounds):
+        if n_prev == 0:
+            break
+        keep = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+        )
+        sym = (
+            sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = sym.count()
+        if n_now == n_prev:
+            n_prev = n_now
+            break
+        n_prev = n_now
+    else:
+        if not bounded:
+            raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

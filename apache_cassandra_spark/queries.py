@@ -1044,6 +1044,20 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard self-join
+    (dedup.prefix_jaccard_pairs): candidates restricted to collisions on
+    each document's rarest ``n − ceil(t·n) + 1`` shingles (global
+    doc-freq order) + length filter, then exact verification on the
+    survivors. LOSSLESS by the prefix-filter theorem, so the oracle is
+    the plain all-pairs Jaccard SQL — the gate proves the optimization
+    changes nothing. The scale path for set-similarity joins where the
+    full inverted-index join's Σ df² blows up on common shingles."""
+    return dedup.prefix_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
 def q_dedup_containment(spark, sf_dir):
     """Directed n-gram containment |A∩B| / |A| ≥ 0.8 — the asymmetric
     near-dup signal (quotes / syndicated excerpts embedded in larger
@@ -4371,6 +4385,9 @@ ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhas
 ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 # IVF probing every cell must equal exact brute-force top-k (same oracle)
 ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
+# prefix filtering is lossless (see q_dedup_prefix_jaccard): the gate runs
+# the PPJoin plan against the naive all-pairs oracle and must agree exactly
+ORACLES["dedup_prefix_jaccard"] = ORACLES["dedup_ngram_jaccard"]
 ORACLES["sim_ann_lsh_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
@@ -4548,6 +4565,78 @@ ORACLES["tpch_q18ish"] = """
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
+
+def q_docs_kcore(spark, sf_dir):
+    """4-core of the mutual-kNN document-embedding graph
+    (graph.k_core, rounds=6 bounded replay): edges connect vectors that
+    are mutually in each other's exact top-8 cosine neighborhoods — the
+    standard density-invariant semantic graph (mutual-kNN density does
+    not drift with corpus size the way an absolute cosine threshold
+    does). The 4-core keeps the dense semantic kernels (template
+    families, topic cores) and peels off chain-connected periphery.
+    Fixed 500-vector universe so the gate's edge build (exact
+    brute-force kNN, the small-sf baseline) is constant work at every
+    sf; production edge lists come from the banded/bucketed candidate
+    generators (ann_lsh_topk / ivf buckets) and k_core is agnostic to
+    the edge source. Bounded rounds=6 replays identically in the
+    unrolled oracle CTE chain; the peel converges in <=4 rounds on this
+    graph, and peel monotonicity makes extra rounds no-ops."""
+    from apache_cassandra_spark.analytics.graph import k_core
+    from apache_cassandra_spark.analytics.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    knn = cosine_topk(emb, emb, k=8).select("query_id", "neighbor_id")
+    rev = knn.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    mutual = (
+        knn.join(rev, ["query_id", "neighbor_id"], "left_semi")
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        # cut lineage here: k_core's symmetrize union would otherwise
+        # re-execute the all-pairs knn scoring once per union branch
+        .localCheckpoint(eager=True)
+    )
+    return k_core(mutual, k=4, rounds=6).select(
+        F.col("node").cast("long").alias("node"), "degree"
+    )
+
+
+# same knn CTE discipline as sim_topk (round-6 cosine + id tie-break,
+# proven hash-exact); the peel is unrolled to the same 6 bounded rounds
+# the Spark side runs — each round = survivors with degree >= 4, then
+# edges restricted to survivors on both endpoints. Every level is AS
+# MATERIALIZED: DuckDB inlines plain CTEs, and each level references the
+# previous one three times (FROM + the two survivor joins), so an
+# inlined unroll re-expands the all-pairs knn 3^6 times and never
+# finishes — materialization makes the chain linear.
+_KCORE_PEEL = "\n".join(
+    f"""    k{r} AS MATERIALIZED (SELECT a AS node FROM e{r - 1} GROUP BY a HAVING count(*) >= 4),
+    e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r - 1} e
+             JOIN k{r} x ON e.a = x.node JOIN k{r} y ON e.b = y.node),"""
+    for r in range(1, 7)
+)
+ORACLES["docs_kcore"] = f"""
+    WITH u AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+    knn AS MATERIALIZED (
+        SELECT q.vec_id AS qa, c.vec_id AS qb,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                          c.vec_id) AS rk
+        FROM u q, u c WHERE c.vec_id <> q.vec_id),
+    top8 AS MATERIALIZED (SELECT qa, qb FROM knn WHERE rk <= 8),
+    mutual AS MATERIALIZED (SELECT k1.qa AS lo, k1.qb AS hi FROM top8 k1
+               JOIN top8 k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
+               WHERE k1.qa < k1.qb),
+    e0 AS MATERIALIZED (SELECT lo AS a, hi AS b FROM mutual
+           UNION ALL SELECT hi AS a, lo AS b FROM mutual),
+{_KCORE_PEEL}
+    fin AS (SELECT * FROM e6)
+    SELECT cast(a as bigint) AS node, cast(count(*) as bigint) AS degree
+    FROM fin GROUP BY a
+"""
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
@@ -4710,4 +4799,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": q_events_quantiles,
     "tpch_q14ish": q_tpch_q14ish,
     "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
+    # --- pre-built for the round-9 window (round-8's slots are owed to
+    # the 43 round-5-stale entries + the four above) ---
+    "docs_kcore": q_docs_kcore,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
 }

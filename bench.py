@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "events_quantiles",
     "tpch_q14ish",
+    # pre-built for round 9
+    "docs_kcore",
+    "dedup_prefix_jaccard",
 ]
 
 

@@ -1,0 +1,71 @@
+"""Prefix-filtered Jaccard join (dedup.prefix_jaccard_pairs): losslessness
+against the naive inverted-index operator on adversarial synthetic corpora
+(threshold-boundary pairs, shared-boilerplate skew, singleton shingles) and
+the candidate-reduction property the prefix exists for."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from apache_cassandra_spark.analytics.dedup import (
+    ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
+)
+
+# small word pool → dense overlap structure, lots of near-threshold pairs
+WORDS = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect())
+
+
+def test_boundary_pair_exactly_at_threshold(spark):
+    # trigram sets: A = {a b c, b c d}, B = {a b c, b c d, c d e, d e f}
+    # J = 2/4 = 0.5 — must be kept at t=0.5 by both operators
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta epsi zeta"])
+    naive = _pairs(ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None))
+    pref = _pairs(prefix_jaccard_pairs(docs, threshold=0.5))
+    assert naive == pref == [(0, 1, 0.5)]
+
+
+def test_exact_duplicates_and_disjoint(spark):
+    docs = _docs(
+        spark,
+        ["alpha beta gamma delta", "alpha beta gamma delta", "zeta eta theta epsi"],
+    )
+    naive = _pairs(ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=None))
+    pref = _pairs(prefix_jaccard_pairs(docs, threshold=0.5))
+    assert naive == pref == [(0, 1, 1.0)]
+
+
+def test_skew_guard_parity(spark):
+    # with a doc-freq cap both operators drop the same hot shingles and
+    # must still agree (the theorem holds on the guarded universe)
+    texts = ["alpha beta gamma " + w for w in ("delta", "epsi", "zeta", "eta")]
+    docs = _docs(spark, texts)
+    naive = _pairs(ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=3))
+    pref = _pairs(prefix_jaccard_pairs(docs, threshold=0.3, max_doc_freq=3))
+    assert naive == pref
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_fuzz_lossless_vs_naive(spark, texts, threshold):
+    docs = _docs(spark, texts)
+    naive = _pairs(ngram_jaccard_pairs(docs, threshold=threshold, max_doc_freq=None))
+    pref = _pairs(prefix_jaccard_pairs(docs, threshold=threshold))
+    assert naive == pref

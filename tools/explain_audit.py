@@ -97,6 +97,9 @@ AUDITED = {
     "dedup_incremental": "incremental-ingest dedup: reference reduces to its distinct hash set (map-side combined), batch LeftAnti-joins it on the hash with NO broadcast hint (corpus-cardinality side — AQE decides), then the in-batch min-id winner via LeftSemi — the O(batch + probe) daily-crawl shape",
     "events_quantiles": "exact per-type percentiles: single sort-based percentile aggregate per group, partial-combined — one shuffle keyed on event_type",
     "tpch_q14ish": "promo revenue share: one-month l_shipdate range in the lineitem scan's PushedFilters, part join AQE-decided, conditional decimal sums in ONE aggregate pass",
+    # pre-built for round 9
+    "docs_kcore": "4-core of the mutual-kNN graph: per-round HashAggregate degree count + two LeftSemi survivor joins on the same node key, lineage cut per round by localCheckpoint — no forced broadcast (survivor set starts corpus-sized, AQE broadcasts as the peel shrinks it); edge build is the fixed-universe exact-kNN baseline",
+    "dedup_prefix_jaccard": "PPJoin prefix filter: candidate join touches only each doc's rarest n−ceil(t·n)+1 shingles (doc-freq-ordered window per doc id) + length filter, exact verification fan-out on survivors only — lossless, kills the Σ df² blowup of the full inverted-index join; doc-freq table joined, never broadcast by hint",
 }
 
 
