@@ -2809,6 +2809,82 @@ def q_streaming_dedup_replay(spark, sf_dir):
     return spark.table(view).select("content_hash", "keeper_id", "n_copies")
 
 
+def q_streaming_watermark_replay(spark, sf_dir):
+    """Seventh streaming gate — the first to run a watermark LIVE and
+    hash-match the late-DROP semantics themselves. Events are staged
+    into four single-file micro-batches in a deterministic order
+    (batch b = user_id % 4, strictly increasing mtimes, one file per
+    trigger), then aggregated with ``withWatermark('1 hour')`` in
+    APPEND mode. The oracle replays Spark's exact micro-batch watermark
+    contract, calibrated empirically on this engine and pinned by
+    tests/test_streaming_watermark.py:
+
+    * the late filter of batch b uses the watermark derived from
+      batches 0..b−2 (one full batch of lag: the watermark computed
+      from batch b−1's event-time stats takes effect only in b+1);
+    * a row is dropped iff its WINDOW END <= that watermark (window
+      basis, inclusive boundary — not the row's own event time);
+    * append emission at availableNow drain: windows with
+      end <= cummax(all batches) − delay, also inclusive.
+
+    The lag makes filter and eviction consistent (a window evicted by
+    the end of batch b−1 is exactly one whose rows batch b's filter
+    drops), so every emitted (window, type) key appears once with the
+    aggregate over ALL its kept rows — which is what makes an exact
+    SQL replay possible at all. Unlike the other six gates this result
+    is file-ORDER-dependent by design; the staging pins the order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.streaming.ingest import windowed_event_stats
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr("ts div 1000").alias("ts_micros"),
+        "event_type",
+        "value",
+        (F.col("user_id") % 4).alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="wm_gate_")
+    src = f"{root}/src"
+    os.makedirs(src)
+    view = "stream_watermark_gate"
+    spark.catalog.dropTempView(view)
+    try:
+        for b in range(4):
+            tmp = f"{root}/t{b}"
+            ev.where(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{src}/batch{b}.parquet"
+            shutil.move(part, dst)
+            # FileStreamSource drains oldest-mtime-first: +100s per file
+            # pins batch order = declared order (ties impossible)
+            os.utime(dst, (1_000_000 + b * 100, 1_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("ts_micros long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        q = (
+            windowed_event_stats(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(view)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming watermark replay did not finish")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(view).select("window_start", "event_type", "n", "total")
+
+
 # --- pre-built for the round-8 window (declared BELOW position 50 this
 # round; rotated in next round when slots free up) ---
 
@@ -2868,6 +2944,57 @@ def q_tpch_q14ish(spark, sf_dir):
             * 100,
             4,
         ).alias("promo_pct"),
+    )
+
+
+def q_tpch_q12ish(spark, sf_dir):
+    """Shipping-priority audit (TPC-H Q12 shape): one-year lineitem
+    date range pushed to the scan, fact⋈orders equi-join where the
+    orders side is pruned to (key, priority), then conditional integer
+    counts per group — the canonical join + CASE-aggregation report.
+    The group key stands in for l_shipmode (not in this dataset)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_orderkey", "l_returnflag")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+def q_tpch_q13ish(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): left join
+    that must PRESERVE zero-order customers (the order filter lives on
+    the join's right side, not in a post-join WHERE — a customer whose
+    only orders are excluded still lands in the c_count=0 bucket),
+    per-customer count, then the histogram re-aggregation. Two hash
+    aggregates, both partial-combined; no window, no sort until the
+    final tiny histogram."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -4388,6 +4515,59 @@ ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 # prefix filtering is lossless (see q_dedup_prefix_jaccard): the gate runs
 # the PPJoin plan against the naive all-pairs oracle and must agree exactly
 ORACLES["dedup_prefix_jaccard"] = ORACLES["dedup_ngram_jaccard"]
+ORACLES["tpch_q12ish"] = """
+    SELECT l_returnflag AS return_flag,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) as bigint)
+               AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) as bigint)
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+"""
+# order filter on the JOIN side (not post-join WHERE): customers whose
+# only orders are 5-LOW must still appear in the c_count = 0 bucket
+# Exact replay of the micro-batch watermark contract (see
+# q_streaming_watermark_replay): batch b = user_id % 4; the late filter
+# of batch b uses cummax(batch max event time over 0..b-2) − 1h (the
+# one-batch lag, NULL for b <= 1 ⇒ no drops); drop iff window END <=
+# that watermark; append-emit iff window end <= global max − 1h. All
+# boundaries inclusive, pinned by tests/test_streaming_watermark.py.
+ORACLES["streaming_watermark_replay"] = """
+    WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value,
+                      user_id % 4 AS b
+               FROM events),
+    bm AS (SELECT b, max(tsu) AS mx FROM e GROUP BY b),
+    wm AS (SELECT b,
+                  max(mx) OVER (ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                      - 3600000000 AS fwm
+           FROM bm),
+    kept AS (SELECT e.tsu, e.event_type, e.value
+             FROM e JOIN wm USING (b)
+             WHERE wm.fwm IS NULL
+                OR ((e.tsu // 3600000000) + 1) * 3600000000 > wm.fwm),
+    fin AS (SELECT max(tsu) - 3600000000 AS w FROM e),
+    agg AS (SELECT (tsu // 3600000000) * 3600000000 AS ws, event_type,
+                   cast(count(*) as bigint) AS n,
+                   cast(sum(cast(value as decimal(18,4))) as double) AS total
+            FROM kept GROUP BY 1, 2)
+    SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n, total
+    FROM agg, fin WHERE ws + 3600000000 <= fin.w
+"""
+ORACLES["tpch_q13ish"] = """
+    WITH co AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+    SELECT cast(c_count as bigint) AS c_count,
+           cast(count(*) as bigint) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
 ORACLES["sim_ann_lsh_exact"] = ORACLES["sim_topk"]
 ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
@@ -4803,4 +4983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the 43 round-5-stale entries + the four above) ---
     "docs_kcore": q_docs_kcore,
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "tpch_q12ish": q_tpch_q12ish,
+    "tpch_q13ish": q_tpch_q13ish,
+    "streaming_watermark_replay": q_streaming_watermark_replay,
 }

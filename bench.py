@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     # pre-built for round 9
     "docs_kcore",
     "dedup_prefix_jaccard",
+    "tpch_q12ish",
+    "tpch_q13ish",
 ]
 
 
