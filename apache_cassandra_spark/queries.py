@@ -2920,6 +2920,22 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_events_quantiles_approx(spark, sf_dir):
+    """approx_percentile twin of events_quantiles — the 100 TB path:
+    Greenwald-Khanna sketches are bounded-size and MERGEABLE, so the
+    aggregation is one map-side-combinable pass instead of the exact
+    percentile's per-group value sort. Rows-only by design (the sketch's
+    picked element is engine-specific); the unit tests pin every
+    percentile within the sketch's rank-error bound of the exact twin,
+    and the accuracy knob (10⁴ ⇒ rank error ≤ n/10⁴) is explicit."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+    )
+
+
 def q_tpch_q14ish(spark, sf_dir):
     """Promo revenue share (TPC-H Q14 shape): conditional aggregation
     over a part⋈lineitem fact join with a one-month date filter pushed
@@ -4986,4 +5002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12ish": q_tpch_q12ish,
     "tpch_q13ish": q_tpch_q13ish,
     "streaming_watermark_replay": q_streaming_watermark_replay,
+    # by-design approximate (permanently below position 50, like the HLL /
+    # ANN / k-means entries): exact twin is events_quantiles
+    "events_quantiles_approx": q_events_quantiles_approx,
 }

@@ -167,7 +167,35 @@ OPS = {
         "apache_cassandra_spark.analytics.text", fromlist=["char_entropy"]
     ).char_entropy(d).agg(F.sum("sum_clnc_micro")).collect() and d.count(),
     "range_search": lambda d: _range_search_op(d),
+    # round 7 pre-build: k-core peel over block-structured graphs (block
+    # count scales, density constant — like the triangles probe) and the
+    # PPJoin prefix filter vs the naive inverted-index join (same output
+    # by the losslessness theorem, so the delta is pure plan cost)
+    "kcore": lambda d: _kcore_op(d),
+    "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
+    .agg(F.sum("jaccard"))
+    .collect()
+    and d.count(),
+    "ngram_jaccard_naive": lambda d: dedup.ngram_jaccard_pairs(
+        d, threshold=0.5, max_doc_freq=None
+    )
+    .agg(F.sum("jaccard"))
+    .collect()
+    and d.count(),
 }
+
+
+def _kcore_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.graph import k_core
+
+    block = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(1000))
+    edges = docs.select(
+        (block + F.pmod(F.col("doc_id") * 31, F.lit(1000))).alias("src"),
+        (block + F.pmod(F.col("doc_id") * 53 + 7, F.lit(1000))).alias("dst"),
+    )
+    return (
+        k_core(edges, k=3, rounds=4).agg(F.sum("degree")).collect() and docs.count()
+    )
 
 
 def _interleave_op(docs: DataFrame, fold_literals: bool) -> int:
