@@ -182,7 +182,38 @@ OPS = {
     .agg(F.sum("jaccard"))
     .collect()
     and d.count(),
+    # boilerplate regime at the near-dup threshold (0.8): a 12-token
+    # footer shared by EVERY document — the Σ df² blowup the prefix
+    # filter exists for. The naive join pays ~10·n²/2 pair rows through
+    # the footer shingles REGARDLESS of threshold (the join is
+    # threshold-blind); the prefix at t=0.8 keeps only each doc's rarest
+    # ~20%, which the corpus-wide footer shingles never enter. At t=0.5
+    # the prefix is half the document and short docs pull footer
+    # shingles into it — measured, see SCALE.md: PPJoin is a
+    # HIGH-threshold optimization.
+    "prefix_jaccard_boiler": lambda d: dedup.prefix_jaccard_pairs(
+        _boiler(d), threshold=0.8
+    )
+    .agg(F.sum("jaccard"))
+    .collect()
+    and d.count(),
+    "ngram_jaccard_naive_boiler": lambda d: dedup.ngram_jaccard_pairs(
+        _boiler(d), threshold=0.8, max_doc_freq=None
+    )
+    .agg(F.sum("jaccard"))
+    .collect()
+    and d.count(),
 }
+
+
+def _boiler(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" generated by example corp all rights reserved terms privacy contact us page footer"),
+        ).alias("text"),
+    )
 
 
 def _kcore_op(docs: DataFrame) -> int:
