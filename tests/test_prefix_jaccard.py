@@ -69,3 +69,18 @@ def test_fuzz_lossless_vs_naive(spark, texts, threshold):
     naive = _pairs(ngram_jaccard_pairs(docs, threshold=threshold, max_doc_freq=None))
     pref = _pairs(prefix_jaccard_pairs(docs, threshold=threshold))
     assert naive == pref
+
+
+def test_no_forced_hint_no_cartesian(spark):
+    """Candidate and verification joins are equi-joins with no forced
+    broadcast (doc-freq and sizes are corpus-cardinality tables — the
+    same no-unconditional-broadcast rule as the reconcile watermark
+    fix); nothing in the plan is a cartesian product."""
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma epsi zeta"])
+    out = prefix_jaccard_pairs(docs, threshold=0.5)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
