@@ -90,7 +90,7 @@ def _postings_and_sizes(
     op_name: str,
 ):
     """Shared inverted-index prep for the set-similarity pair operators:
-    returns ``(postings, sizes)`` with the ``max_doc_freq`` skew guard
+    returns ``(postings, sizes, sh, freq)`` with the ``max_doc_freq`` skew guard
     applied (and its recall-loss warning emitted) exactly once, so
     jaccard and containment cannot drift apart.
 
@@ -107,6 +107,7 @@ def _postings_and_sizes(
     sh = shingle_sets(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     postings = sh
+    freq = None
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         rare = freq.where(F.col("df") <= max_doc_freq)
@@ -124,7 +125,7 @@ def _postings_and_sizes(
                     max_doc_freq,
                 )
         postings = sh.join(rare.select("shingle"), "shingle", "left_semi")
-    return postings, sizes, sh
+    return postings, sizes, sh, freq
 
 
 def ngram_jaccard_pairs(
@@ -147,7 +148,7 @@ def ngram_jaccard_pairs(
     (n_common shrinks while set sizes stay full), so the guard trades
     recall near the threshold, never precision above it.
     """
-    postings, sizes, sh = _postings_and_sizes(
+    postings, sizes, sh, _ = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, log_dropped, "ngram_jaccard_pairs"
     )
     a = postings.select(F.col("id").alias("id_a"), "shingle")
@@ -204,7 +205,7 @@ def ngram_containment_pairs(
     containment); the only new cost is emitting each unordered pair in
     both directions before the threshold filter.
     """
-    postings, sizes, sh = _postings_and_sizes(
+    postings, sizes, sh, _ = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, log_dropped, "ngram_containment_pairs"
     )
     a = postings.select(F.col("id").alias("id_src"), "shingle")
@@ -279,12 +280,21 @@ def prefix_jaccard_pairs(
     prefix rank is a window partitioned by doc id (no global sort);
     the verification fan-out joins are equi-joins on (id, shingle).
     """
-    postings, sizes, sh = _postings_and_sizes(
+    postings, sizes, sh, freq = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, False, "prefix_jaccard_pairs"
     )
     from pyspark.sql import Window
 
-    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # reuse the skew guard's doc-freq aggregate when it already exists
+    # (one corpus-scale shuffle instead of two). Guard-dropped shingles
+    # are absent from `postings`, so their freq rows never join; for the
+    # survivors df-over-sh equals df-over-postings, and ANY consistent
+    # global order satisfies the prefix theorem anyway.
+    dfreq = (
+        freq
+        if freq is not None
+        else postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
     ranked = postings.join(dfreq, "shingle").withColumn(
         "pos",
         F.row_number().over(

@@ -497,10 +497,13 @@ def k_core(
     )
 
     n_prev = sym.count()
+    # an empty edge set is a fixpoint too — tracked as `converged` the
+    # moment a round produces it, so emptying the graph exactly on the
+    # final allowed round is not misreported as non-convergence
+    converged = n_prev == 0
     bounded = rounds is not None
-    n_rounds = rounds if bounded else max_iters
-    for _ in range(n_rounds):
-        if n_prev == 0:
+    for _ in range(rounds if bounded else max_iters):
+        if converged:
             break
         keep = (
             sym.groupBy("a")
@@ -514,13 +517,10 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         n_now = sym.count()
-        if n_now == n_prev:
-            n_prev = n_now
-            break
+        converged = n_now == n_prev or n_now == 0
         n_prev = n_now
-    else:
-        if not bounded:
-            raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+    if not bounded and not converged:
+        raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 
     return (
         sym.groupBy(F.col("a").alias("node"))

@@ -2844,7 +2844,10 @@ def q_streaming_watermark_replay(spark, sf_dir):
         F.expr("ts div 1000").alias("ts_micros"),
         "event_type",
         "value",
-        (F.col("user_id") % 4).alias("b"),
+        # pmod, not %: a negative user_id under % lands in -3..-1 and
+        # would match no staged file (row silently lost from the Spark
+        # side while the oracle still counts it)
+        F.pmod(F.col("user_id"), F.lit(4)).alias("b"),
     )
     root = tempfile.mkdtemp(prefix="wm_gate_")
     src = f"{root}/src"
@@ -4542,8 +4545,6 @@ ORACLES["tpch_q12ish"] = """
       AND l_shipdate <  timestamp '1997-01-01 00:00:00'
     GROUP BY 1 ORDER BY 1
 """
-# order filter on the JOIN side (not post-join WHERE): customers whose
-# only orders are 5-LOW must still appear in the c_count = 0 bucket
 # Exact replay of the micro-batch watermark contract (see
 # q_streaming_watermark_replay): batch b = user_id % 4; the late filter
 # of batch b uses cummax(batch max event time over 0..b-2) − 1h (the
@@ -4552,9 +4553,15 @@ ORACLES["tpch_q12ish"] = """
 # boundaries inclusive, pinned by tests/test_streaming_watermark.py.
 ORACLES["streaming_watermark_replay"] = """
     WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value,
-                      user_id % 4 AS b
+                      ((user_id % 4) + 4) % 4 AS b
                FROM events),
-    bm AS (SELECT b, max(tsu) AS mx FROM e GROUP BY b),
+    -- all four staged batch slots, even data-empty ones: an empty file
+    -- still runs as a micro-batch and occupies a slot in the one-batch
+    -- watermark lag, so the ROWS frame below must count batch NUMBERS,
+    -- not just batches that happen to hold rows (max ignores the NULLs)
+    slots AS (SELECT unnest(generate_series(0, 3)) AS b),
+    bm AS (SELECT s.b, max(e.tsu) AS mx
+           FROM slots s LEFT JOIN e ON e.b = s.b GROUP BY s.b),
     wm AS (SELECT b,
                   max(mx) OVER (ORDER BY b
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
@@ -4573,6 +4580,8 @@ ORACLES["streaming_watermark_replay"] = """
            event_type, n, total
     FROM agg, fin WHERE ws + 3600000000 <= fin.w
 """
+# order filter on the JOIN side (not post-join WHERE): customers whose
+# only orders are 5-LOW must still appear in the c_count = 0 bucket
 ORACLES["tpch_q13ish"] = """
     WITH co AS (
         SELECT c_custkey, count(o_orderkey) AS c_count

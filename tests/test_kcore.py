@@ -91,6 +91,19 @@ def test_unconverged_raises(spark):
         ).collect()
 
 
+def test_emptying_on_final_round_is_converged(spark):
+    # a 9-node path at k=2 loses its 2 endpoints per round: 8→6→4→2→0
+    # edges, emptying EXACTLY at round 4 — a fixpoint, not a
+    # non-convergence (regression: the empty check used to live at the
+    # top of the next iteration, so max_iters==4 spuriously raised)
+    path = [(i, i + 1) for i in range(1, 9)]
+    assert _run(spark, path, k=2, max_iters=4) == {}
+    with pytest.raises(Exception, match="did not converge"):
+        k_core(
+            spark.createDataFrame(path, ["src", "dst"]), k=2, max_iters=3
+        ).collect()
+
+
 NODES = list(range(8))
 edge_st = st.tuples(st.sampled_from(NODES), st.sampled_from(NODES))
 

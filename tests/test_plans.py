@@ -885,3 +885,32 @@ def test_tpch_q14ish_pushes_date_filter(spark):
     plan = plan_of(q_tpch_q14ish(spark, "/root/testdata/sf0.001"))
     assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12ish_pushes_date_filter_and_prunes_orders(spark):
+    from apache_cassandra_spark.queries import q_tpch_q12ish
+
+    df = q_tpch_q12ish(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # one-year range reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+    # orders scan reads only the join key + priority (column pruning)
+    import re
+
+    m = re.search(r"ReadSchema:[^\n]*o_orderkey[^\n]*", plan)
+    assert m and "o_totalprice" not in m.group(0)
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13ish_preserves_zero_order_customers(spark):
+    from apache_cassandra_spark.queries import q_tpch_q13ish
+
+    df = q_tpch_q13ish(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # the priority filter sits on the orders scan (join side), so the
+    # left join keeps customers whose only orders are excluded — if the
+    # filter migrated to a post-join WHERE, Catalyst would rewrite the
+    # join to Inner and the c_count=0 bucket would vanish (that data
+    # semantics is pinned by the oracle gate at sf0.01)
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan.replace("'", "")
