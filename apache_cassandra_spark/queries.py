@@ -1050,11 +1050,14 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
     each document's rarest ``n − ceil(t·n) + 1`` shingles (global
     doc-freq order) + length filter, then exact verification on the
     survivors. LOSSLESS by the prefix-filter theorem, so the oracle is
-    the plain all-pairs Jaccard SQL — the gate proves the optimization
-    changes nothing. The scale path for set-similarity joins where the
-    full inverted-index join's Σ df² blows up on common shingles."""
+    the plain all-pairs Jaccard SQL at the same threshold — the gate
+    proves the optimization changes nothing. Gated at t=0.8, the
+    operator's home regime (prefix ≈ 20% of each doc; common shingles
+    never enter it — SCALE.md round-7 probes): the scale path for
+    set-similarity joins where the full inverted-index join's Σ df²
+    blows up on corpus-wide boilerplate."""
     return dedup.prefix_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
 
 
@@ -4532,8 +4535,17 @@ ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
 # IVF probing every cell must equal exact brute-force top-k (same oracle)
 ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 # prefix filtering is lossless (see q_dedup_prefix_jaccard): the gate runs
-# the PPJoin plan against the naive all-pairs oracle and must agree exactly
-ORACLES["dedup_prefix_jaccard"] = ORACLES["dedup_ngram_jaccard"]
+# the PPJoin plan against the naive all-pairs oracle at the operator's
+# home threshold (0.8) and must agree exactly
+ORACLES["dedup_prefix_jaccard"] = f"""
+    WITH {_DOC_SHINGLES},
+    sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+              FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+    WHERE round(c / (sa.n + sb.n - c), 6) >= 0.8
+"""
 ORACLES["tpch_q12ish"] = """
     SELECT l_returnflag AS return_flag,
            cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) as bigint)
