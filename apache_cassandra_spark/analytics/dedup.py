@@ -301,25 +301,31 @@ def prefix_jaccard_pairs(
             Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
         ),
     )
+    # The output contract keeps pairs with round(J, 6) >= threshold, i.e.
+    # true J >= threshold − 5e-7 (round half away from zero). Candidate
+    # generation must therefore cover that widened band — deriving the
+    # prefix length and length filter from the bare threshold would let a
+    # pair whose true J sits in [t−5e-7, t) slip past the prefix while
+    # the naive operator and the oracle emit it. The extra 1e-9 absorbs
+    # float noise in the multiply itself; both slacks only ever ADD
+    # candidates, never drop one.
+    t_cand = threshold - 5e-7 - 1e-9
     with_size = ranked.join(sizes, "id")
-    # prefix length ℓ = n − ceil(t·n) + 1. The 1e-9 slack makes float
-    # rounding err toward a LONGER prefix (extra candidates, never a
-    # missed pair): if t·n lands a hair above its true integer value,
-    # a bare ceil would shorten the prefix below the safe bound.
+    # prefix length ℓ = n − ceil(t·n) + 1
     prefix = with_size.where(
         F.col("pos")
-        <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size") - 1e-9) + 1
+        <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
     ).select("id", "shingle", "set_size")
     pa = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("set_size").alias("size_a"))
     pb = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("set_size").alias("size_b"))
     cands = (
         pa.join(pb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        # length filter: t·|A| <= |B| <= |A|/t (symmetric on the pair);
-        # same 1e-9 slack so float error only ever admits extra candidates
+        # length filter: t·|A| <= |B| <= |A|/t (symmetric on the pair),
+        # with the same rounding-band widening as the prefix length
         .where(
-            (F.col("size_b") >= F.lit(threshold) * F.col("size_a") - 1e-9)
-            & (F.col("size_a") >= F.lit(threshold) * F.col("size_b") - 1e-9)
+            (F.col("size_b") >= F.lit(t_cand) * F.col("size_a"))
+            & (F.col("size_a") >= F.lit(t_cand) * F.col("size_b"))
         )
         .select("id_a", "id_b", "size_a", "size_b")
         .distinct()

@@ -354,6 +354,25 @@ def hits(
     )
 
 
+def _undirected_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical simple undirected edge set ``(lo, hi)`` shared by the
+    structural operators (triangles, k-core): NULL-endpoint edges and
+    self-loops dropped, parallel and reversed duplicates collapsed. One
+    definition so the operators' notion of "the simple graph" cannot
+    drift (the ``!=`` filter alone already drops NULL rows — NULL
+    comparisons are never true — but the explicit guard keeps the
+    NULL-edge policy loud)."""
+    return (
+        edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("lo"),
+            F.greatest(src_col, dst_col).alias("hi"),
+        )
+        .distinct()
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -382,14 +401,7 @@ def triangle_counts(
     the pair), AQE broadcasts the rank map when small; nothing is
     quadratic in nodes, nothing collects.
     """
-    e_raw = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).where(
-        F.col(src_col) != F.col(dst_col)
-    )
-    # simple undirected edge set, canonical (lo, hi) by node id
-    und = (
-        e_raw.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
-        .distinct()
-    )
+    und = _undirected_edges(edges, src_col, dst_col)
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionByName(und.select(F.col("hi").alias("node")))
@@ -479,15 +491,7 @@ def k_core(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    e_raw = edges.where(
-        F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
-    ).where(F.col(src_col) != F.col(dst_col))
-    und = (
-        e_raw.select(
-            F.least(src_col, dst_col).alias("lo"), F.greatest(src_col, dst_col).alias("hi")
-        )
-        .distinct()
-    )
+    und = _undirected_edges(edges, src_col, dst_col)
     # symmetric view: one row per (node, neighbor) direction, so degree
     # is a plain count on the first column
     sym = (

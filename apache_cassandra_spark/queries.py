@@ -2847,10 +2847,11 @@ def q_streaming_watermark_replay(spark, sf_dir):
         F.expr("ts div 1000").alias("ts_micros"),
         "event_type",
         "value",
-        # pmod, not %: a negative user_id under % lands in -3..-1 and
-        # would match no staged file (row silently lost from the Spark
-        # side while the oracle still counts it)
-        F.pmod(F.col("user_id"), F.lit(4)).alias("b"),
+        # pmod + coalesce, not %: a negative user_id under % lands in
+        # -3..-1 and a NULL user_id yields NULL — either would match no
+        # staged file (row silently lost from the Spark side while the
+        # oracle still counts it in the final-watermark max)
+        F.pmod(F.coalesce(F.col("user_id"), F.lit(0)), F.lit(4)).alias("b"),
     )
     root = tempfile.mkdtemp(prefix="wm_gate_")
     src = f"{root}/src"
@@ -4565,7 +4566,7 @@ ORACLES["tpch_q12ish"] = """
 # boundaries inclusive, pinned by tests/test_streaming_watermark.py.
 ORACLES["streaming_watermark_replay"] = """
     WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value,
-                      ((user_id % 4) + 4) % 4 AS b
+                      ((coalesce(user_id, 0) % 4) + 4) % 4 AS b
                FROM events),
     -- all four staged batch slots, even data-empty ones: an empty file
     -- still runs as a micro-batch and occupies a slot in the one-batch

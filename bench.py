@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "dedup_prefix_jaccard",
     "tpch_q12ish",
     "tpch_q13ish",
+    "events_quantiles_approx",
 ]
 
 

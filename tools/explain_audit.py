@@ -102,6 +102,7 @@ AUDITED = {
     "dedup_prefix_jaccard": "PPJoin prefix filter: candidate join touches only each doc's rarest n−ceil(t·n)+1 shingles (doc-freq-ordered window per doc id) + length filter, exact verification fan-out on survivors only — lossless, kills the Σ df² blowup of the full inverted-index join; doc-freq table joined, never broadcast by hint",
     "tpch_q12ish": "shipping-priority audit: one-year l_shipdate range in the lineitem scan's PushedFilters, orders side pruned to (key, priority) before the equi-join, conditional integer counts partial-aggregated",
     "tpch_q13ish": "customer order-count distribution: zero-preserving left join (order filter on the join side, not post-join), two partial-combined hash aggregates, sort only on the tiny final histogram",
+    "events_quantiles_approx": "GK approx percentiles: partial_approx_percentile map-side — bounded mergeable sketch per group crosses the exchange instead of the exact percentile's full value set; rank-error pinned vs the exact twin",
 }
 
 
