@@ -142,3 +142,81 @@ def test_kcore_no_forced_hint_and_aqe_broadcast(spark):
     # the round's two survivor LeftSemi joins both resolve to broadcast
     # at this scale; the checkpointed edge scan hides earlier rounds
     assert "SortMergeJoin" not in final
+
+
+# ---------------------------------------------------------------------------
+# coreness (full decomposition, h-index refinement)
+# ---------------------------------------------------------------------------
+
+from apache_cassandra_spark.analytics.graph import coreness  # noqa: E402
+
+
+def python_coreness(edges):
+    """Textbook min-degree peel (Batagelj–Zaveršnik order)."""
+    adj = {}
+    for a, b in edges:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    deg = {n: len(ns) for n, ns in adj.items()}
+    live = dict(adj)
+    while live:
+        n = min(live, key=lambda x: (deg[x], x))
+        core[n] = max(core.get(n, 0), deg[n])
+        # peel n at its current degree: neighbors keep max(core so far)
+        k = core[n]
+        for m in live[n]:
+            if m in live and m != n:
+                live[m].discard(n)
+                deg[m] = len(live[m])
+                core[m] = max(core.get(m, 0), k)  # coreness is monotone in peel order
+        del live[n]
+    # standard formulation: coreness of n = k at the moment n is removed
+    # in min-degree order, where k is the running maximum of the removal
+    # degree. The loop above implements exactly that via core[n].
+    return core
+
+
+def _core_run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["coreness"] for r in coreness(df, **kw).collect()}
+
+
+def test_coreness_structured(spark):
+    # K4 (coreness 3 each) + path tail 4-5-6 (coreness 1) + triangle
+    # 7-8-9 (coreness 2), bridge 4-7
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tail = [(4, 5), (5, 6)]
+    tri = [(7, 8), (8, 9), (7, 9), (4, 7)]
+    out = _core_run(spark, k4 + tail + tri)
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1, 7: 2, 8: 2, 9: 2}
+
+
+def test_coreness_consistent_with_kcore(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [
+        (4, 5),
+        (5, 6),
+        (6, 4),
+        (6, 7),
+    ]
+    cores = _core_run(spark, edges)
+    for k in (1, 2, 3):
+        survivors = set(_run(spark, edges, k=k))
+        assert survivors == {n for n, c in cores.items() if c >= k}
+
+
+NODES2 = list(range(7))
+edge_st2 = st.tuples(st.sampled_from(NODES2), st.sampled_from(NODES2))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(edge_st2, min_size=1, max_size=16))
+def test_coreness_fuzz_matches_python_model(spark, edges):
+    simple = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    if not simple:
+        return
+    assert _core_run(spark, sorted(simple)) == python_coreness(sorted(simple))
