@@ -89,3 +89,91 @@ def heavy_hitters(
         .where(F.col("rk") <= k)
         .select(*group_cols, item_col, "cnt", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+    per group → one row per ``(group…, d, w, c)`` counter: ``c`` = how
+    many input rows hashed to bucket ``w`` under hash row ``d``.
+
+    The 100 TB shape when even the distinct (group, item) table explodes
+    (``heavy_hitters``'s docstring boundary): the sketch is a FIXED
+    ``depth × width`` counter grid per group — one map-side-combinable
+    hash aggregate whose exchange carries at most ``depth·width`` rows
+    per group no matter how many distinct items exist. Counters merge by
+    addition, so sketches from different days/shards combine with a
+    plain sum — the mergeability HLL has, but for frequencies.
+
+    Unlike HLL's engine-internal registers, every counter here is a
+    deterministic md5 function of the data (the ``_hash64`` discipline
+    dedup's minhash already oracle-replicates), so CM estimates are
+    EXACTLY reproducible in any engine — the gate hash-matches DuckDB,
+    no rows-only concession needed.
+    """
+    from apache_cassandra_spark.analytics.dedup import _hash64
+
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    group_cols = group_cols or []
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(_hash64(F.col(item_col), f"cm:{d}"), F.lit(width)).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(buckets).alias("dw"))
+        .groupBy(*group_cols, F.col("dw.d").alias("d"), F.col("dw.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: for every row of ``items`` return
+    ``(group…, item, est)`` where ``est = min over d of counter[h_d]``
+    — an overestimate of the true frequency by at most the collision
+    mass, never an underestimate. ``depth``/``width`` must match the
+    sketch's. Items absent from the sketched data read whatever their
+    buckets hold (possibly 0 via the left join's coalesce).
+
+    Plan: items fan out ×depth (a literal array explode), then ONE
+    equi-join against the counter grid on (group, d, w) and a min
+    aggregate — no window, no collect; the sketch side is
+    depth·width·|groups| rows, which AQE broadcasts when small.
+    """
+    from apache_cassandra_spark.analytics.dedup import _hash64
+
+    group_cols = group_cols or []
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(_hash64(F.col(item_col), f"cm:{d}"), F.lit(width)).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    fanned = items.select(*group_cols, item_col, F.explode(buckets).alias("dw")).select(
+        *group_cols, item_col, F.col("dw.d").alias("d"), F.col("dw.w").alias("w")
+    )
+    return (
+        fanned.join(sketch, [*group_cols, "d", "w"], "left")
+        .groupBy(*group_cols, item_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )

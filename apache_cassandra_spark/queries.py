@@ -3021,6 +3021,32 @@ def q_tpch_q13ish(spark, sf_dir):
     )
 
 
+def q_events_heavy_hitters_cm(spark, sf_dir):
+    """Count-min-sketch heavy hitters (sketches.cm_sketch/cm_estimate):
+    same top-5-users-per-type report as events_heavy_hitters, but read
+    through a fixed 4×256 counter grid per type instead of the exact
+    (group, item) frequency table — the shape for when distinct items
+    explode past the exchange. Every counter is a deterministic md5
+    function of the data, so unlike the HLL entry this sketch is
+    hash-anchored: the oracle rebuilds the identical grid and minima.
+    NULL user ids are excluded on both sides (concat_ws NULL-skip vs
+    SQL NULL-propagation would hash them differently)."""
+    from pyspark.sql import Window
+
+    from apache_cassandra_spark.analytics.sketches import cm_estimate, cm_sketch
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    sk = cm_sketch(ev, "user_id", ["event_type"], depth=4, width=256)
+    items = ev.select("event_type", "user_id").distinct()
+    est = cm_estimate(sk, items, "user_id", ["event_type"], depth=4, width=256)
+    w = Window.partitionBy("event_type").orderBy(F.col("est").desc(), F.col("user_id"))
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "user_id", "est", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def q_streaming_heavy_hitters_replay(spark, sf_dir):
     """Sixth streaming gate (round-8 window): per-type user counts as a
     complete-mode streaming aggregation replayed across micro-batches,
@@ -4593,6 +4619,32 @@ ORACLES["streaming_watermark_replay"] = """
            event_type, n, total
     FROM agg, fin WHERE ws + 3600000000 <= fin.w
 """
+# identical md5 counter grid as sketches.cm_sketch (the minhash '0x'||
+# substr(md5...) bigint idiom); min over depth rows per item, then the
+# same deterministic top-5 rank as events_heavy_hitters
+ORACLES["events_heavy_hitters_cm"] = """
+    WITH ev AS (SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+    ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+    hashed AS (SELECT event_type, user_id, d,
+                      ('0x' || substr(md5('cm:' || d || ':' || user_id), 1, 15))::bigint % 256 AS w
+               FROM ev, ds),
+    counters AS (SELECT event_type, d, w, cast(count(*) as bigint) AS c
+                 FROM hashed GROUP BY 1, 2, 3),
+    items AS (SELECT DISTINCT event_type, user_id FROM ev),
+    est AS (SELECT i.event_type, i.user_id, min(c.c) AS est
+            FROM items i
+            JOIN ds ON true
+            JOIN counters c
+              ON c.event_type = i.event_type AND c.d = ds.d
+             AND c.w = ('0x' || substr(md5('cm:' || ds.d || ':' || i.user_id), 1, 15))::bigint % 256
+            GROUP BY 1, 2)
+    SELECT event_type, user_id, est, cast(rk as int) AS rk FROM (
+      SELECT event_type, user_id, est,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY est DESC, user_id) AS rk
+      FROM est) t
+    WHERE rk <= 5
+"""
 # order filter on the JOIN side (not post-join WHERE): customers whose
 # only orders are 5-LOW must still appear in the c_count = 0 bucket
 ORACLES["tpch_q13ish"] = """
@@ -5027,4 +5079,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by-design approximate (permanently below position 50, like the HLL /
     # ANN / k-means entries): exact twin is events_quantiles
     "events_quantiles_approx": q_events_quantiles_approx,
+    # --- pre-built for the round-10 window ---
+    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
 }

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "tpch_q12ish",
     "tpch_q13ish",
     "events_quantiles_approx",
+    # pre-built for round 10
+    "events_heavy_hitters_cm",
 ]
 
 

@@ -103,6 +103,8 @@ AUDITED = {
     "tpch_q12ish": "shipping-priority audit: one-year l_shipdate range in the lineitem scan's PushedFilters, orders side pruned to (key, priority) before the equi-join, conditional integer counts partial-aggregated",
     "tpch_q13ish": "customer order-count distribution: zero-preserving left join (order filter on the join side, not post-join), two partial-combined hash aggregates, sort only on the tiny final histogram",
     "events_quantiles_approx": "GK approx percentiles: partial_approx_percentile map-side — bounded mergeable sketch per group crosses the exchange instead of the exact percentile's full value set; rank-error pinned vs the exact twin",
+    # pre-built for round 10
+    "events_heavy_hitters_cm": "count-min heavy hitters: depth×width md5 counter grid per group (ONE combinable hash-agg, exchange bounded by 4·256 rows/group regardless of distinct items), estimate = one equi-join + min agg, WindowGroupLimit top-5 — deterministic hashes make the sketch hash-anchored, unlike HLL",
 }
 
 

@@ -172,6 +172,7 @@ OPS = {
     # PPJoin prefix filter vs the naive inverted-index join (same output
     # by the losslessness theorem, so the delta is pure plan cost)
     "kcore": lambda d: _kcore_op(d),
+    "coreness": lambda d: _coreness_op(d),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -226,6 +227,21 @@ def _kcore_op(docs: DataFrame) -> int:
     )
     return (
         k_core(edges, k=3, rounds=4).agg(F.sum("degree")).collect() and docs.count()
+    )
+
+
+def _coreness_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.graph import coreness
+
+    block = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(1000))
+    edges = docs.select(
+        (block + F.pmod(F.col("doc_id") * 31, F.lit(1000))).alias("src"),
+        (block + F.pmod(F.col("doc_id") * 53 + 7, F.lit(1000))).alias("dst"),
+    )
+    # bounded 4-round replay mode: measures per-round cost, not the
+    # graph-dependent convergence count
+    return (
+        coreness(edges, rounds=4).agg(F.sum("coreness")).collect() and docs.count()
     )
 
 
