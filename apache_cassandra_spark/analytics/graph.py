@@ -564,8 +564,13 @@ def coreness(
     only when exactness is waived) or salting the join are the standard
     mitigations — the estimate table itself never broadcasts by hint.
     ``localCheckpoint`` per round cuts the iterative lineage
-    (dup_groups_star discipline). Rounds to converge are bounded by the
-    graph's degeneracy hierarchy depth — single digits on real graphs.
+    (dup_groups_star discipline). Convergence-round caveat: estimates
+    propagate ONE HOP per round, so the worst case is O(diameter) — a
+    length-L chain needs ~L/2 rounds for its endpoints' 1s to meet in
+    the middle (Montresor et al. §4: worst case O(N)); dense real-world
+    graphs converge in a handful of rounds, but long sparse chains do
+    not. Raise ``max_iters`` (each round is one linear join + window)
+    or use bounded ``rounds`` with a tolerance when diameter is unknown.
     """
     from pyspark.sql import Window
 

@@ -115,12 +115,18 @@ def cm_sketch(
     dedup's minhash already oracle-replicates), so CM estimates are
     EXACTLY reproducible in any engine — the gate hash-matches DuckDB,
     no rows-only concession needed.
+
+    NULL items are DROPPED here (and in :func:`cm_estimate`), not
+    hashed: ``concat_ws`` would silently hash a NULL to the bare salt
+    while every SQL oracle NULL-propagates and drops the row — the
+    policy lives in the operator so no call site can diverge.
     """
     from apache_cassandra_spark.analytics.dedup import _hash64
 
     if depth < 1 or width < 2:
         raise ValueError("need depth >= 1 and width >= 2")
     group_cols = group_cols or []
+    df = df.where(F.col(item_col).isNotNull())
     buckets = F.array(
         *[
             F.struct(
@@ -156,10 +162,29 @@ def cm_estimate(
     equi-join against the counter grid on (group, d, w) and a min
     aggregate — no window, no collect; the sketch side is
     depth·width·|groups| rows, which AQE broadcasts when small.
+
+    ``depth``/``width`` are cross-checked against the sketch's actual
+    hash rows (one cheap aggregate over the bounded counter table): a
+    mismatch would otherwise probe wrong buckets and silently break the
+    never-underestimate guarantee (extra ``d`` rows miss the left join,
+    coalesce to 0, and the min reports 0 for present items).
     """
     from apache_cassandra_spark.analytics.dedup import _hash64
 
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
     group_cols = group_cols or []
+    bounds = sketch.agg(F.max("d").alias("md"), F.max("w").alias("mw")).first()
+    if bounds["md"] is not None:
+        if bounds["md"] != depth - 1:
+            raise ValueError(
+                f"depth mismatch: sketch has hash rows 0..{bounds['md']}, "
+                f"estimate asked for depth={depth}"
+            )
+        if bounds["mw"] >= width:
+            raise ValueError(
+                f"width mismatch: sketch has bucket {bounds['mw']} >= width={width}"
+            )
     buckets = F.array(
         *[
             F.struct(
@@ -169,8 +194,12 @@ def cm_estimate(
             for d in range(depth)
         ]
     )
-    fanned = items.select(*group_cols, item_col, F.explode(buckets).alias("dw")).select(
-        *group_cols, item_col, F.col("dw.d").alias("d"), F.col("dw.w").alias("w")
+    fanned = (
+        items.where(F.col(item_col).isNotNull())
+        .select(*group_cols, item_col, F.explode(buckets).alias("dw"))
+        .select(
+            *group_cols, item_col, F.col("dw.d").alias("d"), F.col("dw.w").alias("w")
+        )
     )
     return (
         fanned.join(sketch, [*group_cols, "d", "w"], "left")

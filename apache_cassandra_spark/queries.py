@@ -3105,6 +3105,24 @@ sh AS (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)
 shd AS (SELECT DISTINCT id, shingle FROM sh)
 """
 
+
+def _jaccard_oracle_sql(threshold: float) -> str:
+    """One body for every Jaccard-pair oracle (naive gate at 0.5,
+    prefix-filter gate at 0.8): parameterizing the threshold keeps the
+    'lossless twin' gates testing the SAME semantics by construction —
+    a fix to the shared shingle/pair/round logic cannot reach one copy
+    and miss the other."""
+    return f"""
+        WITH {_DOC_SHINGLES},
+        sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+                  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+        FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+        WHERE round(c / (sa.n + sb.n - c), 6) >= {threshold}
+    """
+
+
 ORACLES: dict[str, str] = {
     # the exact mutation log q_write_path replays, reduced in SQL by the
     # comparePriority tuple (ts, tombstone, value) + row-tombstone shadowing
@@ -3641,15 +3659,7 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN g ON d.doc_id = g.id
         WHERE d.doc_id % 50 <> 0
     """,
-    "dedup_ngram_jaccard": f"""
-        WITH {_DOC_SHINGLES},
-        sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
-        pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-                  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
-        SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
-        FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
-    """,
+    "dedup_ngram_jaccard": _jaccard_oracle_sql(0.5),
     "dedup_containment": f"""
         WITH {_DOC_SHINGLES},
         sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
@@ -4564,15 +4574,7 @@ ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 # prefix filtering is lossless (see q_dedup_prefix_jaccard): the gate runs
 # the PPJoin plan against the naive all-pairs oracle at the operator's
 # home threshold (0.8) and must agree exactly
-ORACLES["dedup_prefix_jaccard"] = f"""
-    WITH {_DOC_SHINGLES},
-    sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
-    pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-              FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
-    SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
-    FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-    WHERE round(c / (sa.n + sb.n - c), 6) >= 0.8
-"""
+ORACLES["dedup_prefix_jaccard"] = _jaccard_oracle_sql(0.8)
 ORACLES["tpch_q12ish"] = """
     SELECT l_returnflag AS return_flag,
            cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) as bigint)

@@ -220,3 +220,11 @@ def test_coreness_fuzz_matches_python_model(spark, edges):
     if not simple:
         return
     assert _core_run(spark, sorted(simple)) == python_coreness(sorted(simple))
+
+
+def test_coreness_no_forced_hint(spark):
+    # the estimate table is node-cardinality (corpus-sized) — same
+    # no-unconditional-broadcast rule as every other fixpoint operator
+    edges = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    out = coreness(spark.createDataFrame(edges, ["src", "dst"]), rounds=2)
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()

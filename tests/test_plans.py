@@ -914,3 +914,15 @@ def test_tpch_q13ish_preserves_zero_order_customers(spark):
     # semantics is pinned by the oracle gate at sf0.01)
     assert "LeftOuter" in plan
     assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan.replace("'", "")
+
+
+def test_cm_heavy_hitters_plan(spark):
+    from apache_cassandra_spark.queries import q_events_heavy_hitters_cm
+
+    df = q_events_heavy_hitters_cm(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # counter grid builds in one combinable hash aggregate; top-5 via
+    # WindowGroupLimit; no forced hint on the (group-scaled) sketch side
+    assert "WindowGroupLimit" in plan
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    assert "CartesianProduct" not in plan

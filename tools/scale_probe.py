@@ -217,31 +217,35 @@ def _boiler(docs: DataFrame) -> DataFrame:
     )
 
 
-def _kcore_op(docs: DataFrame) -> int:
-    from apache_cassandra_spark.analytics.graph import k_core
-
+def _block_edges(docs: DataFrame) -> DataFrame:
+    """Shared synthetic graph for the peel-family probes: disjoint
+    1000-node blocks, block count scales with the corpus, density
+    constant — so α measures the plan, not output blowup. One recipe so
+    the kcore and coreness SCALE.md rows stay comparable."""
     block = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(1000))
-    edges = docs.select(
+    return docs.select(
         (block + F.pmod(F.col("doc_id") * 31, F.lit(1000))).alias("src"),
         (block + F.pmod(F.col("doc_id") * 53 + 7, F.lit(1000))).alias("dst"),
     )
+
+
+def _kcore_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.graph import k_core
+
     return (
-        k_core(edges, k=3, rounds=4).agg(F.sum("degree")).collect() and docs.count()
+        k_core(_block_edges(docs), k=3, rounds=4).agg(F.sum("degree")).collect()
+        and docs.count()
     )
 
 
 def _coreness_op(docs: DataFrame) -> int:
     from apache_cassandra_spark.analytics.graph import coreness
 
-    block = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(1000))
-    edges = docs.select(
-        (block + F.pmod(F.col("doc_id") * 31, F.lit(1000))).alias("src"),
-        (block + F.pmod(F.col("doc_id") * 53 + 7, F.lit(1000))).alias("dst"),
-    )
     # bounded 4-round replay mode: measures per-round cost, not the
     # graph-dependent convergence count
     return (
-        coreness(edges, rounds=4).agg(F.sum("coreness")).collect() and docs.count()
+        coreness(_block_edges(docs), rounds=4).agg(F.sum("coreness")).collect()
+        and docs.count()
     )
 
 
