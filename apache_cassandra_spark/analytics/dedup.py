@@ -237,6 +237,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    positional: bool = False,
 ) -> DataFrame:
     """Exact Jaccard self-join via PREFIX FILTERING (PPJoin family, Xiao
     et al., WWW'08 / Chaudhuri et al., ICDE'06 SSJoin): same output
@@ -315,10 +316,20 @@ def prefix_jaccard_pairs(
     prefix = with_size.where(
         F.col("pos")
         <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
-    ).select("id", "shingle", "set_size")
-    pa = prefix.select(F.col("id").alias("id_a"), "shingle", F.col("set_size").alias("size_a"))
-    pb = prefix.select(F.col("id").alias("id_b"), "shingle", F.col("set_size").alias("size_b"))
-    cands = (
+    ).select("id", "shingle", "set_size", "pos")
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("set_size").alias("size_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("set_size").alias("size_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    collisions = (
         pa.join(pb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         # length filter: t·|A| <= |B| <= |A|/t (symmetric on the pair),
@@ -327,9 +338,51 @@ def prefix_jaccard_pairs(
             (F.col("size_b") >= F.lit(t_cand) * F.col("size_a"))
             & (F.col("size_a") >= F.lit(t_cand) * F.col("size_b"))
         )
-        .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
     )
+    if positional:
+        # POSITIONAL filter (PPJoin's second prune): pick ONE shared
+        # prefix token t0 per pair at 1-based positions (i, j). The
+        # global order is the same on both sides, so common tokens below
+        # t0 sit before i in A AND before j in B (≤ min(i−1, j−1) of
+        # them), and common tokens above t0 sit after both
+        # (≤ min(|A|−i, |B|−j)). Hence
+        #   |A∩B| <= min(i−1, j−1) + 1 + min(|A|−i, |B|−j),
+        # and J >= t needs |A∩B| >= t·(|A|+|B|)/(1+t). Pairs whose bound
+        # falls short are pruned BEFORE the Σ|A| verification fan-out.
+        # min over the struct is lexicographic — it selects one ACTUAL
+        # collision row (earliest pos_a, ties by pos_b), which is all
+        # the bound needs, and stays inside whole-stage codegen where
+        # min_by's typed aggregate does not.
+        #
+        # OFF by default — measured (SCALE.md round-7 probes): on
+        # high-candidate-precision corpora (near-dup replicas, t=0.8
+        # footer corpus) it pruned only ~7.5% of candidates while the
+        # pos plumbing cost ~20% end-to-end (45.6s → 55.7s at 8×).
+        # Enable where prefix collisions are mostly SPURIOUS — short
+        # documents, lower thresholds, hot prefix tokens — the regime
+        # the PPJoin paper evaluates, where candidates ≫ true pairs and
+        # the Σ|A| verification dominates.
+        overlap_bound = (
+            F.least(F.col("fp.pos_a") - 1, F.col("fp.pos_b") - 1)
+            + 1
+            + F.least(
+                F.col("size_a") - F.col("fp.pos_a"),
+                F.col("size_b") - F.col("fp.pos_b"),
+            )
+        )
+        required = (
+            F.lit(t_cand) * (F.col("size_a") + F.col("size_b")) / F.lit(1.0 + t_cand)
+        )
+        cands = (
+            collisions.groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.min(F.struct("pos_a", "pos_b")).alias("fp"))
+            .where(overlap_bound >= required)
+            .select("id_a", "id_b", "size_a", "size_b")
+        )
+    else:
+        cands = (
+            collisions.select("id_a", "id_b", "size_a", "size_b").distinct()
+        )
     # verification: true intersection count over the candidates only —
     # fan each candidate out by A's full set, match against B's postings
     post_a = postings.select(F.col("id").alias("id_a"), "shingle")

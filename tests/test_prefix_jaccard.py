@@ -63,11 +63,14 @@ def test_skew_guard_parity(spark):
         max_size=8,
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+    positional=st.booleans(),
 )
-def test_fuzz_lossless_vs_naive(spark, texts, threshold):
+def test_fuzz_lossless_vs_naive(spark, texts, threshold, positional):
     docs = _docs(spark, texts)
     naive = _pairs(ngram_jaccard_pairs(docs, threshold=threshold, max_doc_freq=None))
-    pref = _pairs(prefix_jaccard_pairs(docs, threshold=threshold))
+    pref = _pairs(
+        prefix_jaccard_pairs(docs, threshold=threshold, positional=positional)
+    )
     assert naive == pref
 
 
