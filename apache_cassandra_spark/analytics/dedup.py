@@ -406,6 +406,87 @@ def prefix_jaccard_pairs(
     return owned_cache(out, sh)
 
 
+def prefix_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered DIRECTED containment — the asymmetric twin of
+    :func:`prefix_jaccard_pairs`, same output contract as
+    :func:`ngram_containment_pairs` (one row per directed pair with
+    ``|A∩B| / |A| >= threshold``, both directions evaluated).
+
+    Prefix theorem, containment form: ``c(A→B) >= t`` forces
+    ``|A∩B| >= ceil(t·|A|)``; if the intersection avoided A's
+    ``|A| − ceil(t·|A|) + 1``-token rarest prefix entirely it would have
+    to fit inside the ``ceil(t·|A|) − 1``-token suffix — contradiction.
+    So every qualifying directed pair collides in π(A) × B's FULL
+    posting list (containment is one-sided: only the contained side gets
+    a prefix; B may be arbitrarily large). The size filter
+    ``|B| >= t·|A|`` (from ``|A∩B| <= |B|``) prunes before
+    verification. Lossless — the gate replays the naive all-pairs form.
+
+    Same regime caveat as the Jaccard twin (measured there): the
+    one-sided join is ``π(A) ⋈ full postings``, so a hot shingle inside
+    a SHORT document's prefix still joins every document containing it
+    — high thresholds and the ``max_doc_freq`` guard are the controls.
+    """
+    postings, sizes, sh, freq = _postings_and_sizes(
+        df, text_col, id_col, n, max_doc_freq, False, "prefix_containment_pairs"
+    )
+    from pyspark.sql import Window
+
+    t_cand = threshold - 5e-7 - 1e-9  # same rounding-band widening
+    dfreq = (
+        freq
+        if freq is not None
+        else postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = postings.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        ),
+    )
+    with_size = ranked.join(sizes, "id")
+    prefix = with_size.where(
+        F.col("pos")
+        <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
+    ).select(
+        F.col("id").alias("id_src"), "shingle", F.col("set_size").alias("size_src")
+    )
+    full_b = postings.join(sizes, "id").select(
+        F.col("id").alias("id_dst"), "shingle", F.col("set_size").alias("size_dst")
+    )
+    cands = (
+        prefix.join(full_b, "shingle")
+        .where(F.col("id_src") != F.col("id_dst"))
+        .where(F.col("size_dst") >= F.lit(t_cand) * F.col("size_src"))
+        .select("id_src", "id_dst", "size_src")
+        .distinct()
+    )
+    post_src = postings.select(F.col("id").alias("id_src"), "shingle")
+    post_dst = postings.select(F.col("id").alias("id_dst"), "shingle")
+    common = (
+        cands.join(post_src, "id_src")
+        .join(post_dst, ["id_dst", "shingle"], "left_semi")
+        .groupBy("id_src", "id_dst", "size_src")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.select(
+            "id_src",
+            "id_dst",
+            F.round(F.col("n_common") / F.col("size_src"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return owned_cache(out, sh)
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",

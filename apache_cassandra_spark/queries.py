@@ -1061,6 +1061,19 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_prefix_containment(spark, sf_dir):
+    """Prefix-filtered DIRECTED containment
+    (dedup.prefix_containment_pairs): one-sided prefix theorem —
+    c(A→B) >= t forces the intersection into A's rarest
+    |A| − ceil(t·|A|) + 1 tokens, so candidates are π(A) against B's
+    full postings with the |B| >= t·|A| size prune. LOSSLESS: gated
+    against the same naive all-pairs oracle as dedup_containment
+    (identical threshold, shared SQL body by construction)."""
+    return dedup.prefix_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
 def q_dedup_containment(spark, sf_dir):
     """Directed n-gram containment |A∩B| / |A| ≥ 0.8 — the asymmetric
     near-dup signal (quotes / syndicated excerpts embedded in larger
@@ -4575,6 +4588,9 @@ ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 # the PPJoin plan against the naive all-pairs oracle at the operator's
 # home threshold (0.8) and must agree exactly
 ORACLES["dedup_prefix_jaccard"] = _jaccard_oracle_sql(0.8)
+# the directed twin shares dedup_containment's oracle outright (same
+# threshold): losslessness means the two gates must produce the same rows
+ORACLES["dedup_prefix_containment"] = ORACLES["dedup_containment"]
 ORACLES["tpch_q12ish"] = """
     SELECT l_returnflag AS return_flag,
            cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) as bigint)
@@ -5083,4 +5099,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles_approx": q_events_quantiles_approx,
     # --- pre-built for the round-10 window ---
     "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
+    "dedup_prefix_containment": q_dedup_prefix_containment,
 }

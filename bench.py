@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "events_quantiles_approx",
     # pre-built for round 10
     "events_heavy_hitters_cm",
+    "dedup_prefix_containment",
 ]
 
 

@@ -87,3 +87,51 @@ def test_no_forced_hint_no_cartesian(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+# ---------------------------------------------------------------------------
+# directed containment twin
+# ---------------------------------------------------------------------------
+
+from apache_cassandra_spark.analytics.dedup import (  # noqa: E402
+    ngram_containment_pairs,
+    prefix_containment_pairs,
+)
+
+
+def _dpairs(df):
+    return sorted((r["id_src"], r["id_dst"], r["containment"]) for r in df.collect())
+
+
+def test_containment_asymmetry_and_boundary(spark):
+    # A's trigrams all inside B (c(A→B)=1.0) while B is much larger
+    # (c(B→A) small): only the A→B direction appears at t=0.8
+    docs = _docs(
+        spark,
+        [
+            "alpha beta gamma delta",
+            "alpha beta gamma delta epsi zeta eta theta alpha zeta beta eta",
+        ],
+    )
+    naive = _dpairs(ngram_containment_pairs(docs, threshold=0.8, max_doc_freq=None))
+    pref = _dpairs(prefix_containment_pairs(docs, threshold=0.8))
+    assert naive == pref
+    assert (0, 1, 1.0) in pref and all(src != 1 for src, _, _ in pref)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=3, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.4, 0.7, 0.9]),
+)
+def test_fuzz_containment_lossless_vs_naive(spark, texts, threshold):
+    docs = _docs(spark, texts)
+    naive = _dpairs(
+        ngram_containment_pairs(docs, threshold=threshold, max_doc_freq=None)
+    )
+    pref = _dpairs(prefix_containment_pairs(docs, threshold=threshold))
+    assert naive == pref

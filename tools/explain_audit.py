@@ -105,6 +105,7 @@ AUDITED = {
     "events_quantiles_approx": "GK approx percentiles: partial_approx_percentile map-side — bounded mergeable sketch per group crosses the exchange instead of the exact percentile's full value set; rank-error pinned vs the exact twin",
     # pre-built for round 10
     "events_heavy_hitters_cm": "count-min heavy hitters: depth×width md5 counter grid per group (ONE combinable hash-agg, exchange bounded by 4·256 rows/group regardless of distinct items), estimate = one equi-join + min agg, WindowGroupLimit top-5 — deterministic hashes make the sketch hash-anchored, unlike HLL",
+    "dedup_prefix_containment": "one-sided prefix filter for directed containment: candidates = contained side's rarest n−ceil(t·n)+1 shingles against FULL postings + |B| >= t·|A| size prune, exact verification on survivors — lossless vs the naive directed join (shared oracle)",
 }
 
 
