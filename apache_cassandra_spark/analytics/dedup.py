@@ -230,6 +230,55 @@ def ngram_containment_pairs(
     return owned_cache(out, sh)
 
 
+def _t_cand(threshold: float) -> float:
+    """Candidate-generation threshold for the prefix family. The output
+    contract keeps pairs with ``round(score, 6) >= threshold``, i.e.
+    true score >= threshold − 5e-7 (round half away from zero), so
+    candidate pruning must cover that widened band — deriving prefix
+    lengths / size filters from the bare threshold would let a pair
+    whose true score sits in [t−5e-7, t) slip past the filters while
+    the naive operator and the oracle emit it. The extra 1e-9 absorbs
+    float noise in the multiplies; both slacks only ever ADD
+    candidates, never drop one."""
+    return threshold - 5e-7 - 1e-9
+
+
+def _ranked_prefix(postings, sizes, freq, t_cand: float) -> DataFrame:
+    """Shared prefix construction for the prefix-filter family →
+    ``(id, shingle, set_size, pos)`` restricted to each document's
+    rarest ``n − ceil(t·n) + 1`` shingles. One body so the jaccard and
+    containment twins cannot drift (the same guarantee
+    ``_postings_and_sizes`` gives the naive pair).
+
+    Reuses the skew guard's doc-freq aggregate when it already exists
+    (one corpus-scale shuffle instead of two). Guard-dropped shingles
+    are absent from ``postings``, so their freq rows never join; for
+    the survivors df-over-sh equals df-over-postings, and ANY
+    consistent global order satisfies the prefix theorem anyway."""
+    from pyspark.sql import Window
+
+    dfreq = (
+        freq
+        if freq is not None
+        else postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = postings.join(dfreq, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        ),
+    )
+    # prefix length ℓ = n − ceil(t·n) + 1
+    return (
+        ranked.join(sizes, "id")
+        .where(
+            F.col("pos")
+            <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
+        )
+        .select("id", "shingle", "set_size", "pos")
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -284,39 +333,8 @@ def prefix_jaccard_pairs(
     postings, sizes, sh, freq = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, False, "prefix_jaccard_pairs"
     )
-    from pyspark.sql import Window
-
-    # reuse the skew guard's doc-freq aggregate when it already exists
-    # (one corpus-scale shuffle instead of two). Guard-dropped shingles
-    # are absent from `postings`, so their freq rows never join; for the
-    # survivors df-over-sh equals df-over-postings, and ANY consistent
-    # global order satisfies the prefix theorem anyway.
-    dfreq = (
-        freq
-        if freq is not None
-        else postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    )
-    ranked = postings.join(dfreq, "shingle").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-        ),
-    )
-    # The output contract keeps pairs with round(J, 6) >= threshold, i.e.
-    # true J >= threshold − 5e-7 (round half away from zero). Candidate
-    # generation must therefore cover that widened band — deriving the
-    # prefix length and length filter from the bare threshold would let a
-    # pair whose true J sits in [t−5e-7, t) slip past the prefix while
-    # the naive operator and the oracle emit it. The extra 1e-9 absorbs
-    # float noise in the multiply itself; both slacks only ever ADD
-    # candidates, never drop one.
-    t_cand = threshold - 5e-7 - 1e-9
-    with_size = ranked.join(sizes, "id")
-    # prefix length ℓ = n − ceil(t·n) + 1
-    prefix = with_size.where(
-        F.col("pos")
-        <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
-    ).select("id", "shingle", "set_size", "pos")
+    t_cand = _t_cand(threshold)
+    prefix = _ranked_prefix(postings, sizes, freq, t_cand)
     pa = prefix.select(
         F.col("id").alias("id_a"),
         "shingle",
@@ -437,25 +455,8 @@ def prefix_containment_pairs(
     postings, sizes, sh, freq = _postings_and_sizes(
         df, text_col, id_col, n, max_doc_freq, False, "prefix_containment_pairs"
     )
-    from pyspark.sql import Window
-
-    t_cand = threshold - 5e-7 - 1e-9  # same rounding-band widening
-    dfreq = (
-        freq
-        if freq is not None
-        else postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    )
-    ranked = postings.join(dfreq, "shingle").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-        ),
-    )
-    with_size = ranked.join(sizes, "id")
-    prefix = with_size.where(
-        F.col("pos")
-        <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
-    ).select(
+    t_cand = _t_cand(threshold)
+    prefix = _ranked_prefix(postings, sizes, freq, t_cand).select(
         F.col("id").alias("id_src"), "shingle", F.col("set_size").alias("size_src")
     )
     full_b = postings.join(sizes, "id").select(

@@ -135,3 +135,38 @@ def test_fuzz_containment_lossless_vs_naive(spark, texts, threshold):
     )
     pref = _dpairs(prefix_containment_pairs(docs, threshold=threshold))
     assert naive == pref
+
+
+def test_containment_no_forced_hint_no_cartesian(spark):
+    """The π(A) × full-postings candidate join and the verification
+    fan-out are equi-joins with no forced hints — same plan discipline
+    as the jaccard twin (the full-postings side is corpus-cardinality,
+    the shape most at risk of a broadcast regression)."""
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma epsi zeta"])
+    out = prefix_containment_pairs(docs, threshold=0.8)
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_positional_with_skew_guard_parity(spark):
+    """positional=True under max_doc_freq: pos ranks the FILTERED
+    postings while sizes stay full-set — the bound must still only
+    over-count (full sizes over-bound the filtered tails). Locks the
+    subtlest interaction in the positional filter."""
+    texts = ["alpha beta gamma " + w for w in ("delta", "epsi", "zeta", "eta")] + [
+        "alpha beta gamma delta epsi"
+    ]
+    docs = _docs(spark, texts)
+    for th in (0.3, 0.6):
+        naive = _pairs(ngram_jaccard_pairs(docs, threshold=th, max_doc_freq=3))
+        pref = _pairs(
+            prefix_jaccard_pairs(docs, threshold=th, max_doc_freq=3, positional=True)
+        )
+        assert naive == pref
