@@ -204,6 +204,12 @@ OPS = {
     .agg(F.sum("jaccard"))
     .collect()
     and d.count(),
+    "prefix_containment_boiler": lambda d: dedup.prefix_containment_pairs(
+        _boiler(d), threshold=0.8
+    )
+    .agg(F.sum("containment"))
+    .collect()
+    and d.count(),
 }
 
 
