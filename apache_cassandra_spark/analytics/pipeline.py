@@ -503,21 +503,26 @@ def filter_blocklist(
     df: DataFrame,
     blocked: DataFrame | list[str],
     col: str = "source",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Drop rows whose ``col`` appears in a blocklist — the standard
     domain/source exclusion pass of a web-corpus pipeline (licensing
     takedowns, spam domains, opt-outs).
 
-    ``blocked`` as a DataFrame (single column, any name): broadcast
-    LEFT ANTI join — a production blocklist is millions of domains,
-    far beyond a literal IN but well under broadcast size (~10s of MB);
-    the corpus never shuffles. As a Python list (small, driver-known):
-    a literal ``isin`` filter that pushes down to the Parquet scan."""
+    ``blocked`` as a DataFrame (single column, any name): LEFT ANTI
+    join, broadcast by default — a production blocklist is millions of
+    domains, far beyond a literal IN but well under broadcast size
+    (~10s of MB), so the corpus never shuffles. For takedown lists that
+    outgrow the driver (per-URL rather than per-domain entries), pass
+    ``broadcast=False``: the join strategy is then AQE-decided, falling
+    back to a shuffled anti-join. As a Python list (small,
+    driver-known): a literal ``isin`` filter that pushes down to the
+    Parquet scan."""
     if isinstance(blocked, DataFrame):
         bl = blocked.select(F.col(blocked.columns[0]).alias("_blocked")).distinct()
-        return df.join(
-            F.broadcast(bl), df[col] == bl["_blocked"], "left_anti"
-        )
+        if broadcast:
+            bl = F.broadcast(bl)
+        return df.join(bl, df[col] == bl["_blocked"], "left_anti")
     # NULL sources are KEPT (matching the anti-join branch, where a NULL
     # comparison never matches a blocklist row); bare `~isin` would
     # evaluate to NULL and silently drop them

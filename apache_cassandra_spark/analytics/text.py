@@ -265,10 +265,15 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     and Spark's ReuseExchange can't unify them (self-join attribute
     dedup gives the branches different expression ids), so without the
     cache the corpus would be scanned and exploded twice. Document
-    frequency is a partial-aggregated roll-up of the cached frame; it
-    and the 1-row corpus count come back as broadcast joins. The
-    per-doc top-k is WindowGroupLimit-truncated before its shuffle.
-    No Python anywhere."""
+    frequency is a partial-aggregated roll-up of the cached frame and
+    joins back WITHOUT a forced broadcast: it has one row per distinct
+    term — vocabulary cardinality, unbounded on web-scale text (typos,
+    URLs, hex ids) — so the strategy is left to AQE, which still picks
+    a broadcast when the measured size is small and falls back to a
+    shuffled join when the vocabulary outgrows the driver (the same
+    contract as the reconcile watermark join). Only the 1-row corpus
+    count keeps its hint. The per-doc top-k is
+    WindowGroupLimit-truncated before its shuffle. No Python anywhere."""
     from pyspark.sql import Window
 
     toked = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
@@ -276,7 +281,7 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6))
     )
