@@ -468,9 +468,13 @@ def k_core(
       nodes with degree < k, recompute degrees, repeat until stable
       (at most ``max_iters`` rounds; raises if not converged, loud like
       the dup_groups_star fixpoint).
-    * ``rounds=N`` (replay): exactly N peel rounds, converged or not.
-      Bit-exact in any engine that unrolls the same N rounds — the
-      oracle-gate mode (an unrolled SQL CTE chain replays it), same
+    * ``rounds=N`` (replay): at most N peel rounds — the loop still
+      stops early once the survivor set is stable, because a peel at
+      fixpoint is idempotent (keep = all survivors; both semi-joins are
+      identity), so skipped trailing rounds are provably no-ops and the
+      result equals a literal N-round unroll. Bit-exact in any engine
+      that unrolls the same N rounds — the oracle-gate mode (an
+      unrolled SQL CTE chain replays all N levels), same
       bounded-replay discipline as ``cluster_inertia``'s Lloyd unroll.
 
     Exact and engine-replayable: pure integer degrees, no floats, no

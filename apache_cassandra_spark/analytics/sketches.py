@@ -66,6 +66,11 @@ def heavy_hitters(
     """Exact per-group top-``k`` most frequent items → one row per
     ``(group…, item)`` with ``cnt`` and ``rk`` (1-based; ties broken by
     item value ascending, so the ranking is total and engine-exact).
+    NULL items are DROPPED before counting — matching
+    :func:`cm_sketch`'s policy, and sidestepping the one hole in the
+    engine-exactness claim: Spark orders ascending NULLS FIRST while
+    most SQL engines (DuckDB included) default NULLS LAST, so a NULL
+    "item" would rank differently per engine.
 
     Scale shape: the frequency table is ONE map-side-combinable hash
     aggregate on (group, item) — the exchange carries distinct
@@ -82,7 +87,11 @@ def heavy_hitters(
     """
     from pyspark.sql import Window
 
-    freq = df.groupBy(*group_cols, item_col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    freq = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(*group_cols, item_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
     w = Window.partitionBy(*group_cols).orderBy(F.col("cnt").desc(), F.col(item_col))
     return (
         freq.withColumn("rk", F.row_number().over(w))
@@ -99,8 +108,15 @@ def cm_sketch(
     width: int = 256,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
-    per group → one row per ``(group…, d, w, c)`` counter: ``c`` = how
-    many input rows hashed to bucket ``w`` under hash row ``d``.
+    per group → one row per ``(group…, d, w, width, c)`` counter: ``c``
+    = how many input rows hashed to bucket ``w`` under hash row ``d``.
+    ``width`` is a constant metadata column recording the modulus the
+    buckets were computed with — :func:`cm_estimate` validates against
+    it, because a width mismatch is NOT otherwise detectable from the
+    counters (a too-narrow sketch's ``max(w)`` always fits under a wider
+    probe, which would silently probe wrong buckets and break the
+    never-underestimate guarantee). Sketches merge by addition grouped
+    on ``(group…, d, w, width)``.
 
     The 100 TB shape when even the distinct (group, item) table explodes
     (``heavy_hitters``'s docstring boundary): the sketch is a FIXED
@@ -140,6 +156,7 @@ def cm_sketch(
         df.select(*group_cols, F.explode(buckets).alias("dw"))
         .groupBy(*group_cols, F.col("dw.d").alias("d"), F.col("dw.w").alias("w"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("width", F.lit(width).cast("long"))
     )
 
 
@@ -163,28 +180,50 @@ def cm_estimate(
     aggregate — no window, no collect; the sketch side is
     depth·width·|groups| rows, which AQE broadcasts when small.
 
-    ``depth``/``width`` are cross-checked against the sketch's actual
-    hash rows (one cheap aggregate over the bounded counter table): a
-    mismatch would otherwise probe wrong buckets and silently break the
-    never-underestimate guarantee (extra ``d`` rows miss the left join,
-    coalesce to 0, and the min reports 0 for present items).
+    ``depth``/``width`` are cross-checked against the sketch (one cheap
+    aggregate over the bounded counter table): depth against the actual
+    hash-row ids, width against the sketch's recorded ``width`` metadata
+    column — the recorded value is the only reliable signal, since a
+    sketch built NARROWER than the probe's width still has every
+    ``w < width`` (max-bucket sampling can only catch the too-wide
+    direction). A mismatch in either would probe wrong buckets and
+    silently break the never-underestimate guarantee (wrong/missing
+    buckets miss the left join, coalesce to 0, and the min reports 0
+    for present items), so both raise. An EMPTY sketch skips validation
+    by construction — every estimate is then 0, correct for no data.
     """
     from apache_cassandra_spark.analytics.dedup import _hash64
 
     if depth < 1 or width < 2:
         raise ValueError("need depth >= 1 and width >= 2")
     group_cols = group_cols or []
-    bounds = sketch.agg(F.max("d").alias("md"), F.max("w").alias("mw")).first()
+    bounds = sketch.agg(
+        F.max("d").alias("md"),
+        F.max("w").alias("mw"),
+        F.min("width").alias("w_lo"),
+        F.max("width").alias("w_hi"),
+    ).first()
     if bounds["md"] is not None:
         if bounds["md"] != depth - 1:
             raise ValueError(
                 f"depth mismatch: sketch has hash rows 0..{bounds['md']}, "
                 f"estimate asked for depth={depth}"
             )
+        if bounds["w_lo"] != bounds["w_hi"]:
+            raise ValueError(
+                f"mixed-width sketch: widths {bounds['w_lo']}..{bounds['w_hi']} "
+                "— sketches merged across different widths are meaningless"
+            )
+        if bounds["w_hi"] != width:
+            raise ValueError(
+                f"width mismatch: sketch was built with width={bounds['w_hi']}, "
+                f"estimate asked for width={width}"
+            )
         if bounds["mw"] >= width:
             raise ValueError(
-                f"width mismatch: sketch has bucket {bounds['mw']} >= width={width}"
+                f"corrupt sketch: bucket {bounds['mw']} >= recorded width={width}"
             )
+    sketch = sketch.drop("width")
     buckets = F.array(
         *[
             F.struct(

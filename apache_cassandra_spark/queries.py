@@ -2694,9 +2694,12 @@ def q_events_heavy_hitters(spark, sf_dir):
 def q_events_gap_fill(spark, sf_dir):
     """Dense per-user daily activity grid with zero-filled gaps
     (temporal.gap_fill): integer day index = epoch-seconds div 86400, so
-    the grid arithmetic is bit-identical in any engine. Per-key output
-    bounded by that key's own [min, max] day span — no global calendar,
-    no driver literals."""
+    the grid arithmetic is bit-identical in any engine — including for
+    negative (pre-1970) timestamps: Spark's `div` and DuckDB's BIGINT
+    `//` BOTH truncate toward zero (DuckDB floors only for FLOAT
+    operands; measured and pinned in tests/test_div_parity.py, closing
+    ADVICE r7's divergence flag). Per-key output bounded by that key's
+    own [min, max] day span — no global calendar, no driver literals."""
     from apache_cassandra_spark.analytics.temporal import gap_fill
 
     ev = load_events(spark, sf_dir)
@@ -3071,7 +3074,14 @@ def q_streaming_heavy_hitters_replay(spark, sf_dir):
 
     from pyspark.sql import Window
 
-    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    # NULL users dropped to match heavy_hitters' policy (Spark ranks
+    # ascending NULLS FIRST, DuckDB NULLS LAST — dropping is the only
+    # engine-exact choice)
+    ev = (
+        load_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
     root = tempfile.mkdtemp(prefix="hh_gate_")
     src = f"{root}/src"
     ev.repartition(6).write.mode("overwrite").parquet(src)
@@ -4726,7 +4736,8 @@ ORACLES["events_heavy_hitters"] = """
       SELECT event_type, user_id, count(*) AS cnt,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY count(*) DESC, user_id) AS rk
-      FROM events GROUP BY event_type, user_id) t
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id) t
     WHERE rk <= 5
 """
 ORACLES["events_gap_fill"] = """
@@ -4799,7 +4810,8 @@ ORACLES["streaming_heavy_hitters_replay"] = """
       SELECT event_type, user_id, count(*) AS cnt,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY count(*) DESC, user_id) AS rk
-      FROM events GROUP BY event_type, user_id) t
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id) t
     WHERE rk <= 5
 """
 ORACLES["dedup_incremental"] = """

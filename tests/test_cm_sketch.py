@@ -40,8 +40,9 @@ def test_sketches_merge_by_addition(spark):
     sk_b = cm_sketch(_df(spark, half_b), "item", ["grp"])
     merged = (
         sk_a.unionByName(sk_b)
-        .groupBy("grp", "d", "w")
+        .groupBy("grp", "d", "w", "width")
         .agg(F.sum("c").cast("long").alias("c"))
+        .select("grp", "d", "w", "c", "width")
     )
     whole = cm_sketch(_df(spark), "item", ["grp"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
@@ -54,6 +55,26 @@ def test_absent_item_reads_zero_when_buckets_empty(spark):
     probe = spark.createDataFrame([("g", 999)], ["grp", "item"])
     out = cm_estimate(sk, probe, "item", ["grp"], depth=4, width=4096).collect()
     assert out[0]["est"] == 0
+
+
+def test_width_mismatch_raises_both_directions(spark):
+    """ADVICE r7: a sketch NARROWER than the probe's width used to slip
+    through a max(w)-based check (every bucket id fits) and silently
+    return 0 for present items; the recorded width column catches both
+    directions now."""
+    import pytest
+
+    df = _df(spark)
+    narrow = cm_sketch(df, "item", ["grp"], depth=4, width=64)
+    items = df.select("grp", "item").distinct()
+    with pytest.raises(ValueError, match="width mismatch"):
+        cm_estimate(narrow, items, "item", ["grp"], depth=4, width=256)
+    wide = cm_sketch(df, "item", ["grp"], depth=4, width=512)
+    with pytest.raises(ValueError, match="width mismatch"):
+        cm_estimate(wide, items, "item", ["grp"], depth=4, width=256)
+    mixed = narrow.unionByName(wide)
+    with pytest.raises(ValueError, match="mixed-width"):
+        cm_estimate(mixed, items, "item", ["grp"], depth=4, width=64)
 
 
 def test_no_forced_hint(spark):
