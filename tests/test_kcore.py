@@ -228,3 +228,41 @@ def test_coreness_no_forced_hint(spark):
     edges = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
     out = coreness(spark.createDataFrame(edges, ["src", "dst"]), rounds=2)
     assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_coreness_no_forced_hint(spark):
+    """The estimate table is |V|-row (corpus-sized) — no forced join
+    hint anywhere in a refinement round; same rule as the k_core
+    survivor joins and the reconcile watermark fix."""
+    edges = [(i, i + 1) for i in range(1, 9)] + [
+        (a, b) for a in range(20, 24) for b in range(a + 1, 24)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = coreness(df, rounds=2)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "coreness forces a join hint"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_coreness_bounded_rounds_match_sql_unroll_shape(spark):
+    """rounds=N must equal a literal N-round h-index refinement — the
+    contract the docs_coreness oracle unroll relies on. Replayed here
+    against the python model refined the same bounded number of
+    rounds."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 3), (2, 4)]
+    # python model: est0 = degree; est_r = h-index of neighbors' est_{r-1}
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    est = {n: len(v) for n, v in adj.items()}
+    for _ in range(2):
+        new = {}
+        for n, nbrs in adj.items():
+            vals = sorted((est[m] for m in nbrs), reverse=True)
+            new[n] = max(min(i + 1, v) for i, v in enumerate(vals))
+        est = new
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["coreness"] for r in coreness(df, rounds=2).collect()}
+    assert got == est

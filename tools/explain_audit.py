@@ -22,7 +22,7 @@ AUDITED = {
     "semantic_dedup": "SemDeDup: BroadcastNestedLoopJoin corpus×centroids (k rows broadcast), WindowGroupLimit argmax assignment, within-cluster pair join keyed on cluster id, left-anti survivor select. (dedup_groups/prepare_corpus are excluded here: the closure loop executes eagerly via localCheckpoint, so their final explain shows only the last join over checkpointed RDDs.)",
     "cass_get_slice": "point read: expect parquet PushedFilters on key, partial_max_by, no shuffle beyond the reconcile exchange",
     "cass_multiget_slice": "multiget: In(key,...) pushdown + WindowGroupLimit for the per-key count",
-    "cass_lww_row_tombstones": "reconcile + shadowing: BroadcastHashJoin for the watermark, never SortMergeJoin",
+    "cass_lww_row_tombstones": "reconcile + shadowing: watermark joins carry NO forced hint (per-container watermark cardinality is unbounded under delete-heavy workloads) — AQE picks BroadcastHashJoin from measured size at this sf, and falls back to a shuffled join when watermarks outgrow the driver",
     "cass_range_slices_keys": "range scan: TakeOrderedAndProject top-N on candidate keys before the reconcile",
     "tpch_top_nations": "star join: BroadcastHashJoin on both dims",
     "dedup_minhash_lsh": "LSH: single wide aggregation for signatures, equality join on band buckets",
@@ -83,7 +83,6 @@ AUDITED = {
     "events_anomaly": "integer z-score outliers: (n,S,Q) HashAggregate partial-combines map-side (three scalars per key), stats re-join on the key is hash/broadcast (AQE), comparison is pure decimal(38,0) codegen — no window, no float",
     "cluster_inertia": "k-means quality: literal-folded final assignment (map-only — Lloyd rounds ran eagerly at build) + ONE hash aggregate on cluster id with per-row micro-quantized squared distances — k output rows",
     "tpch_q10ish": "returned-item top-20: returnflag + date filters in the scans' PushedFilters, nation broadcast, TakeOrderedAndProject (no global sort)",
-    "corpus_interleave": "epoch interleave: ONE Exchange (per-source rank window), closed-form literal position formula — no rangepartitioning, no SinglePartition, global order never materialized as a sort",
     "docs_novelty_topk": "per-source curation top-5: novelty aggregates + WindowGroupLimit pre-truncation below the source shuffle — exchange moves O(sources x k)",
     # round 7
     "corpus_interleave_joins": "large-catalog interleave: per-source rank window + per-rank in-round window + rank-keyed equi-join of the running offsets — NO driver collect, no per-row source fold; the only SinglePartition piece is the cumsum over DISTINCT ranks above a HashAggregate, never the corpus",
@@ -99,6 +98,7 @@ AUDITED = {
     "tpch_q14ish": "promo revenue share: one-month l_shipdate range in the lineitem scan's PushedFilters, part join AQE-decided, conditional decimal sums in ONE aggregate pass",
     # pre-built for round 9
     "docs_kcore": "4-core of the mutual-kNN graph: per-round HashAggregate degree count + two LeftSemi survivor joins on the same node key, lineage cut per round by localCheckpoint — no forced broadcast (survivor set starts corpus-sized, AQE broadcasts as the peel shrinks it); edge build is the fixed-universe exact-kNN baseline",
+    "docs_coreness": "full coreness (PODC'11 h-index refinement, 6 bounded rounds): per round one equi-join of the symmetric edge list with the |V|-row estimate table on node id + per-node window rank (partitioned by node, no global sort) + HashAggregate h-index; estimates never broadcast by hint (corpus-sized — AQE decides); eager localCheckpoint per round, so the printed plan is the final round over checkpointed tables",
     "dedup_prefix_jaccard": "PPJoin prefix filter: candidate join touches only each doc's rarest n−ceil(t·n)+1 shingles (doc-freq-ordered window per doc id) + length filter, exact verification fan-out on survivors only — lossless, kills the Σ df² blowup of the full inverted-index join; doc-freq table joined, never broadcast by hint",
     "tpch_q12ish": "shipping-priority audit: one-year l_shipdate range in the lineitem scan's PushedFilters, orders side pruned to (key, priority) before the equi-join, conditional integer counts partial-aggregated",
     "tpch_q13ish": "customer order-count distribution: zero-preserving left join (order filter on the join side, not post-join), two partial-combined hash aggregates, sort only on the tiny final histogram",

@@ -210,6 +210,22 @@ OPS = {
     .agg(F.sum("containment"))
     .collect()
     and d.count(),
+    # round 8: count-min over a DISTINCT-ITEM-EXPLODING stream (item =
+    # doc_id, so distinct items grow with the corpus while the counter
+    # grid stays 5 groups × 4 × 256) + a fixed 100-item probe — the
+    # exact regime heavy_hitters' docstring hands off to the sketch
+    "cm_sketch": lambda d: _cm_op(d),
+    # round 8: incremental reference dedup — the REFERENCE side grows
+    # with the corpus while the daily batch stays the fixed base
+    # documents; _raw re-hashes the reference per call (the O(corpus)
+    # default), _hashed probes the pre-reduced hash table (the
+    # O(batch+probe) ingest-cycle shape)
+    "incremental_dedup_raw": lambda d: _incremental_op(d, ref_hashed=False),
+    "incremental_dedup_hashed": lambda d: _incremental_op(d, ref_hashed=True),
+    # round 8: exact interpolated percentiles (per-group value sort)
+    # vs the mergeable GK sketch twin over the same growing stream
+    "quantiles_exact": lambda d: _quantiles_op(d, approx=False),
+    "quantiles_approx": lambda d: _quantiles_op(d, approx=True),
 }
 
 
@@ -253,6 +269,43 @@ def _coreness_op(docs: DataFrame) -> int:
         coreness(_block_edges(docs), rounds=4).agg(F.sum("coreness")).collect()
         and docs.count()
     )
+
+
+def _cm_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.sketches import cm_estimate, cm_sketch
+
+    ev = docs.select(
+        F.col("doc_id").alias("item"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string").alias("grp"),
+    )
+    sk = cm_sketch(ev, "item", ["grp"], depth=4, width=256)
+    probe = ev.where(F.col("item") < 100).distinct()  # base ids: fixed at every k
+    out = cm_estimate(sk, probe, "item", ["grp"], depth=4, width=256)
+    return out.agg(F.sum("est")).collect() and docs.count()
+
+
+def _incremental_op(docs: DataFrame, ref_hashed: bool) -> int:
+    batch = docs.where(F.col("doc_id") < 1_000_000)  # replica 0 only: fixed batch
+    if ref_hashed:
+        ref = docs.select(F.md5(F.col("text")).alias("content_hash")).distinct()
+        # pre-reduce OUTSIDE the timed op's lineage? No — the reduce IS
+        # part of what ref_hashed skips; hand the op the hash table the
+        # previous cycle would have persisted (distinct is still computed
+        # here, which upper-bounds the claimed speedup honestly)
+        out = dedup.dedup_against_reference(batch, ref, ref_hashed=True)
+    else:
+        out = dedup.dedup_against_reference(batch, docs, ref_hashed=False)
+    return out.count()
+
+
+def _quantiles_op(docs: DataFrame, approx: bool) -> int:
+    ev = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string").alias("event_type"),
+        (F.pmod(F.length("text"), F.lit(500)) / 3.0).alias("value"),
+    )
+    fn = "approx_percentile(value, 0.9, 10000)" if approx else "percentile(value, 0.9)"
+    out = ev.groupBy("event_type").agg(F.round(F.expr(fn), 4).alias("p90"))
+    return out.agg(F.sum("p90")).collect() and docs.count()
 
 
 def _interleave_op(docs: DataFrame, fold_literals: bool) -> int:
