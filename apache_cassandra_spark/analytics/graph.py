@@ -577,8 +577,11 @@ def coreness(
     (their coreness is bounded by their h-index over a capped sample
     only when exactness is waived) or salting the join are the standard
     mitigations — the estimate table itself never broadcasts by hint.
-    ``localCheckpoint`` per round cuts the iterative lineage
-    (dup_groups_star discipline). Convergence-round caveat: estimates
+    In unbounded (converge) mode ``localCheckpoint`` per round cuts the
+    iterative lineage (dup_groups_star discipline — each round's
+    convergence count is an action); bounded replay has no per-round
+    action and runs the whole unroll as one linear plan, uncut (see
+    above). Convergence-round caveat: estimates
     propagate ONE HOP per round, so the worst case is O(diameter) — a
     length-L chain needs ~L/2 rounds for its endpoints' 1s to meet in
     the middle (Montresor et al. §4: worst case O(N)); dense real-world

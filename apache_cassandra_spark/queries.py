@@ -2671,9 +2671,10 @@ def q_events_gap_fill(spark, sf_dir):
     (temporal.gap_fill): integer day index = epoch-seconds div 86400, so
     the grid arithmetic is bit-identical in any engine — including for
     negative (pre-1970) timestamps: Spark's `div` and DuckDB's BIGINT
-    `//` BOTH truncate toward zero (DuckDB floors only for FLOAT
-    operands; measured and pinned in tests/test_div_parity.py, closing
-    ADVICE r7's divergence flag). Per-key output bounded by that key's
+    `//` BOTH truncate toward zero (on duckdb 1.0.0, `//` is integer
+    truncating division ONLY for integer operands — on floats it
+    degrades to plain division, -7.0 // 2 = -3.5; measured and pinned
+    in tests/test_div_parity.py, closing ADVICE r7's divergence flag). Per-key output bounded by that key's
     own [min, max] day span — no global calendar, no driver literals."""
     from apache_cassandra_spark.analytics.temporal import gap_fill
 

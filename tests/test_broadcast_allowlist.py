@@ -71,6 +71,10 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
 
 
 def _broadcast_sites() -> Counter:
+    """Every ``<anything>.broadcast(...)`` call in the package —
+    receiver-agnostic, so ``from pyspark.sql import functions as sf;
+    sf.broadcast(...)`` cannot slip past the audit by aliasing. Any
+    receiver other than the canonical ``F`` fails immediately."""
     found: Counter = Counter()
     for path in sorted(PACKAGE.rglob("*.py")):
         src = path.read_text()
@@ -83,9 +87,15 @@ def _broadcast_sites() -> Counter:
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
                 and node.func.attr == "broadcast"
-                and isinstance(node.func.value, ast.Name)
-                and node.func.value.id == "F"
             ):
+                recv = ast.get_source_segment(src, node.func.value) or "<?>"
+                # sc.broadcast (a SparkContext variable broadcast) would
+                # be a different API; the package has none — require the
+                # single F.broadcast spelling for everything
+                assert recv == "F", (
+                    f"{rel}:{node.lineno}: {recv}.broadcast(...) — use "
+                    "F.broadcast so the allowlist audit sees one spelling"
+                )
                 arg = ast.get_source_segment(src, node.args[0]) or "<?>"
                 found[(rel, arg)] += 1
     return found
@@ -129,12 +139,13 @@ def test_no_broadcast_via_other_spellings():
                 if (
                     isinstance(node.func, ast.Attribute)
                     and node.func.attr == "hint"
-                    and node.args
-                    and isinstance(node.args[0], ast.Constant)
-                    and str(node.args[0].value).lower()
-                    in ("broadcast", "broadcastjoin", "mapjoin")
                 ):
+                    # the package uses NO .hint() at all: a constant
+                    # broadcast strategy would bypass the audit, and a
+                    # non-constant strategy can't be audited statically
+                    # — ban the whole method rather than pattern-match
                     raise AssertionError(
-                        f"{rel}: .hint('broadcast') — use F.broadcast so "
-                        "the allowlist audit sees it"
+                        f"{rel}:{node.lineno}: .hint(...) — the package "
+                        "bans join hints outside F.broadcast so the "
+                        "allowlist audit can see every forced strategy"
                     )

@@ -3,11 +3,13 @@ and DuckDB `//` for the gap-fill day-index arithmetic.
 
 The advisory flagged q_events_gap_fill as divergent for negative
 (pre-1970) timestamps on the claim that DuckDB `//` floors while Spark
-`div` truncates toward zero. Measured, that claim holds only for FLOAT
-operands: DuckDB's `//` on BIGINT truncates toward zero exactly like
-Spark's `div` (-7 // 2 = -3 in both, not floor's -4). The gate's oracle
-feeds `//` with epoch_us(ts) — a BIGINT — so the two engines agree for
-ALL timestamps, negative included. This test pins that fact on the
+`div` truncates toward zero. Measured on the pinned duckdb 1.0.0, that
+claim is wrong in both parts: on BIGINT operands `//` truncates toward
+zero exactly like Spark's `div` (-7 // 2 = -3 in both, not floor's -4),
+and on FLOAT/DECIMAL operands `//` is not integer division at all — it
+degrades to plain division (-7.0 // 2 = -3.5). The gate's oracle feeds
+`//` with epoch_us(ts) — a BIGINT — so the two engines agree for ALL
+timestamps, negative included. This test pins that fact on the
 exact composed expression both sides use, over a sign-crossing grid
 including the truncation-vs-floor witnesses, so an engine upgrade that
 changes either semantic fails loudly instead of silently shifting

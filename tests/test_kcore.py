@@ -223,17 +223,11 @@ def test_coreness_fuzz_matches_python_model(spark, edges):
 
 
 def test_coreness_no_forced_hint(spark):
-    # the estimate table is node-cardinality (corpus-sized) — same
-    # no-unconditional-broadcast rule as every other fixpoint operator
-    edges = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
-    out = coreness(spark.createDataFrame(edges, ["src", "dst"]), rounds=2)
-    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
-
-
-def test_coreness_no_forced_hint(spark):
     """The estimate table is |V|-row (corpus-sized) — no forced join
     hint anywhere in a refinement round; same rule as the k_core
-    survivor joins and the reconcile watermark fix."""
+    survivor joins and the reconcile watermark fix. (Round 8 merged the
+    original smaller-graph variant of this test into this one — same
+    name, so the two silently shadowed.)"""
     edges = [(i, i + 1) for i in range(1, 9)] + [
         (a, b) for a in range(20, 24) for b in range(a + 1, 24)
     ]

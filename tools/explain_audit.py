@@ -98,7 +98,7 @@ AUDITED = {
     "tpch_q14ish": "promo revenue share: one-month l_shipdate range in the lineitem scan's PushedFilters, part join AQE-decided, conditional decimal sums in ONE aggregate pass",
     # pre-built for round 9
     "docs_kcore": "4-core of the mutual-kNN graph: per-round HashAggregate degree count + two LeftSemi survivor joins on the same node key, lineage cut per round by localCheckpoint — no forced broadcast (survivor set starts corpus-sized, AQE broadcasts as the peel shrinks it); edge build is the fixed-universe exact-kNN baseline",
-    "docs_coreness": "full coreness (PODC'11 h-index refinement, 6 bounded rounds): per round one equi-join of the symmetric edge list with the |V|-row estimate table on node id + per-node window rank (partitioned by node, no global sort) + HashAggregate h-index; estimates never broadcast by hint (corpus-sized — AQE decides); eager localCheckpoint per round, so the printed plan is the final round over checkpointed tables",
+    "docs_coreness": "full coreness (PODC'11 h-index refinement, 6 bounded rounds): per round one equi-join of the symmetric edge list with the |V|-row estimate table on node id + per-node window rank (partitioned by node, no global sort) + HashAggregate h-index; estimates never broadcast by hint (corpus-sized — AQE decides); bounded replay has NO per-round actions, so the full 6-round join/window/agg chain prints as ONE linear plan over the checkpointed edge scan (unbounded converge mode checkpoints per round instead — its convergence count is an action)",
     "dedup_prefix_jaccard": "PPJoin prefix filter: candidate join touches only each doc's rarest n−ceil(t·n)+1 shingles (doc-freq-ordered window per doc id) + length filter, exact verification fan-out on survivors only — lossless, kills the Σ df² blowup of the full inverted-index join; doc-freq table joined, never broadcast by hint",
     "tpch_q12ish": "shipping-priority audit: one-year l_shipdate range in the lineitem scan's PushedFilters, orders side pruned to (key, priority) before the equi-join, conditional integer counts partial-aggregated",
     "tpch_q13ish": "customer order-count distribution: zero-preserving left join (order filter on the join side, not post-join), two partial-combined hash aggregates, sort only on the tiny final histogram",
