@@ -166,6 +166,62 @@ def sample_quota(
     )
 
 
+def sample_weighted(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — keep ``k``
+    documents (per stratum if ``strata_col``) with inclusion probability
+    proportional to ``weight_col``. The algorithm is A-ES (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", Inf. Process.
+    Lett. 97(5), 2006): each row draws ``u ∈ (0, 1]`` and ranks by
+    ``u^(1/w)`` descending; the top-k are exactly a weighted
+    without-replacement sample. This is THE primitive for "sample 1M
+    docs by token count" style corpus draws, where Bernoulli sampling
+    (sample_stratified) can't hit an exact k and uniform quota sampling
+    (sample_quota) ignores weight.
+
+    Determinism + cross-engine exactness: ``u`` comes from the shared
+    60-bit id hash (``(h+1)/2^60``, never 0), and the rank key is the
+    monotone-equivalent ``ln(u)/w`` quantized to integer NANO-units
+    (``round(ln(u)/w · 1e9)`` as bigint) before ranking, ties broken by
+    id — so the sample is a pure function of the ids, replayable in any
+    engine from the documented formula. Quantization granularity: with
+    ln(u) ∈ [-41.6, 0], weights up to ~10⁶ keep ≥10⁴ distinct key
+    values; the residual ln last-ulp boundary risk is the same accepted
+    one as the LM scores' micro-quantized ln. Rows with NULL or
+    non-positive weight are dropped (a zero weight can never be
+    sampled; negative weights are a caller bug surfaced by absence, and
+    ln-key math would be meaningless for them).
+
+    Scale shape: the draw and key are per-row literal arithmetic
+    (map-only); the only shuffle is the per-stratum rank window, which
+    compiles to WindowGroupLimit — every partition pre-truncates to k
+    rows per stratum before the exchange, so the shuffle moves
+    O(strata × k), not the corpus. No global sort, no join, no collect.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    parts = [strata_col] if strata_col else []
+    draw = _uniform_hash(id_col, resolution=1 << 60)
+    u = (draw + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col) * F.lit(1_000_000_000.0)).cast("long")
+    w = Window.partitionBy(*parts).orderBy(F.col("_key").desc(), F.col(id_col))
+    return (
+        docs.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_key", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+        .withColumnRenamed("_key", "aes_key_nano")
+    )
+
+
 def contamination_flags(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1194,6 +1194,24 @@ def q_corpus_sample_quota(spark, sf_dir):
     return sample_quota(docs, 30).select("doc_id", "lang")
 
 
+def q_corpus_sample_weighted(spark, sf_dir):
+    """Weighted without-replacement sampling (pipeline.sample_weighted,
+    Efraimidis-Spirakis A-ES): the 20 docs per source with the largest
+    quantized ln(u)/w key, weight = token count — "sample k docs per
+    source proportional to length", the draw Bernoulli sampling can't
+    size exactly and uniform quota sampling can't weight. Key is a pure
+    function of doc_id (shared 60-bit hash) quantized to integer
+    nano-units, so the oracle replays the exact formula; the rank
+    compiles to WindowGroupLimit (shuffle moves sources x k rows)."""
+    from apache_cassandra_spark.analytics.pipeline import sample_weighted
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", "source", text.token_count(F.col("text")).cast("long").alias("weight")
+    )
+    return sample_weighted(weighted, k=20, weight_col="weight", strata_col="source")
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The full training-corpus prep composition under one oracle:
     Gopher gate (min_stop_hits=1 — the fixture vocabulary has only one of
@@ -4959,6 +4977,30 @@ ORACLES["docs_coreness"] = f"""{_MUTUAL_KNN_SQL}
     SELECT cast(node as bigint) AS node, c AS coreness FROM fin
 """
 
+# A-ES weighted sampling replay: u = (60-bit id hash + 1) / 2^60, key =
+# round(ln(u)/weight * 1e9) as bigint (monotone-equivalent to u^(1/w)),
+# top-20 per source by key DESC with id tie-break. The hash expression is
+# functions/hashing.py:uniform_hash's documented ANSI twin; 2^60 =
+# 1152921504606846976 (the % is an identity guard, 15 hex digits < 2^60,
+# kept to mirror the Spark pmod).
+ORACLES["corpus_sample_weighted"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint) AS weight
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, source, weight,
+               cast(round(
+                   ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
+                        % 1152921504606846976 + 1) / 1152921504606846976.0)
+                   / weight * 1000000000.0) as bigint) AS aes_key_nano
+        FROM t WHERE weight IS NOT NULL AND weight > 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY aes_key_nano DESC, doc_id) AS rk
+          FROM keyed)
+    SELECT doc_id, source, weight, aes_key_nano FROM r WHERE rk <= 20
+"""
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
@@ -5133,4 +5175,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
     # --- pre-built for the round-10 window ---
     "dedup_prefix_containment": q_dedup_prefix_containment,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
 }

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     # pre-built for round 10
     "events_heavy_hitters_cm",
     "dedup_prefix_containment",
+    "corpus_sample_weighted",
 ]
 
 

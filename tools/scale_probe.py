@@ -225,6 +225,15 @@ OPS = {
     # round 8: exact interpolated percentiles (per-group value sort)
     # vs the mergeable GK sketch twin over the same growing stream
     "quantiles_exact": lambda d: _quantiles_op(d, approx=False),
+    # round 8: A-ES weighted sample — 50 strata, k=20, weight from text
+    # length; map-only key + WindowGroupLimit (quota-sample class)
+    "sample_weighted": lambda d: __import__(
+        "apache_cassandra_spark.analytics.pipeline", fromlist=["sample_weighted"]
+    ).sample_weighted(
+        d.select("doc_id", F.pmod(F.col("doc_id"), F.lit(50)).cast("string").alias("source"),
+                 (F.length("text") + 1).cast("long").alias("w")),
+        k=20, weight_col="w", strata_col="source",
+    ).agg(F.sum("aes_key_nano")).collect() and d.count(),
     "quantiles_approx": lambda d: _quantiles_op(d, approx=True),
 }
 
