@@ -187,15 +187,24 @@ def sample_weighted(
     Determinism + cross-engine exactness: ``u`` comes from the shared
     60-bit id hash (``(h+1)/2^60``, never 0), and the rank key is the
     monotone-equivalent ``ln(u)/w`` quantized to integer NANO-units
-    (``round(ln(u)/w · 1e9)`` as bigint) before ranking, ties broken by
-    id — so the sample is a pure function of the ids, replayable in any
-    engine from the documented formula. Quantization granularity: with
+    (``round(ln(u)/w · 1e9)`` as bigint) before ranking — so the sample
+    is a pure function of the ids, replayable in any engine from the
+    documented formula. Quantized ties break by the raw 60-bit draw
+    descending (NOT by id: quantization collapses heavy-weight keys
+    toward 0 — at w = 10⁶ only ~4·10⁴ distinct values — and an id
+    tie-break there would bias the winners toward numerically-smallest
+    ids, the exact failure sample_quota's 60-bit draw exists to avoid;
+    among equal-weight ties the larger draw IS the larger true key),
+    then by id for a total order. Quantization granularity: with
     ln(u) ∈ [-41.6, 0], weights up to ~10⁶ keep ≥10⁴ distinct key
     values; the residual ln last-ulp boundary risk is the same accepted
-    one as the LM scores' micro-quantized ln. Rows with NULL or
+    one as the LM scores' micro-quantized ln. Rows with NULL, NaN, or
     non-positive weight are dropped (a zero weight can never be
-    sampled; negative weights are a caller bug surfaced by absence, and
-    ln-key math would be meaningless for them).
+    sampled; negative weights are a caller bug surfaced by absence; NaN
+    passes ``> 0`` in Spark's ordering and would otherwise abort the
+    key cast under ANSI mode). Sub-nano positive weights (< ~1e-8)
+    floor at key -2^62 instead of overflowing the bigint — they are the
+    never-selected tail either way.
 
     Scale shape: the draw and key are per-row literal arithmetic
     (map-only); the only shuffle is the per-stratum rank window, which
@@ -210,14 +219,42 @@ def sample_weighted(
     parts = [strata_col] if strata_col else []
     draw = _uniform_hash(id_col, resolution=1 << 60)
     u = (draw + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    key = F.round(F.log(u) / F.col(weight_col) * F.lit(1_000_000_000.0)).cast("long")
-    w = Window.partitionBy(*parts).orderBy(F.col("_key").desc(), F.col(id_col))
+    # clamp before the long cast: a positive weight below ~4.6e-9 pushes
+    # |ln(u)/w·1e9| past Long.MAX and ANSI mode would abort the job on
+    # CAST_OVERFLOW. Such rows are the never-selected tail anyway (their
+    # true key is astronomically negative), so flooring them at -2^62
+    # preserves the sample for every realistic weight (the floor can only
+    # trigger below w ≈ 1e-8, far outside the documented ≥1e-6 envelope)
+    # while keeping degenerate inputs from killing the query.
+    key = (
+        F.greatest(
+            F.round(F.log(u) / F.col(weight_col) * F.lit(1_000_000_000.0)),
+            F.lit(-float(2**62)),
+        )
+    ).cast("long")
+    # tie order: quantization collapses heavy-weight keys toward 0 (at
+    # w = 1e6 only ~4.2e4 distinct values), so breaking ties by id alone
+    # would re-introduce the smallest-id bias sample_quota's 60-bit draw
+    # exists to kill. The raw draw is uniform and id-independent — among
+    # equal-weight ties, larger u IS the larger true key u^(1/w) — so it
+    # goes second; id last, purely for total-order determinism.
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("_key").desc(), F.col("_draw").desc(), F.col(id_col)
+    )
     return (
-        docs.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        docs.where(
+            F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+            # NaN compares greater than everything in Spark, so it passes
+            # `> 0` and would CAST_OVERFLOW at the key cast — drop it
+            # with the other never-sampleable weights
+            & ~F.isnan(F.col(weight_col).cast("double"))
+        )
+        .withColumn("_draw", draw)
         .withColumn("_key", key)
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
+        .drop("_rk", "_draw")
         .withColumnRenamed("_key", "aes_key_nano")
     )
 

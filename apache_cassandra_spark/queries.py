@@ -4979,7 +4979,8 @@ ORACLES["docs_coreness"] = f"""{_MUTUAL_KNN_SQL}
 
 # A-ES weighted sampling replay: u = (60-bit id hash + 1) / 2^60, key =
 # round(ln(u)/weight * 1e9) as bigint (monotone-equivalent to u^(1/w)),
-# top-20 per source by key DESC with id tie-break. The hash expression is
+# top-20 per source by key DESC, quantized ties by the raw draw DESC
+# (id-independent — no smallest-id bias), then id. The hash expression is
 # functions/hashing.py:uniform_hash's documented ANSI twin; 2^60 =
 # 1152921504606846976 (the % is an identity guard, 15 hex digits < 2^60,
 # kept to mirror the Spark pmod).
@@ -4990,13 +4991,15 @@ ORACLES["corpus_sample_weighted"] = """
         FROM documents),
     keyed AS (
         SELECT doc_id, source, weight,
+               ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
+                   % 1152921504606846976 AS draw,
                cast(round(
                    ln((('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
                         % 1152921504606846976 + 1) / 1152921504606846976.0)
                    / weight * 1000000000.0) as bigint) AS aes_key_nano
         FROM t WHERE weight IS NOT NULL AND weight > 0),
     r AS (SELECT *, row_number() OVER (PARTITION BY source
-                                       ORDER BY aes_key_nano DESC, doc_id) AS rk
+                                       ORDER BY aes_key_nano DESC, draw DESC, doc_id) AS rk
           FROM keyed)
     SELECT doc_id, source, weight, aes_key_nano FROM r WHERE rk <= 20
 """

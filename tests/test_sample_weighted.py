@@ -63,3 +63,50 @@ def test_plan_window_group_limit_no_hint(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, "rank did not compile to pre-truncating top-k"
     assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_nan_and_tiny_weights_do_not_crash(spark):
+    """Review r8: NaN passes `> 0` in Spark's ordering and a positive
+    weight below ~4.6e-9 overflows the nano-key long cast — both
+    previously aborted the job under ANSI mode. NaN drops with the
+    other never-sampleable weights; sub-nano weights floor at -2^62."""
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 100.0), (4, float("nan")), (5, 1e-12)],
+        "doc_id long, w double",
+    )
+    out = {r["doc_id"]: r["aes_key_nano"] for r in
+           sample_weighted(df, k=10, weight_col="w").collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[5] == -(2**62)
+
+
+def test_quantized_ties_break_by_draw_not_id(spark):
+    """Review r8: heavy weights collapse many rows onto key 0, and an
+    id tie-break there would always pick the smallest ids. With a huge
+    equal weight (every key quantizes to 0 or -1), the winners must be
+    the rows with the LARGEST hash draws, not the smallest ids."""
+    from apache_cassandra_spark.functions.hashing import uniform_hash
+
+    n, k = 400, 25
+    df = spark.createDataFrame(
+        [(i, 10**15) for i in range(n)], "doc_id long, w long"
+    )
+    out = sample_weighted(df, k=k, weight_col="w")
+    rows = out.collect()
+    assert len(rows) == k
+    assert all(r["aes_key_nano"] in (0, -1) for r in rows), "expected full key collapse"
+    # replicate: among key ties, top draws win
+    draws = {
+        r["doc_id"]: (r["aes_key_nano"], r["d"])
+        for r in df.select(
+            "doc_id",
+            uniform_hash("doc_id", 1 << 60).alias("d"),
+        ).join(
+            sample_weighted(df, k=n, weight_col="w").select("doc_id", "aes_key_nano"),
+            "doc_id",
+        ).collect()
+    }
+    expect = sorted(draws, key=lambda i: (-draws[i][0], -draws[i][1], i))[:k]
+    assert sorted(r["doc_id"] for r in rows) == sorted(expect)
+    # and it must NOT be the smallest-id prefix
+    assert sorted(r["doc_id"] for r in rows) != list(range(k))

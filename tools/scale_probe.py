@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from apache_cassandra_spark.analytics import dedup, multimodal, text
+from apache_cassandra_spark.analytics import dedup, multimodal, pipeline, text
 from apache_cassandra_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,16 +225,15 @@ OPS = {
     # round 8: exact interpolated percentiles (per-group value sort)
     # vs the mergeable GK sketch twin over the same growing stream
     "quantiles_exact": lambda d: _quantiles_op(d, approx=False),
-    # round 8: A-ES weighted sample — 50 strata, k=20, weight from text
-    # length; map-only key + WindowGroupLimit (quota-sample class)
-    "sample_weighted": lambda d: __import__(
-        "apache_cassandra_spark.analytics.pipeline", fromlist=["sample_weighted"]
-    ).sample_weighted(
+    "quantiles_approx": lambda d: _quantiles_op(d, approx=True),
+    # round 8 (r10-window prebuild gate): A-ES weighted sample — 50
+    # strata, k=20, weight from text length; map-only key +
+    # WindowGroupLimit (quota-sample class)
+    "sample_weighted": lambda d: pipeline.sample_weighted(
         d.select("doc_id", F.pmod(F.col("doc_id"), F.lit(50)).cast("string").alias("source"),
                  (F.length("text") + 1).cast("long").alias("w")),
         k=20, weight_col="w", strata_col="source",
     ).agg(F.sum("aes_key_nano")).collect() and d.count(),
-    "quantiles_approx": lambda d: _quantiles_op(d, approx=True),
 }
 
 
