@@ -294,6 +294,93 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     return owned_cache(out, tf)
 
 
+def collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information → ``(w1, w2, n_pair, pmi_micro)`` — the classic
+    association miner (Church & Hanks, Comput. Linguist. 16(1), 1990):
+    multiword expressions ("hong kong"), templated boilerplate pairs,
+    tokenizer-merge candidates.
+
+    ``pmi = ln(p(a,b) / (p(a)·p(b)))`` with ``p(a,b) = c_ab/M`` (M =
+    total adjacent pairs, pre-floor) and ``p(x) = c_x/N`` (N = total
+    tokens), computed as ONE double expression with a fixed
+    left-to-right product order — ``ln((c_ab·N·N) / (M·c_a·c_b))`` —
+    then micro-quantized (``round(·1e6)`` as bigint), so any engine
+    replaying the same integer counts through the same expression gets
+    the same ranking (the ln last-ulp caveat of the LM scores applies).
+    ``min_count`` floors ``c_ab`` BEFORE the unigram joins: hapax pairs
+    of hapax words otherwise saturate the top of the ranking (their PMI
+    is maximal by construction), and the floor prunes the join input.
+    Ties break lexicographically on (w1, w2) — total order, the pair is
+    the group key.
+
+    Scale shape: the corpus token stream aggregates ONCE into each of
+    two vocabulary-bounded count tables (unigram and adjacent-pair,
+    both cached — each has two consumers: its total and its join/floor).
+    The pair table joins the unigram counts on vocab keys (AQE decides
+    the strategy — vocabulary cardinality is unbounded, no forced
+    broadcast, the tfidf rule); the two 1-row totals crossJoin in.
+    Final ranking is a TakeOrderedAndProject top-k — no global sort.
+    No Python anywhere.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("need k >= 1 and min_count >= 1")
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    bi = base.where(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    )
+    pairs = (
+        bi.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .cache()
+    )
+    n_tokens = uni.agg(F.sum("c").alias("_n"))
+    m_pairs = pairs.agg(F.sum("cab").alias("_m"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") * F.col("_n") * F.col("_n"))
+            / (F.col("_m").cast("double") * F.col("ca") * F.col("cb"))
+        )
+        * 1_000_000
+    ).cast("long")
+    out = (
+        pairs.where(F.col("cab") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(n_tokens)
+        .crossJoin(m_pairs)
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").alias("n_pair"),
+            pmi.alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(k)
+    )
+    return owned_cache(out, uni, pairs)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over word
     n-gram hashes — one stable 128-bit id per document's content

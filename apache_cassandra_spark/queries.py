@@ -1212,6 +1212,21 @@ def q_corpus_sample_weighted(spark, sf_dir):
     return sample_weighted(weighted, k=20, weight_col="weight", strata_col="source")
 
 
+def q_text_collocations(spark, sf_dir):
+    """Top-50 adjacent-word collocations by PMI (text.collocations,
+    Church & Hanks 1990): min_count=5 floor, micro-quantized
+    ln((c_ab N^2)/(M c_a c_b)) with a fixed product order so the double
+    math replays bit-identically, ties lexicographic on the pair. The
+    corpus stream aggregates once into two cached vocab-bounded count
+    tables; the pair->unigram joins are AQE-decided (vocabulary
+    cardinality — the tfidf rule), the ranking a TakeOrderedAndProject
+    top-k."""
+    from apache_cassandra_spark.analytics.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, k=50, min_count=5)
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The full training-corpus prep composition under one oracle:
     Gopher gate (min_stop_hits=1 — the fixture vocabulary has only one of
@@ -5004,6 +5019,38 @@ ORACLES["corpus_sample_weighted"] = """
     SELECT doc_id, source, weight, aes_key_nano FROM r WHERE rk <= 20
 """
 
+# PMI collocations replay: DuckDB zips parallel unnest()s positionally, so
+# the adjacent-pair stream is unnest(t[1:len-1]) zipped with
+# unnest(t[2:len]). N/M cast to bigint (DuckDB sum(bigint) is DECIMAL —
+# cast keeps the double math identical to Spark's long sum); the pmi
+# expression mirrors the Spark product order term for term.
+ORACLES["text_collocations"] = """
+    WITH toked AS MATERIALIZED (
+        SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    uc AS MATERIALIZED (
+        SELECT tok, count(*) AS c FROM (SELECT unnest(t) AS tok FROM toked)
+        GROUP BY 1),
+    bi AS MATERIALIZED (
+        SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        FROM toked WHERE len(t) >= 2),
+    bc AS MATERIALIZED (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY 1, 2),
+    n AS (SELECT cast(sum(c) as bigint) AS n FROM uc),
+    m AS (SELECT cast(sum(cab) as bigint) AS m FROM bc),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.cab AS n_pair,
+               cast(round(ln((bc.cab::DOUBLE * n.n * n.n)
+                             / (m.m::DOUBLE * a.c * b.c)) * 1000000) as bigint)
+                   AS pmi_micro
+        FROM bc
+        JOIN uc a ON bc.w1 = a.tok
+        JOIN uc b ON bc.w2 = b.tok
+        CROSS JOIN n CROSS JOIN m
+        WHERE bc.cab >= 5)
+    SELECT w1, w2, n_pair, pmi_micro FROM scored
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+"""
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
@@ -5179,4 +5226,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- pre-built for the round-10 window ---
     "dedup_prefix_containment": q_dedup_prefix_containment,
     "corpus_sample_weighted": q_corpus_sample_weighted,
+    "text_collocations": q_text_collocations,
 }

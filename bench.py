@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "events_heavy_hitters_cm",
     "dedup_prefix_containment",
     "corpus_sample_weighted",
+    "text_collocations",
 ]
 
 

@@ -32,6 +32,7 @@ AUDITED = {
     "corpus_sample_stratified": "stratified sample: map-only — PushedFilters/Filter over the scan, NO Exchange, no join (rate lookup is a literal CASE)",
     "corpus_sample_quota": "quota sample: WindowGroupLimit partial truncation below the single stratum Exchange",
     "corpus_sample_weighted": "A-ES weighted sample: per-row hash-draw + quantized ln(u)/w key (map-only literal arithmetic), WindowGroupLimit pre-truncation below the single stratum Exchange — shuffle moves sources x k, no join, no global sort",
+    "text_collocations": "PMI collocations: corpus stream aggregates ONCE into two cached vocab-bounded count tables (unigram, adjacent-pair); pair->unigram joins on vocab keys AQE-decided (no forced broadcast — the tfidf rule), 1-row totals crossJoin, TakeOrderedAndProject top-k — no global sort, no Python",
     "cass_read_at_ts": "snapshot read: ts <= T predicate BELOW the reconcile aggregate, pushed into PushedFilters of the parquet scan",
     "dedup_lines": "line dedup: winner table is HashAggregate min(bigint) over the bit-packed (id,pos) — NO SortAggregate, no window rank; join back on the line string (AQE skew-split), ObjectHashAggregate collect_list only for per-doc reassembly",
     "dedup_spans": "suffix-array-style span dedup: window stream is one Generate (posexplode of per-row transform) — linear, no self-join; winner = HashAggregate min(bigint) over bit-packed (id,pos); cut expansion a sequence-explode; reassembly collect_list bounded per doc; no Window, no CartesianProduct",

@@ -226,6 +226,13 @@ OPS = {
     # vs the mergeable GK sketch twin over the same growing stream
     "quantiles_exact": lambda d: _quantiles_op(d, approx=False),
     "quantiles_approx": lambda d: _quantiles_op(d, approx=True),
+    # round 8 (r10-window prebuild gate): PMI collocations — both count
+    # tables vocab-bounded, so the exchange is bounded while the token
+    # stream grows
+    "collocations": lambda d: text.collocations(d, k=50, min_count=5)
+    .agg(F.sum("pmi_micro"))
+    .collect()
+    and d.count(),
     # round 8 (r10-window prebuild gate): A-ES weighted sample — 50
     # strata, k=20, weight from text length; map-only key +
     # WindowGroupLimit (quota-sample class)
