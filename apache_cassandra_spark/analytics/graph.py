@@ -635,3 +635,60 @@ def coreness(
     if not bounded and not converged:
         raise RuntimeError(f"coreness did not converge in {max_iters} rounds")
     return est.select("node", F.col("c").alias("coreness"))
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected-
+    interpreted edge list → ``(node, deg, n_triangles, cc_micro)`` for
+    every node of the simple graph: cc = 2·T(v) / (deg(v)·(deg(v)−1)),
+    the fraction of a node's neighbor pairs that are themselves linked
+    (Watts & Strogatz 1998) — the standard local-density signal for
+    spam-farm / bot-ring detection on interaction graphs (dense cliques
+    score ~1, broadcast hubs ~0).
+
+    Engine-exact discipline: the coefficient is emitted as integer
+    MICRO-units ``(2·T·10⁶) div (deg·(deg−1))`` — one bigint division of
+    two bigint products, bit-identical in any engine (Spark ``div`` and
+    DuckDB BIGINT ``//`` both truncate; operands are non-negative so
+    truncation == floor). Degree-1 and isolated-in-simple-graph nodes
+    get cc_micro = 0 (no neighbor pair exists). Overflow bound: a
+    node's triangle count is at most the simple edge count m (every
+    triangle at v consumes a distinct edge not at v), so the numerator
+    ``2·T·10⁶`` stays inside int64 for any graph under ~4.6·10¹²
+    edges — two orders of magnitude past a 100 TB edge list.
+
+    Scale shape: :func:`triangle_counts` (degree-ordered wedge join,
+    O(m^1.5) worst case, no last-reducer hub) plus one extra map-side-
+    combinable degree aggregate over the edge list and an equi-join on
+    node id. The degree aggregate is recomputed rather than threaded
+    out of ``triangle_counts`` so the gated triangle operator's plan is
+    untouched; the extra pass is one scan + hash-agg of the edge list —
+    noise next to the wedge join it accompanies.
+    """
+    und = _undirected_edges(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges, src_col, dst_col)
+    return (
+        deg.join(tri, "node")
+        .select(
+            "node",
+            "deg",
+            "n_triangles",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(f"(2 * n_triangles * {MICRO}) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_micro"),
+        )
+    )

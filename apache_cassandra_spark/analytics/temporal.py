@@ -186,3 +186,78 @@ def gap_fill(
             F.coalesce(count_col, F.lit(0).cast("long")).alias(count_col),
         )
     )
+
+
+def resample_ohlc(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_size: int,
+    tie_col: str,
+) -> DataFrame:
+    """Per-key time-bucket OHLC resample — the canonical downsampling
+    step for metric/price/sensor streams: for every ``(keys, bucket)``
+    cell, the first value (open), max (high), min (low), last value
+    (close), and row count. ``bucket = ts div bucket_size`` (integer
+    division of the integer timestamp — bit-identical in any engine;
+    for non-negative timestamps Spark ``div`` and DuckDB ``//``
+    agree by truncation == floor).
+
+    First/last are defined by the total order ``(ts, tie)`` —
+    ``tie_col`` must make that pair unique per cell (an event id /
+    sequence number), so open/close are a DETERMINISTIC single row's
+    value, not a scan-order accident. min/max/count and the two
+    arg-picks are all order-insensitive aggregates: no float is ever
+    summed, so the output is engine-exact with no quantization needed.
+
+    The ordering key is packed into ONE decimal(38,0):
+    ``ts·10¹⁹ + tie``. A ``struct(ts, tie)`` key would be semantically
+    identical but forces SortAggregate (struct-typed aggregation
+    buffers aren't mutable in UnsafeRow — measured on this exact
+    query), while a fixed-width decimal buffer keeps the whole thing a
+    HashAggregate. The pack equals the lexicographic (ts, tie) order
+    for ANY-sign ts provided ``0 <= tie < 10¹⁹``; int64 can't exceed
+    the upper bound, and a negative tie raises loudly rather than
+    silently reordering cells (the ``zscore_outliers`` envelope
+    discipline).
+
+    Scale shape: ONE map-side-combinable hash aggregate — ``min_by`` /
+    ``max_by`` carry a (value, key) pair through partial aggregation,
+    so the exchange moves one row per (keys, bucket) cell per upstream
+    task, never the raw stream. No window, no sort, no Python, no
+    second scan. Hot cells (a celebrity key's busy day) partial-combine
+    before the shuffle like any count would.
+
+    Reference analog: none — the reference exposes slice reads only;
+    rollups were delegated to Hadoop jobs (SURVEY.md §2.6).
+    """
+    from decimal import Decimal
+
+    pack = F.col(ts_col).cast("decimal(19,0)").cast("decimal(38,0)") * F.lit(
+        Decimal(10**19)
+    ) + F.col(tie_col).cast("decimal(38,0)")
+    okey = F.when(F.col(tie_col) >= 0, pack).otherwise(
+        F.raise_error(
+            F.format_string(
+                "resample_ohlc: negative %s (%s) breaks the packed "
+                "(ts, tie) ordering; offset the tie column to >= 0",
+                F.lit(tie_col),
+                F.col(tie_col).cast("string"),
+            )
+        )
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(
+            *key_cols,
+            F.expr(f"`{ts_col}` div {bucket_size}").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.min_by(v, okey).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, okey).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

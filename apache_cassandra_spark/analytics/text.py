@@ -888,3 +888,59 @@ def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             6,
         ).alias("entropy"),
     )
+
+
+def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Flesch reading-ease score (Flesch 1948; the public
+    readability formula 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/word)) — the classic "is this prose or a parts
+    catalog" quality-filter signal, cheap enough to run before LM
+    perplexity scoring.
+
+    Deterministic counting rules, spelled out so the oracle reproduces
+    them byte-for-byte (the same deliberately-primitive-and-exact stance
+    as :func:`tokens`):
+
+    * words      = space-split tokens, empties dropped (``tokens``)
+    * sentences  = runs of ``[.!?]`` (``!!`` or ``?!`` end ONE
+      sentence), floored at 1 so headline-style fragments still score
+    * syllables  = vowel-group runs ``[aeiouy]+`` over the lowercased
+      text — the standard one-pass approximation (no per-word minimum;
+      vowel-less tokens like ``7`` or ``&&`` contribute 0, which is the
+      honest signal for non-prose)
+
+    All three counts are exact integers; the score is ONE float
+    expression over them — identical literals, identical operation
+    order in both engines, so the rounded result is bit-stable (the
+    ``char_entropy`` float contract). Documents with zero words emit a
+    NULL score (nothing to rate) rather than a fabricated constant.
+
+    Output: ``(id, n_words, n_sentences, n_syllables, flesch)`` with
+    ``flesch`` rounded to 4 places.
+
+    Scale shape: map-only — three codegen'd regex/array counts per row,
+    no explode, no shuffle, no Python. The regex classes are portable
+    ASCII sets (identical under Java regex and RE2).
+    """
+    t = F.col(text_col)
+    n_words = F.size(tokens(t)).cast("long")
+    n_sentences = F.greatest(F.regexp_count(t, F.lit("[.!?]+")), F.lit(1)).cast("long")
+    n_syllables = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4),
+        ).alias("flesch"),
+    )

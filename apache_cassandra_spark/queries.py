@@ -3046,6 +3046,124 @@ def q_tpch_q13ish(spark, sf_dir):
     )
 
 
+def q_tpch_q4ish(spark, sf_dir):
+    """Order-priority audit (TPC-H Q4 shape): orders from one quarter
+    that had at least one LATE lineitem (shipped > 60 days after the
+    order date), counted per priority. The EXISTS compiles to a LEFT
+    SEMI hash join on o_orderkey with the date inequality as the join
+    residual — each order emits at most once no matter how many late
+    lines it has, the orders-side date filter is pushed to its scan,
+    and the lineitem side is pruned to (orderkey, shipdate). No
+    correlated per-row subquery execution anywhere."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q22ish(spark, sf_dir):
+    """Lapsed high-balance customers (TPC-H Q22 shape): per market
+    segment, the count and total balance of customers whose balance
+    exceeds the average POSITIVE balance of the candidate segments and
+    who placed no order since 1999. Float discipline: balances are
+    cents-exact doubles, so everything runs in bigint cents and the
+    avg threshold is the exact rational test ``cents·n > total`` — no
+    distributed float sum, no division at all. Plan shape: a 1-row
+    global aggregate joined back (BroadcastNestedLoop on a single row —
+    the documented bounded cross-join class), then a LEFT ANTI hash
+    join against the pruned (custkey) recent-orders side, then one
+    tiny per-segment aggregate."""
+    segs = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin(*segs))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    stats = c.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    cand = c.crossJoin(stats).where(F.col("bal_cents") * F.col("_n") > F.col("_tot"))
+    lapsed = cand.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        lapsed.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_events_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per page over the clickstream
+    transition graph (graph.clustering_coefficient): cc = 2T/(d(d−1))
+    in integer micro-units on top of the degree-ordered triangle
+    counts — the clique-vs-hub local-density signal. All-integer
+    output; the oracle replays the naive a<b<c triangle listing plus
+    the same bigint division."""
+    from apache_cassandra_spark.analytics.graph import clustering_coefficient
+
+    edges = _clickstream_edges(spark, sf_dir)
+    return clustering_coefficient(edges, "src", "dst").select(
+        F.col("node").alias("page"), "deg", "n_triangles", "cc_micro"
+    )
+
+
+def q_text_readability(spark, sf_dir):
+    """Per-document Flesch reading ease (text.readability): exact
+    integer word / sentence-run / vowel-group counts, one shared float
+    expression for the score — map-only, no shuffle. The prose-vs-
+    catalog quality filter."""
+    from apache_cassandra_spark.analytics.text import readability
+
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
+def q_events_ohlc(spark, sf_dir):
+    """Per-user daily OHLC resample of the event value stream
+    (temporal.resample_ohlc): open/close picked by the total order
+    (ts, event_id) via min_by/max_by, high/low/count alongside — ONE
+    map-side-combinable hash aggregate, no window, no float ever
+    summed (engine-exact without quantization). The oracle replays the
+    same picks with arg_min/arg_max over an equivalent zero-padded
+    (ts, event_id) string key."""
+    from apache_cassandra_spark.analytics.temporal import resample_ohlc
+
+    ev = load_events(spark, sf_dir)
+    out = resample_ohlc(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        bucket_size=86_400_000_000_000,
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id", F.col("bucket").alias("day_idx"),
+        "open", "high", "low", "close", "n_rows",
+    )
+
+
 def q_events_heavy_hitters_cm(spark, sf_dir):
     """Count-min-sketch heavy hitters (sketches.cm_sketch/cm_estimate):
     same top-5-users-per-type report as events_heavy_hitters, but read
@@ -5051,6 +5169,111 @@ ORACLES["text_collocations"] = """
     ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
 """
 
+ORACLES["tpch_q4ish"] = """
+    SELECT o_orderpriority, cast(count(*) as bigint) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY 1
+"""
+
+# integer-cents replay of the Q22 shape: avg threshold as the exact
+# rational test cents*n > total (no distributed float sum anywhere);
+# round(c_acctbal*100) is the same one double multiply+round in both
+# engines, exact for the cents-valued source data
+ORACLES["tpch_q22ish"] = """
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      cast(round(c_acctbal * 100) as bigint) AS bal_cents
+               FROM customer
+               WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')),
+    s AS (SELECT cast(sum(bal_cents) as bigint) AS tot, count(*) AS n
+          FROM c WHERE bal_cents > 0),
+    cand AS (SELECT c.* FROM c CROSS JOIN s WHERE c.bal_cents * s.n > s.tot),
+    lapsed AS (SELECT * FROM cand
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = cand.c_custkey
+                                   AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+    SELECT c_mktsegment, cast(count(*) as bigint) AS numcust,
+           cast(sum(bal_cents) as bigint) AS total_bal_cents
+    FROM lapsed GROUP BY 1 ORDER BY 1
+"""
+
+# the events_triangles naive listing, extended with the simple-graph
+# degree and the same bigint micro-division the engine runs (DuckDB
+# BIGINT // and Spark div both truncate; operands non-negative)
+ORACLES["events_clustering_coeff"] = """
+    WITH stream AS (
+        SELECT user_id, ts, event_id,
+               cast(json_extract_string(props, '$.k') as integer) AS page
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+        SELECT page AS src,
+               lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM stream
+    ),
+    ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM pairs WHERE dst IS NOT NULL AND src <> dst),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+                       JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT x AS page FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    tc AS (SELECT page, count(*) AS cnt FROM corners GROUP BY 1),
+    deg AS (SELECT page, cast(count(*) as bigint) AS deg
+            FROM (SELECT a AS page FROM ed UNION ALL SELECT b FROM ed)
+            GROUP BY 1)
+    SELECT d.page, d.deg, cast(coalesce(tc.cnt, 0) as bigint) AS n_triangles,
+           cast(CASE WHEN d.deg >= 2
+                     THEN (2 * coalesce(tc.cnt, 0) * 1000000) // (d.deg * (d.deg - 1))
+                     ELSE 0 END as bigint) AS cc_micro
+    FROM deg d LEFT JOIN tc USING (page)
+"""
+
+# same primitive counting rules as the engine (space-split words,
+# [.!?]+ sentence runs floored at 1, [aeiouy]+ vowel groups), then ONE
+# identical float expression — ::DOUBLE literals because bare decimals
+# parse as DECIMAL in DuckDB (the collocations pitfall)
+ORACLES["text_readability"] = """
+    WITH c AS (SELECT doc_id,
+            cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as bigint)
+                AS n_words,
+            cast(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) as bigint)
+                AS n_sentences,
+            cast(len(regexp_extract_all(lower(text), '[aeiouy]+')) as bigint)
+                AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835::DOUBLE
+                   - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+                   - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+           END AS flesch
+    FROM c
+"""
+
+# open/close picked by arg_min/arg_max over the SAME ts·10¹⁹ + event_id
+# pack the engine orders by (HUGEINT here, decimal(38,0) there — both
+# exact integer arithmetic, same total order for tie >= 0); no float is
+# summed, so no quantization is needed anywhere
+ORACLES["events_ohlc"] = """
+    WITH k AS (SELECT user_id,
+                      epoch_ns(ts) // 86400000000000 AS day_idx,
+                      value,
+                      epoch_ns(ts)::HUGEINT * 10000000000000000000::HUGEINT
+                        + event_id::HUGEINT AS ok
+               FROM events)
+    SELECT user_id, cast(day_idx as bigint) AS day_idx,
+           arg_min(value, ok) AS open, max(value) AS high, min(value) AS low,
+           arg_max(value, ok) AS close, cast(count(*) as bigint) AS n_rows
+    FROM k GROUP BY 1, 2
+"""
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
@@ -5227,4 +5450,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_containment": q_dedup_prefix_containment,
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "text_collocations": q_text_collocations,
+    "tpch_q4ish": q_tpch_q4ish,
+    "tpch_q22ish": q_tpch_q22ish,
+    "events_clustering_coeff": q_events_clustering_coeff,
+    "text_readability": q_text_readability,
+    "events_ohlc": q_events_ohlc,
 }

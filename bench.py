@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "dedup_prefix_containment",
     "corpus_sample_weighted",
     "text_collocations",
+    "tpch_q4ish",
+    "tpch_q22ish",
+    "events_clustering_coeff",
+    "text_readability",
+    "events_ohlc",
 ]
 
 

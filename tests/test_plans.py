@@ -3,7 +3,8 @@ designed around (SURVEY.md §4). A correctness-neutral regression here means
 a 100x slowdown at 100 TB, so these are tested like semantics:
 
 * point/multiget reads push the key filter into the Parquet scan
-* container-tombstone watermarks join via broadcast (never shuffle)
+* container-tombstone watermarks carry NO forced hint (AQE decides; it
+  still broadcasts the tiny sides at small sf)
 * per-row slice limits use WindowGroupLimit (partial top-k before shuffle)
 * reconcile runs map-side partial aggregation before its single shuffle
 * analytics joins broadcast the small side
@@ -984,3 +985,71 @@ def test_filter_blocklist_broadcast_flag_controls_join_strategy(spark):
     assert sorted(r["doc_id"] for r in forced.collect()) == sorted(
         r["doc_id"] for r in free.collect()
     )
+
+
+def test_tpch_q4ish_is_semi_join_with_pushed_dates(spark):
+    """The EXISTS must compile to ONE LeftSemi hash join (each order
+    emits at most once regardless of late-line count) with the quarter
+    filter pushed to the orders scan — never a correlated loop or a
+    nested-loop fallback."""
+    from apache_cassandra_spark.queries import q_tpch_q4ish
+
+    plan = plan_of(q_tpch_q4ish(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to the scan
+    assert "partial_count" in plan
+
+
+def test_tpch_q22ish_anti_join_and_single_row_threshold(spark):
+    """Lapsed-customer exclusion is a LeftAnti HASH join on custkey;
+    the only nested-loop in the plan is the 1-row global-stats
+    threshold join (the documented bounded cross-join class)."""
+    from apache_cassandra_spark.queries import q_tpch_q22ish
+
+    plan = plan_of(q_tpch_q22ish(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats side only
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # recent-orders filter pushed
+    assert "In(c_mktsegment" in plan  # segment filter pushed
+
+
+def test_clustering_coeff_all_joins_are_hash(spark):
+    """cc rides on the degree-ordered triangle pipeline: equi-joins end
+    to end, the closing-edge semi-join present, no nested loop."""
+    from apache_cassandra_spark.analytics.graph import clustering_coefficient
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    plan = plan_of(clustering_coefficient(df))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_readability_is_map_only(spark):
+    """Three regex/array counts per row and one float expression — the
+    plan must contain NO exchange at all."""
+    from apache_cassandra_spark.analytics.text import readability
+
+    df = spark.createDataFrame([(1, "a b. c")], "doc_id long, text string")
+    plan = plan_of(readability(df))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ohlc_is_one_hash_aggregate(spark):
+    """The decimal(38,0)-packed ordering key keeps min_by/max_by inside
+    a HASH aggregate (a struct key degrades to SortAggregate — measured)
+    with map-side partial combine; one exchange, no window, no sort."""
+    from apache_cassandra_spark.analytics.temporal import resample_ohlc
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 5.0)], "k string, ts long, eid long, value double"
+    )
+    plan = plan_of(resample_ohlc(df, ["k"], "ts", "value", 10, "eid"))
+    assert "SortAggregate" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan

@@ -108,6 +108,11 @@ AUDITED = {
     # pre-built for round 10
     "events_heavy_hitters_cm": "count-min heavy hitters: depth×width md5 counter grid per group (ONE combinable hash-agg, exchange bounded by 4·256 rows/group regardless of distinct items), estimate = one equi-join + min agg, WindowGroupLimit top-5 — deterministic hashes make the sketch hash-anchored, unlike HLL",
     "dedup_prefix_containment": "one-sided prefix filter for directed containment: candidates = contained side's rarest n−ceil(t·n)+1 shingles against FULL postings + |B| >= t·|A| size prune, exact verification on survivors — lossless vs the naive directed join (shared oracle)",
+    "tpch_q4ish": "order-priority audit: EXISTS as ONE LeftSemi hash join on o_orderkey with the ship-lateness inequality as join residual (each order emits at most once), quarter filter in the orders scan's PushedFilters, lineitem pruned to (orderkey, shipdate), partial-combined priority counts",
+    "tpch_q22ish": "lapsed high-balance customers: all-bigint cents (no float sum anywhere), threshold = 1-row global-stats BroadcastNestedLoop (the bounded cross-join class) as the exact rational test cents·n > total, LeftAnti HASH join against the date-pruned recent-orders side, tiny per-segment aggregate",
+    "events_clustering_coeff": "local clustering coefficient: the degree-ordered triangle pipeline (equi-joins end to end, LeftSemi closing-edge check) + one extra map-side-combinable degree aggregate + equi-join on node id; cc as ONE bigint micro-division — no float, no window, no cartesian",
+    "text_readability": "Flesch reading ease: three codegen'd regex/array counts + one float expression per row — map-only, NO Exchange, no join, no Python",
+    "events_ohlc": "per-user daily OHLC: ONE partial-combinable HashAggregate — min_by/max_by ordered by the decimal(38,0)-packed (ts, event_id) key (a struct key degrades to SortAggregate — measured), exchange carries one row per (user, day) cell per upstream task; no window, no sort, no float sum",
 }
 
 

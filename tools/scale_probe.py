@@ -241,6 +241,18 @@ OPS = {
                  (F.length("text") + 1).cast("long").alias("w")),
         k=20, weight_col="w", strata_col="source",
     ).agg(F.sum("aes_key_nano")).collect() and d.count(),
+    # round 8 (r10-window prebuild gates, second batch): local clustering
+    # coefficient on the shared block graph (comparable to the triangles
+    # / kcore rows), map-only Flesch readability, and the one-aggregate
+    # OHLC resample over a FIXED cell grid (ts range pinned, so rows
+    # grow 64x while cells don't — alpha measures the combine, not
+    # output growth)
+    "clustering_coeff": lambda d: _cc_op(d),
+    "readability": lambda d: text.readability(d)
+    .agg(F.sum("n_syllables"), F.sum("flesch"))
+    .collect()
+    and d.count(),
+    "ohlc": lambda d: _ohlc_op(d),
 }
 
 
@@ -264,6 +276,28 @@ def _block_edges(docs: DataFrame) -> DataFrame:
         (block + F.pmod(F.col("doc_id") * 31, F.lit(1000))).alias("src"),
         (block + F.pmod(F.col("doc_id") * 53 + 7, F.lit(1000))).alias("dst"),
     )
+
+
+def _cc_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.graph import clustering_coefficient
+
+    return (
+        clustering_coefficient(_block_edges(docs)).agg(F.sum("cc_micro")).collect()
+        and docs.count()
+    )
+
+
+def _ohlc_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics.temporal import resample_ohlc
+
+    ev = docs.select(
+        F.pmod(F.col("doc_id") * 37, F.lit(997)).alias("user_id"),
+        F.pmod(F.col("doc_id"), F.lit(100_000)).alias("ts"),  # fixed span at any k
+        F.col("doc_id").alias("event_id"),
+        (F.pmod(F.length("text"), F.lit(500)) / 3.0).alias("value"),
+    )
+    out = resample_ohlc(ev, ["user_id"], "ts", "value", 1000, "event_id")
+    return out.agg(F.sum("high"), F.sum("n_rows")).collect() and docs.count()
 
 
 def _kcore_op(docs: DataFrame) -> int:
