@@ -3114,6 +3114,143 @@ def q_tpch_q22ish(spark, sf_dir):
     )
 
 
+def q_tpch_q17ish(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): per brand, the
+    revenue from lineitems whose quantity is below 20% of that PART's
+    average quantity. The correlated scalar subquery is decorrelated by
+    hand into a per-part aggregate joined back — and, the part the
+    optimizer can't do alone, the OUTER brand filter is pushed INTO the
+    aggregate's domain (the per-part average only ever needs lineitems
+    of brand-matched parts, because the correlation key is the part),
+    so the stats pass scans the brand-pruned fact, not the whole table.
+    Float discipline: quantities are integral (cast long), the 0.2·avg
+    threshold is the exact rational test ``5·qty·n < sum_qty`` — no
+    division, no float compare; revenue is the round-4 decimal sum the
+    q3/q10/q14 gates already pin. At 100 TB: two shuffles of the
+    brand-pruned fact (one per-part aggregate, one join back), both on
+    the same key; lineitems-per-part is constant in TPC-H, so the
+    bigint product is bounded at ~250·n_part_lines."""
+    brands = ("Brand#3", "Brand#13", "Brand#23")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    lb = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    stats = lb.groupBy("l_partkey").agg(
+        F.sum("qty").alias("_sq"), F.count(F.lit(1)).alias("_n")
+    )
+    small = lb.drop("p_partkey").join(stats, "l_partkey").where(
+        F.col("qty") * 5 * F.col("_n") < F.col("_sq")
+    )
+    return (
+        small.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice"), 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_tpch_q19ish(spark, sf_dir):
+    """Discounted revenue under a disjunctive brand/size/quantity
+    predicate (TPC-H Q19 shape) — written DECLARATIVELY: one join, one
+    cross-table OR, no hand-hoisted envelopes. On classic engines Q19
+    needs the per-side implications factored out by hand; we VERIFIED
+    (rather than assumed) that Spark 4's constraint propagation derives
+    them itself — each scan's PushedFilters carries the per-side
+    ``Or(And(range), ...)`` projection of the disjunction (plan-locked,
+    so an optimizer regression gets caught), which parquet row-group
+    stats evaluate disjunct-by-disjunct. At 100 TB both scans therefore
+    read only the OR-surviving fraction with zero manual plumbing.
+    Quantity bounds compare the raw double column (values are integral,
+    so the bounds are exact) to keep the filter scan-pushable — a cast
+    would block pushdown."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    branch = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 40) & F.col("l_quantity").between(20, 45))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def _waiting_suppliers(li, o, s, late_days: int = 90):
+    """Core of the Q21 shape, shared by the gate and the reformulation
+    fuzz test. ``numwait`` counts ORDERS (not lineitem rows) on which
+    the supplier was the SOLE late supplier among ≥2 involved — the
+    EXISTS / NOT-EXISTS pair of the textbook form collapsed into one
+    per-(order, supplier) late flag plus one per-order profile:
+    ``n_supp >= 2 AND n_late = 1`` ⟺ "another supplier exists, no
+    other LATE supplier exists". Lossless vs the triple self-join
+    (tests/test_tpch_shapes.py fuzzes both forms) but does ZERO fact
+    self-joins: after the orderkey equi-join, BOTH aggregates satisfy
+    their distribution from the join's orderkey partitioning (group
+    keys (orderkey, suppkey) ⊇ orderkey), so at scale — where the
+    orders side outgrows broadcast and the join shuffles on orderkey —
+    the whole stack runs on two input exchanges and nothing else."""
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    ).cast("int")
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("late").alias("_n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("_late_supp"),
+    )
+    waits = per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    return (
+        waits.groupBy("_late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(s, F.col("_late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+def q_tpch_q21ish(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted to
+    this schema: "late" = shipped > 90 days after the order date, the
+    q4ish lateness definition): top-25 suppliers by the number of
+    finished multi-supplier orders where they were the ONLY late
+    supplier. See ``_waiting_suppliers`` for the aggregate
+    reformulation that replaces the textbook EXISTS + NOT-EXISTS fact
+    self-joins with two stacked aggregates over ONE orderkey join."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return _waiting_suppliers(li, o, s)
+
+
 def q_events_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per page over the clickstream
     transition graph (graph.clustering_coefficient): cc = 2T/(d(d−1))
@@ -5201,6 +5338,62 @@ ORACLES["tpch_q22ish"] = """
     FROM lapsed GROUP BY 1 ORDER BY 1
 """
 
+# decorrelated Q17: same brand-pruned aggregate domain, same exact
+# rational threshold 5*qty*n < sum_qty (all bigint, no division), same
+# round-4 decimal revenue sum as the green q3/q10/q14 gates
+ORACLES["tpch_q17ish"] = """
+    WITH pp AS (SELECT p_partkey, p_brand FROM part
+                WHERE p_brand IN ('Brand#3', 'Brand#13', 'Brand#23')),
+    lb AS (SELECT l.l_partkey, pp.p_brand,
+                  cast(l.l_quantity as bigint) AS qty, l.l_extendedprice
+           FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey),
+    st AS (SELECT l_partkey, cast(sum(qty) as bigint) AS sq, count(*) AS n
+           FROM lb GROUP BY 1)
+    SELECT lb.p_brand,
+           cast(count(*) as bigint) AS n_lines,
+           cast(sum(round(lb.l_extendedprice, 4)::DECIMAL(18,4)) as double) AS revenue
+    FROM lb JOIN st ON lb.l_partkey = st.l_partkey
+    WHERE lb.qty * 5 * st.n < st.sq
+    GROUP BY 1 ORDER BY 1
+"""
+
+# Q19's OR runs verbatim — the hoisted scan envelopes on the Spark side
+# are implied conjuncts, so they change the plan, not the rows; revenue
+# is the round-4 decimal pattern (one float multiply, identical in both
+# engines)
+ORACLES["tpch_q19ish"] = """
+    SELECT p_brand, cast(count(*) as bigint) AS n_lines,
+           cast(sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(18,4))
+                as double) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 45)
+    GROUP BY 1 ORDER BY 1
+"""
+
+# Q21's aggregate reformulation replayed literally: per-(order, supplier)
+# late flag, per-order (n_supp, n_late, the late supplier), qualify at
+# n_supp>=2 AND n_late=1, count orders per supplier; ties at the top-25
+# boundary broken by s_suppkey in both engines
+ORACLES["tpch_q21ish"] = """
+    WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders
+                WHERE o_orderstatus = 'F'),
+    ps AS (SELECT l.l_orderkey, l.l_suppkey,
+                  max(CASE WHEN l.l_shipdate > fo.o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS late
+           FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+           GROUP BY 1, 2),
+    po AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+                  max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+           FROM ps GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, cast(count(*) as bigint) AS numwait
+    FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey LIMIT 25
+"""
+
 # the events_triangles naive listing, extended with the simple-graph
 # degree and the same bigint micro-division the engine runs (DuckDB
 # BIGINT // and Spark div both truncate; operands non-negative)
@@ -5455,4 +5648,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,
     "events_ohlc": q_events_ohlc,
+    # --- pre-built awaiting window funding (the 150-entry rotation
+    # ceiling is saturated; COVERAGE.md "Proposed gate retirements"
+    # names the subsumed entries whose slots these would take) ---
+    "tpch_q17ish": q_tpch_q17ish,
+    "tpch_q19ish": q_tpch_q19ish,
+    "tpch_q21ish": q_tpch_q21ish,
 }

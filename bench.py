@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "events_clustering_coeff",
     "text_readability",
     "events_ohlc",
+    # pre-built awaiting window funding (COVERAGE.md retirement proposals)
+    "tpch_q17ish",
+    "tpch_q19ish",
+    "tpch_q21ish",
 ]
 
 

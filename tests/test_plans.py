@@ -1053,3 +1053,52 @@ def test_ohlc_is_one_hash_aggregate(spark):
     assert "partial_min_by" in plan and "partial_max_by" in plan
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_tpch_q17ish_brand_prunes_stats_pass_and_exact_threshold(spark):
+    """The decorrelated per-part average: the brand filter must reach
+    BOTH fact passes' part side (In(p_brand pushed to the part scan),
+    the stats join must be an equi hash/merge join with the rational
+    threshold as residual — never a correlated loop or cartesian —
+    and the threshold itself must be all-bigint (no float division)."""
+    from apache_cassandra_spark.queries import q_tpch_q17ish
+
+    plan = plan_of(q_tpch_q17ish(spark, "/root/testdata/sf0.001"))
+    assert "In(p_brand" in plan  # outer filter pushed into the agg domain's scan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exact rational test: a bigint product comparison, no division node
+    assert "< _sq" in plan or "<_sq" in plan.replace(" ", "")
+    assert "/" not in plan.split("HashAggregate")[0].split("SortMergeJoin")[-1][:200]
+    assert "partial_sum" in plan  # map-side combine on the revenue sum
+
+
+def test_tpch_q19ish_or_projections_pushed_to_both_scans(spark):
+    """The declarative cross-table OR: Spark must derive the per-side
+    disjunctive projections and push them into BOTH parquet scans as
+    Or(...) PushedFilters (the hand-hoist classic engines need). A
+    regression here silently reverts Q19 to full-fact reads at scale."""
+    from apache_cassandra_spark.queries import q_tpch_q19ish
+
+    plan = plan_of(q_tpch_q19ish(spark, "/root/testdata/sf0.001"))
+    li_scan = [s for s in plan.split("FileScan parquet")[1:] if "lineitem" in s[:400]]
+    p_scan = [s for s in plan.split("FileScan parquet")[1:] if "part.parquet" in s[:400]]
+    assert li_scan and p_scan
+    assert "Or(" in li_scan[0].split("ReadSchema")[0]  # derived qty-range OR pushed
+    assert "Or(" in p_scan[0].split("ReadSchema")[0]  # derived brand/size OR pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21ish_no_fact_self_joins_exchange_frugal_aggs(spark):
+    """The EXISTS/NOT-EXISTS pair must run as the two stacked
+    aggregates, not fact self-joins: exactly ONE join against the
+    lineitem fact (the orderkey equi-join with orders), and the
+    (orderkey, suppkey) -> orderkey aggregate stack must add exactly
+    one exchange between the two grouping levels (the coarser key is a
+    prefix, so under an at-scale shuffled join even that disappears)."""
+    from apache_cassandra_spark.queries import q_tpch_q21ish
+
+    plan = plan_of(q_tpch_q21ish(spark, "/root/testdata/sf0.001"))
+    assert plan.count("lineitem.parquet") == 1  # the fact is scanned ONCE
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in plan and "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan  # top-25 without a global sort

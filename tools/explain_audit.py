@@ -113,6 +113,10 @@ AUDITED = {
     "events_clustering_coeff": "local clustering coefficient: the degree-ordered triangle pipeline (equi-joins end to end, LeftSemi closing-edge check) + one extra map-side-combinable degree aggregate + equi-join on node id; cc as ONE bigint micro-division — no float, no window, no cartesian",
     "text_readability": "Flesch reading ease: three codegen'd regex/array counts + one float expression per row — map-only, NO Exchange, no join, no Python",
     "events_ohlc": "per-user daily OHLC: ONE partial-combinable HashAggregate — min_by/max_by ordered by the decimal(38,0)-packed (ts, event_id) key (a struct key degrades to SortAggregate — measured), exchange carries one row per (user, day) cell per upstream task; no window, no sort, no float sum",
+    # pre-built awaiting window funding
+    "tpch_q17ish": "decorrelated small-quantity revenue: outer brand filter pushed INTO the per-part stats pass (In(p_brand in both part scans), correlation key = part so the prune is lossless), threshold = exact bigint rational 5·qty·n < sum (no division), stats joined back as an equi join with the test as residual",
+    "tpch_q19ish": "declarative disjunctive revenue: Spark derives the per-side Or(And(range)) projections of the cross-table OR and pushes them into BOTH parquet scans (plan-locked — no hand-hoisted envelopes), single equi-join with the full OR as residual, partial-combined round-4 decimal revenue",
+    "tpch_q21ish": "waiting suppliers without fact self-joins: lineitem scanned ONCE, EXISTS/NOT-EXISTS collapsed to the (orderkey,suppkey)->orderkey aggregate stack (n_supp>=2 AND n_late=1), coarser group key is a prefix so an at-scale shuffled join feeds both aggs exchange-free; top-25 via TakeOrderedAndProject",
 }
 
 
