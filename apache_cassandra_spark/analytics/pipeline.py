@@ -826,3 +826,123 @@ def interleave_corpus(
     return ranked.select(
         id_col, source_col, "rank_in_source", before.cast("long").alias("global_pos")
     )
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lambdas: bool = True,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every corpus document by how much more likely its hashed n-gram
+    features are under a TARGET domain sample than under the raw corpus
+    — ``logw = Σ_b f_b · (ln p_tgt(b) − ln p_raw(b))`` over word
+    unigrams + adjacent bigrams hashed into ``buckets`` buckets, with
+    add-one smoothing on both distributions. Feed the output to
+    :func:`sample_weighted` (weight = exp(logw/1e6), or rank-select)
+    for the actual resampling step.
+
+    Exactness: the per-bucket log-ratio is ONE double expression with a
+    fixed product order — ``ln(((c_tgt+1)·(R+B)) / ((c_raw+1)·(T+B)))``
+    over bigint counts (the collocations PMI discipline) — quantized to
+    an integer micro-unit ``lambda_micro`` PER BUCKET; each document's
+    ``logw_micro = Σ f_b·λ_b`` is then pure bigint arithmetic, so the
+    distributed sum is addition-order-proof and any engine replays it
+    bit-exactly. Buckets are ``_hash64(feature, "dsir") mod buckets``
+    (the md5 discipline minhash/cm_sketch already oracle-replicate);
+    unigram features never contain a space and bigram features always
+    do, so the two orders share the bucket space without ambiguity,
+    exactly as DSIR specifies.
+
+    Scale shape: both distribution passes are vocabulary-free — ONE
+    map-side-combinable hash aggregate each, bounded at ``buckets``
+    rows no matter the corpus size (the cm_sketch boundary). The λ
+    table is ≤ ``buckets`` rows by construction — a genuinely BOUNDED
+    broadcast (parameter-controlled, default 2^10; the allowlisted
+    exception to the no-unbounded-broadcast rule), so the per-document
+    scoring pass is map-only after one (doc, bucket) combine; nothing
+    in the plan grows with vocabulary. Documents with no tokens score
+    0 (empty sum), kept with n_feats = 0 via the left join.
+
+    Correctness note: corpus documents only ever hit buckets the raw
+    pass counted (they ARE the raw pass), so λ over raw-side buckets
+    covers every probe; the target-only buckets no corpus doc can hit
+    are irrelevant to every returned weight.
+    """
+    from apache_cassandra_spark.analytics.dedup import _hash64
+    from apache_cassandra_spark.analytics.text import tokens
+
+    if buckets < 2:
+        raise ValueError("need buckets >= 2")
+
+    def feats(df: DataFrame) -> DataFrame:
+        t = tokens(F.lower(F.col(text_col)))
+        base = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        uni = base.select("_id", F.explode("_t").alias("_f"))
+        bi = base.where(F.size("_t") >= 2).select(
+            "_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("_f"),
+        )
+        return uni.unionByName(bi).select(
+            "_id", F.pmod(_hash64(F.col("_f"), "dsir"), F.lit(buckets)).alias("_b")
+        )
+
+    raw_b = feats(corpus).groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_cr"))
+    tgt_b = feats(target).groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_ct"))
+    raw_tot = raw_b.agg(F.sum("_cr").alias("_R"))
+    tgt_tot = tgt_b.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_T"))
+    lam = (
+        raw_b.join(tgt_b, "_b", "left")
+        .crossJoin(raw_tot)
+        .crossJoin(tgt_tot)
+        .select(
+            "_b",
+            # cast-FIRST double products (bigint c·total overflows int64 at
+            # 100 TB feature counts; non-ANSI Spark would wrap silently),
+            # fixed left-to-right order so the oracle replays bit-exactly
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("_R") + buckets)
+                    )
+                    / ((F.col("_cr") + 1).cast("double") * (F.col("_T") + buckets))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("_lam"),
+        )
+    )
+    if broadcast_lambdas:
+        lam = F.broadcast(lam)
+    doc_b = feats(corpus).groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_f")
+    )
+    scored = (
+        doc_b.join(lam, "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_f") * F.col("_lam")).alias("logw_micro"),
+            F.sum("_f").cast("long").alias("n_feats"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(scored, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("logw_micro"), F.lit(0)).cast("long").alias("logw_micro"),
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        )
+    )

@@ -3251,6 +3251,22 @@ def q_tpch_q21ish(spark, sf_dir):
     return _waiting_suppliers(li, o, s)
 
 
+def q_corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (pipeline.dsir_log_weights): every
+    37th document plays the TARGET domain sample, the rest are the raw
+    corpus to be re-weighted toward it — per-doc ``logw_micro`` is the
+    bigint Σ f_b·λ_b over 512 hashed unigram+bigram buckets, λ the
+    micro-quantized smoothed log-ratio (one fixed-order double
+    expression per bucket). The oracle replays tokenization, the md5
+    bucket hash, both smoothed distributions, and the integer sum."""
+    from apache_cassandra_spark.analytics.pipeline import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return dsir_log_weights(corpus, target, buckets=512)
+
+
 def q_events_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per page over the clickstream
     transition graph (graph.clustering_coefficient): cc = 2T/(d(d−1))
@@ -5394,6 +5410,46 @@ ORACLES["tpch_q21ish"] = """
     ORDER BY numwait DESC, s_suppkey LIMIT 25
 """
 
+# DSIR replay: same tokenization as text_collocations, same md5 bucket
+# hash as minhash/cm (non-negative, so % == pmod), both smoothed
+# distributions as bigint counts, lambda as the identical cast-first
+# fixed-order double expression, doc weight as the integer sum
+ORACLES["corpus_dsir_weights"] = """
+    WITH toked AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+    feats AS MATERIALIZED (
+        SELECT doc_id, ('0x' || substr(md5('dsir:' || f), 1, 15))::bigint % 512 AS b
+        FROM (
+            SELECT doc_id, unnest(t) AS f FROM toked
+            UNION ALL
+            SELECT doc_id, w1 || ' ' || w2 AS f
+            FROM (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                  FROM toked WHERE len(t) >= 2)
+        )),
+    raw AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % 37 <> 0),
+    tgt AS (SELECT * FROM feats WHERE doc_id % 37 = 0),
+    rb AS MATERIALIZED (SELECT b, cast(count(*) as bigint) AS cr FROM raw GROUP BY 1),
+    tb AS (SELECT b, cast(count(*) as bigint) AS ct FROM tgt GROUP BY 1),
+    rt AS (SELECT cast(sum(cr) as bigint) AS r FROM rb),
+    tt AS (SELECT cast(coalesce(sum(ct), 0) as bigint) AS t FROM tb),
+    lam AS (SELECT rb.b,
+                   cast(round(ln(((coalesce(tb.ct, 0) + 1)::DOUBLE * (rt.r + 512))
+                                 / ((rb.cr + 1)::DOUBLE * (tt.t + 512))) * 1000000)
+                        as bigint) AS lam
+            FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN rt CROSS JOIN tt),
+    docb AS (SELECT doc_id, b, cast(count(*) as bigint) AS f FROM raw GROUP BY 1, 2),
+    scored AS (SELECT docb.doc_id,
+                      cast(sum(docb.f * lam.lam) as bigint) AS logw_micro,
+                      cast(sum(docb.f) as bigint) AS n_feats
+               FROM docb JOIN lam ON docb.b = lam.b GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(s.logw_micro, 0) AS logw_micro,
+           coalesce(s.n_feats, 0) AS n_feats
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
 # the events_triangles naive listing, extended with the simple-graph
 # degree and the same bigint micro-division the engine runs (DuckDB
 # BIGINT // and Spark div both truncate; operands non-negative)
@@ -5654,4 +5710,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,
+    "corpus_dsir_weights": q_corpus_dsir_weights,
 }

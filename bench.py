@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "tpch_q17ish",
     "tpch_q19ish",
     "tpch_q21ish",
+    "corpus_dsir_weights",
 ]
 
 

@@ -49,6 +49,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         "False -> AQE-decided",
     ),
     ("analytics/pipeline.py", "rates"): (1, "one row per stratum"),
+    ("analytics/pipeline.py", "lam"): (
+        1,
+        "flag-gated (broadcast_lambdas): DSIR lambda table, <= `buckets` "
+        "rows by construction (parameter-bounded, default 2^10, NOT "
+        "corpus-growing); False -> AQE-decided",
+    ),
     ("analytics/pipeline.py", "bl"): (
         1,
         "flag-gated (broadcast): blocklist ~10s of MB by contract; "

@@ -1,0 +1,85 @@
+"""DSIR importance log-weights vs an independent pure-Python model:
+same tokenization (lowercased space-split, empties dropped), same
+unigram+bigram features, same md5 bucket hash, same add-one-smoothed
+log-ratio quantization, same integer per-doc sum. Edge rows pinned:
+empty/whitespace docs (weight 0, n_feats 0 — kept, not dropped),
+single-token docs (no bigram), an empty target (T = 0 still smooths),
+and the monotonicity DSIR exists for: docs sharing the target's
+vocabulary outscore docs that don't."""
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from apache_cassandra_spark.analytics.pipeline import dsir_log_weights
+
+B = 64
+
+
+def _bucket(feature: str) -> int:
+    h = int(hashlib.md5(f"dsir:{feature}".encode()).hexdigest()[:15], 16)
+    return h % B
+
+
+def _feats(text: str) -> list[int]:
+    toks = [t for t in text.lower().split(" ") if t]
+    feats = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [_bucket(f) for f in feats]
+
+
+def _model(corpus: dict[int, str], target: dict[int, str]) -> dict[int, tuple[int, int]]:
+    raw = Counter(b for t in corpus.values() for b in _feats(t))
+    tgt = Counter(b for t in target.values() for b in _feats(t))
+    R, T = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: round(math.log(((tgt.get(b, 0) + 1) * (R + B)) / ((c + 1) * (T + B))) * 1e6)
+        for b, c in raw.items()
+    }
+    out = {}
+    for did, text in corpus.items():
+        fb = Counter(_feats(text))
+        out[did] = (sum(f * lam[b] for b, f in fb.items()), sum(fb.values()))
+    return out
+
+
+def _run(spark, corpus: dict[int, str], target: dict[int, str]):
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(target.items()), "doc_id long, text string")
+    got = dsir_log_weights(cdf, tdf, buckets=B).collect()
+    return {r["doc_id"]: (r["logw_micro"], r["n_feats"]) for r in got}
+
+
+def test_matches_python_model(spark):
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "stock market prices fell sharply today",
+        3: "the dog sat on the log",
+        4: "",
+        5: "   ",
+        6: "singleton",
+    }
+    target = {100: "the cat and the dog sat together", 101: "a cat sat"}
+    assert _run(spark, corpus, target) == _model(corpus, target)
+
+
+def test_empty_target_still_smooths(spark):
+    corpus = {1: "a b a", 2: "c d"}
+    got = _run(spark, corpus, {})
+    want = _model(corpus, {})
+    assert got == want
+    # with T=0 every lambda is ln((R+B)/((c+1)·B)) — finite, no crash
+    assert all(isinstance(v[0], int) for v in got.values())
+
+
+def test_target_affine_docs_outscore_disjoint_docs(spark):
+    target = {100: "alpha beta gamma alpha beta"}
+    corpus = {1: "alpha beta gamma", 2: "zulu yankee xray"}
+    got = _run(spark, corpus, target)
+    assert got[1][0] > got[2][0]
+
+
+def test_buckets_guard():
+    with pytest.raises(ValueError):
+        dsir_log_weights(None, None, buckets=1)

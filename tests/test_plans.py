@@ -1102,3 +1102,25 @@ def test_tpch_q21ish_no_fact_self_joins_exchange_frugal_aggs(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_max" in plan and "partial_count" in plan
     assert "TakeOrderedAndProject" in plan  # top-25 without a global sort
+
+
+def test_dsir_lambda_broadcast_and_bounded_nested_loops(spark):
+    """The DSIR scoring pass: the lambda table (<= buckets rows) joins
+    the (doc, bucket) counts as a BroadcastHashJoin when flag-gated on;
+    the only nested loops are the two 1-row totals (the documented
+    bounded cross-join class); distribution aggregates are map-side
+    combined. With the flag off, no hint is planted (AQE decides)."""
+    from apache_cassandra_spark.analytics.pipeline import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.where(F.col("doc_id") % 37 == 0)
+    cor = docs.where(F.col("doc_id") % 37 != 0)
+    forced = dsir_log_weights(cor, tgt, buckets=64)
+    plan = plan_of(forced)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # the two 1-row totals
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    free = dsir_log_weights(cor, tgt, buckets=64, broadcast_lambdas=False)
+    analyzed = free._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed

@@ -88,6 +88,17 @@ def _shard_write(d: DataFrame) -> int:
 
 OPS = {
     "dedup_exact": lambda d: dedup.exact_dup_groups(d).count(),
+    # target = replica 0's every-37th doc (FIXED size as the corpus
+    # grows — the realistic DSIR regime: small domain sample, growing
+    # raw pool); aggregate the weight column so scoring isn't pruned
+    "corpus_dsir_weights": lambda d: pipeline.dsir_log_weights(
+        d.where(~((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 37 == 0))),
+        d.where((F.col("doc_id") < 1_000_000) & (F.col("doc_id") % 37 == 0)),
+        buckets=512,
+    )
+    .agg(F.sum("logw_micro"), F.sum("n_feats"))
+    .collect()
+    and d.count(),
     "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d).count(),
     "dedup_simhash": lambda d: dedup.simhash_candidates(d).count(),
     "dedup_groups_star": lambda d: dedup.dup_groups_star(dedup.minhash_lsh_candidates(d)).count(),
