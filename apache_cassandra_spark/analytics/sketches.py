@@ -197,33 +197,39 @@ def cm_estimate(
     if depth < 1 or width < 2:
         raise ValueError("need depth >= 1 and width >= 2")
     group_cols = group_cols or []
-    bounds = sketch.agg(
-        F.max("d").alias("md"),
-        F.max("w").alias("mw"),
-        F.min("width").alias("w_lo"),
-        F.max("width").alias("w_hi"),
-    ).first()
+    # sketches persisted before the width-metadata column existed (or
+    # re-read through a schema that dropped it) stay probe-able: fall
+    # back to the best-effort max(w) < width check, which catches only
+    # a sketch WIDER than the probe — the too-narrow direction is
+    # undetectable without the metadata (the reason the column exists)
+    has_width = "width" in sketch.columns
+    aggs = [F.max("d").alias("md"), F.max("w").alias("mw")]
+    if has_width:
+        aggs += [F.min("width").alias("w_lo"), F.max("width").alias("w_hi")]
+    bounds = sketch.agg(*aggs).first()
     if bounds["md"] is not None:
         if bounds["md"] != depth - 1:
             raise ValueError(
                 f"depth mismatch: sketch has hash rows 0..{bounds['md']}, "
                 f"estimate asked for depth={depth}"
             )
-        if bounds["w_lo"] != bounds["w_hi"]:
+        if has_width and bounds["w_lo"] != bounds["w_hi"]:
             raise ValueError(
                 f"mixed-width sketch: widths {bounds['w_lo']}..{bounds['w_hi']} "
                 "— sketches merged across different widths are meaningless"
             )
-        if bounds["w_hi"] != width:
+        if has_width and bounds["w_hi"] != width:
             raise ValueError(
                 f"width mismatch: sketch was built with width={bounds['w_hi']}, "
                 f"estimate asked for width={width}"
             )
         if bounds["mw"] >= width:
             raise ValueError(
-                f"corrupt sketch: bucket {bounds['mw']} >= recorded width={width}"
+                f"corrupt sketch: bucket {bounds['mw']} >= "
+                + (f"recorded width={width}" if has_width else f"probe width={width}")
             )
-    sketch = sketch.drop("width")
+    if has_width:
+        sketch = sketch.drop("width")
     buckets = F.array(
         *[
             F.struct(

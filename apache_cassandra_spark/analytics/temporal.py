@@ -239,11 +239,22 @@ def resample_ohlc(
     ) + F.col(tie_col).cast("decimal(38,0)")
     okey = F.when(F.col(tie_col) >= 0, pack).otherwise(
         F.raise_error(
-            F.format_string(
-                "resample_ohlc: negative %s (%s) breaks the packed "
-                "(ts, tie) ordering; offset the tie column to >= 0",
-                F.lit(tie_col),
-                F.col(tie_col).cast("string"),
+            # NULL ties fall into this branch too (NULL >= 0 is not
+            # true) — name the actual defect, the remedies differ
+            F.when(
+                F.col(tie_col).isNull(),
+                F.format_string(
+                    "resample_ohlc: NULL %s breaks the packed (ts, tie) "
+                    "ordering; drop or fill NULL tie rows first",
+                    F.lit(tie_col),
+                ),
+            ).otherwise(
+                F.format_string(
+                    "resample_ohlc: negative %s (%s) breaks the packed "
+                    "(ts, tie) ordering; offset the tie column to >= 0",
+                    F.lit(tie_col),
+                    F.col(tie_col).cast("string"),
+                )
             )
         )
     )

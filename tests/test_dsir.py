@@ -83,3 +83,30 @@ def test_target_affine_docs_outscore_disjoint_docs(spark):
 def test_buckets_guard():
     with pytest.raises(ValueError):
         dsir_log_weights(None, None, buckets=1)
+
+
+def test_widthless_pre_r8_sketch_still_probes(spark):
+    """Back-compat (round-8 review): a count-min sketch persisted BEFORE
+    the width metadata column existed must still probe — with the
+    documented best-effort width check (only the sketch-wider-than-probe
+    direction is catchable without the metadata)."""
+    from apache_cassandra_spark.analytics.sketches import cm_estimate, cm_sketch
+
+    ev = spark.createDataFrame([(i % 7,) for i in range(100)], "item long")
+    sk = cm_sketch(ev, "item", depth=2, width=32).drop("width")  # pre-r8 schema
+    items = ev.distinct()
+    est = {r["item"]: r["est"] for r in cm_estimate(sk, items, "item", depth=2, width=32).collect()}
+    assert all(v >= 100 // 7 for v in est.values())  # never underestimates
+    with pytest.raises(ValueError, match="corrupt sketch|probe width"):
+        cm_estimate(sk, items, "item", depth=2, width=8).collect()
+
+
+def test_dsir_single_featurization_via_cache(spark):
+    """The (doc, bucket) table must be cached and shared — the raw
+    distribution is its re-aggregation and the scoring join probes it,
+    so the corpus tokenize/hash explode runs once (round-8 review)."""
+    corpus = spark.createDataFrame([(1, "a b c"), (2, "c d")], "doc_id long, text string")
+    target = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    out = dsir_log_weights(corpus, target, buckets=B)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2

@@ -77,3 +77,19 @@ def test_negative_ts_bucket_and_order(spark):
     r = out[("a", -1)]
     assert (r["open"], r["close"], r["n_rows"]) == (3.0, 8.0, 2)
     assert out[("a", 0)]["n_rows"] == 1
+
+
+def test_null_tie_error_names_null_not_negative(spark):
+    """A NULL tie row must fail with the NULL-specific message (drop or
+    fill), not the negative-value remedy that cannot fix a NULL
+    (round-8 review)."""
+    import pytest
+    from pyspark.sql import functions as F, utils as _u
+    from apache_cassandra_spark.analytics.temporal import resample_ohlc
+
+    df = spark.createDataFrame(
+        [("k", 10, 1.0, 1), ("k", 20, 2.0, None)],
+        "key string, ts long, value double, eid int",
+    )
+    with pytest.raises(Exception, match="NULL eid.*drop or fill"):
+        resample_ohlc(df, ["key"], "ts", "value", 100, "eid").collect()
