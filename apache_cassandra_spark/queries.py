@@ -3211,9 +3211,14 @@ def _waiting_suppliers(li, o, s, late_days: int = 90):
     orders side outgrows broadcast and the join shuffles on orderkey —
     the whole stack runs on two input exchanges and nothing else."""
     j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-    late = (
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
-    ).cast("int")
+    # explicit 1/0 (not a bool cast): a NULL ship/order date must score
+    # 0 like the oracle's CASE, not NULL-propagate through the max/sum
+    # stack (the heavy_hitters NULL-policy lesson — today's data has no
+    # NULL dates, the dataset contract doesn't promise that forever)
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("_n_supp"),

@@ -92,3 +92,18 @@ def test_q21_sole_late_supplier_edges(spark):
     s = spark.createDataFrame([(10, "A"), (20, "B")], "s_suppkey long, s_name string")
     got = {r["s_suppkey"]: r["numwait"] for r in _waiting_suppliers(li, o, s).collect()}
     assert got == {10: 2}
+
+
+def test_q21_null_shipdate_scores_on_time(spark):
+    """A NULL ship date must behave like the oracle's CASE (score 0 =
+    on time), not NULL-propagate through the max/sum stack: the NULL
+    supplier still counts toward n_supp, never toward n_late."""
+    odate = BASE
+    late = odate + dt.timedelta(days=120)
+    ok = odate + dt.timedelta(days=5)
+    lines = [(1, 10, late), (1, 20, None), (2, 10, late), (2, 20, ok)]
+    li = spark.createDataFrame(lines, "l_orderkey long, l_suppkey long, l_shipdate timestamp")
+    o = spark.createDataFrame([(1, odate), (2, odate)], "o_orderkey long, o_orderdate timestamp")
+    s = spark.createDataFrame([(10, "A"), (20, "B")], "s_suppkey long, s_name string")
+    got = {r["s_suppkey"]: r["numwait"] for r in _waiting_suppliers(li, o, s).collect()}
+    assert got == {10: 2}
