@@ -113,3 +113,24 @@ def test_dsir_recomputes_featurization_no_cache(spark):
     out = dsir_log_weights(corpus, target, buckets=B)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["a", "bb", "tok", "zz", "Qx", ""]
+_doc_st = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    corpus_docs=st.lists(_doc_st, min_size=1, max_size=5),
+    target_docs=st.lists(_doc_st, min_size=0, max_size=3),
+)
+def test_dsir_fuzz_matches_python_model(spark, corpus_docs, target_docs):
+    """Random tiny corpora (including empty docs, repeated tokens,
+    mixed case, empty targets) through the operator vs the independent
+    Python model — same integer weight, same feature count, every id."""
+    corpus = {i: " ".join(w) for i, w in enumerate(corpus_docs)}
+    target = {100 + i: " ".join(w) for i, w in enumerate(target_docs)}
+    assert _run(spark, corpus, target) == _model(corpus, target)

@@ -99,6 +99,7 @@ OPS = {
     .agg(F.sum("logw_micro"), F.sum("n_feats"))
     .collect()
     and d.count(),
+    "tpch_q21ish": lambda d: _q21_op(d),
     "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d).count(),
     "dedup_simhash": lambda d: dedup.simhash_candidates(d).count(),
     "dedup_groups_star": lambda d: dedup.dup_groups_star(dedup.minhash_lsh_candidates(d)).count(),
@@ -427,6 +428,35 @@ def _range_search_op(docs: DataFrame) -> int:
     q = vecs.where(F.col("vec_id") < 5)  # fixed seed set — corpus grows, seeds don't
     out = similarity.range_search(vecs, q, threshold=0.95)
     return out.agg(F.sum("cos")).collect() and docs.count()
+
+
+def _q21_op(docs: DataFrame) -> int:
+    """Synthesize a Q21-shaped fact from the probe docs: 4 lines per
+    order, 997 suppliers, ~55% late lines — ORDERS grow with k (each
+    replica's doc_ids mint new orderkeys), lines-per-order stays fixed,
+    which is how a fact table actually grows. Probes the zero-self-join
+    aggregate stack of queries._waiting_suppliers."""
+    from apache_cassandra_spark.queries import _waiting_suppliers
+
+    base = F.to_timestamp(F.lit("1995-01-01"))
+    li = docs.select(
+        (F.col("doc_id") / F.lit(4)).cast("long").alias("l_orderkey"),
+        F.pmod(F.col("doc_id") * 31, F.lit(997)).alias("l_suppkey"),
+        F.timestamp_seconds(
+            F.unix_timestamp(base)
+            + F.pmod(F.col("doc_id") * 7919, F.lit(200)) * 86400
+        ).alias("l_shipdate"),
+    )
+    o = (
+        li.select("l_orderkey")
+        .distinct()
+        .select(F.col("l_orderkey").alias("o_orderkey"), base.alias("o_orderdate"))
+    )
+    s = docs.sparkSession.range(997).select(
+        F.col("id").alias("s_suppkey"),
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("s_name"),
+    )
+    return _waiting_suppliers(li, o, s).collect() and docs.count()
 
 
 def _events_op(docs: DataFrame, which: str) -> int:
