@@ -48,3 +48,64 @@ def dedup_stream(
             ["content_hash"]
         )
     return hashed.dropDuplicates(["content_hash"])
+
+
+def dedup_ingest_foreach_batch(
+    stream_docs: DataFrame,
+    out_dir: str,
+    ref_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous-ingest dedup with a DURABLE reference: every
+    micro-batch is deduped against the on-disk content-hash table of
+    everything ever accepted (``dedup.dedup_against_reference``,
+    ``ref_hashed=True`` probe shape), survivors append to ``out_dir``
+    and their hashes append to ``ref_dir`` — so the NEXT batch (and the
+    next *query*, after a restart or a rebuilt checkpoint) sees them.
+
+    This is the other half of :func:`dedup_stream`: ``dropDuplicates``
+    state lives inside one query's checkpoint — rebuild the checkpoint
+    or start a second pipeline and the history is gone. Here the
+    reference outlives the query (it is a plain parquet table any batch
+    job can also read/extend), which is the "dedup today's crawl
+    against ALL prior crawls" contract of a production corpus.
+
+    foreachBatch = the reference's group-committed WAL segment
+    (streaming/ingest.py's mapping): both appends happen inside one
+    batch function, and Spark's batch-id replay on restart makes the
+    pair effectively atomic for exactly-once sinks. Within a batch the
+    min-id winner rule applies (exact_dedup's rule); across batches
+    first-arrival wins by construction.
+
+    Scale: the batch side is one anti-join probe against the hash
+    table (AQE-decided, no broadcast hint — the reference is
+    corpus-cardinality) plus the in-batch hash aggregate; the reference
+    append is hash-only (16 bytes/doc, not the body). Returns the
+    started StreamingQuery.
+    """
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    spark = stream_docs.sparkSession
+    hash_schema = "content_hash string"
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        try:
+            ref = spark.read.schema(hash_schema).parquet(ref_dir)
+        except Exception:  # first batch: no reference yet
+            ref = spark.createDataFrame([], hash_schema)
+        kept = dedup_against_reference(
+            batch, ref, text_col=text_col, id_col=id_col, ref_hashed=True
+        )
+        # one deterministic materialization feeds both appends
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_dir)
+        kept.select("content_hash").distinct().write.mode("append").parquet(ref_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

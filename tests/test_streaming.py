@@ -539,3 +539,54 @@ def test_changes_stream_emits_mutations_in_arrival_order(spark, tmp_path, store)
     )
     q.awaitTermination(120)
     assert [(r["key"], r["ts"]) for r in rows2] == [("k2", 300)]
+
+
+def test_dedup_ingest_durable_reference_survives_new_query(spark, tmp_path):
+    """The foreachBatch ingest dedup: (a) cross-batch duplicates within
+    one run are dropped via the on-disk reference, (b) a SECOND
+    streaming query with a FRESH checkpoint still rejects run-1
+    duplicates — the durability dropDuplicates' checkpoint state cannot
+    provide — and (c) the reference grows by exactly the accepted
+    hashes."""
+    from apache_cassandra_spark.streaming.dedup import dedup_ingest_foreach_batch
+
+    src = tmp_path / "docs"
+    out, ref = str(tmp_path / "out"), str(tmp_path / "ref")
+    _write_doc_batch(src, "b0.json", [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma"},
+    ], mtime=1_000_000)
+    _write_doc_batch(src, "b1.json", [
+        {"doc_id": 3, "text": "alpha beta"},   # cross-batch dup of 1
+        {"doc_id": 4, "text": "delta"},
+        {"doc_id": 5, "text": "delta"},        # in-batch dup: min-id wins
+    ], mtime=2_000_000)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = dedup_ingest_foreach_batch(stream, out, ref, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
+    # (c) the durable reference holds exactly the accepted hashes
+    assert spark.read.parquet(ref).distinct().count() == 3
+
+    # (b) a brand-new query (fresh checkpoint, fresh source dir) must
+    # still reject run-1 content — this is the restart-safe contract
+    src2 = tmp_path / "docs2"
+    _write_doc_batch(src2, "c0.json", [
+        {"doc_id": 6, "text": "gamma"},        # dup of run-1 doc 2
+        {"doc_id": 7, "text": "epsilon"},
+    ], mtime=3_000_000)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src2))
+    )
+    q2 = dedup_ingest_foreach_batch(stream2, out, ref, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 2, 4, 7]
+    assert spark.read.parquet(ref).distinct().count() == 4
