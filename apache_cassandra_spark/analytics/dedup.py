@@ -628,6 +628,41 @@ def _bucketed_pairs(
     return owned_cache(out, sizes) if max_bucket_size is not None else out
 
 
+def _minhash_band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_perm: int,
+    bands: int,
+) -> DataFrame:
+    """``(id, band, bucket)`` LSH band rows — the SHARED banding between
+    :func:`minhash_lsh_candidates` (within-corpus self-join) and
+    :func:`minhash_against_reference` (incremental probe vs a persisted
+    bucket table), factored so the two can't drift (the
+    ``_ranked_prefix`` discipline of the prefix-join twins). Band bucket
+    = md5 of the sorted "pp:minhash" elements; perm is zero-padded so
+    lexicographic sort order == numeric perm order (and a string_agg
+    ORDER BY over the same elements reproduces it in ANSI SQL)."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
+    rows_per_band = num_perm // bands
+    band_rows = []
+    for band in range(bands):
+        elems = [
+            F.concat_ws(":", F.lit(f"{p:02d}"), F.col(f"minhash_{p}").cast("string"))
+            for p in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        band_rows.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.array_join(F.array_sort(F.array(*elems)), ",")).alias("bucket"),
+            )
+        )
+    return sig.select("id", F.explode(F.array(*band_rows)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -653,29 +688,9 @@ def minhash_lsh_candidates(
     intended composition at scale remains ``exact_dedup`` first (collapses
     byte-identical docs), LSH after.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, num_perm)
-    rows_per_band = num_perm // bands
-    # band bucket = md5 of the sorted "pp:minhash" elements; perm is
-    # zero-padded so lexicographic sort order == numeric perm order (and a
-    # string_agg ORDER BY over the same elements reproduces it in ANSI SQL)
-    band_rows = []
-    for band in range(bands):
-        elems = [
-            F.concat_ws(":", F.lit(f"{p:02d}"), F.col(f"minhash_{p}").cast("string"))
-            for p in range(band * rows_per_band, (band + 1) * rows_per_band)
-        ]
-        band_rows.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.array_join(F.array_sort(F.array(*elems)), ",")).alias("bucket"),
-            )
-        )
-    banded = (
-        sig.select("id", F.explode(F.array(*band_rows)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .cache()  # tiny (docs × bands); the self-join below would otherwise
-        # recompute the whole signature subtree for each side
-    )
+    banded = _minhash_band_rows(df, text_col, id_col, n, num_perm, bands).cache()
+    # ^ tiny (docs × bands); the self-join below would otherwise
+    # recompute the whole signature subtree for each side
     out = _bucketed_pairs(banded, ["band", "bucket"], max_bucket_size, log_truncated, "minhash_lsh_candidates")
     return owned_cache(out, banded)
 
@@ -1347,3 +1362,58 @@ def dedup_against_reference(
         .select(id_col)
     )
     return fresh.join(keep, id_col, "left_semi")
+
+
+def minhash_against_reference(
+    new_docs: DataFrame,
+    ref_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup ingest — the :func:`dedup_against_reference`
+    contract lifted from exact hashes to MinHash/LSH: flag each new
+    document whose signature shares a band bucket with the historical
+    corpus, without ever re-banding history.
+
+    ``ref_bands`` is a persisted ``(band, bucket, rep_id)`` table — one
+    minimum-id representative per occupied bucket, exactly what this
+    function RETURNS as its second element (append each cycle's rows,
+    re-min on compaction; a representative is sufficient because any
+    bucket cohabitant certifies the candidacy and downstream grouping
+    is transitive, the star-link argument of
+    :func:`minhash_lsh_candidates`). Returns ``(candidates, new_bands)``:
+
+    * ``candidates`` — ``(doc_id, rep_id, band, bucket)``: new docs that
+      collide with HISTORY (verify with n-gram Jaccard downstream, the
+      standard two-stage shape). Within-batch near-dups are a separate
+      concern: run :func:`minhash_lsh_candidates` on the batch, or feed
+      accepted docs back through the next cycle's reference.
+    * ``new_bands`` — the batch's ``(band, bucket, rep_id)`` rows to
+      append to the reference.
+
+    Banding is the SHARED :func:`_minhash_band_rows` (the probe and the
+    self-join variant cannot drift). Scale shape: history is touched
+    only through the equi-join on ``(band, bucket)`` — O(batch·bands)
+    probe rows against a table with at most one row per occupied bucket,
+    AQE-decided (bucket table is corpus-cardinality, no broadcast hint);
+    per-bucket fan-out is bounded by construction (one rep per bucket),
+    so no ``max_bucket_size`` blow-up is possible on the history side.
+    """
+    # nb is NOT cached: its two consumers each recompute a map-only
+    # banding pass over the batch — the measured cache-vs-recompute
+    # discipline (DSIR probe: materializing beats recompute only for
+    # non-map work), and a cache owned across a tuple return would tie
+    # both results' lifetimes together
+    nb = _minhash_band_rows(new_docs, text_col, id_col, n, num_perm, bands)
+    ref = ref_bands.select("band", "bucket", "rep_id")
+    candidates = (
+        nb.join(ref, ["band", "bucket"])
+        .where(F.col("id") != F.col("rep_id"))
+        .select(F.col("id").alias(id_col), "rep_id", "band", "bucket")
+        .distinct()
+    )
+    new_bands = nb.groupBy("band", "bucket").agg(F.min("id").alias("rep_id"))
+    return candidates, new_bands
