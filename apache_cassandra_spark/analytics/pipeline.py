@@ -956,3 +956,45 @@ def dsir_log_weights(
             F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         )
     )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full DSIR pipeline (Xie et al., NeurIPS 2023, §2): importance
+    log-weights → weighted sampling WITHOUT replacement — "select the k
+    raw documents that look most like the target domain, stochastically,
+    with inclusion probability ∝ the importance ratio". Composes the
+    engine's two primitives: :func:`dsir_log_weights` for the ratio and
+    :func:`sample_weighted` (A-ES) for the draw.
+
+    Weight normalization: A-ES ranks by ``ln(u)/w``, which is invariant
+    under scaling all weights by any positive constant, so the raw
+    ratio ``exp(logw_micro/1e6)`` — which overflows a double for
+    strongly target-affine docs on big corpora — is safely rebased as
+    ``exp((logw_micro − max_logw)/1e6)`` against the corpus maximum (a
+    1-row aggregate, the bounded crossJoin class). Weights below the
+    A-ES sub-nano floor rank at the never-selected bottom — they are
+    the documents DSIR is built to exclude, so the floor is semantics,
+    not loss. Zero-token docs carry weight exp(−max/1e6): tiny but
+    positive, sampleable exactly as a 0-log-ratio doc should be.
+
+    Returns the sampled rows of ``corpus`` with ``logw_micro`` attached
+    (join back on the id — map-only after the top-k).
+    """
+    w = dsir_log_weights(corpus, target, buckets, text_col, id_col)
+    mx = w.agg(F.max("logw_micro").alias("_mx"))
+    weighted = w.crossJoin(mx).select(
+        id_col,
+        "logw_micro",
+        F.exp((F.col("logw_micro") - F.col("_mx")) / F.lit(1e6)).alias("_w"),
+    )
+    picked = sample_weighted(weighted, k, "_w", id_col=id_col).select(
+        id_col, "logw_micro"
+    )
+    return corpus.join(picked, id_col)

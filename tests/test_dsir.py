@@ -134,3 +134,32 @@ def test_dsir_fuzz_matches_python_model(spark, corpus_docs, target_docs):
     corpus = {i: " ".join(w) for i, w in enumerate(corpus_docs)}
     target = {100 + i: " ".join(w) for i, w in enumerate(target_docs)}
     assert _run(spark, corpus, target) == _model(corpus, target)
+
+
+def test_dsir_resample_end_to_end(spark):
+    """The composed DSIR pipeline: k docs drawn ∝ exp(logw) — with a
+    strongly bimodal corpus (half target-affine, half disjoint) the
+    sample must be exactly size k, heavily affine, deterministic under
+    repartition, and carry the logw_micro provenance column."""
+    from apache_cassandra_spark.analytics.pipeline import dsir_resample
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta " * 5) for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = []
+    for i in range(200):
+        text = ("alpha beta gamma delta " * 4) if i % 2 == 0 else ("zulu yankee xray whiskey " * 4)
+        rows.append((i, text + f"tail{i}"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_resample(corpus, target, k=40, buckets=B)
+    got = out.collect()
+    assert len(got) == 40
+    assert {r["doc_id"] for r in got} <= {i for i, _ in rows}
+    affine = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    # affine docs carry weight ~e^(Δ/1e6) ≫ disjoint; expect near-total
+    assert affine >= 35, f"only {affine}/40 target-affine picks"
+    assert all(r["logw_micro"] is not None for r in got)
+    # deterministic: a reshuffled input draws the identical sample
+    again = dsir_resample(corpus.repartition(7), target, k=40, buckets=B)
+    assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in got}
