@@ -1380,40 +1380,53 @@ def minhash_against_reference(
 
     ``ref_bands`` is a persisted ``(band, bucket, rep_id)`` table — one
     minimum-id representative per occupied bucket, exactly what this
-    function RETURNS as its second element (append each cycle's rows,
-    re-min on compaction; a representative is sufficient because any
-    bucket cohabitant certifies the candidacy and downstream grouping
-    is transitive, the star-link argument of
-    :func:`minhash_lsh_candidates`). Returns ``(candidates, new_bands)``:
+    function RETURNS as its second element (a representative is
+    sufficient because any bucket cohabitant certifies the candidacy
+    and downstream grouping is transitive, the star-link argument of
+    :func:`minhash_lsh_candidates`). The reference is re-minned here
+    before probing — duplicate bucket rows from any out-of-band append
+    collapse back to one rep — and ``new_bands`` contains ONLY buckets
+    absent from the reference, so the append-each-cycle loop keeps the
+    table at one row per occupied bucket BY CONSTRUCTION, not by
+    trusting a compaction job (round-8 review). Returns
+    ``(candidates, new_bands)``:
 
     * ``candidates`` — ``(doc_id, rep_id, band, bucket)``: new docs that
       collide with HISTORY (verify with n-gram Jaccard downstream, the
-      standard two-stage shape). Within-batch near-dups are a separate
-      concern: run :func:`minhash_lsh_candidates` on the batch, or feed
-      accepted docs back through the next cycle's reference.
-    * ``new_bands`` — the batch's ``(band, bucket, rep_id)`` rows to
-      append to the reference.
+      standard two-stage shape). No id-identity assumption: ids may
+      repeat across crawls (per-batch numbering is common), so a
+      collision where ``doc_id == rep_id`` is still reported — content
+      decides, exactly like :func:`dedup_against_reference`
+      (round-8 review). Within-batch near-dups are a separate concern:
+      run :func:`minhash_lsh_candidates` on the batch, or feed accepted
+      docs back through the next cycle's reference.
+    * ``new_bands`` — the batch's novel ``(band, bucket, rep_id)`` rows
+      to append to the reference.
 
     Banding is the SHARED :func:`_minhash_band_rows` (the probe and the
-    self-join variant cannot drift). Scale shape: history is touched
-    only through the equi-join on ``(band, bucket)`` — O(batch·bands)
-    probe rows against a table with at most one row per occupied bucket,
-    AQE-decided (bucket table is corpus-cardinality, no broadcast hint);
-    per-bucket fan-out is bounded by construction (one rep per bucket),
-    so no ``max_bucket_size`` blow-up is possible on the history side.
+    self-join variant cannot drift); it is CACHED — it embeds the
+    signature aggregate (a shuffle), so both consumers recomputing it
+    is exactly the non-map work the DSIR cache-vs-recompute probe says
+    to materialize (round-8 review; minhash_lsh_candidates caches the
+    same frame for the same reason). Both returned frames own the
+    cache; whichever is released first downgrades the other to
+    recompute, never to a wrong answer. Scale shape: history is
+    touched only through the equi-join on ``(band, bucket)`` —
+    O(batch·bands) probe rows against one row per occupied bucket,
+    AQE-decided (bucket table is corpus-cardinality, no broadcast
+    hint).
     """
-    # nb is NOT cached: its two consumers each recompute a map-only
-    # banding pass over the batch — the measured cache-vs-recompute
-    # discipline (DSIR probe: materializing beats recompute only for
-    # non-map work), and a cache owned across a tuple return would tie
-    # both results' lifetimes together
     nb = _minhash_band_rows(new_docs, text_col, id_col, n, num_perm, bands)
-    ref = ref_bands.select("band", "bucket", "rep_id")
+    nb = nb.cache()
+    ref = ref_bands.groupBy("band", "bucket").agg(F.min("rep_id").alias("rep_id"))
     candidates = (
         nb.join(ref, ["band", "bucket"])
-        .where(F.col("id") != F.col("rep_id"))
         .select(F.col("id").alias(id_col), "rep_id", "band", "bucket")
         .distinct()
     )
-    new_bands = nb.groupBy("band", "bucket").agg(F.min("id").alias("rep_id"))
-    return candidates, new_bands
+    new_bands = (
+        nb.groupBy("band", "bucket")
+        .agg(F.min("id").alias("rep_id"))
+        .join(ref.select("band", "bucket"), ["band", "bucket"], "left_anti")
+    )
+    return owned_cache(candidates, nb), owned_cache(new_bands, nb)

@@ -978,11 +978,14 @@ def dsir_resample(
     ratio ``exp(logw_micro/1e6)`` — which overflows a double for
     strongly target-affine docs on big corpora — is safely rebased as
     ``exp((logw_micro − max_logw)/1e6)`` against the corpus maximum (a
-    1-row aggregate, the bounded crossJoin class). Weights below the
-    A-ES sub-nano floor rank at the never-selected bottom — they are
-    the documents DSIR is built to exclude, so the floor is semantics,
-    not loss. Zero-token docs carry weight exp(−max/1e6): tiny but
-    positive, sampleable exactly as a 0-log-ratio doc should be.
+    1-row aggregate, the bounded crossJoin class). The rebased exponent
+    is additionally clamped at −690 nats (exp(−690) ≈ 1e-300): below
+    that, exp underflows to EXACTLY 0.0, which the sampler's weight
+    guard DROPS — on a corpus with one long strongly-affine doc that
+    would silently shrink the sample below ``k`` (round-8 review).
+    Clamped docs all carry the same floor weight and tie-break on the
+    deterministic draw — beyond double resolution "equally never" is
+    the only consistent semantic, and the sample stays exactly ``k``.
 
     Returns the sampled rows of ``corpus`` with ``logw_micro`` attached
     (join back on the id — map-only after the top-k).
@@ -992,7 +995,11 @@ def dsir_resample(
     weighted = w.crossJoin(mx).select(
         id_col,
         "logw_micro",
-        F.exp((F.col("logw_micro") - F.col("_mx")) / F.lit(1e6)).alias("_w"),
+        F.exp(
+            F.greatest(
+                (F.col("logw_micro") - F.col("_mx")) / F.lit(1e6), F.lit(-690.0)
+            )
+        ).alias("_w"),
     )
     picked = sample_weighted(weighted, k, "_w", id_col=id_col).select(
         id_col, "logw_micro"

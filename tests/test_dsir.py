@@ -12,6 +12,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from apache_cassandra_spark.analytics.pipeline import dsir_log_weights
 
@@ -104,7 +105,7 @@ def test_widthless_pre_r8_sketch_still_probes(spark):
 def test_dsir_recomputes_featurization_no_cache(spark):
     """The two-pass (recompute) form is the MEASURED winner: caching the
     corpus-cardinality (doc, bucket) table to share one featurization
-    pass probed SLOWER (53.1s vs 77.5s at k=64 — see the operator's
+    pass probed SLOWER (77.5s cached vs 53.1s two-pass at k=64 — see the operator's
     inline note), so the plan must contain NO InMemoryRelation; a cache
     reappearing here silently re-trades map recompute for a corpus-sized
     materialization (round-8 review + probe)."""
@@ -163,3 +164,23 @@ def test_dsir_resample_end_to_end(spark):
     # deterministic: a reshuffled input draws the identical sample
     again = dsir_resample(corpus.repartition(7), target, k=40, buckets=B)
     assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in got}
+
+
+def test_resample_underflow_window_still_returns_k(spark):
+    """A doc hundreds of nats above the field used to underflow every
+    other weight to exactly 0.0 — which sample_weighted DROPS — so the
+    sample silently shrank below k (round-8 review). The clamp floors
+    the rebased weight at exp(-690) > 0 and the sample stays exactly k."""
+    from apache_cassandra_spark.analytics.pipeline import dsir_log_weights, dsir_resample
+
+    rows = [(0, " ".join(f"a{i % 250}" for i in range(8000)))]
+    rows += [(i, f"z{i} w{i} q{i}") for i in range(1, 61)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(999, " ".join(f"a{i}" for i in range(250)) + " ")], "doc_id long, text string"
+    )
+    w = dsir_log_weights(corpus, target, buckets=512)
+    lo, hi = w.agg(F.min("logw_micro"), F.max("logw_micro")).first()
+    assert hi - lo > 745_000_000, f"gap {hi - lo} too small to exercise underflow"
+    out = dsir_resample(corpus, target, k=20, buckets=512).collect()
+    assert len(out) == 20

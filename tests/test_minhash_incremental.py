@@ -52,7 +52,7 @@ def test_probe_matches_bucket_cohabitation_model(spark):
     want = {
         (r["id"], rb[(r["band"], r["bucket"])])
         for r in nb
-        if (r["band"], r["bucket"]) in rb and r["id"] != rb[(r["band"], r["bucket"])]
+        if (r["band"], r["bucket"]) in rb  # content decides — no id-identity filter
     }
     assert got == want
     # the exact dup MUST collide (all bands agree); the novel doc must not
@@ -77,3 +77,34 @@ def test_ingest_cycle_flags_cross_batch_near_dups(spark):
     c2, _ = minhash_against_reference(b2, bands1, **PARAMS)
     got = {(r["doc_id"], r["rep_id"]) for r in c2.collect()}
     assert got == {(200, 100)}
+
+
+def test_id_reuse_across_crawls_still_flags(spark):
+    """Per-batch doc numbering: a new doc whose id COLLIDES with the
+    historical rep's id must still be flagged — content decides, like
+    dedup_against_reference (round-8 review)."""
+    ref = _ref_bands(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta")])
+    batch = _mk(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta")])
+    cands, _ = minhash_against_reference(batch, ref, **PARAMS)
+    got = {(r["doc_id"], r["rep_id"]) for r in cands.collect()}
+    assert got == {(100, 100)}
+
+
+def test_reference_stays_one_row_per_bucket_across_cycles(spark):
+    """Append-each-cycle must NOT grow occupied buckets: a second batch
+    with identical content contributes zero new band rows, and a
+    reference polluted with duplicate bucket rows is re-minned before
+    the probe (round-8 review)."""
+    b1 = _mk(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    empty = _mk(spark, []).select(
+        F.lit(0).alias("band"), F.lit("").alias("bucket"), F.lit(0).alias("rep_id")
+    ).where(F.lit(False))
+    _, bands1 = minhash_against_reference(b1, empty, **PARAMS)
+    b2 = _mk(spark, [(2, "alpha beta gamma delta epsilon zeta eta theta")])
+    cands2, bands2 = minhash_against_reference(b2, bands1, **PARAMS)
+    assert bands2.count() == 0  # every bucket already occupied
+    # polluted reference (duplicate bucket rows, larger rep first)
+    polluted = bands1.select("band", "bucket", (F.col("rep_id") + 7).alias("rep_id")).union(bands1)
+    cands3, _ = minhash_against_reference(b2, polluted, **PARAMS)
+    got = {(r["doc_id"], r["rep_id"]) for r in cands3.collect()}
+    assert got == {(2, 1)}  # re-minned: ONE candidate row, min rep wins

@@ -590,3 +590,49 @@ def test_dedup_ingest_durable_reference_survives_new_query(spark, tmp_path):
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept2 == [1, 2, 4, 7]
     assert spark.read.parquet(ref).distinct().count() == 4
+
+
+def test_dedup_ingest_replay_overwrites_crashed_partition(spark, tmp_path):
+    """Crash-window replay: simulate a batch that died AFTER writing its
+    hash partition (and a partial output partition) but BEFORE the
+    checkpoint commit. The replay must (a) not anti-join the batch
+    against its own crashed hashes (else the output partition would be
+    overwritten with nothing) and (b) OVERWRITE both partitions rather
+    than append — no duplicates, no stale partial rows."""
+    import hashlib
+
+    from apache_cassandra_spark.streaming.dedup import dedup_ingest_foreach_batch
+
+    src = tmp_path / "docs"
+    out, ref, ck = str(tmp_path / "out"), str(tmp_path / "ref"), str(tmp_path / "ck")
+    _write_doc_batch(src, "b0.json", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+    ], mtime=1_000_000)
+
+    # plant the crashed batch-0 partitions: its own hashes in ref, a
+    # partial (stale) output row in out — both under the commit id the
+    # replay will recompute
+    qtoken = hashlib.md5(ck.encode()).hexdigest()[:12]
+    commit0 = f"{qtoken}-{0:012d}"
+    spark.createDataFrame(
+        [("stale-partial", 99)], "text string, doc_id long"
+    ).withColumn("content_hash", F.md5(F.col("text"))).write.parquet(
+        f"{out}/_commit={commit0}"
+    )
+    spark.createDataFrame(
+        [(hashlib.md5(b"alpha").hexdigest(),), (hashlib.md5(b"beta").hexdigest(),)],
+        "content_hash string",
+    ).write.parquet(f"{ref}/_commit={commit0}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = dedup_ingest_foreach_batch(stream, out, ref, ck)
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]  # not emptied by self-anti-join, no stale row 99
+    hashes = {r["content_hash"] for r in spark.read.parquet(ref).collect()}
+    assert hashes == {hashlib.md5(b"alpha").hexdigest(), hashlib.md5(b"beta").hexdigest()}
