@@ -1372,6 +1372,7 @@ def minhash_against_reference(
     n: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    exclude_self_pairs: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup ingest — the :func:`dedup_against_reference`
     contract lifted from exact hashes to MinHash/LSH: flag each new
@@ -1393,13 +1394,21 @@ def minhash_against_reference(
 
     * ``candidates`` — ``(doc_id, rep_id, band, bucket)``: new docs that
       collide with HISTORY (verify with n-gram Jaccard downstream, the
-      standard two-stage shape). No id-identity assumption: ids may
-      repeat across crawls (per-batch numbering is common), so a
-      collision where ``doc_id == rep_id`` is still reported — content
-      decides, exactly like :func:`dedup_against_reference`
-      (round-8 review). Within-batch near-dups are a separate concern:
-      run :func:`minhash_lsh_candidates` on the batch, or feed accepted
-      docs back through the next cycle's reference.
+      standard two-stage shape). By default no id-identity assumption:
+      ids may repeat across crawls (per-batch numbering is common), so
+      a collision where ``doc_id == rep_id`` is still reported —
+      content decides, exactly like :func:`dedup_against_reference`
+      (round-8 review). The flip side: if a crash landed a batch's OWN
+      band rows in the reference before the cycle was recorded, a
+      replay probes the batch against itself and the downstream verify
+      would discard it wholesale — pipelines with globally unique ids
+      that replay batches should pass ``exclude_self_pairs=True``,
+      which suppresses ``doc_id == rep_id`` rows and makes re-probing
+      idempotent (both id regimes are caller contracts; the operator
+      cannot distinguish them from the data). Within-batch near-dups
+      are a separate concern: run :func:`minhash_lsh_candidates` on
+      the batch, or feed accepted docs back through the next cycle's
+      reference.
     * ``new_bands`` — the batch's novel ``(band, bucket, rep_id)`` rows
       to append to the reference.
 
@@ -1419,14 +1428,18 @@ def minhash_against_reference(
     nb = _minhash_band_rows(new_docs, text_col, id_col, n, num_perm, bands)
     nb = nb.cache()
     ref = ref_bands.groupBy("band", "bucket").agg(F.min("rep_id").alias("rep_id"))
-    candidates = (
-        nb.join(ref, ["band", "bucket"])
-        .select(F.col("id").alias(id_col), "rep_id", "band", "bucket")
-        .distinct()
-    )
+    candidates = nb.join(ref, ["band", "bucket"])
+    if exclude_self_pairs:
+        candidates = candidates.where(F.col("id") != F.col("rep_id"))
+    candidates = candidates.select(
+        F.col("id").alias(id_col), "rep_id", "band", "bucket"
+    ).distinct()
     new_bands = (
         nb.groupBy("band", "bucket")
         .agg(F.min("id").alias("rep_id"))
-        .join(ref.select("band", "bucket"), ["band", "bucket"], "left_anti")
+        # existence check only — anti-join semantics are unaffected by
+        # duplicate right-side rows, so probe the RAW reference and skip
+        # a second full-history re-min aggregate (round-8 review)
+        .join(ref_bands.select("band", "bucket"), ["band", "bucket"], "left_anti")
     )
     return owned_cache(candidates, nb), owned_cache(new_bands, nb)

@@ -969,39 +969,49 @@ def dsir_resample(
     """The full DSIR pipeline (Xie et al., NeurIPS 2023, §2): importance
     log-weights → weighted sampling WITHOUT replacement — "select the k
     raw documents that look most like the target domain, stochastically,
-    with inclusion probability ∝ the importance ratio". Composes the
-    engine's two primitives: :func:`dsir_log_weights` for the ratio and
-    :func:`sample_weighted` (A-ES) for the draw.
+    with inclusion probability ∝ the importance ratio exp(logw)".
 
-    Weight normalization: A-ES ranks by ``ln(u)/w``, which is invariant
-    under scaling all weights by any positive constant, so the raw
-    ratio ``exp(logw_micro/1e6)`` — which overflows a double for
-    strongly target-affine docs on big corpora — is safely rebased as
-    ``exp((logw_micro − max_logw)/1e6)`` against the corpus maximum (a
-    1-row aggregate, the bounded crossJoin class). The rebased exponent
-    is additionally clamped at −690 nats (exp(−690) ≈ 1e-300): below
-    that, exp underflows to EXACTLY 0.0, which the sampler's weight
-    guard DROPS — on a corpus with one long strongly-affine doc that
-    would silently shrink the sample below ``k`` (round-8 review).
-    Clamped docs all carry the same floor weight and tie-break on the
-    deterministic draw — beyond double resolution "equally never" is
-    the only consistent semantic, and the sample stays exactly ``k``.
+    The draw is the GUMBEL-TOP-K trick (Kool et al., ICML 2019 —
+    equivalent to A-ES over ``w = exp(logw)``): rank by ``logw +
+    Gumbel(u)`` with ``Gumbel(u) = −ln(−ln u)`` and keep the top ``k``.
+    Everything stays in LOG space — no exp at any point — which two
+    successive round-8 reviews showed is not a nicety but correctness:
+    exponentiating first underflows to an exact 0.0 the A-ES sampler
+    drops (sample shrinks below k), and even clamped, the sampler's
+    nano-quantized ``ln(u)/w`` key hits its −2^62 floor ~21 nats below
+    the corpus max, collapsing the entire tail to a uniform draw. In
+    log space the key is exact over the full bigint logw range:
+    proportionality holds whether documents differ by 2 or 2 million
+    nats.
+
+    Determinism (the sample_weighted discipline): ``u = (h + 0.5)/2^60``
+    from the SAME shared 60-bit id draw the other samplers use
+    (``functions.hashing.uniform_hash``) — offset 0.5 keeps u strictly
+    inside (0, 1) so the Gumbel is finite (u = 1 would be +∞) — and the
+    Gumbel is micro-quantized to bigint before the integer add, so the
+    key is a pure function of the ids, replayable from the formula.
+    Ties break by the raw draw then id. Gumbel range at 60-bit
+    resolution is ≈ [−3.74, +41.6] nats: bounded, so no overflow
+    against any logw.
 
     Returns the sampled rows of ``corpus`` with ``logw_micro`` attached
     (join back on the id — map-only after the top-k).
     """
+    if k < 1:
+        raise ValueError("need k >= 1")
     w = dsir_log_weights(corpus, target, buckets, text_col, id_col)
-    mx = w.agg(F.max("logw_micro").alias("_mx"))
-    weighted = w.crossJoin(mx).select(
-        id_col,
-        "logw_micro",
-        F.exp(
-            F.greatest(
-                (F.col("logw_micro") - F.col("_mx")) / F.lit(1e6), F.lit(-690.0)
-            )
-        ).alias("_w"),
-    )
-    picked = sample_weighted(weighted, k, "_w", id_col=id_col).select(
-        id_col, "logw_micro"
+    h = _uniform_hash(id_col, resolution=1 << 60)
+    u = (h + F.lit(0.5)).cast("double") / F.lit(float(1 << 60))
+    gumbel_micro = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
+    picked = (
+        w.select(
+            id_col,
+            "logw_micro",
+            (F.col("logw_micro") + gumbel_micro).alias("_key"),
+            h.alias("_draw"),
+        )
+        .orderBy(F.col("_key").desc(), F.col("_draw").desc(), id_col)
+        .limit(k)
+        .select(id_col, "logw_micro")
     )
     return corpus.join(picked, id_col)

@@ -75,7 +75,8 @@ def dedup_ingest_foreach_batch(
     foreachBatch = the reference's group-committed WAL segment
     (streaming/ingest.py's mapping): both appends happen inside one
     batch function; both sinks are partitioned by a deterministic
-    ``_commit`` token (checkpoint-derived, per batch) and written with
+    ``_commit`` token (derived from the streaming query id persisted in
+    the checkpoint, per batch) and written with
     DYNAMIC PARTITION OVERWRITE, so Spark's batch-id replay after a
     crash overwrites the same partitions instead of appending twice —
     plain parquet append is NOT an exactly-once sink, the
@@ -93,28 +94,48 @@ def dedup_ingest_foreach_batch(
     append is hash-only (16 bytes/doc, not the body). Returns the
     started StreamingQuery.
     """
-    import hashlib
+    import json
 
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.errors import AnalysisException  # the BASE class — the
+    # captured-submodule one misses Spark Connect's subclass (r8 review)
 
     from apache_cassandra_spark.analytics.dedup import dedup_against_reference
 
     spark = stream_docs.sparkSession
     hash_schema = "content_hash string, _commit string"
-    # the partition token must be (a) DETERMINISTIC across restarts of
+    # The partition token must be (a) DETERMINISTIC across restarts of
     # the same query so a replayed batch overwrites the crashed
     # partition, and (b) DISTINCT across queries so a new pipeline
-    # (fresh checkpoint, batch ids restart at 0) neither collides with
-    # nor excludes history — the checkpoint dir is exactly that identity
-    qtoken = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    # neither collides with nor excludes history. Hashing the checkpoint
+    # PATH satisfies neither edge (r8 review): a rebuilt checkpoint at
+    # the same path would collide with history (replay-excluding and
+    # OVERWRITING old partitions), and a respelled-but-equivalent path
+    # would break replay idempotence. The streaming query's own id —
+    # Spark writes it to <checkpoint>/metadata at first start, reuses
+    # it on every restart, and mints a new one for a rebuilt checkpoint
+    # — is exactly the identity wanted, read lazily since the file only
+    # exists once the query is running (commit() always runs after).
+    token_cell: list[str] = []
+
+    def _qtoken() -> str:
+        if not token_cell:
+            raw = "\n".join(
+                r["value"]
+                for r in spark.read.text(f"{checkpoint_dir}/metadata").collect()
+            )
+            token_cell.append(json.loads(raw)["id"].replace("-", "")[:16])
+        return token_cell[0]
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        commit_id = f"{qtoken}-{batch_id:012d}"
+        commit_id = f"{_qtoken()}-{batch_id:012d}"
         try:
             ref = (
                 spark.read.schema(hash_schema)
                 .parquet(ref_dir)
-                .where(F.col("_commit") != commit_id)  # exclude a replayed self
+                # null-safe: legacy/external rows with a NULL _commit are
+                # HISTORY, not a replayed self — plain != would silently
+                # drop them from the reference (r8 review)
+                .where(~F.col("_commit").eqNullSafe(F.lit(commit_id)))
             )
         except AnalysisException as e:
             # ONLY the genuine first-batch case may fall through to an

@@ -108,3 +108,19 @@ def test_reference_stays_one_row_per_bucket_across_cycles(spark):
     cands3, _ = minhash_against_reference(b2, polluted, **PARAMS)
     got = {(r["doc_id"], r["rep_id"]) for r in cands3.collect()}
     assert got == {(2, 1)}  # re-minned: ONE candidate row, min rep wins
+
+
+def test_exclude_self_pairs_makes_replay_idempotent(spark):
+    """Pipelines with globally unique ids that may replay a batch after
+    its band rows landed: exclude_self_pairs=True suppresses the
+    self-collision so the replayed batch is not flagged against itself
+    (round-8 review); default False reports it (content decides)."""
+    doc = [(7, "alpha beta gamma delta epsilon zeta eta theta")]
+    ref = _ref_bands(spark, doc)  # the batch's OWN bands already landed
+    batch = _mk(spark, doc)
+    default_c, _ = minhash_against_reference(batch, ref, **PARAMS)
+    assert {(r["doc_id"], r["rep_id"]) for r in default_c.collect()} == {(7, 7)}
+    idempotent_c, _ = minhash_against_reference(
+        batch, ref, exclude_self_pairs=True, **PARAMS
+    )
+    assert idempotent_c.count() == 0

@@ -610,10 +610,17 @@ def test_dedup_ingest_replay_overwrites_crashed_partition(spark, tmp_path):
         {"doc_id": 2, "text": "beta"},
     ], mtime=1_000_000)
 
-    # plant the crashed batch-0 partitions: its own hashes in ref, a
-    # partial (stale) output row in out — both under the commit id the
-    # replay will recompute
-    qtoken = hashlib.md5(ck.encode()).hexdigest()[:12]
+    # simulate the crashed run's checkpoint: Spark persists the query id
+    # in <ck>/metadata at first start and REUSES it on restart — plant it
+    # so the replay recomputes the same commit token the crash used
+    import json
+    import os
+
+    os.makedirs(ck, exist_ok=True)
+    crashed_qid = "deadbeef-dead-beef-dead-beefdeadbeef"
+    with open(f"{ck}/metadata", "w") as f:
+        f.write(json.dumps({"id": crashed_qid}))
+    qtoken = crashed_qid.replace("-", "")[:16]
     commit0 = f"{qtoken}-{0:012d}"
     spark.createDataFrame(
         [("stale-partial", 99)], "text string, doc_id long"
@@ -636,3 +643,36 @@ def test_dedup_ingest_replay_overwrites_crashed_partition(spark, tmp_path):
     assert kept == [1, 2]  # not emptied by self-anti-join, no stale row 99
     hashes = {r["content_hash"] for r in spark.read.parquet(ref).collect()}
     assert hashes == {hashlib.md5(b"alpha").hexdigest(), hashlib.md5(b"beta").hexdigest()}
+
+
+def test_dedup_ingest_rebuilt_checkpoint_preserves_history(spark, tmp_path):
+    """rm -rf the checkpoint and rerun the SAME pipeline at the SAME
+    path: Spark mints a new query id, so the rerun's batch 0 must NOT
+    collide with the old run's batch-0 partition (a path-derived token
+    would exclude-and-overwrite it — data loss); the replayed source
+    docs anti-join history and the corpus stays duplicate-free."""
+    import shutil
+
+    from apache_cassandra_spark.streaming.dedup import dedup_ingest_foreach_batch
+
+    src = tmp_path / "docs"
+    out, ref, ck = str(tmp_path / "out"), str(tmp_path / "ref"), str(tmp_path / "ck")
+    _write_doc_batch(src, "b0.json", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+    ], mtime=1_000_000)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    dedup_ingest_foreach_batch(stream, out, ref, ck).awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    shutil.rmtree(ck)  # rebuild: new query id, batch ids restart at 0
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    dedup_ingest_foreach_batch(stream2, out, ref, ck).awaitTermination(120)
+    # the re-read docs are duplicates of history: dropped, nothing lost
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
