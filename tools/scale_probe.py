@@ -100,6 +100,10 @@ OPS = {
     .collect()
     and d.count(),
     "tpch_q21ish": lambda d: _q21_op(d),
+    # history (the replicated corpus) grows 1->64x, the probing batch
+    # stays FIXED at replica 0 — the daily-ingest regime; both returned
+    # frames materialized so neither plan is pruned away
+    "dedup_minhash_incremental": lambda d: _minhash_incr_op(d),
     "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_candidates(d).count(),
     "dedup_simhash": lambda d: dedup.simhash_candidates(d).count(),
     "dedup_groups_star": lambda d: dedup.dup_groups_star(dedup.minhash_lsh_candidates(d)).count(),
@@ -428,6 +432,33 @@ def _range_search_op(docs: DataFrame) -> int:
     q = vecs.where(F.col("vec_id") < 5)  # fixed seed set — corpus grows, seeds don't
     out = similarity.range_search(vecs, q, threshold=0.95)
     return out.agg(F.sum("cos")).collect() and docs.count()
+
+
+def _minhash_incr_op(docs: DataFrame) -> int:
+    """Incremental LSH ingest: the REFERENCE is the grown corpus (banded
+    to its one-rep-per-bucket table), the probing batch is fixed at
+    replica 0 — cost should track the reference reduction (one grouped
+    aggregate over history) plus a flat probe, never re-banding history
+    per batch-doc."""
+    from apache_cassandra_spark.analytics.dedup import (
+        _minhash_band_rows,
+        minhash_against_reference,
+    )
+
+    ref = (
+        _minhash_band_rows(docs, "text", "doc_id", 3, 16, 4)
+        .groupBy("band", "bucket")
+        .agg(F.min("id").alias("rep_id"))
+    )
+    batch = docs.where(F.col("doc_id") < 1_000_000).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    )
+    cands, new_bands = minhash_against_reference(batch, ref)
+    return (
+        cands.agg(F.count(F.lit(1))).collect()
+        and new_bands.agg(F.count(F.lit(1))).collect()
+        and docs.count()
+    )
 
 
 def _q21_op(docs: DataFrame) -> int:
