@@ -1403,8 +1403,15 @@ def minhash_against_reference(
       replay probes the batch against itself and the downstream verify
       would discard it wholesale — pipelines with globally unique ids
       that replay batches should pass ``exclude_self_pairs=True``,
-      which suppresses ``doc_id == rep_id`` rows and makes re-probing
-      idempotent (both id regimes are caller contracts; the operator
+      which suppresses each doc's OWN ``doc_id == rep_id`` collision.
+      That protects the doc itself, NOT its batch-mates: a within-batch
+      near-dup pair whose crash-landed rep belongs to the other member
+      still collides (indistinguishable from history), so full replay
+      idempotence needs transactional reference appends — partition the
+      persisted table by a commit token and exclude the replaying
+      cycle's own partition, exactly what
+      ``streaming.dedup.dedup_ingest_foreach_batch`` does for the exact
+      variant (both id regimes are caller contracts; the operator
       cannot distinguish them from the data). Within-batch near-dups
       are a separate concern: run :func:`minhash_lsh_candidates` on
       the batch, or feed accepted docs back through the next cycle's

@@ -986,8 +986,10 @@ def dsir_resample(
 
     Determinism (the sample_weighted discipline): ``u = (h + 0.5)/2^60``
     from the SAME shared 60-bit id draw the other samplers use
-    (``functions.hashing.uniform_hash``) — offset 0.5 keeps u strictly
-    inside (0, 1) so the Gumbel is finite (u = 1 would be +∞) — and the
+    (``functions.hashing.uniform_hash``), clamped at ``1 − 2⁻⁵³`` —
+    the 0.5 offset alone is NOT enough: the double ulp at 2^60 is 256,
+    so the top ~64 hash values round to exactly 1.0 and the Gumbel
+    would go NULL (silently unsampleable; round-8 review) — and the
     Gumbel is micro-quantized to bigint before the integer add, so the
     key is a pure function of the ids, replayable from the formula.
     Ties break by the raw draw then id. Gumbel range at 60-bit
@@ -1001,7 +1003,10 @@ def dsir_resample(
         raise ValueError("need k >= 1")
     w = dsir_log_weights(corpus, target, buckets, text_col, id_col)
     h = _uniform_hash(id_col, resolution=1 << 60)
-    u = (h + F.lit(0.5)).cast("double") / F.lit(float(1 << 60))
+    u = F.least(
+        (h + F.lit(0.5)).cast("double") / F.lit(float(1 << 60)),
+        F.lit(1.0 - 2.0**-53),
+    )
     gumbel_micro = F.round(-F.log(-F.log(u)) * 1_000_000).cast("long")
     picked = (
         w.select(

@@ -217,3 +217,22 @@ def test_resample_preserves_proportionality_deep_in_the_tail(spark):
     out = {r["doc_id"] for r in dsir_resample(corpus, target, k=25, buckets=512).collect()}
     assert len(out) == 25
     assert all(d <= 30 for d in out), f"far-tier docs leaked into the sample: {sorted(out)}"
+
+
+def test_gumbel_draw_finite_at_hash_ceiling(spark):
+    """The double ulp at 2^60 is 256, so (h+0.5)/2^60 rounds to exactly
+    1.0 for the top ~64 hash values and ln(-ln 1.0) would be NULL —
+    silently unsampleable (round-8 review). The clamp keeps the Gumbel
+    finite at the ceiling; replicate the operator's exact expression."""
+    r = spark.range(1).select(
+        (-F.log(-F.log(F.least(
+            (F.lit((1 << 60) - 1) + F.lit(0.5)).cast("double") / F.lit(float(1 << 60)),
+            F.lit(1.0 - 2.0 ** -53),
+        )))).alias("g"),
+        # and WITHOUT the clamp the same h yields NULL — pins why it exists
+        (-F.log(-F.log(
+            (F.lit((1 << 60) - 1) + F.lit(0.5)).cast("double") / F.lit(float(1 << 60))
+        ))).alias("g_unclamped"),
+    ).first()
+    assert r["g"] is not None and r["g"] < 40.0
+    assert r["g_unclamped"] is None

@@ -450,8 +450,10 @@ def _minhash_incr_op(docs: DataFrame) -> int:
         .groupBy("band", "bucket")
         .agg(F.min("id").alias("rep_id"))
     )
+    # shift ABOVE the replica id ceiling (k_max·1e6 < 1e9) — +50e6 would
+    # collide with replica 50's range at k >= 51 (round-8 review)
     batch = docs.where(F.col("doc_id") < 1_000_000).select(
-        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
     )
     cands, new_bands = minhash_against_reference(batch, ref)
     return (
