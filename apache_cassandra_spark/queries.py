@@ -3283,6 +3283,44 @@ def q_corpus_dsir_weights(spark, sf_dir):
     return dsir_log_weights(corpus, target, buckets=512)
 
 
+def q_tpch_q15ish(spark, sf_dir):
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the
+    view-plus-scalar-max pattern — an aggregate compared against the
+    maximum OF THAT SAME AGGREGATE, returning every supplier tied at
+    the top. Float discipline: revenue is the round-4 decimal sum the
+    q3/q10 gates pin, and the max-equality runs DECIMAL = DECIMAL —
+    exact within each engine and across them (the sums are exactly
+    equal integers in 1e-4 units); only the output column casts to
+    double. Plan shape (verified, plan-locked): Catalyst extracts the
+    crossJoin-then-equality into a BroadcastHashJoin ON the aggregate
+    value itself (``_r = _m``) — no nested loop ANYWHERE in the plan —
+    then an AQE-decided hash join against the supplier dim; the
+    revenue aggregate is partial-combined over the date-pruned fact.
+    At 100 TB the only corpus-sized shuffle is the suppkey aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("_r")
+        )
+    )
+    mx = rev.agg(F.max("_r").alias("_m"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(mx)
+        .where(F.col("_r") == F.col("_m"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("_r").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
 def q_events_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per page over the clickstream
     transition graph (graph.clustering_coefficient): cc = 2T/(d(d−1))
@@ -5466,6 +5504,25 @@ ORACLES["corpus_dsir_weights"] = """
     LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
+# Q15's view + scalar max replayed: same round-4 decimal revenue sum,
+# max-equality in DECIMAL (exact — the sums are integers in 1e-4
+# units), double only on the output column
+ORACLES["tpch_q15ish"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(18,4)) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1),
+    mx AS (SELECT max(r) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, cast(rev.r as double) AS total_rev
+    FROM rev CROSS JOIN mx
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.r = mx.m
+    ORDER BY s.s_suppkey
+"""
+
 # the events_triangles naive listing, extended with the simple-graph
 # degree and the same bigint micro-division the engine runs (DuckDB
 # BIGINT // and Spark div both truncate; operands non-negative)
@@ -5727,4 +5784,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,
     "corpus_dsir_weights": q_corpus_dsir_weights,
+    "tpch_q15ish": q_tpch_q15ish,
 }

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "tpch_q19ish",
     "tpch_q21ish",
     "corpus_dsir_weights",
+    "tpch_q15ish",
 ]
 
 

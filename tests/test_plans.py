@@ -1124,3 +1124,17 @@ def test_dsir_lambda_broadcast_and_bounded_nested_loops(spark):
     free = dsir_log_weights(cor, tgt, buckets=64, broadcast_lambdas=False)
     analyzed = free._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_tpch_q15ish_max_equality_compiles_to_hash_join(spark):
+    """The view + scalar-max shape: Catalyst must extract the
+    crossJoin-then-equality into a HASH join on the aggregate value —
+    NO nested loop anywhere — with the date range pushed to the fact
+    scan and the revenue aggregate map-side combined."""
+    from apache_cassandra_spark.queries import q_tpch_q15ish
+
+    plan = plan_of(q_tpch_q15ish(spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # date range pushed
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "[_r" in plan and "[_m" in plan  # the extracted equi-join keys
+    assert "partial_sum" in plan  # map-side combined revenue

@@ -107,3 +107,44 @@ def test_q21_null_shipdate_scores_on_time(spark):
     s = spark.createDataFrame([(10, "A"), (20, "B")], "s_suppkey long, s_name string")
     got = {r["s_suppkey"]: r["numwait"] for r in _waiting_suppliers(li, o, s).collect()}
     assert got == {10: 2}
+
+
+def test_q15_returns_all_tied_winners(spark):
+    """Q15's contract is every supplier tied at the max — construct an
+    exact two-way decimal tie and assert both rows come back."""
+    from apache_cassandra_spark.queries import ORACLES, QUERIES
+    import duckdb
+
+    rows = [
+        (1, 10, dt.datetime(1996, 2, 1), 100.0, 0.0),
+        (2, 20, dt.datetime(1996, 2, 2), 60.0, 0.0),
+        (3, 20, dt.datetime(1996, 2, 3), 40.0, 0.0),
+        (4, 30, dt.datetime(1996, 2, 4), 99.99, 0.0),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp, "
+        "l_extendedprice double, l_discount double",
+    )
+    s = spark.createDataFrame(
+        [(10, "A"), (20, "B"), (30, "C")], "s_suppkey long, s_name string"
+    )
+    from pyspark.sql import functions as F2
+
+    rev = li.groupBy("l_suppkey").agg(
+        F2.sum(
+            F2.round(F2.col("l_extendedprice") * (1 - F2.col("l_discount")), 4).cast(
+                "decimal(18,4)"
+            )
+        ).alias("_r")
+    )
+    mx = rev.agg(F2.max("_r").alias("_m"))
+    out = (
+        rev.crossJoin(mx)
+        .where(F2.col("_r") == F2.col("_m"))
+        .join(s, F2.col("l_suppkey") == F2.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F2.col("_r").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+        .collect()
+    )
+    assert [(r["s_suppkey"], r["total_rev"]) for r in out] == [(10, 100.0), (20, 100.0)]

@@ -118,6 +118,7 @@ AUDITED = {
     "tpch_q19ish": "declarative disjunctive revenue: Spark derives the per-side Or(And(range)) projections of the cross-table OR and pushes them into BOTH parquet scans (plan-locked — no hand-hoisted envelopes), single equi-join with the full OR as residual, partial-combined round-4 decimal revenue",
     "tpch_q21ish": "waiting suppliers without fact self-joins: lineitem scanned ONCE, EXISTS/NOT-EXISTS collapsed to the (orderkey,suppkey)->orderkey aggregate stack (n_supp>=2 AND n_late=1), coarser group key is a prefix so an at-scale shuffled join feeds both aggs exchange-free; top-25 via TakeOrderedAndProject",
     "corpus_dsir_weights": "DSIR importance weights: both distribution passes are vocabulary-FREE map-side-combinable aggregates bounded at `buckets` rows (the cm_sketch boundary), lambda table broadcast (parameter-bounded, allowlisted, flag-gated), per-doc scoring = one (doc,bucket) combine + BroadcastHashJoin + bigint sum; only nested loops are the two 1-row totals",
+    "tpch_q15ish": "top supplier by revenue (view + scalar max): Catalyst extracts the crossJoin-equality into a BroadcastHashJoin ON the aggregate value (no nested loop anywhere), date range pushed to the fact scan, revenue aggregate partial-combined, DECIMAL=DECIMAL max equality (exact), AQE-decided supplier join",
 }
 
 
