@@ -47,9 +47,17 @@ def subword_token_estimate(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality scoring features: length, token stats,
-    punctuation / stopword / uppercase ratios, mean token length."""
+    punctuation / stopword / uppercase ratios, mean token length.
+    ``extra_cols`` are passed through untouched so callers that need the
+    features next to other derived keys (e.g. ``web.domain_stats``) stay
+    one projection over one scan instead of a self-join."""
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
@@ -61,6 +69,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     safe_chars = F.greatest(n_chars, F.lit(1))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(n_punct / safe_chars, 6).alias("punct_ratio"),
@@ -766,6 +775,7 @@ def quality_score(
     threshold: float = -0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality filtering: a linear classifier over the
     `quality_features` columns — the CCNet/LLaMA-style learned filter
@@ -776,9 +786,10 @@ def quality_score(
     exp/ln in the gate path — apply a sigmoid downstream if a
     probability is needed).
 
-    Map-only: one projection over `quality_features`' projection."""
+    Map-only: one projection over `quality_features`' projection.
+    ``extra_cols`` pass through both projections (see quality_features)."""
     w = dict(QUALITY_WEIGHTS, **(weights or {}))
-    feats = quality_features(df, text_col, id_col)
+    feats = quality_features(df, text_col, id_col, extra_cols=extra_cols)
     len_norm = F.round(F.least(F.col("n_tokens"), F.lit(500)) / F.lit(500.0), 6)
 
     # integer micro-quantization (the unigram_logprob trick): each rounded
@@ -802,6 +813,7 @@ def quality_score(
     thr_e7 = int(round(threshold * 10_000_000))
     return feats.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         logit_e7.alias("logit_e7"),
         (logit_e7 > F.lit(thr_e7)).alias("keep"),
     )

@@ -5596,6 +5596,114 @@ ORACLES["events_ohlc"] = """
     FROM k GROUP BY 1, 2
 """
 
+# Deterministic messy-URL synthesis for the domain gate: the testdata
+# documents table has no URL column, so the gate derives one per doc —
+# the SAME SQL expression string runs through Spark's F.expr and the
+# DuckDB oracle, so the input is identical by construction. The five
+# shapes exercise every canonicalization step: uppercase scheme+host and
+# a fragment (case 0), :443 default port + unsorted params + a utm_
+# tracker (1), :80 default port with no query (2), a gclid tracker mixed
+# with a real param (3), and an all-tracker query that must collapse to
+# no '?' at all plus URL collisions for the distinct-count (4). Cases 0
+# and 3 share a registrable domain through different hosts (www./news.),
+# and case 1 lands on the co.uk multi-label suffix.
+_SYNTH_URL_SQL = """CASE (doc_id % 5)
+  WHEN 0 THEN 'HTTP://WWW.' || upper(source) || cast(doc_id % 7 as string)
+              || '.COM/Article' || cast(doc_id as string)
+              || '?utm_source=feed&id=' || cast(doc_id % 13 as string) || '#frag'
+  WHEN 1 THEN 'https://blog.' || source || cast(doc_id % 7 as string)
+              || '.co.uk:443/a/b?b=' || cast(doc_id % 3 as string) || '&a=1&utm_medium=email'
+  WHEN 2 THEN 'http://' || source || cast(doc_id % 7 as string)
+              || '.org:80/p/' || cast(doc_id % 11 as string)
+  WHEN 3 THEN 'https://news.' || source || cast(doc_id % 7 as string)
+              || '.com/x?gclid=zz&q=' || cast(doc_id % 3 as string)
+  ELSE 'http://cdn.' || source || cast(doc_id % 7 as string) || '.net/img?fbclid=1&ref=home'
+END"""
+
+
+def q_corpus_domain_stats(spark, sf_dir):
+    """Per-registrable-domain rollup of a web corpus (analytics/web.py):
+    canonicalize synthesized URLs → eTLD+1 domain → one hash aggregate
+    carrying doc count, distinct canonical URLs, quality-filter keeps and
+    the mean quality logit. The whole pre-aggregate path is one map-only
+    projection (URL keys + quality logit over one scan — no self-join)."""
+    from apache_cassandra_spark.analytics import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    return web.domain_stats(docs.withColumn("url", F.expr(_SYNTH_URL_SQL)))
+
+
+# Mirrors web.canonicalize_url / registrable_domain / domain_stats step
+# by step: anchored regexes (at most one match, so DuckDB's
+# replace-first == Spark's replace-all), list_sort over ASCII params
+# (byte order both engines), the embedded multi-label suffix subset,
+# then the text_quality_score integer-e7 logit chain and a single
+# fixed-order double expression for the mean.
+ORACLES["corpus_domain_stats"] = f"""
+    WITH u0 AS (SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents),
+    p AS (SELECT doc_id, text,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+          FROM u0),
+    h AS (SELECT doc_id, text, scheme,
+            regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                                ELSE hostport END, '^www\\.', '') AS host,
+            CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                 ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+            regexp_extract(rest, '^[^?]*\\?(.*)', 1) AS query
+          FROM p),
+    q AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
+            x -> NOT (x = '' OR starts_with(split_part(x, '=', 1), 'utm_')
+                      OR split_part(x, '=', 1) IN
+                         ('gclid','fbclid','msclkid','mc_eid','igshid','ref','ref_src')))) AS kept
+          FROM h),
+    c AS (SELECT doc_id, text, host,
+            scheme || '://' || host || path ||
+              CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url
+          FROM q),
+    lab AS (SELECT *, string_split(host, '.') AS labels FROM c),
+    tk AS (SELECT *, least(CASE WHEN len(labels) >= 3
+                                     AND (labels[len(labels)-1] || '.' || labels[len(labels)]) IN
+                                         ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
+                                          'com.au','net.au','org.au','co.in','co.nz','co.za',
+                                          'com.br','com.cn','com.mx')
+                                THEN 3 ELSE 2 END, len(labels)) AS take
+           FROM lab),
+    d AS (SELECT doc_id, text, canonical_url,
+            array_to_string(labels[len(labels)-take+1:len(labels)], '.') AS domain
+          FROM tk),
+    f AS (SELECT doc_id, domain, canonical_url, length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+                 len(list_filter(string_split(text, ' '),
+                     x -> lower(x) IN ('the','and','of','to','a','in','is','for','with','that',
+                                       'it','on','as','at','by','an','be','this'))) AS n_stop,
+                 len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+          FROM d),
+    r AS (SELECT doc_id, domain, canonical_url,
+                 cast(round(round(n_punct / greatest(n_chars, 1), 6) * 1000000.0) as bigint) AS punct6,
+                 cast(round(round(n_stop / greatest(n_tokens, 1), 6) * 1000000.0) as bigint) AS stop6,
+                 cast(round(round(n_upper / greatest(n_chars, 1), 6) * 1000000.0) as bigint) AS upper6,
+                 cast(round(round((n_chars - n_tokens + 1) / greatest(n_tokens, 1), 6) * 1000000.0) as bigint) AS mtl6,
+                 cast(round(round(least(n_tokens, 500) / 500.0, 6) * 1000000.0) as bigint) AS len6
+          FROM f),
+    s AS (SELECT doc_id, domain, canonical_url,
+                 -10000000 + 25 * stop6 - 30 * punct6 - 15 * upper6
+                           + 8 * len6 - 1 * mtl6 AS logit_e7
+          FROM r),
+    a AS (SELECT domain,
+                 count(*) AS n_docs,
+                 count(DISTINCT canonical_url) AS n_urls,
+                 cast(sum(CASE WHEN logit_e7 > -5000000 THEN 1 ELSE 0 END) as bigint) AS n_keep,
+                 cast(sum(logit_e7) as bigint) AS sum_logit_e7
+          FROM s GROUP BY 1)
+    SELECT domain, n_docs, n_urls, n_keep, sum_logit_e7,
+           round(cast(sum_logit_e7 as double) / (cast(n_docs as double) * 1e7), 6) AS mean_logit
+    FROM a ORDER BY domain
+"""
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
