@@ -3688,13 +3688,6 @@ ORACLES: dict[str, str] = {
                cast(sum(cast(value as decimal(18,4))) as double) AS total
         FROM events GROUP BY 1, 2
     """,
-    "tpch_q3ish": """
-        SELECT l_orderkey,
-               cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) AS revenue
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE o_orderdate < timestamp '1996-01-01 00:00:00' AND l_shipdate > timestamp '1996-01-01 00:00:00'
-        GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
-    """,
     "tpch_q5ish": """
         SELECT n_name,
                cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) AS revenue
@@ -3770,10 +3763,6 @@ ORACLES: dict[str, str] = {
         WHERE n >= 5
           AND (n::HUGEINT * value_milli - s) * (n::HUGEINT * value_milli - s)
               > 4 * (n::HUGEINT * q - s::HUGEINT * s)
-    """,
-    "customers_without_orders": """
-        SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     # same dirtying arithmetic + same regexp pipeline as normalize_text
     "text_normalize": """
@@ -4135,23 +4124,6 @@ ORACLES: dict[str, str] = {
                            + 8 * len6 - 1 * mtl6 AS logit_e7
           FROM r)
         SELECT doc_id, logit_e7, (logit_e7 > -5000000) AS keep FROM s
-    """,
-    "text_quality": """
-        WITH f AS (
-          SELECT doc_id, length(text) AS n_chars,
-                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-                 len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
-                 len(list_filter(string_split(text, ' '),
-                     x -> lower(x) IN ('the','and','of','to','a','in','is','for','with','that',
-                                       'it','on','as','at','by','an','be','this'))) AS n_stop,
-                 len(regexp_extract_all(text, '[A-Z]')) AS n_upper
-          FROM documents)
-        SELECT doc_id, n_chars, n_tokens,
-               round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-               round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
-               round(n_upper / greatest(n_chars, 1), 6) AS upper_ratio,
-               round((n_chars - n_tokens + 1) / greatest(n_tokens, 1), 6) AS mean_token_len
-        FROM f
     """,
     "text_lang_id": """
         WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
@@ -4675,13 +4647,6 @@ ORACLES: dict[str, str] = {
                cast(grouping(o_orderstatus, o_orderpriority) AS bigint) AS gid
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
-    "lineitem_quantiles": """
-        SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
-        FROM lineitem GROUP BY 1
-    """,
     # as-of: newest click at-or-before each purchase per user
     "events_asof": """
         WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
@@ -4918,8 +4883,6 @@ ORACLES: dict[str, str] = {
 # transitive closure over the minhash candidate pairs (same pairs CTE as
 # dedup_minhash_lsh, then 8 fixed min-label rounds)
 ORACLES["dedup_groups_star"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_minhash_lsh"])
-# IVF probing every cell must equal exact brute-force top-k (same oracle)
-ORACLES["sim_ann_ivf_exact"] = ORACLES["sim_topk"]
 # prefix filtering is lossless (see q_dedup_prefix_jaccard): the gate runs
 # the PPJoin plan against the naive all-pairs oracle at the operator's
 # home threshold (0.8) and must agree exactly
@@ -5707,89 +5670,92 @@ ORACLES["corpus_domain_stats"] = f"""
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
-# then core sentinels (write path, LWW, slice, range). Round 8 leads with
-# the new coreness gate + the 5 implementations touched this round
-# (tfidf broadcast fix, blocklist flag, heavy-hitter NULL policy,
-# mutual-kNN refactor) + the 3 pre-built gates owed their first driver
-# row + the 41 entries whose newest row is round 5 (freshness bar:
-# newest >= round-2) — exactly 50. The sentinels are round-7 green and
-# rotate with that cohort in round 9/10. Gate retirements this round
-# (cass_range_slice_deprecated, dedup_groups, corpus_interleave — see
-# COVERAGE.md "Gate retirements") fund the coreness slot and keep the
-# saturated ~150-entry window inside its rotation budget.
+# then core sentinels (write path, LWW, slice, range). Round 10 executes
+# the rotation round 9 skipped: first-50 = corpus_domain_stats (built r9,
+# owed its first driver row) + the 8 prebuilds funded by this round's five
+# retirements (lineitem_quantiles, text_quality, customers_without_orders,
+# tpch_q3ish, sim_ann_ivf_exact — see COVERAGE.md "Gate retirements
+# (round 10)") + the 41 entries whose newest driver row is round 6
+# (freshness bar: newest >= round-2; they are 3 rounds stale). r11
+# first-50 = the round-7 cohort below (incl. the four core sentinels);
+# r12 = the round-9 cohort. Oracle-bound count after the retirements is
+# 151 — exactly the 50-slot x 3-round rotation budget.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50): new + touched this round ---
-    "docs_coreness": q_docs_coreness,
-    "text_tfidf": q_text_tfidf,
-    "corpus_blocklist": q_corpus_blocklist,
-    "events_heavy_hitters": q_events_heavy_hitters,
-    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
-    "docs_kcore": q_docs_kcore,
-    "dedup_incremental": q_dedup_incremental,
-    "events_quantiles": q_events_quantiles,
-    "tpch_q14ish": q_tpch_q14ish,
-    # --- stale: newest driver row round 5, code untouched since ---
-    "media_decode_gif": q_media_decode_gif,
-    "cluster_kmeans_exact": q_cluster_kmeans_exact,
-    "streaming_lww_replay": q_streaming_lww_replay,
-    "streaming_sessions_replay": q_streaming_sessions_replay,
-    "dedup_spans": q_dedup_spans,
-    "text_bigram_logprob": q_text_bigram_logprob,
-    "events_pagerank": q_events_pagerank,
-    "events_hits": q_events_hits,
-    "events_communities": q_events_communities,
-    "sim_pq_topk": q_sim_pq_topk,
-    "tpch_q3ish": q_tpch_q3ish,
-    "customers_without_orders": q_customers_without_orders,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "status_priority_matrix": q_status_priority_matrix,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_exact": q_dedup_embedding_exact,
-    "sim_topk": q_sim_topk,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "text_token_stats": q_text_token_stats,
-    "text_fingerprint": q_text_fingerprint,
-    "events_salted_agg": q_events_salted_agg,
-    "events_salted_join": q_events_salted_join,
-    "embedding_project": q_embedding_project,
-    "media_decode": q_media_decode,
-    "media_decode_png": q_media_decode_png,
-    "media_resize": q_media_resize,
-    "cass_multiget_slice": q_multiget_slice,
-    "cass_get_count": q_get_count,
-    "cass_range_slices_wrapped": q_range_slices_wrapped,
-    "cass_super_slice": q_super_slice,
-    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
-    "cass_read_at_ts": q_read_at_ts,
-    "cass_super_get_count": q_super_get_count,
-    "cass_multiget": q_multiget,
-    "events_props_json": q_events_props_json,
-    "cass_long_comparator_slice": q_long_comparator_slice,
-    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
-    # --- below the window: round-7 rows — round 9/10's rotation backlog
+    # --- driver window (first 50), round-10 rotation: the r6-stale
+    # freshness debt + corpus_domain_stats (owed its first driver row)
+    # + the 8 funded prebuilds. r11 first-50 = the r7 cohort below. ---
+    "corpus_domain_stats": q_corpus_domain_stats,
+    # 8 prebuilds funded by the round-10 retirements (see COVERAGE.md
+    # "Gate retirements") ---
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "tpch_q12ish": q_tpch_q12ish,
+    "tpch_q13ish": q_tpch_q13ish,
+    "streaming_watermark_replay": q_streaming_watermark_replay,
+    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
+    "tpch_q15ish": q_tpch_q15ish,
+    "tpch_q4ish": q_tpch_q4ish,
+    "corpus_dsir_weights": q_corpus_dsir_weights,
+    # the 41 r6-stale entries (42-entry cohort minus retired
+    # lineitem_quantiles); events_distinct_hll is its rows-only member ---
+    "basket_pairs": q_basket_pairs,
+    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
+    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
+    "cluster_inertia": q_cluster_inertia,
+    "columns_may_exist": q_columns_may_exist,
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_overlap": q_corpus_overlap,
+    "corpus_split": q_corpus_split,
+    "dedup_containment": q_dedup_containment,
+    "dedup_lines": q_dedup_lines,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "describe_splits": q_describe_splits,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "docs_novelty_topk": q_docs_novelty_topk,
+    "embedding_pq_encode": q_embedding_pq_encode,
+    "events_asof": q_events_asof,
+    "events_daily_active": q_events_daily_active,
+    "events_distinct_exact": q_events_distinct_exact,
+    "events_distinct_hll": q_events_distinct_hll,
+    "events_funnel": q_events_funnel,
+    "events_hourly": q_events_hourly,
+    "events_interval_join": q_events_interval_join,
+    "events_pivot": q_events_pivot,
+    "events_range_join": q_events_range_join,
+    "events_retention": q_events_retention,
+    "events_rolling": q_events_rolling,
+    "events_sliding": q_events_sliding,
+    "events_windowed": q_events_windowed,
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "orders_rollup": q_orders_rollup,
+    "pig_group_count": q_pig_parity,
+    "rows_may_exist": q_rows_may_exist,
+    "semantic_dedup": q_semantic_dedup,
+    "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "streaming_windowed_replay": q_streaming_windowed_replay,
+    "text_bpe_train": q_text_bpe_train,
+    "text_normalize": q_text_normalize,
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q1ish": q_tpch_q1ish,
+    "tpch_q5ish": q_tpch_q5ish,
+    "wordcount": q_wordcount,
+    # --- below the window: round-7 rows — round 11 rotation backlog
     # (incl. the four core sentinels, owed with this cohort) ---
-    "corpus_interleave_joins": q_corpus_interleave_joins,
-    "events_gap_fill": q_events_gap_fill,
-    "events_triangles": q_events_triangles,
-    "text_char_entropy": q_text_char_entropy,
-    "sim_range_search": q_sim_range_search,
-    "tpch_q18ish": q_tpch_q18ish,
-    "streaming_dedup_replay": q_streaming_dedup_replay,
-    "events_anomaly": q_events_anomaly,
-    "tpch_top_nations": q_top_nations,
-    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_get_slice": q_get_slice,
     "cass_get_slice_bounded": q_get_slice_bounded,
     "cass_get_slice_names": q_get_slice_names,
     "cass_get_slice_reversed": q_get_slice_reversed,
+    "cass_lww_events": q_lww_events,
+    "cass_lww_row_tombstones": q_lww_row_tombstones,
+    "cass_range_slices_keys": q_range_slices_keys,
+    "cass_write_path": q_write_path,
     "cf_join": q_cf_join,
     "cluster_assign": q_cluster_assign,
+    "corpus_chunk": q_corpus_chunk,
+    "corpus_interleave_joins": q_corpus_interleave_joins,
+    "corpus_mixture": q_corpus_mixture,
     "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_sample_importance": q_corpus_sample_importance,
@@ -5798,99 +5764,96 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample_token_budget": q_corpus_sample_token_budget,
     "corpus_shard_roundtrip": q_corpus_shard_roundtrip,
     "corpus_stats": q_corpus_stats,
-    "corpus_chunk": q_corpus_chunk,
-    "corpus_mixture": q_corpus_mixture,
     "dedup_groups_star": q_dedup_groups_star,
     "dedup_within_doc": q_dedup_within_doc,
     "embedding_quantize": q_embedding_quantize,
+    "events_anomaly": q_events_anomaly,
+    "events_gap_fill": q_events_gap_fill,
     "events_sessionize": q_events_sessionize,
+    "events_triangles": q_events_triangles,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
     "prepare_corpus": q_prepare_corpus,
     "prepare_corpus_full": q_prepare_corpus_full,
     "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
-    "sim_ann_ivf_exact": q_sim_ann_ivf_exact,
+    "sim_range_search": q_sim_range_search,
+    "streaming_dedup_replay": q_streaming_dedup_replay,
     "text_bpe_encode": q_text_bpe_encode,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "text_char_entropy": q_text_char_entropy,
     "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,
     "text_quality_score": q_text_quality_score,
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
-    "cass_write_path": q_write_path,
-    "cass_lww_events": q_lww_events,
-    "cass_get_slice": q_get_slice,
-    "cass_range_slices_keys": q_range_slices_keys,
-    # --- round-6 rows — round 9's backlog ---
-    "docs_novelty_topk": q_docs_novelty_topk,
-    "streaming_interval_join_replay": q_streaming_interval_join_replay,
-    "cluster_inertia": q_cluster_inertia,
-    "tpch_q10ish": q_tpch_q10ish,
-    "tpch_q5ish": q_tpch_q5ish,
-    "events_distinct_exact": q_events_distinct_exact,
-    "docs_ngram_novelty": q_docs_ngram_novelty,
-    "streaming_windowed_replay": q_streaming_windowed_replay,
-    "embedding_pq_encode": q_embedding_pq_encode,
-    "text_bpe_train": q_text_bpe_train,
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
-    "dedup_containment": q_dedup_containment,
-    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
-    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
-    "rows_may_exist": q_rows_may_exist,
-    "columns_may_exist": q_columns_may_exist,
-    "describe_splits": q_describe_splits,
-    "pig_group_count": q_pig_parity,
-    "wordcount": q_wordcount,
-    "tpch_q1ish": q_tpch_q1ish,
-    "events_hourly": q_events_hourly,
-    "events_windowed": q_events_windowed,
-    "events_sliding": q_events_sliding,
-    "events_pivot": q_events_pivot,
-    "events_daily_active": q_events_daily_active,
-    "events_interval_join": q_events_interval_join,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "events_asof": q_events_asof,
-    "events_range_join": q_events_range_join,
-    "events_rolling": q_events_rolling,
-    "orders_rollup": q_orders_rollup,
-    "lineitem_quantiles": q_lineitem_quantiles,
-    "text_normalize": q_text_normalize,
-    "corpus_split": q_corpus_split,
-    "basket_pairs": q_basket_pairs,
-    "dedup_lines": q_dedup_lines,
-    "corpus_decontaminate": q_corpus_decontaminate,
-    "corpus_overlap": q_corpus_overlap,
-    "semantic_dedup": q_semantic_dedup,
-    # --- by-design approximates: rows-only, never hash-green; exact twins windowed ---
-    "events_distinct_hll": q_events_distinct_hll,
+    "tpch_q18ish": q_tpch_q18ish,
+    "tpch_top_nations": q_top_nations,
+    # --- round-9 rows — round 12 rotation backlog ---
+    "cass_get_count": q_get_count,
+    "cass_long_comparator_slice": q_long_comparator_slice,
+    "cass_multiget": q_multiget,
+    "cass_multiget_slice": q_multiget_slice,
+    "cass_range_slices_wrapped": q_range_slices_wrapped,
+    "cass_read_at_ts": q_read_at_ts,
+    "cass_super_get_count": q_super_get_count,
+    "cass_super_slice": q_super_slice,
+    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
+    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
+    "cluster_kmeans_exact": q_cluster_kmeans_exact,
+    "corpus_blocklist": q_corpus_blocklist,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
+    "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_spans": q_dedup_spans,
+    "docs_coreness": q_docs_coreness,
+    "docs_kcore": q_docs_kcore,
+    "embedding_project": q_embedding_project,
+    "events_communities": q_events_communities,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_hits": q_events_hits,
+    "events_pagerank": q_events_pagerank,
+    "events_props_json": q_events_props_json,
+    "events_quantiles": q_events_quantiles,
+    "events_salted_agg": q_events_salted_agg,
+    "events_salted_join": q_events_salted_join,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "media_decode": q_media_decode,
+    "media_decode_gif": q_media_decode_gif,
+    "media_decode_png": q_media_decode_png,
+    "media_resize": q_media_resize,
+    "sim_pq_topk": q_sim_pq_topk,
+    "sim_topk": q_sim_topk,
+    "status_priority_matrix": q_status_priority_matrix,
+    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
+    "streaming_lww_replay": q_streaming_lww_replay,
+    "streaming_sessions_replay": q_streaming_sessions_replay,
+    "text_bigram_logprob": q_text_bigram_logprob,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lang_id": q_text_lang_id,
+    "text_tfidf": q_text_tfidf,
+    "text_token_stats": q_text_token_stats,
+    "tpch_q14ish": q_tpch_q14ish,
+    # --- by-design approximates: rows-only, never hash-green; exact
+    # twins windowed (sim_ann_ivf_exact retired r10 — identical oracle to
+    # sim_ann_lsh_exact; equality to cosine_topk pinned in tests) ---
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,
     "cluster_kmeans": q_cluster_kmeans,
     "events_quantiles_approx": q_events_quantiles_approx,
-    # --- pre-built for the round-9 window (events_heavy_hitters_cm was
-    # touched in r8 — width metadata — so its first row lands r9 fresh) ---
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    "tpch_q12ish": q_tpch_q12ish,
-    "tpch_q13ish": q_tpch_q13ish,
-    "streaming_watermark_replay": q_streaming_watermark_replay,
-    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
-    # --- pre-built for the round-10 window ---
+    # --- pre-built awaiting window funding (oracle-bound count is at
+    # the 150-entry rotation ceiling; COVERAGE.md "Proposed gate
+    # retirements" names the subsumed entries whose slots these take) ---
     "dedup_prefix_containment": q_dedup_prefix_containment,
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "text_collocations": q_text_collocations,
-    "tpch_q4ish": q_tpch_q4ish,
     "tpch_q22ish": q_tpch_q22ish,
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,
     "events_ohlc": q_events_ohlc,
-    # --- pre-built awaiting window funding (the 150-entry rotation
-    # ceiling is saturated; COVERAGE.md "Proposed gate retirements"
-    # names the subsumed entries whose slots these would take) ---
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,
-    "corpus_dsir_weights": q_corpus_dsir_weights,
-    "tpch_q15ish": q_tpch_q15ish,
 }

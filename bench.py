@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk",
-    "text_quality",
+    "text_quality_score",
     "text_repetition",
     "text_tfidf",
     "media_decode",
@@ -76,7 +76,6 @@ BENCH_QUERIES = [
     "events_pivot",
     "basket_pairs",
     "corpus_split",
-    "text_quality_score",
     "dedup_spans",
     "text_bigram_logprob",
     "events_pagerank",

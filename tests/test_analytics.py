@@ -102,6 +102,23 @@ def test_ann_recall_vs_brute_force_on_real_embeddings(spark):
     assert recall >= 0.2  # 2 planes ~ quarter of the corpus per bucket
 
 
+def test_ivf_exact_gate_pin_equals_cosine_topk(spark):
+    """Retirement receipt for the `sim_ann_ivf_exact` driver gate (retired
+    round 10 — its oracle string was byte-identical to `sim_topk`'s, so the
+    two gates spent a window slot verifying the same SQL twice). The pin is
+    STRONGER than the gate: full row equality (ids, rank, AND score) at the
+    retired gate's exact parameters, not just a hash match."""
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = em.where(F.col("vec_id") < 5)
+    exact = sorted(
+        map(tuple, similarity.cosine_topk(em, q, k=5).collect())
+    )
+    ivf = sorted(
+        map(tuple, similarity.ivf_topk(em, q, k=5, n_cells=8, nprobe=8).collect())
+    )
+    assert ivf == exact
+
+
 def test_ann_lsh_no_false_negative_for_identical(spark):
     rows = [(i, [float(i % 7 == j) for j in range(7)]) for i in range(20)]
     rows.append((99, rows[0][1]))  # identical to vec 0
