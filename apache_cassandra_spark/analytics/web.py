@@ -53,14 +53,17 @@ MULTI_SUFFIXES: tuple[str, ...] = (
 )
 
 #: exact query-parameter names stripped by canonicalization (click / session
-#: trackers that never change page content)
+#: trackers that never change page content). Deliberately NOT included:
+#: bare ``ref`` — on many origins (?ref=<branch>, ?ref=<forum-thread>) it
+#: selects different content, so collapsing it would make ``dedup_urls``
+#: drop non-duplicate documents. Corpora that know their ``ref`` is a
+#: tracker pass their own set via ``canonicalize_url(tracking_params=…)``.
 TRACKING_PARAMS: tuple[str, ...] = (
     "gclid",
     "fbclid",
     "msclkid",
     "mc_eid",
     "igshid",
-    "ref",
     "ref_src",
 )
 
@@ -69,13 +72,17 @@ _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
-def _is_tracking(param: Column) -> Column:
+def _is_tracking(param: Column, tracking_params: tuple[str, ...]) -> Column:
     """True when a single ``k=v`` query token is tracker noise."""
     key = F.split(param, "=").getItem(0)
-    return key.startswith("utm_") | key.isin(*TRACKING_PARAMS) | (param == "")
+    return key.startswith("utm_") | key.isin(*tracking_params) | (param == "")
 
 
-def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
+def canonicalize_url(
+    url: Column,
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
     """Canonical form of an absolute http(s) URL, as one codegen
     expression chain:
 
@@ -85,8 +92,9 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     - drop the default port (``:80`` for http, ``:443`` for https)
     - drop a leading ``www.`` label (``strip_www=False`` to keep it)
     - remove tracking parameters (``utm_*`` prefixes plus the
-      ``TRACKING_PARAMS`` set), sort the survivors byte-wise, and
-      re-join — ``?b=2&a=1`` and ``?a=1&b=2`` canonicalize identically
+      ``tracking_params`` set, default :data:`TRACKING_PARAMS`), sort
+      the survivors byte-wise, and re-join — ``?b=2&a=1`` and
+      ``?a=1&b=2`` canonicalize identically
     - normalize an empty path to ``/``
 
     Non-absolute inputs (no ``scheme://``) are returned trimmed but
@@ -108,7 +116,7 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)", 1)
-    kept = F.array_sort(F.filter(F.split(query, "&"), lambda p: ~_is_tracking(p)))
+    kept = F.array_sort(F.filter(F.split(query, "&"), lambda p: ~_is_tracking(p, tracking_params)))
     qtail = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(F.lit(""))
 
     canon = F.concat(scheme, F.lit("://"), host, path, qtail)
@@ -116,13 +124,20 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
 
 
 def extract_host(url: Column, strip_www: bool = True) -> Column:
-    """Lowercased host of an absolute URL, port and (by default) leading
-    ``www.`` removed; empty string for non-absolute inputs. Same regex
-    chain as :func:`canonicalize_url` so the two never disagree.
+    """Lowercased host of an absolute URL, default port (``:80`` for
+    http, ``:443`` for https — non-default ports are KEPT, they address
+    a different origin) and (by default) leading ``www.`` removed; empty
+    string for non-absolute inputs. Same scheme-conditional chain as
+    :func:`canonicalize_url`, so the ``host``/``domain`` columns never
+    disagree with the host embedded in ``canonical_url``.
     (Spark's ``parse_url(url, 'HOST')`` is the builtin alternative; the
     explicit regex is used so the DuckDB oracle replays it verbatim.)"""
-    hostport = F.lower(F.regexp_extract(F.trim(url), _HOSTPORT_RE, 1))
-    host = F.regexp_replace(hostport, r":[0-9]+$", "")
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    host = F.when(scheme == "http", F.regexp_replace(hostport, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", "")).otherwise(hostport)
+    )
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return host

@@ -5620,7 +5620,7 @@ ORACLES["corpus_domain_stats"] = f"""
     q AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
             x -> NOT (x = '' OR starts_with(split_part(x, '=', 1), 'utm_')
                       OR split_part(x, '=', 1) IN
-                         ('gclid','fbclid','msclkid','mc_eid','igshid','ref','ref_src')))) AS kept
+                         ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')))) AS kept
           FROM h),
     c AS (SELECT doc_id, text, host,
             scheme || '://' || host || path ||

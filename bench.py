@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "events_clustering_coeff",
     "text_readability",
     "events_ohlc",
+    # round-10 window additions
+    "corpus_domain_stats",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
     "tpch_q17ish",
     "tpch_q19ish",

@@ -1,0 +1,174 @@
+"""URL / domain operator semantics (analytics/web.py) — canonicalization
+edge cases, eTLD+1 extraction, URL dedup tie convention, and the
+domain_stats plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics import web
+
+
+def _canon(spark, urls, **kwargs):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(web.canonicalize_url(F.col("url"), **kwargs).alias("c")).collect()
+    return [r["c"] for r in rows]
+
+
+def _hosts(spark, urls, **kwargs):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(web.extract_host(F.col("url"), **kwargs).alias("h")).collect()
+    return [r["h"] for r in rows]
+
+
+def _domains(spark, hosts):
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    rows = df.select(web.registrable_domain(F.col("host")).alias("d")).collect()
+    return [r["d"] for r in rows]
+
+
+def test_canonicalize_basic_normalizations(spark):
+    out = _canon(
+        spark,
+        [
+            "  HTTP://WWW.Example.COM/Path?utm_source=x&id=3#frag  ",
+            "https://example.com:443/a",
+            "http://example.com:80",
+            "https://example.com",
+        ],
+    )
+    assert out == [
+        "http://example.com/Path?id=3",
+        "https://example.com/a",
+        "http://example.com/",
+        "https://example.com/",
+    ]
+
+
+def test_canonicalize_non_absolute_passthrough(spark):
+    # no scheme:// -> trimmed but otherwise untouched (mangling relative
+    # URLs would corrupt joins against absolute-URL corpora)
+    out = _canon(spark, [" /a/b?utm_source=x ", "example.com/page", "mailto:x@y.z"])
+    assert out == ["/a/b?utm_source=x", "example.com/page", "mailto:x@y.z"]
+
+
+def test_canonicalize_all_tracker_query_collapses_without_question_mark(spark):
+    out = _canon(spark, ["http://a.com/p?utm_a=1&utm_b=2&gclid=z", "http://a.com/p?"])
+    assert out == ["http://a.com/p", "http://a.com/p"]
+
+
+def test_canonicalize_param_byte_sort(spark):
+    a, b = _canon(spark, ["http://a.com/p?b=2&a=1&B=3", "http://a.com/p?B=3&a=1&b=2"])
+    # ASCII byte order: 'B' (0x42) < 'a' (0x61) < 'b'
+    assert a == "http://a.com/p?B=3&a=1&b=2"
+    assert a == b
+
+
+def test_canonicalize_non_default_port_kept(spark):
+    # :80 on https / :8080 anywhere is a DIFFERENT origin — never stripped
+    out = _canon(
+        spark,
+        ["https://a.com:80/p", "http://a.com:443/p", "http://a.com:8080/p"],
+    )
+    assert out == ["https://a.com:80/p", "http://a.com:443/p", "http://a.com:8080/p"]
+
+
+def test_extract_host_agrees_with_canonical_url_on_ports(spark):
+    # ADVICE r9: host/domain must never disagree with the host embedded in
+    # canonical_url — default ports stripped, non-default ports kept
+    urls = [
+        "http://a.com:80/p",
+        "https://a.com:443/p",
+        "http://a.com:8080/p",
+        "https://a.com:80/p",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = (
+        df.select(
+            web.extract_host(F.col("url")).alias("host"),
+            F.regexp_extract(
+                web.canonicalize_url(F.col("url")), r"^[a-z]+://([^/?#]*)", 1
+            ).alias("embedded"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["host"] == r["embedded"]
+    assert [r["host"] for r in rows] == ["a.com", "a.com", "a.com:8080", "a.com:80"]
+
+
+def test_extract_host_non_absolute_is_empty(spark):
+    assert _hosts(spark, ["not a url", "/rel/path"]) == ["", ""]
+
+
+def test_ref_param_kept_by_default_and_strippable_by_opt_in(spark):
+    # bare ref selects content on many origins (?ref=<branch>) — keeping it
+    # prevents dedup_urls collapsing distinct pages; ref_src IS a tracker
+    url = "http://a.com/repo?ref=main&ref_src=twsrc"
+    assert _canon(spark, [url]) == ["http://a.com/repo?ref=main"]
+    custom = web.TRACKING_PARAMS + ("ref",)
+    assert _canon(spark, [url], tracking_params=custom) == ["http://a.com/repo"]
+
+
+def test_registrable_domain_cases(spark):
+    got = _domains(
+        spark,
+        [
+            "a.b.foo.co.uk",  # multi-label suffix -> one extra label
+            "news.example.com",  # plain TLD -> last two labels
+            "example.com",
+            "co.uk",  # bare suffix -> returned whole
+            "localhost",  # single label -> returned whole
+            "",
+        ],
+    )
+    assert got == ["foo.co.uk", "example.com", "example.com", "co.uk", "localhost", ""]
+
+
+def test_dedup_urls_min_id_tie_convention(spark):
+    rows = [
+        (7, "http://www.a.com/p?utm_x=1"),
+        (3, "HTTP://A.com/p"),
+        (9, "http://a.com/p"),
+        (5, "http://b.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical_url"]: (r["doc_id"], r["n_dups"]) for r in web.dedup_urls(df).collect()}
+    assert out == {"http://a.com/p": (3, 3), "http://b.com/q": (5, 1)}
+
+
+@pytest.fixture()
+def webdocs(spark):
+    rows = [
+        (1, "http://www.a.com/x?utm_s=1", "the and of to a in is for quality text here"),
+        (2, "http://a.com/x", "the and of to a in is for quality text here"),
+        (3, "https://news.a.com/y", "!!! ??? ### $$$ %%%"),
+        (4, "http://b.co.uk/z", "plain words in a short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_domain_stats_semantics(spark, webdocs):
+    out = {r["domain"]: r for r in web.domain_stats(webdocs).collect()}
+    assert set(out) == {"a.com", "b.co.uk"}
+    a = out["a.com"]
+    assert a["n_docs"] == 3
+    assert a["n_urls"] == 2  # docs 1+2 canonicalize identically
+    assert a["n_keep"] <= a["n_docs"]
+    assert out["b.co.uk"]["n_docs"] == 1
+
+
+def test_domain_stats_plan_single_hash_agg_no_broadcast(spark, webdocs):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(web.domain_stats(webdocs))
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
+    # pre-aggregate path is ONE map-only projection: a single scan of the
+    # input, no self-join of two projections
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+    # the single countDistinct plans as a two-level aggregate stack
+    # (partial on (domain, canonical_url) -> final on domain): exactly two
+    # hash exchanges, plus the final orderBy range exchange on the tiny
+    # aggregated output — nothing else shuffles
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange rangepartitioning") == 1
