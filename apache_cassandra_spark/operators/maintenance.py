@@ -273,23 +273,63 @@ def cleanup(store: CellStore, ks: str, cf_name: str, key_pred) -> None:
 
 # -- row processor registry (fork: config/storage-conf.xml:140-149) ---------
 
-_ROW_PROCESSORS: dict[str, RowProcessor] = {}
+_ROW_PROCESSORS: dict[str, tuple[RowProcessor, bool]] = {}
 
 
-def register_row_processor(name: str, proc: RowProcessor) -> None:
-    _ROW_PROCESSORS[name] = proc
+def register_row_processor(
+    name: str, proc: RowProcessor, process_incomplete: bool = False
+) -> None:
+    """Register a named processor for CFDef.row_processors chains.
+
+    ``process_incomplete`` mirrors ``IRowProcessor.shouldProcessIncomplete``
+    (``db/proc/IRowProcessor.java:70``): only processors registered True
+    run at memtable flush, where a row's cells are NOT guaranteed complete
+    (older generations may hold more cells for the same key). The default
+    False is the safe choice — e.g. RemoveDeleted must NOT drop a young
+    tombstone at flush or it would resurrect the older shadowed cells
+    (the reference's RemoveDeletedRowProcessor returns false for exactly
+    this reason)."""
+    _ROW_PROCESSORS[name] = (proc, process_incomplete)
 
 
 def get_row_processor(name: str) -> RowProcessor:
-    return _ROW_PROCESSORS[name]
+    return _ROW_PROCESSORS[name][0]
+
+
+def processes_incomplete(name: str) -> bool:
+    return _ROW_PROCESSORS[name][1]
+
+
+def flush_chain(cfdef) -> RowProcessor | None:
+    """The CF's processor chain as applied at MEMTABLE FLUSH
+    (``db/Memtable.java:165-187`` + ``RowProcessorChain.java:132-136``):
+    members with ``process_incomplete=False`` are skipped in-chain; if no
+    member processes incomplete rows the flush runs no chain at all
+    (``shouldProcessIncomplete`` ORs over the chain). Returns a pandas
+    row-group callable or None."""
+    procs = [
+        get_row_processor(n) for n in cfdef.row_processors if processes_incomplete(n)
+    ]
+    if not procs:
+        return None
+
+    def chained(pdf: pd.DataFrame) -> pd.DataFrame:
+        for p in procs:
+            if pdf is None or len(pdf) == 0:
+                break
+            pdf = p(pdf)
+        return pdf
+
+    return chained
 
 
 def _remove_deleted(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Built-in analog of ``db/proc/RemoveDeletedRowProcessor.java``."""
+    """Built-in analog of ``db/proc/RemoveDeletedRowProcessor.java``
+    (shouldProcessIncomplete = false: compaction-only)."""
     return pdf[~pdf["tombstone"]]
 
 
-register_row_processor("RemoveDeleted", _remove_deleted)
+register_row_processor("RemoveDeleted", _remove_deleted, process_incomplete=False)
 
 
 # -- data validation (AntiEntropy analog) ------------------------------------

@@ -172,12 +172,66 @@ class CellStore:
         df.write.mode("append").parquet(self._cells_dir(ks, cf))
 
     def _commit(self, ks: str, cf: str, batch: MutationBatch) -> None:
-        if batch.cells:
-            df = self.spark.createDataFrame(batch.cells, CELL_SCHEMA)
+        cells = batch.cells
+        if cells:
+            cells = self._apply_flush_processors(ks, cf, cells)
+        if cells:
+            df = self.spark.createDataFrame(cells, CELL_SCHEMA)
             self._write_cells(ks, cf, df, single_file=True)
         if batch.container_tombstones:
             df = self.spark.createDataFrame(batch.container_tombstones, CONTAINER_TOMBSTONE_SCHEMA)
             df.coalesce(1).write.mode("append").parquet(self._ctombs_dir(ks, cf))
+
+    def _apply_flush_processors(self, ks: str, cf: str, cells: list) -> list:
+        """Run the CF's flush-capable row-processor chain over the cells
+        being flushed (``db/Memtable.java:165-187``: the chain is applied
+        per row between the memtable and the SSTable, so a dropping
+        processor's cells never become visible to raw-cell probes or
+        range-ghost candidacy — previously they survived until the next
+        compaction, a real divergence window vs the reference).
+
+        The memtable analog is driver-resident (a MutationBatch of python
+        rows, bounded by ``memtable_threshold``), so this is a driver-side
+        pandas pass over exactly the rows the reference's single-threaded
+        ``writeSortedContents`` walks — no Spark job. Only processors
+        registered ``process_incomplete=True`` participate (see
+        ``maintenance.flush_chain``); chain order is CFDef declaration
+        order with non-participants skipped in place. Container
+        tombstones are row-deletion metadata, not cells — the reference
+        chain sees them only as the CF's deletion info, and they commit
+        unprocessed here too."""
+        from apache_cassandra_spark.operators import maintenance
+
+        cfdef = self.catalog.keyspace(ks).cf(cf)
+        if not cfdef.row_processors:
+            return cells
+        chain = maintenance.flush_chain(cfdef)
+        if chain is None:
+            return cells
+        import pandas as pd
+
+        pdf = pd.DataFrame(cells, columns=CELL_SCHEMA.fieldNames())
+
+        def clean(row: tuple) -> tuple:
+            # undo pandas' nullable-int → float64/NaN coercion (ldt) so the
+            # tuples re-enter createDataFrame(CELL_SCHEMA) unchanged
+            key, sc, column, value, ts, tombstone, ldt = row
+            return (
+                key,
+                None if sc is None or sc is pd.NA else sc,
+                column,
+                None if value is None or value is pd.NA else value,
+                int(ts),
+                bool(tombstone),
+                None if pd.isna(ldt) else int(ldt),
+            )
+
+        out = []
+        for _, group in pdf.groupby("key", sort=False):
+            res = chain(group)
+            if res is not None and len(res):
+                out.extend(clean(t) for t in res.itertuples(index=False, name=None))
+        return out
 
     def bulk_load(self, ks: str, cf: str, cells: DataFrame) -> None:
         """W5 binary/bulk load (``db/BinaryMemtable.java:45``): pre-shaped

@@ -267,23 +267,42 @@ def main() -> None:
 
     n_keys = results.pop("_stress_n_keys")
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "calibration_sec": calibration_sec,
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "config": {
-                    "master": spark.sparkContext.master,
-                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                    "stress_keys": int(n_keys),
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "calibration_sec": calibration_sec,
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "stress_keys": int(n_keys),
+        },
+    }
+    # The driver keeps only a 2,000-char tail of stdout in BENCH_r{N}.json,
+    # which truncated calibration_sec and the py_stress storage-op timings
+    # (the workload BASELINE.md actually mirrors) for three rounds running.
+    # Persist the complete dict next to the driver artifact so every number
+    # is auditable: BENCH_full_r{N}.json, N = current round (env override,
+    # else one past the newest driver BENCH artifact).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import re as _re
+
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str(max(seen, default=0) + 1)
+        with open(os.path.join(repo, f"BENCH_full_r{int(rnd):02d}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries the data
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ def store(spark, tmp_path):
             "Keyspace1": {
                 "Standard1": {"compare_with": "BytesType"},
                 "Proc1": {"compare_with": "BytesType", "row_processors": ["RemoveDeleted"]},
+                "FlushProc1": {"compare_with": "BytesType", "row_processors": ["DropMarked", "RemoveDeleted"]},
             }
         }
     )
@@ -121,6 +122,68 @@ def test_row_processor_chain_from_catalog(store):
     cf = store.cf(ks, cfn)
     # RemoveDeleted row processor dropped the young tombstone anyway
     assert [bytes(r["column"]) for r in cf.cells.collect()] == [b"c1"]
+
+
+@pytest.fixture()
+def drop_marked_processor():
+    """Flush-capable dropping processor (shouldProcessIncomplete=true —
+    IRowProcessor.java:26-29 case 3, the only way to get control when the
+    memtable is flushing)."""
+
+    def drop_marked(pdf):
+        # tombstone cells carry value=None — never "marked"
+        return pdf[[v is None or bytes(v) != b"DROPME" for v in pdf["value"]]]
+
+    maintenance.register_row_processor("DropMarked", drop_marked, process_incomplete=True)
+    yield
+    maintenance._ROW_PROCESSORS.pop("DropMarked", None)
+
+
+def test_flush_time_processor_drops_cells_at_first_flush(store, drop_marked_processor):
+    """db/Memtable.java:165-187: a dropping processor's cells must never
+    reach storage — gone from raw-cell probes at FIRST FLUSH, not first
+    compaction (the round-9 divergence window)."""
+    ks, cfn = "Keyspace1", "FlushProc1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"keepme", 1), durable=False)
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c2"), b"DROPME", 1), durable=False)
+    store.apply(ks, cfn, write.insert("k2", ColumnPath(cfn, column=b"c1"), b"DROPME", 1), durable=False)
+    store.flush()
+    cf = store.cf(ks, cfn)
+    raw = [(r["key"], bytes(r["column"])) for r in cf.cells.collect()]
+    assert raw == [("k1", b"c1")]  # k2's whole row vanished pre-storage
+    # raw-cell existence probes never see the dropped cells
+    flags = {r["key"]: r["may_exist"] for r in exists.rows_may_exist(cf, ["k1", "k2"]).collect()}
+    assert flags == {"k1": True, "k2": False}
+
+
+def test_flush_time_processor_applies_on_durable_commit_too(store, drop_marked_processor):
+    """durable=True commits are the same memtable→storage write, just
+    batch-sized — the flush chain guards every cell write path."""
+    ks, cfn = "Keyspace1", "FlushProc1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"DROPME", 1))
+    cf = store.cf(ks, cfn)
+    assert cf.cells.count() == 0
+
+
+def test_flush_skips_processors_that_refuse_incomplete_rows(store, drop_marked_processor):
+    """RemoveDeleted registers shouldProcessIncomplete=false
+    (RemoveDeletedRowProcessor.java:52-55): running it at flush would
+    resurrect older shadowed cells. The chain must skip it in place at
+    flush (RowProcessorChain.java:132-136) and still run it at major
+    compaction."""
+    ks, cfn = "Keyspace1", "FlushProc1"
+    store.apply(ks, cfn, write.insert("k1", ColumnPath(cfn, column=b"c1"), b"keepme", 1), durable=False)
+    store.apply(ks, cfn, write.remove("k1", ColumnPath(cfn, column=b"c1"), 2, local_deletion_time=2**31 - 10), durable=False)
+    store.flush()
+    cf = store.cf(ks, cfn)
+    # the young tombstone SURVIVES flush (DropMarked doesn't match it,
+    # RemoveDeleted was skipped) — it must keep shadowing older cells
+    flags = sorted(r["tombstone"] for r in cf.cells.collect())
+    assert flags == [False, True]  # both generations on disk
+    maintenance.compact(store, ks, cfn, gc_grace_seconds=10**9)
+    cf = store.cf(ks, cfn)
+    # compaction runs the full chain: RemoveDeleted drops the tombstone
+    assert cf.cells.count() == 0
 
 
 def test_custom_row_processor_drops_rows(store):
