@@ -113,6 +113,13 @@ class CF:
     #: the read path skips the LWW aggregate and inherits the bucketed
     #: scan's HashPartitioning(key) — exchange-free reads
     pre_reconciled: bool = False
+    #: warm row cache primed by the store from its saved-caches file
+    #: (``db/ColumnFamilyStore.java:213-311`` initRowCache analog): the
+    #: persisted reconciled live view of the saved hot keys. Point reads
+    #: whose keys are all in ``row_cache_keys`` serve from it without a
+    #: manual ``cached_rows()`` call; the store invalidates it on writes.
+    row_cache: DataFrame | None = None
+    row_cache_keys: frozenset = frozenset()
 
     @property
     def is_super(self) -> bool:
@@ -163,9 +170,13 @@ class CF:
     def cached_rows(self) -> DataFrame:
         """Row-cache analog (``db/ColumnFamilyStore.java:975-986``,
         ``cache/InstrumentedCache.java``): the reconciled live view pinned
-        with MEMORY_AND_DISK so repeated point reads skip the merge. The
+        with MEMORY_AND_DISK so repeated point reads skip the merge. When
+        the store already primed a warm cache from its saved-caches file,
+        that cache is returned (store-owned lifetime); otherwise the
         caller owns the lifetime (``.unpersist()``) — invalidate after
         writes, exactly like the reference invalidates on mutation."""
         from pyspark import StorageLevel
 
+        if self.row_cache is not None:
+            return self.row_cache
         return self.live().persist(StorageLevel.MEMORY_AND_DISK)

@@ -183,6 +183,13 @@ def compact(
             kept.write.mode("overwrite").parquet(tmp_t)
             _swap_dir(tmp_t, ctombs_dir)
 
+    # saved-caches maintenance (ColumnFamilyStore.java:213-311): persist
+    # the current hot-key list, then drop the primed cache — its lineage
+    # points at the pre-compaction files; the next bind re-reconciles the
+    # saved keys from the new generation.
+    store.save_row_cache(ks, cf_name)
+    store.invalidate_row_cache(ks, cf_name)
+
 
 def submit_minor_if_needed(
     store: CellStore,
@@ -432,6 +439,9 @@ def snapshot(store: CellStore, ks: str, cf_name: str, tag: str) -> str:
     bucketed generation (if any) is linked under ``compacted/``."""
     dst = os.path.join(store.root, ks, cf_name, "snapshots", tag)
     os.makedirs(dst, exist_ok=True)
+    # persist the hot-key list with the snapshot (saved-caches analog) —
+    # data is unchanged, so the primed cache stays valid
+    store.save_row_cache(ks, cf_name)
     srcs = [(store._cells_dir(ks, cf_name), dst)]
     meta = store.compacted_meta(ks, cf_name)
     if meta is not None:

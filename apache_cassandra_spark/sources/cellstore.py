@@ -77,6 +77,9 @@ class CellStore:
         self.memtable_threshold = memtable_threshold
         # memtable analog: pending rows per (ks, cf)
         self._pending: dict[tuple[str, str], MutationBatch] = {}
+        # warm row caches primed from saved-caches files:
+        # (ks, cf) -> (hot key set, persisted reconciled live view)
+        self._row_caches: dict[tuple[str, str], tuple[frozenset, DataFrame]] = {}
 
     # -- paths --------------------------------------------------------------
     def _cells_dir(self, ks: str, cf: str) -> str:
@@ -84,6 +87,76 @@ class CellStore:
 
     def _ctombs_dir(self, ks: str, cf: str) -> str:
         return os.path.join(self.root, ks, cf, "ctombs")
+
+    def _saved_cache_path(self, ks: str, cf: str) -> str:
+        return os.path.join(self.root, ks, cf, "SAVED_CACHES.json")
+
+    # -- saved caches (warm start) -------------------------------------------
+    #
+    # ``db/ColumnFamilyStore.java:213-311``: the reference persists the row
+    # cache's hot KEY LIST (not the data) and on startup initRowCache()
+    # re-reads it and re-caches each key against the freshly loaded
+    # SSTables. Same contract here: the JSON file carries only keys; a
+    # fresh store binding re-reconciles those keys from current storage and
+    # pins the result, so the warm cache is never stale data — staleness of
+    # the KEY LIST just means warming a slightly old hot set.
+
+    def save_row_cache(self, ks: str, cf_name: str, keys=None) -> None:
+        """Persist the hot-key list (``submitRowCacheWrite`` /
+        ``readSavedCache`` analog — sorted on write, the price the
+        reference pays on read) and prime the in-session cache. With
+        ``keys=None``, re-saves the currently primed set (the
+        periodic-save-task analog used by snapshot/compact)."""
+        if keys is None:
+            ent = self._row_caches.get((ks, cf_name))
+            if ent is None:
+                return
+            keys = ent[0]
+        keys = sorted(set(keys))
+        path = self._saved_cache_path(ks, cf_name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(keys, fh)
+        os.replace(tmp, path)
+        # an explicit NEW key set replaces any primed cache; a keys=None
+        # re-save leaves the primed (still-valid) cache alone
+        if keys != sorted(self._row_caches.get((ks, cf_name), ((),))[0]):
+            self.invalidate_row_cache(ks, cf_name)
+
+    def invalidate_row_cache(self, ks: str, cf_name: str) -> None:
+        """Drop the primed cache (reference: invalidate on mutation /
+        compaction). The saved key list stays — the next ``cf()`` bind
+        re-reconciles those keys from current storage."""
+        ent = self._row_caches.pop((ks, cf_name), None)
+        if ent is not None:
+            ent[1].unpersist()
+
+    def _primed_row_cache(self, ks: str, cf_name: str, handle: CF):
+        ent = self._row_caches.get((ks, cf_name))
+        if ent is not None:
+            return ent
+        path = self._saved_cache_path(ks, cf_name)
+        if not os.path.isfile(path):
+            return None
+        with open(path) as fh:
+            keys = json.load(fh)
+        if not keys:
+            return None
+        from pyspark import StorageLevel
+
+        from apache_cassandra_spark.functions.reconcile import live_view
+
+        cells = handle.cells.where(F.col("key").isin(keys))
+        tombs = handle.container_tombstones
+        if tombs is not None:
+            tombs = tombs.where(F.col("key").isin(keys))
+        lv = live_view(
+            cells, tombs, with_sc_level=handle.is_super, pre_reconciled=handle.pre_reconciled
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ent = (frozenset(keys), lv)
+        self._row_caches[(ks, cf_name)] = ent
+        return ent
 
     # -- compacted bucketed table (the intended 100 TB read layout) ----------
     #
@@ -139,6 +212,7 @@ class CellStore:
         ``db/Table.java:568-660``). ``durable=True`` commits immediately
         (batch commitlog mode); ``False`` buffers in the memtable analog
         until ``flush`` or the threshold (periodic mode)."""
+        self.invalidate_row_cache(ks, cf)  # reference: invalidate on mutation
         if durable:
             self._commit(ks, cf, batch)
             return
@@ -236,6 +310,7 @@ class CellStore:
     def bulk_load(self, ks: str, cf: str, cells: DataFrame) -> None:
         """W5 binary/bulk load (``db/BinaryMemtable.java:45``): pre-shaped
         cell DataFrame straight to storage, bypassing the memtable path."""
+        self.invalidate_row_cache(ks, cf)
         shaped = cells.select([F.col(f.name).cast(f.dataType) for f in CELL_SCHEMA.fields])
         self._write_cells(ks, cf, shaped)
 
@@ -302,7 +377,7 @@ class CellStore:
             cells = parts[0]
             for p in parts[1:]:
                 cells = cells.unionByName(p)
-        return CF(
+        handle = CF(
             cfdef=cfdef,
             cells=cells,
             container_tombstones=tombs,
@@ -311,3 +386,7 @@ class CellStore:
             domain_col="_dom" if domain else None,
             pre_reconciled=meta is not None and len(parts) == 1,
         )
+        warm = self._primed_row_cache(ks, cf_name, handle)
+        if warm is not None:
+            handle.row_cache_keys, handle.row_cache = warm[0], warm[1]
+        return handle

@@ -272,6 +272,74 @@ def test_bulk_load(store, spark):
     assert read.get_count(cf, "1").collect()[0]["count"] == 1
 
 
+def test_saved_caches_warm_start_on_reopen(store, spark, tmp_path):
+    """Saved-caches analog (db/ColumnFamilyStore.java:213-311): the hot-key
+    list persists; a FRESH store over the same root re-primes the row cache
+    at bind time, so the first point read hits InMemoryTableScan without
+    any manual cached_rows() call. Only the KEY LIST is persisted — the
+    warm cache re-reconciles those keys from current storage, like
+    initRowCache() re-caching against freshly loaded SSTables."""
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("hot", ColumnPath(cfn, column=b"c"), b"v1", 1))
+    store.apply(ks, cfn, write.insert("cold", ColumnPath(cfn, column=b"c"), b"v2", 1))
+    store.save_row_cache(ks, cfn, ["hot"])
+
+    reopened = CellStore(spark, store.root, store.catalog)  # fresh process analog
+    cf = reopened.cf(ks, cfn)
+    try:
+        point = read.get_slice(cf, "hot", SlicePredicate(slice_range=SliceRange(count=10)))
+        plan = point._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        rows = point.collect()
+        assert len(rows) == 1 and bytes(rows[0]["value"]) == b"v1"
+        # a key outside the saved hot set takes the normal reconcile path
+        cold = read.get_slice(cf, "cold", SlicePredicate(slice_range=SliceRange(count=10)))
+        assert "InMemoryTableScan" not in cold._jdf.queryExecution().executedPlan().toString()
+        assert cold.count() == 1
+    finally:
+        reopened.invalidate_row_cache(ks, cfn)
+
+
+def test_saved_caches_invalidated_by_writes_and_refreshed(store, spark):
+    """Reference invalidates the row cache on mutation; the saved key list
+    survives and the next bind re-reconciles CURRENT data — a warm cache
+    must never serve stale values."""
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("hot", ColumnPath(cfn, column=b"c"), b"old", 1))
+    store.save_row_cache(ks, cfn, ["hot"])
+    cf = store.cf(ks, cfn)
+    assert cf.row_cache is not None  # primed
+    store.apply(ks, cfn, write.insert("hot", ColumnPath(cfn, column=b"c"), b"new", 2))
+    cf = store.cf(ks, cfn)  # re-primed from the saved list over new data
+    try:
+        rows = read.get_slice(cf, "hot", SlicePredicate(slice_range=SliceRange(count=10))).collect()
+        assert [bytes(r["value"]) for r in rows] == [b"new"]
+        assert "InMemoryTableScan" in (
+            read.get_slice(cf, "hot", SlicePredicate(slice_range=SliceRange(count=10)))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        store.invalidate_row_cache(ks, cfn)
+
+
+def test_saved_caches_survive_compaction(store, spark):
+    """compact() persists the hot list and drops the primed cache (its
+    lineage points at rewritten files); the next bind re-primes off the
+    compacted generation."""
+    ks, cfn = "Keyspace1", "Standard1"
+    store.apply(ks, cfn, write.insert("hot", ColumnPath(cfn, column=b"c"), b"v", 1))
+    store.save_row_cache(ks, cfn, ["hot"])
+    store.cf(ks, cfn)  # prime
+    maintenance.compact(store, ks, cfn)
+    cf = store.cf(ks, cfn)
+    try:
+        point = read.get_slice(cf, "hot", SlicePredicate(slice_range=SliceRange(count=10)))
+        assert "InMemoryTableScan" in point._jdf.queryExecution().executedPlan().toString()
+        assert point.count() == 1
+    finally:
+        store.invalidate_row_cache(ks, cfn)
+
+
 def test_row_cache_serves_from_memory(store):
     """Row-cache analog (db/ColumnFamilyStore.java:975-986): after
     materialization, reads come from InMemoryRelation, not the store."""
