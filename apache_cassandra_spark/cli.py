@@ -10,6 +10,7 @@
     COUNT  ks.cf['key']                 live-column count
     SHOW KEYSPACES | SHOW VERSION | SHOW CLUSTER NAME
     DESCRIBE KEYSPACE <ks>
+    CONNECT <store-root>                bind to another store (CliSession)
 
 A thin REPL over the same operators — no logic of its own (like the
 reference CLI, which shells into the Thrift methods).
@@ -110,7 +111,48 @@ def execute(engine: Engine, line: str) -> str:
     raise ValueError(f"unknown statement: {line!r}")
 
 
+class CliSession:
+    """Connection-holding CLI session — the ``CONNECT`` statement
+    (``cli/Cli.g:85-86``: ``K_CONNECT host SLASH port``). The reference
+    CLI dials a server by host/port; the in-process analog binds to a
+    STORE ROOT: ``CONNECT <root>`` loads the catalog the engine persisted
+    at ``<root>/catalog.json`` and rebinds every subsequent statement to
+    that store (the CliClient keeps exactly this kind of current-
+    connection state). All other statements delegate to :func:`execute`
+    on the current engine."""
+
+    def __init__(self, spark, engine: Engine | None = None) -> None:
+        self.spark = spark
+        self.engine = engine
+
+    def connect(self, root: str) -> str:
+        import json
+        import os
+
+        from apache_cassandra_spark.catalog import Catalog
+
+        cat_path = os.path.join(root, "catalog.json")
+        if not os.path.isfile(cat_path):
+            raise ValueError(f"no store at {root!r} (missing catalog.json)")
+        kwargs = {}
+        cluster_path = os.path.join(root, "cluster.json")
+        if os.path.isfile(cluster_path):
+            with open(cluster_path) as fh:
+                kwargs["cluster_name"] = json.load(fh)["cluster_name"]
+        self.engine = Engine(self.spark, root, Catalog.load(cat_path), **kwargs)
+        return f'Connected to "{self.engine.describe_cluster_name()}" at {root}'
+
+    def execute(self, line: str) -> str:
+        stripped = line.strip().rstrip(";")
+        if stripped.upper().startswith("CONNECT "):
+            return self.connect(stripped[len("CONNECT ") :].strip().strip("'\""))
+        if self.engine is None:
+            raise ValueError("not connected — run CONNECT <store-root> first")
+        return execute(self.engine, line)
+
+
 def repl(engine: Engine) -> None:  # pragma: no cover - interactive
+    session = CliSession(engine.spark, engine)
     while True:
         try:
             line = input("widecolumn> ")
@@ -119,6 +161,6 @@ def repl(engine: Engine) -> None:  # pragma: no cover - interactive
         if line.strip().upper() in ("QUIT", "EXIT"):
             break
         try:
-            print(execute(engine, line))
+            print(session.execute(line))
         except Exception as e:  # noqa: BLE001 - REPL surfaces all errors
             print(f"error: {e}")

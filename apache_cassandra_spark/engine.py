@@ -12,6 +12,8 @@ to a pluggable authenticator (``auth.AllowAllAuthenticator`` default,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from apache_cassandra_spark import __version__
@@ -51,14 +53,48 @@ class Engine:
 
         self.stats = OpStats(cluster_name=cluster_name)
         instrument(self, self.stats)
+        # per-session login flag (CassandraServer.java:55-60 loginDone)
+        self._login_done = False
+        # persist the catalog next to the data so a CLI CONNECT against
+        # this root can rebuild the engine (cli/Cli.g:85-86 analog); the
+        # reference's equivalent lives in storage-conf.xml on the server
+        cat_path = os.path.join(root, "catalog.json")
+        if not os.path.isfile(cat_path):
+            os.makedirs(root, exist_ok=True)
+            catalog.save(cat_path)
+            import json as _json
+
+            with open(os.path.join(root, "cluster.json"), "w") as fh:
+                _json.dump({"cluster_name": cluster_name}, fh)
 
     # -- meta (§2.3) --------------------------------------------------------
     def login(self, keyspace: str, credentials: dict | None = None) -> None:
-        """``CassandraServer.login`` analog: delegates to the configured
-        authenticator — AllowAll by default, ``auth.SimpleAuthenticator``
-        for passwd-file + keyspace-ACL parity (raises
-        AuthenticationException / AuthorizationException)."""
+        """``CassandraServer.login`` analog (``:656-661``): delegates to
+        the configured authenticator — AllowAll by default,
+        ``auth.SimpleAuthenticator`` for passwd-file + keyspace-ACL parity
+        (raises AuthenticationException / AuthorizationException). On
+        success sets the session's login flag (``loginDone.set(true)``);
+        a failed login leaves it cleared."""
         self.authenticator.login(keyspace, credentials)
+        self._login_done = True
+
+    def logout(self) -> None:
+        """``CassandraServer.logout`` (``:663-668``): clear the session's
+        login flag — subsequent data-plane ops under a non-AllowAll
+        authenticator require ``login`` again."""
+        self._login_done = False
+
+    def _check_login_done(self) -> None:
+        """``checkLoginDone`` (``CassandraServer.java:670-680``): AllowAll
+        bypasses the requirement (the reference's CASSANDRA-714 interim
+        behavior, kept for parity); any other authenticator demands a
+        completed ``login`` before data-plane calls."""
+        from apache_cassandra_spark.auth import AllowAllAuthenticator
+
+        if isinstance(self.authenticator, AllowAllAuthenticator):
+            return
+        if not self._login_done:
+            raise ValueError("login required before this operation (InvalidRequestException analog)")
 
     def describe_keyspaces(self) -> list[str]:
         return self.catalog.describe_keyspaces()
@@ -113,6 +149,7 @@ class Engine:
 
     # -- handles ------------------------------------------------------------
     def cf(self, keyspace: str, cf_name: str) -> CF:
+        self._check_login_done()  # every data-plane read binds through here
         return self.store.cf(keyspace, cf_name)
 
     # -- reads (§2.1) -------------------------------------------------------
@@ -173,11 +210,13 @@ class Engine:
 
     # -- writes (§2.2), validated like ThriftValidation ---------------------
     def insert(self, ks: str, key: str, path: ColumnPath, value: bytes, timestamp: int, durable: bool = True) -> None:
+        self._check_login_done()
         V.validate_key(key)
         V.validate_column_path(self.catalog, ks, path)
         self.store.apply(ks, path.column_family, W.insert(key, path, value, timestamp), durable)
 
     def remove(self, ks: str, key: str, path: ColumnPath, timestamp: int, ldt: int | None = None, durable: bool = True) -> None:
+        self._check_login_done()
         V.validate_key(key)
         V.validate_cf(self.catalog, ks, path.column_family)
         if path.column is not None or path.super_column is not None:
@@ -185,6 +224,7 @@ class Engine:
         self.store.apply(ks, path.column_family, W.remove(key, path, timestamp, ldt), durable)
 
     def batch_mutate(self, ks: str, mutations: dict, durable: bool = True, ldt: int | None = None) -> None:
+        self._check_login_done()
         for key, by_cf in mutations.items():
             V.validate_key(key)
             for cf_name, muts in by_cf.items():

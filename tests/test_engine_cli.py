@@ -140,3 +140,67 @@ def test_engine_join_cf(spark, tmp_path):
 
     with _pytest.raises(InvalidRequest):
         eng.join_cf("KS", "A", "Nope")
+
+
+def test_logout_clears_login_requirement_state(spark, tmp_path):
+    """CassandraServer.java:656-680: login sets the session flag, logout
+    clears it; under a non-AllowAll authenticator data-plane ops demand a
+    completed login, while AllowAll bypasses the check entirely (the
+    reference's CASSANDRA-714 interim behavior)."""
+    from apache_cassandra_spark.auth import SimpleAuthenticator
+
+    passwd = tmp_path / "passwd.properties"
+    passwd.write_text("alice=sekrit\n")
+    access = tmp_path / "access.properties"
+    access.write_text("Keyspace1=alice\n")
+    catalog = Catalog.from_dict({"Keyspace1": {"Standard1": {"compare_with": "UTF8Type"}}})
+    eng = Engine(
+        spark, str(tmp_path / "auth_store"), catalog,
+        authenticator=SimpleAuthenticator(str(passwd), str(access)),
+    )
+    with pytest.raises(ValueError, match="login required"):
+        eng.insert("Keyspace1", "k", ColumnPath("Standard1", column=b"c"), b"v", 1)
+    eng.login("Keyspace1", {"username": "alice", "password": "sekrit"})
+    eng.insert("Keyspace1", "k", ColumnPath("Standard1", column=b"c"), b"v", 1)
+    assert eng.get_count("Keyspace1", "k", "Standard1") == 1
+    eng.logout()
+    with pytest.raises(ValueError, match="login required"):
+        eng.get_count("Keyspace1", "k", "Standard1")
+    # re-login restores access (the flag is session state, nothing else)
+    eng.login("Keyspace1", {"username": "alice", "password": "sekrit"})
+    assert eng.get_count("Keyspace1", "k", "Standard1") == 1
+
+
+def test_allowall_engine_never_requires_login(engine):
+    engine.logout()  # no-op under AllowAll
+    assert execute(engine, "SET Keyspace1.Standard1['u9']['c'] = 'v'") == "ok"
+
+
+def test_cli_connect_switches_stores(spark, tmp_path):
+    """cli/Cli.g:85-86 CONNECT analog: the session rebinds to another
+    store root using the catalog + cluster name the engine persisted
+    there; statements after CONNECT hit the new store."""
+    from apache_cassandra_spark.cli import CliSession
+
+    cat_a = Catalog.from_dict({"KSA": {"CF": {"compare_with": "UTF8Type"}}})
+    cat_b = Catalog.from_dict({"KSB": {"CF": {"compare_with": "UTF8Type"}}})
+    eng_a = Engine(spark, str(tmp_path / "a"), cat_a, cluster_name="ClusterA")
+    eng_b = Engine(spark, str(tmp_path / "b"), cat_b, cluster_name="ClusterB")
+    eng_b.insert("KSB", "k", ColumnPath("CF", column=b"c"), b"vb", 1)
+
+    session = CliSession(spark, eng_a)
+    assert session.execute("SHOW CLUSTER NAME") == "ClusterA"
+    out = session.execute(f"CONNECT {tmp_path / 'b'}")
+    assert out.startswith('Connected to "ClusterB"')
+    assert session.execute("SHOW CLUSTER NAME") == "ClusterB"
+    assert session.execute("SHOW KEYSPACES") == "KSB"
+    assert "vb" in session.execute("GET KSB.CF['k']['c']")
+    with pytest.raises(ValueError, match="no store"):
+        session.execute(f"CONNECT {tmp_path / 'missing'}")
+
+
+def test_cli_session_requires_connection(spark):
+    from apache_cassandra_spark.cli import CliSession
+
+    with pytest.raises(ValueError, match="not connected"):
+        CliSession(spark).execute("SHOW KEYSPACES")
