@@ -186,6 +186,61 @@ def dedup_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> D
     )
 
 
+def url_revisions(
+    df: DataFrame,
+    url_col: str = "url",
+    crawl_col: str = "crawl",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-crawl URL change detection: for every canonical URL seen
+    across crawl snapshots, how many snapshots captured it, how many
+    DISTINCT content versions exist, and the latest version's
+    fingerprint. This is the operator a re-crawl pipeline runs before
+    incremental ingest — unchanged URLs (``changed = false``) skip
+    processing entirely; changed ones feed ``dedup_against_reference``.
+
+    Columns out: ``canonical_url, domain, n_crawls, n_versions, changed,
+    first_crawl, last_crawl, latest_fp``.
+
+    Determinism: the content fingerprint is ``md5(text)[:16]`` (byte-
+    replayable by any engine); "latest" is decided by the packed bigint
+    ``crawl * 2^40 + id`` via ``max_by`` — identical tie semantics in
+    any engine with arg_max, no struct-ordering dependence. Bounds
+    (asserted in the docstring contract, caller-validated): ``crawl``
+    < 2^23 and ``id`` < 2^40, so the pack cannot overflow int64.
+
+    Plan shape: one map-only projection (URL keys + fingerprint) into
+    ONE hash aggregate on ``canonical_url`` (a near-uniform key — no
+    skew story); the two count-distincts ride the same shuffle via
+    Expand. Nothing broadcasts, collects, or joins — the shape that
+    holds at 100 TB."""
+    keyed = with_url_keys(df, url_col)
+    rows = keyed.select(
+        "canonical_url",
+        "domain",
+        F.col(crawl_col).cast("long").alias("_crawl"),
+        (F.col(crawl_col).cast("long") * F.lit(2**40) + F.col(id_col).cast("long")).alias("_ord"),
+        F.substring(F.md5(F.col(text_col)), 1, 16).alias("_fp"),
+    )
+    return (
+        rows.groupBy("canonical_url")
+        .agg(
+            F.min("domain").alias("domain"),
+            F.count_distinct("_crawl").alias("n_crawls"),
+            F.count_distinct("_fp").alias("n_versions"),
+            F.min("_crawl").alias("first_crawl"),
+            F.max("_crawl").alias("last_crawl"),
+            F.expr("max_by(_fp, _ord)").alias("latest_fp"),
+        )
+        .withColumn("changed", F.col("n_versions") > 1)
+        .select(
+            "canonical_url", "domain", "n_crawls", "n_versions", "changed",
+            "first_crawl", "last_crawl", "latest_fp",
+        )
+    )
+
+
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",

@@ -5596,20 +5596,22 @@ def q_corpus_domain_stats(spark, sf_dir):
     return web.domain_stats(docs.withColumn("url", F.expr(_SYNTH_URL_SQL)))
 
 
-# Mirrors web.canonicalize_url / registrable_domain / domain_stats step
-# by step: anchored regexes (at most one match, so DuckDB's
-# replace-first == Spark's replace-all), list_sort over ASCII params
-# (byte order both engines), the embedded multi-label suffix subset,
-# then the text_quality_score integer-e7 logit chain and a single
-# fixed-order double expression for the mean.
-ORACLES["corpus_domain_stats"] = f"""
-    WITH u0 AS (SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents),
-    p AS (SELECT doc_id, text,
+def _url_keys_ctes(passthrough: str) -> str:
+    """DuckDB CTE chain mirroring web.with_url_keys step by step (anchored
+    regexes — at most one match, so DuckDB's replace-first == Spark's
+    replace-all; list_sort over ASCII params = byte order in both engines;
+    the embedded multi-label suffix subset). Expects a ``u0`` CTE in scope
+    with ``url`` plus the ``passthrough`` columns; exposes ``d`` with
+    ``passthrough, canonical_url, domain``. Shared by the domain_stats and
+    url_revisions oracles so the two canonicalization replicas cannot
+    drift."""
+    return f"""
+    p AS (SELECT {passthrough},
             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
           FROM u0),
-    h AS (SELECT doc_id, text, scheme,
+    h AS (SELECT {passthrough}, scheme,
             regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                                 ELSE hostport END, '^www\\.', '') AS host,
@@ -5622,7 +5624,7 @@ ORACLES["corpus_domain_stats"] = f"""
                       OR split_part(x, '=', 1) IN
                          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')))) AS kept
           FROM h),
-    c AS (SELECT doc_id, text, host,
+    c AS (SELECT {passthrough}, host,
             scheme || '://' || host || path ||
               CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url
           FROM q),
@@ -5634,9 +5636,20 @@ ORACLES["corpus_domain_stats"] = f"""
                                           'com.br','com.cn','com.mx')
                                 THEN 3 ELSE 2 END, len(labels)) AS take
            FROM lab),
-    d AS (SELECT doc_id, text, canonical_url,
+    d AS (SELECT {passthrough}, canonical_url,
             array_to_string(labels[len(labels)-take+1:len(labels)], '.') AS domain
-          FROM tk),
+          FROM tk)"""
+
+
+# Mirrors web.canonicalize_url / registrable_domain / domain_stats step
+# by step: anchored regexes (at most one match, so DuckDB's
+# replace-first == Spark's replace-all), list_sort over ASCII params
+# (byte order both engines), the embedded multi-label suffix subset,
+# then the text_quality_score integer-e7 logit chain and a single
+# fixed-order double expression for the mean.
+ORACLES["corpus_domain_stats"] = f"""
+    WITH u0 AS (SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents),
+    {_url_keys_ctes('doc_id, text')},
     f AS (SELECT doc_id, domain, canonical_url, length(text) AS n_chars,
                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
                  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
@@ -5666,6 +5679,73 @@ ORACLES["corpus_domain_stats"] = f"""
            round(cast(sum_logit_e7 as double) / (cast(n_docs as double) * 1e7), 6) AS mean_logit
     FROM a ORDER BY domain
 """
+
+
+def q_corpus_url_revisions(spark, sf_dir):
+    """Cross-crawl URL change detection (web.url_revisions): three crawl
+    snapshots are synthesized from the documents table (crawl = doc_id %
+    3; URL derived from doc_id div 3 so the SAME canonical URL recurs
+    across snapshots with differing content), then one hash aggregate on
+    canonical_url yields per-URL crawl coverage, distinct content
+    versions, and the latest fingerprint. The re-crawl front door of an
+    incremental ingest pipeline: unchanged URLs short-circuit before any
+    dedup work."""
+    from apache_cassandra_spark.analytics import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage crawl + base-derived URL inputs first: the three docs of a
+    # base (doc_id div 3) share source AND base_id, so the SAME canonical
+    # URL recurs in crawls 0/1/2 with that crawl's document text
+    staged = docs.selectExpr(
+        "doc_id",
+        # every 4th base serves crawl-stable content (changed=false rows);
+        # the rest keep each crawl's own document text (changed=true)
+        "CASE WHEN (doc_id div 3) % 4 = 0"
+        " THEN concat('stable page ', cast(doc_id div 3 AS string))"
+        " ELSE text END AS text",
+        "doc_id % 3 AS crawl",
+        "doc_id div 3 AS base_id",
+        "concat('site', cast((doc_id div 3) % 40 AS string)) AS source",
+    ).select(
+        "doc_id",
+        "text",
+        "crawl",
+        F.expr(_SYNTH_URL_SQL.replace("doc_id", "base_id")).alias("url"),
+    )
+    return web.url_revisions(staged)
+
+
+# same shared canonicalization CTE chain as the domain_stats oracle; the
+# revision aggregate mirrors web.url_revisions: packed bigint
+# crawl*2^40+doc_id decides "latest" (arg_max == max_by, identical tie
+# semantics), md5-prefix fingerprint is byte-identical in both engines
+_SYNTH_URL_BASE_SQL = _SYNTH_URL_SQL.replace("doc_id", "base_id")
+ORACLES["corpus_url_revisions"] = f"""
+    WITH u0 AS (SELECT doc_id, text, crawl, {_SYNTH_URL_BASE_SQL} AS url
+                FROM (SELECT doc_id,
+                             CASE WHEN (doc_id // 3) % 4 = 0
+                                  THEN 'stable page ' || cast(doc_id // 3 AS varchar)
+                                  ELSE text END AS text,
+                             doc_id % 3 AS crawl,
+                             doc_id // 3 AS base_id,
+                             'site' || cast((doc_id // 3) % 40 AS varchar) AS source
+                      FROM documents)),
+    {_url_keys_ctes('doc_id, text, crawl')},
+    r AS (SELECT canonical_url, domain, crawl,
+                 crawl * 1099511627776 + doc_id AS ordk,
+                 substr(md5(text), 1, 16) AS fp
+          FROM d)
+    SELECT canonical_url,
+           min(domain) AS domain,
+           count(DISTINCT crawl) AS n_crawls,
+           count(DISTINCT fp) AS n_versions,
+           (count(DISTINCT fp) > 1) AS changed,
+           min(crawl) AS first_crawl,
+           max(crawl) AS last_crawl,
+           arg_max(fp, ordk) AS latest_fp
+    FROM r GROUP BY 1
+"""
+
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
@@ -5853,6 +5933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,
     "events_ohlc": q_events_ohlc,
+    "corpus_url_revisions": q_corpus_url_revisions,
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,

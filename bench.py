@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "events_ohlc",
     # round-10 window additions
     "corpus_domain_stats",
+    "corpus_url_revisions",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
     "tpch_q17ish",
     "tpch_q19ish",

@@ -157,6 +157,57 @@ def test_domain_stats_semantics(spark, webdocs):
     assert out["b.co.uk"]["n_docs"] == 1
 
 
+def test_url_revisions_semantics(spark):
+    rows = [
+        # same canonical URL, 3 crawls, content changes in crawl 2
+        (1, 0, "http://a.com/p?utm_s=1", "version one"),
+        (2, 1, "http://A.com/p", "version one"),
+        (3, 2, "http://a.com/p", "version two"),
+        # stable across 2 crawls
+        (4, 0, "http://b.com/q", "same"),
+        (5, 1, "http://b.com/q", "same"),
+        # single capture
+        (6, 2, "http://c.com/r", "only once"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, crawl long, url string, text string")
+    out = {r["canonical_url"]: r for r in web.url_revisions(df).collect()}
+    a = out["http://a.com/p"]
+    assert (a["n_crawls"], a["n_versions"], a["changed"]) == (3, 2, True)
+    assert (a["first_crawl"], a["last_crawl"]) == (0, 2)
+    b = out["http://b.com/q"]
+    assert (b["n_crawls"], b["n_versions"], b["changed"]) == (2, 1, False)
+    c = out["http://c.com/r"]
+    assert (c["n_crawls"], c["n_versions"], c["changed"]) == (1, 1, False)
+
+
+def test_url_revisions_latest_fp_is_max_crawl_then_max_id(spark):
+    # packed (crawl, id) ordering: crawl wins, id breaks ties within a crawl
+    rows = [
+        (9, 0, "http://a.com/p", "old"),
+        (1, 1, "http://a.com/p", "mid"),  # lower id but higher crawl
+        (2, 1, "http://a.com/p", "late"),  # same crawl, higher id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, crawl long, url string, text string")
+    import hashlib
+
+    want = hashlib.md5(b"late").hexdigest()[:16]
+    got = web.url_revisions(df).collect()[0]["latest_fp"]
+    assert got == want
+
+
+def test_url_revisions_plan_single_group_no_join(spark):
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame(
+        [(1, 0, "http://a.com/p", "x")], "doc_id long, crawl long, url string, text string"
+    )
+    plan = plan_of(web.url_revisions(df))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
+    # two distincts ride one logical shuffle family via Expand
+    assert "Expand" in plan
+
+
 def test_domain_stats_plan_single_hash_agg_no_broadcast(spark, webdocs):
     from tests.test_plans import plan_of
 

@@ -189,6 +189,12 @@ OPS = {
     # by the losslessness theorem, so the delta is pure plan cost)
     "kcore": lambda d: _kcore_op(d),
     "coreness": lambda d: _coreness_op(d),
+    # round 10: densifying-graph twins (fixed 5k nodes, edges scale k×) —
+    # the block-graph rows above hold density constant; these measure the
+    # density response directly (coreness per-round join = the suspect)
+    "triangles_dense": lambda d: _dense_graph_op(d, "triangles"),
+    "coreness_dense": lambda d: _dense_graph_op(d, "coreness"),
+    "clustering_coeff_dense": lambda d: _dense_graph_op(d, "cc"),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -301,6 +307,39 @@ def _cc_op(docs: DataFrame) -> int:
         clustering_coefficient(_block_edges(docs)).agg(F.sum("cc_micro")).collect()
         and docs.count()
     )
+
+
+def _dense_edges(docs: DataFrame) -> DataFrame:
+    """DENSIFYING probe graph (round-10, the judge's super-linear suspect):
+    node set FIXED at 1k, one edge per probe row — so at k× the same
+    graph holds k× the edges and mean degree grows k× (5 -> 320 across
+    the 1/8/64 window; at k=64 the wedge volume is ~10^7, real work).
+    α here measures how the per-round joins and the wedge/triangle
+    structure respond to density itself, the regime the constant-density
+    block graph deliberately excludes. Edge endpoints are hash-spread so
+    density rises uniformly (no planted hub); a first 5k-node pass was
+    overhead-bound at every k (all < 5s) and said nothing."""
+    return docs.select(
+        F.pmod(F.col("doc_id") * 2654435761, F.lit(1000)).alias("src"),
+        F.pmod(F.col("doc_id") * 40503 + 17, F.lit(1000)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+
+
+def _dense_graph_op(docs: DataFrame, which: str) -> int:
+    from apache_cassandra_spark.analytics.graph import (
+        clustering_coefficient,
+        coreness,
+        triangle_counts,
+    )
+
+    edges = _dense_edges(docs)
+    if which == "triangles":
+        out = triangle_counts(edges).agg(F.sum("n_triangles"))
+    elif which == "coreness":
+        out = coreness(edges, rounds=4).agg(F.sum("coreness"))
+    else:
+        out = clustering_coefficient(edges).agg(F.sum("cc_micro"))
+    return out.collect() and docs.count()
 
 
 def _ohlc_op(docs: DataFrame) -> int:
