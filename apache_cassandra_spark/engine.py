@@ -113,10 +113,12 @@ class Engine:
 
     def describe_ring(self, keyspace: str) -> list[dict]:
         """Partition layout introspection: one logical range per CF backing
-        fileset (single-source engine: every range is 'local')."""
+        fileset (single-source engine: every range is 'local'). Meta op —
+        NOT login-gated, matching the reference (checkLoginDone guards
+        only the data plane)."""
         out = []
         for cf in self.catalog.keyspace(keyspace).column_families:
-            handle = self.cf(keyspace, cf.name)
+            handle = self.store.cf(keyspace, cf.name)
             out.append(
                 {
                     "column_family": cf.name,
@@ -126,7 +128,8 @@ class Engine:
         return out
 
     def describe_splits(self, keyspace: str, cf_name: str, keys_per_split: int) -> list[str]:
-        return R.describe_splits(self.cf(keyspace, cf_name), keys_per_split)
+        # meta op: not login-gated in the reference either
+        return R.describe_splits(self.store.cf(keyspace, cf_name), keys_per_split)
 
     def get_string_property(self, name: str) -> str:
         """``get_string_property`` (``CassandraServer.java:463-486``)."""

@@ -213,6 +213,10 @@ def submit_minor_if_needed(
     cells_dir = store._cells_dir(ks, cf_name)
     if not os.path.isdir(cells_dir):
         return False
+    # a merge deletes the input delta files: any primed row cache whose
+    # (lazy, not-yet-materialized) lineage references them must drop now —
+    # content is unchanged, so the next bind re-primes identically
+    store.invalidate_row_cache(ks, cf_name)
     if store.catalog.keyspace(ks).cf(cf_name).domain_split:
         # domain-split CFs keep files under _dom=XX/ partition dirs; each
         # domain is an independent size-tiered pool

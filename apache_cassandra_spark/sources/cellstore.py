@@ -147,10 +147,21 @@ class CellStore:
 
         from apache_cassandra_spark.functions.reconcile import live_view
 
-        cells = handle.cells.where(F.col("key").isin(keys))
-        tombs = handle.container_tombstones
-        if tombs is not None:
-            tombs = tombs.where(F.col("key").isin(keys))
+        if len(keys) <= 1000:
+            key_pred = F.col("key").isin(keys)
+            cells = handle.cells.where(key_pred)
+            tombs = handle.container_tombstones
+            if tombs is not None:
+                tombs = tombs.where(key_pred)
+        else:
+            # large hot sets: a literal In() of 10^5 keys bloats the plan —
+            # semi-join against a broadcast key frame instead (the list is
+            # driver-bounded by construction: these keys WERE cached rows)
+            key_df = F.broadcast(self.spark.createDataFrame([(k,) for k in keys], "key string"))
+            cells = handle.cells.join(key_df, "key", "semi")
+            tombs = handle.container_tombstones
+            if tombs is not None:
+                tombs = tombs.join(key_df, "key", "semi")
         lv = live_view(
             cells, tombs, with_sc_level=handle.is_super, pre_reconciled=handle.pre_reconciled
         ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -300,11 +311,14 @@ class CellStore:
                 None if pd.isna(ldt) else int(ldt),
             )
 
+        cols = CELL_SCHEMA.fieldNames()
         out = []
         for _, group in pdf.groupby("key", sort=False):
             res = chain(group)
             if res is not None and len(res):
-                out.extend(clean(t) for t in res.itertuples(index=False, name=None))
+                # processors may reorder/add columns; the contract (same as
+                # the compaction path's applyInPandas schema) is CELL_SCHEMA
+                out.extend(clean(t) for t in res[cols].itertuples(index=False, name=None))
         return out
 
     def bulk_load(self, ks: str, cf: str, cells: DataFrame) -> None:

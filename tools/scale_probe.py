@@ -317,11 +317,16 @@ def _dense_edges(docs: DataFrame) -> DataFrame:
     α here measures how the per-round joins and the wedge/triangle
     structure respond to density itself, the regime the constant-density
     block graph deliberately excludes. Edge endpoints are hash-spread so
-    density rises uniformly (no planted hub); a first 5k-node pass was
-    overhead-bound at every k (all < 5s) and said nothing."""
+    density rises uniformly (no planted hub). Endpoints come from
+    xxhash64, NOT a linear map: a*doc_id mod 1000 is a function of
+    doc_id mod 1000, and replica ids differ by multiples of 10^6 ≡ 0
+    (mod 1000) — the linear form silently replicated ONE fixed edge set
+    k times, so the first two "densifying" passes measured a constant
+    graph (flat α at both 5k and 1k nodes, the tell that forced this
+    note)."""
     return docs.select(
-        F.pmod(F.col("doc_id") * 2654435761, F.lit(1000)).alias("src"),
-        F.pmod(F.col("doc_id") * 40503 + 17, F.lit(1000)).alias("dst"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000)).alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(1000)).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
 
 
