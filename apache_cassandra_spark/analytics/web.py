@@ -159,10 +159,18 @@ def registrable_domain(host: Column) -> Column:
     return F.array_join(F.slice(labels, n - take + 1, take), ".")
 
 
-def with_url_keys(df: DataFrame, url_col: str = "url", strip_www: bool = True) -> DataFrame:
+def with_url_keys(
+    df: DataFrame,
+    url_col: str = "url",
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> DataFrame:
     """Append ``canonical_url``, ``host``, ``domain`` columns — the
-    map-only projection every downstream domain operator starts from."""
-    canon = canonicalize_url(F.col(url_col), strip_www=strip_www)
+    map-only projection every downstream domain operator starts from.
+    ``tracking_params`` threads through to :func:`canonicalize_url` (and
+    from here through every downstream operator), so a corpus that knows
+    its ``ref`` is a tracker opts in without reimplementing the chain."""
+    canon = canonicalize_url(F.col(url_col), strip_www=strip_www, tracking_params=tracking_params)
     host = extract_host(F.col(url_col), strip_www=strip_www)
     return df.withColumns(
         {
@@ -173,12 +181,17 @@ def with_url_keys(df: DataFrame, url_col: str = "url", strip_www: bool = True) -
     )
 
 
-def dedup_urls(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+def dedup_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> DataFrame:
     """Exact URL-level dedup after canonicalization: keep the smallest id
     per canonical URL (the crawl-stability convention — oldest capture
     wins). One hash aggregate on a near-uniform key; the same shape and
     scale story as ``dedup.exact``."""
-    keyed = with_url_keys(df, url_col)
+    keyed = with_url_keys(df, url_col, tracking_params=tracking_params)
     return (
         keyed.groupBy("canonical_url")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
@@ -192,6 +205,7 @@ def url_revisions(
     crawl_col: str = "crawl",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
 ) -> DataFrame:
     """Cross-crawl URL change detection: for every canonical URL seen
     across crawl snapshots, how many snapshots captured it, how many
@@ -215,7 +229,7 @@ def url_revisions(
     skew story); the two count-distincts ride the same shuffle via
     Expand. Nothing broadcasts, collects, or joins — the shape that
     holds at 100 TB."""
-    keyed = with_url_keys(df, url_col)
+    keyed = with_url_keys(df, url_col, tracking_params=tracking_params)
     rows = keyed.select(
         "canonical_url",
         "domain",
@@ -246,6 +260,7 @@ def domain_stats(
     url_col: str = "url",
     text_col: str = "text",
     id_col: str = "doc_id",
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
 ) -> DataFrame:
     """Per-registrable-domain corpus rollup: document count, distinct
     canonical URLs, kept-document count and mean quality logit (the
@@ -261,7 +276,7 @@ def domain_stats(
     collects."""
     from apache_cassandra_spark.analytics.text import quality_score
 
-    keyed = with_url_keys(df, url_col)
+    keyed = with_url_keys(df, url_col, tracking_params=tracking_params)
     scored = quality_score(keyed, id_col=id_col, text_col=text_col, extra_cols=("domain", "canonical_url"))
     return (
         scored.groupBy("domain")

@@ -139,6 +139,15 @@ class CliSession:
         if os.path.isfile(cluster_path):
             with open(cluster_path) as fh:
                 kwargs["cluster_name"] = json.load(fh)["cluster_name"]
+        if self.engine is not None:
+            # the session's auth CONFIG and partitioner travel with the
+            # connection (the reference CLI's credentials/config are
+            # client-side state); login STATE does not — the fresh engine
+            # starts logged out, so a SimpleAuthenticator session must
+            # login again after CONNECT rather than silently downgrading
+            # to AllowAll
+            kwargs["authenticator"] = self.engine.authenticator
+            kwargs["partitioner"] = self.engine.partitioner
         self.engine = Engine(self.spark, root, Catalog.load(cat_path), **kwargs)
         return f'Connected to "{self.engine.describe_cluster_name()}" at {root}'
 

@@ -58,14 +58,15 @@ class Engine:
         # persist the catalog next to the data so a CLI CONNECT against
         # this root can rebuild the engine (cli/Cli.g:85-86 analog); the
         # reference's equivalent lives in storage-conf.xml on the server
-        cat_path = os.path.join(root, "catalog.json")
-        if not os.path.isfile(cat_path):
-            os.makedirs(root, exist_ok=True)
-            catalog.save(cat_path)
-            import json as _json
+        # always rewritten: the LIVE engine's catalog/cluster view is
+        # authoritative, so schema evolution or a cluster rename never
+        # leaves a stale snapshot for a later CLI CONNECT to resurrect
+        os.makedirs(root, exist_ok=True)
+        catalog.save(os.path.join(root, "catalog.json"))
+        import json as _json
 
-            with open(os.path.join(root, "cluster.json"), "w") as fh:
-                _json.dump({"cluster_name": cluster_name}, fh)
+        with open(os.path.join(root, "cluster.json"), "w") as fh:
+            _json.dump({"cluster_name": cluster_name}, fh)
 
     # -- meta (§2.3) --------------------------------------------------------
     def login(self, keyspace: str, credentials: dict | None = None) -> None:

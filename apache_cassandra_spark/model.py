@@ -170,13 +170,14 @@ class CF:
     def cached_rows(self) -> DataFrame:
         """Row-cache analog (``db/ColumnFamilyStore.java:975-986``,
         ``cache/InstrumentedCache.java``): the reconciled live view pinned
-        with MEMORY_AND_DISK so repeated point reads skip the merge. When
-        the store already primed a warm cache from its saved-caches file,
-        that cache is returned (store-owned lifetime); otherwise the
+        with MEMORY_AND_DISK so repeated point reads skip the merge. The
         caller owns the lifetime (``.unpersist()``) — invalidate after
-        writes, exactly like the reference invalidates on mutation."""
+        writes, exactly like the reference invalidates on mutation.
+
+        Deliberately INDEPENDENT of the store-primed warm cache
+        (``row_cache``): that one is store-owned and a contract-following
+        caller unpersisting this frame must not silently strip the warm
+        cache's persistence out from under ``_filtered_live``."""
         from pyspark import StorageLevel
 
-        if self.row_cache is not None:
-            return self.row_cache
         return self.live().persist(StorageLevel.MEMORY_AND_DISK)

@@ -213,10 +213,6 @@ def submit_minor_if_needed(
     cells_dir = store._cells_dir(ks, cf_name)
     if not os.path.isdir(cells_dir):
         return False
-    # a merge deletes the input delta files: any primed row cache whose
-    # (lazy, not-yet-materialized) lineage references them must drop now —
-    # content is unchanged, so the next bind re-primes identically
-    store.invalidate_row_cache(ks, cf_name)
     if store.catalog.keyspace(ks).cf(cf_name).domain_split:
         # domain-split CFs keep files under _dom=XX/ partition dirs; each
         # domain is an independent size-tiered pool
@@ -225,8 +221,16 @@ def submit_minor_if_needed(
             sub = os.path.join(cells_dir, d)
             if d.startswith("_dom=") and os.path.isdir(sub):
                 ran = _minor_in_dir(store, sub, min_threshold, max_threshold, bucket_ratio) or ran
-        return ran
-    return _minor_in_dir(store, cells_dir, min_threshold, max_threshold, bucket_ratio)
+    else:
+        ran = _minor_in_dir(store, cells_dir, min_threshold, max_threshold, bucket_ratio)
+    if ran:
+        # the merge deleted its input delta files: a primed row cache whose
+        # (lazy, not-yet-materialized) lineage references them must drop —
+        # content is unchanged, so the next bind re-primes identically.
+        # Only on a real merge: the common no-op call must NOT defeat the
+        # warm cache in the steady-state write/read mix it exists for.
+        store.invalidate_row_cache(ks, cf_name)
+    return ran
 
 
 def _minor_in_dir(

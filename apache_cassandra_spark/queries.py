@@ -5565,11 +5565,12 @@ ORACLES["events_ohlc"] = """
 # DuckDB oracle, so the input is identical by construction. The five
 # shapes exercise every canonicalization step: uppercase scheme+host and
 # a fragment (case 0), :443 default port + unsorted params + a utm_
-# tracker (1), :80 default port with no query (2), a gclid tracker mixed
-# with a real param (3), and an all-tracker query that must collapse to
-# no '?' at all plus URL collisions for the distinct-count (4). Cases 0
-# and 3 share a registrable domain through different hosts (www./news.),
-# and case 1 lands on the co.uk multi-label suffix.
+# tracker (1), :80 default port plus an ALL-tracker query that must
+# collapse to no '?' at all (2), a gclid tracker mixed with a real param
+# (3), and a surviving content-bearing ref param — bare ref is NOT a
+# default tracker since r10 — plus URL collisions for the distinct-count
+# (4). Cases 0 and 3 share a registrable domain through different hosts
+# (www./news.), and case 1 lands on the co.uk multi-label suffix.
 _SYNTH_URL_SQL = """CASE (doc_id % 5)
   WHEN 0 THEN 'HTTP://WWW.' || upper(source) || cast(doc_id % 7 as string)
               || '.COM/Article' || cast(doc_id as string)
@@ -5577,7 +5578,7 @@ _SYNTH_URL_SQL = """CASE (doc_id % 5)
   WHEN 1 THEN 'https://blog.' || source || cast(doc_id % 7 as string)
               || '.co.uk:443/a/b?b=' || cast(doc_id % 3 as string) || '&a=1&utm_medium=email'
   WHEN 2 THEN 'http://' || source || cast(doc_id % 7 as string)
-              || '.org:80/p/' || cast(doc_id % 11 as string)
+              || '.org:80/p/' || cast(doc_id % 11 as string) || '?utm_campaign=x&gclid=1'
   WHEN 3 THEN 'https://news.' || source || cast(doc_id % 7 as string)
               || '.com/x?gclid=zz&q=' || cast(doc_id % 3 as string)
   ELSE 'http://cdn.' || source || cast(doc_id % 7 as string) || '.net/img?fbclid=1&ref=home'
@@ -5756,10 +5757,16 @@ ORACLES["corpus_url_revisions"] = f"""
 # retirements (lineitem_quantiles, text_quality, customers_without_orders,
 # tpch_q3ish, sim_ann_ivf_exact — see COVERAGE.md "Gate retirements
 # (round 10)") + the 41 entries whose newest driver row is round 6
-# (freshness bar: newest >= round-2; they are 3 rounds stale). r11
-# first-50 = the round-7 cohort below (incl. the four core sentinels);
-# r12 = the round-9 cohort. Oracle-bound count after the retirements is
-# 151 — exactly the 50-slot x 3-round rotation budget.
+# (freshness bar: newest >= round-2; they are 3 rounds stale). The
+# rows-only events_distinct_hll rides inside the window because the
+# verdict's prescribed first-50 is the full r6 cohort — its driver row
+# is the rows-only check, not a hash slot. r11 first-50 = the round-7
+# cohort below (incl. the four core sentinels); r12 = the round-9
+# cohort. Budget: oracle-bound count after the five retirements is 151,
+# plus corpus_url_revisions (new r10 prebuild) = 152 against the 150
+# (50-slot x 3-round) ceiling — two gates over; COVERAGE.md "Proposed
+# gate retirements (round 10)" queues prepare_corpus and events_hourly
+# to fund them, pending judge endorsement.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.

@@ -257,6 +257,10 @@ class CellStore:
         df.write.mode("append").parquet(self._cells_dir(ks, cf))
 
     def _commit(self, ks: str, cf: str, batch: MutationBatch) -> None:
+        # a cf() bind between apply(durable=False) and flush can re-prime
+        # the warm cache from RAW pending cells; the commit (which may drop
+        # cells via the flush chain) must invalidate it again
+        self.invalidate_row_cache(ks, cf)
         cells = batch.cells
         if cells:
             cells = self._apply_flush_processors(ks, cf, cells)

@@ -301,8 +301,8 @@ def main() -> None:
             rnd = str(max(seen, default=0) + 1)
         with open(os.path.join(repo, f"BENCH_full_r{int(rnd):02d}.json"), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: the stdout line below still carries the data
+    except (OSError, ValueError):
+        pass  # read-only checkout / malformed round env: stdout still carries the data
     print(json.dumps(payload))
 
 

@@ -189,7 +189,7 @@ OPS = {
     # by the losslessness theorem, so the delta is pure plan cost)
     "kcore": lambda d: _kcore_op(d),
     "coreness": lambda d: _coreness_op(d),
-    # round 10: densifying-graph twins (fixed 5k nodes, edges scale k×) —
+    # round 10: densifying-graph twins (fixed 1k nodes, edges scale k×) —
     # the block-graph rows above hold density constant; these measure the
     # density response directly (coreness per-round join = the suspect)
     "triangles_dense": lambda d: _dense_graph_op(d, "triangles"),
