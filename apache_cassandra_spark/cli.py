@@ -138,16 +138,22 @@ class CliSession:
         cluster_path = os.path.join(root, "cluster.json")
         if os.path.isfile(cluster_path):
             with open(cluster_path) as fh:
-                kwargs["cluster_name"] = json.load(fh)["cluster_name"]
+                meta = json.load(fh)
+            kwargs["cluster_name"] = meta["cluster_name"]
+            if meta.get("partitioner"):
+                # partitioner is STORE-layout state (the token order the
+                # data was written under) — restore it from the store's
+                # own metadata, never carry the previous session's
+                from apache_cassandra_spark.functions.tokens import get_partitioner
+
+                kwargs["partitioner"] = get_partitioner(meta["partitioner"])
         if self.engine is not None:
-            # the session's auth CONFIG and partitioner travel with the
-            # connection (the reference CLI's credentials/config are
-            # client-side state); login STATE does not — the fresh engine
-            # starts logged out, so a SimpleAuthenticator session must
-            # login again after CONNECT rather than silently downgrading
-            # to AllowAll
+            # the session's auth CONFIG travels with the connection (the
+            # reference CLI's credentials are client-side state); login
+            # STATE does not — the fresh engine starts logged out, so a
+            # SimpleAuthenticator session must login again after CONNECT
+            # rather than silently downgrading to AllowAll
             kwargs["authenticator"] = self.engine.authenticator
-            kwargs["partitioner"] = self.engine.partitioner
         self.engine = Engine(self.spark, root, Catalog.load(cat_path), **kwargs)
         return f'Connected to "{self.engine.describe_cluster_name()}" at {root}'
 

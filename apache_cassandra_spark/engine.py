@@ -58,15 +58,36 @@ class Engine:
         # persist the catalog next to the data so a CLI CONNECT against
         # this root can rebuild the engine (cli/Cli.g:85-86 analog); the
         # reference's equivalent lives in storage-conf.xml on the server
-        # always rewritten: the LIVE engine's catalog/cluster view is
-        # authoritative, so schema evolution or a cluster rename never
-        # leaves a stale snapshot for a later CLI CONNECT to resurrect
-        os.makedirs(root, exist_ok=True)
-        catalog.save(os.path.join(root, "catalog.json"))
+        # persisted on first creation only (and best-effort: a read-only
+        # root must still open). Always-overwrite was tried and reverted:
+        # opening an existing store with a default/fixture catalog (e.g.
+        # `python -m apache_cassandra_spark <root>`) would destroy the
+        # real schema snapshot. Schema evolution refreshes EXPLICITLY via
+        # save_schema() — the DDL-commit analog.
+        self._root = root
+        try:
+            if not os.path.isfile(os.path.join(root, "catalog.json")):
+                self.save_schema()
+        except OSError:
+            pass  # read-only media: CONNECT-ability is best-effort
+
+    def save_schema(self) -> None:
+        """Persist catalog.json + cluster.json at the store root — what a
+        CLI ``CONNECT`` rebuilds the engine from. Called automatically
+        when a store is first created; call it again after evolving the
+        catalog or renaming the cluster (the reference's equivalent edit
+        is storage-conf.xml, also an explicit operator action). The
+        partitioner NAME rides in cluster.json: it is store-layout state
+        (token order the data was written under), not client state."""
         import json as _json
 
-        with open(os.path.join(root, "cluster.json"), "w") as fh:
-            _json.dump({"cluster_name": cluster_name}, fh)
+        os.makedirs(self._root, exist_ok=True)
+        self.catalog.save(os.path.join(self._root, "catalog.json"))
+        with open(os.path.join(self._root, "cluster.json"), "w") as fh:
+            _json.dump(
+                {"cluster_name": self.cluster_name, "partitioner": self.partitioner.name},
+                fh,
+            )
 
     # -- meta (§2.3) --------------------------------------------------------
     def login(self, keyspace: str, credentials: dict | None = None) -> None:

@@ -213,23 +213,30 @@ def submit_minor_if_needed(
     cells_dir = store._cells_dir(ks, cf_name)
     if not os.path.isdir(cells_dir):
         return False
-    if store.catalog.keyspace(ks).cf(cf_name).domain_split:
-        # domain-split CFs keep files under _dom=XX/ partition dirs; each
-        # domain is an independent size-tiered pool
-        ran = False
-        for d in sorted(os.listdir(cells_dir)):
-            sub = os.path.join(cells_dir, d)
-            if d.startswith("_dom=") and os.path.isdir(sub):
-                ran = _minor_in_dir(store, sub, min_threshold, max_threshold, bucket_ratio) or ran
-    else:
-        ran = _minor_in_dir(store, cells_dir, min_threshold, max_threshold, bucket_ratio)
-    if ran:
-        # the merge deleted its input delta files: a primed row cache whose
+    ran = False
+    try:
+        if store.catalog.keyspace(ks).cf(cf_name).domain_split:
+            # domain-split CFs keep files under _dom=XX/ partition dirs;
+            # each domain is an independent size-tiered pool
+            for d in sorted(os.listdir(cells_dir)):
+                sub = os.path.join(cells_dir, d)
+                if d.startswith("_dom=") and os.path.isdir(sub):
+                    ran = _minor_in_dir(store, sub, min_threshold, max_threshold, bucket_ratio) or ran
+        else:
+            ran = _minor_in_dir(store, cells_dir, min_threshold, max_threshold, bucket_ratio)
+    finally:
+        # a merge deleted its input delta files: a primed row cache whose
         # (lazy, not-yet-materialized) lineage references them must drop —
         # content is unchanged, so the next bind re-primes identically.
-        # Only on a real merge: the common no-op call must NOT defeat the
-        # warm cache in the steady-state write/read mix it exists for.
-        store.invalidate_row_cache(ks, cf_name)
+        # finally-scoped so a crash MID-merge (some pool already rewrote
+        # and deleted inputs, a later pool raised) cannot leave the stale
+        # lineage behind; the common no-op call (ran False, no exception
+        # possible after the cheap listdir) still skips the invalidate
+        # and keeps the warm cache for the steady-state write/read mix.
+        import sys as _sys
+
+        if ran or _sys.exc_info()[0] is not None:
+            store.invalidate_row_cache(ks, cf_name)
     return ran
 
 

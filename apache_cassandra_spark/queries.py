@@ -5563,22 +5563,24 @@ ORACLES["events_ohlc"] = """
 # documents table has no URL column, so the gate derives one per doc —
 # the SAME SQL expression string runs through Spark's F.expr and the
 # DuckDB oracle, so the input is identical by construction. The five
-# shapes exercise every canonicalization step: uppercase scheme+host and
-# a fragment (case 0), :443 default port + unsorted params + a utm_
-# tracker (1), :80 default port plus an ALL-tracker query that must
-# collapse to no '?' at all (2), a gclid tracker mixed with a real param
-# (3), and a surviving content-bearing ref param — bare ref is NOT a
-# default tracker since r10 — plus URL collisions for the distinct-count
-# (4). Cases 0 and 3 share a registrable domain through different hosts
-# (www./news.), and case 1 lands on the co.uk multi-label suffix.
+# shapes exercise every canonicalization step: uppercase scheme+host, a
+# fragment, AND an all-tracker query that must collapse to no '?' at
+# all (case 0), :443 default port + unsorted params + a utm_ tracker
+# with a surviving real param (1), :80 default port with NO query at
+# all — the no-'?' extraction branch (2), a gclid tracker mixed with a
+# real param (3), and a surviving content-bearing ref param — bare ref
+# is NOT a default tracker since r10 — plus URL collisions for the
+# distinct-count (4). Cases 0 and 3 share a registrable domain through
+# different hosts (www./news.), and case 1 lands on the co.uk
+# multi-label suffix.
 _SYNTH_URL_SQL = """CASE (doc_id % 5)
   WHEN 0 THEN 'HTTP://WWW.' || upper(source) || cast(doc_id % 7 as string)
               || '.COM/Article' || cast(doc_id as string)
-              || '?utm_source=feed&id=' || cast(doc_id % 13 as string) || '#frag'
+              || '?utm_source=feed&gclid=' || cast(doc_id % 13 as string) || '#frag'
   WHEN 1 THEN 'https://blog.' || source || cast(doc_id % 7 as string)
               || '.co.uk:443/a/b?b=' || cast(doc_id % 3 as string) || '&a=1&utm_medium=email'
   WHEN 2 THEN 'http://' || source || cast(doc_id % 7 as string)
-              || '.org:80/p/' || cast(doc_id % 11 as string) || '?utm_campaign=x&gclid=1'
+              || '.org:80/p/' || cast(doc_id % 11 as string)
   WHEN 3 THEN 'https://news.' || source || cast(doc_id % 7 as string)
               || '.com/x?gclid=zz&q=' || cast(doc_id % 3 as string)
   ELSE 'http://cdn.' || source || cast(doc_id % 7 as string) || '.net/img?fbclid=1&ref=home'
