@@ -4,6 +4,8 @@ analog)."""
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 from apache_cassandra_spark.catalog import FIXTURE_CATALOG, Catalog
@@ -17,8 +19,26 @@ def main() -> None:
         print("usage: python -m apache_cassandra_spark <store_root> [catalog.json]")
         sys.exit(2)
     root = sys.argv[1]
-    catalog = Catalog.load(sys.argv[2]) if len(sys.argv) > 2 else FIXTURE_CATALOG
-    engine = Engine(get_spark(app_name="widecolumn-cli"), root, catalog)
+    kwargs = {}
+    if len(sys.argv) > 2:
+        catalog = Catalog.load(sys.argv[2])
+    elif os.path.isfile(os.path.join(root, "catalog.json")):
+        # existing store: open with ITS persisted schema + cluster metadata
+        # (same restore path CONNECT uses) — never a fixture catalog that
+        # would misread real CF comparators / domain_split / processors
+        catalog = Catalog.load(os.path.join(root, "catalog.json"))
+        cl_path = os.path.join(root, "cluster.json")
+        if os.path.isfile(cl_path):
+            with open(cl_path) as fh:
+                meta = json.load(fh)
+            kwargs["cluster_name"] = meta["cluster_name"]
+            if meta.get("partitioner"):
+                from apache_cassandra_spark.functions.tokens import get_partitioner
+
+                kwargs["partitioner"] = get_partitioner(meta["partitioner"])
+    else:
+        catalog = FIXTURE_CATALOG
+    engine = Engine(get_spark(app_name="widecolumn-cli"), root, catalog, **kwargs)
     print(f"connected: cluster={engine.describe_cluster_name()} keyspaces={engine.describe_keyspaces()}")
     repl(engine)
 

@@ -146,7 +146,21 @@ class CliSession:
                 # own metadata, never carry the previous session's
                 from apache_cassandra_spark.functions.tokens import get_partitioner
 
-                kwargs["partitioner"] = get_partitioner(meta["partitioner"])
+                try:
+                    kwargs["partitioner"] = get_partitioner(meta["partitioner"])
+                except KeyError:
+                    raise ValueError(
+                        f"store at {root!r} was written under partitioner "
+                        f"{meta['partitioner']!r}, which is not registered in "
+                        "functions.tokens — register it (or build the Engine "
+                        "directly with the right instance); silently falling "
+                        "back would read with the wrong token order"
+                    ) from None
+        if "partitioner" not in kwargs and self.engine is not None:
+            # legacy store: cluster.json predates the partitioner field
+            # (or is absent) — carry the session's partitioner rather
+            # than silently downgrading an OPP store to RandomPartitioner
+            kwargs["partitioner"] = self.engine.partitioner
         if self.engine is not None:
             # the session's auth CONFIG travels with the connection (the
             # reference CLI's credentials are client-side state); login

@@ -82,12 +82,21 @@ class Engine:
         import json as _json
 
         os.makedirs(self._root, exist_ok=True)
-        self.catalog.save(os.path.join(self._root, "catalog.json"))
-        with open(os.path.join(self._root, "cluster.json"), "w") as fh:
+        # atomic per-file (tmp + rename, the cellstore pointer-flip
+        # pattern), and cluster.json FIRST: catalog.json is the commit
+        # sentinel the first-creation check gates on, so a crash between
+        # the two writes leaves no sentinel and the next init retries the
+        # whole save instead of permanently shipping half a snapshot
+        cl_path = os.path.join(self._root, "cluster.json")
+        with open(cl_path + ".tmp", "w") as fh:
             _json.dump(
                 {"cluster_name": self.cluster_name, "partitioner": self.partitioner.name},
                 fh,
             )
+        os.replace(cl_path + ".tmp", cl_path)
+        cat_path = os.path.join(self._root, "catalog.json")
+        self.catalog.save(cat_path + ".tmp")
+        os.replace(cat_path + ".tmp", cat_path)
 
     # -- meta (§2.3) --------------------------------------------------------
     def login(self, keyspace: str, credentials: dict | None = None) -> None:

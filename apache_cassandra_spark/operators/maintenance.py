@@ -224,19 +224,25 @@ def submit_minor_if_needed(
                     ran = _minor_in_dir(store, sub, min_threshold, max_threshold, bucket_ratio) or ran
         else:
             ran = _minor_in_dir(store, cells_dir, min_threshold, max_threshold, bucket_ratio)
-    finally:
-        # a merge deleted its input delta files: a primed row cache whose
-        # (lazy, not-yet-materialized) lineage references them must drop —
-        # content is unchanged, so the next bind re-primes identically.
-        # finally-scoped so a crash MID-merge (some pool already rewrote
-        # and deleted inputs, a later pool raised) cannot leave the stale
-        # lineage behind; the common no-op call (ran False, no exception
-        # possible after the cheap listdir) still skips the invalidate
-        # and keeps the warm cache for the steady-state write/read mix.
-        import sys as _sys
-
-        if ran or _sys.exc_info()[0] is not None:
+    except BaseException:
+        # crash MID-merge: some pool may already have rewritten and
+        # deleted its inputs — the primed (lazy) row cache must drop so
+        # its lineage can't materialize over missing files. Best-effort:
+        # the invalidate itself failing (e.g. dead SparkContext, the same
+        # condition that killed the merge) must not mask the root cause.
+        # NOTE: not sys.exc_info()-in-finally — that also reports a
+        # CALLER'S in-flight handled exception and would spuriously
+        # invalidate on every no-op call made from an except block.
+        try:
             store.invalidate_row_cache(ks, cf_name)
+        except Exception:
+            pass
+        raise
+    if ran:
+        # the merge deleted its input delta files; content is unchanged,
+        # so the next bind re-primes identically. Only on a real merge:
+        # the common no-op call keeps the warm cache.
+        store.invalidate_row_cache(ks, cf_name)
     return ran
 
 

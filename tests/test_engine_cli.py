@@ -204,3 +204,38 @@ def test_cli_session_requires_connection(spark):
 
     with pytest.raises(ValueError, match="not connected"):
         CliSession(spark).execute("SHOW KEYSPACES")
+
+
+def test_cli_connect_restores_store_partitioner(spark, tmp_path):
+    """Partitioner is STORE state: CONNECT restores it from cluster.json;
+    a legacy store without the field falls back to the session's (never a
+    silent RandomPartitioner downgrade of an OPP store)."""
+    import json
+    import os
+
+    from apache_cassandra_spark.cli import CliSession
+    from apache_cassandra_spark.functions.tokens import OrderPreservingPartitioner
+
+    cat = Catalog.from_dict({"KS": {"CF": {"compare_with": "UTF8Type"}}})
+    Engine(spark, str(tmp_path / "opp"), cat, partitioner=OrderPreservingPartitioner())
+    session = CliSession(spark)
+    session.execute(f"CONNECT {tmp_path / 'opp'}")
+    assert session.engine.partitioner.name == "OrderPreservingPartitioner"
+
+    # legacy store: strip the partitioner field from cluster.json
+    Engine(spark, str(tmp_path / "legacy"), cat, partitioner=OrderPreservingPartitioner())
+    cl = os.path.join(tmp_path / "legacy", "cluster.json")
+    meta = json.load(open(cl))
+    del meta["partitioner"]
+    json.dump(meta, open(cl, "w"))
+    opp_session = CliSession(
+        spark, Engine(spark, str(tmp_path / "opp2"), cat, partitioner=OrderPreservingPartitioner())
+    )
+    opp_session.execute(f"CONNECT {tmp_path / 'legacy'}")
+    assert opp_session.engine.partitioner.name == "OrderPreservingPartitioner"
+
+    # unknown partitioner name: refuse loudly rather than misread tokens
+    meta["partitioner"] = "MyCustomPartitioner"
+    json.dump(meta, open(cl, "w"))
+    with pytest.raises(ValueError, match="not registered"):
+        session.execute(f"CONNECT {tmp_path / 'legacy'}")
