@@ -126,41 +126,20 @@ class CliSession:
         self.engine = engine
 
     def connect(self, root: str) -> str:
-        import json
         import os
 
         from apache_cassandra_spark.catalog import Catalog
 
+        from apache_cassandra_spark.engine import restore_store_kwargs
+
         cat_path = os.path.join(root, "catalog.json")
         if not os.path.isfile(cat_path):
             raise ValueError(f"no store at {root!r} (missing catalog.json)")
-        kwargs = {}
-        cluster_path = os.path.join(root, "cluster.json")
-        if os.path.isfile(cluster_path):
-            with open(cluster_path) as fh:
-                meta = json.load(fh)
-            kwargs["cluster_name"] = meta["cluster_name"]
-            if meta.get("partitioner"):
-                # partitioner is STORE-layout state (the token order the
-                # data was written under) — restore it from the store's
-                # own metadata, never carry the previous session's
-                from apache_cassandra_spark.functions.tokens import get_partitioner
-
-                try:
-                    kwargs["partitioner"] = get_partitioner(meta["partitioner"])
-                except KeyError:
-                    raise ValueError(
-                        f"store at {root!r} was written under partitioner "
-                        f"{meta['partitioner']!r}, which is not registered in "
-                        "functions.tokens — register it (or build the Engine "
-                        "directly with the right instance); silently falling "
-                        "back would read with the wrong token order"
-                    ) from None
-        if "partitioner" not in kwargs and self.engine is not None:
-            # legacy store: cluster.json predates the partitioner field
-            # (or is absent) — carry the session's partitioner rather
-            # than silently downgrading an OPP store to RandomPartitioner
-            kwargs["partitioner"] = self.engine.partitioner
+        # shared restore path (cluster name + partitioner — see
+        # restore_store_kwargs for the legacy/unknown-name semantics);
+        # the previous session's partitioner NEVER carries over: it
+        # describes the last store's layout, not this one's
+        kwargs = restore_store_kwargs(root)
         if self.engine is not None:
             # the session's auth CONFIG travels with the connection (the
             # reference CLI's credentials are client-side state); login

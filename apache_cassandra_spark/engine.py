@@ -28,6 +28,41 @@ from apache_cassandra_spark import validation as V
 from apache_cassandra_spark.sources.cellstore import CellStore
 
 
+def restore_store_kwargs(root: str) -> dict:
+    """Engine kwargs recovered from a store root's cluster.json — the ONE
+    restore path shared by CLI ``CONNECT`` and ``python -m`` so the two
+    cannot drift. Partitioner is store-layout state (the token order the
+    data was written under): an unknown persisted name fails loudly —
+    register the class in ``functions.tokens`` — because silently falling
+    back would read with the wrong token order. A legacy cluster.json
+    WITHOUT the partitioner field (pre-r10 stores) restores only the
+    cluster name; the engine then defaults to RandomPartitioner exactly
+    as those stores were opened before the field existed — re-save with
+    ``Engine.save_schema()`` to pin the real one."""
+    import json as _json
+
+    kwargs: dict = {}
+    cl_path = os.path.join(root, "cluster.json")
+    if os.path.isfile(cl_path):
+        with open(cl_path) as fh:
+            meta = _json.load(fh)
+        kwargs["cluster_name"] = meta["cluster_name"]
+        if meta.get("partitioner"):
+            from apache_cassandra_spark.functions.tokens import get_partitioner
+
+            try:
+                kwargs["partitioner"] = get_partitioner(meta["partitioner"])
+            except KeyError:
+                raise ValueError(
+                    f"store at {root!r} was written under partitioner "
+                    f"{meta['partitioner']!r}, which is not registered in "
+                    "functions.tokens — register it (or build the Engine "
+                    "directly with the right instance); silently falling "
+                    "back would read with the wrong token order"
+                ) from None
+    return kwargs
+
+
 class Engine:
     def __init__(
         self,
@@ -86,7 +121,12 @@ class Engine:
         # pattern), and cluster.json FIRST: catalog.json is the commit
         # sentinel the first-creation check gates on, so a crash between
         # the two writes leaves no sentinel and the next init retries the
-        # whole save instead of permanently shipping half a snapshot
+        # whole save instead of permanently shipping half a snapshot.
+        # Scope: that all-or-nothing property covers FIRST CREATION; an
+        # explicit re-save is two independent atomic swaps, so a crash
+        # between them can pair new cluster metadata with the old schema
+        # until save_schema() runs again — metadata nicety, not a
+        # data-plane risk (cells/ctombs never ride in these files)
         cl_path = os.path.join(self._root, "cluster.json")
         with open(cl_path + ".tmp", "w") as fh:
             _json.dump(

@@ -222,7 +222,9 @@ def test_cli_connect_restores_store_partitioner(spark, tmp_path):
     session.execute(f"CONNECT {tmp_path / 'opp'}")
     assert session.engine.partitioner.name == "OrderPreservingPartitioner"
 
-    # legacy store: strip the partitioner field from cluster.json
+    # legacy store: strip the partitioner field from cluster.json — it
+    # restores like a pre-field store (RandomPartitioner default) and the
+    # SESSION partitioner never cross-contaminates the connection
     Engine(spark, str(tmp_path / "legacy"), cat, partitioner=OrderPreservingPartitioner())
     cl = os.path.join(tmp_path / "legacy", "cluster.json")
     meta = json.load(open(cl))
@@ -232,7 +234,7 @@ def test_cli_connect_restores_store_partitioner(spark, tmp_path):
         spark, Engine(spark, str(tmp_path / "opp2"), cat, partitioner=OrderPreservingPartitioner())
     )
     opp_session.execute(f"CONNECT {tmp_path / 'legacy'}")
-    assert opp_session.engine.partitioner.name == "OrderPreservingPartitioner"
+    assert opp_session.engine.partitioner.name == "RandomPartitioner"
 
     # unknown partitioner name: refuse loudly rather than misread tokens
     meta["partitioner"] = "MyCustomPartitioner"
