@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from apache_cassandra_spark import __version__
 from apache_cassandra_spark.catalog import Catalog
-from apache_cassandra_spark.functions.tokens import Partitioner, RandomPartitioner
+from apache_cassandra_spark.functions.tokens import Partitioner, RandomPartitioner, get_partitioner
 from apache_cassandra_spark.model import CF, ColumnPath, KeyRange, SlicePredicate
 from apache_cassandra_spark.operators import exists as X
 from apache_cassandra_spark.operators import maintenance as M
@@ -47,9 +47,17 @@ def restore_store_kwargs(root: str) -> dict:
         with open(cl_path) as fh:
             meta = _json.load(fh)
         kwargs["cluster_name"] = meta["cluster_name"]
-        if meta.get("partitioner"):
-            from apache_cassandra_spark.functions.tokens import get_partitioner
+        if not meta.get("partitioner"):
+            import warnings
 
+            warnings.warn(
+                f"store at {root!r} has legacy cluster metadata without a "
+                "partitioner field; defaulting to RandomPartitioner — if "
+                "this store was written under another partitioner, rebuild "
+                "the Engine with it and call save_schema() to pin it",
+                stacklevel=2,
+            )
+        else:
             try:
                 kwargs["partitioner"] = get_partitioner(meta["partitioner"])
             except KeyError:

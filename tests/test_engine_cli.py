@@ -207,9 +207,11 @@ def test_cli_session_requires_connection(spark):
 
 
 def test_cli_connect_restores_store_partitioner(spark, tmp_path):
-    """Partitioner is STORE state: CONNECT restores it from cluster.json;
-    a legacy store without the field falls back to the session's (never a
-    silent RandomPartitioner downgrade of an OPP store)."""
+    """Partitioner is STORE state: CONNECT restores it from cluster.json.
+    A legacy store without the field restores as pre-field stores opened
+    (RandomPartitioner default, with a warning) — the session's
+    partitioner never cross-contaminates the connection; an UNKNOWN
+    persisted name refuses loudly."""
     import json
     import os
 
