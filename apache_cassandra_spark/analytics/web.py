@@ -217,37 +217,53 @@ def url_revisions(
     Columns out: ``canonical_url, domain, n_crawls, n_versions, changed,
     first_crawl, last_crawl, latest_fp``.
 
-    Determinism: the content fingerprint is ``md5(text)[:16]`` (byte-
-    replayable by any engine); "latest" is decided by the packed bigint
-    ``crawl * 2^40 + id`` via ``max_by`` — identical tie semantics in
-    any engine with arg_max, no struct-ordering dependence. Bounds
-    (asserted in the docstring contract, caller-validated): ``crawl``
-    < 2^23 and ``id`` < 2^40, so the pack cannot overflow int64.
+    Determinism + engine parity: the content fingerprint is the 60-bit
+    md5 prefix rendered as 15 lowercase hex chars (byte-replayable:
+    DuckDB ``('0x' || substr(md5(t),1,15))::bigint``); "latest" is
+    decided by the packed bigint ``crawl * 2^40 + id``. Bounds (input
+    contract): ``crawl`` < 2^23, ``id`` < 2^40, and (crawl, id) unique
+    per row.
 
-    Plan shape: one map-only projection (URL keys + fingerprint) into
-    ONE hash aggregate on ``canonical_url`` (a near-uniform key — no
-    skew story); the two count-distincts ride the same shuffle via
-    Expand. Nothing broadcasts, collects, or joins — the shape that
-    holds at 100 TB."""
+    Plan shape — every aggregate buffer is NUMERIC on purpose (the
+    events_ohlc recipe): ``domain`` rides in the GROUP KEY (functionally
+    dependent on canonical_url — the canonical form embeds the same
+    normalized host the domain derives from), and "latest fingerprint"
+    is ``max`` over ONE decimal(38,0) packing ``ord * 2^60 + fp60`` —
+    no string-buffered min/first/max_by, which would degrade the whole
+    stack to SortAggregate over the Expanded corpus stream. Result: one
+    map-only projection into a hash-based aggregate on a near-uniform
+    key; the two count-distincts ride the same shuffle via Expand.
+    Nothing broadcasts, collects, or joins."""
+    from decimal import Decimal
+
     keyed = with_url_keys(df, url_col, tracking_params=tracking_params)
+    fp60 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    ordk = F.col(crawl_col).cast("long") * F.lit(2**40) + F.col(id_col).cast("long")
     rows = keyed.select(
         "canonical_url",
         "domain",
         F.col(crawl_col).cast("long").alias("_crawl"),
-        (F.col(crawl_col).cast("long") * F.lit(2**40) + F.col(id_col).cast("long")).alias("_ord"),
-        F.substring(F.md5(F.col(text_col)), 1, 16).alias("_fp"),
+        (ordk.cast("decimal(38,0)") * F.lit(Decimal(2**60)) + fp60.cast("decimal(38,0)")).alias("_ordfp"),
+        fp60.alias("_fp"),
     )
     return (
-        rows.groupBy("canonical_url")
+        rows.groupBy("canonical_url", "domain")
         .agg(
-            F.min("domain").alias("domain"),
             F.count_distinct("_crawl").alias("n_crawls"),
             F.count_distinct("_fp").alias("n_versions"),
             F.min("_crawl").alias("first_crawl"),
             F.max("_crawl").alias("last_crawl"),
-            F.expr("max_by(_fp, _ord)").alias("latest_fp"),
+            F.max("_ordfp").alias("_latest_packed"),
         )
         .withColumn("changed", F.col("n_versions") > 1)
+        .withColumn(
+            "latest_fp",
+            F.lpad(
+                F.lower(F.hex((F.col("_latest_packed") % F.lit(Decimal(2**60))).cast("long"))),
+                15,
+                "0",
+            ),
+        )
         .select(
             "canonical_url", "domain", "n_crawls", "n_versions", "changed",
             "first_crawl", "last_crawl", "latest_fp",

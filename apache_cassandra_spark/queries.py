@@ -5736,17 +5736,19 @@ ORACLES["corpus_url_revisions"] = f"""
     {_url_keys_ctes('doc_id, text, crawl')},
     r AS (SELECT canonical_url, domain, crawl,
                  crawl * 1099511627776 + doc_id AS ordk,
-                 substr(md5(text), 1, 16) AS fp
+                 ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
           FROM d)
     SELECT canonical_url,
-           min(domain) AS domain,
+           domain,
            count(DISTINCT crawl) AS n_crawls,
-           count(DISTINCT fp) AS n_versions,
-           (count(DISTINCT fp) > 1) AS changed,
+           count(DISTINCT fp60) AS n_versions,
+           (count(DISTINCT fp60) > 1) AS changed,
            min(crawl) AS first_crawl,
            max(crawl) AS last_crawl,
-           arg_max(fp, ordk) AS latest_fp
-    FROM r GROUP BY 1
+           lpad(lower(to_hex(cast(
+               max(ordk::HUGEINT * 1152921504606846976::HUGEINT + fp60)
+               % 1152921504606846976::HUGEINT AS BIGINT))), 15, '0') AS latest_fp
+    FROM r GROUP BY 1, 2
 """
 
 

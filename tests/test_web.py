@@ -181,7 +181,8 @@ def test_url_revisions_semantics(spark):
 
 
 def test_url_revisions_latest_fp_is_max_crawl_then_max_id(spark):
-    # packed (crawl, id) ordering: crawl wins, id breaks ties within a crawl
+    # packed (crawl, id) ordering: crawl wins, id breaks ties within a crawl;
+    # fingerprint contract = 60-bit md5 prefix as 15 lowercase hex chars
     rows = [
         (9, 0, "http://a.com/p", "old"),
         (1, 1, "http://a.com/p", "mid"),  # lower id but higher crawl
@@ -190,7 +191,7 @@ def test_url_revisions_latest_fp_is_max_crawl_then_max_id(spark):
     df = spark.createDataFrame(rows, "doc_id long, crawl long, url string, text string")
     import hashlib
 
-    want = hashlib.md5(b"late").hexdigest()[:16]
+    want = hashlib.md5(b"late").hexdigest()[:15]
     got = web.url_revisions(df).collect()[0]["latest_fp"]
     assert got == want
 
@@ -206,6 +207,12 @@ def test_url_revisions_plan_single_group_no_join(spark):
     assert "BroadcastExchange" not in plan
     # two distincts ride one logical shuffle family via Expand
     assert "Expand" in plan
+    # every aggregate buffer is numeric (domain rides in the group key,
+    # latest-fp is a packed-decimal max) — the stack must stay HASH-based;
+    # a string-buffered min/first/max_by silently degrades the whole
+    # Expanded corpus stream to per-partition sorts
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
 
 
 def test_domain_stats_plan_single_hash_agg_no_broadcast(spark, webdocs):

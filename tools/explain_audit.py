@@ -119,7 +119,7 @@ AUDITED = {
     "tpch_q21ish": "waiting suppliers without fact self-joins: lineitem scanned ONCE, EXISTS/NOT-EXISTS collapsed to the (orderkey,suppkey)->orderkey aggregate stack (n_supp>=2 AND n_late=1), coarser group key is a prefix so an at-scale shuffled join feeds both aggs exchange-free; top-25 via TakeOrderedAndProject",
     "corpus_dsir_weights": "DSIR importance weights: both distribution passes are vocabulary-FREE map-side-combinable aggregates bounded at `buckets` rows (the cm_sketch boundary), lambda table broadcast (parameter-bounded, allowlisted, flag-gated), per-doc scoring = one (doc,bucket) combine + BroadcastHashJoin + bigint sum; only nested loops are the two 1-row totals",
     "tpch_q15ish": "top supplier by revenue (view + scalar max): Catalyst extracts the crossJoin-equality into a BroadcastHashJoin ON the aggregate value (no nested loop anywhere), date range pushed to the fact scan, revenue aggregate partial-combined, DECIMAL=DECIMAL max equality (exact), AQE-decided supplier join",
-    "corpus_url_revisions": "cross-crawl URL change detection: map-only projection (canonicalization chain + md5 fingerprint + packed bigint order key) into ONE hash aggregate on canonical_url; the two count-distincts ride the same shuffle via Expand, latest version via max_by on the packed key — no join, no broadcast, no window",
+    "corpus_url_revisions": "cross-crawl URL change detection: map-only projection (canonicalization chain + 60-bit md5 fingerprint + packed order key) into one HASH-BASED aggregate on (canonical_url, domain) — every aggregate buffer numeric by construction (domain in the group key, latest-fp = max over ONE decimal(38,0) packing ord*2^60+fp60, the events_ohlc recipe), so the Expanded distinct stack never degrades to SortAggregate; no join, no broadcast, no window",
     "corpus_domain_stats": "per-domain web rollup: ONE map-only projection (URL canonicalization regexp chain + quality logit over the same scan — no self-join), single countDistinct plans as the two-level aggregate stack (partial on (domain, canonical_url) -> final on domain, exactly two hash exchanges), final orderBy ranges only the tiny aggregated output; no broadcast, no UDF, no collect",
 }
 
