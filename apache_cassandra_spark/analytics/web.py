@@ -224,6 +224,13 @@ def url_revisions(
     contract): ``crawl`` < 2^23, ``id`` < 2^40, and (crawl, id) unique
     per row.
 
+    NULL text (a failed fetch): the capture counts toward crawl coverage
+    (``n_crawls``, ``first_crawl``/``last_crawl``) but is NOT a content
+    version — consistent on both sides of the contract because
+    ``count(distinct)`` skips NULL fingerprints and the packed ``max``
+    skips NULL rows, so ``latest_fp`` is the latest FINGERPRINTED
+    version (never NULL for a group with any successful capture).
+
     Plan shape — every aggregate buffer is NUMERIC on purpose (the
     events_ohlc recipe): ``domain`` rides in the GROUP KEY (functionally
     dependent on canonical_url — the canonical form embeds the same

@@ -5689,8 +5689,8 @@ def q_corpus_url_revisions(spark, sf_dir):
     snapshots are synthesized from the documents table (crawl = doc_id %
     3; URL derived from doc_id div 3 so the SAME canonical URL recurs
     across snapshots with differing content), then one hash aggregate on
-    canonical_url yields per-URL crawl coverage, distinct content
-    versions, and the latest fingerprint. The re-crawl front door of an
+    (canonical_url, domain) yields per-URL crawl coverage, distinct
+    content versions, and the latest fingerprint. The re-crawl front door of an
     incremental ingest pipeline: unchanged URLs short-circuit before any
     dedup work."""
     from apache_cassandra_spark.analytics import web
@@ -5719,9 +5719,10 @@ def q_corpus_url_revisions(spark, sf_dir):
 
 
 # same shared canonicalization CTE chain as the domain_stats oracle; the
-# revision aggregate mirrors web.url_revisions: packed bigint
-# crawl*2^40+doc_id decides "latest" (arg_max == max_by, identical tie
-# semantics), md5-prefix fingerprint is byte-identical in both engines
+# revision aggregate mirrors web.url_revisions: "latest" = max over ONE
+# 128-bit packing ordk*2^60 + fp60 (HUGEINT here, decimal(38,0) in
+# Spark — identical values, identical NULL-skip), fingerprint = 60-bit
+# md5 prefix as bigint, rendered back to 15 hex chars in both engines
 _SYNTH_URL_BASE_SQL = _SYNTH_URL_SQL.replace("doc_id", "base_id")
 ORACLES["corpus_url_revisions"] = f"""
     WITH u0 AS (SELECT doc_id, text, crawl, {_SYNTH_URL_BASE_SQL} AS url

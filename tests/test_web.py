@@ -196,6 +196,25 @@ def test_url_revisions_latest_fp_is_max_crawl_then_max_id(spark):
     assert got == want
 
 
+def test_url_revisions_null_text_counts_coverage_not_versions(spark):
+    """NULL text = failed fetch: contributes crawl coverage but is not a
+    content version, and latest_fp is the latest FINGERPRINTED version —
+    count(distinct) and the packed max skip NULLs identically, so the
+    contract is consistent across both aggregate paths (and both
+    engines)."""
+    import hashlib
+
+    rows = [
+        (1, 0, "http://a.com/p", "real content"),
+        (2, 1, "http://a.com/p", None),  # crawl-2 fetch failed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, crawl long, url string, text string")
+    r = web.url_revisions(df).collect()[0]
+    assert (r["n_crawls"], r["n_versions"], r["changed"]) == (2, 1, False)
+    assert (r["first_crawl"], r["last_crawl"]) == (0, 1)
+    assert r["latest_fp"] == hashlib.md5(b"real content").hexdigest()[:15]
+
+
 def test_url_revisions_plan_single_group_no_join(spark):
     from tests.test_plans import plan_of
 
