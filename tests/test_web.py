@@ -249,3 +249,74 @@ def test_domain_stats_plan_single_hash_agg_no_broadcast(spark, webdocs):
     # aggregated output — nothing else shuffles
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Exchange rangepartitioning") == 1
+
+
+def _py_canonicalize(url: str, tracking=web.TRACKING_PARAMS) -> str:
+    """Independent pure-Python model of canonicalize_url (re module, no
+    Spark) — the fuzz oracle. Mirrors the documented contract, not the
+    Spark expression tree."""
+    import re as _re
+
+    u = url.strip()
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    hostport = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", u).group(1).lower()
+    rest = _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", u).group(1)
+    if scheme == "http":
+        host = _re.sub(r":80$", "", hostport)
+    elif scheme == "https":
+        host = _re.sub(r":443$", "", hostport)
+    else:
+        host = hostport
+    host = _re.sub(r"^www\.", "", host)
+    path = _re.match(r"^([^?]*)", rest).group(1) or "/"
+    qm = _re.match(r"^[^?]*\?(.*)", rest)
+    query = qm.group(1) if qm else ""
+    kept = sorted(
+        p
+        for p in query.split("&")
+        if not (p == "" or p.split("=")[0].startswith("utm_") or p.split("=")[0] in tracking)
+    )
+    qtail = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{path}{qtail}"
+
+
+def test_canonicalize_url_fuzz_vs_python_model(spark):
+    """300 structured pseudo-random URLs (schemes incl. uppercase/odd,
+    www/no-www, default/non-default/no port, 0-3 path segments, 0-5
+    params drawn from trackers + real keys + valueless + empty, optional
+    fragment, plus whitespace padding and plain junk for the
+    non-absolute branch) — ONE Spark job, compared row-for-row against
+    the independent re-based model."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    schemes = ["http", "https", "HTTP", "HtTpS", "ftp", "custom+v1.0"]
+    hosts = ["example.com", "WWW.Example.COM", "a.b.foo.co.uk", "localhost", "x.y", "co.uk"]
+    ports = ["", "", ":80", ":443", ":8080", ":000080"]
+    keys = ["utm_source", "utm_x", "gclid", "ref", "ref_src", "a", "B", "id", "q", ""]
+    frags = ["", "", "#frag", "#a?b=1"]
+    urls = []
+    for i in range(280):
+        scheme = rng.choice(schemes)
+        host = rng.choice(hosts)
+        port = rng.choice(ports)
+        segs = "/".join(rng.choice(["p", "Article", "x9"]) for _ in range(rng.randrange(4)))
+        path = ("/" + segs) if segs else rng.choice(["", "/"])
+        n = rng.randrange(6)
+        params = "&".join(
+            rng.choice(keys) + rng.choice(["=" + str(rng.randrange(9)), "=", ""])
+            for _ in range(n)
+        )
+        q = ("?" + params) if n else rng.choice(["", "?"])
+        pad = rng.choice(["", " ", "  "])
+        urls.append(f"{pad}{scheme}://{host}{port}{path}{q}{rng.choice(frags)}{pad}")
+    urls += ["", "   ", "not a url", "/rel/path?utm_x=1", "example.com/no-scheme", "a://"]
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in df.select(web.canonicalize_url(F.col("url")).alias("c")).collect()]
+    want = [_py_canonicalize(u) for u in urls]
+    mismatches = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+    assert not mismatches, mismatches[:5]

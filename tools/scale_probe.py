@@ -192,6 +192,10 @@ OPS = {
     # round 10: densifying-graph twins (fixed 1k nodes, edges scale k×) —
     # the block-graph rows above hold density constant; these measure the
     # density response directly (coreness per-round join = the suspect)
+    # round 10: web family (canonicalization chain + the two aggregates)
+    "web_domain_stats": lambda d: _web_op(d, "domain_stats"),
+    "web_url_revisions": lambda d: _web_op(d, "url_revisions"),
+    "web_dedup_urls": lambda d: _web_op(d, "dedup_urls"),
     "triangles_dense": lambda d: _dense_graph_op(d, "triangles"),
     "coreness_dense": lambda d: _dense_graph_op(d, "coreness"),
     "clustering_coeff_dense": lambda d: _dense_graph_op(d, "cc"),
@@ -328,6 +332,42 @@ def _dense_edges(docs: DataFrame) -> DataFrame:
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000)).alias("src"),
         F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(1000)).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
+
+
+def _web_op(docs: DataFrame, which: str) -> int:
+    """Web-family probes over synthesized messy URLs (uppercase scheme +
+    www + trackers + unsorted params — the full canonicalization chain
+    per row). Site key comes from xxhash64 (NOT a linear map — see
+    _dense_edges) over a 100k-site universe, the realistic registrable-
+    domain ceiling: domain cardinality grows toward the cap while input
+    volume scales k×, so domain_stats measures map + partial-combine.
+    url_revisions/dedup_urls key URLs on doc_id div 3 / div 8 so dup
+    groups stay constant-size and output grows linearly (honest
+    output-bound regime)."""
+    from apache_cassandra_spark.analytics import web
+
+    def url_for(base):
+        site = F.pmod(F.xxhash64(base), F.lit(100_000))
+        return F.concat(
+            F.lit("HTTP://WWW.Site"), site.cast("string"),
+            F.lit(".com/Page/"), base.cast("string"),
+            F.lit("?utm_source=x&b=2&a=1&gclid=z&q="),
+            F.pmod(base, F.lit(7)).cast("string"),
+        )
+
+    if which == "domain_stats":
+        d = docs.withColumn("url", url_for(F.col("doc_id")))
+        out = web.domain_stats(d).agg(F.sum("sum_logit_e7"), F.sum("n_urls"), F.sum("n_keep"))
+    elif which == "url_revisions":
+        d = (
+            docs.withColumn("crawl", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(7)), F.lit(3)))
+            .withColumn("url", url_for(F.expr("doc_id div 3")))
+        )
+        out = web.url_revisions(d).agg(F.sum("n_versions"), F.sum("last_crawl"))
+    else:
+        d = docs.withColumn("url", url_for(F.expr("doc_id div 8")))
+        out = web.dedup_urls(d).agg(F.sum("n_dups"), F.sum("doc_id"))
+    return out.collect() and docs.count()
 
 
 def _dense_graph_op(docs: DataFrame, which: str) -> int:
