@@ -236,6 +236,19 @@ def main() -> None:
         results["stress_range_page_100"] = timed_median(
             lambda: R.get_range_slices(cf, pred, kr).count(), warmup=True
         )
+
+        # warm point get: the saved-caches row cache (r10) — persist a
+        # 100-key hot set, re-bind (re-primes the reconciled live view),
+        # then point-read through the warm path. The reference's row
+        # cache exists for exactly this ratio vs stress_point_get.
+        store.save_row_cache("Bench", "Orders", keys)
+        cf_warm = store.cf("Bench", "Orders")
+        assert cf_warm.row_cache is not None
+        results["stress_point_get_warm"] = timed_median(
+            lambda: R.get(cf_warm, "42", ColumnPath("Orders", column=b"o_totalprice")).count(),
+            warmup=True,
+        )
+        store.invalidate_row_cache("Bench", "Orders")
         results["_stress_n_keys"] = float(n_keys)
     finally:
         for root in roots:
