@@ -284,7 +284,8 @@ def _py_canonicalize(url: str, tracking=web.TRACKING_PARAMS) -> str:
 
 
 def test_canonicalize_url_fuzz_vs_python_model(spark):
-    """300 structured pseudo-random URLs (schemes incl. uppercase/odd,
+    """280 structured pseudo-random URLs plus 6 fixed edge inputs
+    (schemes incl. uppercase/odd,
     www/no-www, default/non-default/no port, 0-3 path segments, 0-5
     params drawn from trackers + real keys + valueless + empty, optional
     fragment, plus whitespace padding and plain junk for the

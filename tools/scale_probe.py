@@ -192,13 +192,13 @@ OPS = {
     # round 10: densifying-graph twins (fixed 1k nodes, edges scale k×) —
     # the block-graph rows above hold density constant; these measure the
     # density response directly (coreness per-round join = the suspect)
+    "triangles_dense": lambda d: _dense_graph_op(d, "triangles"),
+    "coreness_dense": lambda d: _dense_graph_op(d, "coreness"),
+    "clustering_coeff_dense": lambda d: _dense_graph_op(d, "cc"),
     # round 10: web family (canonicalization chain + the two aggregates)
     "web_domain_stats": lambda d: _web_op(d, "domain_stats"),
     "web_url_revisions": lambda d: _web_op(d, "url_revisions"),
     "web_dedup_urls": lambda d: _web_op(d, "dedup_urls"),
-    "triangles_dense": lambda d: _dense_graph_op(d, "triangles"),
-    "coreness_dense": lambda d: _dense_graph_op(d, "coreness"),
-    "clustering_coeff_dense": lambda d: _dense_graph_op(d, "cc"),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -350,7 +350,7 @@ def _web_op(docs: DataFrame, which: str) -> int:
         site = F.pmod(F.xxhash64(base), F.lit(100_000))
         return F.concat(
             F.lit("HTTP://WWW.Site"), site.cast("string"),
-            F.lit(".com/Page/"), base.cast("string"),
+            F.lit(".com:80/Page/"), base.cast("string"),
             F.lit("?utm_source=x&b=2&a=1&gclid=z&q="),
             F.pmod(base, F.lit(7)).cast("string"),
         )
