@@ -94,27 +94,114 @@ def dedup_ingest_foreach_batch(
     append is hash-only (16 bytes/doc, not the body). Returns the
     started StreamingQuery.
     """
+    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
+
+    hash_schema = "content_hash string, _commit string"
+
+    def dedupe(batch: DataFrame, ref: DataFrame) -> DataFrame:
+        return dedup_against_reference(
+            batch, ref, text_col=text_col, id_col=id_col, ref_hashed=True
+        )
+
+    return _durable_ingest_loop(
+        stream_docs,
+        out_dir,
+        ref_dir,
+        checkpoint_dir,
+        ref_schema=hash_schema,
+        dedupe=dedupe,
+        ref_select=lambda kept: kept.select("content_hash").distinct(),
+    )
+
+
+def url_dedup_ingest_foreach_batch(
+    stream_docs: DataFrame,
+    out_dir: str,
+    ref_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_params: tuple[str, ...] | None = None,
+):
+    """URL-level continuous-ingest dedup with a durable reference — the
+    re-crawl front door as a stream: every micro-batch canonicalizes its
+    URLs (``web.with_url_keys``), keeps the min-id winner per canonical
+    URL in-batch, anti-joins against the on-disk canonical-URL table of
+    everything ever accepted, and appends survivors + their canonical
+    URLs under the same idempotent commit-token recipe as
+    :func:`dedup_ingest_foreach_batch` (query-id-derived partition
+    token, dynamic partition overwrite, self-partition-excluding
+    reference read). First capture of a URL wins across batches by
+    construction; within a batch the min-id convention matches
+    ``web.dedup_urls``.
+
+    Scale: the probe is one AQE-decided anti-join on the canonical URL
+    (reference is corpus-cardinality — never broadcast); the reference
+    append is the canonical URL string only, not the document body."""
+    from apache_cassandra_spark.analytics import web
+
+    kwargs = {} if tracking_params is None else {"tracking_params": tracking_params}
+    ref_schema = "canonical_url string, _commit string"
+
+    def dedupe(batch: DataFrame, ref: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        keyed = web.with_url_keys(batch, url_col, **kwargs)
+        fresh = keyed.join(ref.select("canonical_url"), "canonical_url", "left_anti")
+        # min-id winner per canonical URL (WindowGroupLimit pre-truncates;
+        # batch-sized input, never the corpus)
+        w = Window.partitionBy("canonical_url").orderBy(F.col(id_col))
+        return (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "host", "domain")
+        )
+
+    return _durable_ingest_loop(
+        stream_docs,
+        out_dir,
+        ref_dir,
+        checkpoint_dir,
+        ref_schema=ref_schema,
+        dedupe=dedupe,
+        ref_select=lambda kept: kept.select("canonical_url").distinct(),
+    )
+
+
+def _durable_ingest_loop(
+    stream_df: DataFrame,
+    out_dir: str,
+    ref_dir: str,
+    checkpoint_dir: str,
+    ref_schema: str,
+    dedupe,
+    ref_select,
+):
+    """Shared durable-reference ingest skeleton (content-hash and
+    canonical-URL variants): per micro-batch, read the reference
+    EXCLUDING this batch's own commit partition (null-safe — legacy
+    rows with NULL _commit are history), run ``dedupe(batch, ref)``,
+    then write survivors and ``ref_select(kept)`` rows under one
+    deterministic commit token with dynamic partition overwrite.
+
+    The partition token must be (a) DETERMINISTIC across restarts of
+    the same query so a replayed batch overwrites the crashed
+    partition, and (b) DISTINCT across queries so a new pipeline
+    neither collides with nor excludes history. Hashing the checkpoint
+    PATH satisfies neither edge (r8 review): a rebuilt checkpoint at
+    the same path would collide with history (replay-excluding and
+    OVERWRITING old partitions), and a respelled-but-equivalent path
+    would break replay idempotence. The streaming query's own id —
+    Spark writes it to <checkpoint>/metadata at first start, reuses
+    it on every restart, and mints a new one for a rebuilt checkpoint
+    — is exactly the identity wanted, read lazily since the file only
+    exists once the query is running (commit() always runs after)."""
     import json
 
     from pyspark.errors import AnalysisException  # the BASE class — the
     # captured-submodule one misses Spark Connect's subclass (r8 review)
 
-    from apache_cassandra_spark.analytics.dedup import dedup_against_reference
-
-    spark = stream_docs.sparkSession
-    hash_schema = "content_hash string, _commit string"
-    # The partition token must be (a) DETERMINISTIC across restarts of
-    # the same query so a replayed batch overwrites the crashed
-    # partition, and (b) DISTINCT across queries so a new pipeline
-    # neither collides with nor excludes history. Hashing the checkpoint
-    # PATH satisfies neither edge (r8 review): a rebuilt checkpoint at
-    # the same path would collide with history (replay-excluding and
-    # OVERWRITING old partitions), and a respelled-but-equivalent path
-    # would break replay idempotence. The streaming query's own id —
-    # Spark writes it to <checkpoint>/metadata at first start, reuses
-    # it on every restart, and mints a new one for a rebuilt checkpoint
-    # — is exactly the identity wanted, read lazily since the file only
-    # exists once the query is running (commit() always runs after).
+    spark = stream_df.sparkSession
     token_cell: list[str] = []
 
     def _qtoken() -> str:
@@ -130,7 +217,7 @@ def dedup_ingest_foreach_batch(
         commit_id = f"{_qtoken()}-{batch_id:012d}"
         try:
             ref = (
-                spark.read.schema(hash_schema)
+                spark.read.schema(ref_schema)
                 .parquet(ref_dir)
                 # null-safe: legacy/external rows with a NULL _commit are
                 # HISTORY, not a replayed self — plain != would silently
@@ -144,10 +231,8 @@ def dedup_ingest_foreach_batch(
             # admit every historical duplicate (round-8 review)
             if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
                 raise
-            ref = spark.createDataFrame([], hash_schema)
-        kept = dedup_against_reference(
-            batch, ref, text_col=text_col, id_col=id_col, ref_hashed=True
-        )
+            ref = spark.createDataFrame([], ref_schema)
+        kept = dedupe(batch, ref)
         # one deterministic materialization feeds both writes
         kept = kept.localCheckpoint(eager=True)
         (
@@ -158,8 +243,7 @@ def dedup_ingest_foreach_batch(
             .parquet(out_dir)
         )
         (
-            kept.select("content_hash")
-            .distinct()
+            ref_select(kept)
             .withColumn("_commit", F.lit(commit_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -168,7 +252,7 @@ def dedup_ingest_foreach_batch(
         )
 
     return (
-        stream_docs.writeStream.foreachBatch(commit)
+        stream_df.writeStream.foreachBatch(commit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

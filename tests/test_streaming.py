@@ -676,3 +676,57 @@ def test_dedup_ingest_rebuilt_checkpoint_preserves_history(spark, tmp_path):
     dedup_ingest_foreach_batch(stream2, out, ref, ck).awaitTermination(120)
     # the re-read docs are duplicates of history: dropped, nothing lost
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+
+def test_url_dedup_ingest_durable_reference(spark, tmp_path):
+    """URL-level durable ingest: cross-batch URL duplicates drop against
+    the on-disk canonical-URL table (even with different CONTENT — URL
+    identity, not content identity), canonicalization variants collapse,
+    in-batch min-id wins, and a fresh second query still rejects run-1
+    URLs."""
+    from apache_cassandra_spark.streaming.dedup import url_dedup_ingest_foreach_batch
+
+    src = tmp_path / "crawl"
+    out, ref = str(tmp_path / "uout"), str(tmp_path / "uref")
+    _write_doc_batch(src, "b0.json", [
+        {"doc_id": 1, "url": "HTTP://WWW.A.com/p?utm_s=1", "text": "v1"},
+        {"doc_id": 2, "url": "http://b.com/q", "text": "x"},
+    ], mtime=1_000_000)
+    _write_doc_batch(src, "b1.json", [
+        # same canonical URL as doc 1, different content: URL wins = drop
+        {"doc_id": 3, "url": "http://a.com/p", "text": "v2 CHANGED"},
+        # in-batch canonicalization collision: min-id 4 wins over 5
+        {"doc_id": 5, "url": "http://c.com/r?b=2&a=1", "text": "y"},
+        {"doc_id": 4, "url": "http://c.com/r?a=1&b=2", "text": "y2"},
+    ], mtime=2_000_000)
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = url_dedup_ingest_foreach_batch(stream, out, ref, str(tmp_path / "uck1"))
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
+    refs = sorted(r["canonical_url"] for r in spark.read.parquet(ref).distinct().collect())
+    assert refs == ["http://a.com/p?utm_s=1".replace("?utm_s=1", ""),
+                    "http://b.com/q", "http://c.com/r?a=1&b=2"]
+
+    # fresh checkpoint, fresh source: run-1 URLs still rejected
+    src2 = tmp_path / "crawl2"
+    _write_doc_batch(src2, "c0.json", [
+        {"doc_id": 6, "url": "https://B.com:443/../q".replace("/../", "/"), "text": "z"},
+        {"doc_id": 7, "url": "http://d.com/new", "text": "w"},
+    ], mtime=3_000_000)
+    stream2 = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src2))
+    )
+    q2 = url_dedup_ingest_foreach_batch(stream2, out, ref, str(tmp_path / "uck2"))
+    q2.awaitTermination(120)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # doc 6 is https://b.com/q vs run-1's http://b.com/q — DIFFERENT
+    # canonical URL (scheme matters), so it is admitted
+    assert kept2 == [1, 2, 4, 6, 7]
+    assert spark.read.parquet(ref).distinct().count() == 5
