@@ -146,6 +146,13 @@ def url_dedup_ingest_foreach_batch(
     def dedupe(batch: DataFrame, ref: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
+        # NULL url / NULL id rows are dropped up front: a NULL canonical
+        # URL never anti-joins (one url-less dup would be admitted per
+        # batch forever, plus a dead NULL reference row per commit), and
+        # NULL ids sort FIRST under the ascending winner window — both
+        # conventions match dedup_against_reference (NULL-id drop) and
+        # web.dedup_urls (F.min skips NULLs)
+        batch = batch.where(F.col(url_col).isNotNull() & F.col(id_col).isNotNull())
         keyed = web.with_url_keys(batch, url_col, **kwargs)
         fresh = keyed.join(ref.select("canonical_url"), "canonical_url", "left_anti")
         # min-id winner per canonical URL (WindowGroupLimit pre-truncates;
@@ -164,7 +171,9 @@ def url_dedup_ingest_foreach_batch(
         checkpoint_dir,
         ref_schema=ref_schema,
         dedupe=dedupe,
-        ref_select=lambda kept: kept.select("canonical_url").distinct(),
+        # already unique per canonical_url (the winner window) — no
+        # distinct re-shuffle on the per-batch hot path
+        ref_select=lambda kept: kept.select("canonical_url"),
     )
 
 

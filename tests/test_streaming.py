@@ -730,3 +730,30 @@ def test_url_dedup_ingest_durable_reference(spark, tmp_path):
     # canonical URL (scheme matters), so it is admitted
     assert kept2 == [1, 2, 4, 6, 7]
     assert spark.read.parquet(ref).distinct().count() == 5
+
+
+def test_url_dedup_ingest_drops_null_url_and_null_id_rows(spark, tmp_path):
+    """NULL url can never anti-join (one url-less dup admitted per batch
+    forever) and NULL ids would sort FIRST under the winner window —
+    both are dropped up front, matching dedup_against_reference's
+    NULL-id convention and web.dedup_urls' NULL-skipping min."""
+    from apache_cassandra_spark.streaming.dedup import url_dedup_ingest_foreach_batch
+
+    src = tmp_path / "crawl_nulls"
+    out, ref = str(tmp_path / "nout"), str(tmp_path / "nref")
+    _write_doc_batch(src, "b0.json", [
+        {"doc_id": None, "url": "http://a.com/p", "text": "nullid"},
+        {"doc_id": 2, "url": "http://a.com/p", "text": "real"},
+        {"doc_id": 3, "url": None, "text": "nourl"},
+    ], mtime=1_000_000)
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = url_dedup_ingest_foreach_batch(stream, out, ref, str(tmp_path / "nck"))
+    q.awaitTermination(120)
+    kept = [(r["doc_id"], r["canonical_url"]) for r in spark.read.parquet(out).collect()]
+    assert kept == [(2, "http://a.com/p")]
+    refs = [r["canonical_url"] for r in spark.read.parquet(ref).collect()]
+    assert refs == ["http://a.com/p"]
