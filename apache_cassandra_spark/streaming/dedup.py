@@ -135,6 +135,15 @@ def url_dedup_ingest_foreach_batch(
     construction; within a batch the min-id convention matches
     ``web.dedup_urls``.
 
+    NULL url / NULL id rows are DROPPED, not ingested: a NULL canonical
+    URL can never anti-join (one url-less duplicate would be admitted
+    per batch forever) and NULL ids invert the min-id winner order.
+    This operator is the URL-identity front door — url-less documents
+    (direct uploads, API-sourced) don't belong in it; route them through
+    :func:`dedup_ingest_foreach_batch` (content identity) instead, or
+    pre-split the stream. The drop is a documented contract, pinned by
+    test, not a silent filter buried in the plan.
+
     Scale: the probe is one AQE-decided anti-join on the canonical URL
     (reference is corpus-cardinality — never broadcast); the reference
     append is the canonical URL string only, not the document body."""
