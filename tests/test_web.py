@@ -321,3 +321,88 @@ def test_canonicalize_url_fuzz_vs_python_model(spark):
     want = [_py_canonicalize(u) for u in urls]
     mismatches = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
     assert not mismatches, mismatches[:5]
+
+
+def test_registrable_domain_fuzz_vs_python_model(spark):
+    """Randomized hosts (0-5 labels over a small alphabet, multi-label
+    suffixes planted both at the tail — where they must match — and
+    mid-host — where they must NOT) vs an independent Python model of
+    the documented rule: one label more than the longest matching
+    public suffix; bare suffix / single label returned whole."""
+    import random
+
+    rng = random.Random(0xD041)
+
+    def py_model(host: str) -> str:
+        labels = host.split(".")
+        n = len(labels)
+        take = 3 if (n >= 3 and ".".join(labels[-2:]) in web.MULTI_SUFFIXES) else 2
+        take = min(take, n)
+        return ".".join(labels[n - take:])
+
+    hosts = []
+    atoms = ["a", "bb", "x9", "co", "uk", "com", "foo"]
+    for _ in range(180):
+        n = rng.randrange(6)
+        labels = [rng.choice(atoms) for _ in range(n)]
+        if labels and rng.random() < 0.5:
+            suffix = rng.choice(web.MULTI_SUFFIXES).split(".")
+            pos = rng.choice(["tail", "mid"])
+            if pos == "tail":
+                labels = labels[: max(0, n - 2)] + suffix
+            else:
+                labels = [labels[0]] + suffix + labels[1:]
+        hosts.append(".".join(labels))
+    hosts += ["", "co.uk", "a.co.uk", "co.uk.com", "x.co.uk.com"]
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r["d"] for r in df.select(web.registrable_domain(F.col("host")).alias("d")).collect()]
+    want = [py_model(h) for h in hosts]
+    mismatches = [(h, g, w) for h, g, w in zip(hosts, got, want) if g != w]
+    assert not mismatches, mismatches[:5]
+
+
+def test_url_revisions_fuzz_vs_pandas_model(spark):
+    """Randomized crawl table (120 rows, ~25 URL bases, 3 crawls, shared
+    and unique texts, a few NULL texts) vs an independent pandas
+    groupby model of the full contract — coverage counts, distinct
+    versions, changed flag, packed-order latest fingerprint, NULL-skip
+    semantics. One Spark job."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(0xCAFE)
+    rows = []
+    for i in range(120):
+        base = rng.randrange(25)
+        url = f"http://site{base}.com/p?b=2&a=1&utm_x={rng.randrange(3)}"
+        text = None if rng.random() < 0.08 else rng.choice(
+            [f"stable {base}", f"v{rng.randrange(4)} of {base}", "shared boilerplate"]
+        )
+        rows.append((i, rng.randrange(3), url, text))
+    df = spark.createDataFrame(rows, "doc_id long, crawl long, url string, text string")
+    got = {r["canonical_url"]: r for r in web.url_revisions(df).collect()}
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "crawl", "url", "text"])
+    pdf["canon"] = pdf["url"].map(_py_canonicalize)
+    for canon, g in pdf.groupby("canon"):
+        fps = {
+            hashlib.md5(t.encode()).hexdigest()[:15]
+            for t in g["text"]
+            if t is not None
+        }
+        with_fp = g[g["text"].notna()]
+        want_latest = None
+        if len(with_fp):
+            ordk = with_fp["crawl"] * 2**40 + with_fp["doc_id"]
+            row = with_fp.loc[ordk.idxmax()]
+            want_latest = hashlib.md5(row["text"].encode()).hexdigest()[:15]
+        r = got[canon]
+        assert r["n_crawls"] == g["crawl"].nunique(), canon
+        assert r["n_versions"] == len(fps), canon
+        assert r["changed"] == (len(fps) > 1), canon
+        assert r["first_crawl"] == g["crawl"].min() and r["last_crawl"] == g["crawl"].max()
+        assert r["latest_fp"] == want_latest, canon
+    assert len(got) == pdf["canon"].nunique()
