@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FORMATS = ("parquet", "json", "csv")
+# avro is deliberately absent: Spark ships it as an external module
+# (spark-avro) that is not on this classpath — listing it here would be
+# a stub, not a source format
+_FORMATS = ("parquet", "orc", "json", "csv")
 
 
 def shard_expr(key_col: str, n_shards: int) -> F.Column:
@@ -56,11 +59,12 @@ def read_corpus(
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported corpus format {fmt!r}; one of {_FORMATS}")
     reader = spark.read
-    if fmt == "parquet":
-        # a caller-declared schema is a contract for parquet too: apply
-        # it so a type drift in the files fails at read time, not three
-        # jobs downstream
-        return (reader.schema(schema) if schema is not None else reader).parquet(path)
+    if fmt in ("parquet", "orc"):
+        # self-describing columnar formats: a caller-declared schema is
+        # still a contract — apply it so a type drift in the files fails
+        # at read time, not three jobs downstream
+        reader = reader.schema(schema) if schema is not None else reader
+        return getattr(reader, fmt)(path)
     if schema is None:
         raise ValueError(f"{fmt} corpus needs an explicit schema (inference = extra full pass)")
     reader = reader.schema(schema)

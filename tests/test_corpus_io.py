@@ -69,3 +69,29 @@ def test_csv_roundtrip(spark, docs, tmp_path):
     back = C.read_corpus(spark, out, fmt="csv", schema="doc_id long, text string, lang string")
     assert back.count() == 200
     assert {r["lang"] for r in back.select("lang").distinct().collect()} == {"en", "de"}
+
+
+def test_orc_sharded_roundtrip(spark, tmp_path):
+    """ORC is the second self-describing columnar interchange (built into
+    Spark): sharded write -> read back preserves rows, shard membership,
+    and the declared-schema contract (a wrong declared type fails at
+    read, like parquet)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "orc_shards")
+    C.write_sharded(docs, out, key_col="doc_id", n_shards=4, fmt="orc")
+    back = C.read_corpus(spark, out, fmt="orc")
+    assert back.count() == 40
+    assert sorted(back.columns) == ["doc_id", "shard", "text"]
+    # shard membership is the closed-form expression, not write luck
+    recomputed = back.withColumn("expect", C.shard_expr("doc_id", 4))
+    assert recomputed.where("shard != expect").count() == 0
+    # declared schema stays a contract for self-describing formats
+    typed = C.read_corpus(spark, out, fmt="orc", schema="doc_id long, text string, shard int")
+    assert typed.count() == 40
+
+
+def test_avro_is_an_explicit_non_format(spark):
+    with pytest.raises(ValueError, match="unsupported corpus format"):
+        C.read_corpus(spark, "/nope", fmt="avro")
