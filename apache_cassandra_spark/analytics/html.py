@@ -38,12 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from apache_cassandra_spark.analytics.web import (
-    TRACKING_PARAMS,
-    canonicalize_url,
-    extract_host,
-    registrable_domain,
-)
+from apache_cassandra_spark.analytics.web import extract_host, registrable_domain
 
 #: named entities decoded by :func:`decode_entities`, in application
 #: order. ``&amp;`` is deliberately LAST: decoding it earlier would
@@ -78,16 +73,24 @@ def decode_entities(text: Column) -> Column:
     return text
 
 
-def strip_markup(html: Column) -> Column:
-    """Remove non-content blocks (``<script>``/``<style>`` with their
-    bodies, comments) then all remaining tags, each replaced by one
-    space so word boundaries survive ``<p>a</p><p>b</p>``. Entities are
-    NOT decoded here — run :func:`decode_entities` after (that order is
-    what keeps a literal ``&lt;`` from being eaten as a tag)."""
+def strip_noncontent(html: Column) -> Column:
+    """Remove the non-content blocks (``<script>``/``<style>`` with
+    their bodies, and comments), each replaced by one space. This is the
+    shared first pass of both text extraction AND link extraction — a
+    commented-out or script-embedded ``<a href>`` is not a link on the
+    page, so :func:`extract_links` must not see it."""
     c = F.regexp_replace(html, _SCRIPT_RE, " ")
     c = F.regexp_replace(c, _STYLE_RE, " ")
-    c = F.regexp_replace(c, _COMMENT_RE, " ")
-    return F.regexp_replace(c, _TAG_RE, " ")
+    return F.regexp_replace(c, _COMMENT_RE, " ")
+
+
+def strip_markup(html: Column) -> Column:
+    """Remove non-content blocks (via :func:`strip_noncontent`) then all
+    remaining tags, each replaced by one space so word boundaries
+    survive ``<p>a</p><p>b</p>``. Entities are NOT decoded here — run
+    :func:`decode_entities` after (that order is what keeps a literal
+    ``&lt;`` from being eaten as a tag)."""
+    return F.regexp_replace(strip_noncontent(html), _TAG_RE, " ")
 
 
 def html_to_text(html: Column) -> Column:
@@ -109,9 +112,13 @@ def extract_links(html: Column) -> Column:
     """All ``<a href="...">`` targets, in document order, as an
     ``array<string>`` of RAW href values (quoted with either quote
     style; unquoted hrefs are skipped — vanishingly rare and ambiguous
-    to delimit). Resolution and canonicalization are
+    to delimit). Anchors inside ``<script>``/``<style>``/comments are
+    NOT links on the page and are excluded (:func:`strip_noncontent`
+    runs first). ``<title>`` extraction deliberately stays on the raw
+    document — a commented-out title is pathological, not worth three
+    regex passes per row. Resolution and canonicalization are
     :func:`resolve_link`'s job."""
-    return F.regexp_extract_all(html, F.lit(_HREF_RE), 1)
+    return F.regexp_extract_all(strip_noncontent(html), F.lit(_HREF_RE), 1)
 
 
 def resolve_link(href: Column, base_url: Column) -> Column:
@@ -123,13 +130,17 @@ def resolve_link(href: Column, base_url: Column) -> Column:
     RFC 3986 dot-segment handling, and a wrong join key is worse than a
     dropped edge in a corpus-scale link graph (contract documented, not
     silently mangled — same policy as ``web.canonicalize_url`` for
-    non-absolute inputs)."""
+    non-absolute inputs). A non-absolute ``base_url`` (no ``scheme://``)
+    resolves absolute hrefs as normal but the two relative forms to
+    NULL — there is no scheme/host to inherit, and concatenating empty
+    parts would fabricate keys like ``://host/path``."""
     scheme = F.lower(F.regexp_extract(base_url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = extract_host(base_url, strip_www=False)
+    relative_ok = scheme != ""
     return (
         F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
+        .when(relative_ok & href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(relative_ok & href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -158,44 +169,77 @@ def outlink_graph(
     url_col: str = "url",
     id_col: str = "doc_id",
     include_internal: bool = False,
-    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
 ) -> DataFrame:
     """Domain-level link graph of a crawl: explode each page's resolved
-    outlinks, canonicalize them, map both endpoints to registrable
-    domains, and aggregate to one edge row per (src_domain, dst_domain)
-    with ``n_links`` (link occurrences) and ``n_pages`` (distinct source
-    pages). Intra-domain edges are dropped by default
-    (``include_internal=True`` keeps them) — navigational self-links
-    drown the cross-site signal rank algorithms want.
+    outlinks, map both endpoints to registrable domains, and aggregate
+    to one edge row per (src_domain, dst_domain) with ``n_links`` (link
+    occurrences) and ``n_pages`` (distinct source pages). Intra-domain
+    edges are dropped by default (``include_internal=True`` keeps
+    them) — navigational self-links drown the cross-site signal rank
+    algorithms want. Pages whose own URL is not absolute contribute no
+    edges (their src endpoint is unknowable — see :func:`resolve_link`).
 
-    Plan shape: map-only projection → generator explode (fan-out bounded
-    by links-per-page) → one hash aggregate on the domain pair; the
-    distinct-page count rides the same shuffle via Expand. No joins, no
-    broadcasts — the page's own URL provides the src endpoint, so the
-    edge list never self-joins the corpus."""
-    resolved = resolve_link(F.explode(extract_links(F.col(html_col))), F.col(url_col))
-    src_domain = registrable_domain(extract_host(F.col(url_col)))
-    edges = (
-        df.select(
-            F.col(id_col).alias("_page"),
-            src_domain.alias("src_domain"),
-            resolved.alias("_target"),
-        )
-        .where(F.col("_target").isNotNull())
-        .select(
-            "_page",
-            "src_domain",
-            registrable_domain(
-                extract_host(canonicalize_url(F.col("_target"), tracking_params=tracking_params))
-            ).alias("dst_domain"),
-        )
+    The dst endpoint goes straight through ``extract_host`` — full URL
+    canonicalization (query-param sort, tracker strip) is deliberately
+    skipped because a domain-level edge depends only on the host, and
+    :func:`extract_host` applies the same host normalization
+    (lowercase, default-port strip, ``www.`` strip) that
+    ``canonicalize_url`` would; skipping it removes a multi-regex chain
+    per link occurrence.
+
+    Plan shape, chosen to keep every stage inside whole-stage codegen:
+    hrefs are resolved INSIDE the link array (``transform`` before
+    ``explode``), so the resolved target is a materialized generator
+    output — naively composing ``registrable_domain(extract_host(
+    resolve_link(...)))`` per exploded row inlines into a >64 KB codegen
+    method, which Spark abandons for interpreted eval with no
+    subexpression sharing. The first aggregate then dedups on the RAW
+    host pair + page (one shuffle over the link fan-out, map-side
+    combined), and the host→registrable-domain mapping runs AFTER it,
+    over materialized host attributes on the already-tiny edge list; the
+    final distinct aggregate (two cheap shuffles) regroups by domain.
+    No joins, no broadcasts — the page's own URL provides the src
+    endpoint, so the edge list never self-joins the corpus."""
+    exploded = df.select(
+        F.col(id_col).alias("_page"),
+        extract_host(F.col(url_col)).alias("_src_host"),
+        F.explode(
+            F.transform(
+                extract_links(F.col(html_col)),
+                lambda h: resolve_link(h, F.col(url_col)),
+            )
+        ).alias("_target"),
+    )
+    # an empty _src_host (non-absolute page URL) has no src endpoint;
+    # NULL _target is an unresolvable href — both drop here
+    host_pairs = (
+        exploded.where(F.col("_target").isNotNull() & (F.col("_src_host") != ""))
+        .select("_page", "_src_host", extract_host(F.col("_target")).alias("_dst_host"))
+        .groupBy("_src_host", "_dst_host", "_page")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    edges = host_pairs.select(
+        registrable_domain(F.col("_src_host")).alias("src_domain"),
+        registrable_domain(F.col("_dst_host")).alias("dst_domain"),
+        "_page",
+        "_n",
     )
     if not include_internal:
-        edges = edges.where(F.col("src_domain") != F.col("dst_domain"))
+        # the `_n < 0` disjunct is always false (count(1) >= 1); it is
+        # here to ANCHOR the predicate to the first aggregate's output:
+        # a pure src != dst filter is a deterministic function of the
+        # grouping keys, so Catalyst pushes it below the aggregate onto
+        # the raw link rows — re-inlining the full registrable-domain
+        # regex chains per link and regenerating the >64 KB codegen
+        # method the host-first staging exists to avoid. It must be a
+        # single OR predicate (an AND conjunct is split and the halves
+        # pushed independently); referencing the aggregate result pins
+        # evaluation to the (tiny) post-aggregate edge list.
+        edges = edges.where((F.col("src_domain") != F.col("dst_domain")) | (F.col("_n") < 0))
     return (
         edges.groupBy("src_domain", "dst_domain")
         .agg(
-            F.count(F.lit(1)).alias("n_links"),
+            F.sum("_n").alias("n_links"),
             F.count_distinct("_page").alias("n_pages"),
         )
     )

@@ -5753,6 +5753,168 @@ ORACLES["corpus_url_revisions"] = f"""
 """
 
 
+# Deterministic messy-HTML synthesis for the markup gates (documents has
+# no html column — same trick as _SYNTH_URL_SQL: ONE SQL expression
+# string evaluated by Spark's F.expr AND the DuckDB oracle, so the input
+# is identical by construction; double-quoted attributes only, because a
+# single quote cannot sit inside a portable single-quoted SQL literal).
+# Adversarial content: a <script> carrying a quoted decoy anchor (must
+# NOT count as a link and must vanish from clean_text), a commented-out
+# anchor (likewise), a <style> block, an entity in the <title>, a
+# literal 1 &lt; 2 and a double-escape &amp;nbsp; in the body (decode
+# ordering), then four real anchors — absolute (uppercase scheme/host +
+# default port), protocol-relative (inherits the page scheme),
+# host-relative (always an intra-domain edge → outlink_graph drops it),
+# and path-relative (resolves to NULL by contract). Even doc_ids add a
+# fifth anchor: a second absolute link to the SAME partner domain via a
+# news. subdomain (n_links > n_pages variety on the edge aggregate).
+_SYNTH_HTML_SQL = """'<html><head><title> Doc ' || cast(doc_id as string) || ' &amp; ' || source || ' </title>'
+ || '<style>body { color: red }</style></head><body>'
+ || CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var lt = 1 < 2; document.write("<a href="decoy">evil</a>");</script>' ELSE '' END
+ || '<!-- <a href="http://ghost.example/g">ghost</a> -->'
+ || '<p>' || text || ' 1 &lt; 2 &amp;nbsp;</p>'
+ || '<a href="HTTPS://WWW.Partner' || cast(doc_id % 5 as string) || '.COM:443/p/' || cast(doc_id % 11 as string) || '">ext</a>'
+ || '<a href="//cdn.media' || cast(doc_id % 3 as string) || '.co.uk/lib.js">cdn</a>'
+ || '<a href="/nav">nav</a>'
+ || '<a href="rel/next.html">rel</a>'
+ || CASE WHEN doc_id % 2 = 0 THEN '<a href="http://news.partner' || cast(doc_id % 5 as string) || '.com/q">news</a>' ELSE '' END
+ || '</body></html>'"""
+
+#: DuckDB mirror of html.strip_noncontent — script/style/comment removal
+#: (the 'g' flag is required: DuckDB regexp_replace is first-match-only
+#: by default where Spark replaces all)
+_SQL_STRIP_NONCONTENT = (
+    "regexp_replace(regexp_replace(regexp_replace(html,"
+    " '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g')"
+)
+
+#: DuckDB mirror of html._HREF_RE as a SQL string literal (quotes doubled)
+_SQL_HREF_RE = "'(?i)<a\\b[^>]*\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"'']'"
+
+
+def _sql_decode_entities(expr: str) -> str:
+    """Nested-replace DuckDB mirror of html.decode_entities (same
+    application order — amp last)."""
+    from apache_cassandra_spark.analytics.html import NAMED_ENTITIES
+
+    for entity, char in NAMED_ENTITIES:
+        expr = f"replace({expr}, '{entity}', '{char.replace(chr(39), chr(39) * 2)}')"
+    return expr
+
+
+def _sql_domain_ctes(prefix: str, src_cte: str, url_expr: str, passthrough: str) -> str:
+    """DuckDB CTE chain mirroring web.extract_host → registrable_domain
+    (strip_www=True), with PREFIXED cte names so the outlink oracle can
+    instantiate it twice (src endpoint, dst endpoint) in one query.
+    Exposes ``{prefix}d`` with ``passthrough, domain``."""
+    suffixes = ", ".join(f"'{s}'" for s in (
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+        "com.au", "net.au", "org.au", "co.in", "co.nz", "co.za",
+        "com.br", "com.cn", "com.mx",
+    ))
+    return f"""
+    {prefix}p AS (SELECT {passthrough},
+            lower(regexp_extract({url_expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport
+          FROM {src_cte}),
+    {prefix}h AS (SELECT {passthrough},
+            regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                                ELSE hostport END, '^www\\.', '') AS host
+          FROM {prefix}p),
+    {prefix}l AS (SELECT {passthrough}, string_split(host, '.') AS labels FROM {prefix}h),
+    {prefix}k AS (SELECT {passthrough}, labels,
+            least(CASE WHEN len(labels) >= 3
+                            AND (labels[len(labels)-1] || '.' || labels[len(labels)]) IN ({suffixes})
+                       THEN 3 ELSE 2 END, len(labels)) AS take
+          FROM {prefix}l),
+    {prefix}d AS (SELECT {passthrough},
+            array_to_string(labels[len(labels)-take+1:len(labels)], '.') AS domain
+          FROM {prefix}k)"""
+
+
+def q_corpus_page_text(spark, sf_dir):
+    """HTML → text ingest boundary (analytics/html.py with_page_text):
+    strip script/style/comments → strip tags → decode entities → collapse
+    whitespace, plus first-<title> extraction and the on-page link count.
+    Map-only — one codegen projection per document, no shuffle before
+    the presentation orderBy."""
+    from apache_cassandra_spark.analytics import html as H
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = H.with_page_text(docs.withColumn("html", F.expr(_SYNTH_HTML_SQL)))
+    return out.select(
+        "doc_id",
+        "title",
+        "clean_text",
+        F.col("n_links").cast("long").alias("n_links"),
+    ).orderBy("doc_id")
+
+
+ORACLES["corpus_page_text"] = f"""
+    WITH u0 AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents),
+    sc AS (SELECT doc_id, html, {_SQL_STRIP_NONCONTENT} AS content FROM u0),
+    tx AS (SELECT doc_id,
+             trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
+             trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
+             cast(len(regexp_extract_all(content, {_SQL_HREF_RE}, 1)) AS bigint) AS n_links
+           FROM sc)
+    SELECT doc_id, title, clean_text, n_links FROM tx ORDER BY doc_id
+"""
+
+
+def q_corpus_outlink_graph(spark, sf_dir):
+    """Domain-level crawl link graph (analytics/html.py outlink_graph):
+    harvest anchors from non-content-stripped markup, resolve each href
+    against its page URL (absolute / protocol-relative / host-relative;
+    path-relative → NULL), map both endpoints to registrable domains,
+    drop intra-domain edges, aggregate (n_links, distinct n_pages) per
+    edge. Explode → two-phase distinct hash aggregate; no joins."""
+    from apache_cassandra_spark.analytics import html as H
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.expr(_SYNTH_URL_SQL).alias("url"),
+        F.expr(_SYNTH_HTML_SQL).alias("html"),
+    )
+    return H.outlink_graph(staged).orderBy("src_domain", "dst_domain")
+
+
+ORACLES["corpus_outlink_graph"] = f"""
+    WITH u0 AS (SELECT doc_id, text, source, {_SYNTH_URL_SQL} AS url FROM documents),
+    u1 AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM u0),
+    sc AS (SELECT doc_id, url, {_SQL_STRIP_NONCONTENT} AS content FROM u1),
+    lx AS (SELECT doc_id, url,
+             unnest(regexp_extract_all(content, {_SQL_HREF_RE}, 1)) AS href
+           FROM sc),
+    bs AS (SELECT doc_id, url, href,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS bscheme,
+             CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                  THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+                  WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+                  THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+                  ELSE lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END AS bhost
+           FROM lx),
+    rs AS (SELECT doc_id, url,
+             CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+                  WHEN bscheme <> '' AND starts_with(href, '//') THEN bscheme || ':' || href
+                  WHEN bscheme <> '' AND starts_with(href, '/') THEN bscheme || '://' || bhost || href
+                  ELSE NULL END AS target
+           FROM bs),
+    rs2 AS (SELECT doc_id, url, target FROM rs WHERE target IS NOT NULL),
+    {_sql_domain_ctes('s', 'rs2', 'url', 'doc_id, target')},
+    se AS (SELECT doc_id, target, domain AS src_domain FROM sd WHERE domain <> ''),
+    {_sql_domain_ctes('t', 'se', 'target', 'doc_id, src_domain')}
+    SELECT src_domain, domain AS dst_domain,
+           count(*) AS n_links, count(DISTINCT doc_id) AS n_pages
+    FROM td WHERE src_domain <> domain
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: entries whose implementation changed
 # this round lead, then the entries whose newest driver row is oldest,
@@ -5768,10 +5930,12 @@ ORACLES["corpus_url_revisions"] = f"""
 # is the rows-only check, not a hash slot. r11 first-50 = the round-7
 # cohort below (incl. the four core sentinels); r12 = the round-9
 # cohort. Budget: oracle-bound count after the five retirements is 151,
-# plus corpus_url_revisions (new r10 prebuild) = 152 against the 150
-# (50-slot x 3-round) ceiling — two gates over; COVERAGE.md "Proposed
-# gate retirements (round 10)" queues prepare_corpus and events_hourly
-# to fund them, pending judge endorsement.
+# plus the three new r10 prebuilds (corpus_url_revisions,
+# corpus_page_text, corpus_outlink_graph) = 154 against the 150
+# (50-slot x 3-round) ceiling — four gates over; COVERAGE.md "Proposed
+# gate retirements (round 10)" queues prepare_corpus, events_hourly,
+# dedup_containment (identical-oracle twin of dedup_prefix_containment)
+# and docs_novelty_topk to fund them, pending judge endorsement.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
@@ -5946,6 +6110,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_readability": q_text_readability,
     "events_ohlc": q_events_ohlc,
     "corpus_url_revisions": q_corpus_url_revisions,
+    "corpus_page_text": q_corpus_page_text,
+    "corpus_outlink_graph": q_corpus_outlink_graph,
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     # round-10 window additions
     "corpus_domain_stats",
     "corpus_url_revisions",
+    "corpus_page_text",
+    "corpus_outlink_graph",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
     "tpch_q17ish",
     "tpch_q19ish",

@@ -1,0 +1,293 @@
+"""HTML extraction semantics (analytics/html.py) — markup stripping,
+entity decode order, link harvesting + resolution, the outlink graph,
+and their plan shapes. Fuzz locks the Spark regex chain against an
+independent pure-Python (re module) model."""
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics import html
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _one(spark, expr_fn, value):
+    df = spark.createDataFrame([(value,)], "s string")
+    return df.select(expr_fn(F.col("s")).alias("o")).collect()[0]["o"]
+
+
+# ---------------------------------------------------------------- model
+
+def _py_decode(s: str) -> str:
+    for entity, char in html.NAMED_ENTITIES:
+        s = s.replace(entity, char)
+    return s
+
+
+def _py_html_to_text(s: str) -> str:
+    c = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
+    c = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", c)
+    c = re.sub(r"(?s)<!--.*?-->", " ", c)
+    c = re.sub(r"<[^>]*>", " ", c)
+    c = _py_decode(c)
+    return re.sub(r"\s+", " ", c).strip()
+
+
+def _py_title(s: str) -> str:
+    m = re.search(r"(?is)<title[^>]*>(.*?)</title>", s)
+    return _py_decode(m.group(1)).strip() if m else ""
+
+
+def _py_links(s: str):
+    c = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
+    c = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", c)
+    c = re.sub(r"(?s)<!--.*?-->", " ", c)
+    return re.findall(r"""(?i)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']""", c)
+
+
+# ------------------------------------------------------------- entities
+
+def test_decode_entities_subset(spark):
+    got = _one(spark, html.decode_entities, "&lt;a&gt; &quot;x&quot; &#39;y&apos; a&nbsp;b &amp; c")
+    assert got == "<a> \"x\" 'y' a b & c"
+
+
+def test_decode_entities_double_escape_amp_last(spark):
+    # &amp;lt; is an ESCAPED "&lt;" — must decode to the literal text
+    # "&lt;", never all the way to "<" (amp-last ordering)
+    assert _one(spark, html.decode_entities, "&amp;lt;b&amp;gt;") == "&lt;b&gt;"
+    assert _one(spark, html.decode_entities, "&amp;amp;") == "&amp;"
+
+
+# ------------------------------------------------------- markup stripping
+
+def test_strip_markup_removes_script_and_style_bodies(spark):
+    doc = (
+        '<p>keep</p><script type="text/javascript">var x = 1 < 2; '
+        'document.write("<a href=http://evil.example/>");</script>'
+        "<style>body { color: red }</style><span>tail</span>"
+    )
+    got = _one(spark, html.html_to_text, doc)
+    assert got == "keep tail"
+
+
+def test_strip_markup_case_insensitive_and_comments(spark):
+    doc = "<SCRIPT>nope()</SCRIPT><!-- multi\nline\ncomment --><B>bold</B>"
+    assert _one(spark, html.html_to_text, doc) == "bold"
+
+
+def test_tag_removal_preserves_word_boundaries(spark):
+    assert _one(spark, html.html_to_text, "<p>a</p><p>b</p>") == "a b"
+
+
+def test_escaped_lt_survives_stripping_then_decodes(spark):
+    # a literal '<' arrives as &lt; — decoding AFTER tag removal keeps it
+    assert _one(spark, html.html_to_text, "x &lt;tag&gt; y") == "x <tag> y"
+
+
+def test_plain_text_passthrough_modulo_whitespace(spark):
+    assert _one(spark, html.html_to_text, "  plain\t text\n here ") == "plain text here"
+
+
+# ---------------------------------------------------------------- title
+
+def test_extract_title_first_occurrence_decoded(spark):
+    doc = "<head><TITLE lang=en> A &amp; B </TITLE></head><title>second</title>"
+    assert _one(spark, html.extract_title, doc) == "A & B"
+
+
+def test_extract_title_missing_is_empty(spark):
+    assert _one(spark, html.extract_title, "<p>no title</p>") == ""
+
+
+# ---------------------------------------------------------------- links
+
+def test_extract_links_both_quote_styles_in_order(spark):
+    doc = (
+        "<a href=\"http://a.com/1\">x</a><A CLASS=big HREF='http://b.com/2'>y</A>"
+        "<a id=z href = \"/rel\">z</a><link href=\"http://not-anchor.com\">"
+        "<a href=unquoted.html>skipped</a>"
+    )
+    got = _one(spark, html.extract_links, doc)
+    assert got == ["http://a.com/1", "http://b.com/2", "/rel"]
+
+
+def test_extract_links_ignores_script_style_and_comments(spark):
+    doc = (
+        "<script>document.write('<a href=\"http://in-script.com/\">x</a>')</script>"
+        "<!-- <a href='http://commented.com/'>y</a> -->"
+        "<style>a { content: '<a href=\"http://in-style.com/\">' }</style>"
+        "<a href='http://real.com/'>z</a>"
+    )
+    assert _one(spark, html.extract_links, doc) == ["http://real.com/"]
+
+
+def test_resolve_link_branches(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://x.com/a/b", "http://other.org/p"),      # absolute: kept
+            ("https://x.com/a/b", "//cdn.net/lib.js"),         # protocol-relative
+            ("https://WWW.X.com:8080/a", "/about"),            # host-relative keeps www + port
+            ("https://x.com/a/b", "../up.html"),               # path-relative: NULL
+            ("https://x.com/a/b", "sub/page.html"),            # path-relative: NULL
+            ("https://x.com/a/b", "mailto:a@b.c"),             # no ://, no /: NULL
+            ("not-a-url", "/about"),                           # non-absolute base: NULL
+            ("not-a-url", "http://abs.com/ok"),                # absolute survives bad base
+        ],
+        "base string, href string",
+    )
+    got = [
+        r["o"]
+        for r in df.select(html.resolve_link(F.col("href"), F.col("base")).alias("o")).collect()
+    ]
+    assert got == [
+        "http://other.org/p",
+        "https://cdn.net/lib.js",
+        "https://www.x.com:8080/about",
+        None,
+        None,
+        None,
+        None,
+        "http://abs.com/ok",
+    ]
+
+
+# --------------------------------------------------------- with_page_text
+
+def test_with_page_text_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "<html><title>T &amp; U</title><body><a href='http://a.com/'>x</a> hi</body></html>")],
+        "doc_id long, html string",
+    )
+    row = html.with_page_text(df).collect()[0]
+    assert row["title"] == "T & U"
+    assert row["clean_text"] == "T & U x hi"
+    assert row["n_links"] == 1
+
+
+def test_with_page_text_is_map_only(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = plan_of(html.with_page_text(df))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+# ----------------------------------------------------------- outlink graph
+
+def _crawl_df(spark):
+    pages = [
+        # two pages on example.com; page 1 links partner.net twice,
+        # page 2 once (n_links=3, n_pages=2); page 1 also links itself
+        # (internal: dropped by default) and a path-relative doc (dropped)
+        (
+            1,
+            "http://www.example.com/a",
+            "<a href='https://WWW.Partner.NET:443/x'>1</a>"
+            "<a href=\"//partner.net/y\">2</a>"
+            "<a href='/self'>3</a><a href='rel.html'>4</a>",
+        ),
+        (
+            2,
+            "http://example.com/b",
+            "<a href='http://news.partner.net/z'>5</a>",
+        ),
+        # a co.uk source: multi-label suffix on the src side
+        (3, "https://blog.site.co.uk/p", "<a href='http://example.com/'>6</a>"),
+        # page with a non-absolute URL: contributes nothing
+        (4, "garbage", "<a href='http://example.com/'>7</a>"),
+    ]
+    return spark.createDataFrame(pages, "doc_id long, url string, html string")
+
+
+def test_outlink_graph_edges(spark):
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_pages"])
+        for r in html.outlink_graph(_crawl_df(spark)).collect()
+    }
+    assert got == {
+        ("example.com", "partner.net"): (3, 2),
+        ("site.co.uk", "example.com"): (1, 1),
+    }
+
+
+def test_outlink_graph_include_internal(spark):
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_pages"])
+        for r in html.outlink_graph(_crawl_df(spark), include_internal=True).collect()
+    }
+    assert got[("example.com", "example.com")] == (1, 1)
+    assert got[("example.com", "partner.net")] == (3, 2)
+
+
+def test_outlink_graph_plan_no_joins_no_broadcast(spark):
+    plan = plan_of(html.outlink_graph(_crawl_df(spark)))
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    # shuffle 1: dedup/count on the raw (src_host, dst_host, page)
+    # triple over the link fan-out; then the domain regroup's two-phase
+    # distinct aggregate (two cheap shuffles over the aggregated edges)
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Generate explode" in plan
+    assert "SortAggregate" not in plan
+    # the registrable-domain mapping (recognizable by its public-suffix
+    # INSET) must stay ABOVE the first aggregate, on materialized host
+    # attributes — if Catalyst pushes the internal-edge filter down onto
+    # the raw link rows, the inlined regex chains blow the 64 KB codegen
+    # method limit and the whole raw stage falls back to interpreted
+    # eval (see outlink_graph's anchored-predicate comment)
+    raw_stage = plan.split("Exchange hashpartitioning")[-1]
+    assert "INSET" not in raw_stage
+
+
+def test_domain_pagerank_more_cited_domain_ranks_higher(spark):
+    # 3 distinct pages cite hub.com; 1 page cites side.org
+    pages = [
+        (i, f"http://src{i}.com/p", "<a href='http://hub.com/'>h</a>") for i in range(3)
+    ] + [(9, "http://src0.com/q", "<a href='http://side.org/'>s</a>")]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    ranks = {r["node"]: r["rank_micro"] for r in html.domain_pagerank(df).collect()}
+    assert ranks["hub.com"] > ranks["side.org"]
+
+
+# ------------------------------------------------------------------ fuzz
+
+def test_html_to_text_fuzz_vs_python_model(spark):
+    """Randomized documents built from adversarial fragments (unclosed
+    scripts, fake links inside scripts, double-escaped entities, stray
+    brackets) — Spark chain must agree with the independent re-module
+    model on text, title, and links. One Spark job."""
+    rng = random.Random(0xD0C5)
+    frags = [
+        "plain words here",
+        "<p>para</p>",
+        "<script>var a = 1 < 2;</script>",
+        '<script src="x.js">fake <a href="http://no.com/">link</a></script>',
+        "<style>a{x:1}</style>",
+        "<!-- c1 --><!-- c2\nc3 -->",
+        "<title>T &amp; U</title>",
+        "&amp;lt;keep&amp;gt;",
+        "&lt;literal&gt;",
+        "<a href='http://x.org/1'>l</a>",
+        '<A HREF="//proto.rel/2">l</A>',
+        "<a href=bare>skip</a>",
+        "<div class='a b'>text</div>",
+        "tail > stray bracket",
+        "  \t\n whitespace  run ",
+        "<b>bold</b><i>ital</i>",
+    ]
+    docs = [
+        " ".join(rng.choice(frags) for _ in range(rng.randrange(1, 9))) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "html string")
+    rows = df.select(
+        html.html_to_text(F.col("html")).alias("t"),
+        html.extract_title(F.col("html")).alias("ti"),
+        html.extract_links(F.col("html")).alias("ln"),
+    ).collect()
+    for doc, r in zip(docs, rows):
+        assert r["t"] == _py_html_to_text(doc), doc
+        assert r["ti"] == _py_title(doc), doc
+        assert r["ln"] == _py_links(doc), doc
