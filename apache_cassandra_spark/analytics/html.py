@@ -61,6 +61,16 @@ _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"<[^>]*>"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 _HREF_RE = r"""(?i)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']"""
+#: one match per CLOSED quoted-href anchor; group 1 = href, group 2 =
+#: inner markup. Matching both groups from one pattern is what keeps the
+#: two regexp_extract_all arrays positionally aligned by construction.
+_ANCHOR_RE = r"""(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+_LANG_RE = r"""(?is)<html\b[^>]*\blang\s*=\s*["']([^"']+)["']"""
+_META_DESC_RE = (
+    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']description["'][^>]*"""
+    r"""\bcontent\s*=\s*["']([^"']*)["']"""
+)
+_CHARSET_RE = r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_-]+)"""
 
 
 def decode_entities(text: Column) -> Column:
@@ -145,20 +155,104 @@ def resolve_link(href: Column, base_url: Column) -> Column:
     )
 
 
+def clean_fragment(fragment: Column) -> Column:
+    """Rendered text of an already-noncontent-stripped markup fragment
+    (anchor bodies, meta snippets): tag strip → entity decode →
+    whitespace collapse → trim. The inner chain of :func:`html_to_text`
+    without the script/style/comment pass."""
+    c = decode_entities(F.regexp_replace(fragment, _TAG_RE, " "))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def extract_lang(html: Column) -> Column:
+    """Declared document language — the ``lang`` attribute of the
+    ``<html>`` tag, lowercased (``en``, ``pt-br``); empty string when
+    absent. A declared lang is a PRIOR for ``text.lang_id``, not ground
+    truth (multilingual sites template it wrong constantly) — ship both
+    columns and let the curation filter arbitrate."""
+    return F.lower(F.regexp_extract(html, _LANG_RE, 1))
+
+
+def extract_meta_description(html: Column) -> Column:
+    """``<meta name="description" content="...">`` text, entity-decoded
+    and trimmed; empty when absent. Requires the name-before-content
+    attribute order (the overwhelmingly dominant emission order;
+    attribute-order-insensitive matching needs two alternates for no
+    corpus-level gain). Raw-document match, like :func:`extract_title`."""
+    return F.trim(decode_entities(F.regexp_extract(html, _META_DESC_RE, 1)))
+
+
+def extract_charset(html: Column) -> Column:
+    """Declared charset, lowercased: matches both the HTML5
+    ``<meta charset=utf-8>`` form (quoted or bare) and the value inside
+    the legacy http-equiv ``content="text/html; charset=..."`` form,
+    because the regex keys on the ``charset=`` token either way."""
+    return F.lower(F.regexp_extract(html, _CHARSET_RE, 1))
+
+
+def anchor_pairs(html: Column) -> Column:
+    """``array<struct<href,anchor>>`` of a page's closed, quoted-href
+    anchors in document order — href RAW (resolution is
+    :func:`resolve_link`'s job), anchor text rendered via
+    :func:`clean_fragment` (nested markup stripped, entities decoded).
+    Built from TWO ``regexp_extract_all`` calls over the SAME pattern
+    (group 1 / group 2), zipped — identical match sites, so the arrays
+    align by construction. Unclosed anchors match nothing and are
+    skipped (same honesty policy as unquoted hrefs in
+    :func:`extract_links`)."""
+    content = strip_noncontent(html)
+    return F.arrays_zip(
+        F.regexp_extract_all(content, F.lit(_ANCHOR_RE), 1).alias("href"),
+        F.transform(
+            F.regexp_extract_all(content, F.lit(_ANCHOR_RE), 2), clean_fragment
+        ).alias("anchor"),
+    )
+
+
+def anchor_text_corpus(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The anchor-text side corpus: one row per (page, resolved target,
+    anchor text) — what link-context pretraining data and anchor-based
+    document expansion consume. Empty anchor texts (image links, styled
+    spans that render to nothing) and unresolvable targets drop.
+
+    Plan shape: map-only projection → one explode; no shuffle, no joins
+    (the output is a corpus, not an aggregate — callers group it)."""
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("_base"),
+        F.explode(anchor_pairs(F.col(html_col))).alias("_p"),
+    )
+    return (
+        pairs.select(
+            "doc_id",
+            resolve_link(F.col("_p.href"), F.col("_base")).alias("target_url"),
+            F.col("_p.anchor").alias("anchor_text"),
+        )
+        .where(F.col("target_url").isNotNull() & (F.col("anchor_text") != ""))
+    )
+
+
 def with_page_text(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Append ``clean_text``, ``title``, ``n_links`` — the map-only
-    projection a crawl-ingest pipeline runs once, after which every
-    text operator consumes ``clean_text`` instead of markup."""
+    """Append ``clean_text``, ``title``, ``n_links``, ``declared_lang``
+    — the map-only projection a crawl-ingest pipeline runs once, after
+    which every text operator consumes ``clean_text`` instead of
+    markup (and ``text.lang_id`` gets its declared-language prior)."""
     h = F.col(html_col)
     return df.withColumns(
         {
             "clean_text": html_to_text(h),
             "title": extract_title(h),
             "n_links": F.size(extract_links(h)),
+            "declared_lang": extract_lang(h),
         }
     )
 

@@ -5768,7 +5768,8 @@ ORACLES["corpus_url_revisions"] = f"""
 # and path-relative (resolves to NULL by contract). Even doc_ids add a
 # fifth anchor: a second absolute link to the SAME partner domain via a
 # news. subdomain (n_links > n_pages variety on the edge aggregate).
-_SYNTH_HTML_SQL = """'<html><head><title> Doc ' || cast(doc_id as string) || ' &amp; ' || source || ' </title>'
+_SYNTH_HTML_SQL = """CASE WHEN doc_id % 7 = 0 THEN '<html lang="PT-br">' ELSE '<html lang="en">' END
+ || '<head><title> Doc ' || cast(doc_id as string) || ' &amp; ' || source || ' </title>'
  || '<style>body { color: red }</style></head><body>'
  || CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var lt = 1 < 2; document.write("<a href="decoy">evil</a>");</script>' ELSE '' END
  || '<!-- <a href="http://ghost.example/g">ghost</a> -->'
@@ -5850,8 +5851,25 @@ def q_corpus_page_text(spark, sf_dir):
         "title",
         "clean_text",
         F.col("n_links").cast("long").alias("n_links"),
+        "declared_lang",
+        F.array_join(
+            F.transform(H.anchor_pairs(F.col("html")), lambda p: p.getField("anchor")),
+            "|",
+        ).alias("anchors_joined"),
     ).orderBy("doc_id")
 
+
+#: DuckDB mirror of html._ANCHOR_RE (group 2 = anchor body)
+_SQL_ANCHOR_RE = (
+    "'(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"''][^>]*>(.*?)</a>'"
+)
+
+#: per-element anchor cleaning lambda body (html.clean_fragment mirror)
+_SQL_CLEAN_FRAGMENT = (
+    "x -> trim(regexp_replace("
+    + _sql_decode_entities("regexp_replace(x, '<[^>]*>', ' ', 'g')")
+    + ", '\\s+', ' ', 'g'))"
+)
 
 ORACLES["corpus_page_text"] = f"""
     WITH u0 AS (SELECT doc_id, {_SYNTH_HTML_SQL} AS html FROM documents),
@@ -5859,9 +5877,14 @@ ORACLES["corpus_page_text"] = f"""
     tx AS (SELECT doc_id,
              trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
              trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
-             cast(len(regexp_extract_all(content, {_SQL_HREF_RE}, 1)) AS bigint) AS n_links
+             cast(len(regexp_extract_all(content, {_SQL_HREF_RE}, 1)) AS bigint) AS n_links,
+             lower(regexp_extract(html, '(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)) AS declared_lang,
+             array_to_string(list_transform(
+                 regexp_extract_all(content, {_SQL_ANCHOR_RE}, 2),
+                 {_SQL_CLEAN_FRAGMENT}), '|') AS anchors_joined
            FROM sc)
-    SELECT doc_id, title, clean_text, n_links FROM tx ORDER BY doc_id
+    SELECT doc_id, title, clean_text, n_links, declared_lang, anchors_joined
+    FROM tx ORDER BY doc_id
 """
 
 

@@ -157,6 +157,88 @@ def test_resolve_link_branches(spark):
     ]
 
 
+# ----------------------------------------------------- anchors + metadata
+
+def _py_anchor_pairs(s: str):
+    c = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
+    c = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", c)
+    c = re.sub(r"(?s)<!--.*?-->", " ", c)
+    pat = r"""(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+    out = []
+    for href, body in re.findall(pat, c):
+        t = _py_decode(re.sub(r"<[^>]*>", " ", body))
+        out.append((href, re.sub(r"\s+", " ", t).strip()))
+    return out
+
+
+def test_anchor_pairs_alignment_and_cleaning(spark):
+    doc = (
+        "<a href='http://a.com/1'>One</a>"
+        "<a class=x href=\"http://b.com/2\">Two <b>bold</b> &amp; more</a>"
+        "<a href='http://unclosed.com/3'>no close"
+    )
+    got = _one(spark, html.anchor_pairs, doc)
+    assert [(p["href"], p["anchor"]) for p in got] == [
+        ("http://a.com/1", "One"),
+        ("http://b.com/2", "Two bold & more"),
+    ]
+
+
+def test_anchor_text_corpus_resolves_and_drops_empties(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://site.com/p",
+                "<a href='/rel'>Relative</a><a href='http://x.org/'>  </a>"
+                "<a href='../skip'>Skipped</a><a href='//y.net/q'>Proto</a>",
+            )
+        ],
+        "doc_id long, url string, html string",
+    )
+    rows = sorted(
+        (r["target_url"], r["anchor_text"])
+        for r in html.anchor_text_corpus(df).collect()
+    )
+    # empty anchor (x.org) and path-relative (../skip) drop
+    assert rows == [
+        ("https://site.com/rel", "Relative"),
+        ("https://y.net/q", "Proto"),
+    ]
+
+
+def test_anchor_text_corpus_is_map_only(spark):
+    df = spark.createDataFrame(
+        [(1, "http://a.com/", "<a href='/x'>t</a>")],
+        "doc_id long, url string, html string",
+    )
+    plan = plan_of(html.anchor_text_corpus(df))
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_extract_lang_and_charset_and_description(spark):
+    doc = (
+        '<html LANG="EN-us"><head><meta charset=UTF-8>'
+        '<meta name="description" content="A &amp; B site">'
+        "</head><body>x</body></html>"
+    )
+    assert _one(spark, html.extract_lang, doc) == "en-us"
+    assert _one(spark, html.extract_charset, doc) == "utf-8"
+    assert _one(spark, html.extract_meta_description, doc) == "A & B site"
+
+
+def test_meta_absent_yields_empty(spark):
+    doc = "<html><body>plain</body></html>"
+    assert _one(spark, html.extract_lang, doc) == ""
+    assert _one(spark, html.extract_charset, doc) == ""
+    assert _one(spark, html.extract_meta_description, doc) == ""
+
+
+def test_legacy_http_equiv_charset(spark):
+    doc = '<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'
+    assert _one(spark, html.extract_charset, doc) == "iso-8859-1"
+
+
 # --------------------------------------------------------- with_page_text
 
 def test_with_page_text_columns(spark):
@@ -273,6 +355,8 @@ def test_html_to_text_fuzz_vs_python_model(spark):
         "<a href='http://x.org/1'>l</a>",
         '<A HREF="//proto.rel/2">l</A>',
         "<a href=bare>skip</a>",
+        "<a href='http://z.io/p'>Deep <i>text</i> &amp; co</a>",
+        "<a href='http://open.net/'>unclosed",
         "<div class='a b'>text</div>",
         "tail > stray bracket",
         "  \t\n whitespace  run ",
@@ -286,8 +370,10 @@ def test_html_to_text_fuzz_vs_python_model(spark):
         html.html_to_text(F.col("html")).alias("t"),
         html.extract_title(F.col("html")).alias("ti"),
         html.extract_links(F.col("html")).alias("ln"),
+        html.anchor_pairs(F.col("html")).alias("ap"),
     ).collect()
     for doc, r in zip(docs, rows):
         assert r["t"] == _py_html_to_text(doc), doc
         assert r["ti"] == _py_title(doc), doc
         assert r["ln"] == _py_links(doc), doc
+        assert [(p["href"], p["anchor"]) for p in r["ap"]] == _py_anchor_pairs(doc), doc
