@@ -5888,6 +5888,42 @@ ORACLES["corpus_page_text"] = f"""
 """
 
 
+def q_corpus_wet_roundtrip(spark, sf_dir):
+    """WET interchange round trip (sources/warc.py): documents written
+    as WARC/1.0 ``conversion`` records (distributed text sink, one
+    record per doc, Content-Length = UTF-8 bytes) and re-ingested with
+    the multi-char-lineSep distributed reader. The oracle recomputes
+    every record — URI, date, declared length, framing flag, payload —
+    straight from the source table, so the gate pins the writer's
+    framing arithmetic, the reader's header/payload split, and the
+    byte-length contract at once (the corpus_shard_roundtrip recipe,
+    pointed at the crawl-interchange format)."""
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", F.expr(_SYNTH_URL_SQL).alias("url")
+    )
+    out_dir = tempfile.mkdtemp(prefix="corpus_wet_")
+    warc.write_wet(docs, out_dir)
+    return warc.read_wet(spark, out_dir).select(
+        "target_uri", "warc_date", "content_length", "framing_ok", "text"
+    ).orderBy("target_uri", "text")
+
+
+ORACLES["corpus_wet_roundtrip"] = f"""
+    SELECT {_SYNTH_URL_SQL} AS target_uri,
+           '2013-01-01T00:00:00Z' AS warc_date,
+           cast(strlen(text) AS bigint) AS content_length,
+           true AS framing_ok,
+           text
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY target_uri, text
+"""
+
+
 def q_corpus_outlink_graph(spark, sf_dir):
     """Domain-level crawl link graph (analytics/html.py outlink_graph):
     harvest anchors from non-content-stripped markup, resolve each href
@@ -5953,12 +5989,13 @@ ORACLES["corpus_outlink_graph"] = f"""
 # is the rows-only check, not a hash slot. r11 first-50 = the round-7
 # cohort below (incl. the four core sentinels); r12 = the round-9
 # cohort. Budget: oracle-bound count after the five retirements is 151,
-# plus the three new r10 prebuilds (corpus_url_revisions,
-# corpus_page_text, corpus_outlink_graph) = 154 against the 150
-# (50-slot x 3-round) ceiling — four gates over; COVERAGE.md "Proposed
-# gate retirements (round 10)" queues prepare_corpus, events_hourly,
-# dedup_containment (identical-oracle twin of dedup_prefix_containment)
-# and docs_novelty_topk to fund them, pending judge endorsement.
+# plus the four new r10 prebuilds (corpus_url_revisions,
+# corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip) = 155
+# against the 150 (50-slot x 3-round) ceiling — five gates over;
+# COVERAGE.md "Proposed gate retirements (round 10)" queues
+# prepare_corpus, events_hourly, dedup_containment (identical-oracle
+# twin of dedup_prefix_containment), docs_novelty_topk and
+# tpch_top_nations to fund them, pending judge endorsement.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
@@ -6135,6 +6172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_url_revisions": q_corpus_url_revisions,
     "corpus_page_text": q_corpus_page_text,
     "corpus_outlink_graph": q_corpus_outlink_graph,
+    "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,

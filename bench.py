@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "corpus_url_revisions",
     "corpus_page_text",
     "corpus_outlink_graph",
+    "corpus_wet_roundtrip",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
     "tpch_q17ish",
     "tpch_q19ish",
