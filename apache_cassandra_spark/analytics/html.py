@@ -60,17 +60,38 @@ _STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"<[^>]*>"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
-_HREF_RE = r"""(?i)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']"""
-#: one match per CLOSED quoted-href anchor; group 1 = href, group 2 =
-#: inner markup. Matching both groups from one pattern is what keeps the
-#: two regexp_extract_all arrays positionally aligned by construction.
-_ANCHOR_RE = r"""(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+#: anchor OPEN tags / whole CLOSED anchor elements. Hrefs are parsed
+#: per-element with quote-specific patterns (below) instead of a mixed
+#: ["']...["'] class — the mixed class truncates a double-quoted value
+#: at its first apostrophe (href="it's" → "it"), a silent corruption.
+_A_TAG_RE = r"(?i)<a\b[^>]*>"
+_ANCHOR_ELEM_RE = r"(?is)<a\b[^>]*>.*?</a>"
+_ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>(.*)</a>"
+_HREF_DQ_RE = r'(?i)\bhref\s*=\s*"([^"]*)"'
+_HREF_SQ_RE = r"(?i)\bhref\s*=\s*'([^']*)'"
 _LANG_RE = r"""(?is)<html\b[^>]*\blang\s*=\s*["']([^"']+)["']"""
-_META_DESC_RE = (
+_META_DESC_DQ_RE = (
     r"""(?is)<meta\b[^>]*\bname\s*=\s*["']description["'][^>]*"""
-    r"""\bcontent\s*=\s*["']([^"']*)["']"""
+    r"""\bcontent\s*=\s*"([^"]*)\""""
+)
+_META_DESC_SQ_RE = (
+    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']description["'][^>]*"""
+    r"""\bcontent\s*=\s*'([^']*)'"""
 )
 _CHARSET_RE = r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_-]+)"""
+
+
+def _href_of(tag: Column) -> Column:
+    """href value of one anchor tag string: double-quoted form wins,
+    then single-quoted; empty when unquoted or absent (ambiguous to
+    delimit / nothing to resolve). A '>' inside an href value must be
+    percent-encoded (RFC 3986 reserves it) — the open tag was delimited
+    at the first '>' before this ever runs."""
+    return (
+        F.when(tag.rlike(_HREF_DQ_RE), F.regexp_extract(tag, _HREF_DQ_RE, 1))
+        .when(tag.rlike(_HREF_SQ_RE), F.regexp_extract(tag, _HREF_SQ_RE, 1))
+        .otherwise(F.lit(""))
+    )
 
 
 def decode_entities(text: Column) -> Column:
@@ -105,11 +126,12 @@ def strip_markup(html: Column) -> Column:
 
 def html_to_text(html: Column) -> Column:
     """Rendered text of an HTML document as one codegen expression
-    chain: strip markup → decode entities → collapse whitespace runs to
-    a single space → trim. Plain text passes through unchanged (no tags
-    to strip) modulo the whitespace collapse."""
-    c = decode_entities(strip_markup(html))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    chain: strip non-content blocks, then :func:`clean_fragment`'s
+    tag-strip → entity-decode → whitespace-collapse → trim (ONE shared
+    implementation of that inner chain, so document-level and
+    fragment-level rendering cannot drift). Plain text passes through
+    unchanged (no tags to strip) modulo the whitespace collapse."""
+    return clean_fragment(strip_noncontent(html))
 
 
 def extract_title(html: Column) -> Column:
@@ -120,15 +142,18 @@ def extract_title(html: Column) -> Column:
 
 def extract_links(html: Column) -> Column:
     """All ``<a href="...">`` targets, in document order, as an
-    ``array<string>`` of RAW href values (quoted with either quote
-    style; unquoted hrefs are skipped — vanishingly rare and ambiguous
+    ``array<string>`` of RAW href values: anchor OPEN tags are pulled
+    first, then each tag's href parsed quote-aware (double- or
+    single-quoted, so a value containing the OTHER quote char survives
+    intact; unquoted hrefs are skipped — vanishingly rare and ambiguous
     to delimit). Anchors inside ``<script>``/``<style>``/comments are
     NOT links on the page and are excluded (:func:`strip_noncontent`
     runs first). ``<title>`` extraction deliberately stays on the raw
     document — a commented-out title is pathological, not worth three
     regex passes per row. Resolution and canonicalization are
     :func:`resolve_link`'s job."""
-    return F.regexp_extract_all(strip_noncontent(html), F.lit(_HREF_RE), 1)
+    tags = F.regexp_extract_all(strip_noncontent(html), F.lit(_A_TAG_RE), 0)
+    return F.filter(F.transform(tags, _href_of), lambda h: h != "")
 
 
 def resolve_link(href: Column, base_url: Column) -> Column:
@@ -175,11 +200,17 @@ def extract_lang(html: Column) -> Column:
 
 def extract_meta_description(html: Column) -> Column:
     """``<meta name="description" content="...">`` text, entity-decoded
-    and trimmed; empty when absent. Requires the name-before-content
+    and trimmed; empty when absent. Quote-aware like :func:`_href_of`
+    (a double-quoted description containing an apostrophe — "Bob's
+    site" — must not truncate at it). Requires the name-before-content
     attribute order (the overwhelmingly dominant emission order;
-    attribute-order-insensitive matching needs two alternates for no
-    corpus-level gain). Raw-document match, like :func:`extract_title`."""
-    return F.trim(decode_entities(F.regexp_extract(html, _META_DESC_RE, 1)))
+    attribute-order-insensitive matching needs two more alternates for
+    no corpus-level gain). Raw-document match, like
+    :func:`extract_title`."""
+    raw = F.when(
+        html.rlike(_META_DESC_DQ_RE), F.regexp_extract(html, _META_DESC_DQ_RE, 1)
+    ).otherwise(F.regexp_extract(html, _META_DESC_SQ_RE, 1))
+    return F.trim(decode_entities(raw))
 
 
 def extract_charset(html: Column) -> Column:
@@ -193,20 +224,24 @@ def extract_charset(html: Column) -> Column:
 def anchor_pairs(html: Column) -> Column:
     """``array<struct<href,anchor>>`` of a page's closed, quoted-href
     anchors in document order — href RAW (resolution is
-    :func:`resolve_link`'s job), anchor text rendered via
-    :func:`clean_fragment` (nested markup stripped, entities decoded).
-    Built from TWO ``regexp_extract_all`` calls over the SAME pattern
-    (group 1 / group 2), zipped — identical match sites, so the arrays
-    align by construction. Unclosed anchors match nothing and are
-    skipped (same honesty policy as unquoted hrefs in
-    :func:`extract_links`)."""
-    content = strip_noncontent(html)
-    return F.arrays_zip(
-        F.regexp_extract_all(content, F.lit(_ANCHOR_RE), 1).alias("href"),
-        F.transform(
-            F.regexp_extract_all(content, F.lit(_ANCHOR_RE), 2), clean_fragment
-        ).alias("anchor"),
+    :func:`resolve_link`'s job) and quote-aware via :func:`_href_of`,
+    anchor text rendered via :func:`clean_fragment` (nested markup
+    stripped, entities decoded). Whole ``<a ...>...</a>`` elements are
+    extracted first, then each element parsed — href and body come from
+    the SAME match site, aligned by construction. Unclosed anchors
+    match nothing and unquoted/absent hrefs drop (same honesty policy
+    as :func:`extract_links`)."""
+    elems = F.regexp_extract_all(strip_noncontent(html), F.lit(_ANCHOR_ELEM_RE), 0)
+    pairs = F.transform(
+        elems,
+        # href parsed from the OPEN TAG only — an href-bearing tag
+        # nested in the anchor body must not shadow the anchor's own
+        lambda e: F.struct(
+            _href_of(F.regexp_extract(e, _A_TAG_RE, 0)).alias("href"),
+            clean_fragment(F.regexp_extract(e, _ANCHOR_BODY_RE, 1)).alias("anchor"),
+        ),
     )
+    return F.filter(pairs, lambda p: p.getField("href") != "")
 
 
 def anchor_text_corpus(
@@ -237,11 +272,7 @@ def anchor_text_corpus(
     )
 
 
-def with_page_text(
-    df: DataFrame,
-    html_col: str = "html",
-    id_col: str = "doc_id",
-) -> DataFrame:
+def with_page_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Append ``clean_text``, ``title``, ``n_links``, ``declared_lang``
     — the map-only projection a crawl-ingest pipeline runs once, after
     which every text operator consumes ``clean_text`` instead of

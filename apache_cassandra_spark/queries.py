@@ -5791,8 +5791,35 @@ _SQL_STRIP_NONCONTENT = (
     " '(?s)<!--.*?-->', ' ', 'g')"
 )
 
-#: DuckDB mirror of html._HREF_RE as a SQL string literal (quotes doubled)
-_SQL_HREF_RE = "'(?i)<a\\b[^>]*\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"'']'"
+#: DuckDB mirrors of html's quote-aware link extraction: anchor OPEN
+#: tags / whole elements, then a per-element href parse (double-quoted
+#: form wins, then single-quoted, else '' — html._href_of)
+_SQL_A_TAG_RE = "'(?i)<a\\b[^>]*>'"
+_SQL_ANCHOR_ELEM_RE = "'(?is)<a\\b[^>]*>.*?</a>'"
+_SQL_ANCHOR_BODY_RE = "'(?is)<a\\b[^>]*>(.*)</a>'"
+_SQL_HREF_DQ = "'(?i)\\bhref\\s*=\\s*\"([^\"]*)\"'"
+_SQL_HREF_SQ = "'(?i)\\bhref\\s*=\\s*''([^'']*)'''"
+
+
+def _sql_href_of(tag_expr: str) -> str:
+    """CASE mirror of html._href_of over one tag/element string."""
+    return (
+        f"CASE WHEN regexp_matches({tag_expr}, {_SQL_HREF_DQ}) "
+        f"THEN regexp_extract({tag_expr}, {_SQL_HREF_DQ}, 1) "
+        f"WHEN regexp_matches({tag_expr}, {_SQL_HREF_SQ}) "
+        f"THEN regexp_extract({tag_expr}, {_SQL_HREF_SQ}, 1) "
+        f"ELSE '' END"
+    )
+
+
+#: list of href values per document (html.extract_links mirror)
+_SQL_HREF_LIST = (
+    "list_filter(list_transform(regexp_extract_all(content, "
+    + _SQL_A_TAG_RE
+    + "), t -> "
+    + _sql_href_of("t")
+    + "), x -> x <> '')"
+)
 
 
 def _sql_decode_entities(expr: str) -> str:
@@ -5859,16 +5886,21 @@ def q_corpus_page_text(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-#: DuckDB mirror of html._ANCHOR_RE (group 2 = anchor body)
-_SQL_ANCHOR_RE = (
-    "'(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"''][^>]*>(.*?)</a>'"
-)
-
-#: per-element anchor cleaning lambda body (html.clean_fragment mirror)
-_SQL_CLEAN_FRAGMENT = (
-    "x -> trim(regexp_replace("
+#: anchor-body cleaning lambda (html.clean_fragment mirror)
+_SQL_CLEAN_FRAGMENT_BODY = (
+    "trim(regexp_replace("
     + _sql_decode_entities("regexp_replace(x, '<[^>]*>', ' ', 'g')")
     + ", '\\s+', ' ', 'g'))"
+)
+
+#: anchors per document (html.anchor_pairs mirror: whole elements,
+#: quoted-href filter, body rendered via the clean-fragment chain)
+_SQL_ANCHOR_TEXT_LIST = (
+    "list_transform(list_transform(list_filter("
+    f"regexp_extract_all(content, {_SQL_ANCHOR_ELEM_RE}), "
+    f"e -> ({_sql_href_of(f'regexp_extract(e, {_SQL_A_TAG_RE})')}) <> ''), "
+    f"e -> regexp_extract(e, {_SQL_ANCHOR_BODY_RE}, 1)), "
+    f"x -> {_SQL_CLEAN_FRAGMENT_BODY})"
 )
 
 ORACLES["corpus_page_text"] = f"""
@@ -5877,11 +5909,9 @@ ORACLES["corpus_page_text"] = f"""
     tx AS (SELECT doc_id,
              trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
              trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
-             cast(len(regexp_extract_all(content, {_SQL_HREF_RE}, 1)) AS bigint) AS n_links,
+             cast(len({_SQL_HREF_LIST}) AS bigint) AS n_links,
              lower(regexp_extract(html, '(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)) AS declared_lang,
-             array_to_string(list_transform(
-                 regexp_extract_all(content, {_SQL_ANCHOR_RE}, 2),
-                 {_SQL_CLEAN_FRAGMENT}), '|') AS anchors_joined
+             array_to_string({_SQL_ANCHOR_TEXT_LIST}, '|') AS anchors_joined
            FROM sc)
     SELECT doc_id, title, clean_text, n_links, declared_lang, anchors_joined
     FROM tx ORDER BY doc_id
@@ -5947,7 +5977,7 @@ ORACLES["corpus_outlink_graph"] = f"""
     u1 AS (SELECT doc_id, url, {_SYNTH_HTML_SQL} AS html FROM u0),
     sc AS (SELECT doc_id, url, {_SQL_STRIP_NONCONTENT} AS content FROM u1),
     lx AS (SELECT doc_id, url,
-             unnest(regexp_extract_all(content, {_SQL_HREF_RE}, 1)) AS href
+             unnest({_SQL_HREF_LIST}) AS href
            FROM sc),
     bs AS (SELECT doc_id, url, href,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS bscheme,

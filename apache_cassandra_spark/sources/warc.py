@@ -57,8 +57,11 @@ _PAYLOAD_RE = r"(?s)^.*?\r\n\r\n(.*)$"
 
 
 def _header(headers, name: str):
-    """Case-insensitive ``Name: value`` lookup inside a header block."""
-    return F.trim(F.regexp_extract(headers, rf"(?im)^{name}:\s*([^\r\n]*)", 1))
+    """Case-insensitive ``Name: value`` lookup inside a header block.
+    ``[ \\t]*``, NOT ``\\s*``: ``\\s`` would cross the CRLF after an
+    empty-valued header and capture the NEXT header line as the
+    value."""
+    return F.trim(F.regexp_extract(headers, rf"(?im)^{name}:[ \t]*([^\r\n]*)", 1))
 
 
 def read_wet(
@@ -84,15 +87,25 @@ def read_wet(
             _header(headers, "WARC-Type").alias("warc_type"),
             _header(headers, "WARC-Target-URI").alias("target_uri"),
             _header(headers, "WARC-Date").alias("warc_date"),
-            F.regexp_extract(headers, r"(?im)^Content-Length:\s*(\d+)", 1)
-            .cast("long")
+            # try_cast: a missing header extracts '' and must become
+            # NULL, not an ANSI cast error that kills the scan
+            F.regexp_extract(headers, r"(?im)^Content-Length:[ \t]*(\d+)", 1)
+            .try_cast("long")
             .alias("content_length"),
             text.alias("text"),
         )
         # the split's leading empty chunk (file starts with the magic)
         # parses to an all-empty row — drop it by its missing type
         .where(F.col("warc_type") != "")
-        .withColumn("framing_ok", F.octet_length("text") == F.col("content_length"))
+        # coalesce: a missing/non-numeric Content-Length is NULL after
+        # the cast, and NULL == n is NULL — corruption accounting
+        # (~framing_ok, groupBy) must see false, not a silent NULL
+        .withColumn(
+            "framing_ok",
+            F.coalesce(
+                F.octet_length("text") == F.col("content_length"), F.lit(False)
+            ),
+        )
     )
     if record_types:
         out = out.where(F.col("warc_type").isin(*record_types))
@@ -116,8 +129,11 @@ def write_wet(
     (the format is concatenation-closed — exactly why Common Crawl
     ships it in resumable chunks). One map-only projection into the
     text sink; rows with a NULL URI or NULL text are dropped up front
-    (a record without a target or payload is unframeable)."""
-    date = F.col(date_col) if date_col else F.lit(default_date)
+    (a record without a target or payload is unframeable). A NULL
+    ``date_col`` value falls back to ``default_date`` instead — a
+    missing date must not silently NULL the whole concat and vanish
+    the record from the text sink."""
+    date = F.coalesce(F.col(date_col), F.lit(default_date)) if date_col else F.lit(default_date)
     record = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
         F.col(uri_col),

@@ -43,11 +43,23 @@ def _py_title(s: str) -> str:
     return _py_decode(m.group(1)).strip() if m else ""
 
 
-def _py_links(s: str):
+def _py_strip_noncontent(s: str) -> str:
     c = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
     c = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", c)
-    c = re.sub(r"(?s)<!--.*?-->", " ", c)
-    return re.findall(r"""(?i)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["']""", c)
+    return re.sub(r"(?s)<!--.*?-->", " ", c)
+
+
+def _py_href_of(tag: str) -> str:
+    m = re.search(r'(?i)\bhref\s*=\s*"([^"]*)"', tag)
+    if m:
+        return m.group(1)
+    m = re.search(r"(?i)\bhref\s*=\s*'([^']*)'", tag)
+    return m.group(1) if m else ""
+
+
+def _py_links(s: str):
+    c = _py_strip_noncontent(s)
+    return [h for h in (_py_href_of(t) for t in re.findall(r"(?i)<a\b[^>]*>", c)) if h]
 
 
 # ------------------------------------------------------------- entities
@@ -117,6 +129,32 @@ def test_extract_links_both_quote_styles_in_order(spark):
     assert got == ["http://a.com/1", "http://b.com/2", "/rel"]
 
 
+def test_extract_links_quote_aware_no_truncation(spark):
+    # a double-quoted href containing an apostrophe (and vice versa)
+    # must survive intact — the old mixed ["'] class truncated at it
+    doc = (
+        "<a href=\"/say?q=it's\">1</a>"
+        "<a href='/q?name=\"x\"'>2</a>"
+        "<a href=\"\">empty drops</a>"
+    )
+    assert _one(spark, html.extract_links, doc) == ["/say?q=it's", '/q?name="x"']
+
+
+def test_anchor_pairs_open_tag_href_wins_over_body(spark):
+    # an href-bearing tag nested in the anchor body must not shadow the
+    # anchor's own (single-quoted) href
+    doc = "<a href='/real'>see <img href=\"/decoy\"> pic</a>"
+    got = _one(spark, html.anchor_pairs, doc)
+    assert [(p["href"], p["anchor"]) for p in got] == [("/real", "see pic")]
+
+
+def test_meta_description_with_apostrophe(spark):
+    doc = '<meta name="description" content="Bob\'s site, &amp; more">'
+    assert _one(spark, html.extract_meta_description, doc) == "Bob's site, & more"
+    doc2 = "<meta name='description' content='say \"hi\"'>"
+    assert _one(spark, html.extract_meta_description, doc2) == 'say "hi"'
+
+
 def test_extract_links_ignores_script_style_and_comments(spark):
     doc = (
         "<script>document.write('<a href=\"http://in-script.com/\">x</a>')</script>"
@@ -160,12 +198,13 @@ def test_resolve_link_branches(spark):
 # ----------------------------------------------------- anchors + metadata
 
 def _py_anchor_pairs(s: str):
-    c = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", s)
-    c = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", c)
-    c = re.sub(r"(?s)<!--.*?-->", " ", c)
-    pat = r"""(?is)<a\b[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+    c = _py_strip_noncontent(s)
     out = []
-    for href, body in re.findall(pat, c):
+    for elem in re.findall(r"(?is)<a\b[^>]*>.*?</a>", c):
+        href = _py_href_of(re.search(r"(?i)<a\b[^>]*>", elem).group(0))
+        if not href:
+            continue
+        body = re.search(r"(?is)<a\b[^>]*>(.*)</a>", elem).group(1)
         t = _py_decode(re.sub(r"<[^>]*>", " ", body))
         out.append((href, re.sub(r"\s+", " ", t).strip()))
     return out

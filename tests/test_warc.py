@@ -137,6 +137,47 @@ def test_wet_round_trip(spark, tmp_path):
     assert all(r["warc_date"] == "2013-01-01T00:00:00Z" for r in rows.values())
 
 
+def test_empty_header_value_does_not_swallow_next_line(spark, tmp_path):
+    # an empty-valued header is legal WARC; \s* would cross the CRLF and
+    # return the NEXT header as the value
+    content = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI:\r\n"
+        "WARC-Date: 2013-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    p = tmp_path / "empty_uri.wet"
+    p.write_bytes(content.encode())
+    r = warc.read_wet(spark, str(p)).collect()[0]
+    assert r["target_uri"] == ""
+    assert r["warc_date"] == "2013-01-01T00:00:00Z"
+    assert r["text"] == "hi" and r["framing_ok"]
+
+
+def test_missing_content_length_flags_false_not_null(spark, tmp_path):
+    content = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://x.com/\r\n\r\npayload\r\n\r\n"
+    )
+    p = tmp_path / "nolen.wet"
+    p.write_bytes(content.encode())
+    r = warc.read_wet(spark, str(p)).collect()[0]
+    assert r["framing_ok"] is False  # false, never NULL
+    assert r["content_length"] is None
+
+
+def test_write_wet_null_date_falls_back_not_vanishes(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/1", "alpha", "2014-02-02T00:00:00Z"), (2, "http://a.com/2", "beta", None)],
+        "doc_id long, url string, text string, fetched string",
+    )
+    out = str(tmp_path / "wet_dates")
+    warc.write_wet(docs, out, date_col="fetched")
+    rows = {r["target_uri"]: r for r in warc.read_wet(spark, out).collect()}
+    assert rows["http://a.com/1"]["warc_date"] == "2014-02-02T00:00:00Z"
+    # NULL date must not NULL the concat and silently drop the record
+    assert rows["http://a.com/2"]["warc_date"] == "2013-01-01T00:00:00Z"
+    assert rows["http://a.com/2"]["text"] == "beta"
+
+
 def test_read_wet_is_map_only(spark, wet_file):
     plan = warc.read_wet(spark, wet_file)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan

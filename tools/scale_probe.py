@@ -12,6 +12,8 @@ super-linear blowup that would sink a 100 TB run.
 Writes one JSON line; SCALE.md holds the narrated results.
 
 Usage: python tools/scale_probe.py [k ...]
+       SPARK_GRAFT_PROBE_OPS=op1,op2 python tools/scale_probe.py [k ...]
+(the env var restricts the run to the named ops — a full sweep is hours)
 """
 
 from __future__ import annotations
@@ -199,6 +201,12 @@ OPS = {
     "web_domain_stats": lambda d: _web_op(d, "domain_stats"),
     "web_url_revisions": lambda d: _web_op(d, "url_revisions"),
     "web_dedup_urls": lambda d: _web_op(d, "dedup_urls"),
+    # round 10: html family (markup strip / anchor harvest / outlink
+    # aggregate) + the WET interchange round trip (IO-inclusive)
+    "html_page_text": lambda d: _html_op(d, "page_text"),
+    "html_outlink_graph": lambda d: _html_op(d, "outlink_graph"),
+    "html_anchor_corpus": lambda d: _html_op(d, "anchor_corpus"),
+    "wet_roundtrip": lambda d: _wet_op(d),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -368,6 +376,72 @@ def _web_op(docs: DataFrame, which: str) -> int:
         d = docs.withColumn("url", url_for(F.expr("doc_id div 8")))
         out = web.dedup_urls(d).agg(F.sum("n_dups"), F.sum("doc_id"))
     return out.collect() and docs.count()
+
+
+def _html_op(docs: DataFrame, which: str) -> int:
+    """HTML-family probes over synthesized markup: every row gets a
+    title, a script decoy (must strip), a comment decoy (must not leak
+    anchors), the document's REAL text as body (so markup volume scales
+    with corpus text volume), and four anchors — absolute / protocol-
+    relative / host-relative / path-relative, site keys from xxhash64
+    over a 100k-site universe (same realistic domain ceiling as
+    _web_op). page_text measures the regexp strip/decode chain per
+    byte; outlink_graph adds the explode + host-first aggregate;
+    anchor_corpus the explode + resolve projection."""
+    from apache_cassandra_spark.analytics import html as H
+
+    site = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(13)), F.lit(100_000)).cast("string")
+    dst = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(17)), F.lit(100_000)).cast("string")
+    markup = F.concat(
+        F.lit('<html lang="en"><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; co</title><style>body{x:1}</style></head><body><script>"),
+        F.lit('document.write("<a href="http://decoy.example/">d</a>");</script>'),
+        F.lit('<!-- <a href="http://ghost.example/">g</a> --><p>'),
+        F.col("text"),
+        F.lit(' 1 &lt; 2</p><a href="HTTPS://WWW.Site'),
+        dst,
+        F.lit('.COM:443/p">ext</a><a href="//cdn.site'),
+        dst,
+        F.lit('.net/l.js">cdn</a><a href="/nav">nav</a><a href="rel/x">r</a></body></html>'),
+    )
+    url = F.concat(F.lit("HTTP://WWW.Site"), site, F.lit(".com:80/Page/"), F.col("doc_id").cast("string"))
+    d = docs.withColumn("html", markup).withColumn("url", url)
+    if which == "page_text":
+        out = H.with_page_text(d).agg(
+            F.sum(F.length("clean_text")), F.sum("n_links"), F.count(F.lit(1))
+        )
+    elif which == "outlink_graph":
+        out = H.outlink_graph(d).agg(F.sum("n_links"), F.sum("n_pages"), F.count(F.lit(1)))
+    else:
+        out = H.anchor_text_corpus(d).agg(F.count(F.lit(1)), F.sum(F.length("anchor_text")))
+    return out.collect() and docs.count()
+
+
+def _wet_op(docs: DataFrame) -> int:
+    """WET interchange round trip, IO-inclusive: write the corpus as
+    conversion records to local disk, re-ingest, aggregate. Measures
+    the full export→import path (record framing, text sink, multi-char
+    lineSep split, header parse) — the honest number for 'how fast can
+    this engine exchange a crawl with another system'."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc
+
+    spark = docs.sparkSession
+    d = docs.withColumn(
+        "url",
+        F.concat(F.lit("http://site"), F.pmod(F.xxhash64("doc_id"), F.lit(100_000)).cast("string"), F.lit(".com/p/"), F.col("doc_id").cast("string")),
+    )
+    out_dir = tempfile.mkdtemp(prefix="wet_probe_")
+    try:
+        warc.write_wet(d, out_dir)
+        back = warc.read_wet(spark, out_dir)
+        back.agg(F.sum("content_length"), F.sum(F.length("text")), F.count(F.lit(1))).collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return docs.count()
 
 
 def _dense_graph_op(docs: DataFrame, which: str) -> int:
@@ -630,12 +704,14 @@ if _ops_filter:
 
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 8, 64]
+    only = {o for o in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if o}
+    ops = {n: f for n, f in OPS.items() if not only or n in only}
     spark = get_spark(app_name="scale_probe")
     results: dict[str, dict] = {}
     for k in ks:
         docs = replicated_docs(spark, k).cache()
         n_docs = docs.count()  # materialize once; ops time their own work
-        for op, fn in OPS.items():
+        for op, fn in ops.items():
             t0 = time.perf_counter()
             out_rows = fn(docs)
             dt = time.perf_counter() - t0
