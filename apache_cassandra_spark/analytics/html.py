@@ -64,21 +64,24 @@ _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 #: per-element with quote-specific patterns (below) instead of a mixed
 #: ["']...["'] class — the mixed class truncates a double-quoted value
 #: at its first apostrophe (href="it's" → "it"), a silent corruption.
+#: Attribute names are anchored by a PRECEDING [\s"'] (whitespace or a
+#: closing quote), not \b: RE2 has no lookbehind, and a bare \b lets
+#: ``data-href``/``accept-charset``-style attributes impersonate the
+#: real one. An anchor ELEMENT requires href in its open tag, so a
+#: legacy href-less ``<a name="top">`` cannot swallow the next real
+#: anchor into its body.
 _A_TAG_RE = r"(?i)<a\b[^>]*>"
-_ANCHOR_ELEM_RE = r"(?is)<a\b[^>]*>.*?</a>"
+_ANCHOR_ELEM_RE = r"""(?is)<a\b[^>]*[\s"']href\s*=[^>]*>.*?</a>"""
 _ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>(.*)</a>"
-_HREF_DQ_RE = r'(?i)\bhref\s*=\s*"([^"]*)"'
-_HREF_SQ_RE = r"(?i)\bhref\s*=\s*'([^']*)'"
-_LANG_RE = r"""(?is)<html\b[^>]*\blang\s*=\s*["']([^"']+)["']"""
-_META_DESC_DQ_RE = (
-    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']description["'][^>]*"""
-    r"""\bcontent\s*=\s*"([^"]*)\""""
+_HREF_DQ_RE = r'(?i)[\s"\']href\s*=\s*"([^"]*)"'
+_HREF_SQ_RE = r"(?i)[\s\"']href\s*=\s*'([^']*)'"
+_LANG_RE = r"""(?is)<html\b[^>]*[\s"']lang\s*=\s*["']([^"']+)["']"""
+_META_DESC_TAG_RE = (
+    r"""(?is)<meta\b[^>]*[\s"']name\s*=\s*["']description["'][^>]*>"""
 )
-_META_DESC_SQ_RE = (
-    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']description["'][^>]*"""
-    r"""\bcontent\s*=\s*'([^']*)'"""
-)
-_CHARSET_RE = r"""(?is)<meta\b[^>]*\bcharset\s*=\s*["']?([A-Za-z0-9_-]+)"""
+_CONTENT_DQ_RE = r'(?i)[\s"\']content\s*=\s*"([^"]*)"'
+_CONTENT_SQ_RE = r"(?i)[\s\"']content\s*=\s*'([^']*)'"
+_CHARSET_RE = r"""(?is)<meta\b[^>]*[\s"';]charset\s*=\s*["']?([A-Za-z0-9_-]+)"""
 
 
 def _href_of(tag: Column) -> Column:
@@ -200,16 +203,18 @@ def extract_lang(html: Column) -> Column:
 
 def extract_meta_description(html: Column) -> Column:
     """``<meta name="description" content="...">`` text, entity-decoded
-    and trimmed; empty when absent. Quote-aware like :func:`_href_of`
-    (a double-quoted description containing an apostrophe — "Bob's
-    site" — must not truncate at it). Requires the name-before-content
-    attribute order (the overwhelmingly dominant emission order;
-    attribute-order-insensitive matching needs two more alternates for
-    no corpus-level gain). Raw-document match, like
-    :func:`extract_title`."""
+    and trimmed; empty when absent. The FIRST description meta tag in
+    document order is extracted, then ITS content parsed quote-aware
+    like :func:`_href_of` (a double-quoted description containing an
+    apostrophe — "Bob's site" — must not truncate at it; tag-first
+    extraction keeps first-occurrence semantics even when a later
+    duplicate meta uses the other quote style). Requires the
+    name-before-content attribute order (the overwhelmingly dominant
+    emission order). Raw-document match, like :func:`extract_title`."""
+    tag = F.regexp_extract(html, _META_DESC_TAG_RE, 0)
     raw = F.when(
-        html.rlike(_META_DESC_DQ_RE), F.regexp_extract(html, _META_DESC_DQ_RE, 1)
-    ).otherwise(F.regexp_extract(html, _META_DESC_SQ_RE, 1))
+        tag.rlike(_CONTENT_DQ_RE), F.regexp_extract(tag, _CONTENT_DQ_RE, 1)
+    ).otherwise(F.regexp_extract(tag, _CONTENT_SQ_RE, 1))
     return F.trim(decode_entities(raw))
 
 

@@ -5795,10 +5795,10 @@ _SQL_STRIP_NONCONTENT = (
 #: tags / whole elements, then a per-element href parse (double-quoted
 #: form wins, then single-quoted, else '' — html._href_of)
 _SQL_A_TAG_RE = "'(?i)<a\\b[^>]*>'"
-_SQL_ANCHOR_ELEM_RE = "'(?is)<a\\b[^>]*>.*?</a>'"
+_SQL_ANCHOR_ELEM_RE = "'(?is)<a\\b[^>]*[\\s\"'']href\\s*=[^>]*>.*?</a>'"
 _SQL_ANCHOR_BODY_RE = "'(?is)<a\\b[^>]*>(.*)</a>'"
-_SQL_HREF_DQ = "'(?i)\\bhref\\s*=\\s*\"([^\"]*)\"'"
-_SQL_HREF_SQ = "'(?i)\\bhref\\s*=\\s*''([^'']*)'''"
+_SQL_HREF_DQ = "'(?i)[\\s\"'']href\\s*=\\s*\"([^\"]*)\"'"
+_SQL_HREF_SQ = "'(?i)[\\s\"'']href\\s*=\\s*''([^'']*)'''"
 
 
 def _sql_href_of(tag_expr: str) -> str:
@@ -5893,13 +5893,16 @@ _SQL_CLEAN_FRAGMENT_BODY = (
     + ", '\\s+', ' ', 'g'))"
 )
 
-#: anchors per document (html.anchor_pairs mirror: whole elements,
-#: quoted-href filter, body rendered via the clean-fragment chain)
+#: anchors per document (html.anchor_pairs mirror: whole elements —
+#: open tag materialized ONCE per element via a struct, so the 4-branch
+#: href CASE doesn't re-extract it — quoted-href filter, body rendered
+#: via the clean-fragment chain)
 _SQL_ANCHOR_TEXT_LIST = (
-    "list_transform(list_transform(list_filter("
+    "list_transform(list_transform(list_filter(list_transform("
     f"regexp_extract_all(content, {_SQL_ANCHOR_ELEM_RE}), "
-    f"e -> ({_sql_href_of(f'regexp_extract(e, {_SQL_A_TAG_RE})')}) <> ''), "
-    f"e -> regexp_extract(e, {_SQL_ANCHOR_BODY_RE}, 1)), "
+    f"e -> struct_pack(t := regexp_extract(e, {_SQL_A_TAG_RE}), e := e)), "
+    f"s -> ({_sql_href_of('s.t')}) <> ''), "
+    f"s -> regexp_extract(s.e, {_SQL_ANCHOR_BODY_RE}, 1)), "
     f"x -> {_SQL_CLEAN_FRAGMENT_BODY})"
 )
 
@@ -5910,7 +5913,7 @@ ORACLES["corpus_page_text"] = f"""
              trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
              trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
              cast(len({_SQL_HREF_LIST}) AS bigint) AS n_links,
-             lower(regexp_extract(html, '(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)) AS declared_lang,
+             lower(regexp_extract(html, '(?is)<html\\b[^>]*[\\s\"'']lang\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)) AS declared_lang,
              array_to_string({_SQL_ANCHOR_TEXT_LIST}, '|') AS anchors_joined
            FROM sc)
     SELECT doc_id, title, clean_text, n_links, declared_lang, anchors_joined

@@ -50,10 +50,10 @@ def _py_strip_noncontent(s: str) -> str:
 
 
 def _py_href_of(tag: str) -> str:
-    m = re.search(r'(?i)\bhref\s*=\s*"([^"]*)"', tag)
+    m = re.search(r'(?i)[\s"\']href\s*=\s*"([^"]*)"', tag)
     if m:
         return m.group(1)
-    m = re.search(r"(?i)\bhref\s*=\s*'([^']*)'", tag)
+    m = re.search(r"(?i)[\s\"']href\s*=\s*'([^']*)'", tag)
     return m.group(1) if m else ""
 
 
@@ -148,6 +148,30 @@ def test_anchor_pairs_open_tag_href_wins_over_body(spark):
     assert [(p["href"], p["anchor"]) for p in got] == [("/real", "see pic")]
 
 
+def test_hrefless_anchor_does_not_swallow_next_anchor(spark):
+    # legacy fragment target: its element must not extend to the next
+    # real anchor's </a> and eat it
+    doc = '<a name="top">Intro <a href="/x">click</a>'
+    got = _one(spark, html.anchor_pairs, doc)
+    assert [(p["href"], p["anchor"]) for p in got] == [("/x", "click")]
+    assert _one(spark, html.extract_links, doc) == ["/x"]
+
+
+def test_data_href_does_not_impersonate_href(spark):
+    doc = "<a data-href=\"/decoy\" href='/real'>t</a>"
+    got = _one(spark, html.anchor_pairs, doc)
+    assert [(p["href"], p["anchor"]) for p in got] == [("/real", "t")]
+    assert _one(spark, html.extract_links, doc) == ["/real"]
+
+
+def test_meta_description_first_occurrence_wins_across_quote_styles(spark):
+    doc = (
+        "<meta name=\"description\" content='first'>"
+        '<meta name="description" content="second">'
+    )
+    assert _one(spark, html.extract_meta_description, doc) == "first"
+
+
 def test_meta_description_with_apostrophe(spark):
     doc = '<meta name="description" content="Bob\'s site, &amp; more">'
     assert _one(spark, html.extract_meta_description, doc) == "Bob's site, & more"
@@ -200,7 +224,7 @@ def test_resolve_link_branches(spark):
 def _py_anchor_pairs(s: str):
     c = _py_strip_noncontent(s)
     out = []
-    for elem in re.findall(r"(?is)<a\b[^>]*>.*?</a>", c):
+    for elem in re.findall(r"""(?is)<a\b[^>]*[\s"']href\s*=[^>]*>.*?</a>""", c):
         href = _py_href_of(re.search(r"(?i)<a\b[^>]*>", elem).group(0))
         if not href:
             continue

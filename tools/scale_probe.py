@@ -695,13 +695,6 @@ def _emb_op(docs: DataFrame, which: str) -> int:
     return out.agg(F.sum("proj_0")).collect() and vecs.count()
 
 
-# SPARK_GRAFT_PROBE_OPS=a,b,c restricts the run (probe a new operator
-# without re-timing the whole suite)
-_ops_filter = os.environ.get("SPARK_GRAFT_PROBE_OPS")
-if _ops_filter:
-    OPS = {k: v for k, v in OPS.items() if k in _ops_filter.split(",")}
-
-
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 8, 64]
     only = {o for o in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if o}
