@@ -75,9 +75,18 @@ _ANCHOR_ELEM_RE = r"""(?is)<a\b[^>]*[\s"']href\s*=[^>]*>.*?</a>"""
 _ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>(.*)</a>"
 _HREF_DQ_RE = r'(?i)[\s"\']href\s*=\s*"([^"]*)"'
 _HREF_SQ_RE = r"(?i)[\s\"']href\s*=\s*'([^']*)'"
-_LANG_RE = r"""(?is)<html\b[^>]*[\s"']lang\s*=\s*["']([^"']+)["']"""
+#: ':' admitted before lang so XHTML's ``xml:lang`` (a TRUE language
+#: declaration) still matches while ``data-lang`` stays rejected
+_LANG_RE = r"""(?is)<html\b[^>]*[\s"':]lang\s*=\s*["']([^"']+)["']"""
+#: attribute-token atom: consumes quoted values WHOLE, so a '>' inside
+#: a quoted attribute value cannot terminate the tag match early
+_ATTR_TOK = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""
 _META_DESC_TAG_RE = (
-    r"""(?is)<meta\b[^>]*[\s"']name\s*=\s*["']description["'][^>]*>"""
+    r"(?is)<meta\b"
+    + _ATTR_TOK
+    + r"""[\s"']name\s*=\s*["']description["']"""
+    + _ATTR_TOK
+    + r">"
 )
 _CONTENT_DQ_RE = r'(?i)[\s"\']content\s*=\s*"([^"]*)"'
 _CONTENT_SQ_RE = r"(?i)[\s\"']content\s*=\s*'([^']*)'"
@@ -204,13 +213,16 @@ def extract_lang(html: Column) -> Column:
 def extract_meta_description(html: Column) -> Column:
     """``<meta name="description" content="...">`` text, entity-decoded
     and trimmed; empty when absent. The FIRST description meta tag in
-    document order is extracted, then ITS content parsed quote-aware
-    like :func:`_href_of` (a double-quoted description containing an
-    apostrophe — "Bob's site" — must not truncate at it; tag-first
-    extraction keeps first-occurrence semantics even when a later
-    duplicate meta uses the other quote style). Requires the
-    name-before-content attribute order (the overwhelmingly dominant
-    emission order). Raw-document match, like :func:`extract_title`."""
+    document order is extracted (attribute-token matching, so a '>'
+    inside a quoted value does not truncate the tag, and the
+    content/name attribute order doesn't matter), then ITS content
+    parsed quote-aware like :func:`_href_of` (a double-quoted
+    description containing an apostrophe — "Bob's site" — must not
+    truncate at it; tag-first extraction keeps first-occurrence
+    semantics even when a later duplicate meta uses the other quote
+    style — and STRICTLY: a first tag with unquoted/unparseable content
+    yields '', it does not fall through to a later tag). Raw-document
+    match, like :func:`extract_title`."""
     tag = F.regexp_extract(html, _META_DESC_TAG_RE, 0)
     raw = F.when(
         tag.rlike(_CONTENT_DQ_RE), F.regexp_extract(tag, _CONTENT_DQ_RE, 1)

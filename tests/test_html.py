@@ -179,6 +179,25 @@ def test_meta_description_with_apostrophe(spark):
     assert _one(spark, html.extract_meta_description, doc2) == 'say "hi"'
 
 
+def test_meta_description_gt_inside_quoted_value(spark):
+    # '>' is legal inside a quoted attribute value and must not
+    # truncate the tag match
+    doc = '<meta name="description" content="Home > Products > Deals">'
+    assert _one(spark, html.extract_meta_description, doc) == "Home > Products > Deals"
+
+
+def test_meta_description_content_before_name_order(spark):
+    doc = '<meta content="either order" name="description">'
+    assert _one(spark, html.extract_meta_description, doc) == "either order"
+
+
+def test_xhtml_xml_lang_is_recognized(spark):
+    doc = '<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="EN">x</html>'
+    assert _one(spark, html.extract_lang, doc) == "en"
+    # but data-lang still does not impersonate a language declaration
+    assert _one(spark, html.extract_lang, '<html data-lang="fr">') == ""
+
+
 def test_extract_links_ignores_script_style_and_comments(spark):
     doc = (
         "<script>document.write('<a href=\"http://in-script.com/\">x</a>')</script>"
