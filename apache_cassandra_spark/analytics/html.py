@@ -75,18 +75,22 @@ _ANCHOR_ELEM_RE = r"""(?is)<a\b[^>]*[\s"']href\s*=[^>]*>.*?</a>"""
 _ANCHOR_BODY_RE = r"(?is)<a\b[^>]*>(.*)</a>"
 _HREF_DQ_RE = r'(?i)[\s"\']href\s*=\s*"([^"]*)"'
 _HREF_SQ_RE = r"(?i)[\s\"']href\s*=\s*'([^']*)'"
-#: ':' admitted before lang so XHTML's ``xml:lang`` (a TRUE language
-#: declaration) still matches while ``data-lang`` stays rejected
-_LANG_RE = r"""(?is)<html\b[^>]*[\s"':]lang\s*=\s*["']([^"']+)["']"""
-#: attribute-token atom: consumes quoted values WHOLE, so a '>' inside
-#: a quoted attribute value cannot terminate the tag match early
-_ATTR_TOK = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""
+#: HTML-spec precedence: the plain ``lang`` attribute wins; XHTML's
+#: ``xml:lang`` is the fallback (a TRUE language declaration, matched
+#: by its own bounded pattern — ``data-lang`` matches neither)
+_LANG_RE = r"""(?is)<html\b[^>]*[\s"']lang\s*=\s*["']([^"']+)["']"""
+_XML_LANG_RE = r"""(?is)<html\b[^>]*xml:lang\s*=\s*["']([^"']+)["']"""
+#: BOUNDED tag match — [^>]* stops at the first '>', matching in
+#: O(tag), never spanning following markup. A '>' inside a quoted
+#: attribute value therefore truncates the tag (the description
+#: extracts as ''): the module-wide contract (_TAG_RE strips at the
+#: first '>' too), and the safe trade for crawl HTML — an
+#: attribute-token alternation that consumes quoted values whole reads
+#: through unbalanced quotes into arbitrary following markup
+#: (unclosed-quote pages are ENDEMIC in crawls) and its
+#: alternation-under-star can stack-overflow Java regex on long tails.
 _META_DESC_TAG_RE = (
-    r"(?is)<meta\b"
-    + _ATTR_TOK
-    + r"""[\s"']name\s*=\s*["']description["']"""
-    + _ATTR_TOK
-    + r">"
+    r"""(?is)<meta\b[^>]*[\s"']name\s*=\s*["']description["'][^>]*>"""
 )
 _CONTENT_DQ_RE = r'(?i)[\s"\']content\s*=\s*"([^"]*)"'
 _CONTENT_SQ_RE = r"(?i)[\s\"']content\s*=\s*'([^']*)'"
@@ -203,11 +207,17 @@ def clean_fragment(fragment: Column) -> Column:
 
 def extract_lang(html: Column) -> Column:
     """Declared document language — the ``lang`` attribute of the
-    ``<html>`` tag, lowercased (``en``, ``pt-br``); empty string when
-    absent. A declared lang is a PRIOR for ``text.lang_id``, not ground
-    truth (multilingual sites template it wrong constantly) — ship both
-    columns and let the curation filter arbitrate."""
-    return F.lower(F.regexp_extract(html, _LANG_RE, 1))
+    ``<html>`` tag, falling back to XHTML's ``xml:lang`` (HTML-spec
+    precedence when both are declared), lowercased (``en``, ``pt-br``);
+    empty string when absent. A declared lang is a PRIOR for
+    ``text.lang_id``, not ground truth (multilingual sites template it
+    wrong constantly) — ship both columns and let the curation filter
+    arbitrate."""
+    return F.lower(
+        F.when(html.rlike(_LANG_RE), F.regexp_extract(html, _LANG_RE, 1)).otherwise(
+            F.regexp_extract(html, _XML_LANG_RE, 1)
+        )
+    )
 
 
 def extract_meta_description(html: Column) -> Column:

