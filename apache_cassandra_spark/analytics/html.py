@@ -78,8 +78,10 @@ _HREF_SQ_RE = r"(?i)[\s\"']href\s*=\s*'([^']*)'"
 #: HTML-spec precedence: the plain ``lang`` attribute wins; XHTML's
 #: ``xml:lang`` is the fallback (a TRUE language declaration, matched
 #: by its own bounded pattern — ``data-lang`` matches neither)
-_LANG_RE = r"""(?is)<html\b[^>]*[\s"']lang\s*=\s*["']([^"']+)["']"""
-_XML_LANG_RE = r"""(?is)<html\b[^>]*xml:lang\s*=\s*["']([^"']+)["']"""
+#: value capture excludes '>' too: on an unclosed-quote page the match
+#: must fail cleanly, not read a markup span through the tag boundary
+_LANG_RE = r"""(?is)<html\b[^>]*[\s"']lang\s*=\s*["']([^"'>]+)["']"""
+_XML_LANG_RE = r"""(?is)<html\b[^>]*xml:lang\s*=\s*["']([^"'>]+)["']"""
 #: BOUNDED tag match — [^>]* stops at the first '>', matching in
 #: O(tag), never spanning following markup. A '>' inside a quoted
 #: attribute value therefore truncates the tag (the description
@@ -212,10 +214,14 @@ def extract_lang(html: Column) -> Column:
     empty string when absent. A declared lang is a PRIOR for
     ``text.lang_id``, not ground truth (multilingual sites template it
     wrong constantly) — ship both columns and let the curation filter
-    arbitrate."""
+    arbitrate. nullif/coalesce, not rlike-then-extract: one scan per
+    pattern, and the fallback gate IS the extract's own success (a
+    prefix-gated rlike diverges from the extract on empty/unclosed
+    values)."""
     return F.lower(
-        F.when(html.rlike(_LANG_RE), F.regexp_extract(html, _LANG_RE, 1)).otherwise(
-            F.regexp_extract(html, _XML_LANG_RE, 1)
+        F.coalesce(
+            F.nullif(F.regexp_extract(html, _LANG_RE, 1), F.lit("")),
+            F.regexp_extract(html, _XML_LANG_RE, 1),
         )
     )
 
@@ -223,10 +229,12 @@ def extract_lang(html: Column) -> Column:
 def extract_meta_description(html: Column) -> Column:
     """``<meta name="description" content="...">`` text, entity-decoded
     and trimmed; empty when absent. The FIRST description meta tag in
-    document order is extracted (attribute-token matching, so a '>'
-    inside a quoted value does not truncate the tag, and the
-    content/name attribute order doesn't matter), then ITS content
-    parsed quote-aware like :func:`_href_of` (a double-quoted
+    document order is extracted — BOUNDED at the tag's first '>', per
+    the module-wide contract (see :data:`_META_DESC_TAG_RE`): a '>'
+    inside a quoted value truncates the tag and the description
+    extracts as ''; the content/name attribute order doesn't matter —
+    then ITS content parsed quote-aware like :func:`_href_of` (a
+    double-quoted
     description containing an apostrophe — "Bob's site" — must not
     truncate at it; tag-first extraction keeps first-occurrence
     semantics even when a later duplicate meta uses the other quote

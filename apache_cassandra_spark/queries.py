@@ -5913,9 +5913,9 @@ ORACLES["corpus_page_text"] = f"""
              trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
              trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
              cast(len({_SQL_HREF_LIST}) AS bigint) AS n_links,
-             lower(CASE WHEN regexp_matches(html, '(?is)<html\\b[^>]*[\\s\"'']lang\\s*=\\s*[\"'']')
-                        THEN regexp_extract(html, '(?is)<html\\b[^>]*[\\s\"'']lang\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1)
-                        ELSE regexp_extract(html, '(?is)<html\\b[^>]*xml:lang\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1) END) AS declared_lang,
+             lower(coalesce(
+                 nullif(regexp_extract(html, '(?is)<html\\b[^>]*[\\s\"'']lang\\s*=\\s*[\"'']([^\"''>]+)[\"'']', 1), ''),
+                 regexp_extract(html, '(?is)<html\\b[^>]*xml:lang\\s*=\\s*[\"'']([^\"''>]+)[\"'']', 1))) AS declared_lang,
              array_to_string({_SQL_ANCHOR_TEXT_LIST}, '|') AS anchors_joined
            FROM sc)
     SELECT doc_id, title, clean_text, n_links, declared_lang, anchors_joined

@@ -207,6 +207,13 @@ def test_xhtml_xml_lang_is_recognized(spark):
     # HTML-spec precedence: plain lang beats xml:lang when both declared
     both = '<html lang="en" xml:lang="fr">'
     assert _one(spark, html.extract_lang, both) == "en"
+    # an empty plain lang falls through to xml:lang (the extract's own
+    # success is the gate — no prefix-rlike divergence)
+    assert _one(spark, html.extract_lang, '<html lang="" xml:lang="fr">') == "fr"
+    # an unclosed lang quote must fail cleanly, never read a markup
+    # span through the tag boundary
+    leak = '<html xml:lang="fr><body class="main">'
+    assert ">" not in _one(spark, html.extract_lang, leak)
 
 
 def test_extract_links_ignores_script_style_and_comments(spark):
