@@ -209,9 +209,14 @@ def clean_fragment(fragment: Column) -> Column:
 
 def extract_lang(html: Column) -> Column:
     """Declared document language — the ``lang`` attribute of the
-    ``<html>`` tag, falling back to XHTML's ``xml:lang`` (HTML-spec
-    precedence when both are declared), lowercased (``en``, ``pt-br``);
-    empty string when absent. A declared lang is a PRIOR for
+    ``<html>`` tag, falling back to XHTML's ``xml:lang`` when ``lang``
+    is absent OR empty, lowercased (``en``, ``pt-br``); empty string
+    when neither carries a value. Two deliberate nuances vs the WHATWG
+    letter: a NON-EMPTY ``lang`` wins over ``xml:lang`` (spec
+    precedence), but ``lang=""`` ("language unknown") does NOT shadow a
+    concrete ``xml:lang`` — an empty declaration carries no signal, and
+    this column is a prior, not a spec evaluator. A declared lang is a
+    PRIOR for
     ``text.lang_id``, not ground truth (multilingual sites template it
     wrong constantly) — ship both columns and let the curation filter
     arbitrate. nullif/coalesce, not rlike-then-extract: one scan per
@@ -230,10 +235,14 @@ def extract_meta_description(html: Column) -> Column:
     """``<meta name="description" content="...">`` text, entity-decoded
     and trimmed; empty when absent. The FIRST description meta tag in
     document order is extracted — BOUNDED at the tag's first '>', per
-    the module-wide contract (see :data:`_META_DESC_TAG_RE`): a '>'
-    inside a quoted value truncates the tag and the description
-    extracts as ''; the content/name attribute order doesn't matter —
-    then ITS content parsed quote-aware like :func:`_href_of` (a
+    the module-wide contract (see :data:`_META_DESC_TAG_RE`). The '>'
+    consequence depends on where it sits: in the content value of a
+    name-first tag, the matched tag truncates and the description
+    extracts as ''; in a content-FIRST tag, the '>' hides the name=
+    token past the bound so that tag is invisible to the matcher
+    entirely (a later well-formed duplicate then wins). Either
+    attribute order works for values without '>'. The matched tag's
+    content is then parsed quote-aware like :func:`_href_of` (a
     double-quoted
     description containing an apostrophe — "Bob's site" — must not
     truncate at it; tag-first extraction keeps first-occurrence
