@@ -121,6 +121,9 @@ AUDITED = {
     "tpch_q15ish": "top supplier by revenue (view + scalar max): Catalyst extracts the crossJoin-equality into a BroadcastHashJoin ON the aggregate value (no nested loop anywhere), date range pushed to the fact scan, revenue aggregate partial-combined, DECIMAL=DECIMAL max equality (exact), AQE-decided supplier join",
     "corpus_url_revisions": "cross-crawl URL change detection: map-only projection (canonicalization chain + 60-bit md5 fingerprint + packed order key) into one HASH-BASED aggregate on (canonical_url, domain) — every aggregate buffer numeric by construction (domain in the group key, latest-fp = max over ONE decimal(38,0) packing ord*2^60+fp60, the events_ohlc recipe), so the Expanded distinct stack never degrades to SortAggregate; no join, no broadcast, no window",
     "corpus_domain_stats": "per-domain web rollup: ONE map-only projection (URL canonicalization regexp chain + quality logit over the same scan — no self-join), single countDistinct plans as the two-level aggregate stack (partial on (domain, canonical_url) -> final on domain, exactly two hash exchanges), final orderBy ranges only the tiny aggregated output; no broadcast, no UDF, no collect",
+    "corpus_page_text": "HTML -> text ingest boundary: ONE codegen map-only projection per document (strip/decode/collapse regexp chain, quote-aware per-tag href parse, anchor elements rendered in-array) — no Exchange before the presentation orderBy, no UDF, no Generate (arrays stay in-row)",
+    "corpus_outlink_graph": "domain-level crawl link graph: hrefs resolved INSIDE the link array (transform before explode — materializes the target so the eTLD+1 chain never inlines into a >64KB codegen method), Generate explode, ONE shuffle on the raw (src_host, dst_host, page) triple with map-side combine, host->domain mapping AFTER the aggregate on materialized attrs, internal-edge filter anchored to the aggregate output (un-pushable OR predicate) so the regex-derived predicate stays OFF the raw link rows; two cheap domain-regroup shuffles, no joins, no broadcast",
+    "corpus_wet_roundtrip": "WET re-ingest half of the round trip: distributed multi-char-lineSep text scan (block-parallel record split) -> ONE codegen projection (header regexp parse, payload trim, framing check) -> presentation orderBy; no UDF, no join, no aggregate",
 }
 
 
