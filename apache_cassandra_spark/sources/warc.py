@@ -78,7 +78,40 @@ def read_wet(
     drops); pass ``()`` to keep everything. ``content_length`` is the
     DECLARED header value; ``framing_ok`` compares it against the
     recovered payload's UTF-8 byte length (see module docstring)."""
-    raw = spark.read.text(path, lineSep=RECORD_MAGIC)
+    return parse_wet_records(
+        spark.read.text(path, lineSep=RECORD_MAGIC), record_types=record_types
+    )
+
+
+def read_wet_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """:func:`read_wet` as a Structured Streaming source — the
+    continuous crawl front door: new .wet shards landing in ``path``
+    are split, parsed, and emitted incrementally (file-stream source,
+    so exactly-once per shard via the checkpointed file log). The
+    SAME parse expressions as the batch reader (shared through
+    :func:`parse_wet_records`), so stream and batch cannot drift;
+    downstream compose the html/web operators and the durable
+    streaming dedup ingest unchanged — they are stateless per-row
+    projections. ``max_files_per_trigger`` bounds each micro-batch."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_wet_records(
+        reader.text(path, lineSep=RECORD_MAGIC), record_types=record_types
+    )
+
+
+def parse_wet_records(
+    raw: DataFrame,
+    record_types: tuple[str, ...] = ("conversion",),
+) -> DataFrame:
+    """Shared WET parse over a ``value``-column text DataFrame (batch
+    or streaming) — one codegen projection, no shuffle."""
     headers = F.regexp_extract("value", _HEADERS_RE, 1)
     payload = F.regexp_extract("value", _PAYLOAD_RE, 1)
     text = F.regexp_replace(payload, r"(\r\n)+$", "")

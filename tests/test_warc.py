@@ -178,6 +178,48 @@ def test_write_wet_null_date_falls_back_not_vanishes(spark, tmp_path):
     assert rows["http://a.com/2"]["text"] == "beta"
 
 
+def test_read_wet_stream_matches_batch(spark, tmp_path):
+    """The streaming reader (shared parse expressions) must emit exactly
+    the batch reader's rows; maxFilesPerTrigger=1 forces one shard per
+    micro-batch to prove incremental per-file ingest."""
+    src = tmp_path / "wet_src"
+    src.mkdir()
+    for i in range(3):
+        records = [("warcinfo", None, None, f"software: crawler-{i}")] + [
+            (
+                "conversion",
+                f"http://s{i}.com/p{j}",
+                "2013-01-01T00:00:00Z",
+                f"payload {i} {j}",
+            )
+            for j in range(4)
+        ]
+        (src / f"shard{i}.wet").write_bytes(_wet_bytes(records).encode())
+
+    batch = {
+        (r["target_uri"], r["text"], r["framing_ok"])
+        for r in warc.read_wet(spark, str(src)).collect()
+    }
+    q = (
+        warc.read_wet_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("wet_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["target_uri"], r["text"], r["framing_ok"])
+            for r in spark.sql("select * from wet_stream_t").collect()
+        }
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 12
+    assert n_batches >= 3  # one file per trigger -> at least 3 micro-batches
+
+
 def test_read_wet_is_map_only(spark, wet_file):
     plan = warc.read_wet(spark, wet_file)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
