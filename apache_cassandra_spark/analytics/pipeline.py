@@ -1020,3 +1020,59 @@ def dsir_resample(
         .select(id_col, "logw_micro")
     )
     return corpus.join(picked, id_col)
+
+
+def prepare_crawl(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The crawl ingest boundary, composed: markup → rendered text
+    (``html.with_page_text``: clean_text, title, n_links,
+    declared_lang), URL keys (``web.with_url_keys``: canonical_url,
+    host, domain), then URL-level dedup (min-id winner per canonical
+    URL — the oldest-capture-wins convention of ``web.dedup_urls``,
+    keeping the winner's FULL row). Output is one row per kept page
+    with ``clean_text`` ready to feed :func:`prepare_corpus` (quality
+    gate → exact dedup → near-dup representatives) as its text column —
+    the standard crawl-to-corpus front half a WET/HTML ingest runs
+    before any content-level work.
+
+    Plan shape: the two withColumns passes are ONE map-only codegen
+    projection over the scan; the URL dedup is a hash aggregate on the
+    near-uniform canonical key plus an AQE-decided equi-join of the
+    winners back to the rows (the min-id must carry its whole row —
+    max_by over a packed struct would string-buffer the wide text
+    columns into a SortAggregate, the events_ohlc anti-pattern, so the
+    join form is deliberate). Nothing broadcasts by force, nothing
+    collects.
+
+    Composition of independently gated pieces: per-row extraction is
+    hash-gated by corpus_page_text, URL keys by corpus_domain_stats,
+    the min-id winner convention by corpus_url_revisions' ordering
+    contract and web.dedup_urls' tests."""
+    from apache_cassandra_spark.analytics import html as H
+    from apache_cassandra_spark.analytics import web
+
+    tp = web.TRACKING_PARAMS if tracking_params is None else tracking_params
+    keyed = web.with_url_keys(
+        H.with_page_text(df, html_col=html_col),
+        url_col,
+        strip_www=strip_www,
+        tracking_params=tp,
+    )
+    winners = keyed.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["canonical_url", id_col]).select(
+        id_col,
+        url_col,
+        "canonical_url",
+        "host",
+        "domain",
+        "clean_text",
+        "title",
+        "declared_lang",
+        "n_links",
+    )

@@ -477,3 +477,62 @@ def test_html_to_text_fuzz_vs_python_model(spark):
         assert r["ti"] == _py_title(doc), doc
         assert r["ln"] == _py_links(doc), doc
         assert [(p["href"], p["anchor"]) for p in r["ap"]] == _py_anchor_pairs(doc), doc
+
+
+# --------------------------------------------------------- prepare_crawl
+
+def test_prepare_crawl_composition(spark):
+    """Crawl-to-corpus front half: markup renders, URL keys attach, and
+    the canonical-URL min-id winner keeps its FULL row."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    pages = [
+        # same canonical URL (tracker + case noise): id 1 wins, id 5 drops
+        (1, "http://www.Site.com/a?gclid=x", "<html lang='en'><title>A</title><p>first capture</p></html>"),
+        (5, "http://site.com/a", "<p>recrawl of a</p>"),
+        (2, "https://other.org/b", "<a href='/x'>link</a><p>b text</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    rows = {r["doc_id"]: r for r in prepare_crawl(df).collect()}
+    assert set(rows) == {1, 2}
+    w = rows[1]
+    assert w["canonical_url"] == "http://site.com/a"
+    assert w["domain"] == "site.com"
+    assert w["clean_text"] == "A first capture"
+    assert w["title"] == "A" and w["declared_lang"] == "en"
+    assert rows[2]["n_links"] == 1 and rows[2]["clean_text"] == "link b text"
+
+
+def test_prepare_crawl_feeds_prepare_corpus(spark):
+    """The composed front half hands clean_text straight into the gated
+    corpus-prep pipeline — the full crawl-to-training-corpus chain runs
+    end to end on one graph."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_corpus, prepare_crawl
+
+    words = "the quick brown fox jumps over a lazy dog near the old river bank today"
+    pages = [
+        (i, f"http://s{i % 7}.com/p{i}", f"<p>{words} doc {i} </p>")
+        for i in range(40)
+    ] + [(100, "http://s0.com/p0?utm_source=x", "<p>dup of p0</p>")]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    staged = prepare_crawl(df)
+    out = prepare_corpus(
+        staged.select("doc_id", F.col("clean_text").alias("text")),
+        min_tokens=5, min_stop_hits=1,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 100 not in ids          # URL-dup dropped before content work
+    assert len(ids) > 0 and ids <= set(range(40))
+
+
+def test_prepare_crawl_plan_shape(spark):
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x", "<p>t</p>")], "doc_id long, url string, html string"
+    )
+    plan = plan_of(prepare_crawl(df))
+    # one hash aggregate for the winners + the join back; never a
+    # SortAggregate (no string-buffered max_by packing the wide text)
+    assert "SortAggregate" not in plan
+    assert "collect" not in plan.lower()
