@@ -5959,6 +5959,61 @@ ORACLES["corpus_wet_roundtrip"] = f"""
 """
 
 
+#: fixed lexical queries over the documents vocabulary (same literals
+#: in the Spark staging and the oracle's VALUES clause)
+_BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "fast key order sort"),
+    (1, "table scan merge join"),
+    (2, "window batch stream spark"),
+)
+
+
+def q_corpus_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (text.bm25_topk): top-10 documents per lexical
+    query — the retrieval-based-decontamination / data-selection
+    primitive. One corpus explode into a cached (doc, term) aggregate;
+    query terms broadcast (request-bounded), so only their postings
+    flow; df/dl joins AQE-decided; per-term contribution = ONE shared
+    SQL scalar (micro-quantized bigint) summed exactly; WindowGroupLimit
+    top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(list(_BM25_QUERIES), "query_id long, query string")
+    return text.bm25_topk(docs, qdf, k=10).orderBy("query_id", "doc_id")
+
+
+def _bm25_oracle() -> str:
+    from apache_cassandra_spark.analytics.text import _bm25_term_expr
+
+    values = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+    return f"""
+    WITH q(query_id, query) AS (VALUES {values}),
+    toked AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+              FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    tot AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+                   sum(tf) AS total_dl FROM tf),
+    qt AS (SELECT DISTINCT query_id, term
+           FROM (SELECT query_id, unnest(list_filter(string_split(lower(query), ' '), x -> x <> '')) AS term
+                 FROM q)),
+    sc AS (SELECT qt.query_id, tf.doc_id, {_bm25_term_expr(1.2, 0.75)} AS s
+           FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN tot),
+    agg AS (SELECT query_id, doc_id, count(*) AS n_terms,
+                   cast(sum(s) AS bigint) AS bm25_micro
+            FROM sc GROUP BY 1, 2)
+    SELECT query_id, doc_id, n_terms, bm25_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25_micro DESC, doc_id) AS rk
+      FROM agg)
+    WHERE rk <= 10 ORDER BY query_id, doc_id
+"""
+
+
+ORACLES["corpus_bm25_topk"] = _bm25_oracle()
+
+
 def q_corpus_outlink_graph(spark, sf_dir):
     """Domain-level crawl link graph (analytics/html.py outlink_graph):
     harvest anchors from non-content-stripped markup, resolve each href
@@ -6024,13 +6079,14 @@ ORACLES["corpus_outlink_graph"] = f"""
 # is the rows-only check, not a hash slot. r11 first-50 = the round-7
 # cohort below (incl. the four core sentinels); r12 = the round-9
 # cohort. Budget: oracle-bound count after the five retirements is 151,
-# plus the four new r10 prebuilds (corpus_url_revisions,
-# corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip) = 155
-# against the 150 (50-slot x 3-round) ceiling — five gates over;
-# COVERAGE.md "Proposed gate retirements (round 10)" queues
-# prepare_corpus, events_hourly, dedup_containment (identical-oracle
-# twin of dedup_prefix_containment), docs_novelty_topk and
-# tpch_top_nations to fund them, pending judge endorsement.
+# plus the five new r10 prebuilds (corpus_url_revisions,
+# corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
+# corpus_bm25_topk) = 156 against the 150 (50-slot x 3-round)
+# ceiling — six gates over; COVERAGE.md "Proposed gate retirements
+# (round 10)" queues prepare_corpus, events_hourly, dedup_containment
+# (identical-oracle twin of dedup_prefix_containment),
+# docs_novelty_topk, tpch_top_nations and corpus_ngram_topk to fund
+# them, pending judge endorsement.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
@@ -6208,6 +6264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_page_text": q_corpus_page_text,
     "corpus_outlink_graph": q_corpus_outlink_graph,
     "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
+    "corpus_bm25_topk": q_corpus_bm25_topk,
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "corpus_page_text",
     "corpus_outlink_graph",
     "corpus_wet_roundtrip",
+    "corpus_bm25_topk",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
     "tpch_q17ish",
     "tpch_q19ish",

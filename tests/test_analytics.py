@@ -1828,3 +1828,80 @@ def test_dedup_against_reference_prehashed(spark):
         for r in dedup_against_reference(batch, ref_hashes, ref_hashed=True).collect()
     )
     assert got == [2, 4]
+
+
+# -------------------------------------------------------------- BM25
+
+def test_bm25_matches_python_model(spark):
+    """Exact micro-score parity with an independent Python BM25
+    (Lucene idf, k1=1.2 b=0.75) over a small corpus."""
+    import math
+
+    from apache_cassandra_spark.analytics.text import bm25_topk
+
+    corpus = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry date date date"),
+        (2, "apple apple apple apple"),
+        (3, "elderberry fig grape"),
+        (4, "cherry date apple banana banana"),
+    ]
+    queries = [(0, "apple banana"), (1, "date"), (2, "missingword")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_terms"], r["bm25_micro"])
+        for r in bm25_topk(docs, qdf, k=10).collect()
+    }
+
+    toks = {i: t.split() for i, t in corpus}
+    n_docs = len(corpus)
+    total_dl = sum(len(t) for t in toks.values())
+    dfreq = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    want = {}
+    for qid, q in queries:
+        for d, t in toks.items():
+            s, n = 0, 0
+            for term in set(q.split()):
+                tf = t.count(term)
+                if tf == 0 or term not in dfreq:
+                    continue
+                df = dfreq[term]
+                dl = len(t)
+                idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                raw = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / total_dl)) * 1000000.0
+                # Python round is half-even; Spark/DuckDB round() is
+                # half-up — match via floor(x + 0.5) on positives
+                s += math.floor(raw + 0.5)
+                n += 1
+            if n:
+                want[(qid, d)] = (n, s)
+    assert got == want
+    # query 2 has no matching docs at all
+    assert not any(q == 2 for q, _ in got)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from apache_cassandra_spark.analytics.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common filler words here") for i in range(20)]
+        + [(100, "common rareterm filler")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame([(0, "common rareterm")], "query_id long, query string")
+    top = bm25_topk(docs, qdf, k=3).orderBy(F.desc("bm25_micro")).collect()
+    assert top[0]["doc_id"] == 100 and top[0]["n_terms"] == 2
+
+
+def test_bm25_plan_shape(spark):
+    from apache_cassandra_spark.analytics.text import bm25_topk
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    qdf = spark.createDataFrame([(0, "a")], "query_id long, query string")
+    plan = bm25_topk(docs, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan       # top-k pre-truncation
+    assert "SortAggregate" not in plan      # all-numeric buffers

@@ -68,6 +68,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ),
     ("analytics/text.py", "n_docs"): (1, "1-row corpus count"),
     ("analytics/text.py", "total"): (2, "1-row token total"),
+    ("analytics/text.py", "qt"): (
+        1,
+        "BM25 query term set: bounded by the caller's query list "
+        "(request-bounded, like similarity's seed sets)",
+    ),
+    ("analytics/text.py", "tot"): (1, "1-row (n_docs, total_dl) totals"),
     ("analytics/text.py", "scored_vocab"): (
         1,
         "flag-gated (broadcast_vocab): vocabulary table, caller owns bound",
