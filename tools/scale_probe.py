@@ -207,6 +207,7 @@ OPS = {
     "html_outlink_graph": lambda d: _html_op(d, "outlink_graph"),
     "html_anchor_corpus": lambda d: _html_op(d, "anchor_corpus"),
     "wet_roundtrip": lambda d: _wet_op(d),
+    "bm25_topk": lambda d: _bm25_op(d),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -415,6 +416,23 @@ def _html_op(docs: DataFrame, which: str) -> int:
         out = H.outlink_graph(d).agg(F.sum("n_links"), F.sum("n_pages"), F.count(F.lit(1)))
     else:
         out = H.anchor_text_corpus(d).agg(F.count(F.lit(1)), F.sum(F.length("anchor_text")))
+    return out.collect() and docs.count()
+
+
+def _bm25_op(docs: DataFrame) -> int:
+    """BM25 retrieval probe: fixed 3-query set (request-bounded side
+    stays constant) while the corpus scales k× — measures the corpus
+    explode + (doc,term) aggregate + query-postings semi-join path.
+    Top-k output is constant-size by construction; the honest scaling
+    question is the posting-list side."""
+    from apache_cassandra_spark.analytics.text import bm25_topk
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(0, "fast key order sort"), (1, "table scan merge join"), (2, "window batch stream spark")],
+        "query_id long, query string",
+    )
+    out = bm25_topk(docs, qdf, k=10).agg(F.sum("bm25_micro"), F.sum("n_terms"))
     return out.collect() and docs.count()
 
 
