@@ -1050,6 +1050,14 @@ def prepare_crawl(
     join form is deliberate). Nothing broadcasts by force, nothing
     collects.
 
+    Input contract (explicit, not a silent filter buried in the plan —
+    the streaming/dedup.py convention): rows with a NULL ``url_col`` or
+    NULL ``id_col`` are DROPPED up front (no URL → no canonical key to
+    dedup on; no id → no winner to pick), and ``id_col`` must be unique
+    per input row — a union of ingest batches that repeats an id must
+    dedup ids first, or the winner's duplicated rows all survive the
+    equi-join back.
+
     Composition of independently gated pieces: per-row extraction is
     hash-gated by corpus_page_text, URL keys by corpus_domain_stats,
     the min-id winner convention by corpus_url_revisions' ordering
@@ -1058,8 +1066,9 @@ def prepare_crawl(
     from apache_cassandra_spark.analytics import web
 
     tp = web.TRACKING_PARAMS if tracking_params is None else tracking_params
+    staged = df.where(F.col(url_col).isNotNull() & F.col(id_col).isNotNull())
     keyed = web.with_url_keys(
-        H.with_page_text(df, html_col=html_col),
+        H.with_page_text(staged, html_col=html_col),
         url_col,
         strip_www=strip_www,
         tracking_params=tp,

@@ -303,6 +303,16 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     return owned_cache(out, tf)
 
 
+#: fixed lexical benchmark queries over the driver corpus vocabulary —
+#: shared by the corpus_bm25_topk gate (queries.py, incl. its oracle's
+#: VALUES clause) and the scale probe, so the two workloads cannot drift
+BM25_BENCH_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "fast key order sort"),
+    (1, "table scan merge join"),
+    (2, "window batch stream spark"),
+)
+
+
 def _bm25_term_expr(k1: float, b: float) -> str:
     """Per-(query-term, doc) BM25 contribution as ONE SQL scalar string
     over columns ``tf, df, dl, n_docs, total_dl`` — the SAME string
@@ -310,7 +320,9 @@ def _bm25_term_expr(k1: float, b: float) -> str:
     double arithmetic (operand order, division points) is identical by
     construction (the _SYNTH_URL_SQL recipe applied to math). Lucene's
     always-positive idf ``ln((N−df+0.5)/(df+0.5)+1)``; ``dl/avgdl``
-    written ``dl·N/total_dl`` (exact bigint product, ONE division);
+    written ``b·dl·N/total_dl`` — left-associative doubles, ONE
+    division (the operand ORDER is the contract, not integer
+    arithmetic: both engines evaluate the identical double sequence);
     micro-quantized to bigint BEFORE the per-query sum, so the
     aggregate is partition-order-proof.
 
@@ -354,21 +366,23 @@ def bm25_topk(
     summed as exact integers; ties on the final score break by doc_id.
 
     Scale shape: the corpus pays ONE explode → (doc, term) hash
-    aggregate (cached — three consumers: document frequency, document
-    length, candidate scoring; ReuseExchange can't unify self-join
-    branches). The query term set broadcasts (request-bounded — it is
-    the caller's query list), so candidate generation is a map-side
-    semi-join: ONLY postings of query terms flow further. Document
-    frequency and length join AQE-decided (vocabulary / corpus
-    cardinality — never force-broadcast, the round-7 tfidf lesson);
-    the two 1-row totals keep their hint. Per-query top-k is
-    WindowGroupLimit-truncated before its shuffle. No Python
-    anywhere."""
+    aggregate (cached — four consumers: query-term postings, document
+    length, the token total, and through the postings the document
+    frequency; ReuseExchange can't unify self-join branches). The query
+    term set broadcasts (request-bounded — it is the caller's query
+    list), so the postings semi-join runs map-side and ONLY query-term
+    postings flow further; document frequency is then computed FROM
+    those postings — an aggregate bounded by the query terms, never a
+    full-vocabulary roll-up (df per term depends only on that term's
+    own postings, so restricting first is lossless). Document length
+    joins AQE-decided (corpus cardinality — never force-broadcast, the
+    round-7 tfidf lesson); the two 1-row totals keep their hint.
+    Per-query top-k is WindowGroupLimit-truncated before its shuffle.
+    No Python anywhere."""
     from pyspark.sql import Window
 
     toked = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     tot = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs")).crossJoin(
         tf.agg(F.sum("tf").alias("total_dl"))
@@ -376,8 +390,13 @@ def bm25_topk(
     qt = queries.select(
         "query_id", F.explode(tokens(F.lower(F.col("query")))).alias("term")
     ).distinct()
+    # postings of the query terms only (term-distinct first: a term in
+    # two queries must not double its postings into the df count)
+    qterms = qt.select("term").distinct()
+    tfq = tf.join(F.broadcast(qterms), "term")
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(qt), "term")
+        tfq.join(F.broadcast(qt), "term")
         .join(dfreq, "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(tot))

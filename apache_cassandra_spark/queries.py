@@ -5960,12 +5960,9 @@ ORACLES["corpus_wet_roundtrip"] = f"""
 
 
 #: fixed lexical queries over the documents vocabulary (same literals
-#: in the Spark staging and the oracle's VALUES clause)
-_BM25_QUERIES: tuple[tuple[int, str], ...] = (
-    (0, "fast key order sort"),
-    (1, "table scan merge join"),
-    (2, "window batch stream spark"),
-)
+#: in the Spark staging, the oracle's VALUES clause, and the scale
+#: probe — single definition in analytics.text)
+_BM25_QUERIES = text.BM25_BENCH_QUERIES
 
 
 def q_corpus_bm25_topk(spark, sf_dir):

@@ -70,8 +70,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("analytics/text.py", "total"): (2, "1-row token total"),
     ("analytics/text.py", "qt"): (
         1,
-        "BM25 query term set: bounded by the caller's query list "
+        "BM25 (query_id, term) set: bounded by the caller's query list "
         "(request-bounded, like similarity's seed sets)",
+    ),
+    ("analytics/text.py", "qterms"): (
+        1,
+        "BM25 distinct query terms (subset of qt): request-bounded",
     ),
     ("analytics/text.py", "tot"): (1, "1-row (n_docs, total_dl) totals"),
     ("analytics/text.py", "scored_vocab"): (

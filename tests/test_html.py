@@ -536,3 +536,18 @@ def test_prepare_crawl_plan_shape(spark):
     # SortAggregate (no string-buffered max_by packing the wide text)
     assert "SortAggregate" not in plan
     assert "collect" not in plan.lower()
+
+
+def test_prepare_crawl_null_url_and_id_drop_contract(spark):
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x", "<p>kept</p>"),
+            (2, None, "<p>no url drops</p>"),
+            (None, "http://a.com/y", "<p>no id drops</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    ids = {r["doc_id"] for r in prepare_crawl(df).collect()}
+    assert ids == {1}

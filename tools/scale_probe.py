@@ -425,13 +425,10 @@ def _bm25_op(docs: DataFrame) -> int:
     explode + (doc,term) aggregate + query-postings semi-join path.
     Top-k output is constant-size by construction; the honest scaling
     question is the posting-list side."""
-    from apache_cassandra_spark.analytics.text import bm25_topk
+    from apache_cassandra_spark.analytics.text import BM25_BENCH_QUERIES, bm25_topk
 
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        [(0, "fast key order sort"), (1, "table scan merge join"), (2, "window batch stream spark")],
-        "query_id long, query string",
-    )
+    qdf = spark.createDataFrame(list(BM25_BENCH_QUERIES), "query_id long, query string")
     out = bm25_topk(docs, qdf, k=10).agg(F.sum("bm25_micro"), F.sum("n_terms"))
     return out.collect() and docs.count()
 
