@@ -5959,10 +5959,6 @@ ORACLES["corpus_wet_roundtrip"] = f"""
 """
 
 
-#: fixed lexical queries over the documents vocabulary (same literals
-#: in the Spark staging, the oracle's VALUES clause, and the scale
-#: probe — single definition in analytics.text)
-_BM25_QUERIES = text.BM25_BENCH_QUERIES
 
 
 def q_corpus_bm25_topk(spark, sf_dir):
@@ -5974,14 +5970,14 @@ def q_corpus_bm25_topk(spark, sf_dir):
     SQL scalar (micro-quantized bigint) summed exactly; WindowGroupLimit
     top-k."""
     docs = load_table(spark, sf_dir, "documents")
-    qdf = spark.createDataFrame(list(_BM25_QUERIES), "query_id long, query string")
+    qdf = spark.createDataFrame(list(text.BM25_BENCH_QUERIES), "query_id long, query string")
     return text.bm25_topk(docs, qdf, k=10).orderBy("query_id", "doc_id")
 
 
 def _bm25_oracle() -> str:
     from apache_cassandra_spark.analytics.text import _bm25_term_expr
 
-    values = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+    values = ", ".join(f"({i}, '{q}')" for i, q in text.BM25_BENCH_QUERIES)
     return f"""
     WITH q(query_id, query) AS (VALUES {values}),
     toked AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
