@@ -208,6 +208,7 @@ OPS = {
     "html_anchor_corpus": lambda d: _html_op(d, "anchor_corpus"),
     "wet_roundtrip": lambda d: _wet_op(d),
     "bm25_topk": lambda d: _bm25_op(d),
+    "prepare_crawl": lambda d: _prepare_crawl_op(d),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -430,6 +431,35 @@ def _bm25_op(docs: DataFrame) -> int:
     spark = docs.sparkSession
     qdf = spark.createDataFrame(list(BM25_BENCH_QUERIES), "query_id long, query string")
     out = bm25_topk(docs, qdf, k=10).agg(F.sum("bm25_micro"), F.sum("n_terms"))
+    return out.collect() and docs.count()
+
+
+def _prepare_crawl_op(docs: DataFrame) -> int:
+    """Composed crawl front half over the _html_op markup (same synth:
+    title/script/comment decoys, real text body, four anchors) with
+    url keyed on doc_id div 4 so every canonical URL carries a 4-row
+    dup group — the extraction projection + the canonical-URL winner
+    aggregate + the join back all scale with the corpus."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    site = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(13)), F.lit(100_000)).cast("string")
+    markup = F.concat(
+        F.lit('<html lang="en"><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; co</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="HTTPS://WWW.Site'),
+        site,
+        F.lit('.COM:443/p">ext</a></body></html>'),
+    )
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"), site, F.lit(".com:80/Page/"),
+        F.expr("cast(doc_id div 4 as string)"),
+    )
+    d = docs.withColumn("html", markup).withColumn("url", url)
+    out = prepare_crawl(d).agg(
+        F.count(F.lit(1)), F.sum(F.length("clean_text")), F.sum("n_links")
+    )
     return out.collect() and docs.count()
 
 
