@@ -5916,7 +5916,9 @@ ORACLES["corpus_page_text"] = f"""
              lower(coalesce(
                  nullif(regexp_extract(html, '(?is)<html\\b[^>]*[\\s\"'']lang\\s*=\\s*[\"'']([^\"''>]+)[\"'']', 1), ''),
                  regexp_extract(html, '(?is)<html\\b[^>]*xml:lang\\s*=\\s*[\"'']([^\"''>]+)[\"'']', 1))) AS declared_lang,
-             array_to_string({_SQL_ANCHOR_TEXT_LIST}, '|') AS anchors_joined
+             -- coalesce: DuckDB array_to_string(empty, sep) is NULL
+             -- where Spark array_join gives '' (fuzz-caught divergence)
+             coalesce(array_to_string({_SQL_ANCHOR_TEXT_LIST}, '|'), '') AS anchors_joined
            FROM sc)
     SELECT doc_id, title, clean_text, n_links, declared_lang, anchors_joined
     FROM tx ORDER BY doc_id

@@ -551,3 +551,66 @@ def test_prepare_crawl_null_url_and_id_drop_contract(spark):
     )
     ids = {r["doc_id"] for r in prepare_crawl(df).collect()}
     assert ids == {1}
+
+
+# ------------------------------------------------- cross-engine mirror
+
+def test_html_chain_matches_duckdb_mirror_on_random_markup(spark):
+    """The gate oracles replay the html chain in DuckDB (RE2) against
+    Spark (Java regex) — but only over the synthetic gate markup. This
+    fuzz runs BOTH engines over random adversarial fragments (mixed
+    quotes, unclosed anchors, decoys, entities, double escapes), so an
+    RE2-vs-Java semantic divergence in any shared construct ((?is),
+    lazy spans, \\b, char classes) fails here, not in a driver round."""
+    import duckdb
+    import random
+
+    from apache_cassandra_spark.queries import (
+        _SQL_ANCHOR_TEXT_LIST,
+        _SQL_HREF_LIST,
+        _SQL_STRIP_NONCONTENT,
+        _sql_decode_entities,
+    )
+
+    rng = random.Random(0xBEEF)
+    frags = [
+        "words &amp; things",
+        "<script>var a = '<a href=\"http://s.com/\">';</script>",
+        "<!-- <a href='http://c.com/'>x</a> -->",
+        "<style>a{content:'>'}</style>",
+        "<title>T &lt;1&gt;</title>",
+        "<a href=\"/it's fine\">dq-apos</a>",
+        "<a href='/say \"hi\"'>sq-quote</a>",
+        "<a name=top>no href",
+        "<a href='/u'>nested <b>bold</b> &amp;lt;esc</a>",
+        "<A HREF=\"//p.net/X\">up</A>",
+        "<a href=bare>skip</a>",
+        "stray > bracket < here",
+        "&amp;nbsp; &quot;q&quot;",
+        "<div data-href=\"/fake\">attr</div>",
+    ]
+    docs = [" ".join(rng.choice(frags) for _ in range(rng.randrange(1, 8))) for _ in range(150)]
+
+    got = spark.createDataFrame([(d,) for d in docs], "html string").select(
+        html.html_to_text(F.col("html")).alias("clean_text"),
+        html.extract_title(F.col("html")).alias("title"),
+        F.size(html.extract_links(F.col("html"))).cast("long").alias("n_links"),
+        F.array_join(
+            F.transform(html.anchor_pairs(F.col("html")), lambda p: p.getField("anchor")), "|"
+        ).alias("anchors_joined"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    want = con.execute(f"""
+        WITH sc AS (SELECT i, html, {_SQL_STRIP_NONCONTENT} AS content FROM t)
+        SELECT trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
+               trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
+               cast(len({_SQL_HREF_LIST}) AS bigint) AS n_links,
+               coalesce(array_to_string({_SQL_ANCHOR_TEXT_LIST}, '|'), '') AS anchors_joined
+        FROM sc ORDER BY i
+    """).fetchall()
+
+    for doc, g, w in zip(docs, got, want):
+        assert (g["clean_text"], g["title"], g["n_links"], g["anchors_joined"]) == w, doc
