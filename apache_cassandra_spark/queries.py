@@ -5607,14 +5607,18 @@ def _url_keys_ctes(passthrough: str) -> str:
     with ``url`` plus the ``passthrough`` columns; exposes ``d`` with
     ``passthrough, canonical_url, domain``. Shared by the domain_stats and
     url_revisions oracles so the two canonicalization replicas cannot
-    drift."""
+    drift. Full-input mirror (fuzz-locked cross-engine in
+    tests/test_web.py): the input is TRIMMED like F.trim in
+    canonicalize_url/extract_host, and a non-absolute URL (empty
+    scheme) passes through trimmed-but-untouched instead of fabricating
+    '://...' — exactly the Spark branch."""
     return f"""
-    p AS (SELECT {passthrough},
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+    p AS (SELECT {passthrough}, trim(url) AS _raw,
+            lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
           FROM u0),
-    h AS (SELECT {passthrough}, scheme,
+    h AS (SELECT {passthrough}, _raw, scheme,
             regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                                 ELSE hostport END, '^www\\.', '') AS host,
@@ -5628,8 +5632,10 @@ def _url_keys_ctes(passthrough: str) -> str:
                          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')))) AS kept
           FROM h),
     c AS (SELECT {passthrough}, host,
-            scheme || '://' || host || path ||
-              CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url
+            CASE WHEN scheme = '' THEN _raw
+                 ELSE scheme || '://' || host || path ||
+                      CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+            END AS canonical_url
           FROM q),
     lab AS (SELECT *, string_split(host, '.') AS labels FROM c),
     tk AS (SELECT *, least(CASE WHEN len(labels) >= 3

@@ -406,3 +406,55 @@ def test_url_revisions_fuzz_vs_pandas_model(spark):
         assert r["first_crawl"] == g["crawl"].min() and r["last_crawl"] == g["crawl"].max()
         assert r["latest_fp"] == want_latest, canon
     assert len(got) == pdf["canon"].nunique()
+
+
+def test_url_keys_match_duckdb_oracle_chain_on_random_urls(spark):
+    """Cross-engine fuzz of the SHARED oracle CTE chain
+    (queries._url_keys_ctes) against web.with_url_keys over randomized
+    messy URLs — including the branches the synthetic gates never
+    exercise: non-absolute inputs (passthrough), surrounding
+    whitespace (trim), uppercase scheme/host, default and non-default
+    ports, all-tracker queries, fragments, multi-label suffixes."""
+    import random
+
+    import duckdb
+
+    from apache_cassandra_spark.queries import _url_keys_ctes
+
+    rng = random.Random(0x0C0FFEE)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["www.Example.COM", "a.b.Foo.co.uk", "single", "news.site.org",
+             "x.com.br", "cdn.media.NET"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p?b=2&a=1", "/p?utm_a=1&gclid=z",
+             "/p?ref=main&utm_b=2", "/x?b=2&a=1&B=3#frag", "#onlyfrag"]
+    urls = []
+    for _ in range(200):
+        if rng.random() < 0.15:
+            urls.append(rng.choice(["relative/path", "/rooted?utm_x=1",
+                                    "mailto:a@b.c", "  spaced-not-url  ", ""]))
+        else:
+            u = (rng.choice(schemes) + "://" + rng.choice(hosts)
+                 + rng.choice(ports) + rng.choice(paths))
+            if rng.random() < 0.2:
+                u = "  " + u + " "
+            urls.append(u)
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = {
+        r["i"]: (r["canonical_url"], r["domain"])
+        for r in web.with_url_keys(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    want = dict(
+        (i, (c, d))
+        for i, c, d in con.execute(
+            f"WITH u0 AS (SELECT i, url FROM t), {_url_keys_ctes('i')} "
+            "SELECT i, canonical_url, domain FROM d ORDER BY i"
+        ).fetchall()
+    )
+    mismatches = [(urls[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not mismatches, mismatches[:5]
