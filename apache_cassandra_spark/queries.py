@@ -5614,9 +5614,9 @@ def _url_keys_ctes(passthrough: str) -> str:
     '://...' — exactly the Spark branch."""
     return f"""
     p AS (SELECT {passthrough}, trim(url) AS _raw,
-            lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-            regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+            lower(regexp_extract(_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
           FROM u0),
     h AS (SELECT {passthrough}, _raw, scheme,
             regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')

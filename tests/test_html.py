@@ -563,7 +563,6 @@ def test_html_chain_matches_duckdb_mirror_on_random_markup(spark):
     RE2-vs-Java semantic divergence in any shared construct ((?is),
     lazy spans, \\b, char classes) fails here, not in a driver round."""
     import duckdb
-    import random
 
     from apache_cassandra_spark.queries import (
         _SQL_ANCHOR_TEXT_LIST,
