@@ -1143,6 +1143,83 @@ def remove_duplicate_lines(
     )
 
 
+def remove_domain_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    min_pages: int = 4,
+    max_page_pct: int = 50,
+    min_chars: int = 1,
+    delim: str = "\n",
+) -> DataFrame:
+    """Domain-conditioned boilerplate removal: a line appearing on MORE
+    than ``max_page_pct``% of a domain's pages (and on at least
+    ``min_pages`` pages) is that site's template — navigation, footer,
+    cookie banner — and is removed from EVERY page of the domain.
+    Unlike :func:`remove_duplicate_lines` there is no first-occurrence
+    survivor: a template line is noise on every page, while a line
+    shared across a FEW pages of a domain (a quote, a product name)
+    survives everywhere. The standard site-template cleaning pass of
+    web-corpus pipelines, run after ``web.with_url_keys`` supplies the
+    registrable domain.
+
+    Thresholds are exact integer comparisons
+    (``n_pages_with_line * 100 > max_page_pct * n_domain_pages``) —
+    no float ratio, engine-replayable. Lines shorter than ``min_chars``
+    are never boilerplate. A page whose every line is template
+    disappears from the output (the operator's purpose). Returns
+    ``(id, domain, text, n_kept)``.
+
+    Scale shape: one posexplode; the per-(domain, line) page count and
+    the per-domain page count are both hash aggregates with map-side
+    combine (a billion-page domain's nav line reduces to one row per
+    input partition before either shuffle); the boilerplate set joins
+    back LEFT on (domain, line) — its hot keys are exactly the template
+    lines, AQE skew handling absorbs the fan-in; reassembly shuffles
+    each page's surviving lines once (bounded by page size). No
+    windows, no collects, no broadcasts forced."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("dom"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    domain_pages = df.groupBy(F.col(domain_col).alias("dom")).agg(
+        F.count_distinct(F.col(id_col)).alias("_n_dom")
+    )
+    boiler = (
+        lines.where(F.length("line") >= min_chars)
+        .groupBy("dom", "line")
+        .agg(F.count_distinct("id").alias("_n_line"))
+        .join(domain_pages, "dom")
+        .where(
+            (F.col("_n_line") >= min_pages)
+            & (F.col("_n_line") * 100 > max_page_pct * F.col("_n_dom"))
+        )
+        .select("dom", "line", F.lit(True).alias("_boiler"))
+    )
+    surviving = (
+        lines.join(boiler, ["dom", "line"], "left")
+        .where(F.col("_boiler").isNull())
+    )
+    return (
+        surviving.groupBy("id", "dom")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                delim,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select(
+            F.col("id").alias(id_col), F.col("dom").alias(domain_col), text_col, "n_kept"
+        )
+    )
+
+
 def dedup_within_doc(
     df: DataFrame,
     text_col: str = "text",

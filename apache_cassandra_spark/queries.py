@@ -5931,6 +5931,60 @@ ORACLES["corpus_page_text"] = f"""
 """
 
 
+def q_corpus_domain_boilerplate(spark, sf_dir):
+    """Domain-conditioned site-template removal
+    (dedup.remove_domain_boilerplate): documents staged as 3-line pages
+    across 20 synthetic domains (25 pages each) — a per-domain nav line
+    planted on 100% of the domain's pages (must vanish everywhere, no
+    first-occurrence survivor), a banner on ~28% (above min_pages but
+    under the >50% bar — must survive), and the document's own prefix/
+    tail lines. Exact integer threshold, distinct-page counting,
+    ordered reassembly — all hash-gated."""
+    from apache_cassandra_spark.analytics import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.selectExpr(
+        "doc_id",
+        "concat('site', cast(doc_id % 20 as string)) AS domain",
+        "concat(substring(text, 1, 80), chr(10),"
+        " 'visit site', cast(doc_id % 20 as string), ' navigation menu', chr(10),"
+        " CASE WHEN (doc_id div 20) % 4 = 0"
+        "      THEN concat('sale banner for site', cast(doc_id % 20 as string))"
+        "      ELSE substring(text, 81, 60) END) AS text",
+    )
+    return D.remove_domain_boilerplate(staged).orderBy("doc_id")
+
+
+ORACLES["corpus_domain_boilerplate"] = """
+    WITH corpus AS (SELECT doc_id,
+            'site' || cast(doc_id % 20 as string) AS domain,
+            substr(text, 1, 80) || chr(10)
+              || 'visit site' || cast(doc_id % 20 as string) || ' navigation menu' || chr(10)
+              || CASE WHEN (doc_id // 20) % 4 = 0
+                      THEN 'sale banner for site' || cast(doc_id % 20 as string)
+                      ELSE substr(text, 81, 60) END AS text
+          FROM documents),
+    parts AS (SELECT doc_id, domain, string_split(text, chr(10)) AS p FROM corpus),
+    lines AS (SELECT doc_id AS id, domain AS dom,
+                     struct_extract(r, 'pos') AS pos, struct_extract(r, 'line') AS line
+              FROM (SELECT doc_id, domain,
+                           unnest(list_transform(generate_series(1, len(p)),
+                                  i -> {'pos': i, 'line': p[i]})) AS r
+                    FROM parts)),
+    dp AS (SELECT domain AS dom, count(DISTINCT doc_id) AS n_dom FROM corpus GROUP BY 1),
+    bl AS (SELECT dom, line
+           FROM (SELECT dom, line, count(DISTINCT id) AS n_line
+                 FROM lines WHERE length(line) >= 1 GROUP BY 1, 2) b
+           JOIN dp USING (dom)
+           WHERE n_line >= 4 AND n_line * 100 > 50 * n_dom),
+    keep AS (SELECT id, dom, pos, line FROM lines ANTI JOIN bl USING (dom, line))
+    SELECT id AS doc_id, dom AS domain,
+           string_agg(line, chr(10) ORDER BY pos) AS text,
+           count(*) AS n_kept
+    FROM keep GROUP BY 1, 2 ORDER BY doc_id
+"""
+
+
 def q_corpus_wet_roundtrip(spark, sf_dir):
     """WET interchange round trip (sources/warc.py): documents written
     as WARC/1.0 ``conversion`` records (distributed text sink, one
@@ -6080,14 +6134,15 @@ ORACLES["corpus_outlink_graph"] = f"""
 # is the rows-only check, not a hash slot. r11 first-50 = the round-7
 # cohort below (incl. the four core sentinels); r12 = the round-9
 # cohort. Budget: oracle-bound count after the five retirements is 151,
-# plus the five new r10 prebuilds (corpus_url_revisions,
+# plus the six new r10 prebuilds (corpus_url_revisions,
 # corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
-# corpus_bm25_topk) = 156 against the 150 (50-slot x 3-round)
-# ceiling — six gates over; COVERAGE.md "Proposed gate retirements
-# (round 10)" queues prepare_corpus, events_hourly, dedup_containment
-# (identical-oracle twin of dedup_prefix_containment),
-# docs_novelty_topk, tpch_top_nations and corpus_ngram_topk to fund
-# them, pending judge endorsement.
+# corpus_bm25_topk, corpus_domain_boilerplate) = 157 against the 150
+# (50-slot x 3-round) ceiling — seven gates over; COVERAGE.md "Proposed
+# gate retirements (round 10)" queues prepare_corpus, events_hourly,
+# dedup_containment (identical-oracle twin of dedup_prefix_containment),
+# docs_novelty_topk, tpch_top_nations, corpus_ngram_topk and
+# corpus_decontaminate (the overlap>0 degenerate of corpus_overlap) to
+# fund them, pending judge endorsement.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
@@ -6266,6 +6321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_outlink_graph": q_corpus_outlink_graph,
     "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
     "corpus_bm25_topk": q_corpus_bm25_topk,
+    "corpus_domain_boilerplate": q_corpus_domain_boilerplate,
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,

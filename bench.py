@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "corpus_outlink_graph",
     "corpus_wet_roundtrip",
     "corpus_bm25_topk",
+    "corpus_domain_boilerplate",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
     "tpch_q17ish",
     "tpch_q19ish",

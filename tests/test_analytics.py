@@ -1905,3 +1905,68 @@ def test_bm25_plan_shape(spark):
     plan = bm25_topk(docs, qdf)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan       # top-k pre-truncation
     assert "SortAggregate" not in plan      # all-numeric buffers
+
+
+# ------------------------------------------- domain boilerplate removal
+
+def test_domain_boilerplate_removed_everywhere_not_first_kept(spark):
+    from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "a.com", f"unique {i}\nNAV BAR\ncontent {i}"))
+    rows.append((100, "b.org", "unique 100\nNAV BAR\ncontent 100"))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r["doc_id"]: r for r in remove_domain_boilerplate(df, min_pages=4).collect()}
+    # NAV BAR is on 6/6 of a.com pages -> removed from ALL of them
+    for i in range(6):
+        assert out[i]["text"] == f"unique {i}\ncontent {i}" and out[i]["n_kept"] == 2
+    # but b.org has it on 1 page only -> kept there
+    assert out[100]["text"] == "unique 100\nNAV BAR\ncontent 100"
+
+
+def test_domain_boilerplate_strict_threshold_and_min_pages(spark):
+    from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
+
+    # exactly 50% of pages (2 of 4): NOT boilerplate (strict >)
+    rows = [
+        (0, "d.com", "x0\nHALF"),
+        (1, "d.com", "x1\nHALF"),
+        (2, "d.com", "x2\nother"),
+        (3, "d.com", "x3\nother"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r["doc_id"]: r["text"] for r in remove_domain_boilerplate(df, min_pages=2, max_page_pct=50).collect()}
+    assert out[0] == "x0\nHALF" and out[1] == "x1\nHALF"
+    # 3 of 4 pages (75%) but min_pages=4 -> kept (page floor)
+    rows2 = [(i, "e.com", f"y{i}\nTRIPLE") for i in range(3)] + [(9, "e.com", "y9\nsolo")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, domain string, text string")
+    out2 = {r["doc_id"]: r["text"] for r in remove_domain_boilerplate(df2, min_pages=4).collect()}
+    assert out2[0] == "y0\nTRIPLE"
+
+
+def test_domain_boilerplate_full_template_page_disappears(spark):
+    from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
+
+    rows = [(i, "f.net", "NAV\nFOOT") for i in range(5)] + [(50, "f.net", "real text\nNAV")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r["doc_id"]: r for r in remove_domain_boilerplate(df, min_pages=4).collect()}
+    # the 5 all-template pages vanish; the real page keeps its content line
+    assert set(out) == {50}
+    assert out[50]["text"] == "real text" and out[50]["n_kept"] == 1
+
+
+def test_domain_boilerplate_line_repeated_within_one_page_counts_once(spark):
+    from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
+
+    # the line appears TWICE on one page and once on another: 2 distinct
+    # pages of 4 -> 50%, not boilerplate (distinct-page counting)
+    rows = [
+        (0, "g.io", "REP\nREP\na0"),
+        (1, "g.io", "REP\na1"),
+        (2, "g.io", "a2"),
+        (3, "g.io", "a3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r["doc_id"]: r["text"] for r in remove_domain_boilerplate(df, min_pages=2, max_page_pct=50).collect()}
+    assert out[0] == "REP\nREP\na0"
