@@ -1061,6 +1061,29 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _split_literal(text_col: str, delim: str) -> Column:
+    """``delim``-LITERAL split — ``F.split`` takes a Java regex, so an
+    unescaped ``|``/``.``-style delimiter would fragment text into
+    per-character pieces (the dedup_within_doc convention, now shared)."""
+    import re
+
+    return F.split(F.col(text_col), re.escape(delim))
+
+
+def _reassembled(delim: str, field: str = "line") -> Column:
+    """Ordered-reassembly aggregate: array_sort over collected
+    ``(pos, field)`` structs → ``delim``-join. ONE implementation shared
+    by the line/segment/span operators so the reassembly contract
+    (ordering key, join literal-ness) cannot drift between them."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", field))),
+            lambda s: s[field],
+        ),
+        delim,
+    )
+
+
 def remove_duplicate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -1117,7 +1140,7 @@ def remove_duplicate_lines(
     )
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(_split_literal(text_col, delim)).alias("pos", "line"),
     ).select("id", "pos", "line", packed)
     firsts = (
         lines.where(F.length("line") >= min_chars)
@@ -1130,15 +1153,7 @@ def remove_duplicate_lines(
     )
     return (
         surviving.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                delim,
-            ).alias(text_col)
-        )
+        .agg(_reassembled(delim).alias(text_col))
         .select(F.col("id").alias(id_col), text_col)
     )
 
@@ -1171,19 +1186,26 @@ def remove_domain_boilerplate(
     disappears from the output (the operator's purpose). Returns
     ``(id, domain, text, n_kept)``.
 
-    Scale shape: one posexplode; the per-(domain, line) page count and
-    the per-domain page count are both hash aggregates with map-side
-    combine (a billion-page domain's nav line reduces to one row per
-    input partition before either shuffle); the boilerplate set joins
-    back LEFT on (domain, line) — its hot keys are exactly the template
-    lines, AQE skew handling absorbs the fan-in; reassembly shuffles
-    each page's surviving lines once (bounded by page size). No
-    windows, no collects, no broadcasts forced."""
+    Scale shape: the exploded line frame is built once and CACHED (two
+    consumers — the boilerplate aggregate and the survivor join — and
+    ReuseExchange can't unify self-join branches, so without the cache
+    the corpus would be split and exploded twice). The per-(domain,
+    line) count is ``count_distinct(page)``: its partial stage is a
+    (domain, line, page)-keyed dedup, so one row PER PAGE per line
+    crosses the first exchange (distinct counting cannot combine to one
+    row per partition the way remove_duplicate_lines' ``min(bigint)``
+    winner does — a billion-page domain's nav line shuffles ~1B small
+    rows; the dedup halves them at each map-side partial). The
+    boilerplate set joins back LEFT on (domain, line) — its hot keys
+    are exactly the template lines, AQE skew handling absorbs the
+    fan-in; reassembly shuffles each page's surviving lines once
+    (bounded by page size). No windows, no collects, no broadcasts
+    forced."""
     lines = df.select(
         F.col(id_col).alias("id"),
         F.col(domain_col).alias("dom"),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
-    )
+        F.posexplode(_split_literal(text_col, delim)).alias("pos", "line"),
+    ).cache()
     domain_pages = df.groupBy(F.col(domain_col).alias("dom")).agg(
         F.count_distinct(F.col(id_col)).alias("_n_dom")
     )
@@ -1202,22 +1224,17 @@ def remove_domain_boilerplate(
         lines.join(boiler, ["dom", "line"], "left")
         .where(F.col("_boiler").isNull())
     )
-    return (
+    out = (
         surviving.groupBy("id", "dom")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                delim,
-            ).alias(text_col),
+            _reassembled(delim).alias(text_col),
             F.count(F.lit(1)).alias("n_kept"),
         )
         .select(
             F.col("id").alias(id_col), F.col("dom").alias(domain_col), text_col, "n_kept"
         )
     )
+    return owned_cache(out, lines)
 
 
 def dedup_within_doc(
@@ -1378,10 +1395,7 @@ def dedup_spans(
     toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     kept = toks.join(cut, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
-            " ",
-        ).alias("_text"),
+        _reassembled(" ", field="tok").alias("_text"),
         F.count(F.lit(1)).alias("_kept"),
     )
     return (

@@ -1970,3 +1970,20 @@ def test_domain_boilerplate_line_repeated_within_one_page_counts_once(spark):
     df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
     out = {r["doc_id"]: r["text"] for r in remove_domain_boilerplate(df, min_pages=2, max_page_pct=50).collect()}
     assert out[0] == "REP\nREP\na0"
+
+
+def test_domain_boilerplate_plan_shape_and_literal_delim(spark):
+    from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
+
+    df = spark.createDataFrame(
+        [(0, "a.com", "x|NAV"), (1, "a.com", "y|NAV")],
+        "doc_id long, domain string, text string",
+    )
+    # '|' is a regex metachar: the literal-split contract must not
+    # fragment text into per-character lines
+    out = {r["doc_id"]: r for r in remove_domain_boilerplate(df, min_pages=2, max_page_pct=50, delim="|").collect()}
+    assert out[0]["text"] == "x" and out[0]["n_kept"] == 1
+    plan = remove_domain_boilerplate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan        # reassembly stays object-hash
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
