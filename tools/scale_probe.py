@@ -209,6 +209,7 @@ OPS = {
     "wet_roundtrip": lambda d: _wet_op(d),
     "bm25_topk": lambda d: _bm25_op(d),
     "prepare_crawl": lambda d: _prepare_crawl_op(d),
+    "domain_boilerplate": lambda d: _boilerplate_op(d),
     "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
     .agg(F.sum("jaccard"))
     .collect()
@@ -431,6 +432,29 @@ def _bm25_op(docs: DataFrame) -> int:
     spark = docs.sparkSession
     qdf = spark.createDataFrame(list(BM25_BENCH_QUERIES), "query_id long, query string")
     out = bm25_topk(docs, qdf, k=10).agg(F.sum("bm25_micro"), F.sum("n_terms"))
+    return out.collect() and docs.count()
+
+
+def _boilerplate_op(docs: DataFrame) -> int:
+    """Domain-conditioned boilerplate removal: xxhash64 domains over a
+    2k-site universe (pages per domain grow k× with the corpus — the
+    template fan-in axis), a per-domain nav line planted on every page
+    plus the document's own text lines."""
+    from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
+
+    dom = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(31)), F.lit(2_000)).cast("string")
+    d = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), dom).alias("domain"),
+        F.concat(
+            F.substring("text", 1, 80), F.lit("\n"),
+            F.lit("nav menu for site"), dom, F.lit("\n"),
+            F.expr("substring(text, 81)"),
+        ).alias("text"),
+    )
+    out = remove_domain_boilerplate(d).agg(
+        F.count(F.lit(1)), F.sum("n_kept"), F.sum(F.length("text"))
+    )
     return out.collect() and docs.count()
 
 
