@@ -6131,9 +6131,14 @@ ORACLES["corpus_outlink_graph"] = f"""
 # (freshness bar: newest >= round-2; they are 3 rounds stale). The
 # rows-only events_distinct_hll rides inside the window because the
 # verdict's prescribed first-50 is the full r6 cohort — its driver row
-# is the rows-only check, not a hash slot. r11 first-50 = the round-7
-# cohort below (incl. the four core sentinels); r12 = the round-9
-# cohort. Budget: oracle-bound count after the five retirements is 151,
+# is the rows-only check, not a hash slot. r11 first-50 = the SIX r10
+# prebuilds (owed their first driver rows: corpus_url_revisions,
+# corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
+# corpus_bm25_topk, corpus_domain_boilerplate) + 44 of the round-7
+# cohort below, core sentinels first (cass_write_path, cass_lww_events,
+# cass_get_slice, cass_range_slices_keys); the ~3 r7 rows that don't
+# fit lead r12 with the round-9 cohort. Budget: oracle-bound count
+# after the five retirements is 151,
 # plus the six new r10 prebuilds (corpus_url_revisions,
 # corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
 # corpus_bm25_topk, corpus_domain_boilerplate) = 157 against the 150
