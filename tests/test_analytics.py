@@ -1987,3 +1987,17 @@ def test_domain_boilerplate_plan_shape_and_literal_delim(spark):
     assert "SortAggregate" not in plan        # reassembly stays object-hash
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_duplicate_lines_literal_metachar_delim(spark):
+    from apache_cassandra_spark.analytics.dedup import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(0, "first|shared line here"), (1, "other|shared line here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_lines(df, min_chars=5, delim="|").collect()}
+    # '|' split literally (not as regex alternation); the shared line
+    # survives only at its first (doc_id, pos)
+    assert out[0] == "first|shared line here"
+    assert out[1] == "other"
