@@ -5952,7 +5952,12 @@ def q_corpus_domain_boilerplate(spark, sf_dir):
         "      THEN concat('sale banner for site', cast(doc_id % 20 as string))"
         "      ELSE substring(text, 81, 60) END) AS text",
     )
-    return D.remove_domain_boilerplate(staged).orderBy("doc_id")
+    from apache_cassandra_spark.cachectl import adopt
+
+    res = D.remove_domain_boilerplate(staged)
+    # lazy derivation: the ordered result must adopt res's owned cache
+    # or GC at return would unpersist the line frame before the action
+    return adopt(res.orderBy("doc_id"), res)
 
 
 ORACLES["corpus_domain_boilerplate"] = """
@@ -6033,7 +6038,11 @@ def q_corpus_bm25_topk(spark, sf_dir):
     top-k."""
     docs = load_table(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(list(text.BM25_BENCH_QUERIES), "query_id long, query string")
-    return text.bm25_topk(docs, qdf, k=10).orderBy("query_id", "doc_id")
+    from apache_cassandra_spark.cachectl import adopt
+
+    res = text.bm25_topk(docs, qdf, k=10)
+    # lazy derivation: adopt res's owned (doc,term) cache past the sort
+    return adopt(res.orderBy("query_id", "doc_id"), res)
 
 
 def _bm25_oracle() -> str:
@@ -6134,11 +6143,11 @@ ORACLES["corpus_outlink_graph"] = f"""
 # is the rows-only check, not a hash slot. r11 first-50 = the SIX r10
 # prebuilds (owed their first driver rows: corpus_url_revisions,
 # corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
-# corpus_bm25_topk, corpus_domain_boilerplate) + 44 of the round-7
-# cohort below, core sentinels first (cass_write_path, cass_lww_events,
-# cass_get_slice, cass_range_slices_keys); the ~3 r7 rows that don't
-# fit lead r12 with the round-9 cohort. Budget: oracle-bound count
-# after the five retirements is 151,
+# corpus_bm25_topk, corpus_domain_boilerplate) + 44 of the 45-row
+# round-7 cohort below, core sentinels first (cass_write_path,
+# cass_lww_events, cass_get_slice, cass_range_slices_keys); the ONE r7
+# row that doesn't fit leads r12 with the round-9 cohort. Budget:
+# oracle-bound count after the five retirements is 151,
 # plus the six new r10 prebuilds (corpus_url_revisions,
 # corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
 # corpus_bm25_topk, corpus_domain_boilerplate) = 157 against the 150
@@ -6209,8 +6218,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1ish": q_tpch_q1ish,
     "tpch_q5ish": q_tpch_q5ish,
     "wordcount": q_wordcount,
-    # --- below the window: round-7 rows — round 11 rotation backlog
-    # (incl. the four core sentinels, owed with this cohort) ---
+    # --- below the window: round-7 rows (45) — round 11 rotation
+    # backlog AFTER the six r10 prebuilds above take the lead slots
+    # (see the block comment before QUERIES); core sentinels first ---
     "cass_get_slice": q_get_slice,
     "cass_get_slice_bounded": q_get_slice_bounded,
     "cass_get_slice_names": q_get_slice_names,

@@ -431,8 +431,11 @@ def _bm25_op(docs: DataFrame) -> int:
 
     spark = docs.sparkSession
     qdf = spark.createDataFrame(list(BM25_BENCH_QUERIES), "query_id long, query string")
-    out = bm25_topk(docs, qdf, k=10).agg(F.sum("bm25_micro"), F.sum("n_terms"))
-    return out.collect() and docs.count()
+    # bind: keep the owned (doc,term) cache alive through the action
+    r = bm25_topk(docs, qdf, k=10)
+    out = r.agg(F.sum("bm25_micro"), F.sum("n_terms"))
+    out.collect()
+    return docs.count()
 
 
 def _boilerplate_op(docs: DataFrame) -> int:
@@ -442,20 +445,30 @@ def _boilerplate_op(docs: DataFrame) -> int:
     plus the document's own text lines."""
     from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
 
-    dom = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(31)), F.lit(2_000)).cast("string")
+    # 250-site universe: ~20 pages/domain at k=1 (well past min_pages=4),
+    # so EVERY k measures the removal-active regime — a 2k universe put
+    # k=1 below the page floor and conflated scaling with a regime flip
+    dom = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(31)), F.lit(250)).cast("string")
     d = docs.select(
         "doc_id",
         F.concat(F.lit("site"), dom).alias("domain"),
-        F.concat(
-            F.substring("text", 1, 80), F.lit("\n"),
-            F.lit("nav menu for site"), dom, F.lit("\n"),
+        # concat_ws, not concat: a NULL text row must degrade to its
+        # non-null lines, not silently NULL the whole page out of the
+        # probe (the _multiline null-safety convention)
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 80),
+            F.concat(F.lit("nav menu for site"), dom),
             F.expr("substring(text, 81)"),
         ).alias("text"),
     )
-    out = remove_domain_boilerplate(d).agg(
-        F.count(F.lit(1)), F.sum("n_kept"), F.sum(F.length("text"))
-    )
-    return out.collect() and docs.count()
+    # bind the result: the returned frame OWNS the cached line frame
+    # (owned_cache finalizer) — chaining .agg() off it unreferenced
+    # would GC-unpersist the cache before collect ever runs
+    r = remove_domain_boilerplate(d)
+    out = r.agg(F.count(F.lit(1)), F.sum("n_kept"), F.sum(F.length("text")))
+    out.collect()
+    return docs.count()
 
 
 def _prepare_crawl_op(docs: DataFrame) -> int:
