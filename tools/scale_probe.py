@@ -88,6 +88,15 @@ def _shard_write(d: DataFrame) -> int:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _agg_probe(frame: DataFrame, *aggs) -> None:
+    """Bind-then-collect: ``frame`` may OWN cached intermediates
+    (owned_cache finalizer) — chaining ``.agg()`` off the unreferenced
+    result lets GC unpersist them before the action runs, and the probe
+    then times the cache-dead double-scan plan (the r10
+    domain_boilerplate harness lesson, generalized to every site)."""
+    frame.agg(*aggs).collect()
+
+
 OPS = {
     "dedup_exact": lambda d: dedup.exact_dup_groups(d).count(),
     # target = replica 0's every-37th doc (FIXED size as the corpus
@@ -210,16 +219,13 @@ OPS = {
     "bm25_topk": lambda d: _bm25_op(d),
     "prepare_crawl": lambda d: _prepare_crawl_op(d),
     "domain_boilerplate": lambda d: _boilerplate_op(d),
-    "prefix_jaccard": lambda d: dedup.prefix_jaccard_pairs(d, threshold=0.5)
-    .agg(F.sum("jaccard"))
-    .collect()
-    and d.count(),
-    "ngram_jaccard_naive": lambda d: dedup.ngram_jaccard_pairs(
-        d, threshold=0.5, max_doc_freq=None
-    )
-    .agg(F.sum("jaccard"))
-    .collect()
-    and d.count(),
+    "prefix_jaccard": lambda d: _agg_probe(
+        dedup.prefix_jaccard_pairs(d, threshold=0.5), F.sum("jaccard")
+    ) or d.count(),
+    "ngram_jaccard_naive": lambda d: _agg_probe(
+        dedup.ngram_jaccard_pairs(d, threshold=0.5, max_doc_freq=None),
+        F.sum("jaccard"),
+    ) or d.count(),
     # boilerplate regime at the near-dup threshold (0.8): a 12-token
     # footer shared by EVERY document — the Σ df² blowup the prefix
     # filter exists for. The naive join pays ~10·n²/2 pair rows through
@@ -229,24 +235,17 @@ OPS = {
     # the prefix is half the document and short docs pull footer
     # shingles into it — measured, see SCALE.md: PPJoin is a
     # HIGH-threshold optimization.
-    "prefix_jaccard_boiler": lambda d: dedup.prefix_jaccard_pairs(
-        _boiler(d), threshold=0.8
-    )
-    .agg(F.sum("jaccard"))
-    .collect()
-    and d.count(),
-    "ngram_jaccard_naive_boiler": lambda d: dedup.ngram_jaccard_pairs(
-        _boiler(d), threshold=0.8, max_doc_freq=None
-    )
-    .agg(F.sum("jaccard"))
-    .collect()
-    and d.count(),
-    "prefix_containment_boiler": lambda d: dedup.prefix_containment_pairs(
-        _boiler(d), threshold=0.8
-    )
-    .agg(F.sum("containment"))
-    .collect()
-    and d.count(),
+    "prefix_jaccard_boiler": lambda d: _agg_probe(
+        dedup.prefix_jaccard_pairs(_boiler(d), threshold=0.8), F.sum("jaccard")
+    ) or d.count(),
+    "ngram_jaccard_naive_boiler": lambda d: _agg_probe(
+        dedup.ngram_jaccard_pairs(_boiler(d), threshold=0.8, max_doc_freq=None),
+        F.sum("jaccard"),
+    ) or d.count(),
+    "prefix_containment_boiler": lambda d: _agg_probe(
+        dedup.prefix_containment_pairs(_boiler(d), threshold=0.8),
+        F.sum("containment"),
+    ) or d.count(),
     # round 8: count-min over a DISTINCT-ITEM-EXPLODING stream (item =
     # doc_id, so distinct items grow with the corpus while the counter
     # grid stays 5 groups × 4 × 256) + a fixed 100-item probe — the
@@ -266,10 +265,9 @@ OPS = {
     # round 8 (r10-window prebuild gate): PMI collocations — both count
     # tables vocab-bounded, so the exchange is bounded while the token
     # stream grows
-    "collocations": lambda d: text.collocations(d, k=50, min_count=5)
-    .agg(F.sum("pmi_micro"))
-    .collect()
-    and d.count(),
+    "collocations": lambda d: _agg_probe(
+        text.collocations(d, k=50, min_count=5), F.sum("pmi_micro")
+    ) or d.count(),
     # round 8 (r10-window prebuild gate): A-ES weighted sample — 50
     # strata, k=20, weight from text length; map-only key +
     # WindowGroupLimit (quota-sample class)
@@ -440,7 +438,7 @@ def _bm25_op(docs: DataFrame) -> int:
 
 def _boilerplate_op(docs: DataFrame) -> int:
     """Domain-conditioned boilerplate removal: xxhash64 domains over a
-    2k-site universe (pages per domain grow k× with the corpus — the
+    250-site universe (pages per domain grow k× with the corpus — the
     template fan-in axis), a per-domain nav line planted on every page
     plus the document's own text lines."""
     from apache_cassandra_spark.analytics.dedup import remove_domain_boilerplate
