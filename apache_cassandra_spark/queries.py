@@ -3672,16 +3672,6 @@ ORACLES: dict[str, str] = {
         FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "tpch_top_nations": """
-        SELECT n_name, cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS revenue
-        FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name ORDER BY revenue DESC, n_name LIMIT 10
-    """,
-    "events_hourly": """
-        SELECT strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:00:00') AS hour, event_type,
-               count(*) AS n, cast(sum(cast(value as decimal(18,4))) as double) AS total
-        FROM events GROUP BY 1, 2
-    """,
     "events_windowed": """
         SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n,
@@ -3734,19 +3724,6 @@ ORACLES: dict[str, str] = {
                    AS global_pos
         FROM ranked CROSS JOIN counts
         GROUP BY doc_id, source, r
-    """,
-    "docs_novelty_topk": f"""
-        WITH {_DOC_SHINGLES},
-        freq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY shingle),
-        per AS (SELECT id, count(*) AS n_shingles,
-                       cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique
-                FROM shd JOIN freq USING (shingle) GROUP BY id),
-        nov AS (SELECT id AS doc_id, (1000000 * n_unique) // n_shingles AS novelty_ppm FROM per),
-        j AS (SELECT d.source, n.doc_id, n.novelty_ppm,
-                     row_number() OVER (PARTITION BY d.source
-                        ORDER BY n.novelty_ppm DESC, n.doc_id) AS rk
-              FROM nov n JOIN documents d USING (doc_id))
-        SELECT source, doc_id, novelty_ppm, cast(rk as int) AS rk FROM j WHERE rk <= 5
     """,
     # same milli-quantization + integer inequality as anomaly.zscore_outliers:
     # (n·v − S)² > k²(n·Q − S²) with k=2, evaluated in HUGEINT (exact, like
@@ -3965,20 +3942,6 @@ ORACLES: dict[str, str] = {
                cast(len(d.toks) - coalesce(r.n_kept, 0) as bigint) AS n_removed
         FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
-    # word trigrams; eval = doc_id % 50 = 0, train = rest (q_corpus_decontaminate)
-    "corpus_decontaminate": """
-        WITH toks AS (SELECT doc_id AS id,
-                             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-                      FROM documents),
-        sh AS (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-2, 0)),
-                                                i -> array_to_string(t[i:i+2], ' '))) AS shingle
-               FROM toks),
-        ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0),
-        dirty AS (SELECT DISTINCT id FROM sh
-                  WHERE id % 50 <> 0 AND shingle IN (SELECT shingle FROM ev))
-        SELECT doc_id, (doc_id IN (SELECT id FROM dirty)) AS contaminated
-        FROM documents WHERE doc_id % 50 <> 0
-    """,
     "corpus_overlap": """
         WITH toks AS (SELECT doc_id AS id,
                              list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -3999,7 +3962,11 @@ ORACLES: dict[str, str] = {
         WHERE d.doc_id % 50 <> 0
     """,
     "dedup_ngram_jaccard": _jaccard_oracle_sql(0.5),
-    "dedup_containment": f"""
+    # containment semantics (one oracle, one gate since the r11 retirement
+    # of the naive twin): the prefix-filtered plan IS the gated plan; the
+    # naive ngram_containment_pairs stays fuzz-locked equivalent in
+    # tests/test_prefix_jaccard.py
+    "dedup_prefix_containment": f"""
         WITH {_DOC_SHINGLES},
         sizes AS (SELECT id, count(*) AS n FROM shd GROUP BY id),
         pairs AS (SELECT a.id AS id_src, b.id AS id_dst, count(*) AS c
@@ -4248,18 +4215,6 @@ ORACLES: dict[str, str] = {
         WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint % 1000000
               < cast(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.8 WHEN 'de' THEN 1.0 ELSE 0.5 END
                      * 1000000 AS bigint)
-    """,
-    # word bigrams (lowered, space-split) — same tokenization as the
-    # dedup shingles; top-50 by count with bigram tiebreak
-    "corpus_ngram_topk": """
-        WITH toks AS (SELECT doc_id AS id,
-                             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-                      FROM documents),
-        sh AS (SELECT id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
-                                                i -> array_to_string(t[i:i+1], ' '))) AS bigram
-               FROM toks)
-        SELECT bigram, count(*) AS cnt FROM sh GROUP BY 1
-        ORDER BY cnt DESC, bigram LIMIT 50
     """,
     # per-token ln(cnt/total) quantized to micro-units BEFORE the doc sum
     # (integer-exact across engines); zero-token docs drop out
@@ -4889,7 +4844,6 @@ ORACLES["dedup_groups_star"] = "WITH " + _min_label_closure_sql(ORACLES["dedup_m
 ORACLES["dedup_prefix_jaccard"] = _jaccard_oracle_sql(0.8)
 # the directed twin shares dedup_containment's oracle outright (same
 # threshold): losslessness means the two gates must produce the same rows
-ORACLES["dedup_prefix_containment"] = ORACLES["dedup_containment"]
 ORACLES["tpch_q12ish"] = """
     SELECT l_returnflag AS return_flag,
            cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) as bigint)
@@ -4976,7 +4930,6 @@ ORACLES["tpch_q13ish"] = """
     ORDER BY custdist DESC, c_count DESC
 """
 ORACLES["sim_ann_lsh_exact"] = ORACLES["sim_topk"]
-ORACLES["prepare_corpus"] = _prepare_corpus_oracle()
 ORACLES["prepare_corpus_full"] = _prepare_corpus_full_oracle()
 ORACLES["text_bpe_encode"] = _bpe_encode_oracle()
 ORACLES["text_bpe_train"] = _bpe_train_oracle()
@@ -6129,112 +6082,63 @@ ORACLES["corpus_outlink_graph"] = f"""
 
 
 # Declaration order matters: the correctness driver verifies the FIRST 50
-# entries per round. Rotation policy: entries whose implementation changed
-# this round lead, then the entries whose newest driver row is oldest,
-# then core sentinels (write path, LWW, slice, range). Round 10 executes
-# the rotation round 9 skipped: first-50 = corpus_domain_stats (built r9,
-# owed its first driver row) + the 8 prebuilds funded by this round's five
-# retirements (lineitem_quantiles, text_quality, customers_without_orders,
-# tpch_q3ish, sim_ann_ivf_exact — see COVERAGE.md "Gate retirements
-# (round 10)") + the 41 entries whose newest driver row is round 6
-# (freshness bar: newest >= round-2; they are 3 rounds stale). The
-# rows-only events_distinct_hll rides inside the window because the
-# verdict's prescribed first-50 is the full r6 cohort — its driver row
-# is the rows-only check, not a hash slot. r11 first-50 = the SIX r10
-# prebuilds (owed their first driver rows: corpus_url_revisions,
-# corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
-# corpus_bm25_topk, corpus_domain_boilerplate) + 44 of the 45-row
-# round-7 cohort below, core sentinels first (cass_write_path,
-# cass_lww_events, cass_get_slice, cass_range_slices_keys); the ONE r7
-# row that doesn't fit leads r12 with the round-9 cohort. Budget:
-# oracle-bound count after the five retirements is 151,
-# plus the six new r10 prebuilds (corpus_url_revisions,
-# corpus_page_text, corpus_outlink_graph, corpus_wet_roundtrip,
-# corpus_bm25_topk, corpus_domain_boilerplate) = 157 against the 150
-# (50-slot x 3-round) ceiling — seven gates over; COVERAGE.md "Proposed
-# gate retirements (round 10)" queues prepare_corpus, events_hourly,
-# dedup_containment (identical-oracle twin of dedup_prefix_containment),
-# docs_novelty_topk, tpch_top_nations, corpus_ngram_topk and
-# corpus_decontaminate (the overlap>0 degenerate of corpus_overlap) to
-# fund them, pending judge endorsement.
+# entries per round. Rotation policy: never-gated entries and entries whose
+# implementation changed this round lead, then the entries whose newest
+# driver row is oldest, core sentinels (write path, LWW, slice, range)
+# first within a cohort. Round 11 executes the round-10 verdict's
+# prescription: the seven endorsed retirements land (prepare_corpus,
+# events_hourly, dedup_containment, docs_novelty_topk, tpch_top_nations,
+# corpus_ngram_topk, corpus_decontaminate — see COVERAGE.md "Gate
+# retirements (round 11)"), bringing the oracle-bound ledger to EXACTLY
+# 150 = the 50-slot x 3-round rotation budget, zero headroom. Standing
+# rule adopted with the verdict: any new oracle-bound gate must name its
+# funding retirement (executed or formally proposed with receipts) in the
+# SAME commit that registers it. First-50 = the six r10 crawl prebuilds
+# (owed their first driver rows) + dedup_prefix_containment (the naive
+# twin's retirement hands the containment slot to the PREFIX plan) +
+# text_collocations (never gated; half the corpus_ngram_topk retirement
+# receipt) + the 42 surviving r7-stale rows. Three of the r7 cohort's 45
+# retired, so the whole cohort fits — nothing rolls to r12. r12 first-50 =
+# the eight queued never-gated prebuilds (corpus_sample_weighted,
+# tpch_q22ish, events_clustering_coeff, text_readability, events_ohlc,
+# tpch_q17ish, tpch_q19ish, tpch_q21ish) + 42 of the 46-row round-10
+# cohort; the r9 cohort (47 rows) then splits across r12's remainder and
+# r13.
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-10 rotation: the r6-stale
-    # freshness debt + corpus_domain_stats (owed its first driver row)
-    # + the 8 funded prebuilds. r11 first-50 = the r7 cohort below. ---
-    "corpus_domain_stats": q_corpus_domain_stats,
-    # 8 prebuilds funded by the round-10 retirements (see COVERAGE.md
-    # "Gate retirements") ---
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    "tpch_q12ish": q_tpch_q12ish,
-    "tpch_q13ish": q_tpch_q13ish,
-    "streaming_watermark_replay": q_streaming_watermark_replay,
-    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
-    "tpch_q15ish": q_tpch_q15ish,
-    "tpch_q4ish": q_tpch_q4ish,
-    "corpus_dsir_weights": q_corpus_dsir_weights,
-    # the 41 r6-stale entries (42-entry cohort minus retired
-    # lineitem_quantiles); events_distinct_hll is its rows-only member ---
-    "basket_pairs": q_basket_pairs,
-    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
-    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
-    "cluster_inertia": q_cluster_inertia,
-    "columns_may_exist": q_columns_may_exist,
-    "corpus_decontaminate": q_corpus_decontaminate,
-    "corpus_overlap": q_corpus_overlap,
-    "corpus_split": q_corpus_split,
-    "dedup_containment": q_dedup_containment,
-    "dedup_lines": q_dedup_lines,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
-    "describe_splits": q_describe_splits,
-    "docs_ngram_novelty": q_docs_ngram_novelty,
-    "docs_novelty_topk": q_docs_novelty_topk,
-    "embedding_pq_encode": q_embedding_pq_encode,
-    "events_asof": q_events_asof,
-    "events_daily_active": q_events_daily_active,
-    "events_distinct_exact": q_events_distinct_exact,
-    "events_distinct_hll": q_events_distinct_hll,
-    "events_funnel": q_events_funnel,
-    "events_hourly": q_events_hourly,
-    "events_interval_join": q_events_interval_join,
-    "events_pivot": q_events_pivot,
-    "events_range_join": q_events_range_join,
-    "events_retention": q_events_retention,
-    "events_rolling": q_events_rolling,
-    "events_sliding": q_events_sliding,
-    "events_windowed": q_events_windowed,
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "orders_rollup": q_orders_rollup,
-    "pig_group_count": q_pig_parity,
-    "rows_may_exist": q_rows_may_exist,
-    "semantic_dedup": q_semantic_dedup,
-    "streaming_interval_join_replay": q_streaming_interval_join_replay,
-    "streaming_windowed_replay": q_streaming_windowed_replay,
-    "text_bpe_train": q_text_bpe_train,
-    "text_normalize": q_text_normalize,
-    "tpch_q10ish": q_tpch_q10ish,
-    "tpch_q1ish": q_tpch_q1ish,
-    "tpch_q5ish": q_tpch_q5ish,
-    "wordcount": q_wordcount,
-    # --- below the window: round-7 rows (45) — round 11 rotation
-    # backlog AFTER the six r10 prebuilds above take the lead slots
-    # (see the block comment before QUERIES); core sentinels first ---
+    # --- driver window (first 50), round-11 rotation: the six r10 crawl
+    # prebuilds (owed their first driver rows) + dedup_prefix_containment
+    # (inherits the sole containment slot now that its identical-oracle
+    # naive twin retired — the PREFIX plan, not just the oracle, gets its
+    # driver hash) + text_collocations (never gated; its bigram counts are
+    # half the corpus_ngram_topk retirement receipt) + the 42-entry
+    # round-7-stale cohort (45 rows minus the three retired members:
+    # prepare_corpus, corpus_ngram_topk, tpch_top_nations), core
+    # sentinels first. ---
+    "corpus_url_revisions": q_corpus_url_revisions,
+    "corpus_page_text": q_corpus_page_text,
+    "corpus_outlink_graph": q_corpus_outlink_graph,
+    "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
+    "corpus_bm25_topk": q_corpus_bm25_topk,
+    "corpus_domain_boilerplate": q_corpus_domain_boilerplate,
+    "dedup_prefix_containment": q_dedup_prefix_containment,
+    "text_collocations": q_text_collocations,
+    # core sentinels, then the rest of the r7 cohort alphabetically ---
+    "cass_write_path": q_write_path,
+    "cass_lww_events": q_lww_events,
     "cass_get_slice": q_get_slice,
+    "cass_range_slices_keys": q_range_slices_keys,
     "cass_get_slice_bounded": q_get_slice_bounded,
     "cass_get_slice_names": q_get_slice_names,
     "cass_get_slice_reversed": q_get_slice_reversed,
-    "cass_lww_events": q_lww_events,
     "cass_lww_row_tombstones": q_lww_row_tombstones,
-    "cass_range_slices_keys": q_range_slices_keys,
-    "cass_write_path": q_write_path,
     "cf_join": q_cf_join,
     "cluster_assign": q_cluster_assign,
     "corpus_chunk": q_corpus_chunk,
     "corpus_interleave_joins": q_corpus_interleave_joins,
     "corpus_mixture": q_corpus_mixture,
-    "corpus_ngram_topk": q_corpus_ngram_topk,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_sample_importance": q_corpus_sample_importance,
     "corpus_sample_quota": q_corpus_sample_quota,
@@ -6251,7 +6155,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_triangles": q_events_triangles,
     "media_audio_features": q_media_audio_features,
     "media_frame_sample": q_media_frame_sample,
-    "prepare_corpus": q_prepare_corpus,
     "prepare_corpus_full": q_prepare_corpus_full,
     "sim_ann_lsh_exact": q_sim_ann_lsh_exact,
     "sim_range_search": q_sim_range_search,
@@ -6265,8 +6168,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
     "tpch_q18ish": q_tpch_q18ish,
-    "tpch_top_nations": q_top_nations,
-    # --- round-9 rows — round 12 rotation backlog ---
+    # --- below the window: round-10 rows (46 after the four retired
+    # members) — freshness-safe through r13; events_distinct_hll is the
+    # cohort's rows-only member ---
+    "basket_pairs": q_basket_pairs,
+    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
+    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
+    "cluster_inertia": q_cluster_inertia,
+    "columns_may_exist": q_columns_may_exist,
+    "corpus_domain_stats": q_corpus_domain_stats,
+    "corpus_dsir_weights": q_corpus_dsir_weights,
+    "corpus_overlap": q_corpus_overlap,
+    "corpus_split": q_corpus_split,
+    "dedup_lines": q_dedup_lines,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "describe_splits": q_describe_splits,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "embedding_pq_encode": q_embedding_pq_encode,
+    "events_asof": q_events_asof,
+    "events_daily_active": q_events_daily_active,
+    "events_distinct_exact": q_events_distinct_exact,
+    "events_distinct_hll": q_events_distinct_hll,
+    "events_funnel": q_events_funnel,
+    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
+    "events_interval_join": q_events_interval_join,
+    "events_pivot": q_events_pivot,
+    "events_range_join": q_events_range_join,
+    "events_retention": q_events_retention,
+    "events_rolling": q_events_rolling,
+    "events_sliding": q_events_sliding,
+    "events_windowed": q_events_windowed,
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "orders_rollup": q_orders_rollup,
+    "pig_group_count": q_pig_parity,
+    "rows_may_exist": q_rows_may_exist,
+    "semantic_dedup": q_semantic_dedup,
+    "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "streaming_watermark_replay": q_streaming_watermark_replay,
+    "streaming_windowed_replay": q_streaming_windowed_replay,
+    "text_bpe_train": q_text_bpe_train,
+    "text_normalize": q_text_normalize,
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q12ish": q_tpch_q12ish,
+    "tpch_q13ish": q_tpch_q13ish,
+    "tpch_q15ish": q_tpch_q15ish,
+    "tpch_q1ish": q_tpch_q1ish,
+    "tpch_q4ish": q_tpch_q4ish,
+    "tpch_q5ish": q_tpch_q5ish,
+    "wordcount": q_wordcount,
+    # --- round-9 rows — round 12 rotation backlog (led by the eight
+    # queued never-gated prebuilds below) ---
     "cass_get_count": q_get_count,
     "cass_long_comparator_slice": q_long_comparator_slice,
     "cass_multiget": q_multiget,
@@ -6321,23 +6273,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "cluster_kmeans": q_cluster_kmeans,
     "events_quantiles_approx": q_events_quantiles_approx,
-    # --- pre-built awaiting window funding (oracle-bound count is at
-    # the 150-entry rotation ceiling; COVERAGE.md "Proposed gate
-    # retirements" names the subsumed entries whose slots these take) ---
-    "dedup_prefix_containment": q_dedup_prefix_containment,
+    # --- pre-built awaiting their first driver rows: these eight LEAD
+    # the round-12 window (never-gated beats stale in rotation priority),
+    # followed by the round-9 cohort above ---
     "corpus_sample_weighted": q_corpus_sample_weighted,
-    "text_collocations": q_text_collocations,
     "tpch_q22ish": q_tpch_q22ish,
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,
     "events_ohlc": q_events_ohlc,
-    "corpus_url_revisions": q_corpus_url_revisions,
-    "corpus_page_text": q_corpus_page_text,
-    "corpus_outlink_graph": q_corpus_outlink_graph,
-    "corpus_wet_roundtrip": q_corpus_wet_roundtrip,
-    "corpus_bm25_topk": q_corpus_bm25_topk,
-    "corpus_domain_boilerplate": q_corpus_domain_boilerplate,
     "tpch_q17ish": q_tpch_q17ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q21ish": q_tpch_q21ish,
+
 }

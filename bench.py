@@ -39,7 +39,6 @@ BENCH_QUERIES = [
     "cass_range_slices_keys",
     "cass_super_slice",
     "tpch_q1ish",
-    "tpch_top_nations",
     "wordcount",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -61,7 +60,6 @@ BENCH_QUERIES = [
     "dedup_groups_star",
     "corpus_sample_quota",
     "dedup_lines",
-    "corpus_decontaminate",
     "corpus_pack_sequences",
     "events_sessionize",
     "text_bpe_encode",
@@ -92,7 +90,6 @@ BENCH_QUERIES = [
     "events_distinct_hll",
     "docs_ngram_novelty",
     "events_anomaly",
-    "docs_novelty_topk",
     # round 7
     "corpus_interleave_joins",
     "events_heavy_hitters",

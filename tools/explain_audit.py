@@ -24,7 +24,6 @@ AUDITED = {
     "cass_multiget_slice": "multiget: In(key,...) pushdown + WindowGroupLimit for the per-key count",
     "cass_lww_row_tombstones": "reconcile + shadowing: watermark joins carry NO forced hint (per-container watermark cardinality is unbounded under delete-heavy workloads) — AQE picks BroadcastHashJoin from measured size at this sf, and falls back to a shuffled join when watermarks outgrow the driver",
     "cass_range_slices_keys": "range scan: TakeOrderedAndProject top-N on candidate keys before the reconcile",
-    "tpch_top_nations": "star join: BroadcastHashJoin on both dims",
     "dedup_minhash_lsh": "LSH: single wide aggregation for signatures, equality join on band buckets",
     "sim_topk": "ANN baseline: broadcast of the query side, WindowGroupLimit for top-k",
     "media_decode_png": "PNG path: scan → codegen'd JVM PNG synthesis (stored-block deflate + crc32 exprs) → one mapInPandas decode, no shuffle",
@@ -43,9 +42,7 @@ AUDITED = {
     "media_decode_gif": "GIF path: per-row mapInPandas encode (real LZW) then one mapInPandas decode — pure map, no shuffle, payload bytes never reach the driver",
     "embedding_pq_encode": "PQ encode: codebooks are plan literals; every per-subspace argmin is a per-row array_min over codegen'd distance folds — map-only, NO join/exchange/Python; the shape that scans 10^9 vectors embarrassingly parallel",
     "sim_pq_topk": "ADC top-k: pq_encode's map-only argmin + m literal-array LUT lookups summed as integers + TakeOrderedAndProject — no window, no join, no global sort",
-    "corpus_decontaminate": "decontamination: eval shingle set deduped then BroadcastExchange; train shingle stream consumed by a map-side LeftSemi BroadcastHashJoin — the only corpus-keyed Exchange is the doc-id distinct for the flag frame",
     "corpus_pack_sequences": "sequence packing: ONE Exchange on the md5 shard id, per-shard Sort + running-sum Window (parallelism = n_shards, no global sort); integer div for the sequence id",
-    "corpus_ngram_topk": "n-gram stats: Generate → partial HashAggregate → Exchange(shingle) → final HashAggregate → TakeOrderedAndProject top-50 (no global sort)",
     "corpus_shard_roundtrip": "sharded sink round-trip: read side is a plain partitioned-parquet scan with shard as a partition column (no per-row recompute)",
     "media_resize": "real resize: JVM payload synthesis → MapInPandas transcode (decode raster / nearest-neighbor / P6 re-encode) → MapInPandas decode — two Python crossings, no shuffle anywhere",
     "events_sessionize": "sessionization: ONE Exchange on user_id feeding lag + running-sum Window then a partial HashAggregate — per-user parallelism, no global sort",
@@ -85,7 +82,6 @@ AUDITED = {
     "events_anomaly": "integer z-score outliers: (n,S,Q) HashAggregate partial-combines map-side (three scalars per key), stats re-join on the key is hash/broadcast (AQE), comparison is pure decimal(38,0) codegen — no window, no float",
     "cluster_inertia": "k-means quality: literal-folded final assignment (map-only — Lloyd rounds ran eagerly at build) + ONE hash aggregate on cluster id with per-row micro-quantized squared distances — k output rows",
     "tpch_q10ish": "returned-item top-20: returnflag + date filters in the scans' PushedFilters, nation broadcast, TakeOrderedAndProject (no global sort)",
-    "docs_novelty_topk": "per-source curation top-5: novelty aggregates + WindowGroupLimit pre-truncation below the source shuffle — exchange moves O(sources x k)",
     # round 7
     "corpus_interleave_joins": "large-catalog interleave: per-source rank window + per-rank in-round window + rank-keyed equi-join of the running offsets — NO driver collect, no per-row source fold; the only SinglePartition piece is the cumsum over DISTINCT ranks above a HashAggregate, never the corpus",
     "events_heavy_hitters": "exact heavy hitters: partial+final HashAggregate on (type, user) — exchange carries distinct pairs, not events — then WindowGroupLimit pre-truncates to k per group before the window shuffle",
