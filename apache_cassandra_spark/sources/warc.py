@@ -26,8 +26,11 @@ parallelize). Two consequences, both surfaced in the ``framing_ok``
 column instead of corrupting silently:
 
 - a payload that itself contains ``WARC/1.0\\r\\n`` splits early — the
-  fragment's re-computed length disagrees with the declared
-  ``Content-Length`` → ``framing_ok = false``;
+  HEAD fragment's re-computed length disagrees with the declared
+  ``Content-Length`` → ``framing_ok = false``; the TAIL fragment has no
+  WARC headers at all, so it is dropped entirely by the
+  ``warc_type != ''`` filter (record counts change without a flagged
+  row for the tail — only the head is flagged);
 - payload-trailing CRLFs are indistinguishable from the record
   separator and are trimmed — again flagged via the length check.
 
@@ -165,11 +168,23 @@ def write_wet(
     (a record without a target or payload is unframeable). A NULL
     ``date_col`` value falls back to ``default_date`` instead — a
     missing date must not silently NULL the whole concat and vanish
-    the record from the text sink."""
-    date = F.coalesce(F.col(date_col), F.lit(default_date)) if date_col else F.lit(default_date)
+    the record from the text sink.
+
+    URI and date values are sanitized of CR/LF before entering the
+    header block: a bare ``\\r\\n`` inside a URI would otherwise inject
+    a spoofed header line, silently truncating the read-back
+    ``target_uri`` while ``framing_ok`` can remain true (the
+    Content-Length still parses) — the classic header-injection shape,
+    stripped rather than trusted."""
+    strip_crlf = lambda c: F.regexp_replace(c, r"[\r\n]", "")  # noqa: E731
+    date = (
+        strip_crlf(F.coalesce(F.col(date_col), F.lit(default_date)))
+        if date_col
+        else F.lit(default_date)
+    )
     record = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-        F.col(uri_col),
+        strip_crlf(F.col(uri_col)),
         F.lit("\r\nWARC-Date: "),
         date,
         F.lit("\r\nContent-Length: "),

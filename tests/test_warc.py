@@ -178,6 +178,28 @@ def test_write_wet_null_date_falls_back_not_vanishes(spark, tmp_path):
     assert rows["http://a.com/2"]["text"] == "beta"
 
 
+def test_write_wet_strips_crlf_header_injection(spark, tmp_path):
+    """A URI (or date) containing a bare CRLF must not inject a spoofed
+    header line: write_wet strips [\\r\\n] from header values, so the
+    record reads back whole — full payload, framing_ok true — with the
+    control characters removed from the URI rather than splitting it."""
+    evil = "http://a.com/x\r\nWARC-Type: warcinfo\r\nX-Spoof: 1"
+    docs = spark.createDataFrame(
+        [(1, evil, "payload stays intact", "2014-01-01T00:00:00Z\r\nX: y")],
+        "doc_id long, url string, text string, fetched string",
+    )
+    out = str(tmp_path / "wet_inj")
+    warc.write_wet(docs, out, date_col="fetched")
+    rows = warc.read_wet(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_type"] == "conversion"  # not the spoofed warcinfo
+    assert r["target_uri"] == "http://a.com/xWARC-Type: warcinfoX-Spoof: 1"
+    assert r["warc_date"] == "2014-01-01T00:00:00ZX: y"
+    assert r["text"] == "payload stays intact"
+    assert r["framing_ok"] is True
+
+
 def test_read_wet_stream_matches_batch(spark, tmp_path):
     """The streaming reader (shared parse expressions) must emit exactly
     the batch reader's rows; maxFilesPerTrigger=1 forces one shard per
