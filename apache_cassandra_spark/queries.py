@@ -5979,6 +5979,72 @@ ORACLES["corpus_wet_roundtrip"] = f"""
 """
 
 
+def q_corpus_warc_roundtrip(spark, sf_dir):
+    """Binary WARC interchange round trip (sources/warc.py read_warc):
+    a synthesized page corpus written as ``response`` records with a
+    full HTTP/1.1 envelope (Content-Length twice: WARC record and HTTP
+    body), re-ingested with the executor-side Content-Length WALK (the
+    framing the WET text split cannot do — payloads are opaque bytes),
+    then HTTP-split back into status/media-type/charset/body. The
+    oracle recomputes every column straight from the source table, so
+    the gate pins the writer's double framing arithmetic, the walker's
+    exact payload recovery, the shared header parse, and the HTTP
+    envelope split at once. Reference anchor: the W5 binary bulk-load
+    boundary (``db/BinaryMemtable.java:45``) pointed at ISO 28500."""
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_SYNTH_URL_SQL))
+        .withColumn("html", F.expr(_SYNTH_HTML_SQL))
+        .select("url", "html")
+    )
+    out_dir = tempfile.mkdtemp(prefix="corpus_warc_")
+    warc.write_warc(docs, out_dir)
+    back = warc.http_response_parts(warc.read_warc(spark, out_dir))
+    return back.select(
+        "target_uri",
+        "warc_date",
+        "record_id",
+        "content_length",
+        "http_status",
+        "http_content_type",
+        "http_charset",
+        "framing_ok",
+        F.col("body_text").alias("html"),
+    ).orderBy("target_uri", "html")
+
+
+# the HTTP envelope replayed as ONE literal concat (chr(13)||chr(10) for
+# CRLF — no backslash escapes, the shared-literal convention): the WARC
+# Content-Length is the envelope's byte length, itself embedding the
+# body's byte length
+ORACLES["corpus_warc_roundtrip"] = f"""
+    WITH u0 AS (SELECT doc_id, text, source, {_SYNTH_URL_SQL} AS url FROM documents
+                WHERE text IS NOT NULL),
+    h AS (SELECT url, {_SYNTH_HTML_SQL} AS html FROM u0),
+    env AS (SELECT url, html,
+                   'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                   || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10)
+                   || 'Content-Length: ' || cast(strlen(html) as varchar)
+                   || chr(13) || chr(10) || chr(13) || chr(10) || html AS payload
+            FROM h)
+    SELECT url AS target_uri,
+           '2013-01-01T00:00:00Z' AS warc_date,
+           '<urn:md5:' || md5(url) || '>' AS record_id,
+           cast(strlen(payload) AS bigint) AS content_length,
+           200 AS http_status,
+           'text/html' AS http_content_type,
+           'utf-8' AS http_charset,
+           true AS framing_ok,
+           html
+    FROM env
+    ORDER BY target_uri, html
+"""
+
+
 
 
 def q_corpus_bm25_topk(spark, sf_dir):
@@ -6277,6 +6343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the round-12 window (never-gated beats stale in rotation priority),
     # followed by the round-9 cohort above ---
     "corpus_sample_weighted": q_corpus_sample_weighted,
+    "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
     "tpch_q22ish": q_tpch_q22ish,
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,

@@ -1,5 +1,7 @@
-"""WET (WARC text-conversion) record ingest — the Common Crawl corpus
-interchange format a web-scale training pipeline reads first.
+"""WARC record ingest — both halves of the Common Crawl front door:
+WET (text ``conversion`` records, read with a distributed text split)
+and raw binary WARC (``response`` records, read with an executor-side
+Content-Length walk per shard; see the "Binary WARC" section below).
 
 A WET file (ISO 28500 WARC, ``conversion`` records) is a concatenation
 of::
@@ -37,9 +39,9 @@ column instead of corrupting silently:
 Real Common Crawl WET payloads are extracted text (no WARC headers
 inside), so ``framing_ok`` is true in practice; filter on it to be
 exact. The binary-payload WARC variant (``response`` records carrying
-arbitrary bytes) genuinely requires length-walking and is out of scope
-for a text pipeline — use the archived WET sidecar, which is what this
-reader targets.
+arbitrary bytes) genuinely requires length-walking — that is
+:func:`read_warc`'s job (exact Content-Length framing, parallel per
+shard), not the text split's.
 
 Reference parity note: the reference fork has no crawl-ingest
 machinery — this source extends the engine for the LLM-pipeline
@@ -57,6 +59,10 @@ RECORD_MAGIC = "WARC/1.0\r\n"
 
 _HEADERS_RE = r"(?s)^(.*?)\r\n\r\n"
 _PAYLOAD_RE = r"(?s)^.*?\r\n\r\n(.*)$"
+#: ONE Content-Length pattern, used by the Spark-side header parse
+#: (WET and WARC alike) AND the Python-side record walker — the framing
+#: arithmetic cannot drift between the two readers
+_CONTENT_LENGTH_RE = r"(?im)^Content-Length:[ \t]*(\d+)"
 
 
 def _header(headers, name: str):
@@ -65,6 +71,13 @@ def _header(headers, name: str):
     empty-valued header and capture the NEXT header line as the
     value."""
     return F.trim(F.regexp_extract(headers, rf"(?im)^{name}:[ \t]*([^\r\n]*)", 1))
+
+
+def _content_length(headers):
+    """Declared Content-Length as a nullable long — try_cast: a missing
+    header extracts ``''`` and must become NULL, not an ANSI cast error
+    that kills the scan."""
+    return F.regexp_extract(headers, _CONTENT_LENGTH_RE, 1).try_cast("long")
 
 
 def read_wet(
@@ -123,11 +136,7 @@ def parse_wet_records(
             _header(headers, "WARC-Type").alias("warc_type"),
             _header(headers, "WARC-Target-URI").alias("target_uri"),
             _header(headers, "WARC-Date").alias("warc_date"),
-            # try_cast: a missing header extracts '' and must become
-            # NULL, not an ANSI cast error that kills the scan
-            F.regexp_extract(headers, r"(?im)^Content-Length:[ \t]*(\d+)", 1)
-            .try_cast("long")
-            .alias("content_length"),
+            _content_length(headers).alias("content_length"),
             text.alias("text"),
         )
         # the split's leading empty chunk (file starts with the magic)
@@ -198,6 +207,446 @@ def write_wet(
         .select(record.alias("value"))
         # the writer's lineSep supplies the record's second trailing
         # CRLF, completing the \r\n\r\n separator before the next magic
+        .write.option("lineSep", "\r\n")
+        .mode("overwrite")
+        .text(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary WARC (``response`` records) — the raw-crawl half of the front door.
+#
+# Raw Common Crawl ships .warc(.gz) files whose ``response`` payloads are
+# arbitrary bytes (full HTTP responses), so the WET reader's text split on
+# the record magic cannot be used: a payload may legally CONTAIN the magic.
+# ISO 28500's framing is Content-Length walking — an inherently sequential
+# scan WITHIN one file. The scale unit is therefore the SHARD: Common Crawl
+# publishes ~1 GB shards by construction (the format is
+# concatenation-closed exactly so consumers can parallelize per shard), and
+# 100 TB is ~100k shards — far more task-parallelism than any cluster has
+# executors. read_warc distributes the file list (binaryFile metadata scan,
+# content column pruned away) and walks each shard executor-side with
+# bounded memory (one record buffered at a time, Arrow batches capped), so
+# no whole file is ever materialized on the driver OR per-task heap.
+#
+# Drift-honesty: the walker recovers only the framing (headers block as a
+# STRING + exact payload BYTES + framing flags); every header FIELD is then
+# parsed by the SAME Spark-side ``_header`` / ``_content_length``
+# expressions the WET reader uses — the two readers cannot disagree on
+# header semantics. The walker's own Content-Length probe compiles the
+# shared ``_CONTENT_LENGTH_RE`` pattern.
+#
+# Reference parity: this is the binary bulk-ingest boundary of W5
+# (``db/BinaryMemtable.java:45``) pointed at the public crawl interchange
+# format; spec is public (ISO 28500 / WARC 1.0).
+# ---------------------------------------------------------------------------
+
+#: columns the executor-side walker emits (headers stay a raw string —
+#: field parsing happens Spark-side, shared with the WET reader)
+_WALK_SCHEMA = (
+    "source_file string, record_offset long, headers string, "
+    "payload binary, framing_ok boolean, parse_error string"
+)
+
+#: hard cap on one record's header block (spec-abiding blocks are <1 KB;
+#: an unterminated block must not buffer a whole shard)
+_MAX_HEADER_BYTES = 1 << 20
+
+
+def _gzip_members(chunks):
+    """Decompress a multi-member gzip stream chunk-by-chunk (Common Crawl
+    writes ONE gzip member per WARC record, so members must be walked —
+    ``gzip.decompress`` would stop at the first member boundary in some
+    stdlib versions and buffer everything in others)."""
+    import zlib
+
+    d = zlib.decompressobj(47)  # 32 + 15: auto-detect gzip/zlib header
+    for chunk in chunks:
+        data = chunk
+        while data:
+            out = d.decompress(data)
+            if out:
+                yield out
+            if d.eof:
+                data = d.unused_data
+                d = zlib.decompressobj(47)
+            else:
+                data = b""
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+def _file_chunks(path: str, chunk_bytes: int = 1 << 22):
+    """Byte chunks of one shard. ``binaryFile`` paths are URIs; only
+    locally-openable schemes are supported (``file:`` or bare paths —
+    i.e. local disk, NFS, or FUSE-mounted object stores). Remote-only
+    filesystems (hdfs://, s3a://) are an honest boundary: raise typed,
+    don't guess."""
+    local = path
+    if "://" in path or path.startswith("file:"):
+        if path.startswith("file:"):
+            local = path[len("file:") :]
+            while local.startswith("//"):
+                local = local[1:]
+        else:
+            raise NotImplementedError(
+                f"read_warc walks shards via POSIX reads; scheme of {path!r} "
+                "is not locally openable (mount it, or copy shards local)"
+            )
+
+    def gen():
+        with open(local, "rb") as fh:
+            while True:
+                b = fh.read(chunk_bytes)
+                if not b:
+                    return
+                yield b
+
+    chunks = gen()
+    if local.endswith(".gz"):
+        return _gzip_members(chunks)
+    return chunks
+
+
+class _RecordScanner:
+    """Pull-based buffer over a byte-chunk iterator with the three reads
+    the WARC walk needs: a CRLF line, a CRLF CRLF-terminated block, and
+    exactly-n payload bytes. Tracks the absolute (uncompressed) offset."""
+
+    def __init__(self, chunks):
+        self._chunks = iter(chunks)
+        self._buf = bytearray()
+        self.offset = 0
+
+    def _fill(self) -> bool:
+        try:
+            self._buf += next(self._chunks)
+            return True
+        except StopIteration:
+            return False
+
+    def _take(self, n: int) -> bytes:
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        self.offset += len(out)
+        return out
+
+    def read_n(self, n: int) -> bytes:
+        while len(self._buf) < n and self._fill():
+            pass
+        return self._take(min(n, len(self._buf)))
+
+    def read_until(self, delim: bytes, limit: int):
+        """Bytes before ``delim`` (delim consumed, not returned), or
+        ``None`` if EOF/limit hits first (buffer left in place so the
+        caller can resync)."""
+        start = 0
+        while True:
+            i = self._buf.find(delim, start)
+            if i != -1:
+                out = self._take(i + len(delim))
+                return out[: -len(delim)]
+            if len(self._buf) > limit:
+                return None
+            start = max(0, len(self._buf) - len(delim) + 1)
+            if not self._fill():
+                return None
+
+    def skip_to_magic(self) -> int:
+        """Drop bytes until the buffer starts with ``WARC/`` at a line
+        start (resync after a corrupt region); returns bytes skipped.
+        Consumes to EOF if no further record exists."""
+        if self._buf.startswith(b"WARC/"):
+            return 0
+        skipped = 0
+        needle = b"\r\nWARC/"
+        while True:
+            i = self._buf.find(needle)
+            if i != -1:
+                skipped += len(self._take(i + 2))  # keep the WARC/ line
+                return skipped
+            keep = len(needle) - 1
+            if len(self._buf) > keep:
+                skipped += len(self._take(len(self._buf) - keep))
+            if not self._fill():
+                skipped += len(self._take(len(self._buf)))
+                return skipped
+
+    def buffered(self, n: int) -> bool:
+        """Ensure at least ``n`` bytes are buffered (or EOF)."""
+        while len(self._buf) < n and self._fill():
+            pass
+        return len(self._buf) >= n
+
+    def at_eof(self) -> bool:
+        return not self._buf and not self._fill()
+
+
+def walk_warc_records(chunks, source_file: str = ""):
+    """Walk one shard's records by Content-Length framing (ISO 28500).
+    Yields ``(source_file, record_offset, headers_str, payload_bytes,
+    framing_ok, parse_error)`` tuples — PERMISSIVE: corrupt or truncated
+    regions yield a flagged row and the walk resyncs on the next record
+    magic instead of killing the task (the codecs.py corrupt-row
+    contract, applied to framing)."""
+    import re as _re
+
+    clen_re = _re.compile(_CONTENT_LENGTH_RE.encode("ascii"))
+    s = _RecordScanner(chunks)
+    while True:
+        # skip inter-record CRLF padding
+        while s.buffered(2) and s._buf[:2] == b"\r\n":
+            s._take(2)
+        if s.at_eof():
+            return
+        start = s.offset
+        s.buffered(5)
+        if not s._buf.startswith(b"WARC/"):
+            skipped = s.skip_to_magic()
+            yield (source_file, start, "", b"", False, f"garbage_before_record:{skipped}B")
+            if s.at_eof():
+                return
+            continue
+        block = s.read_until(b"\r\n\r\n", _MAX_HEADER_BYTES)
+        if block is None:
+            # truncated (EOF) or unterminated (>_MAX_HEADER_BYTES) header
+            # block: flag it; with bytes still flowing, resync past this
+            # record's magic to the next one instead of giving up the shard
+            preview = bytes(s._buf[:4096]).decode("utf-8", "replace")
+            yield (source_file, start, preview, b"", False, "truncated_headers")
+            if s.at_eof():
+                return
+            s._take(5)  # step past this record's own WARC/ magic
+            s.skip_to_magic()
+            continue
+        if not block.startswith(b"WARC/"):
+            yield (source_file, start, "", b"", False, "bad_version_line")
+            continue
+        # version line + header lines; field parsing is Spark-side
+        headers = block.decode("utf-8", "replace")
+        m = clen_re.search(block)
+        if m is None:
+            yield (source_file, start, headers, b"", False, "missing_content_length")
+            # without a length the payload is unframeable — resync
+            s.skip_to_magic()
+            continue
+        declared = int(m.group(1))
+        payload = s.read_n(declared)
+        if len(payload) < declared:
+            yield (source_file, start, headers, payload, False, "truncated_payload")
+            return
+        # the record separator after the payload: exactly \r\n\r\n
+        sep = s.read_n(4)
+        if sep == b"\r\n\r\n":
+            yield (source_file, start, headers, payload, True, None)
+        else:
+            # missing/odd separator: the NEXT record may still be intact
+            # — push non-CRLF bytes back for the resync pass
+            s._buf[:0] = sep
+            s.offset -= len(sep)
+            yield (source_file, start, headers, payload, False, "missing_separator")
+            if not s.at_eof():
+                s.skip_to_magic()
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    num_partitions: int | None = None,
+    batch_rows: int = 128,
+    batch_bytes: int = 1 << 26,
+) -> DataFrame:
+    """Read binary WARC shards into ``(warc_type, target_uri, warc_date,
+    record_id, content_type, content_length, payload, framing_ok,
+    parse_error, source_file, record_offset)``.
+
+    ``payload`` is the record's EXACT declared bytes (for ``response``
+    records: the full HTTP response — parse it with
+    :func:`http_response_parts`). ``framing_ok`` here is exact by
+    construction (Content-Length walking), unlike the WET reader's
+    recovered-length check; corrupt regions appear as flagged rows with
+    a ``parse_error`` reason, never task kills. Shards parallelize
+    across files (see module comment); ``num_partitions`` defaults to
+    the session's shuffle partitioning. gzip shards (``.gz``) are
+    decompressed member-by-member executor-side."""
+    files = spark.read.format("binaryFile").load(path).select("path")
+    files = files.repartition(
+        num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")), "path"
+    )
+
+    def _walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows, nbytes = [], 0
+                for rec in walk_warc_records(_file_chunks(p), source_file=p):
+                    rows.append(rec)
+                    nbytes += len(rec[3])
+                    if len(rows) >= batch_rows or nbytes >= batch_bytes:
+                        yield pd.DataFrame(
+                            rows,
+                            columns=[
+                                "source_file",
+                                "record_offset",
+                                "headers",
+                                "payload",
+                                "framing_ok",
+                                "parse_error",
+                            ],
+                        )
+                        rows, nbytes = [], 0
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "source_file",
+                            "record_offset",
+                            "headers",
+                            "payload",
+                            "framing_ok",
+                            "parse_error",
+                        ],
+                    )
+
+    walked = files.mapInPandas(_walk, schema=_WALK_SCHEMA)
+    out = walked.select(
+        # field parsing SHARED with the WET reader — same expressions
+        _header("headers", "WARC-Type").alias("warc_type"),
+        _header("headers", "WARC-Target-URI").alias("target_uri"),
+        _header("headers", "WARC-Date").alias("warc_date"),
+        _header("headers", "WARC-Record-ID").alias("record_id"),
+        _header("headers", "Content-Type").alias("content_type"),
+        _content_length("headers").alias("content_length"),
+        "payload",
+        "framing_ok",
+        "parse_error",
+        "source_file",
+        "record_offset",
+    )
+    if record_types:
+        out = out.where(F.col("warc_type").isin(*record_types))
+    return out
+
+
+#: HTTP envelope split (latin-1 trick: ISO-8859-1 maps bytes<->chars
+#: bijectively, so decode -> regexp -> encode is byte-lossless)
+_HTTP_STATUS_RE = r"^HTTP/[0-9.]+[ \t]+(\d{3})"
+
+
+def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Split ``response`` payloads into the HTTP envelope and body:
+    adds ``http_status`` (int), ``http_content_type`` (lowercased media
+    type, no parameters), ``http_charset`` (declared charset or ''),
+    ``body`` (exact body BYTES), and ``body_text`` (body decoded by the
+    declared charset — UTF-8 unless the header says an 8-bit latin
+    charset; invalid UTF-8 sequences become U+FFFD via
+    ``make_valid_utf8``, never a task-killing ANSI decode error).
+
+    Codegen expressions end to end over the lossless ISO-8859-1 view of
+    the payload — no UDF, no shuffle. Payloads with no HTTP header
+    terminator (non-HTTP records, truncated responses) get NULL
+    ``http_status`` and the WHOLE payload as ``body``."""
+    raw = F.decode(F.col(payload_col), "ISO-8859-1")
+    env = F.regexp_extract(raw, _HEADERS_RE, 1)
+    has_env = raw.rlike(r"(?s)^HTTP/.*?\r\n\r\n")
+    body_str = F.when(has_env, F.regexp_extract(raw, _PAYLOAD_RE, 1)).otherwise(raw)
+    ctype = F.lower(_header(env, "Content-Type"))
+    charset = F.lower(
+        F.regexp_extract(ctype, r"charset[ \t]*=[ \t]*\"?([a-z0-9_.:-]+)", 1)
+    )
+    body = F.encode(body_str, "ISO-8859-1")
+    latin = charset.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "windows-1252")
+    return (
+        df.withColumn("http_status", F.regexp_extract(env, _HTTP_STATUS_RE, 1).try_cast("int"))
+        .withColumn("http_content_type", F.regexp_extract(ctype, r"^([^;\r\n]*)", 1))
+        .withColumn("http_charset", charset)
+        .withColumn("body", body)
+        # charset-aware best-effort text: latin charsets read the raw view
+        # (already exact); everything else is treated as UTF-8 — cast
+        # binary->string is unvalidated byte adoption, make_valid_utf8
+        # then replaces malformed sequences with U+FFFD (ANSI decode
+        # would kill the task on the first bad byte of a 100 TB crawl)
+        .withColumn(
+            "body_text",
+            F.when(latin, body_str).otherwise(F.make_valid_utf8(body.cast("string"))),
+        )
+    )
+
+
+def responses_to_pages(df: DataFrame, ok_statuses: tuple[int, ...] = (200,)) -> DataFrame:
+    """The WARC->corpus bridge: well-framed HTML ``response`` records as
+    ``(url, fetched_at, html)`` rows ready for
+    :func:`..analytics.pipeline.prepare_crawl` /
+    :func:`..analytics.html.html_to_text`. Keeps only framing-clean
+    records with an OK status and an HTML media type."""
+    parts = http_response_parts(df)
+    return (
+        parts.where(
+            F.col("framing_ok")
+            & F.col("http_status").isin(*ok_statuses)
+            & F.col("http_content_type").isin("text/html", "application/xhtml+xml")
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+            F.col("body_text").alias("html"),
+        )
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    uri_col: str = "url",
+    html_col: str = "html",
+    date_col: str | None = None,
+    default_date: str = "2013-01-01T00:00:00Z",
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> None:
+    """Write a page corpus as WARC ``response`` records with a
+    synthesized ``HTTP/1.1`` envelope (fixture generation and
+    interchange export — the inverse of
+    :func:`read_warc` + :func:`responses_to_pages`).
+
+    The text sink encodes UTF-8, so both Content-Lengths (WARC record
+    and HTTP body) are computed as UTF-8 byte lengths — the written
+    shard is a spec-valid WARC whose payloads happen to be UTF-8 text.
+    Truly binary payloads (images) are fixture-written by tests
+    directly; a distributed binary WARC SINK needs a byte-exact output
+    format the text writer cannot provide (honest boundary). Header
+    values are CRLF-sanitized like :func:`write_wet`."""
+    strip_crlf = lambda c: F.regexp_replace(c, r"[\r\n]", "")  # noqa: E731
+    date = (
+        strip_crlf(F.coalesce(F.col(date_col), F.lit(default_date)))
+        if date_col
+        else F.lit(default_date)
+    )
+    http = F.concat(
+        F.lit(f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\nContent-Length: "),
+        F.octet_length(F.col(html_col)).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(html_col),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(strip_crlf(F.col(uri_col))),
+        F.lit(">\r\nWARC-Target-URI: "),
+        strip_crlf(F.col(uri_col)),
+        F.lit("\r\nWARC-Date: "),
+        date,
+        F.lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n"),
+    )
+    (
+        df.where(F.col(uri_col).isNotNull() & F.col(html_col).isNotNull())
+        .select(record.alias("value"))
         .write.option("lineSep", "\r\n")
         .mode("overwrite")
         .text(path)

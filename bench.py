@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "corpus_page_text",
     "corpus_outlink_graph",
     "corpus_wet_roundtrip",
+    "corpus_warc_roundtrip",
     "corpus_bm25_topk",
     "corpus_domain_boilerplate",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)

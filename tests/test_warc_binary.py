@@ -1,0 +1,175 @@
+"""Binary WARC (`response`) ingest — Content-Length framing walk,
+gzip members, corruption resync, HTTP envelope split, and the
+WARC->corpus bridge. Fixture files are built byte-by-byte so every
+framing claim is pinned against literal bytes, not the writer."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.sources import warc
+
+
+def _record(payload: bytes, rtype=b"response", uri=b"http://e.com/a",
+            date=b"2013-01-01T00:00:00Z", clen=None, sep=b"\r\n\r\n"):
+    clen = len(payload) if clen is None else clen
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n"
+        b"WARC-Record-ID: <urn:uuid:0001>\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"WARC-Date: " + date + b"\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(clen).encode() + b"\r\n"
+        b"\r\n" + payload + sep
+    )
+
+
+def _http(body: bytes, status=b"200 OK", ctype=b"text/html; charset=utf-8"):
+    return (
+        b"HTTP/1.1 " + status + b"\r\n"
+        b"Content-Type: " + ctype + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body
+    )
+
+
+def test_walk_exact_framing_with_embedded_magic():
+    """The case the WET text split CANNOT handle: a payload containing
+    the record magic. Content-Length walking must keep it whole."""
+    evil = b"binary \x00\x01 then WARC/1.0\r\n inside payload \xff\xfe"
+    data = _record(evil) + _record(b"second", uri=b"http://e.com/b")
+    recs = list(warc.walk_warc_records([data]))
+    assert len(recs) == 2
+    assert recs[0][3] == evil and recs[0][4] is True and recs[0][5] is None
+    assert recs[1][3] == b"second" and recs[1][4] is True
+
+
+def test_walk_offsets_and_chunk_boundaries():
+    """Record offsets are absolute; a 1-byte chunk stream (worst-case
+    block boundaries) walks identically to one big chunk."""
+    data = _record(b"alpha") + _record(b"beta", uri=b"http://e.com/b")
+    whole = list(warc.walk_warc_records([data]))
+    tiny = list(warc.walk_warc_records([bytes([b]) for b in data]))
+    assert whole == tiny
+    assert whole[0][1] == 0
+    assert whole[1][1] == data.index(b"WARC/", 5)
+
+
+def test_walk_truncated_payload_flags_and_stops():
+    data = _record(b"full payload bytes", clen=100)[: -4]  # declared 100, short
+    recs = list(warc.walk_warc_records([data]))
+    assert len(recs) == 1
+    assert recs[0][4] is False and recs[0][5] == "truncated_payload"
+
+
+def test_walk_bad_length_then_resync():
+    """A record whose declared length overruns into the next record's
+    region flags missing_separator, and the walk resyncs to the NEXT
+    magic — one bad record must not eat the shard."""
+    good = _record(b"good tail", uri=b"http://e.com/c")
+    bad = _record(b"0123456789", clen=7)  # separator check lands mid-payload
+    recs = list(warc.walk_warc_records([bad + good]))
+    errs = [r[5] for r in recs]
+    assert "missing_separator" in errs
+    assert any(r[3] == b"good tail" and r[4] for r in recs)
+
+
+def test_walk_garbage_prefix_resync():
+    data = b"NOT A WARC FILE\r\njunk" + b"\r\n" + _record(b"ok")
+    recs = list(warc.walk_warc_records([data]))
+    assert recs[0][5].startswith("garbage_before_record")
+    assert recs[-1][3] == b"ok" and recs[-1][4] is True
+
+
+def test_walk_missing_content_length_resync():
+    block = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+    data = block + _record(b"fine")
+    recs = list(warc.walk_warc_records([data]))
+    assert recs[0][5] == "missing_content_length"
+    assert recs[-1][3] == b"fine" and recs[-1][4] is True
+
+
+def test_gzip_member_per_record_stream():
+    """Common Crawl .warc.gz = one gzip member per record; the chunked
+    member decompressor must walk across member boundaries."""
+    data = gzip.compress(_record(b"one")) + gzip.compress(_record(b"two", uri=b"http://e.com/b"))
+    out = b"".join(warc._gzip_members([data[i:i + 7] for i in range(0, len(data), 7)]))
+    assert out == _record(b"one") + _record(b"two", uri=b"http://e.com/b")
+
+
+def test_read_warc_end_to_end(spark, tmp_path):
+    body = "<html><body>héllo wörld</body></html>".encode("utf-8")
+    payload = _http(body)
+    raw = _record(payload) + _record(_http(b"plain", ctype=b"text/plain"), uri=b"http://e.com/t")
+    p = tmp_path / "shard-000.warc"
+    p.write_bytes(raw)
+    gz = tmp_path / "shard-001.warc.gz"
+    gz.write_bytes(gzip.compress(_record(_http(b"<p>gz</p>"), uri=b"http://e.com/gz")))
+
+    df = warc.read_warc(spark, str(tmp_path) + "/*", record_types=("response",))
+    rows = {r["target_uri"]: r for r in df.collect()}
+    assert set(rows) == {"http://e.com/a", "http://e.com/t", "http://e.com/gz"}
+    assert all(r["framing_ok"] for r in rows.values())
+    assert bytes(rows["http://e.com/a"]["payload"]) == payload
+    assert rows["http://e.com/a"]["content_length"] == len(payload)
+    assert rows["http://e.com/a"]["record_id"] == "<urn:uuid:0001>"
+
+    parts = warc.http_response_parts(df)
+    prow = {r["target_uri"]: r for r in parts.collect()}
+    assert prow["http://e.com/a"]["http_status"] == 200
+    assert prow["http://e.com/a"]["http_content_type"] == "text/html"
+    assert prow["http://e.com/a"]["http_charset"] == "utf-8"
+    assert bytes(prow["http://e.com/a"]["body"]) == body
+    assert prow["http://e.com/a"]["body_text"] == "<html><body>héllo wörld</body></html>"
+    assert prow["http://e.com/t"]["http_content_type"] == "text/plain"
+
+    pages = warc.responses_to_pages(df).collect()
+    assert {r["url"] for r in pages} == {"http://e.com/a", "http://e.com/gz"}  # html only
+
+
+def test_http_parts_latin1_and_headerless(spark, tmp_path):
+    latin_body = "caf\u00e9".encode("iso-8859-1")
+    raw = (
+        _record(_http(latin_body, ctype=b"text/html; charset=iso-8859-1"))
+        + _record(b"\x89PNG not http", uri=b"http://e.com/png")
+    )
+    p = tmp_path / "s.warc"
+    p.write_bytes(raw)
+    df = warc.http_response_parts(warc.read_warc(spark, str(p)))
+    rows = {r["target_uri"]: r for r in df.collect()}
+    assert rows["http://e.com/a"]["body_text"] == "café"
+    assert bytes(rows["http://e.com/a"]["body"]) == latin_body
+    # non-HTTP payload: NULL status, whole payload preserved as body
+    assert rows["http://e.com/png"]["http_status"] is None
+    assert bytes(rows["http://e.com/png"]["body"]) == b"\x89PNG not http"
+
+
+def test_write_warc_roundtrip_and_wet_parity(spark, tmp_path):
+    """write_warc -> read_warc -> responses_to_pages recovers the corpus
+    exactly; and the header fields agree with the WET reader's parse of
+    the equivalent WET export (shared expressions — no drift)."""
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/1", "<p>alpha &amp; beta</p>"), (2, "http://a.com/2", "<p>två</p>")],
+        "doc_id long, url string, html string",
+    )
+    out = str(tmp_path / "warc_out")
+    warc.write_warc(docs, out)
+    back = warc.responses_to_pages(warc.read_warc(spark, out)).collect()
+    assert {(r["url"], r["html"]) for r in back} == {
+        ("http://a.com/1", "<p>alpha &amp; beta</p>"),
+        ("http://a.com/2", "<p>två</p>"),
+    }
+    wet_out = str(tmp_path / "wet_out")
+    warc.write_wet(docs.withColumnRenamed("html", "text"), wet_out)
+    wet = {r["target_uri"]: r for r in warc.read_wet(spark, wet_out).collect()}
+    wrc = {r["target_uri"]: r for r in warc.read_warc(spark, out).collect()}
+    assert set(wet) == set(wrc)
+    for uri in wet:
+        assert wet[uri]["warc_date"] == wrc[uri]["warc_date"]
+
+
+def test_read_warc_scheme_boundary():
+    with pytest.raises(NotImplementedError):
+        list(warc._file_chunks("s3a://bucket/shard.warc"))
