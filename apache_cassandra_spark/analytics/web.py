@@ -143,20 +143,126 @@ def extract_host(url: Column, strip_www: bool = True) -> Column:
     return host
 
 
-def registrable_domain(host: Column) -> Column:
+class PublicSuffixList:
+    """A parsed Mozilla Public Suffix List (publicsuffix.org — the
+    public data artifact; format: one rule per line, ``//`` comments,
+    ``*.`` wildcard rules that match exactly one extra label,
+    ``!`` exception rules that carve a registrable domain back out of a
+    wildcard). Holds three frozensets the matching expression probes
+    with O(1) ``InSet`` lookups:
+
+    - ``exact``  — plain rules (``co.uk``, ``pvt.k12.ma.us``)
+    - ``wild``   — wildcard BASES (``kawasaki.jp`` for ``*.kawasaki.jp``)
+    - ``exc``    — exception rules sans ``!`` (``city.kawasaki.jp``) —
+      by the PSL algorithm an exception IS a registrable domain
+
+    The private-domain section (``amazonaws.com`` and friends) loads
+    like any other rules — pass ``icann_only=True`` to stop at the
+    ``// ===BEGIN PRIVATE DOMAINS===`` marker."""
+
+    def __init__(self, exact, wild, exc):
+        self.exact = frozenset(exact)
+        self.wild = frozenset(wild)
+        self.exc = frozenset(exc)
+        lens = (
+            [r.count(".") + 1 for r in self.exact]
+            + [b.count(".") + 2 for b in self.wild]
+            + [e.count(".") + 1 for e in self.exc]
+        )
+        self.max_labels = max(lens, default=1)
+
+    @classmethod
+    def parse(cls, text: str, icann_only: bool = False) -> "PublicSuffixList":
+        exact, wild, exc = [], [], []
+        for line in text.splitlines():
+            if icann_only and line.startswith("// ===BEGIN PRIVATE DOMAINS==="):
+                break
+            rule = line.strip().split()[0] if line.strip() else ""
+            if not rule or rule.startswith("//"):
+                continue
+            rule = rule.lower().lstrip(".")
+            if rule.startswith("!"):
+                exc.append(rule[1:])
+            elif rule.startswith("*."):
+                wild.append(rule[2:])
+            elif rule == "*":
+                pass  # the implicit default rule — already the fallback
+            else:
+                exact.append(rule)
+        return cls(exact, wild, exc)
+
+    @classmethod
+    def load(cls, path: str, icann_only: bool = False) -> "PublicSuffixList":
+        """Load from a local ``public_suffix_list.dat`` artifact (ship it
+        with the job like the BPE merge table; no network fetch here)."""
+        with open(path, encoding="utf-8") as fh:
+            return cls.parse(fh.read(), icann_only=icann_only)
+
+
+#: the embedded two-label subset, expressed as a PublicSuffixList — the
+#: default when no full artifact is supplied (and the shape the DuckDB
+#: gate oracles replay)
+EMBEDDED_PSL = PublicSuffixList(MULTI_SUFFIXES, (), ())
+
+
+def registrable_domain(host: Column, psl: PublicSuffixList | None = None) -> Column:
     """Registrable ("eTLD+1") domain of a host: one label more than the
     longest matching public suffix — ``a.b.foo.co.uk`` → ``foo.co.uk``,
-    ``news.example.com`` → ``example.com``. Suffix matching uses the
-    embedded :data:`MULTI_SUFFIXES` subset (two-label suffixes) and
-    falls back to the last two labels otherwise; a bare suffix or
-    single-label host is returned whole. Pure array expressions —
-    map-only, codegen."""
+    ``news.example.com`` → ``example.com``; a bare suffix or
+    single-label host is returned whole.
+
+    With the default ``psl=None``, suffix matching uses the embedded
+    :data:`MULTI_SUFFIXES` two-label subset — the exact expression the
+    gate oracles replay. Pass a loaded :class:`PublicSuffixList` for
+    full-PSL semantics: longest-match across plain rules, ``*.``
+    wildcards (``a.b.kawasaki.jp`` → ``b.kawasaki.jp``) and ``!``
+    exceptions (``sub.city.kawasaki.jp`` → ``city.kawasaki.jp``).
+
+    Either way the result is pure array/set expressions — map-only,
+    codegen, no UDF, no join: the rule sets compile to ``InSet`` hash
+    probes (O(1) per row regardless of the ~9k-rule list size), so the
+    full PSL rides the task binary instead of a broadcast join that
+    would change every caller's plan shape."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
-    take = F.when((n >= 3) & last2.isin(*MULTI_SUFFIXES), F.lit(3)).otherwise(F.lit(2))
+    if psl is None:
+        last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
+        take = F.when((n >= 3) & last2.isin(*MULTI_SUFFIXES), F.lit(3)).otherwise(F.lit(2))
+        take = F.least(take, n)
+        return F.array_join(F.slice(labels, n - take + 1, take), ".")
+
+    def last_k(k: int) -> Column:
+        # total function: '' (never a rule) when the host is shorter than
+        # k labels — slice() raises on start<=0 and negative starts count
+        # from the END, so the guard must live INSIDE the expression, not
+        # rely on And short-circuiting around it
+        return F.when(
+            n >= k, F.array_join(F.slice(labels, n - k + 1, k), ".")
+        ).otherwise(F.lit(""))
+
+    exact_lens = sorted({r.count(".") + 1 for r in psl.exact})
+    wild_lens = sorted({b.count(".") + 2 for b in psl.wild})
+    exc_lens = sorted({e.count(".") + 1 for e in psl.exc})
+    # suffix length s by longest match: plain rule of s labels, or a
+    # wildcard base of s-1 labels (the * consumes one real label).
+    # Ascending build => the LONGEST s ends outermost in the CASE chain.
+    take = F.lit(2)  # the implicit-* fallback: suffix = last label, +1
+    for s in sorted({*exact_lens, *wild_lens}):
+        if s < 2:
+            continue  # s=1 plain match gives take=2 — the default already
+        matched = F.lit(False)
+        if s in exact_lens:
+            matched = matched | last_k(s).isin(*sorted(psl.exact))
+        if s in wild_lens:
+            matched = matched | last_k(s - 1).isin(*sorted(psl.wild))
+        take = F.when((n >= s) & matched, F.lit(s + 1)).otherwise(take)
     take = F.least(take, n)
-    return F.array_join(F.slice(labels, n - take + 1, take), ".")
+    dom = F.array_join(F.slice(labels, n - take + 1, take), ".")
+    # exceptions override (an exception IS the registrable domain);
+    # ascending build again so the longest exception wins
+    for k in exc_lens:
+        dom = F.when((n >= k) & last_k(k).isin(*sorted(psl.exc)), last_k(k)).otherwise(dom)
+    return dom
 
 
 def with_url_keys(
