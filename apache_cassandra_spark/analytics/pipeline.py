@@ -1029,6 +1029,7 @@ def prepare_crawl(
     id_col: str = "doc_id",
     strip_www: bool = True,
     tracking_params: tuple[str, ...] | None = None,
+    main_content_only: bool = False,
 ) -> DataFrame:
     """The crawl ingest boundary, composed: markup → rendered text
     (``html.with_page_text``: clean_text, title, n_links,
@@ -1040,6 +1041,14 @@ def prepare_crawl(
     gate → exact dedup → near-dup representatives) as its text column —
     the standard crawl-to-corpus front half a WET/HTML ingest runs
     before any content-level work.
+
+    ``main_content_only=True`` swaps ``clean_text`` for
+    ``html.main_content``'s densitometric block classification (nav /
+    sidebar / footer blocks dropped BEFORE any content-level dedup or
+    quality scoring) — it rides the same map-only projection, ahead of
+    ``dedup.remove_domain_boilerplate`` downstream, which removes the
+    per-domain templates density can't see. Link/lang metadata
+    (``n_links``, ``declared_lang``) still reflects the WHOLE page.
 
     Plan shape: the two withColumns passes are ONE map-only codegen
     projection over the scan; the URL dedup is a hash aggregate on the
@@ -1067,8 +1076,11 @@ def prepare_crawl(
 
     tp = web.TRACKING_PARAMS if tracking_params is None else tracking_params
     staged = df.where(F.col(url_col).isNotNull() & F.col(id_col).isNotNull())
+    paged = H.with_page_text(staged, html_col=html_col)
+    if main_content_only:
+        paged = paged.withColumn("clean_text", H.main_content(F.col(html_col)))
     keyed = web.with_url_keys(
-        H.with_page_text(staged, html_col=html_col),
+        paged,
         url_col,
         strip_www=strip_www,
         tracking_params=tp,

@@ -6017,6 +6017,97 @@ def q_corpus_warc_roundtrip(spark, sf_dir):
     ).orderBy("target_uri", "html")
 
 
+#: adversarial page synth for the main-content gate: nav bar, heading,
+#: the document text as the body paragraph (with an inline link every
+#: third doc), a link-list sidebar, and a footer — the classic
+#: boilerplate shapes the density rule must drop while keeping the
+#: paragraph. ONE literal shared by F.expr and DuckDB.
+_SYNTH_PAGE_SQL = """'<html><head><title>Doc ' || cast(doc_id as string) || '</title></head><body>'
+ || '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+ || '<h1>Story ' || cast(doc_id % 11 as string) || '</h1>'
+ || CASE WHEN doc_id % 3 = 0
+         THEN '<p>' || text || ' See <a href="/more' || cast(doc_id % 7 as string) || '">the full story here</a>.</p>'
+         ELSE '<p>' || text || '</p>' END
+ || '<div class="sidebar"><ul><li><a href="/r1">Related one</a></li><li><a href="/r2">Related two</a></li></ul></div>'
+ || '<div class="footer">Copyright 2013 ' || source || ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div>'
+ || '</body></html>'"""
+
+
+def q_corpus_main_content(spark, sf_dir):
+    """Main-content extraction (html.with_main_content): the WSDM 2010
+    densitometric block classifier — split at block-tag boundaries,
+    per-block word count + link-body word count computed IN-ARRAY, keep
+    blocks with >= 8 words and link density <= 1/3 (exact integer
+    inequality 3*link_words <= words). The staged corpus plants a nav
+    bar, a heading, a link-list sidebar and a footer around the real
+    paragraph; the oracle replays the whole chain block by block, so
+    the gate pins the split, both word counts, the threshold boundary,
+    and the document-order reassembly."""
+    from apache_cassandra_spark.analytics import html as H
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("html", F.expr(_SYNTH_PAGE_SQL))
+    )
+    out = H.with_main_content(docs)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("main_text"), F.lit("")).alias("main_text"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content_blocks").cast("long").alias("n_content_blocks"),
+    ).orderBy("doc_id")
+
+
+def _sql_clean_fragment(expr: str) -> str:
+    """DuckDB mirror of html.clean_fragment over an arbitrary
+    expression (tag strip -> entity decode -> whitespace collapse ->
+    trim — the 'g' flags because DuckDB replaces first-match-only by
+    default where Spark replaces all)."""
+    return (
+        "trim(regexp_replace("
+        + _sql_decode_entities(f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')")
+        + ", '\\s+', ' ', 'g'))"
+    )
+
+
+_SQL_BLOCK_SPLIT_RE = (
+    "'(?i)</?(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|table|thead|tbody|tr|td|th"
+    "|section|article|header|footer|nav|aside|blockquote|pre|form|dl|dt|dd|br|hr)\\b[^>]*>'"
+)
+_SQL_BLOCK_TEXT = _sql_clean_fragment("blocks[i]")
+# coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+# array_join([]) is '' — an anchor-free block must count 0 link words,
+# not NULL-poison its density test
+_SQL_BLOCK_LINK_TEXT = _sql_clean_fragment(
+    "coalesce(array_to_string(regexp_extract_all(blocks[i],"
+    " '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '), '')"
+)
+
+ORACLES["corpus_main_content"] = f"""
+    WITH p AS (SELECT doc_id, {_SYNTH_PAGE_SQL} AS html
+               FROM documents WHERE text IS NOT NULL),
+    b0 AS (SELECT doc_id,
+                  regexp_split_to_array({_SQL_STRIP_NONCONTENT}, {_SQL_BLOCK_SPLIT_RE}) AS blocks
+           FROM p),
+    bl AS (SELECT doc_id, unnest(generate_series(1, len(blocks))) AS i, blocks FROM b0),
+    f1 AS (SELECT doc_id, i,
+                  {_SQL_BLOCK_TEXT} AS t,
+                  {_SQL_BLOCK_LINK_TEXT} AS lt
+           FROM bl),
+    f2 AS (SELECT doc_id, i, t,
+                  CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS w,
+                  CASE WHEN lt = '' THEN 0 ELSE len(string_split(lt, ' ')) END AS lw
+           FROM f1 WHERE t <> '')
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN w >= 8 AND 3*lw <= w THEN t END, ' ' ORDER BY i), '') AS main_text,
+           cast(count(*) as bigint) AS n_blocks,
+           cast(sum(CASE WHEN w >= 8 AND 3*lw <= w THEN 1 ELSE 0 END) as bigint) AS n_content_blocks
+    FROM f2 GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 # the HTTP envelope replayed as ONE literal concat (chr(13)||chr(10) for
 # CRLF — no backslash escapes, the shared-literal convention): the WARC
 # Content-Length is the envelope's byte length, itself embedding the
@@ -6344,6 +6435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # followed by the round-9 cohort above ---
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
+    "corpus_main_content": q_corpus_main_content,
     "tpch_q22ish": q_tpch_q22ish,
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "corpus_outlink_graph",
     "corpus_wet_roundtrip",
     "corpus_warc_roundtrip",
+    "corpus_main_content",
     "corpus_bm25_topk",
     "corpus_domain_boilerplate",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)

@@ -613,3 +613,104 @@ def test_html_chain_matches_duckdb_mirror_on_random_markup(spark):
 
     for doc, g, w in zip(docs, got, want):
         assert (g["clean_text"], g["title"], g["n_links"], g["anchors_joined"]) == w, doc
+
+
+# --- main-content extraction (densitometric block classifier) ---
+
+
+def _main(spark, page, **kw):
+    from apache_cassandra_spark.analytics import html as H
+
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    return df.select(H.main_content(F.col("html"), **kw).alias("m")).collect()[0]["m"]
+
+
+def test_main_content_drops_nav_sidebar_footer(spark):
+    page = (
+        '<html><body>'
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        '<p>This body paragraph carries the actual story with more than eight words total.</p>'
+        '<ul><li><a href="/r1">Related one</a></li><li><a href="/r2">Related two</a></li></ul>'
+        '<div>Copyright 2013 <a href="/t">Terms</a> <a href="/p">Privacy</a></div>'
+        '</body></html>'
+    )
+    m = _main(spark, page)
+    assert m.startswith("This body paragraph carries")
+    assert "Home" not in m and "Related" not in m and "Copyright" not in m
+
+
+def test_main_content_min_words_boundary(spark):
+    seven = "<p>one two three four five six seven</p>"
+    eight = "<p>one two three four five six seven eight</p>"
+    assert _main(spark, seven) == ""
+    assert _main(spark, eight) == "one two three four five six seven eight"
+    assert _main(spark, seven, min_words=7) == "one two three four five six seven"
+
+
+def test_main_content_link_density_boundary_exact_third(spark):
+    # 9 words, 3 inside the anchor: 3*3 <= 9 — exactly 1/3 KEEPS
+    at_third = "<p>w1 w2 w3 w4 w5 w6 <a href='/x'>l1 l2 l3</a></p>"
+    # 9 words, 4 linked: 3*4 > 9 — drops
+    over = "<p>w1 w2 w3 w4 w5 <a href='/x'>l1 l2 l3 l4</a></p>"
+    assert _main(spark, at_third) != ""
+    assert _main(spark, over) == ""
+
+
+def test_main_content_document_order_and_multiple_blocks(spark):
+    page = (
+        "<p>First paragraph has enough words to pass the content rule easily today.</p>"
+        "<div><a href='/n'>nav nav nav</a></div>"
+        "<p>Second paragraph also has enough words to pass the content rule fine.</p>"
+    )
+    m = _main(spark, page)
+    assert m.index("First paragraph") < m.index("Second paragraph")
+    assert "nav" not in m
+
+
+def test_main_content_all_boilerplate_and_empty(spark):
+    assert _main(spark, "<div><a href='/'>Home</a></div>") == ""
+    assert _main(spark, "") == ""
+
+
+def test_block_features_counts(spark):
+    from apache_cassandra_spark.analytics import html as H
+
+    df = spark.createDataFrame(
+        [(1, "<p>alpha beta <a href='/x'>gamma</a></p><div><a href='/y'>delta</a></div>")],
+        "doc_id long, html string",
+    )
+    rows = df.select(F.explode(H.block_features(F.col("html"))).alias("b")).select("b.*").collect()
+    got = {(r["text"], r["words"], r["link_words"]) for r in rows}
+    assert got == {("alpha beta gamma", 3, 1), ("delta", 1, 1)}
+
+
+def test_main_content_is_map_only(spark):
+    """The classifier must stay one codegen projection: no Exchange, no
+    Generate, no Python in the plan."""
+    from apache_cassandra_spark.analytics import html as H
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        H.with_main_content(docs.withColumn("html", F.concat(F.lit("<p>"), "text", F.lit("</p>"))))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "Generate", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, f"{bad} in main-content plan"
+
+
+def test_prepare_crawl_main_content_only_composes(spark):
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    page = (
+        '<html><body><div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">C</a></div>'
+        "<p>The real content paragraph of this page holds substantially more than eight words.</p>"
+        '<div>Copyright 2013 <a href="/t">Terms</a> <a href="/p">Privacy</a></div></body></html>'
+    )
+    df = spark.createDataFrame([(1, "http://e.com/a", page)], "doc_id long, url string, html string")
+    full = prepare_crawl(df).collect()[0]
+    main = prepare_crawl(df, main_content_only=True).collect()[0]
+    assert "Home" in full["clean_text"] and "Copyright" in full["clean_text"]
+    assert main["clean_text"].startswith("The real content paragraph")
+    assert "Home" not in main["clean_text"] and "Copyright" not in main["clean_text"]
+    # whole-page metadata unchanged by the content swap
+    assert main["n_links"] == full["n_links"] == 5

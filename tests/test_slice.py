@@ -144,3 +144,26 @@ def test_super_subcolumn_numeric_order(spark):
     pred = SlicePredicate(slice_range=SliceRange(reversed=True, count=10))
     rows = read.get_slice(cf, "key1", pred, super_column=b"sc2").collect()
     assert [bytes(r["value"]) for r in rows] == [b"value6", b"value5"]
+
+
+def test_multiget_entry_per_key_null_for_misses(spark):
+    """R3 multiget's own contract (CassandraServer.java:276-319): every
+    requested key comes back, absent keys with NULL column/value — the
+    left-join-against-the-key-list behavior the multiget_slice path
+    doesn't have."""
+    cf = simple_cf(spark)
+    rows = {
+        r["key"]: r
+        for r in read.multiget(
+            cf, ["key1", "ghost"], ColumnPath("t", column=b"c2")
+        ).collect()
+    }
+    assert set(rows) == {"key1", "ghost"}
+    assert bytes(rows["key1"]["value"]) == b"value2"
+    assert rows["ghost"]["value"] is None and rows["ghost"]["column"] is None
+
+
+def test_multiget_whole_row_form(spark):
+    cf = simple_cf(spark)
+    rows = read.multiget(cf, ["key1"], ColumnPath("t")).collect()
+    assert len(rows) == 5  # all live columns of the row
