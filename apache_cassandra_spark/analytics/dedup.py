@@ -243,12 +243,12 @@ def _t_cand(threshold: float) -> float:
     return threshold - 5e-7 - 1e-9
 
 
-def _ranked_prefix(postings, sizes, freq, t_cand: float) -> DataFrame:
-    """Shared prefix construction for the prefix-filter family →
-    ``(id, shingle, set_size, pos)`` restricted to each document's
-    rarest ``n − ceil(t·n) + 1`` shingles. One body so the jaccard and
-    containment twins cannot drift (the same guarantee
-    ``_postings_and_sizes`` gives the naive pair).
+def _ranked_postings(postings, sizes, freq) -> DataFrame:
+    """Every posting with its 1-based rarity rank inside its document
+    (doc-freq asc, shingle asc — ONE total order shared by all
+    documents) → ``(id, shingle, set_size, pos)``. The prefix cut and
+    the PPJoin positional filter both read these positions, so they
+    cannot disagree about the order.
 
     Reuses the skew guard's doc-freq aggregate when it already exists
     (one corpus-scale shuffle instead of two). Guard-dropped shingles
@@ -268,14 +268,19 @@ def _ranked_prefix(postings, sizes, freq, t_cand: float) -> DataFrame:
             Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
         ),
     )
+    return ranked.join(sizes, "id").select("id", "shingle", "set_size", "pos")
+
+
+def _ranked_prefix(postings, sizes, freq, t_cand: float) -> DataFrame:
+    """Shared prefix construction for the prefix-filter family →
+    ``(id, shingle, set_size, pos)`` restricted to each document's
+    rarest ``n − ceil(t·n) + 1`` shingles. One body so the jaccard and
+    containment twins cannot drift (the same guarantee
+    ``_postings_and_sizes`` gives the naive pair)."""
     # prefix length ℓ = n − ceil(t·n) + 1
-    return (
-        ranked.join(sizes, "id")
-        .where(
-            F.col("pos")
-            <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
-        )
-        .select("id", "shingle", "set_size", "pos")
+    return _ranked_postings(postings, sizes, freq).where(
+        F.col("pos")
+        <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
     )
 
 
@@ -431,11 +436,22 @@ def prefix_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    positional: bool = False,
 ) -> DataFrame:
     """Prefix-filtered DIRECTED containment — the asymmetric twin of
     :func:`prefix_jaccard_pairs`, same output contract as
     :func:`ngram_containment_pairs` (one row per directed pair with
     ``|A∩B| / |A| >= threshold``, both directions evaluated).
+
+    ``positional=True`` adds PPJoin's position filter (Xiao et al.,
+    WWW'08), containment form: a common token at 1-based ranks
+    ``(i, j)`` of A and B under the SHARED global order bounds the
+    intersection by ``min(i−1, j−1) + 1 + min(|A|−i, |B|−j)``; pairs
+    whose bound can't reach ``t·|A|`` are pruned BEFORE the Σ|A|
+    verification fan-out. Lossless (fuzz-locked vs the naive pair).
+    Costs one extra per-document window over the FULL postings (the
+    B side needs ranks too) — see the measured regime note in
+    SCALE.md before flipping the default.
 
     Prefix theorem, containment form: ``c(A→B) >= t`` forces
     ``|A∩B| >= ceil(t·|A|)``; if the intersection avoided A's
@@ -456,19 +472,61 @@ def prefix_containment_pairs(
         df, text_col, id_col, n, max_doc_freq, False, "prefix_containment_pairs"
     )
     t_cand = _t_cand(threshold)
-    prefix = _ranked_prefix(postings, sizes, freq, t_cand).select(
-        F.col("id").alias("id_src"), "shingle", F.col("set_size").alias("size_src")
-    )
-    full_b = postings.join(sizes, "id").select(
-        F.col("id").alias("id_dst"), "shingle", F.col("set_size").alias("size_dst")
-    )
-    cands = (
-        prefix.join(full_b, "shingle")
-        .where(F.col("id_src") != F.col("id_dst"))
-        .where(F.col("size_dst") >= F.lit(t_cand) * F.col("size_src"))
-        .select("id_src", "id_dst", "size_src")
-        .distinct()
-    )
+    if positional:
+        # the B side needs in-document ranks for the position bound, so
+        # both sides read the SAME ranked frame (one window, one order)
+        ranked = _ranked_postings(postings, sizes, freq)
+        prefix = ranked.where(
+            F.col("pos")
+            <= F.col("set_size") - F.ceil(F.lit(t_cand) * F.col("set_size")) + 1
+        ).select(
+            F.col("id").alias("id_src"),
+            "shingle",
+            F.col("set_size").alias("size_src"),
+            F.col("pos").alias("pos_src"),
+        )
+        full_b = ranked.select(
+            F.col("id").alias("id_dst"),
+            "shingle",
+            F.col("set_size").alias("size_dst"),
+            F.col("pos").alias("pos_dst"),
+        )
+        collisions = (
+            prefix.join(full_b, "shingle")
+            .where(F.col("id_src") != F.col("id_dst"))
+            .where(F.col("size_dst") >= F.lit(t_cand) * F.col("size_src"))
+        )
+        # one ACTUAL collision row per pair (earliest pos_src, ties by
+        # pos_dst — lexicographic min over the struct, codegen-friendly),
+        # then the overlap upper bound from that token's two ranks
+        overlap_bound = (
+            F.least(F.col("fp.pos_src") - 1, F.col("fp.pos_dst") - 1)
+            + 1
+            + F.least(
+                F.col("size_src") - F.col("fp.pos_src"),
+                F.col("size_dst") - F.col("fp.pos_dst"),
+            )
+        )
+        cands = (
+            collisions.groupBy("id_src", "id_dst", "size_src", "size_dst")
+            .agg(F.min(F.struct("pos_src", "pos_dst")).alias("fp"))
+            .where(overlap_bound >= F.lit(t_cand) * F.col("size_src"))
+            .select("id_src", "id_dst", "size_src")
+        )
+    else:
+        prefix = _ranked_prefix(postings, sizes, freq, t_cand).select(
+            F.col("id").alias("id_src"), "shingle", F.col("set_size").alias("size_src")
+        )
+        full_b = postings.join(sizes, "id").select(
+            F.col("id").alias("id_dst"), "shingle", F.col("set_size").alias("size_dst")
+        )
+        cands = (
+            prefix.join(full_b, "shingle")
+            .where(F.col("id_src") != F.col("id_dst"))
+            .where(F.col("size_dst") >= F.lit(t_cand) * F.col("size_src"))
+            .select("id_src", "id_dst", "size_src")
+            .distinct()
+        )
     post_src = postings.select(F.col("id").alias("id_src"), "shingle")
     post_dst = postings.select(F.col("id").alias("id_dst"), "shingle")
     common = (

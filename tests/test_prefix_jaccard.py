@@ -127,13 +127,16 @@ def test_containment_asymmetry_and_boundary(spark):
         max_size=8,
     ),
     threshold=st.sampled_from([0.4, 0.7, 0.9]),
+    positional=st.booleans(),
 )
-def test_fuzz_containment_lossless_vs_naive(spark, texts, threshold):
+def test_fuzz_containment_lossless_vs_naive(spark, texts, threshold, positional):
     docs = _docs(spark, texts)
     naive = _dpairs(
         ngram_containment_pairs(docs, threshold=threshold, max_doc_freq=None)
     )
-    pref = _dpairs(prefix_containment_pairs(docs, threshold=threshold))
+    pref = _dpairs(
+        prefix_containment_pairs(docs, threshold=threshold, positional=positional)
+    )
     assert naive == pref
 
 

@@ -246,6 +246,13 @@ OPS = {
         dedup.prefix_containment_pairs(_boiler(d), threshold=0.8),
         F.sum("containment"),
     ) or d.count(),
+    # PPJoin positional prune on the same regime (r11): one extra window
+    # ranks the FULL postings so the B side carries positions; prunes
+    # spurious pairs before the sum-|A| verification fan-out
+    "prefix_containment_pos_boiler": lambda d: _agg_probe(
+        dedup.prefix_containment_pairs(_boiler(d), threshold=0.8, positional=True),
+        F.sum("containment"),
+    ) or d.count(),
     # round 8: count-min over a DISTINCT-ITEM-EXPLODING stream (item =
     # doc_id, so distinct items grow with the corpus while the counter
     # grid stays 5 groups × 4 × 256) + a fixed 100-item probe — the
