@@ -295,7 +295,50 @@ OPS = {
     .collect()
     and d.count(),
     "ohlc": lambda d: _ohlc_op(d),
+    # round 11: the densitometric block classifier (map-only projection)
+    # and the binary-WARC write+walk+HTTP-split boundary
+    "main_content": lambda d: _main_content_op(d),
+    "warc_roundtrip": lambda d: _warc_rt_op(d),
 }
+
+
+def _main_content_op(docs: DataFrame) -> int:
+    from apache_cassandra_spark.analytics import html as H
+
+    page = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/about">About</a> <a href="/c">Contact</a></div><p>'),
+        F.col("text"),
+        F.lit('</p><ul><li><a href="/r1">Related one</a></li><li><a href="/r2">Related two</a></li></ul>'
+              '<div>Copyright 2013 <a href="/t">Terms</a> <a href="/p">Privacy</a></div>'),
+    )
+    out = H.with_main_content(docs.withColumn("html", page))
+    out.agg(F.sum("n_content_blocks"), F.sum(F.length("main_text"))).collect()
+    return docs.count()
+
+
+def _warc_rt_op(docs: DataFrame) -> int:
+    """Binary WARC boundary: write the replicated corpus as response
+    records (shard count scales with data — the real crawl layout),
+    then Content-Length-walk it back and HTTP-split. Timed END TO END
+    (write + walk + parse), like the corpus_shard_write row."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc as W
+
+    spark = docs.sparkSession
+    d = tempfile.mkdtemp(prefix="probe_warc_")
+    try:
+        pages = docs.select(
+            F.concat(F.lit("http://p.example/"), F.col("doc_id")).alias("url"),
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html"),
+        )
+        W.write_warc(pages, d)
+        back = W.http_response_parts(W.read_warc(spark, d))
+        back.agg(F.sum("http_status"), F.sum(F.octet_length("body"))).collect()
+        return docs.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _boiler(docs: DataFrame) -> DataFrame:
