@@ -355,19 +355,34 @@ def block_features(html: Column) -> Column:
     INSIDE the array (transform before any consumer — the outlink_graph
     64 KB-codegen lesson), map-only, no UDF."""
     blocks = F.split(strip_noncontent(html), _BLOCK_SPLIT_RE)
-
-    def feat(b: Column) -> Column:
-        txt = clean_fragment(b)
-        words = F.when(txt == "", F.lit(0)).otherwise(F.size(F.split(txt, " ")))
-        ltxt = clean_fragment(
-            F.array_join(F.regexp_extract_all(b, F.lit(_ANCHOR_BODIES_RE), 1), " ")
-        )
-        lwords = F.when(ltxt == "", F.lit(0)).otherwise(F.size(F.split(ltxt, " ")))
-        return F.struct(
-            txt.alias("text"), words.alias("words"), lwords.alias("link_words")
-        )
-
-    return F.filter(F.transform(blocks, feat), lambda s: s.getField("text") != "")
+    # two-stage transform: the regex-heavy clean_fragment chains run ONCE
+    # per block into a materialized struct; the word counts then read the
+    # MATERIALIZED fields. A single-stage struct would inline the whole
+    # cleaning chain again inside each count's CASE WHEN (measured 3x
+    # expression blowup — the outlink_graph 64 KB-codegen lesson applied
+    # within an array).
+    texts = F.transform(
+        blocks,
+        lambda b: F.struct(
+            clean_fragment(b).alias("text"),
+            clean_fragment(
+                F.array_join(F.regexp_extract_all(b, F.lit(_ANCHOR_BODIES_RE), 1), " ")
+            ).alias("_lt"),
+        ),
+    )
+    feats = F.transform(
+        texts,
+        lambda s: F.struct(
+            s.getField("text").alias("text"),
+            F.when(s.getField("text") == "", F.lit(0))
+            .otherwise(F.size(F.split(s.getField("text"), " ")))
+            .alias("words"),
+            F.when(s.getField("_lt") == "", F.lit(0))
+            .otherwise(F.size(F.split(s.getField("_lt"), " ")))
+            .alias("link_words"),
+        ),
+    )
+    return F.filter(feats, lambda s: s.getField("text") != "")
 
 
 def main_content(
@@ -405,21 +420,31 @@ def with_main_content(
     """Append ``main_text``, ``n_blocks``, ``n_content_blocks`` — the
     block-classifier projection; one map-only pass like
     :func:`with_page_text` (whose ``clean_text`` keeps EVERYTHING —
-    use that for link/lang analysis, this for corpus text)."""
-    h = F.col(html_col)
+    use that for link/lang analysis, this for corpus text).
+
+    The feature array is staged through its own projection so the three
+    outputs read ONE materialized ``_feats`` instead of re-deriving the
+    block chain each (CollapseProject leaves a multiply-referenced
+    non-cheap alias staged — the expression-sharing half of the
+    64 KB-codegen lesson)."""
     num, den = link_density
-    feats = block_features(h)
     keep = F.filter(
-        feats,
+        F.col("_feats"),
         lambda s: (s.getField("words") >= min_words)
         & (den * s.getField("link_words") <= num * s.getField("words")),
     )
-    return df.withColumns(
-        {
-            "main_text": F.array_join(F.transform(keep, lambda s: s.getField("text")), " "),
-            "n_blocks": F.size(feats),
-            "n_content_blocks": F.size(keep),
-        }
+    return (
+        df.withColumn("_feats", block_features(F.col(html_col)))
+        .withColumns(
+            {
+                "main_text": F.array_join(
+                    F.transform(keep, lambda s: s.getField("text")), " "
+                ),
+                "n_blocks": F.size(F.col("_feats")),
+                "n_content_blocks": F.size(keep),
+            }
+        )
+        .drop("_feats")
     )
 
 
