@@ -450,6 +450,57 @@ def walk_warc_records(chunks, source_file: str = ""):
                 s.skip_to_magic()
 
 
+def _walk_files(files: DataFrame, batch_rows: int, batch_bytes: int) -> DataFrame:
+    """``path``-column frame → walked record frame (batch OR streaming —
+    mapInPandas is stateless per file, so the same walker serves both;
+    the WET readers' shared-parse discipline applied to the walk)."""
+
+    def _walk(batches):
+        import pandas as pd
+
+        cols = [
+            "source_file",
+            "record_offset",
+            "headers",
+            "payload",
+            "framing_ok",
+            "parse_error",
+        ]
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows, nbytes = [], 0
+                for rec in walk_warc_records(_file_chunks(p), source_file=p):
+                    rows.append(rec)
+                    nbytes += len(rec[3])
+                    if len(rows) >= batch_rows or nbytes >= batch_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_walk, schema=_WALK_SCHEMA)
+
+
+def _parse_walked(walked: DataFrame, record_types: tuple[str, ...]) -> DataFrame:
+    out = walked.select(
+        # field parsing SHARED with the WET reader — same expressions
+        _header("headers", "WARC-Type").alias("warc_type"),
+        _header("headers", "WARC-Target-URI").alias("target_uri"),
+        _header("headers", "WARC-Date").alias("warc_date"),
+        _header("headers", "WARC-Record-ID").alias("record_id"),
+        _header("headers", "Content-Type").alias("content_type"),
+        _content_length("headers").alias("content_length"),
+        "payload",
+        "framing_ok",
+        "parse_error",
+        "source_file",
+        "record_offset",
+    )
+    if record_types:
+        out = out.where(F.col("warc_type").isin(*record_types))
+    return out
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -475,60 +526,36 @@ def read_warc(
     files = files.repartition(
         num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")), "path"
     )
+    return _parse_walked(_walk_files(files, batch_rows, batch_bytes), record_types)
 
-    def _walk(batches):
-        import pandas as pd
 
-        for pdf in batches:
-            for p in pdf["path"]:
-                rows, nbytes = [], 0
-                for rec in walk_warc_records(_file_chunks(p), source_file=p):
-                    rows.append(rec)
-                    nbytes += len(rec[3])
-                    if len(rows) >= batch_rows or nbytes >= batch_bytes:
-                        yield pd.DataFrame(
-                            rows,
-                            columns=[
-                                "source_file",
-                                "record_offset",
-                                "headers",
-                                "payload",
-                                "framing_ok",
-                                "parse_error",
-                            ],
-                        )
-                        rows, nbytes = [], 0
-                if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[
-                            "source_file",
-                            "record_offset",
-                            "headers",
-                            "payload",
-                            "framing_ok",
-                            "parse_error",
-                        ],
-                    )
-
-    walked = files.mapInPandas(_walk, schema=_WALK_SCHEMA)
-    out = walked.select(
-        # field parsing SHARED with the WET reader — same expressions
-        _header("headers", "WARC-Type").alias("warc_type"),
-        _header("headers", "WARC-Target-URI").alias("target_uri"),
-        _header("headers", "WARC-Date").alias("warc_date"),
-        _header("headers", "WARC-Record-ID").alias("record_id"),
-        _header("headers", "Content-Type").alias("content_type"),
-        _content_length("headers").alias("content_length"),
-        "payload",
-        "framing_ok",
-        "parse_error",
-        "source_file",
-        "record_offset",
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int | None = None,
+    batch_rows: int = 128,
+    batch_bytes: int = 1 << 26,
+) -> DataFrame:
+    """:func:`read_warc` as a Structured Streaming source — the raw-
+    crawl twin of :func:`read_wet_stream`: new .warc(.gz) shards landing
+    in ``path`` are walked and parsed incrementally (binaryFile stream
+    source, exactly-once per shard via the checkpointed file log; only
+    the ``path`` column is projected, so shard CONTENT is read by the
+    walker, not the source). The walk and the header parse are the SAME
+    code as the batch reader (:func:`_walk_files` / :func:`_parse_walked`),
+    so stream and batch cannot drift. No repartition here — a streaming
+    micro-batch is already file-granular; ``max_files_per_trigger``
+    bounds it."""
+    # the streaming file source demands an explicit schema; binaryFile's
+    # is fixed by the format (and `content` is pruned away by the select)
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
     )
-    if record_types:
-        out = out.where(F.col("warc_type").isin(*record_types))
-    return out
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path")
+    return _parse_walked(_walk_files(files, batch_rows, batch_bytes), record_types)
 
 
 #: HTTP envelope split (latin-1 trick: ISO-8859-1 maps bytes<->chars

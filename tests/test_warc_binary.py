@@ -173,3 +173,34 @@ def test_write_warc_roundtrip_and_wet_parity(spark, tmp_path):
 def test_read_warc_scheme_boundary():
     with pytest.raises(NotImplementedError):
         list(warc._file_chunks("s3a://bucket/shard.warc"))
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    """The streaming binary reader shares the walk and the header parse
+    with the batch reader; maxFilesPerTrigger=1 proves per-shard
+    incremental ingest (one .warc and one .warc.gz shard)."""
+    src = tmp_path / "warc_src"
+    src.mkdir()
+    (src / "s0.warc").write_bytes(
+        _record(_http(b"<p>a0</p>")) + _record(_http(b"<p>a1</p>"), uri=b"http://e.com/a1")
+    )
+    (src / "s1.warc.gz").write_bytes(
+        gzip.compress(_record(_http(b"<p>b0</p>"), uri=b"http://e.com/b0"))
+    )
+    key = lambda r: (r["target_uri"], bytes(r["payload"]), r["framing_ok"])  # noqa: E731
+    batch = {key(r) for r in warc.read_warc(spark, str(src) + "/*").collect()}
+    q = (
+        warc.read_warc_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {key(r) for r in spark.sql("select * from warc_stream_t").collect()}
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert got == batch and len(got) == 3
+    assert n_batches >= 2  # one shard per trigger
