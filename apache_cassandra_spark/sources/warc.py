@@ -559,8 +559,15 @@ def read_warc_stream(
 
 
 #: HTTP envelope split (latin-1 trick: ISO-8859-1 maps bytes<->chars
-#: bijectively, so decode -> regexp -> encode is byte-lossless)
+#: bijectively, so decode -> regexp -> encode is byte-lossless).
+#: LENIENT line endings (\r?\n) — unlike the WARC record grammar, which
+#: is spec-CRLF, captured HTTP responses come from arbitrary servers
+#: and LF-only header blocks are common in real crawls; a strict CRLF
+#: split would silently misfile the whole response as body
 _HTTP_STATUS_RE = r"^HTTP/[0-9.]+[ \t]+(\d{3})"
+_HTTP_HEADERS_RE = r"(?s)^(.*?)\r?\n\r?\n"
+_HTTP_BODY_RE = r"(?s)^.*?\r?\n\r?\n(.*)$"
+_HTTP_ENV_RE = r"(?s)^HTTP/.*?\r?\n\r?\n"
 
 
 def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -573,13 +580,16 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
     ``make_valid_utf8``, never a task-killing ANSI decode error).
 
     Codegen expressions end to end over the lossless ISO-8859-1 view of
-    the payload — no UDF, no shuffle. Payloads with no HTTP header
-    terminator (non-HTTP records, truncated responses) get NULL
-    ``http_status`` and the WHOLE payload as ``body``."""
+    the payload — no UDF, no shuffle. Line endings are LENIENT
+    (``\\r?\\n``): captured responses come from arbitrary servers and
+    LF-only header blocks are common in real crawls. Payloads with no
+    HTTP header terminator at all (non-HTTP records, truncated
+    responses) get NULL ``http_status`` and the WHOLE payload as
+    ``body``."""
     raw = F.decode(F.col(payload_col), "ISO-8859-1")
-    env = F.regexp_extract(raw, _HEADERS_RE, 1)
-    has_env = raw.rlike(r"(?s)^HTTP/.*?\r\n\r\n")
-    body_str = F.when(has_env, F.regexp_extract(raw, _PAYLOAD_RE, 1)).otherwise(raw)
+    env = F.regexp_extract(raw, _HTTP_HEADERS_RE, 1)
+    has_env = raw.rlike(_HTTP_ENV_RE)
+    body_str = F.when(has_env, F.regexp_extract(raw, _HTTP_BODY_RE, 1)).otherwise(raw)
     ctype = F.lower(_header(env, "Content-Type"))
     charset = F.lower(
         F.regexp_extract(ctype, r"charset[ \t]*=[ \t]*\"?([a-z0-9_.:-]+)", 1)

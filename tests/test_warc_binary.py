@@ -204,3 +204,17 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
         q.stop()
     assert got == batch and len(got) == 3
     assert n_batches >= 2  # one shard per trigger
+
+
+def test_http_parts_lf_only_header_block(spark, tmp_path):
+    """Real servers emit LF-only header blocks; the HTTP split must
+    still find the envelope (the WARC record grammar stays strict CRLF
+    — only the CAPTURED response is lenient)."""
+    payload = b"HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\nmissing page"
+    p = tmp_path / "lf.warc"
+    p.write_bytes(_record(payload, uri=b"http://e.com/lf"))
+    r = warc.http_response_parts(warc.read_warc(spark, str(p))).collect()[0]
+    assert r["framing_ok"] is True
+    assert r["http_status"] == 404
+    assert r["http_content_type"] == "text/plain"
+    assert bytes(r["body"]) == b"missing page"
