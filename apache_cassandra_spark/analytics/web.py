@@ -215,8 +215,10 @@ def registrable_domain(host: Column, psl: PublicSuffixList | None = None) -> Col
     :data:`MULTI_SUFFIXES` two-label subset — the exact expression the
     gate oracles replay. Pass a loaded :class:`PublicSuffixList` for
     full-PSL semantics: longest-match across plain rules, ``*.``
-    wildcards (``a.b.kawasaki.jp`` → ``b.kawasaki.jp``) and ``!``
-    exceptions (``sub.city.kawasaki.jp`` → ``city.kawasaki.jp``).
+    wildcards (under ``*.kawasaki.jp`` the public suffix of
+    ``x.a.b.kawasaki.jp`` is ``b.kawasaki.jp``, so its registrable
+    domain is ``a.b.kawasaki.jp``) and ``!`` exceptions
+    (``sub.city.kawasaki.jp`` → ``city.kawasaki.jp``).
 
     Either way the result is pure array/set expressions — map-only,
     codegen, no UDF, no join: the rule sets compile to ``InSet`` hash
@@ -240,28 +242,39 @@ def registrable_domain(host: Column, psl: PublicSuffixList | None = None) -> Col
             n >= k, F.array_join(F.slice(labels, n - k + 1, k), ".")
         ).otherwise(F.lit(""))
 
-    exact_lens = sorted({r.count(".") + 1 for r in psl.exact})
-    wild_lens = sorted({b.count(".") + 2 for b in psl.wild})
-    exc_lens = sorted({e.count(".") + 1 for e in psl.exc})
+    # partition the rule sets by suffix label count: an s-label string can
+    # only ever equal an s-label rule, so probing the FULL ~9k-rule set at
+    # every length would serialize ~5 needless InSet copies into the task
+    # binary for nothing
+    exact_by_len: dict[int, list[str]] = {}
+    for r in sorted(psl.exact):
+        exact_by_len.setdefault(r.count(".") + 1, []).append(r)
+    wild_by_len: dict[int, list[str]] = {}
+    for b in sorted(psl.wild):
+        wild_by_len.setdefault(b.count(".") + 2, []).append(b)
+    exc_by_len: dict[int, list[str]] = {}
+    for e in sorted(psl.exc):
+        exc_by_len.setdefault(e.count(".") + 1, []).append(e)
     # suffix length s by longest match: plain rule of s labels, or a
     # wildcard base of s-1 labels (the * consumes one real label).
     # Ascending build => the LONGEST s ends outermost in the CASE chain.
     take = F.lit(2)  # the implicit-* fallback: suffix = last label, +1
-    for s in sorted({*exact_lens, *wild_lens}):
+    for s in sorted({*exact_by_len, *wild_by_len}):
         if s < 2:
             continue  # s=1 plain match gives take=2 — the default already
         matched = F.lit(False)
-        if s in exact_lens:
-            matched = matched | last_k(s).isin(*sorted(psl.exact))
-        if s in wild_lens:
-            matched = matched | last_k(s - 1).isin(*sorted(psl.wild))
+        if s in exact_by_len:
+            matched = matched | last_k(s).isin(*exact_by_len[s])
+        if s in wild_by_len:
+            matched = matched | last_k(s - 1).isin(*wild_by_len[s])
         take = F.when((n >= s) & matched, F.lit(s + 1)).otherwise(take)
     take = F.least(take, n)
     dom = F.array_join(F.slice(labels, n - take + 1, take), ".")
     # exceptions override (an exception IS the registrable domain);
     # ascending build again so the longest exception wins
-    for k in exc_lens:
-        dom = F.when((n >= k) & last_k(k).isin(*sorted(psl.exc)), last_k(k)).otherwise(dom)
+    for k, rules in sorted(exc_by_len.items()):
+        lk = last_k(k)
+        dom = F.when((n >= k) & lk.isin(*rules), lk).otherwise(dom)
     return dom
 
 

@@ -6247,10 +6247,16 @@ ORACLES["corpus_outlink_graph"] = f"""
 # events_hourly, dedup_containment, docs_novelty_topk, tpch_top_nations,
 # corpus_ngram_topk, corpus_decontaminate — see COVERAGE.md "Gate
 # retirements (round 11)"), bringing the oracle-bound ledger to EXACTLY
-# 150 = the 50-slot x 3-round rotation budget, zero headroom. Standing
-# rule adopted with the verdict: any new oracle-bound gate must name its
-# funding retirement (executed or formally proposed with receipts) in the
-# SAME commit that registers it. First-50 = the six r10 crawl prebuilds
+# 150 = the 50-slot x 3-round rotation budget. Standing rule adopted
+# with the verdict: any new oracle-bound gate must name its funding
+# retirement (executed or formally proposed with receipts) in the SAME
+# commit that registers it. Honest ledger AFTER this round's builds:
+# two new oracle-bound gates landed (corpus_warc_roundtrip,
+# corpus_main_content) = 152, two over the ceiling, funded by the two
+# formally-proposed retirements in COVERAGE.md "Proposed gate
+# retirements (round 11)" (events_windowed, cass_multiget) — the same
+# pending-endorsement posture the r10 verdict graded plan-disciplined;
+# the new gates wait below the window until the proposals are endorsed. First-50 = the six r10 crawl prebuilds
 # (owed their first driver rows) + dedup_prefix_containment (the naive
 # twin's retirement hands the containment slot to the PREFIX plan) +
 # text_collocations (never gated; half the corpus_ngram_topk retirement
@@ -6260,7 +6266,9 @@ ORACLES["corpus_outlink_graph"] = f"""
 # tpch_q22ish, events_clustering_coeff, text_readability, events_ohlc,
 # tpch_q17ish, tpch_q19ish, tpch_q21ish) + 42 of the 46-row round-10
 # cohort; the r9 cohort (47 rows) then splits across r12's remainder and
-# r13.
+# r13. (With the two r11 prebuilds the r12 lead cohort is TEN
+# never-gated entries + 40 of the r10 cohort; the arithmetic shifts by
+# exactly the two pending endorsements.)
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
@@ -6430,9 +6438,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "cluster_kmeans": q_cluster_kmeans,
     "events_quantiles_approx": q_events_quantiles_approx,
-    # --- pre-built awaiting their first driver rows: these eight LEAD
-    # the round-12 window (never-gated beats stale in rotation priority),
-    # followed by the round-9 cohort above ---
+    # --- pre-built awaiting their first driver rows: these (eight queued
+    # from r10 + the two r11 builds) LEAD the round-12 window
+    # (never-gated beats stale in rotation priority), followed by the
+    # round-10 cohort above ---
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
     "corpus_main_content": q_corpus_main_content,

