@@ -701,6 +701,34 @@ def responses_to_pages(df: DataFrame, ok_statuses: tuple[int, ...] = (200,)) -> 
     )
 
 
+def warc_to_wet(
+    spark: SparkSession,
+    warc_path: str,
+    wet_path: str,
+    ok_statuses: tuple[int, ...] = (200,),
+    main_content_only: bool = False,
+) -> None:
+    """Regenerate a WET text sidecar from raw WARC shards — the
+    conversion Common Crawl itself runs: walk ``response`` records,
+    keep well-framed OK HTML, render text (whole page, or the
+    densitometric main content with ``main_content_only=True``), and
+    write ``conversion`` records whose ``WARC-Date`` preserves the
+    capture date. One composed DataFrame graph (walk → HTTP split →
+    markup strip → text sink), nothing driver-side; pages rendering to
+    empty text are dropped (a conversion record with an empty payload
+    frames fine but carries nothing)."""
+    from apache_cassandra_spark.analytics import html as H
+
+    pages = responses_to_pages(read_warc(spark, warc_path), ok_statuses=ok_statuses)
+    text = (
+        H.main_content(F.col("html")) if main_content_only else H.html_to_text(F.col("html"))
+    )
+    out = pages.select("url", F.col("fetched_at").alias("_date"), text.alias("text")).where(
+        F.col("text") != ""
+    )
+    write_wet(out, wet_path, date_col="_date")
+
+
 def write_warc(
     df: DataFrame,
     path: str,

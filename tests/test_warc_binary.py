@@ -241,3 +241,37 @@ def test_malformed_header_block_does_not_donate_content_length(tmp_path):
     recs = list(warc.walk_warc_records([junk + good]))
     assert any(r[5] == "malformed_headers" for r in recs)
     assert any(r[3] == b"survivor" and r[4] for r in recs)
+
+
+def test_warc_to_wet_regenerates_text_sidecar(spark, tmp_path):
+    """The Common Crawl conversion, composed: raw response shards in,
+    WET conversion records out — capture dates preserved, non-HTML and
+    non-200 records dropped, markup rendered to text."""
+    raw = (
+        _record(_http("<p>alpha &amp; beta</p>".encode()), uri=b"http://e.com/a",
+                date=b"2014-05-05T05:05:05Z")
+        + _record(_http(b"plain", ctype=b"text/plain"), uri=b"http://e.com/txt")
+        + _record(_http(b"<p>gone</p>", status=b"404 Not Found"), uri=b"http://e.com/404")
+    )
+    (tmp_path / "in.warc").write_bytes(raw)
+    out = str(tmp_path / "wet_out")
+    warc.warc_to_wet(spark, str(tmp_path / "in.warc"), out)
+    rows = warc.read_wet(spark, out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["target_uri"] == "http://e.com/a"
+    assert r["warc_date"] == "2014-05-05T05:05:05Z"  # capture date kept
+    assert r["text"] == "alpha & beta"
+    assert r["framing_ok"] is True
+
+
+def test_warc_to_wet_main_content_only(spark, tmp_path):
+    page = (
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        "<p>The body paragraph with comfortably more than eight words inside it today.</p>"
+    )
+    (tmp_path / "in.warc").write_bytes(_record(_http(page.encode()), uri=b"http://e.com/m"))
+    out = str(tmp_path / "wet_main")
+    warc.warc_to_wet(spark, str(tmp_path / "in.warc"), out, main_content_only=True)
+    r = warc.read_wet(spark, out).collect()[0]
+    assert r["text"].startswith("The body paragraph") and "Home" not in r["text"]
