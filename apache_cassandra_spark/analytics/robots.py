@@ -1,0 +1,170 @@
+"""robots.txt (Robots Exclusion Protocol, RFC 9309) — the crawl-policy
+half of the front door: which captured URLs a polite pipeline may keep.
+
+A crawl-curation pass joins each page against its domain's robots rules
+and keeps the allowed ones (compliance filtering — the same stage real
+crawl pipelines run before corpus prep). Everything is DataFrame-native:
+
+- :func:`parse_robots` turns one robots.txt document per domain into
+  ``(domain, rule_path, allow, rule_len)`` rows for one user-agent —
+  the sequential group grammar (consecutive ``User-agent`` lines share
+  the following rule block) is recovered with per-domain windows over
+  the line number, so a million robots documents parse as ONE
+  shuffle-on-domain plan, no driver-side parsing.
+- :func:`match_allowed` joins pages to their domain's rules and applies
+  RFC 9309 matching: ``*`` wildcards, ``$`` end anchor,
+  longest-rule-wins, Allow wins ties, no-match ⇒ allowed, no robots ⇒
+  allowed. Per-domain rule lists are small (tens of rows), so the join
+  fans out O(pages × rules-per-domain) and the winner is a
+  WindowGroupLimit per page.
+
+RFC 9309 nuances implemented: group selection prefers the EXACT
+user-agent token over ``*`` (product token match, case-insensitive);
+rules outside any group are ignored; an empty ``Disallow:`` value
+matches nothing (allows all); only the path+query of the URL is
+matched. Percent-decoding equivalence and ``crawl-delay`` (non-standard)
+are out of scope, documented here rather than silently wrong.
+
+Reference parity note: the reference fork has no crawl machinery — this
+extends the engine for the LLM-pipeline mandate (RFC 9309 is public).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rule_regex(path: Column) -> Column:
+    """RFC 9309 rule path → Java regex: escape metacharacters, ``*`` →
+    ``.*``, a trailing ``$`` anchors (a ``$`` anywhere else is literal).
+    Anchored at the start (rules match from the path's first byte)."""
+    # escape everything regex-special except * and $ (handled after)
+    esc = F.regexp_replace(path, r"([.\[\]{}()+?\\^|])", r"\\$1")
+    has_anchor = esc.endswith("$")
+    body = F.when(has_anchor, F.substring(esc, 1, F.length(esc) - 1)).otherwise(esc)
+    # interior $ is literal: Java replacement needs BOTH chars escaped
+    # (a dangling $ in the replacement is an illegal group reference)
+    body = F.regexp_replace(body, r"\$", r"\\\$")
+    body = F.regexp_replace(body, r"\*", ".*")
+    return F.concat(F.lit("^"), body, F.when(has_anchor, F.lit("$")).otherwise(F.lit("")))
+
+
+def parse_robots(
+    df: DataFrame,
+    agent: str = "*",
+    text_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Rules governing ``agent`` from one robots.txt per domain →
+    ``(domain, rule_path, allow, rule_len, rule_regex)``.
+
+    Group grammar per RFC 9309: consecutive ``User-agent:`` lines open
+    ONE group whose rule block runs to the next ``User-agent`` line
+    that follows a rule line; the group matching the exact agent token
+    wins, else the ``*`` group; if the exact agent has ANY group, every
+    ``*`` group is ignored (the RFC's most-specific-group rule). Empty
+    ``Disallow:`` values drop (match nothing). Comments (``#``) strip.
+
+    Plan: posexplode lines → per-domain window (running group id = a
+    cumulative count of group STARTS, where a group start is a UA line
+    whose previous line is not a UA line) → rules join their group's
+    agent set via a per-(domain, gid) aggregate. Two shuffles on
+    (domain) / (domain, gid); robots documents are KB-sized, so both
+    exchanges move one small row set per site."""
+    agent_lc = agent.lower()
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("lno", "line"),
+    ).select(
+        "domain",
+        "lno",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "domain",
+        "lno",
+        F.lower(F.trim(F.regexp_extract("line", r"(?i)^([a-z-]+)\s*:", 1))).alias("field"),
+        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1)).alias("value"),
+    ).where(F.col("field").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("domain").orderBy("lno")
+    is_ua = (F.col("field") == "user-agent").cast("int")
+    grouped = parsed.withColumn(
+        "_start",
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0),
+    ).withColumn("gid", F.sum(F.col("_start").cast("int")).over(w))
+    # agent set per group: does it name our agent exactly? the wildcard?
+    agents = (
+        grouped.where(F.col("field") == "user-agent")
+        .groupBy("domain", "gid")
+        .agg(
+            F.max((F.lower("value") == agent_lc).cast("int")).alias("has_exact"),
+            F.max((F.col("value") == "*").cast("int")).alias("has_star"),
+        )
+    )
+    # most-specific-group rule: a domain with ANY exact group ignores *
+    dom_exact = agents.groupBy("domain").agg(F.max("has_exact").alias("dom_exact"))
+    picked = agents.join(dom_exact, "domain").where(
+        (F.col("has_exact") == 1)
+        | ((F.col("dom_exact") == 0) & (F.col("has_star") == 1))
+    )
+    rules = (
+        grouped.where(F.col("field").isin("allow", "disallow") & (F.col("gid") > 0))
+        .join(picked.select("domain", "gid"), ["domain", "gid"], "left_semi")
+        .where(F.col("value") != "")  # empty Disallow: matches nothing
+        .select(
+            "domain",
+            F.col("value").alias("rule_path"),
+            (F.col("field") == "allow").alias("allow"),
+            F.length("value").alias("rule_len"),
+        )
+        .withColumn("rule_regex", _rule_regex(F.col("rule_path")))
+    )
+    return rules
+
+
+def match_allowed(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``allowed`` (and the winning ``matched_rule``) to pages:
+    RFC 9309 longest-match — among the domain's rules whose path
+    pattern matches the URL's path+query, the longest wins; ties break
+    Allow; no matching rule (or no robots for the domain) ⇒ allowed.
+
+    Input contract (the prepare_crawl convention): ``id_col`` must be
+    unique per page row — it keys the per-page winner window.
+
+    Plan: LEFT join pages→rules on domain (per-domain rule lists are
+    tens of rows — the fan-out is O(pages × rules/domain), AQE-decided),
+    per-row regex match, then one WindowGroupLimit per page for the
+    longest winner."""
+    path = F.concat(
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), F.lit("")),
+            F.lit("/"),
+        ),
+        F.regexp_extract(F.col(url_col), r"^[^?#]*(\?[^#]*)", 1),
+    )
+    keyed = pages.withColumn("_path", path)
+    joined = keyed.join(rules, keyed[domain_col] == rules["domain"], "left").drop(
+        rules["domain"]
+    )
+    matched = joined.withColumn(
+        "_hit", F.col("rule_regex").isNotNull() & F.expr("_path rlike rule_regex")
+    )
+    w = Window.partitionBy(keyed[id_col]).orderBy(
+        F.col("_hit").desc(),
+        F.col("rule_len").desc(),
+        F.col("allow").desc(),
+        F.col("rule_path").asc_nulls_last(),  # total order: deterministic winner
+    )
+    ranked = matched.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return ranked.select(
+        *pages.columns,
+        F.coalesce(F.when(F.col("_hit"), F.col("allow")), F.lit(True)).alias("allowed"),
+        F.when(F.col("_hit"), F.col("rule_path")).alias("matched_rule"),
+    )

@@ -1,0 +1,157 @@
+"""robots.txt (RFC 9309) parsing + URL permission matching — group
+grammar, wildcard/anchor matching, longest-match/Allow-wins precedence,
+and a spec-worded Python-model fuzz."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from apache_cassandra_spark.analytics import robots
+
+ROBOTS = """\
+# site policy
+User-agent: *
+Disallow: /private/
+Allow: /private/public-bit/
+Disallow: /*.pdf$
+Disallow: /tmp
+
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /only-good-blocked/
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def _rules(spark, agent, text=ROBOTS, domain="e.com"):
+    df = spark.createDataFrame([(domain, text)], "domain string, robots_txt string")
+    return robots.parse_robots(df, agent=agent)
+
+
+def _allowed(spark, agent, urls, text=ROBOTS):
+    rules = _rules(spark, agent, text)
+    pages = spark.createDataFrame(
+        [(i, u, "e.com") for i, u in enumerate(urls)], "doc_id long, url string, domain string"
+    )
+    out = robots.match_allowed(pages, rules)
+    return {r["url"]: (r["allowed"], r["matched_rule"]) for r in out.collect()}
+
+
+def test_group_selection_exact_beats_star(spark):
+    # badbot gets its own group (total block), not the * group
+    got = _allowed(spark, "badbot", ["http://e.com/anything", "http://e.com/private/x"])
+    assert all(v[0] is False for v in got.values())
+    # goodbot: ONLY its group applies — /private/ (a * rule) is allowed
+    got = _allowed(
+        spark, "goodbot", ["http://e.com/private/x", "http://e.com/only-good-blocked/x"]
+    )
+    assert got["http://e.com/private/x"][0] is True
+    assert got["http://e.com/only-good-blocked/x"][0] is False
+
+
+def test_star_group_wildcards_anchor_and_precedence(spark):
+    got = _allowed(
+        spark,
+        "plainbot",
+        [
+            "http://e.com/",                          # no rule -> allowed
+            "http://e.com/private/secret",            # Disallow /private/
+            "http://e.com/private/public-bit/a",      # longer Allow wins
+            "http://e.com/doc.pdf",                   # /*.pdf$ anchored
+            "http://e.com/doc.pdf?x=1",               # query defeats the $ anchor
+            "http://e.com/tmp-file",                  # prefix rule /tmp
+            "http://e.com/a/doc.pdfx",                # .pdfx doesn't end in .pdf
+        ],
+    )
+    assert got["http://e.com/"][0] is True and got["http://e.com/"][1] is None
+    assert got["http://e.com/private/secret"] == (False, "/private/")
+    assert got["http://e.com/private/public-bit/a"] == (True, "/private/public-bit/")
+    assert got["http://e.com/doc.pdf"] == (False, "/*.pdf$")
+    assert got["http://e.com/doc.pdf?x=1"][0] is True
+    assert got["http://e.com/tmp-file"] == (False, "/tmp")
+    assert got["http://e.com/a/doc.pdfx"][0] is True
+
+
+def test_shared_ua_lines_one_group(spark):
+    got = _allowed(spark, "otherbot", ["http://e.com/only-good-blocked/x", "http://e.com/private/x"])
+    assert got["http://e.com/only-good-blocked/x"][0] is False
+    assert got["http://e.com/private/x"][0] is True  # * group ignored: otherbot has its own
+
+
+def test_empty_disallow_and_missing_robots(spark):
+    got = _allowed(spark, "anybot", ["http://e.com/x"], text="User-agent: *\nDisallow:\n")
+    assert got["http://e.com/x"][0] is True
+    # a page whose domain has NO robots rules at all
+    rules = _rules(spark, "anybot")
+    pages = spark.createDataFrame(
+        [(1, "http://other.com/x", "other.com")], "doc_id long, url string, domain string"
+    )
+    out = robots.match_allowed(pages, rules).collect()[0]
+    assert out["allowed"] is True and out["matched_rule"] is None
+
+
+def test_case_insensitive_fields_and_comments(spark):
+    text = "USER-AGENT: MyBot # the agent\nDISALLOW: /x # comment\nallow: /x/y\n"
+    got = _allowed(spark, "mybot", ["http://e.com/x/a", "http://e.com/x/y/b"], text=text)
+    assert got["http://e.com/x/a"][0] is False
+    assert got["http://e.com/x/y/b"][0] is True
+
+
+def test_regex_metachars_in_rule_paths_are_literal(spark):
+    text = "User-agent: *\nDisallow: /a(b)/c+d/\n"
+    got = _allowed(spark, "x", ["http://e.com/a(b)/c+d/e", "http://e.com/ab/cd/e"], text=text)
+    assert got["http://e.com/a(b)/c+d/e"][0] is False
+    assert got["http://e.com/ab/cd/e"][0] is True
+
+
+# --- spec-worded Python model + fuzz ---
+
+
+def _py_match(rule, path):
+    i, parts = 0, rule.rstrip("$").split("*")
+    anchored = rule.endswith("$")
+    pos = 0
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:]:
+        j = path.find(part, pos)
+        if j == -1:
+            return False
+        pos = j + len(part)
+    if anchored:
+        # the last part must reach the end (greedy * can absorb the rest
+        # unless the rule ends with a literal segment)
+        if parts[-1] == "":
+            return True
+        return path.endswith(parts[-1]) and len(path) >= pos
+    return True
+
+
+def _py_allowed(rules, path):
+    hits = [(len(r), allow, r) for (r, allow) in rules if _py_match(r, path)]
+    if not hits:
+        return True
+    best = max(hits, key=lambda h: (h[0], h[1]))
+    return best[1]
+
+
+def test_fuzz_matcher_vs_python_model(spark):
+    rnd = random.Random(7)
+    segs = ["/a", "/bb", "/ccc", "/d.pdf", "/e", "*", ""]
+    rules = []
+    for _ in range(12):
+        r = "/" + "".join(rnd.choices(["a", "b", "*", ".", "x/"], k=rnd.randint(1, 5)))
+        if rnd.random() < 0.3:
+            r += "$"
+        rules.append((r, rnd.random() < 0.5))
+    text = "User-agent: *\n" + "\n".join(
+        ("Allow: " if allow else "Disallow: ") + r for r, allow in rules
+    )
+    paths = ["/" + "".join(rnd.choices(["a", "b", "x/", ".", "q"], k=rnd.randint(0, 6))) for _ in range(80)]
+    urls = [f"http://e.com{p}" for p in paths]
+    got = _allowed(spark, "fuzzbot", urls, text=text)
+    for p, u in zip(paths, urls):
+        assert got[u][0] == _py_allowed(rules, p), (p, got[u])
