@@ -299,6 +299,7 @@ OPS = {
     # and the binary-WARC write+walk+HTTP-split boundary
     "main_content": lambda d: _main_content_op(d),
     "warc_roundtrip": lambda d: _warc_rt_op(d),
+    "robots_match": lambda d: _robots_op(d),
 }
 
 
@@ -339,6 +340,38 @@ def _warc_rt_op(docs: DataFrame) -> int:
         return docs.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _robots_op(docs: DataFrame) -> int:
+    """robots.txt compliance filter: 250-site robots universe (fixed),
+    pages scale with the corpus — measures the pages x rules-per-domain
+    join + the per-page winner window."""
+    from apache_cassandra_spark.analytics import robots
+
+    spark = docs.sparkSession
+    doms = spark.range(250).select(
+        F.concat(F.lit("site"), F.col("id")).alias("domain"),
+        F.lit(
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+            "Disallow: /*.pdf$\nDisallow: /tmp\n"
+        ).alias("robots_txt"),
+    )
+    rules = robots.parse_robots(doms)
+    dom = F.concat(F.lit("site"), (F.col("doc_id") % 250).cast("string"))
+    leaf = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("private/x"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("private/ok/y"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("doc.pdf"))
+        .otherwise(F.lit("page"))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), dom, F.lit("/"), leaf).alias("url"),
+        dom.alias("domain"),
+    )
+    out = robots.match_allowed(pages, rules)
+    out.agg(F.sum(F.col("allowed").cast("long"))).collect()
+    return docs.count()
 
 
 def _boiler(docs: DataFrame) -> DataFrame:
