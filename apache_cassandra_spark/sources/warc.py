@@ -636,15 +636,46 @@ _HTTP_HEADERS_RE = r"(?s)^(.*?)\r?\n\r?\n"
 _HTTP_BODY_RE = r"(?s)^.*?\r?\n\r?\n(.*)$"
 _HTTP_ENV_RE = r"(?s)^HTTP/.*?\r?\n\r?\n"
 
+#: single-byte charsets decoded EXACTLY via codegen `translate` over the
+#: ISO-8859-1 view (ASCII-compatible; only the high half differs). A real
+#: Java `decode` would be ANSI-fatal on the few UNDEFINED code points
+#: these sets carry (0x81/0x8D/0x8F/0x90/0x9D in cp1252, 0x98 in cp1251)
+#: — the translate table maps those to U+FFFD instead, total by
+#: construction. Declared-token → Python codec; None = identity (the
+#: latin-1 view IS the decode).
+_SINGLE_BYTE_CHARSETS: dict[str, str | None] = {
+    "iso-8859-1": None,
+    "latin-1": None,
+    "latin1": None,
+    "us-ascii": None,
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "windows-1251": "cp1251",
+    "cp1251": "cp1251",
+    "koi8-r": "koi8_r",
+    "iso-8859-2": "iso8859_2",
+    "iso-8859-5": "iso8859_5",
+    "iso-8859-15": "iso8859_15",
+}
+
+
+def _sb_decode(body_str: Column, codec: str) -> Column:
+    """Exact single-byte decode of the latin-1 view: remap the 128 high
+    characters through the codec's table (undefined positions →
+    U+FFFD). One `translate` — codegen, never throws."""
+    hi = bytes(range(128, 256))
+    return F.translate(body_str, hi.decode("iso-8859-1"), hi.decode(codec, "replace"))
+
 
 def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Split ``response`` payloads into the HTTP envelope and body:
     adds ``http_status`` (int), ``http_content_type`` (lowercased media
     type, no parameters), ``http_charset`` (declared charset or ''),
     ``body`` (exact body BYTES), and ``body_text`` (body decoded by the
-    declared charset — UTF-8 unless the header says an 8-bit latin
-    charset; invalid UTF-8 sequences become U+FFFD via
-    ``make_valid_utf8``, never a task-killing ANSI decode error).
+    declared charset — the :data:`_SINGLE_BYTE_CHARSETS` families decode
+    exactly via translate tables, everything else reads as UTF-8 with
+    invalid sequences becoming U+FFFD via ``make_valid_utf8``; never a
+    task-killing ANSI decode error either way).
 
     Codegen expressions end to end over the lossless ISO-8859-1 view of
     the payload — no UDF, no shuffle. Line endings are LENIENT
@@ -662,21 +693,23 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
         F.regexp_extract(ctype, r"charset[ \t]*=[ \t]*\"?([a-z0-9_.:-]+)", 1)
     )
     body = F.encode(body_str, "ISO-8859-1")
-    latin = charset.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "windows-1252")
+    # charset-aware best-effort text, all total functions: single-byte
+    # charsets decode exactly via translate tables (incl. cp1251/koi8-r
+    # — the Cyrillic web — and cp1252's curly-quote half that a latin-1
+    # read would mangle); everything else is treated as UTF-8 — cast
+    # binary->string is unvalidated byte adoption, make_valid_utf8 then
+    # replaces malformed sequences with U+FFFD (ANSI decode would kill
+    # the task on the first bad byte of a 100 TB crawl)
+    body_text = F.make_valid_utf8(body.cast("string"))
+    for token, codec in _SINGLE_BYTE_CHARSETS.items():
+        decoded = body_str if codec is None else _sb_decode(body_str, codec)
+        body_text = F.when(charset == token, decoded).otherwise(body_text)
     return (
         df.withColumn("http_status", F.regexp_extract(env, _HTTP_STATUS_RE, 1).try_cast("int"))
         .withColumn("http_content_type", F.trim(F.regexp_extract(ctype, r"^([^;\r\n]*)", 1)))
         .withColumn("http_charset", charset)
         .withColumn("body", body)
-        # charset-aware best-effort text: latin charsets read the raw view
-        # (already exact); everything else is treated as UTF-8 — cast
-        # binary->string is unvalidated byte adoption, make_valid_utf8
-        # then replaces malformed sequences with U+FFFD (ANSI decode
-        # would kill the task on the first bad byte of a 100 TB crawl)
-        .withColumn(
-            "body_text",
-            F.when(latin, body_str).otherwise(F.make_valid_utf8(body.cast("string"))),
-        )
+        .withColumn("body_text", body_text)
     )
 
 

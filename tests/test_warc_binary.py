@@ -275,3 +275,31 @@ def test_warc_to_wet_main_content_only(spark, tmp_path):
     warc.warc_to_wet(spark, str(tmp_path / "in.warc"), out, main_content_only=True)
     r = warc.read_wet(spark, out).collect()[0]
     assert r["text"].startswith("The body paragraph") and "Home" not in r["text"]
+
+
+def test_single_byte_charset_decodes(spark, tmp_path):
+    """cp1251 (the Cyrillic web), koi8-r, and cp1252's high half decode
+    exactly; an UNDEFINED cp1252 byte becomes U+FFFD, never an error."""
+    cases = [
+        (b"http://e.com/ru", b"text/html; charset=windows-1251",
+         "Привет мир".encode("cp1251"), "Привет мир"),
+        (b"http://e.com/koi", b"text/plain; charset=koi8-r",
+         "мир".encode("koi8_r"), "мир"),
+        (b"http://e.com/cp1252", b"text/html; charset=windows-1252",
+         b"\x93quoted\x94 \x97 dash", "“quoted” — dash"),
+        (b"http://e.com/undef", b"text/html; charset=windows-1252",
+         b"bad\x81byte", "bad�byte"),
+        (b"http://e.com/utf8", b"text/html; charset=utf-8",
+         "ütf-8 ✓".encode("utf-8"), "ütf-8 ✓"),
+    ]
+    raw = b"".join(_record(_http(body, ctype=ct), uri=u) for u, ct, body, _ in cases)
+    p = tmp_path / "cs.warc"
+    p.write_bytes(raw)
+    rows = {
+        r["target_uri"]: r
+        for r in warc.http_response_parts(warc.read_warc(spark, str(p))).collect()
+    }
+    for u, _, body, want in cases:
+        r = rows[u.decode()]
+        assert bytes(r["body"]) == body  # bytes always exact
+        assert r["body_text"] == want
