@@ -434,3 +434,60 @@ def domain_stats(
         )
         .orderBy("domain")
     )
+
+
+#: one <url> or <sitemap> element (sitemaps.org protocol; sitemap
+#: documents are machine-generated, so the regexp extractor over the
+#: canonical element forms is exact in practice — a full XML parse
+#: belongs to a DOM variant, documented not silently wrong)
+_SITEMAP_URL_ELEM_RE = r"(?is)<url\s*>.*?</url\s*>"
+_SITEMAP_IDX_ELEM_RE = r"(?is)<sitemap\s*>.*?</sitemap\s*>"
+
+
+def _sitemap_field(elem: Column, tag: str) -> Column:
+    from apache_cassandra_spark.analytics.html import decode_entities
+
+    return F.trim(
+        decode_entities(F.regexp_extract(elem, rf"(?is)<{tag}\s*>(.*?)</{tag}\s*>", 1))
+    )
+
+
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    passthrough: tuple[str, ...] = ("domain",),
+) -> DataFrame:
+    """Parse sitemap.org XML documents (one per row) into one row per
+    entry: ``kind`` (``url`` for page entries, ``sitemap`` for index
+    children — feed those back through the fetcher), ``loc``
+    (entity-decoded — sitemaps escape ``&``), ``lastmod``,
+    ``changefreq``, ``priority``. The crawl-discovery complement of
+    :mod:`.robots` (robots.txt's ``Sitemap:`` lines name these files).
+
+    Plan: elements extracted and parsed IN-ARRAY (one codegen
+    projection), then a single explode — no shuffle; ``passthrough``
+    columns ride along (typically the domain key)."""
+    def entry(kind: str, elem: Column) -> Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            _sitemap_field(elem, "loc").alias("loc"),
+            _sitemap_field(elem, "lastmod").alias("lastmod"),
+            _sitemap_field(elem, "changefreq").alias("changefreq"),
+            _sitemap_field(elem, "priority").try_cast("double").alias("priority"),
+        )
+
+    xml = F.col(xml_col)
+    entries = F.concat(
+        F.transform(
+            F.regexp_extract_all(xml, F.lit(_SITEMAP_URL_ELEM_RE), 0),
+            lambda e: entry("url", e),
+        ),
+        F.transform(
+            F.regexp_extract_all(xml, F.lit(_SITEMAP_IDX_ELEM_RE), 0),
+            lambda e: entry("sitemap", e),
+        ),
+    )
+    out = df.select(*passthrough, F.explode(entries).alias("_e")).select(
+        *passthrough, "_e.kind", "_e.loc", "_e.lastmod", "_e.changefreq", "_e.priority"
+    )
+    return out.where(F.col("loc") != "")

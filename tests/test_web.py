@@ -458,3 +458,37 @@ def test_url_keys_match_duckdb_oracle_chain_on_random_urls(spark):
     )
     mismatches = [(urls[i], got[i], want[i]) for i in got if got[i] != want[i]]
     assert not mismatches, mismatches[:5]
+
+
+def test_parse_sitemap_urls_and_index(spark):
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://e.com/page?a=1&amp;b=2</loc>
+    <lastmod>2013-04-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc> http://e.com/min </loc></url>
+</urlset>"""
+    idx = """<sitemapindex><sitemap><loc>http://e.com/sitemap-2.xml</loc>
+<lastmod>2013-05-05</lastmod></sitemap></sitemapindex>"""
+    df = spark.createDataFrame(
+        [("e.com", xml), ("e.com", idx)], "domain string, sitemap_xml string"
+    )
+    rows = {(r["kind"], r["loc"]): r for r in web.parse_sitemap(df).collect()}
+    full = rows[("url", "http://e.com/page?a=1&b=2")]  # entity-decoded loc
+    assert full["lastmod"] == "2013-04-01"
+    assert full["changefreq"] == "daily"
+    assert full["priority"] == 0.8
+    minimal = rows[("url", "http://e.com/min")]  # whitespace trimmed
+    assert minimal["lastmod"] == "" and minimal["priority"] is None
+    child = rows[("sitemap", "http://e.com/sitemap-2.xml")]
+    assert child["lastmod"] == "2013-05-05"
+    assert len(rows) == 3
+
+
+def test_parse_sitemap_is_single_projection_plus_explode(spark):
+    df = spark.createDataFrame([("d", "<urlset/>")], "domain string, sitemap_xml string")
+    plan = web.parse_sitemap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
