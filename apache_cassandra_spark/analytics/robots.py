@@ -168,3 +168,23 @@ def match_allowed(
         F.coalesce(F.when(F.col("_hit"), F.col("allow")), F.lit(True)).alias("allowed"),
         F.when(F.col("_hit"), F.col("rule_path")).alias("matched_rule"),
     )
+
+
+def sitemap_urls(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt → ``(domain,
+    sitemap_url)`` rows, one per directive. RFC 9309 scopes these
+    OUTSIDE user-agent groups (they apply globally), so no group
+    recovery is needed — one codegen extract-all + explode per
+    document; feed the results to the fetcher and the fetched XML to
+    :func:`..web.parse_sitemap`."""
+    urls = F.expr(
+        f"regexp_extract_all({text_col}, '(?im)^\\\\s*sitemap\\\\s*:\\\\s*(\\\\S+)', 1)"
+    )
+    return (
+        df.select(F.col(domain_col).alias("domain"), F.explode(urls).alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )

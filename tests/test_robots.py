@@ -155,3 +155,14 @@ def test_fuzz_matcher_vs_python_model(spark):
     got = _allowed(spark, "fuzzbot", urls, text=text)
     for p, u in zip(paths, urls):
         assert got[u][0] == _py_allowed(rules, p), (p, got[u])
+
+
+def test_sitemap_directives_global_scope(spark):
+    text = (
+        "Sitemap: http://e.com/sitemap.xml\n"
+        "User-agent: x\nDisallow: /\n"
+        "sitemap:http://e.com/sitemap-news.xml\n"  # case/space lenient
+    )
+    df = spark.createDataFrame([("e.com", text)], "domain string, robots_txt string")
+    got = {r["sitemap_url"] for r in robots.sitemap_urls(df).collect()}
+    assert got == {"http://e.com/sitemap.xml", "http://e.com/sitemap-news.xml"}
