@@ -73,19 +73,26 @@ def parse_robots(
     (domain) / (domain, gid); robots documents are KB-sized, so both
     exchanges move one small row set per site."""
     agent_lc = agent.lower()
+    # real-world formatting is hostile in fail-OPEN ways (a dropped rule
+    # means "allowed"): strip a leading UTF-8 BOM (reference parsers
+    # skip it), split on \r\n, bare \r, OR bare \n (CR-only files exist
+    # in crawl corpora), and trim TABS as well as spaces (RFC 9309's
+    # *WS is space/tab; F.trim alone only strips spaces)
+    text = F.regexp_replace(F.col(text_col), "^﻿", "")
+    ws_trim = lambda c: F.regexp_replace(F.regexp_replace(c, r"^[ \t]+", ""), r"[ \t]+$", "")  # noqa: E731
     lines = df.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("lno", "line"),
+        F.posexplode(F.split(text, r"\r\n|\r|\n")).alias("lno", "line"),
     ).select(
         "domain",
         "lno",
-        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+        ws_trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
     )
     parsed = lines.select(
         "domain",
         "lno",
-        F.lower(F.trim(F.regexp_extract("line", r"(?i)^([a-z-]+)\s*:", 1))).alias("field"),
-        F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1)).alias("value"),
+        F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)[ \t]*:", 1)).alias("field"),
+        ws_trim(F.regexp_extract("line", r"(?i)^[a-z-]+[ \t]*:(.*)$", 1)).alias("value"),
     ).where(F.col("field").isin("user-agent", "allow", "disallow"))
     w = Window.partitionBy("domain").orderBy("lno")
     is_ua = (F.col("field") == "user-agent").cast("int")
@@ -142,31 +149,37 @@ def match_allowed(
     tens of rows — the fan-out is O(pages × rules/domain), AQE-decided),
     per-row regex match, then one WindowGroupLimit per page for the
     longest winner."""
-    path = F.concat(
-        F.coalesce(
-            F.nullif(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), F.lit("")),
-            F.lit("/"),
-        ),
-        F.regexp_extract(F.col(url_col), r"^[^?#]*(\?[^#]*)", 1),
+    from apache_cassandra_spark.analytics.web import _REST_RE
+
+    # the rules side is renamed up front so a pages frame carrying any
+    # 'allow'/'rule_*' column can't make references ambiguous
+    r = rules.select(
+        F.col("domain").alias("_r_domain"),
+        F.col("rule_path").alias("_r_path"),
+        F.col("allow").alias("_r_allow"),
+        F.col("rule_len").alias("_r_len"),
+        F.col("rule_regex").alias("_r_regex"),
     )
+    # path+query via web.py's shared URL grammar (_REST_RE already
+    # excludes the fragment); empty path defaults to '/'
+    rest = F.regexp_extract(F.col(url_col), _REST_RE, 1)
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
     keyed = pages.withColumn("_path", path)
-    joined = keyed.join(rules, keyed[domain_col] == rules["domain"], "left").drop(
-        rules["domain"]
-    )
+    joined = keyed.join(r, keyed[domain_col] == r["_r_domain"], "left")
     matched = joined.withColumn(
-        "_hit", F.col("rule_regex").isNotNull() & F.expr("_path rlike rule_regex")
+        "_hit", F.col("_r_regex").isNotNull() & F.expr("_path rlike _r_regex")
     )
     w = Window.partitionBy(keyed[id_col]).orderBy(
         F.col("_hit").desc(),
-        F.col("rule_len").desc(),
-        F.col("allow").desc(),
-        F.col("rule_path").asc_nulls_last(),  # total order: deterministic winner
+        F.col("_r_len").desc(),
+        F.col("_r_allow").desc(),
+        F.col("_r_path").asc_nulls_last(),  # total order: deterministic winner
     )
     ranked = matched.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
     return ranked.select(
-        *pages.columns,
-        F.coalesce(F.when(F.col("_hit"), F.col("allow")), F.lit(True)).alias("allowed"),
-        F.when(F.col("_hit"), F.col("rule_path")).alias("matched_rule"),
+        *[keyed[c] for c in pages.columns],
+        F.coalesce(F.when(F.col("_hit"), F.col("_r_allow")), F.lit(True)).alias("allowed"),
+        F.when(F.col("_hit"), F.col("_r_path")).alias("matched_rule"),
     )
 
 
@@ -181,8 +194,8 @@ def sitemap_urls(
     recovery is needed — one codegen extract-all + explode per
     document; feed the results to the fetcher and the fetched XML to
     :func:`..web.parse_sitemap`."""
-    urls = F.expr(
-        f"regexp_extract_all({text_col}, '(?im)^\\\\s*sitemap\\\\s*:\\\\s*(\\\\S+)', 1)"
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), 1
     )
     return (
         df.select(F.col(domain_col).alias("domain"), F.explode(urls).alias("sitemap_url"))

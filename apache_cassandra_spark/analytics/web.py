@@ -447,8 +447,12 @@ _SITEMAP_IDX_ELEM_RE = r"(?is)<sitemap\s*>.*?</sitemap\s*>"
 def _sitemap_field(elem: Column, tag: str) -> Column:
     from apache_cassandra_spark.analytics.html import decode_entities
 
-    return F.trim(
-        decode_entities(F.regexp_extract(elem, rf"(?is)<{tag}\s*>(.*?)</{tag}\s*>", 1))
+    raw = F.trim(F.regexp_extract(elem, rf"(?is)<{tag}\s*>(.*?)</{tag}\s*>", 1))
+    # unwrap CDATA (several common generators emit
+    # <loc><![CDATA[...]]></loc>); CDATA content is NOT entity-encoded
+    cdata = F.trim(F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1))
+    return F.when(raw.rlike(r"(?s)^<!\[CDATA\[.*\]\]>$"), cdata).otherwise(
+        F.trim(decode_entities(raw))
     )
 
 

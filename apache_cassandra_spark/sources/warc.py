@@ -644,10 +644,14 @@ _HTTP_ENV_RE = r"(?s)^HTTP/.*?\r?\n\r?\n"
 #: construction. Declared-token → Python codec; None = identity (the
 #: latin-1 view IS the decode).
 _SINGLE_BYTE_CHARSETS: dict[str, str | None] = {
-    "iso-8859-1": None,
-    "latin-1": None,
-    "latin1": None,
-    "us-ascii": None,
+    # WHATWG aliases iso-8859-1/latin-1/us-ascii to windows-1252 — the
+    # web's de-facto meaning of those labels (browsers render declared-
+    # latin-1 smart quotes via cp1252, and cp1252 is a printable
+    # superset of latin-1, so true latin-1 content is unchanged)
+    "iso-8859-1": "cp1252",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "us-ascii": "cp1252",
     "windows-1252": "cp1252",
     "cp1252": "cp1252",
     "windows-1251": "cp1251",

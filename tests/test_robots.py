@@ -166,3 +166,37 @@ def test_sitemap_directives_global_scope(spark):
     df = spark.createDataFrame([("e.com", text)], "domain string, robots_txt string")
     got = {r["sitemap_url"] for r in robots.sitemap_urls(df).collect()}
     assert got == {"http://e.com/sitemap.xml", "http://e.com/sitemap-news.xml"}
+
+
+def test_hostile_formatting_does_not_fail_open(spark):
+    """BOM prefixes, tab separators, and CR-only line endings are all
+    real-world robots.txt shapes; each previously yielded ZERO rules —
+    and zero rules means everything allowed (fail-open)."""
+    bom = "﻿User-agent: *\nDisallow: /x\n"
+    tabs = "User-agent:\t*\n\tDisallow:\t/x\n"
+    cr = "User-agent: *\rDisallow: /x\r"
+    for text in (bom, tabs, cr):
+        got = _allowed(spark, "anybot", ["http://e.com/x"], text=text)
+        assert got["http://e.com/x"][0] is False, repr(text)
+
+
+def test_pages_with_conflicting_column_names(spark):
+    """A pages frame already carrying allow/rule_path columns must not
+    make the join references ambiguous."""
+    rules = _rules(spark, "anybot")
+    pages = spark.createDataFrame(
+        [(1, "http://e.com/private/x", "e.com", True, "r")],
+        "doc_id long, url string, domain string, allow boolean, rule_path string",
+    )
+    out = robots.match_allowed(pages, rules).collect()[0]
+    assert out["allowed"] is False  # the RULES' verdict, not the page column
+    assert out["allow"] is True  # the page's own column is untouched
+
+
+def test_sitemap_urls_nonstandard_column_name(spark):
+    df = spark.createDataFrame(
+        [("e.com", "Sitemap: http://e.com/s.xml")],
+        ["domain", "robots txt"],
+    )
+    got = robots.sitemap_urls(df, text_col="robots txt").collect()
+    assert got[0]["sitemap_url"] == "http://e.com/s.xml"

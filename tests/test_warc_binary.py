@@ -303,3 +303,14 @@ def test_single_byte_charset_decodes(spark, tmp_path):
         r = rows[u.decode()]
         assert bytes(r["body"]) == body  # bytes always exact
         assert r["body_text"] == want
+
+
+def test_declared_latin1_reads_as_cp1252_whatwg(spark, tmp_path):
+    """WHATWG aliases latin-1 labels to windows-1252: declared-latin-1
+    smart quotes must decode as cp1252 punctuation, not C1 controls."""
+    body = b"\x93hi\x94 caf\xe9"
+    p = tmp_path / "l1.warc"
+    p.write_bytes(_record(_http(body, ctype=b"text/html; charset=iso-8859-1")))
+    r = warc.http_response_parts(warc.read_warc(spark, str(p))).collect()[0]
+    assert r["body_text"] == "“hi” café"
+    assert bytes(r["body"]) == body

@@ -492,3 +492,10 @@ def test_parse_sitemap_is_single_projection_plus_explode(spark):
     df = spark.createDataFrame([("d", "<urlset/>")], "domain string, sitemap_xml string")
     plan = web.parse_sitemap(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_parse_sitemap_cdata_loc(spark):
+    xml = "<urlset><url><loc><![CDATA[http://e.com/a?x=1&y=2]]></loc></url></urlset>"
+    df = spark.createDataFrame([("e.com", xml)], "domain string, sitemap_xml string")
+    got = web.parse_sitemap(df).collect()
+    assert got[0]["loc"] == "http://e.com/a?x=1&y=2"  # CDATA content verbatim
