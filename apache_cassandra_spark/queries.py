@@ -6033,6 +6033,162 @@ _SYNTH_PAGE_SQL = """'<html><head><title>Doc ' || cast(doc_id as string) || '</t
  || '</body></html>'"""
 
 
+#: per-document sitemap synth (ONE literal, F.expr + DuckDB): a plain
+#: <url> entry with entity-escaped loc, conditional lastmod/changefreq/
+#: priority, every 5th doc a CDATA entry, every 7th a sitemapindex child
+_SYNTH_SITEMAP_SQL = """'<urlset><url><loc>' || replace(url, '&', '&amp;') || '</loc>'
+ || CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2013-0' || cast(doc_id % 9 + 1 as string) || '-01</lastmod>' ELSE '' END
+ || CASE WHEN doc_id % 4 = 0 THEN '<changefreq>daily</changefreq><priority>0.' || cast(doc_id % 10 as string) || '</priority>' ELSE '' END
+ || '</url>'
+ || CASE WHEN doc_id % 5 = 0 THEN '<url><loc><![CDATA[' || url || '?cd=1&x=2]]></loc></url>' ELSE '' END
+ || CASE WHEN doc_id % 7 = 0 THEN '<sitemap><loc>http://idx.' || source || '.net/s2.xml</loc><lastmod>2013-09-09</lastmod></sitemap>' ELSE '' END
+ || '</urlset>'"""
+
+
+def q_corpus_sitemap(spark, sf_dir):
+    """Sitemap discovery (web.parse_sitemap): per-document synthesized
+    sitemap XML — entity-escaped locs, optional lastmod/changefreq/
+    priority, CDATA-wrapped entries, and sitemapindex children — parsed
+    back into one row per entry. The oracle replays the element
+    extraction, the CDATA/entity branches, the field regexes, and the
+    priority cast; the gate pins all of parse_sitemap's grammar."""
+    from apache_cassandra_spark.analytics import web
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_SYNTH_URL_SQL))
+        .withColumn("sitemap_xml", F.expr(_SYNTH_SITEMAP_SQL))
+    )
+    out = web.parse_sitemap(docs, passthrough=("doc_id",))
+    return out.select(
+        "doc_id", "kind", "loc", "lastmod", "changefreq", "priority"
+    ).orderBy("doc_id", "kind", "loc")
+
+
+ORACLES["corpus_sitemap"] = f"""
+    WITH u0 AS (SELECT doc_id, source, {_SYNTH_URL_SQL} AS url FROM documents),
+    x AS (SELECT doc_id, {_SYNTH_SITEMAP_SQL} AS xml FROM u0),
+    elems AS (
+        SELECT doc_id, 'url' AS kind,
+               unnest(regexp_extract_all(xml, '(?is)<url\\s*>.*?</url\\s*>', 0)) AS e
+        FROM x
+        UNION ALL
+        SELECT doc_id, 'sitemap' AS kind,
+               unnest(regexp_extract_all(xml, '(?is)<sitemap\\s*>.*?</sitemap\\s*>', 0)) AS e
+        FROM x),
+    f AS (SELECT doc_id, kind,
+                 trim(regexp_extract(e, '(?is)<loc\\s*>(.*?)</loc\\s*>', 1)) AS rawloc,
+                 trim(regexp_extract(e, '(?is)<lastmod\\s*>(.*?)</lastmod\\s*>', 1)) AS rawlm,
+                 trim(regexp_extract(e, '(?is)<changefreq\\s*>(.*?)</changefreq\\s*>', 1)) AS rawcf,
+                 trim(regexp_extract(e, '(?is)<priority\\s*>(.*?)</priority\\s*>', 1)) AS rawpr
+          FROM elems),
+    d AS (SELECT doc_id, kind,
+                 CASE WHEN regexp_matches(rawloc, '(?s)^<!\\[CDATA\\[.*\\]\\]>$')
+                      THEN trim(regexp_extract(rawloc, '(?s)^<!\\[CDATA\\[(.*)\\]\\]>$', 1))
+                      ELSE trim({_sql_decode_entities('rawloc')}) END AS loc,
+                 trim({_sql_decode_entities('rawlm')}) AS lastmod,
+                 trim({_sql_decode_entities('rawcf')}) AS changefreq,
+                 try_cast(trim({_sql_decode_entities('rawpr')}) AS double) AS priority
+          FROM f)
+    SELECT doc_id, kind, loc, lastmod, changefreq, priority
+    FROM d WHERE loc <> ''
+    ORDER BY doc_id, kind, loc
+"""
+
+
+#: per-document crawl path exercising every rule family of the synth
+#: robots policies (ONE literal, F.expr + DuckDB)
+_SYNTH_CRAWL_PATH_SQL = """CASE (doc_id % 6)
+  WHEN 0 THEN '/private/p' || cast(doc_id as string)
+  WHEN 1 THEN '/private/ok/p' || cast(doc_id as string)
+  WHEN 2 THEN '/d' || cast(doc_id as string) || '.pdf'
+  WHEN 3 THEN '/d' || cast(doc_id as string) || '.pdf?x=1'
+  WHEN 4 THEN '/tmpfile' || cast(doc_id % 4 as string)
+  ELSE '/page/' || cast(doc_id as string)
+END"""
+
+#: two robots policies split by source parity: variant A (even-length
+#: source name) has only a * group (wildcards, $ anchor, Allow carve-out,
+#: prefix rule); variant B names our agent, whose exact group must
+#: SUPPRESS the * group entirely (the RFC's most-specific-group rule)
+_ROBOTS_A = (
+    "User-agent: specialbot\nDisallow: /page/\n\n"
+    "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+    "Disallow: /*.pdf$\nDisallow: /tmp\n"
+)
+_ROBOTS_B = (
+    "User-agent: graftbot\nDisallow: /page/\n\n"
+    "User-agent: *\nDisallow: /private/\n"
+)
+
+
+def q_corpus_robots(spark, sf_dir):
+    """robots.txt compliance (robots.parse_robots + match_allowed for
+    agent ``graftbot``): two fixed policies split across the corpus's
+    domains — one where graftbot falls to the ``*`` group (wildcard,
+    ``$`` anchor, longest-match Allow carve-out, prefix rule all
+    exercised), one where graftbot's EXACT group suppresses ``*``. The
+    oracle replays the allow decision and the winning rule from the
+    literal policies, so the gate pins group recovery, group selection,
+    pattern matching, and the longest-match/Allow-wins precedence."""
+    from apache_cassandra_spark.analytics import robots as RB
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".com"), F.expr(_SYNTH_CRAWL_PATH_SQL)
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+    )
+    robots_df = (
+        docs.select("domain")
+        .distinct()
+        .withColumn(
+            "robots_txt",
+            F.when(F.length("domain") % 2 == 0, F.lit(_ROBOTS_A)).otherwise(
+                F.lit(_ROBOTS_B)
+            ),
+        )
+    )
+    rules = RB.parse_robots(robots_df, agent="graftbot")
+    out = RB.match_allowed(docs, rules)
+    return out.select("doc_id", "allowed", "matched_rule").orderBy("doc_id")
+
+
+# decision replay from the LITERAL policies: variant A = the * group's
+# four rules under longest-match (the Allow carve-out is the longest
+# match inside /private/ok/; the $ anchor must NOT match when a query
+# string follows .pdf); variant B = graftbot's exact group only
+ORACLES["corpus_robots"] = f"""
+    WITH p AS (SELECT doc_id, source, {_SYNTH_CRAWL_PATH_SQL} AS path FROM documents),
+    v AS (SELECT doc_id, path,
+                 (length(source || '.com') % 2 = 0) AS variant_a
+          FROM p)
+    SELECT doc_id,
+           CASE WHEN variant_a THEN
+                CASE WHEN path LIKE '/private/ok/%' THEN true
+                     WHEN path LIKE '/private/%' THEN false
+                     WHEN regexp_matches(path, '^/.*[.]pdf$') THEN false
+                     WHEN path LIKE '/tmp%' THEN false
+                     ELSE true END
+           ELSE
+                CASE WHEN path LIKE '/page/%' THEN false ELSE true END
+           END AS allowed,
+           CASE WHEN variant_a THEN
+                CASE WHEN path LIKE '/private/ok/%' THEN '/private/ok/'
+                     WHEN path LIKE '/private/%' THEN '/private/'
+                     WHEN regexp_matches(path, '^/.*[.]pdf$') THEN '/*.pdf$'
+                     WHEN path LIKE '/tmp%' THEN '/tmp'
+                     ELSE NULL END
+           ELSE
+                CASE WHEN path LIKE '/page/%' THEN '/page/' ELSE NULL END
+           END AS matched_rule
+    FROM v
+    ORDER BY doc_id
+"""
+
+
 def q_corpus_main_content(spark, sf_dir):
     """Main-content extraction (html.with_main_content): the WSDM 2010
     densitometric block classifier — split at block-tag boundaries,
@@ -6266,9 +6422,9 @@ ORACLES["corpus_outlink_graph"] = f"""
 # tpch_q22ish, events_clustering_coeff, text_readability, events_ohlc,
 # tpch_q17ish, tpch_q19ish, tpch_q21ish) + 42 of the 46-row round-10
 # cohort; the r9 cohort (47 rows) then splits across r12's remainder and
-# r13. (With the two r11 prebuilds the r12 lead cohort is TEN
-# never-gated entries + 40 of the r10 cohort; the arithmetic shifts by
-# exactly the two pending endorsements.)
+# r13. (With the four r11 prebuilds the r12 lead cohort is TWELVE
+# never-gated entries + 38 of the r10 cohort; the arithmetic shifts by
+# exactly the four pending endorsements.)
 # By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
 # permanently below position 50 — they can never produce the hash-green
 # rows the window's slots are for; their exact twins are windowed.
@@ -6439,12 +6595,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans": q_cluster_kmeans,
     "events_quantiles_approx": q_events_quantiles_approx,
     # --- pre-built awaiting their first driver rows: these (eight queued
-    # from r10 + the two r11 builds) LEAD the round-12 window
+    # from r10 + the four r11 builds) LEAD the round-12 window
     # (never-gated beats stale in rotation priority), followed by the
     # round-10 cohort above ---
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
     "corpus_main_content": q_corpus_main_content,
+    "corpus_sitemap": q_corpus_sitemap,
+    "corpus_robots": q_corpus_robots,
     "tpch_q22ish": q_tpch_q22ish,
     "events_clustering_coeff": q_events_clustering_coeff,
     "text_readability": q_text_readability,

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "corpus_wet_roundtrip",
     "corpus_warc_roundtrip",
     "corpus_main_content",
+    "corpus_sitemap",
+    "corpus_robots",
     "corpus_bm25_topk",
     "corpus_domain_boilerplate",
     # pre-built awaiting window funding (COVERAGE.md retirement proposals)
