@@ -200,3 +200,60 @@ def test_sitemap_urls_nonstandard_column_name(spark):
     )
     got = robots.sitemap_urls(df, text_col="robots txt").collect()
     assert got[0]["sitemap_url"] == "http://e.com/s.xml"
+
+
+def _py_parse_model(text, agent):
+    """Independent RFC 9309 group-grammar model (parse side)."""
+    agent = agent.lower()
+    groups, cur_agents, cur_rules, in_ua = [], None, None, False
+    for line in text.lstrip("﻿").replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+        line = line.split("#")[0].strip(" \t")
+        if not line or ":" not in line:
+            continue
+        f, v = line.split(":", 1)
+        f, v = f.strip(" \t").lower(), v.strip(" \t")
+        if f == "user-agent":
+            if not in_ua:
+                cur_agents, cur_rules = set(), []
+                groups.append((cur_agents, cur_rules))
+            in_ua = True
+            cur_agents.add(v.lower() if v != "*" else "*")
+        elif f in ("allow", "disallow"):
+            in_ua = False
+            if cur_rules is not None and v:
+                cur_rules.append((v, f == "allow"))
+    exact = [r for a, r in groups if agent in a]
+    if exact:
+        return [x for r in exact for x in r]
+    return [x for a, r in groups if "*" in a for x in r]
+
+
+def test_fuzz_parse_vs_python_model(spark):
+    """Random hostile formatting (BOM, CR endings, tab/space separator
+    soup, junk fields, comments) — the Spark group recovery must agree
+    with the independent line-level model for exact, star, and
+    unmatched agents."""
+    rnd = random.Random(3)
+    fields = ["User-agent", "user-AGENT", "Disallow", "Allow", "Crawl-delay", "junk"]
+    vals = ["*", "botA", "botB", "/x", "/y/", "/*.pdf$", "", "/x/y"]
+    cases = []
+    for seed in range(20):
+        r2 = random.Random(seed)
+        lines = [
+            r2.choice(["", " ", "\t"])
+            + r2.choice(fields)
+            + r2.choice([": ", ":", ":\t", " : "])
+            + r2.choice(vals)
+            + r2.choice(["", " # c"])
+            for _ in range(r2.randint(1, 12))
+        ]
+        cases.append(r2.choice(["", "﻿"]) + r2.choice(["\n", "\r\n", "\r"]).join(lines))
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(cases)], "domain string, robots_txt string"
+    )
+    for agent in ("bota", "nobody"):
+        got = {}
+        for r in robots.parse_robots(df, agent=agent).collect():
+            got.setdefault(r["domain"], []).append((r["rule_path"], r["allow"]))
+        for i, t in enumerate(cases):
+            assert sorted(got.get(f"d{i}", [])) == sorted(_py_parse_model(t, agent)), (agent, i, t)
