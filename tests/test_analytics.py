@@ -840,6 +840,42 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     assert bpe_pair_counts(empty).count() == 0
 
 
+def test_bpe_pair_counts_equals_train_round1(spark):
+    """Equivalence lock (r11 verdict, retirement condition for the
+    text_bpe_pairs gate): `bpe_pair_counts` at k=inf must equal the pair
+    counts `bpe_train`'s round 1 computes — built here with the SAME
+    word-frame construction bpe_train uses and THE same counting
+    expression (`_sym_pair_counts`) its loop executes — corpus-wide on
+    the real sf0.001 documents table. A bug introduced into either
+    counting path now flips this test, so text_bpe_train's driver hash
+    plus this lock jointly pin the pair-stats surface."""
+    from apache_cassandra_spark.analytics.text import (
+        _chars,
+        _sym_pair_counts,
+        bpe_pair_counts,
+        tokens,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flat = {
+        r["pair"]: r["cnt"]
+        for r in bpe_pair_counts(df, k=2_000_000_000).collect()
+    }
+    # round 1 of bpe_train: the identical word-frequency frame, symbols =
+    # single characters (text.py:bpe_train lines before the merge loop)
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(_chars(F.col("word")).alias("syms"), F.col("_c"))
+    )
+    round1 = {
+        r["p"]["a"] + r["p"]["b"]: r["cnt"]
+        for r in _sym_pair_counts(words).collect()
+    }
+    assert flat and flat == round1
+
+
 def test_sample_by_score_null_score_drops(spark):
     """Spark's least() skips NULLs — without the coalesce-to-0 a null
     score would clamp to 1.0 and keep junk rows unconditionally."""
