@@ -314,3 +314,93 @@ def test_declared_latin1_reads_as_cp1252_whatwg(spark, tmp_path):
     r = warc.http_response_parts(warc.read_warc(spark, str(p))).collect()[0]
     assert r["body_text"] == "“hi” café"
     assert bytes(r["body"]) == body
+
+
+# --- transport layer: URI schemes, percent-decoding, pyarrow.fs ---------
+
+
+def test_local_file_path_forms():
+    """binaryFile emits RAW paths (spaces and % literal — verified on
+    Spark 4.1); user URIs may be percent-encoded. Raw must win when it
+    exists; the unquoted form is only a fallback; remote file authority
+    raises typed instead of being read as a relative path."""
+    import os
+    import tempfile
+
+    from apache_cassandra_spark.sources.warc import _local_file_path
+
+    with tempfile.TemporaryDirectory() as d:
+        raw = os.path.join(d, "a b%x.warc")
+        open(raw, "wb").write(b"")
+        # raw-path URI (the Spark 4.1 binaryFile shape)
+        assert _local_file_path("file:" + raw) == raw
+        # file:///-style with encoded space resolves via the fallback
+        enc = "file://" + d.replace(" ", "%20") + "/a%20b%25x.warc"
+        assert _local_file_path(enc) == raw
+        # literal-% name must NOT be mangled by blind unquoting
+        lit = os.path.join(d, "q%20z.warc")
+        open(lit, "wb").write(b"")
+        assert _local_file_path("file:" + lit) == lit
+    assert _local_file_path("/plain/path.warc") == "/plain/path.warc"
+    with pytest.raises(NotImplementedError):
+        _local_file_path("file://nfs-host/share/x.warc")
+
+
+def test_file_chunks_unknown_scheme_raises_typed():
+    from apache_cassandra_spark.sources.warc import _file_chunks
+
+    with pytest.raises(NotImplementedError):
+        _file_chunks("bogus-scheme://bucket/shard.warc")
+
+
+def test_walker_through_pyarrow_fs_transport(monkeypatch, tmp_path):
+    """The object-store transport: route a real shard through
+    _pafs_chunks (pyarrow LocalFileSystem standing in for S3/GCS/HDFS —
+    from_uri is monkeypatched to resolve a fake scheme, everything
+    downstream is the production code path) and assert the walk is
+    byte-identical to the POSIX transport, gzip members included."""
+    import pyarrow.fs as pafs
+
+    from apache_cassandra_spark.sources.warc import (
+        _file_chunks,
+        _pafs_chunks,
+        walk_warc_records,
+    )
+
+    raw = _record(_http(b"hello <b>WARC/1.0</b> world")) + _record(
+        _http(b"second"), uri=b"http://e.com/b"
+    )
+    plain = tmp_path / "shard.warc"
+    plain.write_bytes(raw)
+    gz = tmp_path / "shard.warc.gz"
+    gz.write_bytes(gzip.compress(raw))
+
+    def fake_from_uri(uri):
+        assert uri.startswith("objstore://")
+        return pafs.LocalFileSystem(), uri[len("objstore:/") :]
+
+    monkeypatch.setattr(warc, "_fs_from_uri", fake_from_uri)
+    for name in ("shard.warc", "shard.warc.gz"):
+        via_posix = list(walk_warc_records(_file_chunks(str(tmp_path / name))))
+        via_pafs = list(
+            walk_warc_records(_pafs_chunks(f"objstore:/{tmp_path}/{name}", 1 << 22))
+        )
+        assert via_pafs == via_posix and len(via_pafs) == 2
+        assert all(r[4] for r in via_pafs)  # framing_ok through the transport
+
+
+def test_pafs_open_failure_is_stream_error_row_not_task_kill(monkeypatch):
+    """A transport that resolves but fails to OPEN must surface as the
+    walker's one flagged stream_error row — the same contract as a
+    bit-rotted local shard — because the stream opens lazily inside the
+    generator."""
+    import pyarrow.fs as pafs
+
+    from apache_cassandra_spark.sources.warc import _pafs_chunks, walk_warc_records
+
+    monkeypatch.setattr(
+        warc, "_fs_from_uri", lambda uri: (pafs.LocalFileSystem(), "/nonexistent/x.warc")
+    )
+    chunks = _pafs_chunks("objstore://b/x.warc", 1 << 22)  # must NOT raise here
+    rows = list(walk_warc_records(chunks, source_file="objstore://b/x.warc"))
+    assert len(rows) == 1 and rows[0][5].startswith("stream_error:")
