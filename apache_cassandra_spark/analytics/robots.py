@@ -16,7 +16,18 @@ crawl pipelines run before corpus prep). Everything is DataFrame-native:
   longest-rule-wins, Allow wins ties, no-match ⇒ allowed, no robots ⇒
   allowed. Per-domain rule lists are small (tens of rows), so the join
   fans out O(pages × rules-per-domain) and the winner is a
-  WindowGroupLimit per page.
+  WindowGroupLimit per page. Matching is LINEAR-TIME by construction
+  (greedy segment placement, the reference Google matcher's approach) —
+  robots.txt is attacker-controlled input, and compiling rules into
+  backtracking regexes lets one hostile ``/*a*a*a*a`` rule wedge an
+  executor (r11 advice).
+
+Hostile-input caps (RFC 9309 §2.4 lets parsers enforce limits; 500 KiB
+is the de-facto standard): ``parse_robots`` parses at most ``max_bytes``
+characters per document (dropping a trailing partial line) and keeps at
+most ``max_rules_per_domain`` rules in document order — one adversarial
+10 MB robots.txt must not multiply that domain's pages by thousands of
+rule rows in the match join.
 
 RFC 9309 nuances implemented: group selection prefers the EXACT
 user-agent token over ``*`` (product token match, case-insensitive);
@@ -35,19 +46,63 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _rule_regex(path: Column) -> Column:
-    """RFC 9309 rule path → Java regex: escape metacharacters, ``*`` →
-    ``.*``, a trailing ``$`` anchors (a ``$`` anywhere else is literal).
-    Anchored at the start (rules match from the path's first byte)."""
-    # escape everything regex-special except * and $ (handled after)
-    esc = F.regexp_replace(path, r"([.\[\]{}()+?\\^|])", r"\\$1")
-    has_anchor = esc.endswith("$")
-    body = F.when(has_anchor, F.substring(esc, 1, F.length(esc) - 1)).otherwise(esc)
-    # interior $ is literal: Java replacement needs BOTH chars escaped
-    # (a dangling $ in the replacement is an illegal group reference)
-    body = F.regexp_replace(body, r"\$", r"\\\$")
-    body = F.regexp_replace(body, r"\*", ".*")
-    return F.concat(F.lit("^"), body, F.when(has_anchor, F.lit("$")).otherwise(F.lit("")))
+def _glob_hit(path: Column, rule_path: Column) -> Column:
+    """Does ``rule_path`` (RFC 9309 pattern: literal bytes, ``*``
+    wildcards, optional trailing ``$`` anchor, ``$`` elsewhere literal,
+    anchored at the path start) match ``path``? LINEAR-TIME greedy
+    segment placement — the approach of the reference matcher (Google's
+    robotstxt ``Matches()``), chosen over regex compilation because the
+    rules are attacker-controlled and Java regex backtracking on
+    ``/*a*a*a*a`` is superlinear (r11 advice). Wholly JVM-side: one
+    ``aggregate`` fold over the ``*``-separated literal segments, each
+    step a single ``locate`` scan.
+
+    Greedy-leftmost is exact for this grammar: the first segment must
+    be a prefix; every middle segment is placed at its earliest
+    position after the previous one (minimizing consumed length keeps
+    all later placements feasible); a trailing anchor requires the last
+    segment to sit exactly at the end, at or after the greedy frontier.
+    Equivalence to an independent Python model is fuzz-locked in
+    tests/test_robots.py."""
+    anchored = rule_path.endswith("$")
+    body = F.when(anchored, F.substring(rule_path, 1, F.length(rule_path) - 1)).otherwise(
+        rule_path
+    )
+    segs = F.split(body, r"\*", -1)
+    n = F.size(segs)
+    first = F.element_at(segs, 1)
+    last = F.element_at(segs, -1)
+    init = F.struct(
+        path.startswith(first).alias("ok"), F.length(first).alias("pos")
+    )
+    # middle segments: everything after the first (unanchored — the tail
+    # may float), or strictly between first and last (anchored — the
+    # last is pinned to the end and checked separately)
+    mid = F.when(anchored, F.slice(segs, 2, F.greatest(n - 2, F.lit(0)))).otherwise(
+        F.slice(segs, 2, n - 1)
+    )
+    folded = F.aggregate(
+        mid,
+        init,
+        lambda st, s: F.when(~st["ok"] | (F.length(s) == 0), st).otherwise(
+            F.struct(
+                (F.call_function("locate", s, path, st["pos"] + 1) > 0).alias("ok"),
+                (
+                    F.call_function("locate", s, path, st["pos"] + 1)
+                    - 1
+                    + F.length(s)
+                ).alias("pos"),
+            )
+        ),
+    )
+    return F.when(
+        anchored,
+        F.when(n == 1, path == first).otherwise(
+            folded["ok"]
+            & path.endswith(last)
+            & (F.length(path) - F.length(last) >= folded["pos"])
+        ),
+    ).otherwise(folded["ok"])
 
 
 def parse_robots(
@@ -55,16 +110,36 @@ def parse_robots(
     agent: str = "*",
     text_col: str = "robots_txt",
     domain_col: str = "domain",
+    max_bytes: int | None = 500 * 1024,
+    max_rules_per_domain: int | None = 2000,
 ) -> DataFrame:
     """Rules governing ``agent`` from one robots.txt per domain →
-    ``(domain, rule_path, allow, rule_len, rule_regex)``.
+    ``(domain, rule_path, allow, rule_len)``.
 
     Group grammar per RFC 9309: consecutive ``User-agent:`` lines open
-    ONE group whose rule block runs to the next ``User-agent`` line
-    that follows a rule line; the group matching the exact agent token
-    wins, else the ``*`` group; if the exact agent has ANY group, every
-    ``*`` group is ignored (the RFC's most-specific-group rule). Empty
-    ``Disallow:`` values drop (match nothing). Comments (``#``) strip.
+    ONE group whose rule block runs to the next ``User-agent`` line;
+    ANY parsed directive between two UA lines (a rule, ``crawl-delay``,
+    ``sitemap``, even an unrecognized field) ends the accumulation, so
+    the next UA line starts a NEW group — the reference parsers'
+    behavior (r11 advice; previously two UA groups separated only by a
+    non-rule directive merged, over-blocking the first agent). The
+    group matching the exact agent token wins, else the ``*`` group;
+    if the exact agent has ANY group, every ``*`` group is ignored
+    (the RFC's most-specific-group rule). Empty ``Disallow:`` values
+    drop (match nothing). Comments (``#``) strip.
+
+    Hostile-input caps (RFC 9309 §2.4 sanctions parse limits; 500 KiB
+    is the de-facto ceiling reference crawlers enforce): at most
+    ``max_bytes`` CHARACTERS of each document are parsed — measured in
+    code points, not octets, a deliberate simplification (each code
+    point is ≥1 octet, so the work bound holds; multi-byte documents
+    just parse slightly past 500 KiB of text) — with a trailing
+    partial line dropped when truncation bites; and at most
+    ``max_rules_per_domain`` rules survive per domain, kept in document
+    order. Pass ``None`` to disable either cap. ``rule_len`` is the
+    OCTET length (RFC 9309 longest-match precedence is defined over
+    octets; character counts pick a different winner on non-ASCII
+    UTF-8 paths).
 
     Plan: posexplode lines → per-domain window (running group id = a
     cumulative count of group STARTS, where a group start is a UA line
@@ -79,6 +154,14 @@ def parse_robots(
     # in crawl corpora), and trim TABS as well as spaces (RFC 9309's
     # *WS is space/tab; F.trim alone only strips spaces)
     text = F.regexp_replace(F.col(text_col), "^﻿", "")
+    if max_bytes is not None:
+        # parse cap: truncate, then drop the cut line's remainder — a
+        # half rule like 'Disallow: /priv' (from '/private-x') would be
+        # a rule the site never wrote
+        text = F.when(
+            F.length(text) > max_bytes,
+            F.regexp_replace(F.substring(text, 1, max_bytes), r"[^\r\n]*$", ""),
+        ).otherwise(text)
     ws_trim = lambda c: F.regexp_replace(F.regexp_replace(c, r"^[ \t]+", ""), r"[ \t]+$", "")  # noqa: E731
     lines = df.select(
         F.col(domain_col).alias("domain"),
@@ -93,7 +176,7 @@ def parse_robots(
         "lno",
         F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)[ \t]*:", 1)).alias("field"),
         ws_trim(F.regexp_extract("line", r"(?i)^[a-z-]+[ \t]*:(.*)$", 1)).alias("value"),
-    ).where(F.col("field").isin("user-agent", "allow", "disallow"))
+    ).where(F.col("field") != "")  # every parsed directive shapes groups
     w = Window.partitionBy("domain").orderBy("lno")
     is_ua = (F.col("field") == "user-agent").cast("int")
     grouped = parsed.withColumn(
@@ -121,13 +204,21 @@ def parse_robots(
         .where(F.col("value") != "")  # empty Disallow: matches nothing
         .select(
             "domain",
+            "lno",
             F.col("value").alias("rule_path"),
             (F.col("field") == "allow").alias("allow"),
-            F.length("value").alias("rule_len"),
+            # octet length: RFC 9309 precedence is longest-match in BYTES
+            F.octet_length("value").alias("rule_len"),
         )
-        .withColumn("rule_regex", _rule_regex(F.col("rule_path")))
     )
-    return rules
+    if max_rules_per_domain is not None:
+        # rules cap, document order — bounds the match join's fan-out
+        # per domain against adversarial mega-documents
+        wr = Window.partitionBy("domain").orderBy("lno")
+        rules = rules.withColumn("_rn", F.row_number().over(wr)).where(
+            F.col("_rn") <= max_rules_per_domain
+        )
+    return rules.select("domain", "rule_path", "allow", "rule_len")
 
 
 def match_allowed(
@@ -146,9 +237,10 @@ def match_allowed(
     unique per page row — it keys the per-page winner window.
 
     Plan: LEFT join pages→rules on domain (per-domain rule lists are
-    tens of rows — the fan-out is O(pages × rules/domain), AQE-decided),
-    per-row regex match, then one WindowGroupLimit per page for the
-    longest winner."""
+    tens of rows, capped at parse time — the fan-out is
+    O(pages × rules/domain), AQE-decided), a LINEAR-TIME per-row glob
+    match (``_glob_hit`` — no regex compilation, no backtracking), then
+    one WindowGroupLimit per page for the longest winner."""
     from apache_cassandra_spark.analytics.web import _REST_RE
 
     # the rules side is renamed up front so a pages frame carrying any
@@ -158,7 +250,6 @@ def match_allowed(
         F.col("rule_path").alias("_r_path"),
         F.col("allow").alias("_r_allow"),
         F.col("rule_len").alias("_r_len"),
-        F.col("rule_regex").alias("_r_regex"),
     )
     # path+query via web.py's shared URL grammar (_REST_RE already
     # excludes the fragment); empty path defaults to '/'
@@ -167,7 +258,7 @@ def match_allowed(
     keyed = pages.withColumn("_path", path)
     joined = keyed.join(r, keyed[domain_col] == r["_r_domain"], "left")
     matched = joined.withColumn(
-        "_hit", F.col("_r_regex").isNotNull() & F.expr("_path rlike _r_regex")
+        "_hit", F.col("_r_path").isNotNull() & _glob_hit(F.col("_path"), F.col("_r_path"))
     )
     w = Window.partitionBy(keyed[id_col]).orderBy(
         F.col("_hit").desc(),

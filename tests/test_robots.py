@@ -218,9 +218,11 @@ def _py_parse_model(text, agent):
                 groups.append((cur_agents, cur_rules))
             in_ua = True
             cur_agents.add(v.lower() if v != "*" else "*")
-        elif f in ("allow", "disallow"):
+        else:
+            # ANY parsed directive (crawl-delay, sitemap, junk) ends UA
+            # accumulation — the reference-parser behavior (r11 advice)
             in_ua = False
-            if cur_rules is not None and v:
+            if f in ("allow", "disallow") and cur_rules is not None and v:
                 cur_rules.append((v, f == "allow"))
     exact = [r for a, r in groups if agent in a]
     if exact:
@@ -257,3 +259,66 @@ def test_fuzz_parse_vs_python_model(spark):
             got.setdefault(r["domain"], []).append((r["rule_path"], r["allow"]))
         for i, t in enumerate(cases):
             assert sorted(got.get(f"d{i}", [])) == sorted(_py_parse_model(t, agent)), (agent, i, t)
+
+
+def test_non_rule_directive_splits_ua_groups(spark):
+    """The r11-advice case: two UA groups separated only by a non-rule
+    directive must NOT merge — agent a must not inherit b's rules."""
+    text = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\nDisallow: /x\n"
+    got = _allowed(spark, "a", ["http://e.com/x"], text=text)
+    assert got["http://e.com/x"][0] is True  # a's group has no rules
+    got = _allowed(spark, "b", ["http://e.com/x"], text=text)
+    assert got["http://e.com/x"][0] is False
+
+
+def test_parse_cap_bytes_drops_tail_and_partial_line(spark):
+    """RFC 9309 §2.4 parse limit: rules beyond max_bytes vanish, and the
+    line cut by the limit is dropped whole (a half rule is a rule the
+    site never wrote)."""
+    head = "User-agent: *\nDisallow: /blocked/\n"
+    filler = "# pad\n" * 50
+    tail = "Disallow: /late-rule/\n"
+    text = head + filler + tail
+    cut = len(head) + len(filler) + len("Disallow: /late-r")  # mid-line
+    df = spark.createDataFrame([("e.com", text)], "domain string, robots_txt string")
+    rules = {r["rule_path"] for r in robots.parse_robots(df, max_bytes=cut).collect()}
+    assert rules == {"/blocked/"}
+    # untruncated document is untouched by the cap branch
+    rules = {r["rule_path"] for r in robots.parse_robots(df).collect()}
+    assert rules == {"/blocked/", "/late-rule/"}
+
+
+def test_rules_per_domain_cap_keeps_document_order(spark):
+    text = "User-agent: *\n" + "".join(f"Disallow: /r{i:04d}/\n" for i in range(30))
+    df = spark.createDataFrame([("e.com", text)], "domain string, robots_txt string")
+    kept = sorted(
+        r["rule_path"] for r in robots.parse_robots(df, max_rules_per_domain=10).collect()
+    )
+    assert kept == [f"/r{i:04d}/" for i in range(10)]
+
+
+def test_rule_len_is_octets_not_chars(spark):
+    """RFC 9309 longest-match precedence counts OCTETS. Disallow /éé is
+    3 chars / 5 octets; Allow /*ab is 4 chars / 4 octets; both match
+    /ééab — character counting hands the win to Allow (4 > 3), octet
+    counting to Disallow (5 > 4). The octet winner is correct."""
+    text = "User-agent: *\nDisallow: /éé\nAllow: /*ab\n"
+    url = "http://e.com/ééab"
+    got = _allowed(spark, "x", [url], text=text)
+    assert got[url] == (False, "/éé")
+
+
+def test_hostile_wildcard_rule_matches_in_linear_time(spark):
+    """The r11-advice DoS vector: a rule with many '*'s against long
+    non-matching paths. The regex formulation backtracks superlinearly
+    (minutes); the glob matcher is linear — this test finishing at all
+    is the assertion, the verdicts are checked for exactness."""
+    rule = "/" + "*a" * 20 + "$"
+    text = f"User-agent: *\nDisallow: {rule}\n"
+    near_miss = "/" + "a" * 2000 + "b"     # endswith fails after 20 scans
+    hit = "/" + "a" * 2000                  # 20 a's exist, ends with a
+    got = _allowed(
+        spark, "x", [f"http://e.com{near_miss}", f"http://e.com{hit}"], text=text
+    )
+    assert got[f"http://e.com{near_miss}"][0] is True
+    assert got[f"http://e.com{hit}"] == (False, rule)
