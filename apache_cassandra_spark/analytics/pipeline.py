@@ -1030,11 +1030,13 @@ def prepare_crawl(
     strip_www: bool = True,
     tracking_params: tuple[str, ...] | None = None,
     main_content_only: bool = False,
+    robots_rules: DataFrame | None = None,
 ) -> DataFrame:
     """The crawl ingest boundary, composed: markup → rendered text
     (``html.with_page_text``: clean_text, title, n_links,
     declared_lang), URL keys (``web.with_url_keys``: canonical_url,
-    host, domain), then URL-level dedup (min-id winner per canonical
+    host, domain), optional robots.txt compliance (``robots_rules``,
+    below), then URL-level dedup (min-id winner per canonical
     URL — the oldest-capture-wins convention of ``web.dedup_urls``,
     keeping the winner's FULL row). Output is one row per kept page
     with ``clean_text`` ready to feed :func:`prepare_corpus` (quality
@@ -1049,6 +1051,15 @@ def prepare_crawl(
     ``dedup.remove_domain_boilerplate`` downstream, which removes the
     per-domain templates density can't see. Link/lang metadata
     (``n_links``, ``declared_lang``) still reflects the WHOLE page.
+
+    ``robots_rules`` (a :func:`..robots.parse_robots` frame for the
+    crawling agent) switches on compliance filtering: pages whose URL a
+    domain policy disallows are DROPPED between URL keying and the URL
+    dedup — policy-dropped pages must not win (or suppress) a canonical
+    slot. The stage is :func:`..robots.match_allowed` verbatim (domain
+    join + linear-time longest-match, one WindowGroupLimit per page);
+    domains absent from the rules frame pass through (no robots ⇒
+    allowed, the RFC default). Left ``None``, the plan is untouched.
 
     Plan shape: the two withColumns passes are ONE map-only codegen
     projection over the scan; the URL dedup is a hash aggregate on the
@@ -1085,6 +1096,16 @@ def prepare_crawl(
         strip_www=strip_www,
         tracking_params=tp,
     )
+    if robots_rules is not None:
+        from apache_cassandra_spark.analytics import robots
+
+        keyed = (
+            robots.match_allowed(
+                keyed, robots_rules, url_col=url_col, domain_col="domain", id_col=id_col
+            )
+            .where(F.col("allowed"))
+            .drop("allowed", "matched_rule")
+        )
     winners = keyed.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["canonical_url", id_col]).select(
         id_col,

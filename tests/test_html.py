@@ -714,3 +714,35 @@ def test_prepare_crawl_main_content_only_composes(spark):
     assert "Home" not in main["clean_text"] and "Copyright" not in main["clean_text"]
     # whole-page metadata unchanged by the content swap
     assert main["n_links"] == full["n_links"] == 5
+
+
+def test_prepare_crawl_robots_compliance_hook(spark):
+    """Compliance composed into the front door (r11 verdict #5): with a
+    robots_rules frame, disallowed pages drop between URL keying and
+    the canonical dedup — so a policy-dropped page neither wins nor
+    suppresses a canonical slot — and no-robots domains pass through."""
+    from apache_cassandra_spark.analytics import robots
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    pages = [
+        (1, "http://site.com/private/x", "<p>blocked</p>"),
+        # ids 2 and 7 share a canonical slot; both sit under /private/
+        # (same canonical path ⇒ same policy verdict, necessarily), so
+        # the whole slot vanishes rather than leaving a ghost winner
+        (2, "http://site.com/private/y", "<p>blocked first capture</p>"),
+        (7, "http://site.com/private/y?utm_source=t", "<p>blocked recrawl</p>"),
+        (3, "http://site.com/public/a", "<p>kept</p>"),
+        (4, "http://norules.org/private/b", "<p>no robots for this domain</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    rules = robots.parse_robots(
+        spark.createDataFrame(
+            [("site.com", "User-agent: *\nDisallow: /private/\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    got = {r["doc_id"] for r in prepare_crawl(df, robots_rules=rules).collect()}
+    assert got == {3, 4}
+    # same frame without rules: policy pages survive, min-id 2 wins its slot
+    got = {r["doc_id"] for r in prepare_crawl(df).collect()}
+    assert got == {1, 2, 3, 4}
