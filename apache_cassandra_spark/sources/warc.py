@@ -735,15 +735,39 @@ def _sb_decode(body_str: Column, codec: str) -> Column:
     return F.translate(body_str, hi.decode("iso-8859-1"), hi.decode(codec, "replace"))
 
 
+def _charset_text(body_str: Column, body: Column, charset: Column) -> Column:
+    """Charset-aware best-effort text, all total functions: the
+    :data:`_SINGLE_BYTE_CHARSETS` families decode exactly via translate
+    tables (incl. cp1251/koi8-r — the Cyrillic web — and cp1252's
+    curly-quote half that a latin-1 read would mangle); everything else
+    is treated as UTF-8 — cast binary->string is unvalidated byte
+    adoption, make_valid_utf8 then replaces malformed sequences with
+    U+FFFD (ANSI decode would kill the task on the first bad byte of a
+    100 TB crawl). Shared by :func:`http_response_parts` and
+    :func:`decode_http_bodies` so the two can't drift."""
+    body_text = F.make_valid_utf8(body.cast("string"))
+    for token, codec in _SINGLE_BYTE_CHARSETS.items():
+        decoded = body_str if codec is None else _sb_decode(body_str, codec)
+        body_text = F.when(charset == token, decoded).otherwise(body_text)
+    return body_text
+
+
 def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Split ``response`` payloads into the HTTP envelope and body:
     adds ``http_status`` (int), ``http_content_type`` (lowercased media
     type, no parameters), ``http_charset`` (declared charset or ''),
-    ``body`` (exact body BYTES), and ``body_text`` (body decoded by the
-    declared charset — the :data:`_SINGLE_BYTE_CHARSETS` families decode
-    exactly via translate tables, everything else reads as UTF-8 with
-    invalid sequences becoming U+FFFD via ``make_valid_utf8``; never a
-    task-killing ANSI decode error either way).
+    ``http_encoding`` (lowercased ``Content-Encoding`` or ''),
+    ``http_transfer_encoding`` (lowercased ``Transfer-Encoding`` or
+    ''), ``body`` (exact body BYTES, whatever their encoding), and
+    ``body_text`` (body decoded by the declared charset via
+    :func:`_charset_text`; never a task-killing ANSI decode error).
+
+    Compressed or chunked bodies (``Content-Encoding`` beyond
+    identity, or ``chunked`` transfer framing — both common in real
+    Common Crawl ``response`` records) get NULL ``body_text`` instead
+    of silent mojibake / chunk-size lines leaking into html; the
+    encoding columns let downstream filter or route those rows through
+    :func:`decode_http_bodies` (Arrow-batched inflate + de-chunk).
 
     Codegen expressions end to end over the lossless ISO-8859-1 view of
     the payload — no UDF, no shuffle. Line endings are LENIENT
@@ -760,40 +784,179 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
     charset = F.lower(
         F.regexp_extract(ctype, r"charset[ \t]*=[ \t]*\"?([a-z0-9_.:-]+)", 1)
     )
+    enc = F.lower(_header(env, "Content-Encoding"))
+    tenc = F.lower(_header(env, "Transfer-Encoding"))
     body = F.encode(body_str, "ISO-8859-1")
-    # charset-aware best-effort text, all total functions: single-byte
-    # charsets decode exactly via translate tables (incl. cp1251/koi8-r
-    # — the Cyrillic web — and cp1252's curly-quote half that a latin-1
-    # read would mangle); everything else is treated as UTF-8 — cast
-    # binary->string is unvalidated byte adoption, make_valid_utf8 then
-    # replaces malformed sequences with U+FFFD (ANSI decode would kill
-    # the task on the first bad byte of a 100 TB crawl)
-    body_text = F.make_valid_utf8(body.cast("string"))
-    for token, codec in _SINGLE_BYTE_CHARSETS.items():
-        decoded = body_str if codec is None else _sb_decode(body_str, codec)
-        body_text = F.when(charset == token, decoded).otherwise(body_text)
+    # text only for bytes that ARE the entity: identity encoding and
+    # unchunked framing ('' = header absent)
+    is_plain = enc.isin("", "identity") & ~tenc.contains("chunked")
+    body_text = F.when(is_plain, _charset_text(body_str, body, charset))
     return (
         df.withColumn("http_status", F.regexp_extract(env, _HTTP_STATUS_RE, 1).try_cast("int"))
         .withColumn("http_content_type", F.trim(F.regexp_extract(ctype, r"^([^;\r\n]*)", 1)))
         .withColumn("http_charset", charset)
+        .withColumn("http_encoding", enc)
+        .withColumn("http_transfer_encoding", tenc)
         .withColumn("body", body)
         .withColumn("body_text", body_text)
     )
 
 
-def responses_to_pages(df: DataFrame, ok_statuses: tuple[int, ...] = (200,)) -> DataFrame:
+def _dechunk(data: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` body (RFC 9112 §7.1):
+    hex size line (extensions after ``;`` ignored) → chunk bytes →
+    CRLF, 0-size terminates (trailer section ignored). Lenient LF-only
+    line endings, same as the envelope split. Raises ValueError on
+    malformed framing — the caller converts to a flagged row."""
+    out, pos, n = [], 0, len(data)
+    while True:
+        if pos >= n:
+            raise ValueError("chunked body truncated before terminal chunk")
+        eol = data.find(b"\n", pos)
+        if eol == -1:
+            raise ValueError("chunk size line unterminated")
+        line = data[pos:eol].rstrip(b"\r").split(b";", 1)[0].strip()
+        size = int(line, 16)  # ValueError on junk propagates
+        pos = eol + 1
+        if size == 0:
+            return b"".join(out)
+        if pos + size > n:
+            raise ValueError("chunk overruns body")
+        out.append(data[pos : pos + size])
+        pos += size
+        # chunk-data CRLF (lenient: \r\n or \n)
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif data[pos : pos + 1] == b"\n":
+            pos += 1
+        else:
+            raise ValueError("missing chunk-data terminator")
+
+
+def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
+    """De-chunk then decompress one body; returns ``(bytes, error)``.
+    gzip walks multi-member streams (the record-per-member convention);
+    deflate tries zlib-wrapped then raw (RFC 9110 notes both exist in
+    the wild); brotli has no stdlib codec — honest unsupported error."""
+    import zlib
+
+    if tenc and "chunked" in tenc:
+        data = _dechunk(data)
+    if enc in ("", "identity", None):
+        return data, None
+    if enc in ("gzip", "x-gzip"):
+        # strict multi-member gunzip — unlike the walker's stream-
+        # tolerant _gzip_members, a TRUNCATED body here must flag, not
+        # silently yield a prefix (or nothing)
+        out = []
+        d = zlib.decompressobj(47)
+        rest = data
+        while True:
+            out.append(d.decompress(rest))
+            if not d.eof:
+                raise ValueError("truncated gzip stream")
+            rest = d.unused_data
+            if not rest:
+                return b"".join(out), None
+            d = zlib.decompressobj(47)
+    if enc == "deflate":
+        try:
+            return zlib.decompress(data), None
+        except zlib.error:
+            return zlib.decompress(data, -15), None
+    return data, f"unsupported Content-Encoding: {enc}"
+
+
+def decode_http_bodies(df: DataFrame) -> DataFrame:
+    """Transfer-decode the rows :func:`http_response_parts` flagged:
+    de-chunk ``chunked`` framing, inflate ``gzip``/``x-gzip``/
+    ``deflate`` Content-Encoding, then recompute ``body_text`` with the
+    SAME shared charset expressions (:func:`_charset_text`). Successful
+    rows get decoded ``body`` bytes and cleared encoding columns; rows
+    that fail (corrupt stream, malformed chunk framing, ``br`` — no
+    stdlib codec, honest boundary) keep their exact original bytes,
+    keep their encoding labels, keep NULL ``body_text``, and carry the
+    reason in ``http_decode_error`` — the codecs.py corrupt-row
+    contract, never a task kill.
+
+    The Python crossing is one Arrow-batched ``mapInPandas`` (zlib is
+    C-speed; bytes never reach the driver); identity rows pass through
+    it untouched. Run it AFTER filtering to the rows you keep —
+    decompression is the expensive stage, filters are not."""
+    import pandas as pd
+
+    cols = df.columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", http_decode_error string"
+
+    def _decode(batches):
+        for pdf in batches:
+            errs = []
+            bodies = []
+            encs = []
+            tencs = []
+            for b, enc, tenc in zip(
+                pdf["body"], pdf["http_encoding"], pdf["http_transfer_encoding"]
+            ):
+                if b is None:
+                    bodies.append(None), encs.append(enc), tencs.append(tenc)
+                    errs.append(None)
+                    continue
+                try:
+                    decoded, err = _inflate_body(bytes(b), enc or "", tenc or "")
+                except Exception as e:  # zlib.error / ValueError / Overflow
+                    decoded, err = bytes(b), f"{type(e).__name__}: {e}"
+                if err is None:
+                    bodies.append(decoded), encs.append(""), tencs.append("")
+                else:
+                    bodies.append(bytes(b)), encs.append(enc), tencs.append(tenc)
+                errs.append(err)
+            pdf = pdf.assign(
+                body=pd.Series(bodies, index=pdf.index, dtype=object),
+                http_encoding=encs,
+                http_transfer_encoding=tencs,
+                http_decode_error=errs,
+            )
+            yield pdf
+    decoded = df.mapInPandas(_decode, schema=out_schema)
+    body_str = F.decode(F.col("body"), "ISO-8859-1")
+    is_plain = (
+        F.col("http_encoding").isin("", "identity")
+        & ~F.col("http_transfer_encoding").contains("chunked")
+        & F.col("body").isNotNull()
+    )
+    return decoded.withColumn(
+        "body_text",
+        F.when(is_plain, _charset_text(body_str, F.col("body"), F.col("http_charset"))),
+    ).select(*cols, "http_decode_error")
+
+
+def responses_to_pages(
+    df: DataFrame,
+    ok_statuses: tuple[int, ...] = (200,),
+    decode_bodies: bool = False,
+) -> DataFrame:
     """The WARC->corpus bridge: well-framed HTML ``response`` records as
     ``(url, fetched_at, html)`` rows ready for
     :func:`..analytics.pipeline.prepare_crawl` /
     :func:`..analytics.html.html_to_text`. Keeps only framing-clean
-    records with an OK status and an HTML media type."""
-    parts = http_response_parts(df)
+    records with an OK status, an HTML media type, and a readable body
+    (``body_text`` is NULL for compressed/chunked bodies — those rows
+    DROP rather than leak mojibake or chunk-size lines into html;
+    ``decode_bodies=True`` routes them through
+    :func:`decode_http_bodies` first — one Arrow-batched inflate pass,
+    placed AFTER the status/media-type filter so only kept rows pay
+    it)."""
+    parts = http_response_parts(df).where(
+        F.col("framing_ok")
+        & F.col("http_status").isin(*ok_statuses)
+        & F.col("http_content_type").isin("text/html", "application/xhtml+xml")
+    )
+    if decode_bodies:
+        parts = decode_http_bodies(parts)
     return (
-        parts.where(
-            F.col("framing_ok")
-            & F.col("http_status").isin(*ok_statuses)
-            & F.col("http_content_type").isin("text/html", "application/xhtml+xml")
-        )
+        parts.where(F.col("body_text").isNotNull())
         .select(
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
@@ -808,6 +971,7 @@ def warc_to_wet(
     wet_path: str,
     ok_statuses: tuple[int, ...] = (200,),
     main_content_only: bool = False,
+    decode_bodies: bool = True,
 ) -> None:
     """Regenerate a WET text sidecar from raw WARC shards — the
     conversion Common Crawl itself runs: walk ``response`` records,
@@ -820,7 +984,14 @@ def warc_to_wet(
     frames fine but carries nothing)."""
     from apache_cassandra_spark.analytics import html as H
 
-    pages = responses_to_pages(read_warc(spark, warc_path), ok_statuses=ok_statuses)
+    pages = responses_to_pages(
+        read_warc(spark, warc_path),
+        ok_statuses=ok_statuses,
+        # a real crawl's bodies are largely gzip Content-Encoding —
+        # skipping them would silently halve the sidecar, so the
+        # conversion inflates by default
+        decode_bodies=decode_bodies,
+    )
     text = (
         H.main_content(F.col("html")) if main_content_only else H.html_to_text(F.col("html"))
     )

@@ -404,3 +404,148 @@ def test_pafs_open_failure_is_stream_error_row_not_task_kill(monkeypatch):
     chunks = _pafs_chunks("objstore://b/x.warc", 1 << 22)  # must NOT raise here
     rows = list(walk_warc_records(chunks, source_file="objstore://b/x.warc"))
     assert len(rows) == 1 and rows[0][5].startswith("stream_error:")
+
+
+# --- Content-Encoding / Transfer-Encoding (r11 advice) -------------------
+
+
+def _http_enc(body: bytes, extra_headers: bytes, ctype=b"text/html; charset=utf-8"):
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: " + ctype + b"\r\n" + extra_headers +
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body
+    )
+
+
+def _chunked(payload: bytes, sizes):
+    out, pos = [], 0
+    for s in sizes:
+        part = payload[pos : pos + s]
+        out.append(hex(len(part))[2:].encode() + b"\r\n" + part + b"\r\n")
+        pos += s
+    out.append(b"0\r\n\r\n")
+    return b"".join(out)
+
+
+def test_encoded_bodies_null_text_and_surface_encoding(spark, tmp_path):
+    """gzip / chunked bodies must NOT decode as mojibake or leak
+    chunk-size lines into body_text — NULL text, labeled columns,
+    exact original bytes preserved."""
+    import gzip as _gz
+
+    html = "<p>compressed content</p>".encode()
+    gz_body = _gz.compress(html)
+    ch_body = _chunked(html, [7, 9, 100])
+    recs = (
+        _record(_http_enc(gz_body, b"Content-Encoding: gzip\r\n"), uri=b"http://e.com/gz")
+        + _record(
+            _http_enc(ch_body, b"Transfer-Encoding: chunked\r\n"), uri=b"http://e.com/ch"
+        )
+        + _record(_http_enc(html, b""), uri=b"http://e.com/plain")
+    )
+    p = tmp_path / "enc.warc"
+    p.write_bytes(recs)
+    got = {
+        r["target_uri"]: r
+        for r in warc.http_response_parts(warc.read_warc(spark, str(p))).collect()
+    }
+    gz_row = got["http://e.com/gz"]
+    assert gz_row["http_encoding"] == "gzip" and gz_row["body_text"] is None
+    assert bytes(gz_row["body"]) == gz_body  # exact bytes, never mangled
+    ch_row = got["http://e.com/ch"]
+    assert ch_row["http_transfer_encoding"] == "chunked" and ch_row["body_text"] is None
+    plain = got["http://e.com/plain"]
+    assert plain["http_encoding"] == "" and plain["body_text"] == html.decode()
+    # the corpus bridge DROPS unreadable bodies by default...
+    urls = {r["url"] for r in warc.responses_to_pages(warc.read_warc(spark, str(p))).collect()}
+    assert urls == {"http://e.com/plain"}
+    # ...and recovers them with decode_bodies=True
+    pages = {
+        r["url"]: r["html"]
+        for r in warc.responses_to_pages(
+            warc.read_warc(spark, str(p)), decode_bodies=True
+        ).collect()
+    }
+    assert pages == {u: html.decode() for u in ("http://e.com/gz", "http://e.com/ch", "http://e.com/plain")}
+
+
+def _raw_deflate(data: bytes) -> bytes:
+    co = __import__("zlib").compressobj(wbits=-15)
+    return co.compress(data) + co.flush()
+
+
+def test_decode_http_bodies_matrix(spark, tmp_path):
+    """deflate (zlib AND raw), gzip+charset interplay (cp1251 text under
+    gzip), chunked+gzip combo, br (honest unsupported), corrupt gzip
+    (flagged, bytes preserved)."""
+    import gzip as _gz
+    import zlib
+
+    ru = "привет мир"
+    cp1251_gz = _gz.compress(ru.encode("cp1251"))
+    plain = "<p>ok</p>".encode()
+    recs = (
+        _record(
+            _http_enc(zlib.compress(plain), b"Content-Encoding: deflate\r\n"),
+            uri=b"http://e.com/zlib",
+        )
+        + _record(
+            _http_enc(_raw_deflate(plain), b"Content-Encoding: deflate\r\n"),
+            uri=b"http://e.com/raw",
+        )
+        + _record(
+            _http_enc(
+                cp1251_gz,
+                b"Content-Encoding: gzip\r\n",
+                ctype=b"text/html; charset=windows-1251",
+            ),
+            uri=b"http://e.com/ru",
+        )
+        + _record(
+            _http_enc(
+                _chunked(_gz.compress(plain), [5, 11, 100]),
+                b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+            ),
+            uri=b"http://e.com/combo",
+        )
+        + _record(
+            _http_enc(b"\x8b\x02\x80br-bytes", b"Content-Encoding: br\r\n"),
+            uri=b"http://e.com/br",
+        )
+        + _record(
+            _http_enc(b"\x1f\x8b\x08\x00garbage!!", b"Content-Encoding: gzip\r\n"),
+            uri=b"http://e.com/corrupt",
+        )
+    )
+    p = tmp_path / "matrix.warc"
+    p.write_bytes(recs)
+    parts = warc.http_response_parts(warc.read_warc(spark, str(p)))
+    got = {r["target_uri"]: r for r in warc.decode_http_bodies(parts).collect()}
+    for u in ("http://e.com/zlib", "http://e.com/raw"):
+        assert bytes(got[u]["body"]) == plain and got[u]["http_decode_error"] is None
+        assert got[u]["body_text"] == plain.decode() and got[u]["http_encoding"] == ""
+    assert got["http://e.com/ru"]["body_text"] == ru  # charset applies POST-inflate
+    assert got["http://e.com/combo"]["body_text"] == plain.decode()
+    assert got["http://e.com/combo"]["http_transfer_encoding"] == ""
+    br = got["http://e.com/br"]
+    assert "unsupported" in br["http_decode_error"] and br["body_text"] is None
+    assert br["http_encoding"] == "br" and bytes(br["body"]) == b"\x8b\x02\x80br-bytes"
+    bad = got["http://e.com/corrupt"]
+    assert bad["http_decode_error"] and bad["body_text"] is None
+    assert bytes(bad["body"]) == b"\x1f\x8b\x08\x00garbage!!"
+
+
+def test_dechunk_model():
+    """_dechunk against hand-built framings: extensions, LF-only, and
+    the malformed shapes that must raise (caller flags the row)."""
+    import pytest as _pt
+
+    from apache_cassandra_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\n\r\n") == b"hello"
+    assert _dechunk(b"5\nhello\n0\n\n") == b"hello"          # LF-only servers
+    assert _dechunk(b"3\r\nabc\r\n2\r\nde\r\n0\r\n") == b"abcde"
+    for bad in (b"5\r\nhel", b"zz\r\nab\r\n0\r\n", b"3\r\nabcX\r\n0\r\n", b""):
+        with _pt.raises(ValueError):
+            _dechunk(bad)
