@@ -456,6 +456,52 @@ def _sitemap_field(elem: Column, tag: str) -> Column:
     )
 
 
+def sitemap_xml_from_payload(
+    df: DataFrame,
+    payload_col: str = "payload",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Fetched sitemap BYTES → the decoded XML text column
+    :func:`parse_sitemap` takes. sitemap.org allows gzipped sitemaps
+    (``.xml.gz`` served as ``application/gzip`` — no Content-Encoding
+    header, the bytes themselves are the gzip stream), so payloads with
+    gzip magic inflate first (the strict multi-member gunzip shared
+    with ``warc.decode_http_bodies``); everything else decodes as UTF-8
+    with replacement. Corrupt gzip → NULL xml plus the reason in
+    ``sitemap_decode_error`` (the corrupt-row contract). One
+    Arrow-batched ``mapInPandas`` pass, executor-side."""
+    import pandas as pd
+
+    from apache_cassandra_spark.sources.warc import _gunzip_strict
+
+    cols = df.columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{xml_col}` string, sitemap_decode_error string"
+
+    def _decode(batches):
+        for pdf in batches:
+            xmls, errs = [], []
+            for b in pdf[payload_col]:
+                if b is None:
+                    xmls.append(None), errs.append(None)
+                    continue
+                data = bytes(b)
+                try:
+                    if data[:2] == b"\x1f\x8b":
+                        data = _gunzip_strict(data)
+                    xmls.append(data.decode("utf-8", errors="replace"))
+                    errs.append(None)
+                except Exception as e:  # zlib.error / ValueError
+                    xmls.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pdf.assign(**{xml_col: xmls, "sitemap_decode_error": pd.Series(errs, index=pdf.index, dtype=object)})
+
+    return df.mapInPandas(_decode, schema=out_schema).select(
+        *cols, xml_col, "sitemap_decode_error"
+    )
+
+
 def parse_sitemap(
     df: DataFrame,
     xml_col: str = "sitemap_xml",

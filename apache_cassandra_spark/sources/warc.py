@@ -833,6 +833,26 @@ def _dechunk(data: bytes) -> bytes:
             raise ValueError("missing chunk-data terminator")
 
 
+def _gunzip_strict(data: bytes) -> bytes:
+    """Strict multi-member gunzip — unlike the walker's stream-tolerant
+    :func:`_gzip_members`, a TRUNCATED payload here must raise (the
+    caller flags the row), not silently yield a prefix (or nothing).
+    CRC verifies per member (decompressobj eof implies trailer read)."""
+    import zlib
+
+    out = []
+    d = zlib.decompressobj(47)
+    rest = data
+    while True:
+        out.append(d.decompress(rest))
+        if not d.eof:
+            raise ValueError("truncated gzip stream")
+        rest = d.unused_data
+        if not rest:
+            return b"".join(out)
+        d = zlib.decompressobj(47)
+
+
 def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
     """De-chunk then decompress one body; returns ``(bytes, error)``.
     gzip walks multi-member streams (the record-per-member convention);
@@ -845,20 +865,7 @@ def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
     if enc in ("", "identity", None):
         return data, None
     if enc in ("gzip", "x-gzip"):
-        # strict multi-member gunzip — unlike the walker's stream-
-        # tolerant _gzip_members, a TRUNCATED body here must flag, not
-        # silently yield a prefix (or nothing)
-        out = []
-        d = zlib.decompressobj(47)
-        rest = data
-        while True:
-            out.append(d.decompress(rest))
-            if not d.eof:
-                raise ValueError("truncated gzip stream")
-            rest = d.unused_data
-            if not rest:
-                return b"".join(out), None
-            d = zlib.decompressobj(47)
+        return _gunzip_strict(data), None
     if enc == "deflate":
         try:
             return zlib.decompress(data), None

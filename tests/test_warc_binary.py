@@ -549,3 +549,25 @@ def test_dechunk_model():
     for bad in (b"5\r\nhel", b"zz\r\nab\r\n0\r\n", b"3\r\nabcX\r\n0\r\n", b""):
         with _pt.raises(ValueError):
             _dechunk(bad)
+
+
+def test_charset_translate_tables_exhaustive_vs_python_codecs(spark):
+    """Every _SINGLE_BYTE_CHARSETS table, all 256 byte values, against
+    Python's codec machinery (errors='replace' — the U+FFFD convention
+    the translate tables encode). One drifted code point in any table
+    flips this; the WHATWG latin-1→cp1252 aliasing means those tokens
+    are checked against cp1252, which is the point."""
+    from apache_cassandra_spark.sources.warc import _SINGLE_BYTE_CHARSETS, _sb_decode
+
+    all_bytes = bytes(range(256))
+    df = spark.createDataFrame([(all_bytes,)], "b binary")
+    view = F.decode(F.col("b"), "ISO-8859-1")
+    sel = []
+    for token, codec in _SINGLE_BYTE_CHARSETS.items():
+        col = view if codec is None else _sb_decode(view, codec)
+        sel.append(col.alias(f"t_{token.replace('-', '_').replace('.', '_').replace(':', '_')}"))
+    row = df.select(*sel).collect()[0]
+    for token, codec in _SINGLE_BYTE_CHARSETS.items():
+        expect = all_bytes.decode(codec or "iso-8859-1", errors="replace")
+        got = row[f"t_{token.replace('-', '_').replace('.', '_').replace(':', '_')}"]
+        assert got == expect, (token, codec)

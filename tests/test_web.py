@@ -499,3 +499,29 @@ def test_parse_sitemap_cdata_loc(spark):
     df = spark.createDataFrame([("e.com", xml)], "domain string, sitemap_xml string")
     got = web.parse_sitemap(df).collect()
     assert got[0]["loc"] == "http://e.com/a?x=1&y=2"  # CDATA content verbatim
+
+
+def test_sitemap_xml_from_payload_gzip_and_plain(spark):
+    """sitemap.org allows .xml.gz: gzip-magic payloads inflate (strict),
+    plain bytes decode as UTF-8, corrupt gzip flags instead of killing
+    the task — then parse_sitemap consumes the decoded column as-is."""
+    import gzip
+
+    xml = (
+        '<urlset><url><loc>http://e.com/a</loc></url>'
+        "<url><loc>http://e.com/b&amp;c</loc></url></urlset>"
+    )
+    rows = [
+        ("gz.com", gzip.compress(xml.encode())),
+        ("plain.com", xml.encode()),
+        ("bad.com", b"\x1f\x8b\x08\x00 corrupt gz"),
+    ]
+    df = spark.createDataFrame(rows, "domain string, payload binary")
+    dec = web.sitemap_xml_from_payload(df)
+    got = {r["domain"]: r for r in dec.collect()}
+    assert got["gz.com"]["sitemap_xml"] == xml and got["gz.com"]["sitemap_decode_error"] is None
+    assert got["plain.com"]["sitemap_xml"] == xml
+    assert got["bad.com"]["sitemap_xml"] is None
+    assert got["bad.com"]["sitemap_decode_error"]
+    locs = {r["loc"] for r in web.parse_sitemap(dec).collect()}
+    assert locs == {"http://e.com/a", "http://e.com/b&c"}
