@@ -130,7 +130,7 @@ BENCH_QUERIES = [
     "corpus_robots",
     "corpus_bm25_topk",
     "corpus_domain_boilerplate",
-    # pre-built awaiting window funding (COVERAGE.md retirement proposals)
+    # round-12 window leads (funded by the executed r12 retirements)
     "tpch_q17ish",
     "tpch_q19ish",
     "tpch_q21ish",
