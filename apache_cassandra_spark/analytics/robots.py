@@ -33,8 +33,10 @@ RFC 9309 nuances implemented: group selection prefers the EXACT
 user-agent token over ``*`` (product token match, case-insensitive);
 rules outside any group are ignored; an empty ``Disallow:`` value
 matches nothing (allows all); only the path+query of the URL is
-matched. Percent-decoding equivalence and ``crawl-delay`` (non-standard)
-are out of scope, documented here rather than silently wrong.
+matched. ``Crawl-delay`` (non-standard but honored by Bing/Yandex-class
+crawlers) is surfaced by :func:`crawl_delays` for fetcher politeness;
+percent-decoding equivalence stays out of scope, documented here rather
+than silently wrong.
 
 Reference parity note: the reference fork has no crawl machinery — this
 extends the engine for the LLM-pipeline mandate (RFC 9309 is public).
@@ -105,48 +107,21 @@ def _glob_hit(path: Column, rule_path: Column) -> Column:
     ).otherwise(folded["ok"])
 
 
-def parse_robots(
+def _grouped_directives(
     df: DataFrame,
-    agent: str = "*",
-    text_col: str = "robots_txt",
-    domain_col: str = "domain",
-    max_bytes: int | None = 500 * 1024,
-    max_rules_per_domain: int | None = 2000,
-) -> DataFrame:
-    """Rules governing ``agent`` from one robots.txt per domain →
-    ``(domain, rule_path, allow, rule_len)``.
-
-    Group grammar per RFC 9309: consecutive ``User-agent:`` lines open
-    ONE group whose rule block runs to the next ``User-agent`` line;
-    ANY parsed directive between two UA lines (a rule, ``crawl-delay``,
-    ``sitemap``, even an unrecognized field) ends the accumulation, so
-    the next UA line starts a NEW group — the reference parsers'
-    behavior (r11 advice; previously two UA groups separated only by a
-    non-rule directive merged, over-blocking the first agent). The
-    group matching the exact agent token wins, else the ``*`` group;
-    if the exact agent has ANY group, every ``*`` group is ignored
-    (the RFC's most-specific-group rule). Empty ``Disallow:`` values
-    drop (match nothing). Comments (``#``) strip.
-
-    Hostile-input caps (RFC 9309 §2.4 sanctions parse limits; 500 KiB
-    is the de-facto ceiling reference crawlers enforce): at most
-    ``max_bytes`` CHARACTERS of each document are parsed — measured in
-    code points, not octets, a deliberate simplification (each code
-    point is ≥1 octet, so the work bound holds; multi-byte documents
-    just parse slightly past 500 KiB of text) — with a trailing
-    partial line dropped when truncation bites; and at most
-    ``max_rules_per_domain`` rules survive per domain, kept in document
-    order. Pass ``None`` to disable either cap. ``rule_len`` is the
-    OCTET length (RFC 9309 longest-match precedence is defined over
-    octets; character counts pick a different winner on non-ASCII
-    UTF-8 paths).
-
-    Plan: posexplode lines → per-domain window (running group id = a
-    cumulative count of group STARTS, where a group start is a UA line
-    whose previous line is not a UA line) → rules join their group's
-    agent set via a per-(domain, gid) aggregate. Two shuffles on
-    (domain) / (domain, gid); robots documents are KB-sized, so both
-    exchanges move one small row set per site."""
+    agent: str,
+    text_col: str,
+    domain_col: str,
+    max_bytes: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of robots parsing: line split → directive
+    parse → group-id recovery → agent group selection. Returns
+    ``(grouped, picked)`` where ``grouped`` is every parsed directive
+    with its ``gid`` and ``picked`` is the (domain, gid) set governing
+    ``agent`` (exact groups suppress ``*`` per the RFC's
+    most-specific-group rule). Used by :func:`parse_robots` (allow/
+    disallow rules) and :func:`crawl_delays` (the politeness
+    directive) so the two cannot disagree on the group grammar."""
     agent_lc = agent.lower()
     # real-world formatting is hostile in fail-OPEN ways (a dropped rule
     # means "allowed"): strip a leading UTF-8 BOM (reference parsers
@@ -198,6 +173,52 @@ def parse_robots(
         (F.col("has_exact") == 1)
         | ((F.col("dom_exact") == 0) & (F.col("has_star") == 1))
     )
+    return grouped, picked
+
+
+def parse_robots(
+    df: DataFrame,
+    agent: str = "*",
+    text_col: str = "robots_txt",
+    domain_col: str = "domain",
+    max_bytes: int | None = 500 * 1024,
+    max_rules_per_domain: int | None = 2000,
+) -> DataFrame:
+    """Rules governing ``agent`` from one robots.txt per domain →
+    ``(domain, rule_path, allow, rule_len)``.
+
+    Group grammar per RFC 9309: consecutive ``User-agent:`` lines open
+    ONE group whose rule block runs to the next ``User-agent`` line;
+    ANY parsed directive between two UA lines (a rule, ``crawl-delay``,
+    ``sitemap``, even an unrecognized field) ends the accumulation, so
+    the next UA line starts a NEW group — the reference parsers'
+    behavior (r11 advice; previously two UA groups separated only by a
+    non-rule directive merged, over-blocking the first agent). The
+    group matching the exact agent token wins, else the ``*`` group;
+    if the exact agent has ANY group, every ``*`` group is ignored
+    (the RFC's most-specific-group rule). Empty ``Disallow:`` values
+    drop (match nothing). Comments (``#``) strip.
+
+    Hostile-input caps (RFC 9309 §2.4 sanctions parse limits; 500 KiB
+    is the de-facto ceiling reference crawlers enforce): at most
+    ``max_bytes`` CHARACTERS of each document are parsed — measured in
+    code points, not octets, a deliberate simplification (each code
+    point is ≥1 octet, so the work bound holds; multi-byte documents
+    just parse slightly past 500 KiB of text) — with a trailing
+    partial line dropped when truncation bites; and at most
+    ``max_rules_per_domain`` rules survive per domain, kept in document
+    order. Pass ``None`` to disable either cap. ``rule_len`` is the
+    OCTET length (RFC 9309 longest-match precedence is defined over
+    octets; character counts pick a different winner on non-ASCII
+    UTF-8 paths).
+
+    Plan: posexplode lines → per-domain window (running group id = a
+    cumulative count of group STARTS, where a group start is a UA line
+    whose previous line is not a UA line) → rules join their group's
+    agent set via a per-(domain, gid) aggregate. Two shuffles on
+    (domain) / (domain, gid); robots documents are KB-sized, so both
+    exchanges move one small row set per site."""
+    grouped, picked = _grouped_directives(df, agent, text_col, domain_col, max_bytes)
     rules = (
         grouped.where(F.col("field").isin("allow", "disallow") & (F.col("gid") > 0))
         .join(picked.select("domain", "gid"), ["domain", "gid"], "left_semi")
@@ -219,6 +240,35 @@ def parse_robots(
             F.col("_rn") <= max_rules_per_domain
         )
     return rules.select("domain", "rule_path", "allow", "rule_len")
+
+
+def crawl_delays(
+    df: DataFrame,
+    agent: str = "*",
+    text_col: str = "robots_txt",
+    domain_col: str = "domain",
+    max_bytes: int | None = 500 * 1024,
+) -> DataFrame:
+    """Per-domain ``Crawl-delay`` for ``agent`` → ``(domain,
+    crawl_delay)`` seconds (double) — the politeness half a fetcher
+    schedules by. Non-standard (absent from RFC 9309, honored by the
+    Bing/Yandex family), so semantics are the de-facto ones: the
+    directive applies group-wide; group selection is the SAME grammar
+    as :func:`parse_robots` (shared through ``_grouped_directives`` —
+    the two cannot disagree); among multiple applicable values the MAX
+    wins (the conservative, slower schedule); non-numeric or negative
+    values drop (try_cast, never an ANSI kill); domains with no
+    applicable directive simply have no row — fetchers fall back to
+    their default pacing."""
+    grouped, picked = _grouped_directives(df, agent, text_col, domain_col, max_bytes)
+    return (
+        grouped.where((F.col("field") == "crawl-delay") & (F.col("gid") > 0))
+        .join(picked.select("domain", "gid"), ["domain", "gid"], "left_semi")
+        .withColumn("_d", F.col("value").try_cast("double"))
+        .where(F.col("_d").isNotNull() & (F.col("_d") >= 0))
+        .groupBy("domain")
+        .agg(F.max("_d").alias("crawl_delay"))
+    )
 
 
 def match_allowed(

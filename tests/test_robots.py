@@ -322,3 +322,26 @@ def test_hostile_wildcard_rule_matches_in_linear_time(spark):
     )
     assert got[f"http://e.com{near_miss}"][0] is True
     assert got[f"http://e.com{hit}"] == (False, rule)
+
+
+def test_crawl_delays_group_selection_and_max(spark):
+    """Crawl-delay rides the SAME group grammar: exact group suppresses
+    *, multiple applicable values take the conservative max, junk and
+    negative values drop, no-directive domains emit no row."""
+    texts = [
+        # exact group (delay 7) suppresses * (delay 99)
+        ("a.com", "User-agent: mybot\nCrawl-delay: 7\nDisallow: /x\n"
+                  "User-agent: *\nCrawl-delay: 99\n"),
+        # falls to *: two star groups -> max(2, 10) = 10
+        ("b.com", "User-agent: *\nCrawl-delay: 2\n"
+                  "User-agent: *\nDisallow: /y\nCrawl-delay: 10\n"),
+        # junk + negative drop; fractional parses
+        ("c.com", "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -3\nCrawl-delay: 1.5\n"),
+        # no directive at all
+        ("d.com", "User-agent: *\nDisallow: /z\n"),
+        # directive outside any group is ignored
+        ("e.com", "Crawl-delay: 42\nUser-agent: *\nDisallow: /q\n"),
+    ]
+    df = spark.createDataFrame(texts, "domain string, robots_txt string")
+    got = {r["domain"]: r["crawl_delay"] for r in robots.crawl_delays(df, agent="MyBot").collect()}
+    assert got == {"a.com": 7.0, "b.com": 10.0, "c.com": 1.5}
