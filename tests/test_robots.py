@@ -345,3 +345,40 @@ def test_crawl_delays_group_selection_and_max(spark):
     df = spark.createDataFrame(texts, "domain string, robots_txt string")
     got = {r["domain"]: r["crawl_delay"] for r in robots.crawl_delays(df, agent="MyBot").collect()}
     assert got == {"a.com": 7.0, "b.com": 10.0, "c.com": 1.5}
+
+
+def test_fuzz_matcher_anchored_overlap_adversarial(spark):
+    """Second fuzz lens aimed at the anchored-overlap frontier (the
+    /ab*b$ vs /ab case): segments drawn from an alphabet where every
+    segment overlaps every other ({a, ab, b, ba, aa}), heavy '*'
+    density, ~50% '$' anchors — one batched Spark evaluation against
+    the independent Python model."""
+    rnd = random.Random(1234)
+    seg_pool = ["a", "ab", "b", "ba", "aa", "aba"]
+    rules = []
+    for _ in range(40):
+        n_seg = rnd.randint(1, 4)
+        r = "/" + "*".join(rnd.choice(seg_pool) for _ in range(n_seg))
+        if rnd.random() < 0.3:
+            r = "/*" + r[1:]
+        if rnd.random() < 0.5:
+            r += "$"
+        rules.append((r, rnd.random() < 0.5))
+    paths = ["/" + "".join(rnd.choices("ab", k=rnd.randint(0, 10))) for _ in range(120)]
+    # evaluate EVERY (rule, path) pair in one frame via a synthetic
+    # one-rule-per-domain universe
+    rule_rows = [(f"d{i}.com", f"User-agent: *\n{'Allow' if allow else 'Disallow'}: {r}\n")
+                 for i, (r, allow) in enumerate(rules)]
+    df = spark.createDataFrame(rule_rows, "domain string, robots_txt string")
+    parsed = robots.parse_robots(df, agent="fuzzbot")
+    pages = spark.createDataFrame(
+        [(i * 1000 + j, f"http://d{i}.com{p}", f"d{i}.com")
+         for i in range(len(rules)) for j, p in enumerate(paths)],
+        "doc_id long, url string, domain string",
+    )
+    out = robots.match_allowed(pages, parsed)
+    got = {(r["domain"], r["url"]): r["allowed"] for r in out.collect()}
+    for i, (r, allow) in enumerate(rules):
+        for j, p in enumerate(paths):
+            want = allow if _py_match(r, p) else True
+            assert got[(f"d{i}.com", f"http://d{i}.com{p}")] == want, (r, p, allow)

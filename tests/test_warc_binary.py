@@ -672,3 +672,44 @@ def test_write_warc_binary_media_payloads_decode_after_roundtrip(spark, tmp_path
     for mid, r in decoded.items():
         assert (r["width"], r["height"], r["mean_r"]) == (
             src[mid]["width"], src[mid]["height"], src[mid]["mean_r"])
+
+
+def test_property_dechunk_roundtrip():
+    """Property fuzz (pure Python — no Spark per example): any payload,
+    any chunking, any mix of CRLF/LF line endings and chunk extensions
+    reassembles exactly; flipping the terminal chunk off raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_cassandra_spark.sources.warc import _dechunk
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        payload=st.binary(max_size=200),
+        sizes=st.lists(st.integers(1, 50), max_size=8),
+        crlf=st.booleans(),
+        ext=st.booleans(),
+        data=st.data(),
+    )
+    def check(payload, sizes, crlf, ext, data):
+        eol = b"\r\n" if crlf else b"\n"
+        out, pos = [], 0
+        for s in sizes:
+            part = payload[pos : pos + s]
+            if not part:
+                break
+            line = hex(len(part))[2:].encode() + (b";x=1" if ext else b"")
+            out.append(line + eol + part + eol)
+            pos += len(part)
+        out.append(b"0" + eol + eol)
+        framed = b"".join(out)
+        assert _dechunk(framed) == payload[:pos]
+        # drop the terminal chunk -> must raise, never return a prefix
+        import pytest as _pt
+
+        truncated = framed[: -len(b"0" + eol + eol)]
+        if truncated:
+            with _pt.raises(ValueError):
+                _dechunk(truncated)
+
+    check()
