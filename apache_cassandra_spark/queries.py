@@ -6171,6 +6171,113 @@ ORACLES["corpus_robots"] = f"""
 """
 
 
+#: crawl front-door policies for the COMPOSED gate: variant A (even-
+#: length registrable domain) blocks the /Article and /img path families
+#: through the * group; variant B names graftbot, whose exact group
+#: (block /p/) must SUPPRESS the total * block. Deliberately simple
+#: prefix rules — the matcher subtleties (wildcards, anchors,
+#: longest-match) carry their own gate (corpus_robots); THIS gate pins
+#: the WIRING: policy keyed by the canonicalizer's registrable domain,
+#: decision applied to the RAW url's path+query, filter placed between
+#: URL keying and the canonical min-id dedup.
+_CRAWL_ROBOTS_A = "User-agent: *\nDisallow: /Article\nDisallow: /img\n"
+_CRAWL_ROBOTS_B = "User-agent: graftbot\nDisallow: /p/\n\nUser-agent: *\nDisallow: /\n"
+
+
+def q_corpus_prepare_crawl(spark, sf_dir):
+    """The crawl front door COMPOSED and hash-gated end to end:
+    pipeline.prepare_crawl(robots_rules=...) over synthesized pages —
+    markup → page text (title/clean_text/lang/links), URL keys
+    (canonical_url/host/domain), robots.txt compliance (policy per
+    registrable domain, graftbot agent), then canonical-URL min-id
+    dedup. The oracle replays every stage in one CTE chain, REUSING the
+    piece gates' exact SQL fragments (_url_keys_ctes, the page-text
+    chain, the literal policy decision), so a drift in any stage OR in
+    the glue between stages (the r11 verdict's gap: robots existed but
+    the composition never exercised it) flips the hash. Registered
+    below the driver window pending its funding retirement
+    (sim_ann_lsh_exact — COVERAGE.md "Proposed gate retirements
+    (round 12)")."""
+    from apache_cassandra_spark.analytics import robots as RB
+    from apache_cassandra_spark.analytics import web
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(_SYNTH_URL_SQL).alias("url"),
+    )
+    docs = docs.withColumn("html", F.expr(_SYNTH_HTML_SQL)).select(
+        "doc_id", "url", "html"
+    )
+    domains = web.with_url_keys(docs.select("doc_id", "url"), "url").select("domain").distinct()
+    robots_df = domains.withColumn(
+        "robots_txt",
+        F.when(F.length("domain") % 2 == 0, F.lit(_CRAWL_ROBOTS_A)).otherwise(
+            F.lit(_CRAWL_ROBOTS_B)
+        ),
+    )
+    rules = RB.parse_robots(robots_df, agent="graftbot")
+    out = prepare_crawl(docs, robots_rules=rules)
+    return out.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "host",
+        "domain",
+        "clean_text",
+        "title",
+        "declared_lang",
+        F.col("n_links").cast("long").alias("n_links"),
+    ).orderBy("doc_id")
+
+
+# Composed replay: u0 synthesizes url+html once; the canonicalization
+# chain is the SAME _url_keys_ctes the domain_stats/url_revisions
+# oracles run; the page-text chain is corpus_page_text's (minus the
+# anchors column prepare_crawl doesn't surface); the policy decision is
+# a literal CASE over the raw path+query (the _REST_RE mirror), keyed
+# by the canonicalizer's domain; winners = min(doc_id) per canonical
+# among ALLOWED rows only — a policy-dropped page must neither win nor
+# ghost-suppress a slot.
+_SQL_RAW_PATH = (
+    "CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = '' "
+    "THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END"
+)
+
+ORACLES["corpus_prepare_crawl"] = f"""
+    WITH u0 AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url, {_SYNTH_HTML_SQL} AS html
+                FROM documents),
+    {_url_keys_ctes("doc_id")},
+    sc AS (SELECT doc_id, html, {_SQL_STRIP_NONCONTENT} AS content FROM u0),
+    tx AS (SELECT doc_id,
+             trim(regexp_replace({_sql_decode_entities("regexp_replace(content, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g')) AS clean_text,
+             trim({_sql_decode_entities("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}) AS title,
+             cast(len({_SQL_HREF_LIST}) AS bigint) AS n_links,
+             lower(coalesce(
+                 nullif(regexp_extract(html, '(?is)<html\\b[^>]*[\\s"'']lang\s*=\s*["'']([^"''>]+)["'']', 1), ''),
+                 regexp_extract(html, '(?is)<html\\b[^>]*xml:lang\s*=\s*["'']([^"''>]+)["'']', 1))) AS declared_lang
+           FROM sc),
+    pth AS (SELECT doc_id, url, {_SQL_RAW_PATH} AS path FROM u0),
+    dec AS (SELECT p.doc_id, p.url, d.canonical_url, d.domain, k.host,
+                   CASE WHEN length(d.domain) % 2 = 0
+                        THEN NOT (p.path LIKE '/Article%' OR p.path LIKE '/img%')
+                        ELSE NOT (p.path LIKE '/p/%') END AS allowed
+            FROM pth p
+            JOIN d ON p.doc_id = d.doc_id
+            JOIN (SELECT doc_id, host FROM tk) k ON p.doc_id = k.doc_id),
+    kept AS (SELECT * FROM dec WHERE allowed),
+    win AS (SELECT canonical_url, min(doc_id) AS doc_id FROM kept GROUP BY canonical_url)
+    SELECT k.doc_id, k.url, k.canonical_url, k.host, k.domain,
+           tx.clean_text, tx.title, tx.declared_lang, tx.n_links
+    FROM kept k
+    JOIN win ON k.canonical_url = win.canonical_url AND k.doc_id = win.doc_id
+    JOIN tx ON k.doc_id = tx.doc_id
+    ORDER BY k.doc_id
+"""
+
+
 def q_corpus_main_content(spark, sf_dir):
     """Main-content extraction (html.with_main_content): the WSDM 2010
     densitometric block classifier — split at block-tag boundaries,
@@ -6579,6 +6686,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- by-design approximates: rows-only, never hash-green; exact
     # twins windowed (sim_ann_ivf_exact retired r10 — identical oracle to
     # sim_ann_lsh_exact; equality to cosine_topk pinned in tests) ---
+    # --- pre-built awaiting window funding: the composed crawl front
+    # door, registered with its funding retirement formally proposed
+    # (sim_ann_lsh_exact — see COVERAGE.md "Proposed gate retirements
+    # (round 12)"); waits below the window until endorsed, the pattern
+    # the r10/r11 verdicts graded plan-disciplined ---
+    "corpus_prepare_crawl": q_corpus_prepare_crawl,
+    # --- by-design approximates (see header comment) ---
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,
     "cluster_kmeans": q_cluster_kmeans,

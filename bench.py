@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "tpch_q21ish",
     "corpus_dsir_weights",
     "tpch_q15ish",
+    # round-12 build: the composed crawl front door (below the window
+    # pending its funding retirement's endorsement)
+    "corpus_prepare_crawl",
 ]
 
 

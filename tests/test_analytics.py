@@ -2037,3 +2037,18 @@ def test_remove_duplicate_lines_literal_metachar_delim(spark):
     # survives only at its first (doc_id, pos)
     assert out[0] == "first|shared line here"
     assert out[1] == "other"
+
+
+def test_lsh_exact_gate_pin_equals_cosine_topk(spark):
+    """Retirement receipt for the `sim_ann_lsh_exact` driver gate
+    (retirement PROPOSED round 12, funding corpus_prepare_crawl — its
+    oracle string is the identical `sim_topk` SQL, the same two-slots-
+    one-hash shape as the r10-endorsed sim_ann_ivf_exact retirement).
+    The pin is STRONGER than the gate: full row equality (ids, rank,
+    AND score) at the gate's exact parameters (planes=0 — every vector
+    in one bucket, candidates = the whole corpus)."""
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = em.where(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, similarity.cosine_topk(em, q, k=5).collect()))
+    lsh = sorted(map(tuple, similarity.ann_lsh_topk(em, q, k=5, planes=0).collect()))
+    assert lsh == exact
