@@ -300,6 +300,8 @@ OPS = {
     "main_content": lambda d: _main_content_op(d),
     "warc_roundtrip": lambda d: _warc_rt_op(d),
     "robots_match": lambda d: _robots_op(d),
+    # round 12: the composed crawl front door end to end
+    "prepare_crawl": lambda d: _prepare_crawl_op(d),
 }
 
 
@@ -371,6 +373,46 @@ def _robots_op(docs: DataFrame) -> int:
     )
     out = robots.match_allowed(pages, rules)
     out.agg(F.sum(F.col("allowed").cast("long"))).collect()
+    return docs.count()
+
+
+def _prepare_crawl_op(docs: DataFrame) -> int:
+    """The COMPOSED front door (markup -> text, URL keys, robots
+    compliance, canonical min-id dedup) end to end: 250-site robots
+    universe (fixed), pages scale with the corpus. Measures the whole
+    chain a real crawl ingest runs per batch — the per-page projection
+    dominates; the compliance join and the two dedup exchanges ride the
+    same page fan-out as robots_match."""
+    from apache_cassandra_spark.analytics import robots
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    spark = docs.sparkSession
+    doms = spark.range(250).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".com")).alias("domain"),
+        F.lit(
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+            "Disallow: /*.pdf$\nDisallow: /tmp\n"
+        ).alias("robots_txt"),
+    )
+    rules = robots.parse_robots(doms)
+    dom = F.concat(F.lit("site"), (F.col("doc_id") % 250).cast("string"), F.lit(".com"))
+    leaf = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("private/x"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("private/ok/y"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("doc.pdf"))
+        .otherwise(F.concat(F.lit("page/"), F.col("doc_id")))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://www."), dom, F.lit("/"), leaf).alias("url"),
+        F.concat(
+            F.lit('<html lang="en"><head><title>T</title></head><body><p>'),
+            F.col("text"),
+            F.lit('</p><a href="/x">x</a></body></html>'),
+        ).alias("html"),
+    )
+    out = prepare_crawl(pages, robots_rules=rules)
+    out.agg(F.sum("n_links"), F.sum(F.length("clean_text"))).collect()
     return docs.count()
 
 
