@@ -120,6 +120,7 @@ AUDITED = {
     "corpus_page_text": "HTML -> text ingest boundary: ONE codegen map-only projection per document (strip/decode/collapse regexp chain, quote-aware per-tag href parse, anchor elements rendered in-array) — no Exchange before the presentation orderBy, no UDF, no Generate (arrays stay in-row)",
     "corpus_outlink_graph": "domain-level crawl link graph: hrefs resolved INSIDE the link array (transform before explode — materializes the target so the eTLD+1 chain never inlines into a >64KB codegen method), Generate explode, ONE shuffle on the raw (src_host, dst_host, page) triple with map-side combine, host->domain mapping AFTER the aggregate on materialized attrs, internal-edge filter anchored to the aggregate output (un-pushable OR predicate) so the regex-derived predicate stays OFF the raw link rows; two cheap domain-regroup shuffles, no joins, no broadcast",
     "corpus_sitemap": "sitemap parse: map-only in-array element extraction + per-element field parse -> ONE explode -> presentation orderBy; no join, no aggregate, no Python",
+    "corpus_prepare_crawl": "the composed crawl front door: ONE map-only codegen projection for markup->text + URL keys over the scan; robots universe staged distinct-url -> Exchange -> domain with a localCheckpoint lineage cut (the 64KB-inlining and filter-pushdown-below-aggregate pitfalls, see SCALE.md r12); compliance = AQE-decided LEFT join + linear glob match + per-page WindowGroupLimit; canonical dedup = hash aggregate + AQE equi-join back; no SortAggregate, no Python, no cartesian",
     "corpus_robots": "robots compliance: KB-sized robots docs parse through per-domain windows (tiny exchanges), pages LEFT-join rules on domain (AQE-decided, rules/domain is capped at parse time), per-row LINEAR-TIME glob match (aggregate fold over literal segments — no regex, no backtracking), ONE winner window per page keyed on doc_id",
     "corpus_warc_roundtrip": "binary WARC re-ingest half: binaryFile METADATA scan (content pruned) -> repartition by path -> Arrow mapInPandas record walk (the ONLY Python in the crawl family — framing is inherently sequential per shard) -> codegen header/HTTP-split projection -> presentation orderBy; no join, no aggregate",
     "corpus_main_content": "densitometric block classifier: ONE map-only in-array projection (split -> per-block transform -> filter -> array_join) -> presentation orderBy; no Exchange before the sort, no Generate, no UDF",
