@@ -25,7 +25,7 @@ word counts, lifted to registrable domains).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: multi-label public suffixes the heuristic recognizes (a deliberately
@@ -541,3 +541,52 @@ def parse_sitemap(
         *passthrough, "_e.kind", "_e.loc", "_e.lastmod", "_e.changefreq", "_e.priority"
     )
     return out.where(F.col("loc") != "")
+
+
+def fetch_schedule(
+    pages: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness-paced fetch plan: append ``fetch_seq`` (0-based
+    position in the domain's queue) and ``fetch_at_sec`` (earliest
+    fetch offset = seq × the domain's delay) to a frontier of pages —
+    the scheduling step between discovery (:func:`parse_sitemap`,
+    outlinks) and the fetcher. ``delays`` is a ``(domain,
+    crawl_delay)`` frame (:func:`..robots.crawl_delays`); absent
+    domains pace at ``default_delay``. Queue order is
+    ``priority_col`` ascending (if given) then ``id_col`` — ties are
+    impossible under the unique-id contract, so the schedule is
+    deterministic.
+
+    Scale shape: ONE Exchange on domain feeding a row_number window —
+    per-domain parallelism, no global sort; the delays side joins
+    AQE-decided (site-count-sized, broadcastable). A mega-domain's
+    pages serialize onto one queue by DESIGN — politeness (one fetch
+    per delay per domain) is the very constraint being computed, so
+    per-domain key skew here reflects the real fetch bottleneck, not a
+    plan defect; fetchers shard the schedule by ``fetch_at_sec``
+    range, not by domain."""
+    order = [F.col(priority_col).asc(), F.col(id_col).asc()] if priority_col else [
+        F.col(id_col).asc()
+    ]
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    d = (
+        delays.select(
+            F.col("domain").alias("_d_domain"), F.col("crawl_delay").alias("_d_delay")
+        )
+        if delays is not None
+        else None
+    )
+    out = pages.withColumn("fetch_seq", F.row_number().over(w) - F.lit(1))
+    if d is not None:
+        out = out.join(d, out[domain_col] == d["_d_domain"], "left").drop("_d_domain")
+        delay = F.coalesce(F.col("_d_delay"), F.lit(float(default_delay)))
+    else:
+        delay = F.lit(float(default_delay))
+    return out.withColumn(
+        "fetch_at_sec", (F.col("fetch_seq") * delay).cast("double")
+    ).drop("_d_delay")

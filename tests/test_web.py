@@ -525,3 +525,39 @@ def test_sitemap_xml_from_payload_gzip_and_plain(spark):
     assert got["bad.com"]["sitemap_decode_error"]
     locs = {r["loc"] for r in web.parse_sitemap(dec).collect()}
     assert locs == {"http://e.com/a", "http://e.com/b&c"}
+
+
+def test_fetch_schedule_politeness_pacing(spark):
+    """Per-domain queue positions and fetch offsets: crawl_delays-paced
+    domains use their delay, absent domains the default, priority
+    reorders the queue, and the composition from robots.crawl_delays
+    wires end to end."""
+    from apache_cassandra_spark.analytics import robots
+
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", 5), (2, "a.com", 1), (3, "a.com", 1),
+            (4, "b.org", 0), (5, "b.org", 0),
+        ],
+        "doc_id long, domain string, prio int",
+    )
+    delays = robots.crawl_delays(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 2.5\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    out = {r["doc_id"]: r for r in web.fetch_schedule(
+        pages, delays, default_delay=1.0, priority_col="prio"
+    ).collect()}
+    # a.com queue by (prio, id): 2, 3, 1 -> seq 0, 1, 2 at 2.5s pace
+    assert (out[2]["fetch_seq"], out[3]["fetch_seq"], out[1]["fetch_seq"]) == (0, 1, 2)
+    assert out[1]["fetch_at_sec"] == 5.0 and out[3]["fetch_at_sec"] == 2.5
+    # b.org has no directive -> default 1.0s pace
+    assert (out[4]["fetch_at_sec"], out[5]["fetch_at_sec"]) == (0.0, 1.0)
+    # no delays frame at all
+    out2 = web.fetch_schedule(pages.drop("prio"), None, default_delay=0.5).collect()
+    assert {(r["domain"], r["fetch_seq"], r["fetch_at_sec"]) for r in out2} >= {
+        ("a.com", 0, 0.0), ("a.com", 2, 1.0), ("b.org", 1, 0.5)}
+    # input columns pass through untouched
+    assert set(out[1].asDict()) == {"doc_id", "domain", "prio", "fetch_seq", "fetch_at_sec"}
