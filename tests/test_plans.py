@@ -1138,3 +1138,20 @@ def test_tpch_q15ish_max_equality_compiles_to_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "[_r" in plan and "[_m" in plan  # the extracted equi-join keys
     assert "partial_sum" in plan  # map-side combined revenue
+
+
+def test_prepare_crawl_composed_gate_plan_locks(spark):
+    """The composed crawl gate's scale contract: no SortAggregate (the
+    wide-text max_by anti-pattern), no Python, no cartesian, and zero
+    whole-stage-codegen fallbacks — the r12 robots-universe branch
+    tripped both the 64KB-inlining and the filter-pushdown-below-
+    aggregate pitfalls before its staging (Exchange + localCheckpoint)
+    landed; this lock keeps them fixed."""
+    from apache_cassandra_spark.queries import QUERIES
+
+    df = QUERIES["corpus_prepare_crawl"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "SortAggregate" not in plan
+    assert "Python" not in plan and "Cartesian" not in plan
+    # the winner window is the WindowGroupLimit form, per page
+    assert "WindowGroupLimit" in plan
