@@ -300,8 +300,10 @@ OPS = {
     "main_content": lambda d: _main_content_op(d),
     "warc_roundtrip": lambda d: _warc_rt_op(d),
     "robots_match": lambda d: _robots_op(d),
-    # round 12: the composed crawl front door end to end
+    # round 12: the composed crawl front door end to end, and the
+    # byte-exact binary WARC sink round trip (gzip member per record)
     "prepare_crawl": lambda d: _prepare_crawl_op(d),
+    "warc_binary_roundtrip": lambda d: _warc_bin_op(d),
 }
 
 
@@ -374,6 +376,42 @@ def _robots_op(docs: DataFrame) -> int:
     out = robots.match_allowed(pages, rules)
     out.agg(F.sum(F.col("allowed").cast("long"))).collect()
     return docs.count()
+
+
+def _warc_bin_op(docs: DataFrame) -> int:
+    """Binary WARC sink -> walk round trip, compressed: write the
+    replicated corpus as .warc.gz shards (one gzip member per record —
+    the Common Crawl layout; shard count = task count), walk them back
+    and HTTP-split. Timed END TO END like the text-sink warc_roundtrip
+    row; the delta vs that row is the per-record gzip compress +
+    member-walk decompress."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc as W
+
+    spark = docs.sparkSession
+    d = tempfile.mkdtemp(prefix="probe_warcbin_")
+    out = d + "/shards"
+    try:
+        pages = docs.select(
+            F.concat(F.lit("http://p.example/"), F.col("doc_id")).alias("target_uri"),
+            F.encode(
+                F.concat(
+                    F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+                    F.octet_length(F.col("text")).cast("string"),
+                    F.lit("\r\n\r\n"),
+                    F.col("text"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        W.write_warc_binary(pages, out, compress=True, mode="overwrite")
+        back = W.http_response_parts(W.read_warc(spark, out))
+        back.agg(F.sum("http_status"), F.sum(F.octet_length("body"))).collect()
+        return docs.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _prepare_crawl_op(docs: DataFrame) -> int:
@@ -592,6 +630,42 @@ def _boilerplate_op(docs: DataFrame) -> int:
     out = r.agg(F.count(F.lit(1)), F.sum("n_kept"), F.sum(F.length("text")))
     out.collect()
     return docs.count()
+
+
+def _warc_bin_op(docs: DataFrame) -> int:
+    """Binary WARC sink -> walk round trip, compressed: write the
+    replicated corpus as .warc.gz shards (one gzip member per record —
+    the Common Crawl layout; shard count = task count), walk them back
+    and HTTP-split. Timed END TO END like the text-sink warc_roundtrip
+    row; the delta vs that row is the per-record gzip compress +
+    member-walk decompress."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc as W
+
+    spark = docs.sparkSession
+    d = tempfile.mkdtemp(prefix="probe_warcbin_")
+    out = d + "/shards"
+    try:
+        pages = docs.select(
+            F.concat(F.lit("http://p.example/"), F.col("doc_id")).alias("target_uri"),
+            F.encode(
+                F.concat(
+                    F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+                    F.octet_length(F.col("text")).cast("string"),
+                    F.lit("\r\n\r\n"),
+                    F.col("text"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        W.write_warc_binary(pages, out, compress=True, mode="overwrite")
+        back = W.http_response_parts(W.read_warc(spark, out))
+        back.agg(F.sum("http_status"), F.sum(F.octet_length("body"))).collect()
+        return docs.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _prepare_crawl_op(docs: DataFrame) -> int:
