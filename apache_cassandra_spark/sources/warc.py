@@ -1069,18 +1069,18 @@ def write_warc_binary(
     filesystem, root = _output_fs(path)
     info = filesystem.get_file_info(root)
     if info.type != pafs.FileType.NotFound:
-        existing = [
-            i.path
-            for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=False))
-        ]
+        existing = filesystem.get_file_info(pafs.FileSelector(root, recursive=False))
         if existing and mode == "error":
             raise ValueError(
                 f"write_warc_binary: target {path!r} is non-empty; pass "
                 "mode='overwrite' or mode='append'"
             )
         if mode == "overwrite":
-            for p in existing:
-                filesystem.delete_file(p)
+            # files only — a stray subdirectory is surfaced by the walk
+            # (read_warc's glob won't match it), never silently recursed
+            for i in existing:
+                if i.type == pafs.FileType.File:
+                    filesystem.delete_file(i.path)
     filesystem.create_dir(root, recursive=True)
 
     ext = ".warc.gz" if compress else ".warc"
