@@ -713,3 +713,47 @@ def test_property_dechunk_roundtrip():
                 _dechunk(truncated)
 
     check()
+
+
+def test_encoding_pipeline_streams_stateless(spark, tmp_path):
+    """The full encoding-aware bridge (walk -> HTTP split -> inflate ->
+    pages) is stateless per record, so it composes under readStream
+    unchanged — streamed results must equal the batch bridge on a mixed
+    plain/gzip/chunked shard set."""
+    import gzip as _gz
+
+    src = tmp_path / "enc_src"
+    src.mkdir()
+    html = "<p>stream me</p>".encode()
+    (src / "s0.warc").write_bytes(
+        _record(_http_enc(_gz.compress(html), b"Content-Encoding: gzip\r\n"),
+                uri=b"http://e.com/gz")
+        + _record(_http_enc(html, b""), uri=b"http://e.com/plain")
+    )
+    (src / "s1.warc").write_bytes(
+        _record(_http_enc(_chunked(html, [6, 99]), b"Transfer-Encoding: chunked\r\n"),
+                uri=b"http://e.com/ch")
+    )
+    batch = {
+        (r["url"], r["html"])
+        for r in warc.responses_to_pages(
+            warc.read_warc(spark, str(src) + "/*"), decode_bodies=True
+        ).collect()
+    }
+    assert batch == {(f"http://e.com/{p}", html.decode()) for p in ("gz", "plain", "ch")}
+    stream = warc.responses_to_pages(
+        warc.read_warc_stream(spark, str(src) + "/*", max_files_per_trigger=1),
+        decode_bodies=True,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enc_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["url"], r["html"]) for r in spark.sql("select * from enc_stream_t").collect()}
+    finally:
+        q.stop()
+    assert got == batch
