@@ -758,7 +758,9 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
     type, no parameters), ``http_charset`` (declared charset or ''),
     ``http_encoding`` (lowercased ``Content-Encoding`` or ''),
     ``http_transfer_encoding`` (lowercased ``Transfer-Encoding`` or
-    ''), ``body`` (exact body BYTES, whatever their encoding), and
+    ''), ``http_location`` (the redirect target header, '' when absent
+    — see :func:`redirect_edges`), ``body`` (exact body BYTES, whatever
+    their encoding), and
     ``body_text`` (body decoded by the declared charset via
     :func:`_charset_text`; never a task-killing ANSI decode error).
 
@@ -786,6 +788,7 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
     )
     enc = F.lower(_header(env, "Content-Encoding"))
     tenc = F.lower(_header(env, "Transfer-Encoding"))
+    loc = _header(env, "Location")
     body = F.encode(body_str, "ISO-8859-1")
     # text only for bytes that ARE the entity: identity encoding and
     # unchunked framing ('' = header absent)
@@ -797,6 +800,7 @@ def http_response_parts(df: DataFrame, payload_col: str = "payload") -> DataFram
         .withColumn("http_charset", charset)
         .withColumn("http_encoding", enc)
         .withColumn("http_transfer_encoding", tenc)
+        .withColumn("http_location", loc)
         .withColumn("body", body)
         .withColumn("body_text", body_text)
     )
@@ -968,6 +972,41 @@ def responses_to_pages(
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetched_at"),
             F.col("body_text").alias("html"),
+        )
+    )
+
+
+def redirect_edges(
+    df: DataFrame,
+    statuses: tuple[int, ...] = (301, 302, 303, 307, 308),
+) -> DataFrame:
+    """Redirect edges from captured ``response`` records: well-framed
+    3xx responses as ``(url, http_status, location, redirect_to)`` rows
+    — the frontier re-feed a crawler runs alongside
+    :func:`responses_to_pages` (a 200 becomes a page, a 3xx becomes a
+    NEW frontier entry; multi-hop chains resolve by iterating the
+    frontier, not inside one query). ``location`` is the raw header;
+    ``redirect_to`` resolves it against the capture URL with the SAME
+    three-form rule as the outlink graph (``html.resolve_link``:
+    absolute kept, protocol-relative inherits the scheme, host-relative
+    inherits scheme+host, path-relative → NULL by the documented
+    contract — a wrong join key is worse than a dropped edge).
+    Map-only: one projection + filter over the envelope already parsed
+    by :func:`http_response_parts`."""
+    from apache_cassandra_spark.analytics.html import resolve_link
+
+    parts = http_response_parts(df)
+    return (
+        parts.where(
+            F.col("framing_ok")
+            & F.col("http_status").isin(*statuses)
+            & (F.col("http_location") != "")
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            "http_status",
+            F.col("http_location").alias("location"),
+            resolve_link(F.col("http_location"), F.col("target_uri")).alias("redirect_to"),
         )
     )
 

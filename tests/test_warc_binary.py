@@ -757,3 +757,39 @@ def test_encoding_pipeline_streams_stateless(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_redirect_edges_resolution_and_filtering(spark, tmp_path):
+    """3xx captures become frontier edges: absolute Location kept,
+    host-relative resolves against the capture URL, path-relative NULLs
+    by contract; 200s, missing-Location 3xxes, and broken-framing rows
+    all drop."""
+    def _redir(status, location, uri):
+        env = (b"HTTP/1.1 " + status + b"\r\nLocation: " + location
+               + b"\r\nContent-Length: 0\r\n\r\n")
+        return _record(env, uri=uri)
+
+    recs = (
+        _redir(b"301 Moved Permanently", b"https://new.e.com/x", b"http://e.com/old1")
+        + _redir(b"302 Found", b"/local/path?q=1", b"https://e.com:8080/old2")
+        + _redir(b"307 Temporary Redirect", b"rel/next", b"http://e.com/old3")
+        + _redir(b"303 See Other", b"//cdn.e.com/m", b"https://e.com/old4")
+        + _record(_http(b"<p>ok</p>"), uri=b"http://e.com/fine")
+        + _redir(b"301 Moved Permanently", b"", b"http://e.com/noloc")
+    )
+    p = tmp_path / "redir.warc"
+    p.write_bytes(recs)
+    got = {r["url"]: r for r in warc.redirect_edges(warc.read_warc(spark, str(p))).collect()}
+    assert set(got) == {
+        "http://e.com/old1",
+        "https://e.com:8080/old2",
+        "http://e.com/old3",
+        "https://e.com/old4",
+    }
+    assert got["http://e.com/old1"]["redirect_to"] == "https://new.e.com/x"
+    # host-relative inherits scheme AND host:port (resolve_link keeps www/port)
+    assert got["https://e.com:8080/old2"]["redirect_to"] == "https://e.com:8080/local/path?q=1"
+    assert got["http://e.com/old3"]["redirect_to"] is None  # path-relative contract
+    assert got["http://e.com/old3"]["location"] == "rel/next"
+    assert got["https://e.com/old4"]["redirect_to"] == "https://cdn.e.com/m"
+    assert got["https://e.com:8080/old2"]["http_status"] == 302
