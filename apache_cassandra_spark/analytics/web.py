@@ -590,3 +590,67 @@ def fetch_schedule(
     return out.withColumn(
         "fetch_at_sec", (F.col("fetch_seq") * delay).cast("double")
     ).drop("_d_delay")
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 5,
+    url_col: str = "url",
+    to_col: str = "redirect_to",
+) -> DataFrame:
+    """Follow single-hop redirect edges (``warc.redirect_edges`` output)
+    to their destination, bounded at ``max_hops`` — the crawler
+    convention (reference fetchers give up after ~5 redirects, which
+    also guards cycles without path bookkeeping). Returns one row per
+    redirecting URL: ``(url, final_url, n_hops, resolved)`` where
+    ``resolved`` is False when the chain is still pointing at another
+    redirect after the hop budget (a loop, or a chain longer than the
+    budget — the caller drops or flags those captures).
+
+    NULL targets drop up front (path-relative Locations resolve to NULL
+    by the ``redirect_edges`` contract); a URL captured with several
+    redirect responses keeps the lexicographically-smallest target so
+    the map is a FUNCTION (deterministic, order-free).
+
+    Scale shape: the unrolled-iteration discipline of the graph family
+    (pagerank/HITS) — ``max_hops - 1`` equality self-joins on the
+    redirect table (redirect rows are a small fraction of captures),
+    each hop a hash join + coalesce projection, ``localCheckpoint``
+    lineage cuts per hop; no recursion, no driver loops over rows."""
+    e = (
+        edges.where(F.col(to_col).isNotNull())
+        .groupBy(F.col(url_col).alias("_src"))
+        .agg(F.min(to_col).alias("_dst"))
+        .localCheckpoint()
+    )
+    cur = e.select(
+        F.col("_src").alias(url_col),
+        F.col("_dst").alias("final_url"),
+        F.lit(1).alias("n_hops"),
+    )
+    for _ in range(max_hops - 1):
+        hop = e.select(
+            F.col("_src").alias("_h_src"), F.col("_dst").alias("_h_dst")
+        )
+        cur = (
+            cur.join(hop, cur["final_url"] == hop["_h_src"], "left")
+            .select(
+                url_col,
+                F.coalesce("_h_dst", "final_url").alias("final_url"),
+                (
+                    F.col("n_hops")
+                    + F.when(F.col("_h_dst").isNotNull(), 1).otherwise(0)
+                ).alias("n_hops"),
+            )
+            .localCheckpoint()
+        )
+    probe = e.select(F.col("_src").alias("_p_src"))
+    return (
+        cur.join(probe, cur["final_url"] == probe["_p_src"], "left")
+        .select(
+            url_col,
+            "final_url",
+            "n_hops",
+            F.col("_p_src").isNull().alias("resolved"),
+        )
+    )

@@ -561,3 +561,53 @@ def test_fetch_schedule_politeness_pacing(spark):
         ("a.com", 0, 0.0), ("a.com", 2, 1.0), ("b.org", 1, 0.5)}
     # input columns pass through untouched
     assert set(out[1].asDict()) == {"doc_id", "domain", "prio", "fetch_seq", "fetch_at_sec"}
+
+
+def test_resolve_redirects_chains_cycles_and_budget(spark):
+    """Chains follow to the end, cycles exhaust the hop budget and flag
+    resolved=False, duplicate captures pick a deterministic target, and
+    NULL targets drop."""
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"),          # 3-hop chain -> d
+        ("x", "y"), ("y", "x"),                        # 2-cycle
+        ("solo", "end"),                               # 1 hop
+        ("dup", "t2"), ("dup", "t1"),                  # duplicate capture
+        ("relnull", None),                              # dropped
+    ]
+    df = spark.createDataFrame(rows, "url string, redirect_to string")
+    got = {r["url"]: r for r in web.resolve_redirects(df, max_hops=5).collect()}
+    assert set(got) == {"a", "b", "c", "x", "y", "solo", "dup"}
+    assert (got["a"]["final_url"], got["a"]["n_hops"], got["a"]["resolved"]) == ("d", 3, True)
+    assert got["b"]["final_url"] == "d" and got["b"]["n_hops"] == 2
+    assert got["solo"] and got["solo"]["final_url"] == "end" and got["solo"]["resolved"]
+    assert got["dup"]["final_url"] == "t1"  # min() target, deterministic
+    # the cycle burns the whole budget and stays unresolved
+    assert got["x"]["n_hops"] == 5 and got["x"]["resolved"] is False
+    assert got["y"]["resolved"] is False
+
+
+def test_resolve_redirects_composes_from_warc(spark, tmp_path):
+    """warc.redirect_edges -> resolve_redirects end to end on a real
+    two-hop captured chain."""
+    from apache_cassandra_spark.sources import warc as W
+
+    def _redir(location, uri):
+        env = (b"HTTP/1.1 301 Moved Permanently\r\nLocation: " + location
+               + b"\r\nContent-Length: 0\r\n\r\n")
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:1>\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"WARC-Date: 2013-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(env)).encode() + b"\r\n\r\n"
+                + env + b"\r\n\r\n")
+
+    p = tmp_path / "chain.warc"
+    p.write_bytes(
+        _redir(b"http://e.com/mid", b"http://e.com/start")
+        + _redir(b"/final", b"http://e.com/mid")
+    )
+    edges = W.redirect_edges(W.read_warc(spark, str(p)))
+    got = {r["url"]: r for r in web.resolve_redirects(edges).collect()}
+    assert got["http://e.com/start"]["final_url"] == "http://e.com/final"
+    assert got["http://e.com/start"]["n_hops"] == 2 and got["http://e.com/start"]["resolved"]
