@@ -14,7 +14,7 @@ Formats with a genuinely parsed decode path:
   chroma upsampling, JFIF color convert)
 
 Codecs whose *entropy coding* has no stdlib implementation (MP3/H.264)
-and JPEG profiles beyond sequential baseline (progressive, arithmetic,
+and JPEG profiles beyond sequential baseline + progressive (arithmetic,
 12-bit) still raise ``NotImplementedError`` — the dispatch keeps an
 honest boundary between the real and unavailable paths instead of
 faking them.
@@ -331,7 +331,7 @@ def decode_jpeg_pil(payload: bytes) -> dict:
     """libjpeg-backed JPEG decode (requires Pillow) under the SAME error
     contract AND the same acceptance set as the from-scratch path:
     ``jpeg.prescan_jpeg`` runs first, so a payload the exact decoder
-    rejects (progressive SOF2, CMYK, 12-bit, 16-bit DQT, fractional
+    rejects (CMYK, 12-bit, 16-bit DQT, fractional
     sampling) raises the identical exception here even though Pillow
     could decode it — the default ``decode_media`` output is therefore
     environment-independent (ADVICE r6). Corrupt/truncated →
@@ -393,7 +393,7 @@ def decode_bytes(payload: bytes, exact_jpeg: bool = False) -> dict:
     """Sniff + decode one payload into the unified DECODE_FIELDS record.
 
     Real parse for ppm/bmp/wav/png/baseline-jpeg; codecs with no stdlib
-    entropy implementation (MP3/H.264, progressive JPEG) raise
+    entropy implementation (MP3/H.264) raise
     ``NotImplementedError`` (install PIL/ffmpeg and register a decoder in
     ``_DECODERS`` to extend — the Spark plumbing is format-agnostic).
     JPEG routes through Pillow/libjpeg when importable;

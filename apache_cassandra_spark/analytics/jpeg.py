@@ -15,9 +15,15 @@ DCT* profile end to end:
   4:2:0 out, standard Annex K Huffman tables, caller-supplied
   quantization tables (default all-ones).
 
-Progressive (SOF2), arithmetic coding, hierarchical, and 12-bit
-precision raise ``NotImplementedError`` — the same honesty boundary as
-the other codecs.
+Progressive (SOF2) decodes too (round 12): spectral selection,
+successive approximation (DC and AC first + refinement passes),
+cross-block EOB runs, restart intervals — coefficients accumulate
+across scans and reconstruction reuses the baseline arithmetic, so a
+progressive stream decodes pixel-identically to the baseline encoding
+of the same raster (the equivalence test). A progressive ENCODER
+(`encode_jpeg_progressive`) exists for fixture generation. Arithmetic
+coding, hierarchical, and 12-bit precision still raise
+``NotImplementedError`` — the honesty boundary.
 
 Exactness contract used by the ``media_decode_jpeg`` gate query: with
 all-ones quantization tables a *constant-fill* image survives the whole
@@ -468,7 +474,8 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
 
     Mirrored rejections (same type, same condition as decode_jpeg):
 
-    * NotImplementedError — non-baseline SOF (progressive SOF2 etc.),
+    * NotImplementedError — unsupported SOF (lossless, arithmetic,
+      hierarchical — baseline AND progressive both accept since r12),
       non-8-bit precision, 16-bit quantization tables, fractional
       sampling ratios;
     * ValueError — missing SOI, truncated segments, zero dimensions,
@@ -483,6 +490,7 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
         raise ValueError("not a JPEG (missing SOI)")
     pos, n = 2, len(payload)
     frame = None
+    progressive = False
     while pos < n:
         if pos + 1 >= n:
             raise ValueError("truncated marker")
@@ -508,7 +516,8 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
                 if p + 65 > len(seg):
                     raise ValueError("truncated DQT segment")
                 p += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline + progressive
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
             prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
@@ -537,17 +546,35 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
                         f"non-integer-ratio sampling factors {h}x{v} vs max {hmax}x{vmax}"
                     )
             frame = (fw, fh, ncomp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only sequential baseline JPEG (SOF0/SOF1) supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only sequential baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS segment")
+            if progressive:
+                # mirror the progressive walker's FIRST-scan header
+                # checks (a baseline stream masquerading as SOF2 fails
+                # here exactly like the decoder: its one interleaved
+                # full-band scan is not a legal progression)
+                ns = seg[0]
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("truncated SOS segment")
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se == 0")
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                if ss > se or se > 63:
+                    raise ValueError("invalid spectral band")
+                return frame
             # sequential baseline is ONE interleaved scan covering all
             # components (decode_jpeg's _decode_scan contract) — a
             # per-component multi-scan file must be rejected here too,
             # or Pillow would accept what the exact decoder rejects
-            if not seg:
-                raise ValueError("truncated SOS segment")
             if seg[0] != frame[2]:
                 raise ValueError(
                     f"unsupported scan layout ({seg[0]} of {frame[2]} components)"
@@ -618,8 +645,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only sequential baseline JPEG (SOF0/SOF1) supported")
+        elif marker == 0xC2:  # SOF2: progressive — own multi-scan walk
+            return _decode_progressive_pixels(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only sequential baseline (SOF0/SOF1) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -763,3 +794,684 @@ def decode_jpeg(payload: bytes) -> dict:
         "mean_g": float(means[1]),
         "mean_b": float(means[2]),
     }
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2) — T.81 Annex G, Huffman entropy coding
+# ---------------------------------------------------------------------------
+#
+# Progressive JPEG transmits the SAME quantized DCT coefficients as
+# sequential baseline, split across multiple scans: spectral selection
+# (a scan carries one zigzag band [Ss..Se] of one component; DC scans may
+# interleave all components) and successive approximation (a first scan
+# carries coefficients at reduced precision — point transform >> Al —
+# and refinement scans append one magnitude bit each, Ah = the previous
+# scan's Al). Because the coefficients are identical, a progressive
+# decode MUST equal the baseline decode of the same raster with the same
+# quantization — the equivalence test in tests/test_jpeg.py pins both
+# directions of the implementation against the already-oracle-locked
+# baseline codec. DC refinement is two's-complement bit OR (floor-shift
+# arithmetic); AC is sign-magnitude: first pass sgn(v)·(|v|>>Al),
+# refinement |v| bit Al — both per T.81 G.1.2.
+
+
+def _flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A valid canonical Huffman table giving every symbol the same
+    length L (smallest L with n < 2^L, so the all-ones code stays
+    reserved per T.81 C.2). Progressive scans need symbols Annex K's
+    tables lack (EOBn), and any prefix code is spec-valid — flat keeps
+    the encoder trivial; compression ratio is not what the codec is
+    for."""
+    n = len(set(symbols))
+    uniq = sorted(set(symbols))
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, uniq
+
+
+def _emit_extend(bw: _BitWriter, v: int, cat: int) -> None:
+    bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+
+class _ProgACEncoder:
+    """One component's AC scans under progressive rules: EOB-run
+    accumulation across blocks with the buffered-correction-bit
+    machinery refinement needs (T.81 G.1.2.3; the structure mirrors the
+    classic libjpeg encode_mcu_AC_first/_refine)."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict[int, tuple[int, int]]):
+        self.bw = bw
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def _emit(self, sym: int) -> None:
+        code, ln = self.codes[sym]
+        self.bw.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self._emit(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.pending_bits = []
+
+    def first_block(self, zz: list[int], ss: int, se: int, al: int) -> None:
+        """AC first scan (Ah == 0) for one block's band."""
+        run = 0
+        for k in range(ss, se + 1):
+            v = zz[k]
+            av = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if av == 0:
+                run += 1
+                continue
+            self.flush_eobrun()
+            while run > 15:
+                self._emit(0xF0)
+                run -= 16
+            cat = _category(av)
+            self._emit((run << 4) | cat)
+            _emit_extend(self.bw, av, cat)
+            run = 0
+        if run > 0:
+            # trailing zeros (an all-zero band ends up here too, with
+            # run == the whole band): one more EOB block
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def refine_block(self, zz: list[int], ss: int, se: int, al: int) -> None:
+        """AC refinement scan (Ah == Al + 1) for one block's band."""
+        absvals = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        # last position holding a NEWLY nonzero coefficient this pass
+        eob = -1
+        for i, t in enumerate(absvals):
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []
+        for i, t in enumerate(absvals):
+            if t == 0:
+                run += 1
+                continue
+            # the ZRL check runs at EVERY nonzero position — history
+            # included — because the decoder consumes buffered
+            # correction bits in WALK order: a history bit beyond the
+            # ZRL's 16-zero coverage must be emitted after the next
+            # symbol, not bundled with the ZRL's flush (the libjpeg
+            # encode_mcu_AC_refine walk; getting this wrong desyncs
+            # exactly when >16 zeros precede a history coefficient)
+            while run > 15 and i <= eob:
+                self.flush_eobrun()
+                self._emit(0xF0)
+                run -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if t > 1:
+                # history coefficient: buffer its correction bit
+                br.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            self.flush_eobrun()
+            self._emit((run << 4) | 1)
+            self.bw.write(1 if zz[i + ss] >= 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            self.eobrun += 1
+            self.pending_bits.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    subsampling: str = "444",
+    qtable_luma: np.ndarray | None = None,
+    qtable_chroma: np.ndarray | None = None,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a raster as PROGRESSIVE JFIF (SOF2) — the fixture
+    generator for the progressive decoder (no image libraries in the
+    environment, so fixtures must be first-principles, like every other
+    codec here). ``scans`` is a scan script of ``(component_indexes,
+    Ss, Se, Ah, Al)`` tuples; the default exercises everything the mode
+    has: an interleaved reduced-precision DC scan + DC refinement, AC
+    spectral-selection bands per component at Al=1, then AC refinement
+    to full precision. Entropy coding uses per-scan flat Huffman tables
+    (:func:`_flat_table` — progressive needs EOBn symbols Annex K
+    lacks) with cross-block EOB runs and buffered correction bits."""
+    if qtable_luma is None:
+        qtable_luma = np.ones((8, 8))
+    if qtable_chroma is None:
+        qtable_chroma = np.ones((8, 8))
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError("image dimensions out of range")
+
+    if gray:
+        planes = [px]
+        samplings = [(1, 1)]
+        qids = [0]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(px)
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            samplings = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            ype = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            cbs = np.floor((ype[0::2, 0::2] + ype[0::2, 1::2] + ype[1::2, 0::2] + ype[1::2, 1::2]) / 4.0 + 0.5)
+            rpe = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            crs = np.floor((rpe[0::2, 0::2] + rpe[0::2, 1::2] + rpe[1::2, 0::2] + rpe[1::2, 1::2]) / 4.0 + 0.5)
+            planes = [y, cbs.astype(np.uint8), crs.astype(np.uint8)]
+            samplings = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qids = [0, 1, 1]
+
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qts = [qtable_luma if q == 0 else qtable_chroma for q in qids]
+
+    # quantized zigzag coefficients for every block of the PADDED grid
+    coefs = []
+    dims = []  # (bw_real, bh_real, bw_pad, bh_pad)
+    for ci in range(ncomp):
+        hi, vi = samplings[ci]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        bw_pad, bh_pad = mcus_x * hi, mcus_y * vi
+        plane = planes[ci]
+        padded = _pad_plane(plane[:ch, :cw] if plane.shape == (h, w) else plane, bw_pad * 8, bh_pad * 8)
+        store = np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+                coef = _DCT_A @ block @ _DCT_A.T
+                q = _round_half_up(coef / qts[ci]).astype(np.int64)
+                store[by, bx] = [int(q[r, c]) for r, c in ZIGZAG]
+        coefs.append(store)
+        dims.append((-(-cw // 8), -(-ch // 8), bw_pad, bh_pad))
+
+    if scans is None:
+        allc = tuple(range(ncomp))
+        scans = [(allc, 0, 0, 0, 1), (allc, 0, 0, 1, 0)]
+        for ci in range(ncomp):
+            scans += [((ci,), 1, 5, 0, 2), ((ci,), 6, 63, 0, 2)]
+        for ci in range(ncomp):
+            scans += [((ci,), 1, 63, 2, 1), ((ci,), 1, 63, 1, 0)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qtable_luma)
+    if not gray:
+        out += _dqt_segment(1, qtable_chroma)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samplings[i][0] << 4) | samplings[i][1], qids[i]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for comp_idx, ss, se, ah, al in scans:
+        bw = _BitWriter()
+        if ss == 0:
+            # ---- DC scan (interleaved when len(comp_idx) > 1) ----
+            if se != 0:
+                raise ValueError("DC scan must have Se == 0")
+            if ah == 0:
+                # Two passes with IDENTICAL restart/predictor-reset
+                # logic: pass 1 collects the category symbols each DC
+                # table needs (restart resets change the diffs, so the
+                # prepass must replay them), pass 2 emits.
+                def dc_units():
+                    """Yield (ci, dc_value>>Al) in scan order with
+                    restart-boundary markers (None sentinel)."""
+                    if len(comp_idx) > 1:
+                        mcu_i = 0
+                        for my in range(mcus_y):
+                            for mx in range(mcus_x):
+                                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                                    yield None, mcu_i // restart_interval - 1
+                                mcu_i += 1
+                                for ci in comp_idx:
+                                    hi, vi = samplings[ci]
+                                    for by in range(vi):
+                                        for bx in range(hi):
+                                            yield ci, int(coefs[ci][my * vi + by, mx * hi + bx, 0]) >> al
+                    else:
+                        (ci,) = comp_idx
+                        bw_r, bh_r, _, _ = dims[ci]
+                        blk_i = 0
+                        for by in range(bh_r):
+                            for bx in range(bw_r):
+                                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                                    yield None, blk_i // restart_interval - 1
+                                blk_i += 1
+                                yield ci, int(coefs[ci][by, bx, 0]) >> al
+
+                syms_per_tid: dict[int, set[int]] = {0: set(), 1: set()}
+                preds = {ci: 0 for ci in comp_idx}
+                for ci, v in dc_units():
+                    if ci is None:
+                        preds = {c: 0 for c in preds}
+                        continue
+                    syms_per_tid[0 if ci == 0 else 1].add(_category(v - preds[ci]))
+                    preds[ci] = v
+                tables = {}
+                for tid, syms in syms_per_tid.items():
+                    if syms:
+                        bits, vals = _flat_table(sorted(syms))
+                        out += _dht_segment(0, tid, bits, vals)
+                        tables[tid] = _build_codes(bits, vals)
+                preds = {ci: 0 for ci in comp_idx}
+                for ci, v in dc_units():
+                    if ci is None:
+                        bw.flush()
+                        bw.out += bytes([0xFF, 0xD0 + (v & 7)])
+                        preds = {c: 0 for c in preds}
+                        continue
+                    d = v - preds[ci]
+                    preds[ci] = v
+                    cat = _category(d)
+                    code, ln = tables[0 if ci == 0 else 1][cat]
+                    bw.write(code, ln)
+                    if cat:
+                        _emit_extend(bw, d, cat)
+            else:
+                # DC refinement: one raw bit per block, MCU order (no
+                # predictors to reset at restarts — just align + RST)
+                mcu_i = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                            bw.flush()
+                            bw.out += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) & 7)])
+                        mcu_i += 1
+                        for ci in comp_idx:
+                            hi, vi = samplings[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    v = int(coefs[ci][my * vi + by, mx * hi + bx, 0])
+                                    bw.write((v >> al) & 1, 1)
+        else:
+            # ---- AC scan: exactly one component, non-interleaved ----
+            if len(comp_idx) != 1:
+                raise ValueError("AC scans are single-component (T.81)")
+            (ci,) = comp_idx
+            bw_r, bh_r, _, _ = dims[ci]
+            blocks = [coefs[ci][by, bx] for by in range(bh_r) for bx in range(bw_r)]
+            # symbol prepass for the flat table
+            syms = set()
+            sim = _ProgACEncoder(_BitWriter(), {})
+            sim._emit = lambda s: syms.add(s)  # type: ignore[method-assign]
+            for bi, zz in enumerate(blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    sim.flush_eobrun()  # same flush points as the real pass
+                zzl = [int(x) for x in zz]
+                if ah == 0:
+                    sim.first_block(zzl, ss, se, al)
+                else:
+                    sim.refine_block(zzl, ss, se, al)
+            sim.flush_eobrun()
+            if not syms:
+                syms = {0x00}
+            bits, vals = _flat_table(sorted(syms))
+            out += _dht_segment(1, 0, bits, vals)
+            enc = _ProgACEncoder(bw, _build_codes(bits, vals))
+            for bi, zz in enumerate(blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    enc.flush_eobrun()
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + ((bi // restart_interval - 1) & 7)])
+                zzl = [int(x) for x in zz]
+                if ah == 0:
+                    enc.first_block(zzl, ss, se, al)
+                else:
+                    enc.refine_block(zzl, ss, se, al)
+            enc.flush_eobrun()
+
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | (0 if ss > 0 else tid)])
+        # AC scans registered table id 0 above; DC scans use tid per comp
+        if ss > 0:
+            sos = bytes([1, comp_idx[0] + 1, (0 << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips stuffed
+    0xFF00 and RSTn — both belong to the entropy segment)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    raise ValueError("truncated stream: no terminating marker")
+
+
+def _prog_dc_scan(br, store, comp_idx, samplings, dims, mcus, dc_tables, ah, al, ri):
+    """One progressive DC scan into the coefficient store."""
+    mcus_x, mcus_y = mcus
+    preds = {ci: 0 for ci in comp_idx}
+    if len(comp_idx) > 1:
+        order = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                order.append([])
+                for ci in comp_idx:
+                    hi, vi = samplings[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            order[-1].append((ci, my * vi + by, mx * hi + bx))
+    else:
+        (ci,) = comp_idx
+        bw_r, bh_r, _, _ = dims[ci]
+        order = [[(ci, by, bx)] for by in range(bh_r) for bx in range(bw_r)]
+    unit = 0
+    for blocks in order:
+        if ri and unit and unit % ri == 0:
+            br.align_restart()
+            preds = {c: 0 for c in preds}
+        unit += 1
+        for ci, by, bx in blocks:
+            if ah == 0:
+                cat = _decode_symbol(br, dc_tables[ci])
+                diff = _extend(br.read_bits(cat), cat)
+                preds[ci] += diff
+                store[ci][by, bx, 0] = preds[ci] << al
+            else:
+                if br.read_bit():
+                    store[ci][by, bx, 0] |= 1 << al
+
+
+def _prog_ac_scan(br, store, ci, dims, ac_table, ss, se, ah, al, ri):
+    """One progressive AC scan (single component, non-interleaved)."""
+    bw_r, bh_r, _, _ = dims[ci]
+    eobrun = 0
+    unit = 0
+    for by in range(bh_r):
+        for bx in range(bw_r):
+            if ri and unit and unit % ri == 0:
+                br.align_restart()
+                eobrun = 0
+            unit += 1
+            zz = store[ci][by, bx]
+            if ah == 0:
+                # ---- first pass for this bit position ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(br, ac_table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index out of band")
+                    zz[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:
+                # ---- refinement pass (T.81 G.1.2.3 / libjpeg shape) ----
+                p1 = 1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_symbol(br, ac_table)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError("invalid refinement size")
+                            val = p1 if br.read_bit() else -p1
+                        # advance over the run, correcting history coeffs
+                        while k <= se:
+                            if zz[k] != 0:
+                                if br.read_bit() and (abs(int(zz[k])) & p1) == 0:
+                                    zz[k] += p1 if zz[k] > 0 else -p1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB region: still refine every history coefficient
+                    while k <= se:
+                        if zz[k] != 0:
+                            if br.read_bit() and (abs(int(zz[k])) & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else -p1
+                        k += 1
+                    eobrun -= 1
+
+
+def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
+    """Decode a PROGRESSIVE (SOF2) JPEG to an (h, w, ch) uint8 raster:
+    accumulate quantized coefficients across every scan (spectral
+    selection bands, successive-approximation first + refinement
+    passes, cross-block EOB runs, restart intervals), then dequantize /
+    IDCT / upsample / color-convert with the SAME arithmetic as the
+    baseline path — by construction a progressive stream of the same
+    raster and quantization decodes pixel-identically to baseline
+    (locked in tests/test_jpeg.py)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None
+    store: dict[int, np.ndarray] = {}
+    dims: dict[int, tuple[int, int, int, int]] = {}
+    samplings: dict[int, tuple[int, int]] = {}
+    comp_q: dict[int, int] = {}
+    mcus = (0, 0)
+    n = len(payload)
+
+    while pos < n:
+        if pos + 1 >= n:
+            raise ValueError("truncated marker")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if pos + seglen > n:
+            raise ValueError("truncated segment")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT segment")
+                tbl = np.zeros((8, 8))
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = seg[p + 1 + i]
+                qtables[tq] = tbl
+                p += 65
+        elif marker == 0xC2:
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
+            prec, fh, fw, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if fh == 0 or fw == 0:
+                raise ValueError("zero image dimension")
+            if fh * fw > MAX_PIXELS:
+                raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            if any(hi < 1 or vi < 1 or hi > 4 or vi > 4 for _, hi, vi, _ in comps):
+                raise ValueError("invalid sampling factors in SOF")
+            frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus = (-(-fw // (8 * hmax)), -(-fh // (8 * vmax)))
+            for cid, hi, vi, qid in comps:
+                bw_pad, bh_pad = mcus[0] * hi, mcus[1] * vi
+                cw = -(-fw * hi // hmax)
+                ch = -(-fh * vi // vmax)
+                store[cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
+                dims[cid] = (-(-cw // 8), -(-ch // 8), bw_pad, bh_pad)
+                samplings[cid] = (hi, vi)
+                comp_q[cid] = qid
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive decode")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("truncated DHT segment")
+                huff[(tc, th)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS segment")
+            ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS segment")
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            for cs, _, _ in scan:
+                if cs not in store:
+                    raise ValueError(f"scan references undeclared component {cs}")
+            br = _BitReader(payload, pos + seglen)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se == 0")
+                dc_tables = {}
+                for cs, td, _ in scan:
+                    if ah == 0:
+                        if (0, td) not in huff:
+                            raise ValueError(f"undefined DC table {td}")
+                        dc_tables[cs] = huff[(0, td)]
+                _prog_dc_scan(
+                    br, store, [cs for cs, _, _ in scan], samplings, dims, mcus,
+                    dc_tables, ah, al, restart_interval,
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                cs, _, ta = scan[0]
+                if se > 63 or ss > se:
+                    raise ValueError("invalid spectral band")
+                if (1, ta) not in huff:
+                    raise ValueError(f"undefined AC table {ta}")
+                _prog_ac_scan(
+                    br, store, cs, dims, huff[(1, ta)], ss, se, ah, al,
+                    restart_interval,
+                )
+            pos = _next_marker(payload, br.pos)
+            continue
+        pos += seglen
+
+    if frame is None:
+        raise ValueError("no SOF2 frame found")
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for cid, hi, vi, qid in comps:
+        if qid not in qtables:
+            raise ValueError(f"frame references undefined quantization table {qid}")
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer-ratio sampling factors {hi}x{vi} vs max {hmax}x{vmax}"
+            )
+        qt = qtables[qid]
+        bw_r, bh_r, _, _ = dims[cid]
+        plane = np.zeros((bh_r * 8, bw_r * 8))
+        for by in range(bh_r):
+            for bx in range(bw_r):
+                zz = store[cid][by, bx]
+                coef = np.zeros((8, 8))
+                for i, (r, c) in enumerate(ZIGZAG):
+                    coef[r, c] = zz[i]
+                coef *= qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_A.T @ coef @ _DCT_A + 128.0
+                )
+        cw = -(-fw * hi // hmax)
+        ch = -(-fh * vi // vmax)
+        p = np.clip(np.floor(plane[:ch, :cw] + 0.5), 0, 255)
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:fh, :fw])
+
+    if len(full) == 1:
+        return full[0].astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1], full[2]
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0, 255)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)

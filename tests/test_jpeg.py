@@ -130,12 +130,19 @@ def test_truncated_entropy_is_value_error():
             jpeg.decode_jpeg_pixels(pay[:cut])
 
 
-def test_progressive_raises_not_implemented():
+def test_masqueraded_progressive_rejected_real_progressive_decodes():
+    """Progressive DECODES since r12 — but a baseline stream with its
+    SOF flipped to SOF2 is malformed (one interleaved full-band scan is
+    not a legal progression) and must fail typed, not misdecode."""
     pay = bytearray(jpeg.encode_jpeg_baseline(np.full((8, 8), 9, np.uint8)))
     sof = pay.index(b"\xff\xc0")
     pay[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg_pixels(bytes(pay))
+    real = jpeg.encode_jpeg_progressive(np.full((8, 8), 9, np.uint8))
+    assert np.array_equal(
+        jpeg.decode_jpeg_pixels(real), np.full((8, 8, 1), 9, np.uint8)
+    )
 
 
 def test_fractional_sampling_ratio_raises():
@@ -398,8 +405,8 @@ class TestPilFastPathParity:
 
     def test_rejects_what_exact_rejects(self):
         pay = bytearray(jpeg.encode_jpeg_baseline(np.full((8, 8), 9, np.uint8)))
-        pay[pay.index(b"\xff\xc0") + 1] = 0xC2  # progressive
-        with pytest.raises(NotImplementedError):
+        pay[pay.index(b"\xff\xc0") + 1] = 0xC2  # malformed "progressive"
+        with pytest.raises(ValueError):
             codecs.decode_jpeg_pil(bytes(pay))
         with pytest.raises(ValueError):
             codecs.decode_jpeg_pil(b"\xff\xd8\xffjpeg")
@@ -420,3 +427,120 @@ def test_prescan_rejects_non_interleaved_scan():
         jpeg.prescan_jpeg(pay2 + b"\x00")
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(pay2 + b"\x00")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — round 12
+# ---------------------------------------------------------------------------
+
+#: a realistic (Annex K table 2-ish) luminance quantization table so the
+#: equivalence runs on genuinely lossy coefficients, not just all-ones
+_QK = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+
+def test_progressive_equals_baseline_pixelwise():
+    """THE progressive contract: same raster, same quantization ⇒ the
+    progressive stream decodes pixel-identically to the baseline stream
+    (identical coefficients, different entropy packaging). Swept over
+    gray/4:4:4/4:2:0, odd dimensions, restart intervals, and a real
+    lossy quantization table."""
+    rng = np.random.RandomState(3)
+    cases = [
+        ((8, 8, 3), "444", 0, None),
+        ((13, 19, 3), "444", 0, None),
+        ((13, 19, 3), "420", 2, None),
+        ((24, 40, 3), "420", 1, _QK),
+        ((9, 11), "444", 3, _QK),
+        ((16, 16, 3), "444", 7, None),
+    ]
+    for shape, sub, ri, qt in cases:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        kw = {} if qt is None else {"qtable_luma": qt, "qtable_chroma": qt}
+        sub_kw = sub if px.ndim == 3 else "444"
+        base = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, subsampling=sub_kw, **kw))
+        prog = jpeg.decode_jpeg_pixels(
+            jpeg.encode_jpeg_progressive(px, subsampling=sub_kw, restart_interval=ri, **kw)
+        )
+        assert np.array_equal(base, prog), (shape, sub, ri, qt is not None)
+
+
+def test_progressive_custom_scan_scripts_and_eob_runs():
+    """Non-default progressions: 3-level successive approximation
+    (Al 2→1→0), narrow spectral bands, and a mostly-flat raster whose
+    AC bands are almost all zero — long cross-block EOB runs on both
+    encode and decode sides."""
+    rng = np.random.RandomState(9)
+    px = np.full((32, 48, 3), 130, np.uint8)
+    px[5:8, 7:11] = rng.randint(0, 256, size=(3, 4, 3))  # one busy patch
+    base = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px))
+    allc = (0, 1, 2)
+    scripts = [
+        # 3-level AC approximation, split DC
+        [(allc, 0, 0, 0, 2), (allc, 0, 0, 2, 1), (allc, 0, 0, 1, 0)]
+        + [((c,), 1, 63, 0, 2) for c in allc]
+        + [((c,), 1, 63, 2, 1) for c in allc]
+        + [((c,), 1, 63, 1, 0) for c in allc],
+        # many narrow bands, no approximation
+        [(allc, 0, 0, 0, 0)]
+        + [((c,), lo, hi, 0, 0) for c in allc for lo, hi in ((1, 2), (3, 9), (10, 35), (36, 63))],
+    ]
+    for script in scripts:
+        prog = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_progressive(px, scans=script))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_malformed_scans_rejected():
+    px = np.full((8, 8, 3), 50, np.uint8)
+    with pytest.raises(ValueError):  # AC scans are single-component
+        jpeg.encode_jpeg_progressive(px, scans=[((0, 1, 2), 0, 0, 0, 0), ((0, 1), 1, 63, 0, 0)])
+    ok = jpeg.encode_jpeg_progressive(px)
+    # corrupt the first AC SOS's band bytes on the wire
+    def corrupt(data: bytes, ss, se) -> bytes:
+        b = bytearray(data)
+        i = 2
+        while i < len(b):
+            if b[i] == 0xFF and b[i + 1] == 0xDA:
+                ln = (b[i + 2] << 8) | b[i + 3]
+                ns = b[i + 4]
+                if b[i + 5 + 2 * ns] != 0:  # an AC scan (Ss > 0)
+                    b[i + 5 + 2 * ns] = ss
+                    b[i + 6 + 2 * ns] = se
+                    return bytes(b)
+                i += 2 + ln
+            else:
+                i += 1
+        raise AssertionError("no AC SOS found")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(corrupt(ok, 40, 30))  # Ss > Se
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(corrupt(ok, 1, 70))   # Se > 63
+
+
+def test_progressive_through_decode_media_pipeline(spark):
+    """Progressive payloads flow through the full Spark decode path
+    (mapInPandas → codecs.decode_bytes → jpeg) with the same outputs as
+    the baseline encoding of the same rasters."""
+    from apache_cassandra_spark.analytics import multimodal as MM
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(4):
+        px = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        rows.append((2 * i, "image", bytearray(jpeg.encode_jpeg_baseline(px))))
+        rows.append((2 * i + 1, "image", bytearray(jpeg.encode_jpeg_progressive(px))))
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r for r in MM.decode_media(df, exact_jpeg=True).collect()}
+    for i in range(4):
+        b, p = got[2 * i], got[2 * i + 1]
+        assert (b["width"], b["height"], b["channels"]) == (24, 16, 3)
+        for ch in ("mean_r", "mean_g", "mean_b"):
+            assert b[ch] == p[ch], (i, ch)
