@@ -544,3 +544,23 @@ def test_progressive_through_decode_media_pipeline(spark):
         assert (b["width"], b["height"], b["channels"]) == (24, 16, 3)
         for ch in ("mean_r", "mean_g", "mean_b"):
             assert b[ch] == p[ch], (i, ch)
+
+
+def test_progressive_equals_baseline_randomized():
+    """Seeded randomized sweep (shape, channels, subsampling, qtable,
+    restart interval drawn per seed) — the durable version of the
+    25-seed development sweep that caught the refinement ZRL walk bug."""
+    _QKc = _QK
+    for seed in range(8):
+        rng = np.random.RandomState(100 + seed)
+        h, w = int(rng.randint(5, 40)), int(rng.randint(5, 40))
+        ch = int(rng.choice([1, 3]))
+        px = rng.randint(0, 256, size=(h, w, 3) if ch == 3 else (h, w)).astype(np.uint8)
+        sub = str(rng.choice(["444", "420"])) if ch == 3 else "444"
+        kw = {} if rng.random() < 0.5 else {"qtable_luma": _QKc, "qtable_chroma": _QKc}
+        ri = int(rng.choice([0, 1, 3, 5]))
+        base = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, subsampling=sub, **kw))
+        prog = jpeg.decode_jpeg_pixels(
+            jpeg.encode_jpeg_progressive(px, subsampling=sub, restart_interval=ri, **kw)
+        )
+        assert np.array_equal(base, prog), (seed, (h, w, ch), sub, ri, bool(kw))
