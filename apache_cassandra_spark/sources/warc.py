@@ -857,24 +857,47 @@ def _gunzip_strict(data: bytes) -> bytes:
         d = zlib.decompressobj(47)
 
 
-def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
-    """De-chunk then decompress one body; returns ``(bytes, error)``.
+def _inflate_one(data: bytes, coding: str) -> bytes:
+    """One decompression coding (shared by Content- and
+    Transfer-Encoding — RFC 9110 §7/§8 define the same registry).
     gzip walks multi-member streams (the record-per-member convention);
     deflate tries zlib-wrapped then raw (RFC 9110 notes both exist in
-    the wild); brotli has no stdlib codec — honest unsupported error."""
+    the wild)."""
     import zlib
 
-    if tenc and "chunked" in tenc:
-        data = _dechunk(data)
+    if coding in ("gzip", "x-gzip"):
+        return _gunzip_strict(data)
+    # deflate
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        return zlib.decompress(data, -15)
+
+
+def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
+    """Transfer-decode then content-decode one body; returns
+    ``(bytes, error)``. Transfer-Encoding is a comma list applied in
+    order by the sender, so it is undone in REVERSE (``gzip, chunked``
+    = de-chunk first, then gunzip — RFC 9112 §6.1); ``identity`` tokens
+    are no-ops. A residual coding we cannot undo (e.g. a typo'd token)
+    returns an error so the row KEEPS its labels and NULL body_text —
+    never silently-still-compressed bytes relabeled as decoded (the
+    r12 ADVICE finding). brotli has no stdlib codec — honest
+    unsupported error on either header."""
+    tokens = [t.strip().lower() for t in (tenc or "").split(",") if t.strip()]
+    for t in reversed(tokens):
+        if t == "identity":
+            continue
+        if t == "chunked":
+            data = _dechunk(data)
+        elif t in ("gzip", "x-gzip", "deflate"):
+            data = _inflate_one(data, t)
+        else:
+            return data, f"unsupported Transfer-Encoding: {t}"
     if enc in ("", "identity", None):
         return data, None
-    if enc in ("gzip", "x-gzip"):
-        return _gunzip_strict(data), None
-    if enc == "deflate":
-        try:
-            return zlib.decompress(data), None
-        except zlib.error:
-            return zlib.decompress(data, -15), None
+    if enc in ("gzip", "x-gzip", "deflate"):
+        return _inflate_one(data, enc), None
     return data, f"unsupported Content-Encoding: {enc}"
 
 
@@ -932,9 +955,12 @@ def decode_http_bodies(df: DataFrame) -> DataFrame:
             yield pdf
     decoded = df.mapInPandas(_decode, schema=out_schema)
     body_str = F.decode(F.col("body"), "ISO-8859-1")
+    # plain = nothing left to undo: any residual transfer coding BESIDES
+    # identity (chunked, or an unsupported token the decode pass flagged)
+    # means the bytes are not the document — body_text stays NULL
     is_plain = (
         F.col("http_encoding").isin("", "identity")
-        & ~F.col("http_transfer_encoding").contains("chunked")
+        & F.col("http_transfer_encoding").isin("", "identity")
         & F.col("body").isNotNull()
     )
     return decoded.withColumn(
@@ -1077,18 +1103,34 @@ def write_warc_binary(
     content_type: str = "application/http; msgtype=response",
     compress: bool = False,
     mode: str = "error",
+    _job: str | None = None,
 ) -> DataFrame:
     """BYTE-EXACT distributed WARC sink — the true inverse of
     :func:`read_warc`, closing the r11 boundary where binary payloads
     (images, compressed bodies) could be read but only text could be
-    written back. Each task writes ONE shard
-    (``part-<partition>-<uuid>.warc[.gz]``) straight to the target
+    written back. Each task writes ONE shard straight to the target
     directory through the same ``pyarrow.fs`` transport the reader
     uses (local, s3://, gs://, hdfs://), streaming record by record —
     bounded memory, bytes never reach the driver. ``compress=True``
     writes one gzip member PER RECORD (the Common Crawl shard
     convention — concatenation-closed, so :func:`_gzip_members` walks
-    it back), via a temp name + atomic rename within the directory.
+    it back).
+
+    Task-commit protocol (task retries and speculative attempts must
+    not duplicate records — the analog of Spark's
+    ``HadoopMapReduceCommitProtocol``): the final shard name is
+    DETERMINISTIC per (job, partition) — ``part-<job>-<pid>.warc[.gz]``
+    with ``<job>`` a driver-side uuid minted once per call — so every
+    attempt of the same partition commits to the SAME name and the
+    rename is last-wins (attempts write identical bytes: the input
+    partition is deterministic). Attempts stage to an attempt-unique
+    ``_tmp-<job>-<pid>-<taskAttemptId>`` name so two live attempts
+    never interleave writes, then rename. After the action the driver
+    reconciles the directory against the collected manifest: stray
+    ``_tmp-<job>-*`` files (failed/killed attempts) and any
+    ``part-<job>-*`` not in the manifest are deleted — scoped to THIS
+    job's prefix, so ``mode='append'`` shards from earlier jobs are
+    untouched and earlier jobs' names can never collide.
 
     Record framing is ISO 28500: headers, ``Content-Length`` = exact
     payload bytes, payload, CRLF CRLF. Header values are CRLF-sanitized
@@ -1102,7 +1144,13 @@ def write_warc_binary(
     collected driver-side (one row per task) and re-parallelized, so
     callers can assert or join it cheaply. ``mode``: ``error`` (default)
     refuses a non-empty target; ``overwrite`` clears it; ``append``
-    adds shards (uuid names cannot collide)."""
+    adds shards (job-prefixed names cannot collide across calls).
+
+    ``_job`` (private) pins the job uuid — tests use it to replay an
+    attempt and assert the last-wins commit; re-running with the same
+    ``_job`` REPLACES that job's shards (whole-job retry semantics)."""
+    import uuid as _uuid
+
     from pyarrow import fs as pafs
 
     filesystem, root = _output_fs(path)
@@ -1123,6 +1171,7 @@ def write_warc_binary(
     filesystem.create_dir(root, recursive=True)
 
     ext = ".warc.gz" if compress else ".warc"
+    job = _job or _uuid.uuid4().hex[:12]
 
     def _sanitize(v: str) -> str:
         return v.replace("\r", " ").replace("\n", " ")
@@ -1142,15 +1191,17 @@ def write_warc_binary(
     def _write(batches):
         import gzip as _gz
         import hashlib
-        import uuid
 
         import pandas as pd
         from pyspark import TaskContext
 
         fs2, root2 = _output_fs(path)
-        pid = TaskContext.get().partitionId()
-        tmp = f"{root2}/_tmp-{pid:05d}-{uuid.uuid4().hex}{ext}"
-        final = tmp.replace("/_tmp-", "/part-", 1)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt-unique staging name; job-deterministic committed name
+        # (last-wins across retries/speculation — identical bytes)
+        tmp = f"{root2}/_tmp-{job}-{pid:05d}-{ctx.taskAttemptId()}{ext}"
+        final = f"{root2}/part-{job}-{pid:05d}{ext}"
         n_records = n_bytes = 0
         out = fs2.open_output_stream(tmp, compression=None)
         try:
@@ -1176,7 +1227,12 @@ def write_warc_binary(
         finally:
             out.close()
         if n_records:
-            fs2.move(tmp, final)
+            try:
+                fs2.move(tmp, final)  # POSIX rename / object-store put: last-wins
+            except OSError:
+                # filesystems whose move refuses an existing destination:
+                # a prior attempt already committed identical bytes
+                fs2.delete_file(tmp)
         else:
             fs2.delete_file(tmp)  # no empty shards
         yield pd.DataFrame(
@@ -1189,6 +1245,19 @@ def write_warc_binary(
     )
     # eager like DataFrame.write; one manifest row per task comes back
     collected = [r for r in manifest.collect() if r["n_records"] > 0]
+    # reconcile THIS job's prefix against the manifest: failed/killed
+    # attempts leak _tmp-<job>-* staging files, and a whole-job re-run
+    # with a pinned _job can orphan part-<job>-* names for partitions
+    # that no longer produce records. Other jobs' shards are untouched.
+    committed = {p.rsplit("/", 1)[-1] for p in (r["shard_path"] for r in collected)}
+    for i in filesystem.get_file_info(pafs.FileSelector(root, recursive=False)):
+        if i.type != pafs.FileType.File:
+            continue
+        name = i.base_name
+        if name.startswith(f"_tmp-{job}-") or (
+            name.startswith(f"part-{job}-") and name not in committed
+        ):
+            filesystem.delete_file(i.path)
     return df.sparkSession.createDataFrame(
         collected or [], "shard_path string, n_records long, n_bytes long"
     )

@@ -536,6 +536,53 @@ def test_decode_http_bodies_matrix(spark, tmp_path):
     assert bytes(bad["body"]) == b"\x1f\x8b\x08\x00garbage!!"
 
 
+def test_decode_http_bodies_transfer_coding_tokens(spark, tmp_path):
+    """Transfer-Encoding beyond bare chunked (r12 ADVICE): a compression
+    TRANSFER coding (``gzip``, ``gzip, chunked``) is undone in reverse
+    list order; an unknown residual coding keeps the row flagged with
+    its label and NULL body_text — never still-compressed bytes
+    relabeled as decoded."""
+    import gzip as _gz
+
+    plain = "<p>tenc</p>".encode()
+    recs = (
+        _record(
+            _http_enc(_gz.compress(plain), b"Transfer-Encoding: gzip\r\n"),
+            uri=b"http://e.com/te-gzip",
+        )
+        + _record(
+            _http_enc(
+                _chunked(_gz.compress(plain), [7, 9, 100]),
+                b"Transfer-Encoding: gzip, chunked\r\n",
+            ),
+            uri=b"http://e.com/te-combo",
+        )
+        + _record(
+            _http_enc(_chunked(plain, [100]), b"Transfer-Encoding: identity, chunked\r\n"),
+            uri=b"http://e.com/te-identity",
+        )
+        + _record(
+            _http_enc(b"opaque-bytes", b"Transfer-Encoding: frobnicate\r\n"),
+            uri=b"http://e.com/te-unknown",
+        )
+    )
+    p = tmp_path / "tenc.warc"
+    p.write_bytes(recs)
+    parts = warc.http_response_parts(warc.read_warc(spark, str(p)))
+    got = {r["target_uri"]: r for r in warc.decode_http_bodies(parts).collect()}
+    for u in ("http://e.com/te-gzip", "http://e.com/te-combo"):
+        assert bytes(got[u]["body"]) == plain, u
+        assert got[u]["body_text"] == plain.decode() and got[u]["http_decode_error"] is None
+        assert got[u]["http_transfer_encoding"] == ""
+    # identity token is a no-op around the de-chunk
+    ident = got["http://e.com/te-identity"]
+    assert ident["body_text"] == plain.decode() and ident["http_decode_error"] is None
+    unk = got["http://e.com/te-unknown"]
+    assert "unsupported Transfer-Encoding" in unk["http_decode_error"]
+    assert unk["http_transfer_encoding"] == "frobnicate"
+    assert bytes(unk["body"]) == b"opaque-bytes" and unk["body_text"] is None
+
+
 def test_dechunk_model():
     """_dechunk against hand-built framings: extensions, LF-only, and
     the malformed shapes that must raise (caller flags the row)."""
@@ -620,6 +667,85 @@ def test_write_warc_binary_gzip_members_and_modes(spark, tmp_path):
     assert warc.read_warc(spark, out).count() == 4
     warc.write_warc_binary(df, out, compress=True, mode="overwrite")
     assert warc.read_warc(spark, out).count() == 2
+
+
+def test_write_warc_binary_task_commit_last_wins(spark, tmp_path):
+    """Task-commit protocol: committed shard names are deterministic per
+    (job, partition), so a replayed attempt (task retry / speculative
+    execution — simulated here by re-running the identical job id)
+    commits to the SAME names and the target holds each record exactly
+    once, byte-identical. A different job id (a genuine append) gets
+    disjoint names."""
+    import os
+
+    df = spark.createDataFrame(
+        [("http://e.com/a", b"one"), ("http://e.com/b", b"two \xff")],
+        "target_uri string, payload binary",
+    ).repartition(2)
+    out = str(tmp_path / "commit")
+    m1 = sorted(r["shard_path"] for r in warc.write_warc_binary(df, out, _job="j1").collect())
+    bytes1 = {p: open(p, "rb").read() for p in m1}
+    # replayed attempt: same job, same input partitions -> same names
+    m2 = sorted(
+        r["shard_path"]
+        for r in warc.write_warc_binary(df, out, mode="append", _job="j1").collect()
+    )
+    assert m2 == m1
+    assert sorted(os.listdir(out)) == sorted(p.rsplit("/", 1)[-1] for p in m1)
+    assert {p: open(p, "rb").read() for p in m1} == bytes1
+    assert warc.read_warc(spark, out).count() == 2  # not duplicated
+    # a genuine second job appends under disjoint names
+    m3 = [r["shard_path"] for r in warc.write_warc_binary(df, out, mode="append", _job="j2").collect()]
+    assert set(m3).isdisjoint(m1)
+    assert warc.read_warc(spark, out).count() == 4
+
+
+def test_write_warc_binary_reconcile_scoped_to_job(spark, tmp_path):
+    """Driver-side reconcile: stray _tmp-<job>-* staging files (failed
+    or killed attempts) and part-<job>-* files absent from the manifest
+    are deleted after the action — but ONLY this job's prefix; shards
+    appended by other jobs survive untouched."""
+    import os
+
+    df = spark.createDataFrame(
+        [("http://e.com/a", b"one")], "target_uri string, payload binary"
+    )
+    out = str(tmp_path / "reconcile")
+    warc.write_warc_binary(df, out, _job="j1")
+    # plant this-job strays (a leaked attempt + an orphaned shard) and
+    # an other-job shard that must survive
+    (tmp_path / "reconcile" / "_tmp-j1-00007-42.warc").write_bytes(b"partial")
+    (tmp_path / "reconcile" / "part-j1-99999.warc").write_bytes(b"orphan")
+    other = warc.write_warc_binary(
+        spark.createDataFrame([("http://e.com/b", b"two")], "target_uri string, payload binary"),
+        out, mode="append", _job="j2",
+    ).collect()[0]["shard_path"]
+    warc.write_warc_binary(df, out, mode="append", _job="j1")  # j1 re-run reconciles
+    names = sorted(os.listdir(out))
+    assert "_tmp-j1-00007-42.warc" not in names
+    assert "part-j1-99999.warc" not in names
+    assert other.rsplit("/", 1)[-1] in names
+    back = sorted(r["target_uri"] for r in warc.read_warc(spark, out).collect())
+    assert back == ["http://e.com/a", "http://e.com/b"]
+
+
+def test_write_warc_binary_empty_partition_skew(spark, tmp_path):
+    """Manifest under empty-partition skew (r12 verdict item 7): far
+    more partitions than rows -> no empty shards on disk, no staging
+    leftovers, and the manifest lists exactly the files present."""
+    import os
+
+    df = spark.createDataFrame(
+        [("http://e.com/a", b"x"), ("http://e.com/b", b"y"), ("http://e.com/c", b"z")],
+        "target_uri string, payload binary",
+    ).repartition(16)
+    out = str(tmp_path / "skew")
+    manifest = warc.write_warc_binary(df, out).collect()
+    assert all(r["n_records"] > 0 and r["shard_path"] for r in manifest)
+    names = sorted(os.listdir(out))
+    assert names == sorted(r["shard_path"].rsplit("/", 1)[-1] for r in manifest)
+    assert not any(n.startswith("_tmp-") for n in names)
+    assert warc.read_warc(spark, out).count() == 3
 
 
 def test_write_warc_binary_header_injection_and_nulls(spark, tmp_path):
