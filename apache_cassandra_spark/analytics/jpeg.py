@@ -1097,21 +1097,39 @@ def encode_jpeg_progressive(
                     if cat:
                         _emit_extend(bw, d, cat)
             else:
-                # DC refinement: one raw bit per block, MCU order (no
-                # predictors to reset at restarts — just align + RST)
-                mcu_i = 0
-                for my in range(mcus_y):
-                    for mx in range(mcus_x):
-                        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                            bw.flush()
-                            bw.out += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) & 7)])
-                        mcu_i += 1
-                        for ci in comp_idx:
-                            hi, vi = samplings[ci]
-                            for by in range(vi):
-                                for bx in range(hi):
-                                    v = int(coefs[ci][my * vi + by, mx * hi + bx, 0])
-                                    bw.write((v >> al) & 1, 1)
+                # DC refinement: one raw bit per block (no predictors to
+                # reset at restarts — just align + RST). The walk MUST
+                # mirror the first pass and the decoder (_prog_dc_scan):
+                # interleaved padded-MCU order when ns > 1, the
+                # component's REAL block dims when single-component —
+                # a subsampled component's padded grid has more blocks
+                # than its real grid, which would desync the bitstream.
+                if len(comp_idx) > 1:
+                    mcu_i = 0
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                                bw.flush()
+                                bw.out += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) & 7)])
+                            mcu_i += 1
+                            for ci in comp_idx:
+                                hi, vi = samplings[ci]
+                                for by in range(vi):
+                                    for bx in range(hi):
+                                        v = int(coefs[ci][my * vi + by, mx * hi + bx, 0])
+                                        bw.write((v >> al) & 1, 1)
+                else:
+                    (ci,) = comp_idx
+                    bw_r, bh_r, _, _ = dims[ci]
+                    blk_i = 0
+                    for by in range(bh_r):
+                        for bx in range(bw_r):
+                            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                                bw.flush()
+                                bw.out += bytes([0xFF, 0xD0 + ((blk_i // restart_interval - 1) & 7)])
+                            blk_i += 1
+                            v = int(coefs[ci][by, bx, 0])
+                            bw.write((v >> al) & 1, 1)
         else:
             # ---- AC scan: exactly one component, non-interleaved ----
             if len(comp_idx) != 1:

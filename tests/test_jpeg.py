@@ -498,6 +498,29 @@ def test_progressive_custom_scan_scripts_and_eob_runs():
         assert np.array_equal(base, prog)
 
 
+def test_progressive_single_component_dc_refinement_subsampled():
+    """r12 ADVICE latent desync: a caller-supplied SINGLE-component DC
+    refinement scan on a 4:2:0 image must walk the component's REAL
+    block grid (the decoder's ns==1 walk), not the interleaved padded-
+    MCU grid — on a subsampled chroma component those differ, desyncing
+    the bitstream. Sweep restart intervals and odd dims through a
+    per-component split-DC script (first pass + refinement per
+    component) and pin pixel equality to baseline."""
+    rng = np.random.RandomState(17)
+    script = (
+        [((c,), 0, 0, 0, 1) for c in (0, 1, 2)]          # DC first, Al=1
+        + [((c,), 0, 0, 1, 0) for c in (0, 1, 2)]        # DC refinement, ns=1
+        + [((c,), 1, 63, 0, 0) for c in (0, 1, 2)]       # AC full bands
+    )
+    for shape, ri in [((24, 40, 3), 0), ((24, 40, 3), 2), ((13, 19, 3), 1), ((16, 16, 3), 5)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, subsampling="420"))
+        prog = jpeg.decode_jpeg_pixels(
+            jpeg.encode_jpeg_progressive(px, subsampling="420", scans=script, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), (shape, ri)
+
+
 def test_progressive_malformed_scans_rejected():
     px = np.full((8, 8, 3), 50, np.uint8)
     with pytest.raises(ValueError):  # AC scans are single-component
