@@ -1031,6 +1031,7 @@ def prepare_crawl(
     tracking_params: tuple[str, ...] | None = None,
     main_content_only: bool = False,
     robots_rules: DataFrame | None = None,
+    redirect_map: DataFrame | None = None,
 ) -> DataFrame:
     """The crawl ingest boundary, composed: markup → rendered text
     (``html.with_page_text``: clean_text, title, n_links,
@@ -1060,6 +1061,22 @@ def prepare_crawl(
     join + linear-time longest-match, one WindowGroupLimit per page);
     domains absent from the rules frame pass through (no robots ⇒
     allowed, the RFC default). Left ``None``, the plan is untouched.
+
+    ``redirect_map`` (a :func:`..web.resolve_redirects` frame —
+    ``(url, final_url, n_hops, resolved)``; a bare ``(url, final_url)``
+    map also works) folds redirect aliases onto their destination
+    BEFORE the canonical dedup: a capture whose URL is a redirect
+    source adopts the canonical key of its ``final_url``, so the alias
+    and the destination page contend for ONE canonical slot instead of
+    holding two (the r12 verdict's missing-composition item #3). Both
+    endpoints are canonicalized in the SAME key space as the pages
+    (strip_www / tracking_params thread through), unresolved chains
+    (``resolved`` False: a loop or an over-budget chain) keep their own
+    slot, self-loops after canonicalization are ignored, and a source
+    reached by several map rows collapses to the min destination so the
+    rewrite stays a function. One extra AQE-decided equi-join against
+    the (small, redirect-rows-only) map; left ``None``, the plan is
+    untouched.
 
     Plan shape: the two withColumns passes are ONE map-only codegen
     projection over the scan; the URL dedup is a hash aggregate on the
@@ -1105,6 +1122,28 @@ def prepare_crawl(
             )
             .where(F.col("allowed"))
             .drop("allowed", "matched_rule")
+        )
+    if redirect_map is not None:
+        rm = redirect_map
+        if "resolved" in rm.columns:
+            rm = rm.where(F.col("resolved"))
+        src = web.with_url_keys(
+            rm.select(F.col("url").alias("_r_u"), F.col("final_url").alias("_r_f")),
+            "_r_u",
+            strip_www=strip_www,
+            tracking_params=tp,
+        ).select(F.col("canonical_url").alias("_r_src"), "_r_f")
+        pairs = (
+            web.with_url_keys(src, "_r_f", strip_www=strip_www, tracking_params=tp)
+            .select("_r_src", F.col("canonical_url").alias("_r_dst"))
+            .where(F.col("_r_src") != F.col("_r_dst"))
+            .groupBy("_r_src")
+            .agg(F.min("_r_dst").alias("_r_dst"))
+        )
+        keyed = (
+            keyed.join(pairs, keyed["canonical_url"] == pairs["_r_src"], "left")
+            .withColumn("canonical_url", F.coalesce("_r_dst", "canonical_url"))
+            .drop("_r_src", "_r_dst")
         )
     winners = keyed.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["canonical_url", id_col]).select(

@@ -525,6 +525,78 @@ def test_prepare_crawl_feeds_prepare_corpus(spark):
     assert len(ids) > 0 and ids <= set(range(40))
 
 
+def test_prepare_crawl_redirect_map_collapses_aliases(spark):
+    """r12 verdict item 2: a capture whose URL is a redirect source must
+    contend for its FINAL URL's canonical slot, not hold its own —
+    alias pair merges to one slot, min-id across BOTH decides the
+    winner; unresolved chains keep their own slot."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    pages = [
+        # /old redirects to /new: ids 1 (old alias) and 4 (destination)
+        # must share one slot; min-id 1 wins it
+        (1, "http://site.com/old", "<p>stale capture via alias</p>"),
+        (4, "http://site.com/new", "<p>destination capture</p>"),
+        # /loop is an UNRESOLVED chain: keeps its own slot
+        (2, "http://site.com/loop", "<p>loop page</p>"),
+        (3, "https://other.org/b", "<p>b</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    rmap = spark.createDataFrame(
+        [
+            ("http://site.com/old", "http://site.com/new", 1, True),
+            ("http://site.com/loop", "http://site.com/loop2", 5, False),
+        ],
+        "url string, final_url string, n_hops int, resolved boolean",
+    )
+    rows = {r["doc_id"]: r for r in prepare_crawl(df, redirect_map=rmap).collect()}
+    assert set(rows) == {1, 2, 3}          # 4 lost its slot to the alias
+    assert rows[1]["canonical_url"] == "http://site.com/new"
+    assert rows[1]["url"] == "http://site.com/old"  # winner keeps its row
+    assert rows[2]["canonical_url"] == "http://site.com/loop"
+    # tracker/case noise on the SOURCE side still collapses: the map is
+    # joined in canonical space
+    noisy = spark.createDataFrame(
+        [(9, "http://www.Site.com/old?gclid=zz", "<p>noisy alias</p>")],
+        "doc_id long, url string, html string",
+    )
+    rows2 = {
+        r["doc_id"]: r
+        for r in prepare_crawl(df.union(noisy), redirect_map=rmap).collect()
+    }
+    assert 9 not in rows2 and rows2[1]["canonical_url"] == "http://site.com/new"
+
+
+def test_prepare_crawl_redirects_composed_from_warc_chain(spark, tmp_path):
+    """Full discovery composition: warc.redirect_edges -> web.
+    resolve_redirects -> prepare_crawl(redirect_map=...) — a 2-hop
+    chain's head capture folds onto the chain tail's canonical slot."""
+    from apache_cassandra_spark.analytics import web
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    edges = spark.createDataFrame(
+        [
+            ("http://s.com/a", "http://s.com/b"),
+            ("http://s.com/b", "http://s.com/c"),
+        ],
+        "url string, redirect_to string",
+    )
+    rmap = web.resolve_redirects(edges, max_hops=5)
+    got = {r["url"]: r for r in rmap.collect()}
+    assert got["http://s.com/a"]["final_url"] == "http://s.com/c"
+    assert got["http://s.com/a"]["resolved"]
+    pages = spark.createDataFrame(
+        [
+            (7, "http://s.com/a", "<p>captured redirect head</p>"),
+            (3, "http://s.com/c", "<p>the real page</p>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    out = {r["doc_id"]: r for r in prepare_crawl(pages, redirect_map=rmap).collect()}
+    assert set(out) == {3}                 # min-id 3 wins the merged slot
+    assert out[3]["canonical_url"] == "http://s.com/c"
+
+
 def test_prepare_crawl_plan_shape(spark):
     from apache_cassandra_spark.analytics.pipeline import prepare_crawl
 
