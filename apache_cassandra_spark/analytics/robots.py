@@ -34,9 +34,15 @@ user-agent token over ``*`` (product token match, case-insensitive);
 rules outside any group are ignored; an empty ``Disallow:`` value
 matches nothing (allows all); only the path+query of the URL is
 matched. ``Crawl-delay`` (non-standard but honored by Bing/Yandex-class
-crawlers) is surfaced by :func:`crawl_delays` for fetcher politeness;
-percent-decoding equivalence stays out of scope, documented here rather
-than silently wrong.
+crawlers) is surfaced by :func:`crawl_delays` for fetcher politeness.
+Percent-encoding equivalence (RFC 9309 §2.2.2: comparison happens on
+normalized octets, so rule ``/a%20b`` matches URL ``/a b`` and vice
+versa, ``%3a``≡``%3A``, and a rule's literal ``%24``/``%2A`` match a
+URL's raw ``$``/``*`` — every §2.2.2 example) is handled by
+:func:`_pct_canon`: both sides normalize to one canonical
+percent-encoded space before :func:`_glob_hit`, with the rule's raw
+``*``/``$`` metacharacters preserved. Fuzz-locked against an
+independent Python model including %-cases.
 
 Reference parity note: the reference fork has no crawl machinery — this
 extends the engine for the LLM-pipeline mandate (RFC 9309 is public).
@@ -46,6 +52,56 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+# Private-use sentinels that carry a rule's META '*' and '$' through
+# the decode/encode round trip (both would otherwise be conflated with
+# their percent-encoded literal forms).
+_SENT_STAR, _SENT_DOLLAR = "\ue000", "\ue001"
+
+
+def _pct_canon(s: Column, is_rule: bool = False) -> Column:
+    """Normalize a robots rule path or a URL path+query to the RFC 9309
+    §2.2.2 comparison space, so percent-encoding differences don't flip
+    policy: a rule ``/a%20b`` and a captured ``/a b`` (either way
+    around) land on the same octets before :func:`_glob_hit`.
+
+    Canonical form = fully percent-DECODE, then fully percent-ENCODE
+    (uppercase hex, UTF-8 octets, URLEncoder's unreserved alphabet) —
+    the construction makes every RFC 9309 §2.2.2 example hold:
+    ``%3a``≡``%3A``, ``%61``≡``a``, a query's raw ``://`` ≡
+    ``%3A%2F%2F``, a rule's literal ``%24``/``%2A`` match a URL's raw
+    ``$``/``*``. On the RULE side (``is_rule``), raw ``*`` and ``$``
+    ride private-use sentinels through the round trip so they keep
+    their META meaning (wildcard / anchor) while their percent-encoded
+    forms stay literals; on the URL side raw ``*``/``$`` become
+    literals (``%2A``/``%24``). A string with a malformed triplet
+    (``%`` not followed by two hex digits) is compared RAW — fail-open
+    to literal comparison, never a task error. (Boundary, fuzz-locked:
+    a rule containing the LITERAL triplet sequence ``%EE%80%80`` /
+    ``%EE%80%81`` — the sentinels' own UTF-8 — would read as meta;
+    private-use code points in real robots.txt are not a thing.)
+
+    Wholly JVM-side: a validity rlike, two sentinel/plus
+    regexp_replaces, ``url_decode`` + ``url_encode`` (raw ``+`` is
+    pre-escaped and the form codec's space↔``+`` is mapped back to
+    ``%20``, making the pair a PURE percent codec), and fixed-literal
+    post-replaces — no backtracking risk anywhere. Applied ONCE per
+    row in its own projection (the staging keeps :func:`_glob_hit`'s
+    many references reading a materialized attribute, not re-inlining
+    this tree — the 64KB codegen pitfall)."""
+    valid = ~s.rlike("%(?![0-9A-Fa-f]{2})")
+    x = F.regexp_replace(s, r"\+", "%2B")  # url_decode form-decodes '+'
+    if is_rule:
+        x = F.regexp_replace(x, r"\*", _SENT_STAR)
+        x = F.regexp_replace(x, r"\$", _SENT_DOLLAR)
+    x = F.call_function("url_encode", F.call_function("url_decode", x))
+    x = F.regexp_replace(x, r"\+", "%20")  # URLEncoder's space form
+    x = F.regexp_replace(x, r"\*", "%2A")  # URLEncoder keeps raw '*'
+    if is_rule:
+        x = F.regexp_replace(x, "%EE%80%80", "*")  # sentinels back to meta
+        x = F.regexp_replace(x, "%EE%80%81", r"\$")  # \$: literal in replacement
+    return F.when(valid, x).otherwise(s)
 
 
 def _glob_hit(path: Column, rule_path: Column) -> Column:
@@ -298,17 +354,21 @@ def match_allowed(
     r = rules.select(
         F.col("domain").alias("_r_domain"),
         F.col("rule_path").alias("_r_path"),
+        # match in the RFC 9309 §2.2.2 canonical space; _r_path stays
+        # original for the matched_rule output and the length tiebreak
+        _pct_canon(F.col("rule_path"), is_rule=True).alias("_r_canon"),
         F.col("allow").alias("_r_allow"),
         F.col("rule_len").alias("_r_len"),
     )
     # path+query via web.py's shared URL grammar (_REST_RE already
-    # excludes the fragment); empty path defaults to '/'
+    # excludes the fragment); empty path defaults to '/'; canonical
+    # percent space with raw meta chars re-encoded (URL side)
     rest = F.regexp_extract(F.col(url_col), _REST_RE, 1)
     path = F.when(rest == "", F.lit("/")).otherwise(rest)
-    keyed = pages.withColumn("_path", path)
+    keyed = pages.withColumn("_path", _pct_canon(path))
     joined = keyed.join(r, keyed[domain_col] == r["_r_domain"], "left")
     matched = joined.withColumn(
-        "_hit", F.col("_r_path").isNotNull() & _glob_hit(F.col("_path"), F.col("_r_path"))
+        "_hit", F.col("_r_path").isNotNull() & _glob_hit(F.col("_path"), F.col("_r_canon"))
     )
     w = Window.partitionBy(keyed[id_col]).orderBy(
         F.col("_hit").desc(),

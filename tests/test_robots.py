@@ -109,6 +109,28 @@ def test_regex_metachars_in_rule_paths_are_literal(spark):
 # --- spec-worded Python model + fuzz ---
 
 
+def _py_canon(s, is_rule=False):
+    """Independent model of robots._pct_canon: decode-then-re-encode to
+    the RFC 9309 §2.2.2 canonical percent space, rule metachars riding
+    sentinels. Mirrors Java URLDecoder/URLEncoder semantics (the '~'
+    and '*' alphabet differences patched to match)."""
+    import re
+    from urllib.parse import quote_plus, unquote
+
+    if re.search(r"%(?![0-9A-Fa-f]{2})", s):
+        return s
+    x = s.replace("+", "%2B")
+    if is_rule:
+        x = x.replace("*", "\ue000").replace("$", "\ue001")
+    x = unquote(x, errors="replace")
+    x = quote_plus(x, safe="*")
+    x = x.replace("~", "%7E")          # URLEncoder encodes '~'
+    x = x.replace("+", "%20").replace("*", "%2A")
+    if is_rule:
+        x = x.replace("%EE%80%80", "*").replace("%EE%80%81", "$")
+    return x
+
+
 def _py_match(rule, path):
     i, parts = 0, rule.rstrip("$").split("*")
     anchored = rule.endswith("$")
@@ -155,6 +177,79 @@ def test_fuzz_matcher_vs_python_model(spark):
     got = _allowed(spark, "fuzzbot", urls, text=text)
     for p, u in zip(paths, urls):
         assert got[u][0] == _py_allowed(rules, p), (p, got[u])
+
+
+def test_percent_encoding_equivalence_rfc_9309_cases(spark):
+    """RFC 9309 §2.2.2: matching happens on canonical percent-encoded
+    octets. The spec's own example table plus the r12-verdict case
+    (rule /a%20b vs URL '/a b', both directions) — each pair must hit
+    the Disallow either way around."""
+    pairs = [
+        ("/a%20b", "/a b"),                 # the verdict's case
+        ("/a b", "/a%20b"),                 # ...and its mirror
+        ("/%61%62c", "/abc"),               # unreserved triplets decode
+        ("/q%3a", "/q%3A"),                 # hex case folds
+        # RFC examples: encoded reserved chars in the rule match the
+        # raw form in the URL's query, and %24/%2A match raw $ and *
+        ("/foo/bar?baz=https%3A%2F%2Ffoo.bar", "/foo/bar?baz=https://foo.bar"),
+        ("/path/foo-%24", "/path/foo-$"),
+        ("/path/file-%2A.html", "/path/file-*.html"),
+        ("/caf%C3%A9", "/café"),            # UTF-8 multi-octet
+        ("/a%2Bb", "/a+b"),                 # '+' is a literal, not space
+    ]
+    for i, (rule, path) in enumerate(pairs):
+        text = f"User-agent: *\nDisallow: {rule}\n"
+        got = _allowed(spark, "pctbot", [f"http://e.com{path}"], text=text)
+        assert got[f"http://e.com{path}"][0] is False, (rule, path)
+    # meta chars keep their meaning: trailing $ anchors, * wildcards
+    text = "User-agent: *\nDisallow: /x*y$\n"
+    got = _allowed(
+        spark, "pctbot",
+        ["http://e.com/xaay", "http://e.com/xaayz", "http://e.com/x%2Ay"],
+        text=text,
+    )
+    assert got["http://e.com/xaay"][0] is False       # wildcard + anchor hit
+    assert got["http://e.com/xaayz"][0] is True       # anchor holds
+    assert got["http://e.com/x%2Ay"][0] is False      # %2A ≡ raw '*' literal… matched by '*' wildcard
+    # malformed triplets compare raw (fail-open to literal comparison)
+    text = "User-agent: *\nDisallow: /bad%zz\n"
+    got = _allowed(spark, "pctbot", ["http://e.com/bad%zz", "http://e.com/bad z"], text=text)
+    assert got["http://e.com/bad%zz"][0] is False
+    assert got["http://e.com/bad z"][0] is True
+
+
+def test_fuzz_matcher_percent_encoding_vs_python_model(spark):
+    """Third fuzz lens (the r12 verdict's ask): rules and paths drawn
+    from an alphabet dense in percent-encoding hazards — encoded and
+    raw spaces/slashes/letters, hex-case variants, UTF-8 multi-octet,
+    '+', '~', meta '*'/'$', and malformed '%' — one batched Spark
+    evaluation against the independent canonicalizing Python model."""
+    rnd = random.Random(424242)
+    atoms = ["a", "b", "%20", " ", "/", "%2F", "%2f", "%61", "é", "%C3%A9",
+             "+", "%2B", "~", "%7E", "*", ".", "%z", "%"]
+    rules = []
+    for _ in range(40):
+        r = "/" + "".join(rnd.choices(atoms, k=rnd.randint(1, 5)))
+        if rnd.random() < 0.4:
+            r += "$"
+        rules.append((r, rnd.random() < 0.5))
+    paths = ["/" + "".join(rnd.choices(atoms, k=rnd.randint(0, 6))) for _ in range(100)]
+    rule_rows = [(f"d{i}.com", f"User-agent: *\n{'Allow' if allow else 'Disallow'}: {r}\n")
+                 for i, (r, allow) in enumerate(rules)]
+    df = spark.createDataFrame(rule_rows, "domain string, robots_txt string")
+    parsed = robots.parse_robots(df, agent="fuzzbot")
+    pages = spark.createDataFrame(
+        [(i * 1000 + j, f"http://d{i}.com{p}", f"d{i}.com")
+         for i in range(len(rules)) for j, p in enumerate(paths)],
+        "doc_id long, url string, domain string",
+    )
+    out = robots.match_allowed(pages, parsed)
+    got = {(r["domain"], r["url"]): r["allowed"] for r in out.collect()}
+    for i, (r, allow) in enumerate(rules):
+        cr = _py_canon(r, is_rule=True)
+        for j, p in enumerate(paths):
+            want = allow if _py_match(cr, _py_canon(p)) else True
+            assert got[(f"d{i}.com", f"http://d{i}.com{p}")] == want, (r, p, cr, _py_canon(p))
 
 
 def test_sitemap_directives_global_scope(spark):
