@@ -882,8 +882,13 @@ def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
     are no-ops. A residual coding we cannot undo (e.g. a typo'd token)
     returns an error so the row KEEPS its labels and NULL body_text —
     never silently-still-compressed bytes relabeled as decoded (the
-    r12 ADVICE finding). brotli has no stdlib codec — honest
-    unsupported error on either header."""
+    r12 ADVICE finding). brotli decodes through the system libbrotli
+    ctypes binding (:mod:`.brotli` — streaming, bomb-capped); when the
+    library is absent the row keeps the honest unsupported error on
+    either header, the pre-r13 behavior."""
+    from apache_cassandra_spark.sources import brotli as _brotli
+
+    br_ok = _brotli.available()
     tokens = [t.strip().lower() for t in (tenc or "").split(",") if t.strip()]
     for t in reversed(tokens):
         if t == "identity":
@@ -892,12 +897,16 @@ def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
             data = _dechunk(data)
         elif t in ("gzip", "x-gzip", "deflate"):
             data = _inflate_one(data, t)
+        elif t == "br" and br_ok:
+            data = _brotli.decompress(data)
         else:
             return data, f"unsupported Transfer-Encoding: {t}"
     if enc in ("", "identity", None):
         return data, None
     if enc in ("gzip", "x-gzip", "deflate"):
         return _inflate_one(data, enc), None
+    if enc == "br" and br_ok:
+        return _brotli.decompress(data), None
     return data, f"unsupported Content-Encoding: {enc}"
 
 
@@ -905,10 +914,12 @@ def decode_http_bodies(df: DataFrame) -> DataFrame:
     """Transfer-decode the rows :func:`http_response_parts` flagged:
     de-chunk ``chunked`` framing, inflate ``gzip``/``x-gzip``/
     ``deflate`` Content-Encoding, then recompute ``body_text`` with the
-    SAME shared charset expressions (:func:`_charset_text`). Successful
-    rows get decoded ``body`` bytes and cleared encoding columns; rows
-    that fail (corrupt stream, malformed chunk framing, ``br`` — no
-    stdlib codec, honest boundary) keep their exact original bytes,
+    SAME shared charset expressions (:func:`_charset_text`). ``br``
+    inflates through the system-libbrotli ctypes binding when present
+    (:mod:`.brotli`). Successful rows get decoded ``body`` bytes and
+    cleared encoding columns; rows that fail (corrupt stream, malformed
+    chunk framing, a decompression bomb past the cap, ``br`` without
+    the system library) keep their exact original bytes,
     keep their encoding labels, keep NULL ``body_text``, and carry the
     reason in ``http_decode_error`` — the codecs.py corrupt-row
     contract, never a task kill.

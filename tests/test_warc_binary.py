@@ -477,10 +477,13 @@ def _raw_deflate(data: bytes) -> bytes:
 
 def test_decode_http_bodies_matrix(spark, tmp_path):
     """deflate (zlib AND raw), gzip+charset interplay (cp1251 text under
-    gzip), chunked+gzip combo, br (honest unsupported), corrupt gzip
+    gzip), chunked+gzip combo, br (decodes via the system-libbrotli
+    binding when present, honest flagged row otherwise), corrupt gzip
     (flagged, bytes preserved)."""
     import gzip as _gz
     import zlib
+
+    from apache_cassandra_spark.sources import brotli as _brotli
 
     ru = "привет мир"
     cp1251_gz = _gz.compress(ru.encode("cp1251"))
@@ -510,8 +513,17 @@ def test_decode_http_bodies_matrix(spark, tmp_path):
             uri=b"http://e.com/combo",
         )
         + _record(
-            _http_enc(b"\x8b\x02\x80br-bytes", b"Content-Encoding: br\r\n"),
+            _http_enc(
+                _brotli.compress("<p>br body</p>".encode(), quality=5)
+                if _brotli.encoder_available()
+                else b"\x8b\x02\x80br-bytes",
+                b"Content-Encoding: br\r\n",
+            ),
             uri=b"http://e.com/br",
+        )
+        + _record(
+            _http_enc(b"\x8b\x02\x80br-bytes", b"Content-Encoding: br\r\n"),
+            uri=b"http://e.com/br-corrupt",
         )
         + _record(
             _http_enc(b"\x1f\x8b\x08\x00garbage!!", b"Content-Encoding: gzip\r\n"),
@@ -529,8 +541,16 @@ def test_decode_http_bodies_matrix(spark, tmp_path):
     assert got["http://e.com/combo"]["body_text"] == plain.decode()
     assert got["http://e.com/combo"]["http_transfer_encoding"] == ""
     br = got["http://e.com/br"]
-    assert "unsupported" in br["http_decode_error"] and br["body_text"] is None
-    assert br["http_encoding"] == "br" and bytes(br["body"]) == b"\x8b\x02\x80br-bytes"
+    if _brotli.available() and _brotli.encoder_available():
+        assert br["http_decode_error"] is None and br["http_encoding"] == ""
+        assert br["body_text"] == "<p>br body</p>"
+    else:
+        assert "unsupported" in br["http_decode_error"] and br["body_text"] is None
+        assert br["http_encoding"] == "br" and bytes(br["body"]) == b"\x8b\x02\x80br-bytes"
+    brc = got["http://e.com/br-corrupt"]
+    assert brc["http_decode_error"] is not None and brc["body_text"] is None
+    assert brc["http_encoding"] == "br"
+    assert bytes(brc["body"]) == b"\x8b\x02\x80br-bytes"  # original bytes kept
     bad = got["http://e.com/corrupt"]
     assert bad["http_decode_error"] and bad["body_text"] is None
     assert bytes(bad["body"]) == b"\x1f\x8b\x08\x00garbage!!"
