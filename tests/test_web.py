@@ -586,6 +586,79 @@ def test_resolve_redirects_chains_cycles_and_budget(spark):
     assert got["y"]["resolved"] is False
 
 
+def test_resolve_redirects_hop_boundary_exactness(spark):
+    """r12 verdict item 7: budget edges AT the hop boundary. A chain of
+    length exactly max_hops resolves with n_hops == max_hops; one link
+    longer is unresolved having consumed the whole budget; a self-loop
+    burns the budget without moving."""
+    chain = [(f"u{i}", f"u{i+1}") for i in range(6)] + [("loop", "loop")]
+    df = spark.createDataFrame(chain, "url string, redirect_to string")
+    for mh in (1, 2, 5, 6):
+        got = {r["url"]: r for r in web.resolve_redirects(df, max_hops=mh).collect()}
+        # u{6-mh} is exactly mh hops from the terminal u6
+        head = f"u{6 - mh}"
+        assert (got[head]["final_url"], got[head]["n_hops"], got[head]["resolved"]) == (
+            "u6", mh, True), (mh, dict(got[head].asDict()))
+        if 6 - mh - 1 >= 0:  # one longer than the budget
+            over = f"u{6 - mh - 1}"
+            assert got[over]["resolved"] is False and got[over]["n_hops"] == mh
+        assert got["loop"]["resolved"] is False and got["loop"]["final_url"] == "loop"
+        assert got["loop"]["n_hops"] == mh
+
+
+def test_resolve_redirects_fuzz_vs_python_chase_model(spark):
+    """Randomized functional redirect graphs (chains, trees, cycles,
+    rho shapes, duplicate captures) against an independent Python chase
+    model with the same semantics: min-target per source, follow at
+    most max_hops links, resolved ⇔ the stop node is not a source."""
+    import random as _random
+
+    rnd = _random.Random(1313)
+    for trial in range(4):
+        n = rnd.randint(5, 30)
+        nodes = [f"n{i}" for i in range(n)]
+        rows = []
+        for u in nodes:
+            for _ in range(rnd.randint(0, 2)):
+                rows.append((u, rnd.choice(nodes + [None])))
+        rows = [r for r in rows if rnd.random() < 0.9] or [("n0", "n1")]
+        mh = rnd.randint(1, 6)
+        df = spark.createDataFrame(rows, "url string, redirect_to string")
+        got = {r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+               for r in web.resolve_redirects(df, max_hops=mh).collect()}
+        emap = {}
+        for u, v in rows:
+            if v is not None:
+                emap[u] = min(emap.get(u, v), v)
+        want = {}
+        for u in emap:
+            cur, hops = u, 0
+            while hops < mh and cur in emap:
+                cur = emap[cur]
+                hops += 1
+            want[u] = (cur, hops, cur not in emap)
+        assert got == want, (trial, mh, sorted(rows))
+
+
+def test_fetch_schedule_deterministic_under_priority_ties(spark):
+    """r12 verdict item 7: when every page shares one priority, the
+    queue falls back to id order — identical output across input
+    orderings and partitionings (row_number over a TOTAL order, no
+    nondeterministic tie)."""
+    rows = [(i, "big.com", 7) for i in range(40)] + [(100 + i, "small.org", 7) for i in range(3)]
+    df1 = spark.createDataFrame(rows, "doc_id long, domain string, prio int").repartition(8)
+    df2 = spark.createDataFrame(list(reversed(rows)), "doc_id long, domain string, prio int").repartition(3)
+    s1 = {r["doc_id"]: (r["fetch_seq"], r["fetch_at_sec"])
+          for r in web.fetch_schedule(df1, None, default_delay=2.0, priority_col="prio").collect()}
+    s2 = {r["doc_id"]: (r["fetch_seq"], r["fetch_at_sec"])
+          for r in web.fetch_schedule(df2, None, default_delay=2.0, priority_col="prio").collect()}
+    assert s1 == s2
+    # ties broke on id: queue position == rank of id within the domain
+    assert [s1[i][0] for i in range(40)] == list(range(40))
+    assert s1[0] == (0, 0.0) and s1[39] == (39, 78.0)
+    assert s1[100] == (0, 0.0) and s1[102] == (2, 4.0)
+
+
 def test_resolve_redirects_composes_from_warc(spark, tmp_path):
     """warc.redirect_edges -> resolve_redirects end to end on a real
     two-hop captured chain."""
