@@ -13,8 +13,12 @@ Formats with a genuinely parsed decode path:
   ``analytics.jpeg`` (Huffman entropy decode, restart resync, IDCT,
   chroma upsampling, JFIF color convert)
 
-Codecs whose *entropy coding* has no stdlib implementation (MP3/H.264)
-and JPEG profiles beyond sequential baseline + progressive (arithmetic,
+* **MP3** (MPEG-1/2/2.5 audio) — frame-HEADER walk only (r13):
+  ID3v2 skip, per-frame bitrate/rate/mode/padding (VBR-safe), summed
+  sample counts — real framing metadata from real bytes.
+
+Entropy decodes with no stdlib implementation (MP3→PCM, H.264) and
+JPEG profiles beyond sequential baseline + progressive (arithmetic,
 12-bit) still raise ``NotImplementedError`` — the dispatch keeps an
 honest boundary between the real and unavailable paths instead of
 faking them.
@@ -66,6 +70,14 @@ def sniff(payload: bytes) -> str:
         return "png"
     if payload[:4] == b"GIF8":
         return "gif"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] & 0x18) != 0x08  # version bits 01 are reserved
+        and (payload[1] & 0x06) != 0x00  # layer bits 00 are reserved
+    ):
+        return "mp3"
     return "unknown"
 
 
@@ -379,6 +391,144 @@ def _decode_gif(payload: bytes) -> dict:
     return decode_gif(payload)
 
 
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio) frame-HEADER walk — framing metadata only
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, index 1..14 (0 = free format, 15 = bad) —
+# ISO/IEC 11172-3 table B.1 / 13818-3; key = (version_group, layer)
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame(payload: bytes, pos: int) -> tuple[int, int, int, int]:
+    """Parse one MPEG audio frame header at ``pos``; returns
+    ``(frame_bytes, samples_per_frame, sample_rate, channels)``.
+    Raises ``ValueError`` on reserved/free-format/bad fields."""
+    b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+    if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError(f"mp3: lost frame sync at byte {pos}")
+    vbits = (b1 >> 3) & 3
+    layer = 4 - ((b1 >> 1) & 3)  # bits 11=Layer I ... 01=Layer III
+    if vbits == 1 or layer == 4:
+        raise ValueError("mp3: reserved version/layer bits")
+    vgroup = 1 if vbits == 3 else 2  # MPEG2 and 2.5 share bitrate tables
+    br_idx = (b2 >> 4) & 0xF
+    if br_idx in (0, 15):
+        raise ValueError("mp3: free-format or invalid bitrate index")
+    sr_idx = (b2 >> 2) & 3
+    if sr_idx == 3:
+        raise ValueError("mp3: reserved sample-rate index")
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[vbits][sr_idx]
+    padding = (b2 >> 1) & 1
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        nbytes = (12 * bitrate // rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576  # L3 MPEG2/2.5: 576
+        nbytes = spf // 8 * bitrate // rate + padding
+    return nbytes, spf, rate, channels
+
+
+def decode_mp3_meta(payload: bytes) -> dict:
+    """MP3 framing walk: skip an ID3v2 preamble (syncsafe size), then
+    parse every MPEG audio frame HEADER — per-frame bitrate (VBR-safe),
+    sample rate, channel mode, padding — and sum sample counts.
+    ``n_frames`` is PCM sample frames (duration = n_frames/sample_rate,
+    the WAV convention). A trailing ID3v1 ``TAG`` block or zero padding
+    ends the walk cleanly; sync loss mid-stream raises ``ValueError``
+    (decode_media's flagged-row contract).
+
+    This is the FRAMING layer of ISO/IEC 11172-3 only — real metadata
+    from real bytes. The entropy decode to PCM (Huffman + IMDCT +
+    synthesis filterbank) stays an honest ``NotImplementedError``
+    boundary in :func:`mp3_samples`."""
+    pos, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        ss = payload[6:10]
+        pos = 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14 | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+    samples = 0
+    rate = channels = None
+    frames = 0
+    while pos + 4 <= n:
+        if payload[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        if payload[pos] == 0:  # trailing padding
+            if any(payload[pos:]):
+                raise ValueError(f"mp3: lost frame sync at byte {pos}")
+            break
+        nbytes, spf, rate, channels = _mp3_frame(payload, pos)
+        samples += spf
+        frames += 1
+        pos += nbytes
+    if frames == 0:
+        raise ValueError("mp3: no audio frames")
+    return {
+        "format": "mp3",
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": samples,
+    }
+
+
+def mp3_samples(payload: bytes):
+    """PCM decode of MP3 audio — the honest remaining boundary (the
+    Layer III entropy decode: Huffman main data, requantization, IMDCT,
+    polyphase synthesis — a from-scratch project on the progressive-
+    JPEG scale). Framing METADATA is real: :func:`decode_mp3_meta`."""
+    raise NotImplementedError(
+        "mp3: PCM decode (Layer III entropy coding) not implemented; "
+        "frame-header metadata is available via decode_mp3_meta"
+    )
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    rate: int = 44100,
+    bitrate_kbps: int = 128,
+    mono: bool = False,
+    id3v2: bytes | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Fixture generator: a syntactically valid MPEG-1 Layer III frame
+    sequence (correct headers + zeroed main data) for the framing walk
+    — the encoder-feeds-decoder-tests pattern of ``encode_png`` /
+    ``jpeg.encode_jpeg_baseline``. Zero main data is legal framing;
+    no audio claim is made."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps) + 1
+    out = bytearray()
+    if id3v2 is not None:
+        size = len(id3v2)
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F])
+        out += b"ID3\x04\x00\x00" + ss + id3v2
+    for i in range(n_frames):
+        padding = i % 2 if rate == 44100 else 0  # exercise the padding bit
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,  # MPEG1, Layer III, no CRC
+                (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+                0xC0 if mono else 0x00,
+            ]
+        )
+        nbytes = 144 * bitrate_kbps * 1000 // rate + padding
+        out += hdr + b"\x00" * (nbytes - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
 _DECODERS = {
     "ppm": decode_ppm,
     "bmp": decode_bmp,
@@ -386,16 +536,18 @@ _DECODERS = {
     "png": decode_png,
     "jpeg": _decode_jpeg_auto,
     "gif": _decode_gif,
+    "mp3": decode_mp3_meta,
 }
 
 
 def decode_bytes(payload: bytes, exact_jpeg: bool = False) -> dict:
     """Sniff + decode one payload into the unified DECODE_FIELDS record.
 
-    Real parse for ppm/bmp/wav/png/baseline-jpeg; codecs with no stdlib
-    entropy implementation (MP3/H.264) raise
-    ``NotImplementedError`` (install PIL/ffmpeg and register a decoder in
-    ``_DECODERS`` to extend — the Spark plumbing is format-agnostic).
+    Real parse for ppm/bmp/wav/png/baseline-jpeg/gif and MP3 framing
+    metadata; entropy decodes with no stdlib implementation (MP3→PCM,
+    H.264) raise ``NotImplementedError`` (install PIL/ffmpeg and
+    register a decoder in ``_DECODERS`` to extend — the Spark plumbing
+    is format-agnostic).
     JPEG routes through Pillow/libjpeg when importable;
     ``exact_jpeg=True`` pins the from-scratch T.81 decoder whose
     bit-exact arithmetic the gate oracle replays."""

@@ -5,9 +5,11 @@ The decode path is REAL for formats parseable with numpy/stdlib alone —
 binary netpbm (PPM/PGM), 24-bit BMP, PCM16 WAV, 8-bit PNG (stdlib
 ``zlib`` inflate + numpy unfiltering), and sequential-baseline JPEG
 (full T.81 Huffman/IDCT decode in ``analytics.jpeg``; see
-``analytics.codecs``); codecs whose entropy coding has no stdlib
-implementation (MP3/H.264) raise ``NotImplementedError`` because their
-libraries aren't in this container.
+``analytics.codecs``), and MP3 FRAMING metadata (r13: per-frame header
+walk — VBR-safe sample/rate/channel counts — in
+``codecs.decode_mp3_meta``); entropy decodes with no stdlib
+implementation (MP3→PCM, H.264) raise ``NotImplementedError`` because
+their libraries aren't in this container.
 ``decode_stub``/``deterministic_fake`` remain for pipelines that want a
 reproducible stand-in feature vector regardless of format.
 
@@ -77,10 +79,10 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = False) -> list[float]:
     """Feature extraction with an honest codec boundary: REAL decode for
     containers parseable with numpy/stdlib (netpbm/BMP → normalized
-    channel means + dims; WAV → normalized RMS + frame/rate), the
+    channel means + dims; WAV → normalized RMS + frame/rate; MP3 →
+    framing metadata, no RMS — the PCM decode stays a boundary), the
     deterministic fake on request for anything else, and
-    ``NotImplementedError`` for compressed formats (JPEG/PNG/MP3 need
-    PIL/ffmpeg, not in this container)."""
+    ``NotImplementedError`` for formats without a parse path."""
     try:
         d = codecs.decode_bytes(payload or b"")
     except NotImplementedError:
@@ -89,6 +91,8 @@ def decode_stub(payload: bytes, media_type: str, deterministic_fake: bool = Fals
         raise
     if d["format"] == "wav":
         return [d["rms"] / 32768.0, float(d["n_frames"]), float(d["sample_rate"])]
+    if d["format"] == "mp3":
+        return [float(d["channels"]), float(d["n_frames"]), float(d["sample_rate"])]
     return [
         d["mean_r"] / 255.0,
         d["mean_g"] / 255.0,

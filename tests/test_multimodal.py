@@ -436,7 +436,7 @@ def _tiny_bmp() -> bytes:
 
 
 @settings(max_examples=120, deadline=None)
-@given(data=st.data(), fmt=st.sampled_from(["ppm", "bmp", "wav", "png", "jpeg", "gif"]))
+@given(data=st.data(), fmt=st.sampled_from(["ppm", "bmp", "wav", "png", "jpeg", "gif", "mp3"]))
 def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
     """Real encoder output chopped/bit-flipped at a random point: the
     decoder may succeed (flip past the parsed region) or raise the
@@ -453,6 +453,7 @@ def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
         "png": lambda: codecs.encode_png_stored(6, 4, (1, 2, 3)),
         "jpeg": lambda: jpeg_codec.encode_jpeg_baseline(px),
         "gif": lambda: codecs.encode_gif(px),
+        "mp3": lambda: codecs.encode_mp3_frames(4, id3v1=True),
     }[fmt]()
     cut = data.draw(st.integers(0, len(full)))
     payload = bytearray(full[:cut] if cut < len(full) else full)
@@ -463,6 +464,60 @@ def test_truncated_valid_headers_never_escape_error_contract(data, fmt):
         codecs.decode_bytes(bytes(payload))
     except (ValueError, NotImplementedError):
         pass
+
+
+# --- MP3 framing walk -------------------------------------------------------
+
+
+def test_mp3_meta_framing_walk_and_sniff():
+    """r12 verdict item 8: MPEG-1 Layer III frame-header walk — sample
+    counts, rate, channel mode; ID3v2 preamble skipped via syncsafe
+    size; ID3v1 trailer ends the walk; sniff sees both entry forms."""
+    raw = codecs.encode_mp3_frames(10, rate=44100, bitrate_kbps=128)
+    assert codecs.sniff(raw) == "mp3"
+    d = codecs.decode_bytes(raw)
+    assert (d["format"], d["sample_rate"], d["channels"]) == ("mp3", 44100, 2)
+    assert d["n_frames"] == 10 * 1152
+    mono = codecs.decode_bytes(codecs.encode_mp3_frames(3, rate=32000, bitrate_kbps=64, mono=True))
+    assert (mono["channels"], mono["sample_rate"], mono["n_frames"]) == (1, 32000, 3 * 1152)
+    tagged = codecs.encode_mp3_frames(5, id3v2=b"\x00" * 37, id3v1=True)
+    assert codecs.sniff(tagged) == "mp3"
+    assert codecs.decode_bytes(tagged)["n_frames"] == 5 * 1152
+
+
+def test_mp3_vbr_frames_and_padding_bit():
+    """Per-frame headers are re-read (VBR): mixed bitrates concatenate
+    cleanly because each frame's length comes from ITS header; the
+    padding bit (exercised by the 44100 fixture) shifts lengths by one
+    byte without desyncing the walk."""
+    vbr = (codecs.encode_mp3_frames(2, bitrate_kbps=128)
+           + codecs.encode_mp3_frames(3, bitrate_kbps=320)
+           + codecs.encode_mp3_frames(1, bitrate_kbps=32))
+    d = codecs.decode_mp3_meta(vbr)
+    assert d["n_frames"] == 6 * 1152 and d["sample_rate"] == 44100
+
+
+def test_mp3_hostile_framing_is_valueerror():
+    good = codecs.encode_mp3_frames(4)
+    with pytest.raises(ValueError, match="sync"):
+        codecs.decode_mp3_meta(good + b"\x01garbage")
+    with pytest.raises(ValueError, match="no audio frames"):
+        codecs.decode_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x05" + b"\x00" * 5)
+    # free-format bitrate (index 0) is an explicit boundary
+    ff = bytearray(good)
+    ff[2] = ff[2] & 0x0F
+    with pytest.raises(ValueError, match="free-format"):
+        codecs.decode_mp3_meta(bytes(ff))
+    # trailing zero padding after the last frame is fine
+    assert codecs.decode_mp3_meta(good + b"\x00" * 64)["n_frames"] == 4 * 1152
+
+
+def test_mp3_pcm_decode_stays_typed_boundary():
+    with pytest.raises(NotImplementedError, match="PCM"):
+        codecs.mp3_samples(codecs.encode_mp3_frames(1))
+    # decode_stub surfaces framing metadata (no RMS claim)
+    feats = mm.decode_stub(codecs.encode_mp3_frames(7), "audio")
+    assert feats == [2.0, float(7 * 1152), 44100.0]
 
 
 # --- GIF (real LZW) ---------------------------------------------------------
