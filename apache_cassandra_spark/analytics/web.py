@@ -654,3 +654,92 @@ def resolve_redirects(
             F.col("_p_src").isNull().alias("resolved"),
         )
     )
+
+
+def plan_frontier(
+    candidates: DataFrame,
+    crawled: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    strip_www: bool = True,
+    tracking_params: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The discovery-side front door, composed — the fetch-plan twin of
+    ``pipeline.prepare_crawl`` (which curates what was ALREADY fetched;
+    this plans what to fetch NEXT). Candidates are whatever discovery
+    produced — sitemap ``loc``s (:func:`parse_sitemap`), outlink
+    targets (``html.outlink_graph``), redirect destinations
+    (:func:`resolve_redirects`) — and flow through: canonical URL keys
+    → per-canonical dedup (best = MIN ``priority_col`` when given, with
+    the lexicographically-smallest source URL as the representative —
+    deterministic, order-free) → already-crawled anti-join (``crawled``
+    URLs key in the SAME canonical space, so tracker/case noise can't
+    re-enqueue a captured page) → robots compliance
+    (:func:`..robots.match_allowed` when ``robots_rules`` given —
+    disallowed URLs never reach the fetch queue) → politeness pacing
+    (:func:`fetch_schedule` with :func:`..robots.crawl_delays`).
+
+    Output: one row per NEW allowed canonical URL —
+    ``(url, canonical_url, host, domain [, priority], fetch_seq,
+    fetch_at_sec)`` — ready to shard by ``fetch_at_sec`` range.
+
+    Scale shape, stage by stage: one map-only keying projection; the
+    per-canonical winner is ONE row_number window (top-1 per key →
+    WindowGroupLimit with partial pushdown — NOT a min(url)/first()
+    aggregate, whose immutable string buffers demote to SortAggregate,
+    the events_ohlc anti-pattern); a LEFT ANTI hash join against the
+    crawled set (AQE-decided, keyed on the canonical the window just
+    partitioned by, so the partitioning reuses); the robots join +
+    per-URL winner window (canonical_url doubles as the unique id the
+    window contract needs); one Exchange on domain for the pacing
+    window. Nothing collects, nothing broadcasts by force.
+
+    Composition of independently tested/gated pieces: URL keys by
+    corpus_domain_stats' chain, dedup-winner semantics by
+    web.dedup_urls' convention, compliance by corpus_robots +
+    the §2.2.2 percent-space fuzz locks, pacing by the
+    fetch_schedule determinism locks."""
+    from apache_cassandra_spark.analytics import robots as RB
+
+    tp = TRACKING_PARAMS if tracking_params is None else tracking_params
+    keyed = with_url_keys(
+        candidates.where(F.col(url_col).isNotNull()),
+        url_col,
+        strip_www=strip_www,
+        tracking_params=tp,
+    )
+    order = ([F.col(priority_col).asc()] if priority_col else []) + [F.col(url_col).asc()]
+    w = Window.partitionBy("canonical_url").orderBy(*order)
+    fresh = keyed.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
+    if crawled is not None:
+        seen = (
+            with_url_keys(
+                crawled.where(F.col(url_col).isNotNull()).select(url_col),
+                url_col,
+                strip_www=strip_www,
+                tracking_params=tp,
+            )
+            .select("canonical_url")
+            .distinct()
+        )
+        fresh = fresh.join(seen, "canonical_url", "left_anti")
+    if robots_rules is not None:
+        fresh = (
+            RB.match_allowed(
+                fresh, robots_rules, url_col=url_col,
+                domain_col="domain", id_col="canonical_url",
+            )
+            .where(F.col("allowed"))
+            .drop("allowed", "matched_rule")
+        )
+    return fetch_schedule(
+        fresh,
+        delays,
+        default_delay=default_delay,
+        domain_col="domain",
+        id_col="canonical_url",
+        priority_col=priority_col,
+    )

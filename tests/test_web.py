@@ -659,6 +659,95 @@ def test_fetch_schedule_deterministic_under_priority_ties(spark):
     assert s1[100] == (0, 0.0) and s1[102] == (2, 4.0)
 
 
+def test_plan_frontier_composition(spark):
+    """Discovery front door end to end: canonical dedup with best
+    priority, crawled anti-join in canonical space, robots compliance,
+    and politeness pacing — one frontier plan from mixed discovery
+    sources."""
+    from apache_cassandra_spark.analytics import robots
+
+    cands = spark.createDataFrame(
+        [
+            # same canonical page via tracker/case noise: min prio wins
+            ("http://www.A.com/page?gclid=x", 5),
+            ("http://a.com/page", 2),
+            ("http://a.com/other", 1),
+            ("http://a.com/private/x", 1),       # robots-disallowed
+            ("http://a.com/seen?utm_source=s", 1),  # already crawled
+            ("http://b.org/new", 3),
+            (None, 9),
+        ],
+        "url string, prio int",
+    )
+    crawled = spark.createDataFrame([("http://a.com/seen",)], "url string")
+    rules = robots.parse_robots(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    delays = robots.crawl_delays(
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nCrawl-delay: 2\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    out = {r["canonical_url"]: r for r in web.plan_frontier(
+        cands, crawled=crawled, robots_rules=rules, delays=delays,
+        priority_col="prio", default_delay=1.0,
+    ).collect()}
+    assert set(out) == {"http://a.com/page", "http://a.com/other", "http://b.org/new"}
+    page = out["http://a.com/page"]
+    assert page["prio"] == 2                          # best priority won
+    assert page["url"] == "http://a.com/page"          # deterministic rep (min url)
+    # a.com queue by (prio, canonical): other(1) then page(2), 2s pace
+    assert (out["http://a.com/other"]["fetch_seq"], page["fetch_seq"]) == (0, 1)
+    assert page["fetch_at_sec"] == 2.0
+    assert out["http://b.org/new"]["fetch_at_sec"] == 0.0  # default pace, own queue
+    # no crawled/robots/delays: pure dedup + schedule, columns stable
+    bare = web.plan_frontier(cands, priority_col="prio").collect()
+    assert {r["canonical_url"] for r in bare} == {
+        "http://a.com/page", "http://a.com/other", "http://a.com/private/x",
+        "http://a.com/seen", "http://b.org/new"}
+    assert set(bare[0].asDict()) == {
+        "canonical_url", "url", "host", "domain", "prio", "fetch_seq", "fetch_at_sec"}
+
+
+def test_plan_frontier_feeds_from_discovery_outputs(spark, tmp_path):
+    """The real wiring: sitemap entries + resolve_redirects finals as
+    candidates, prepare_crawl's output as the crawled set."""
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    sm = web.parse_sitemap(spark.createDataFrame(
+        [("s.com", "<urlset><url><loc>http://s.com/from-sitemap</loc></url>"
+          "<url><loc>http://s.com/captured</loc></url></urlset>")],
+        "domain string, sitemap_xml string",
+    ))
+    rmap = web.resolve_redirects(spark.createDataFrame(
+        [("http://s.com/old", "http://s.com/from-redirect")],
+        "url string, redirect_to string",
+    ))
+    cands = sm.select(F.col("loc").alias("url")).union(
+        rmap.where("resolved").select(F.col("final_url").alias("url"))
+    )
+    pages = spark.createDataFrame(
+        [(1, "http://s.com/captured", "<p>done</p>")],
+        "doc_id long, url string, html string",
+    )
+    crawled = prepare_crawl(pages).select("url")
+    got = {r["canonical_url"] for r in web.plan_frontier(cands, crawled=crawled).collect()}
+    assert got == {"http://s.com/from-sitemap", "http://s.com/from-redirect"}
+
+
+def test_plan_frontier_plan_shape(spark):
+    cands = spark.createDataFrame([("http://a.com/x", 1)], "url string, prio int")
+    crawled = spark.createDataFrame([("http://a.com/y",)], "url string")
+    df = web.plan_frontier(cands, crawled=crawled, priority_col="prio")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+    assert "SortAggregate" not in plan
+
+
 def test_resolve_redirects_composes_from_warc(spark, tmp_path):
     """warc.redirect_edges -> resolve_redirects end to end on a real
     two-hop captured chain."""
