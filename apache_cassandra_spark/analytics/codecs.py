@@ -343,9 +343,10 @@ def decode_jpeg_pil(payload: bytes) -> dict:
     """libjpeg-backed JPEG decode (requires Pillow) under the SAME error
     contract AND the same acceptance set as the from-scratch path:
     ``jpeg.prescan_jpeg`` runs first, so a payload the exact decoder
-    rejects (CMYK, 12-bit, 16-bit DQT, fractional
-    sampling) raises the identical exception here even though Pillow
-    could decode it — the default ``decode_media`` output is therefore
+    rejects (CMYK, fractional sampling, arithmetic coding) raises the
+    identical exception here even though Pillow could decode it — and
+    a 12-bit SOF1 frame (which stock 8-bit libjpeg CANNOT decode)
+    routes to the exact decoder — the default ``decode_media`` output is therefore
     environment-independent (ADVICE r6). Corrupt/truncated →
     ``ValueError``, Pillow missing → ``NotImplementedError``. Output
     shape matches ``jpeg.decode_jpeg`` exactly; pixel values may differ
@@ -357,11 +358,16 @@ def decode_jpeg_pil(payload: bytes) -> dict:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - container has no PIL
         raise NotImplementedError("Pillow not installed") from e
-    from apache_cassandra_spark.analytics.jpeg import prescan_jpeg
+    from apache_cassandra_spark.analytics.jpeg import prescan_jpeg, sof_precision
 
     # mirror the exact decoder's acceptance set BEFORE Pillow sees the
     # payload (also covers the MAX_PIXELS bit-flip guard)
     width, height, ncomp = prescan_jpeg(payload)
+    if sof_precision(payload) != 8:
+        # 12-bit extended sequential (r13): stock libjpeg builds are
+        # compiled for ONE sample precision (8) — route to the exact
+        # decoder so the acceptance set stays environment-independent
+        return _decode_jpeg(payload)
     try:
         im = Image.open(io.BytesIO(payload))
         rgb = np.asarray(im.convert("RGB"), dtype=np.float64)

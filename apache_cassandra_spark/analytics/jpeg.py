@@ -21,8 +21,14 @@ cross-block EOB runs, restart intervals — coefficients accumulate
 across scans and reconstruction reuses the baseline arithmetic, so a
 progressive stream decodes pixel-identically to the baseline encoding
 of the same raster (the equivalence test). A progressive ENCODER
-(`encode_jpeg_progressive`) exists for fixture generation. Arithmetic
-coding, hierarchical, and 12-bit precision still raise
+(`encode_jpeg_progressive`) exists for fixture generation.
+
+12-bit precision decodes too (round 13, sequential only): SOF1
+extended-sequential frames with samples 0..4095, 16-bit DQT entries
+(Pq=1), level shift 2048, wider Huffman categories (DC to 15, AC SSSS
+to 14) — ``decode_jpeg_pixels`` returns uint16 and
+``encode_jpeg_baseline(precision=12)`` generates fixtures. Arithmetic
+coding, hierarchical, and 12-bit PROGRESSIVE still raise
 ``NotImplementedError`` — the honesty boundary.
 
 Exactness contract used by the ``media_decode_jpeg`` gate query: with
@@ -260,16 +266,23 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _rgb_to_ycbcr(
+    px: np.ndarray, maxval: int = 255
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """JFIF color convert with floor(x+0.5) rounding; the operand order of
-    each expression mirrors the media_decode_jpeg oracle SQL verbatim."""
+    each expression mirrors the media_decode_jpeg oracle SQL verbatim.
+    ``maxval`` generalizes to 12-bit precision (T.81 extended
+    sequential: the chroma center is 2^(P-1)); the 8-bit default path is
+    arithmetic-identical to the gate-anchored form."""
+    half = float((maxval + 1) // 2)
     r = px[:, :, 0].astype(np.float64)
     g = px[:, :, 1].astype(np.float64)
     b = px[:, :, 2].astype(np.float64)
-    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
-    cb = np.clip(np.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0, 255)
-    cr = np.clip(np.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, 255)
-    return y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8)
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, maxval)
+    cb = np.clip(np.floor(half - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0, maxval)
+    cr = np.clip(np.floor(half + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0, maxval)
+    dt = np.uint8 if maxval <= 255 else np.uint16
+    return y.astype(dt), cb.astype(dt), cr.astype(dt)
 
 
 def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
@@ -285,9 +298,12 @@ def _encode_block(
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
     bw: _BitWriter,
+    level: float = 128.0,
 ) -> int:
-    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC."""
-    shifted = block.astype(np.float64) - 128.0
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC.
+    ``level`` is the T.81 level shift 2^(P-1) (128 at 8-bit, 2048 at
+    12-bit)."""
+    shifted = block.astype(np.float64) - level
     coef = _DCT_A @ shifted @ _DCT_A.T
     q = _round_half_up(coef / qtable).astype(np.int64)
     zz = [int(q[r, c]) for r, c in ZIGZAG]
@@ -326,8 +342,14 @@ def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
 
 
 def _dqt_segment(tid: int, qtable: np.ndarray) -> bytes:
-    zz = bytes(int(qtable[r, c]) for r, c in ZIGZAG)
-    body = bytes([tid]) + zz
+    """DQT segment; element precision follows the values: Pq=0 (8-bit)
+    when every entry fits a byte, Pq=1 (16-bit, T.81 B.2.4.1 — legal
+    only for 12-bit sample precision frames) otherwise."""
+    vals = [int(qtable[r, c]) for r, c in ZIGZAG]
+    if max(vals) > 255:
+        body = bytes([0x10 | tid]) + b"".join(struct.pack(">H", v) for v in vals)
+    else:
+        body = bytes([tid]) + bytes(vals)
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
@@ -337,19 +359,31 @@ def encode_jpeg_baseline(
     qtable_luma: np.ndarray | None = None,
     qtable_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 raster
     as sequential-baseline JFIF. ``subsampling`` is '444' or '420' (color
     only). Default quantization tables are all-ones (lossless for
     constant-fill images — see module docstring). ``restart_interval``
     > 0 emits a DRI segment and RSTn markers every that-many MCUs
-    (byte-aligned, DC predictors reset — T.81 F.1.2.3 / E.2.4)."""
+    (byte-aligned, DC predictors reset — T.81 F.1.2.3 / E.2.4).
+
+    ``precision=12`` (r13) writes EXTENDED sequential (SOF1, T.81
+    process 2): samples 0..4095 (uint16 raster), level shift 2048,
+    16-bit DQT when a table value needs it, and flat Huffman tables
+    covering the wider categories (DC 0..15, AC SSSS 1..14) Annex K's
+    8-bit tables lack."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    maxval = (1 << precision) - 1
     if qtable_luma is None:
         qtable_luma = np.ones((8, 8))
     if qtable_chroma is None:
         qtable_chroma = np.ones((8, 8))
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
+    if int(px.max(initial=0)) > maxval or int(px.min(initial=0)) < 0:
+        raise ValueError(f"sample values out of range for {precision}-bit precision")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
@@ -360,7 +394,7 @@ def encode_jpeg_baseline(
         samplings = [(1, 1)]
         qids = [0]
     else:
-        y, cb, cr = _rgb_to_ycbcr(px)
+        y, cb, cr = _rgb_to_ycbcr(px, maxval)
         if subsampling == "444":
             planes = [y, cb, cr]
             samplings = [(1, 1), (1, 1), (1, 1)]
@@ -371,7 +405,7 @@ def encode_jpeg_baseline(
             cbs = np.floor((ype[0::2, 0::2] + ype[0::2, 1::2] + ype[1::2, 0::2] + ype[1::2, 1::2]) / 4.0 + 0.5)
             rpe = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
             crs = np.floor((rpe[0::2, 0::2] + rpe[0::2, 1::2] + rpe[1::2, 0::2] + rpe[1::2, 1::2]) / 4.0 + 0.5)
-            planes = [y, cbs.astype(np.uint8), crs.astype(np.uint8)]
+            planes = [y, cbs.astype(y.dtype), crs.astype(y.dtype)]
             samplings = [(2, 2), (1, 1), (1, 1)]
         else:
             raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -390,16 +424,34 @@ def encode_jpeg_baseline(
         out += _dqt_segment(1, qtable_chroma)
 
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for i in range(ncomp):
         sof += bytes([i + 1, (samplings[i][0] << 4) | samplings[i][1], qids[i]])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # SOF0 is the 8-bit baseline process; 12-bit is EXTENDED sequential
+    # and must declare SOF1 (T.81 table B.1)
+    out += (b"\xff\xc0" if precision == 8 else b"\xff\xc1") + struct.pack(
+        ">H", len(sof) + 2
+    ) + sof
 
-    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if precision == 8:
+        dc_l, dc_lv = DC_LUMA_BITS, DC_LUMA_VALS
+        ac_l, ac_lv = AC_LUMA_BITS, AC_LUMA_VALS
+        dc_c, dc_cv = DC_CHROMA_BITS, DC_CHROMA_VALS
+        ac_c, ac_cv = AC_CHROMA_BITS, AC_CHROMA_VALS
+    else:
+        # 12-bit categories exceed Annex K's 8-bit tables: DC diffs
+        # reach category 15 and AC magnitudes SSSS 14 — use flat tables
+        # (any prefix code is spec-valid; see _flat_table)
+        dc_l, dc_lv = _flat_table(list(range(16)))
+        ac_l, ac_lv = _flat_table(
+            [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        )
+        dc_c, dc_cv, ac_c, ac_cv = dc_l, dc_lv, ac_l, ac_lv
+    out += _dht_segment(0, 0, dc_l, dc_lv)
+    out += _dht_segment(1, 0, ac_l, ac_lv)
     if not gray:
-        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += _dht_segment(0, 1, dc_c, dc_cv)
+        out += _dht_segment(1, 1, ac_c, ac_cv)
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
@@ -411,10 +463,11 @@ def encode_jpeg_baseline(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    dc_lc = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_lc = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_cc = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_cc = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    dc_lc = _build_codes(dc_l, dc_lv)
+    ac_lc = _build_codes(ac_l, ac_lv)
+    dc_cc = _build_codes(dc_c, dc_cv)
+    ac_cc = _build_codes(ac_c, ac_cv)
+    level = float(1 << (precision - 1))
 
     padded = []
     for plane, (hi, vi) in zip(planes, samplings):
@@ -448,6 +501,7 @@ def encode_jpeg_baseline(
                             dc_lc if ci == 0 else dc_cc,
                             ac_lc if ci == 0 else ac_cc,
                             bw,
+                            level,
                         )
     bw.flush()
     out += bw.out
@@ -508,14 +562,15 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
         if pos + seglen > n:
             raise ValueError("truncated segment")
         seg = payload[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT: only 8-bit tables supported
+        if marker == 0xDB:  # DQT: Pq=0 (8-bit) or Pq=1 (16-bit, r13)
             p = 0
             while p < len(seg):
-                if seg[p] >> 4 != 0:
-                    raise NotImplementedError("16-bit quantization tables not supported")
-                if p + 65 > len(seg):
+                pq = seg[p] >> 4
+                if pq not in (0, 1):
+                    raise ValueError("invalid DQT element precision")
+                if p + 1 + 64 * (2 if pq else 1) > len(seg):
                     raise ValueError("truncated DQT segment")
-                p += 65
+                p += 1 + 64 * (2 if pq else 1)
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline + progressive
             progressive = marker == 0xC2
             if len(seg) < 6:
@@ -525,7 +580,8 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
                 raise ValueError("zero image dimension")
             if fh * fw > MAX_PIXELS:
                 raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
-            if prec != 8:
+            # 12-bit only on SOF1 (extended sequential) — mirrors decode
+            if prec != 8 and not (prec == 12 and marker == 0xC1):
                 raise NotImplementedError("only 8-bit precision supported")
             if ncomp not in (1, 3):
                 # decode_jpeg raises this at scan assembly; same class here
@@ -613,19 +669,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         if pos + seglen > n:
             raise ValueError("truncated segment")
         seg = payload[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables not supported")
-                if p + 65 > len(seg):
+                if pq not in (0, 1):
+                    raise ValueError("invalid DQT element precision")
+                step = 2 if pq else 1
+                if p + 1 + 64 * step > len(seg):
                     raise ValueError("truncated DQT segment")
                 tbl = np.zeros((8, 8))
                 for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = seg[p + 1 + i]
+                    off = p + 1 + i * step
+                    tbl[r, c] = (seg[off] << 8) | seg[off + 1] if pq else seg[off]
                 qtables[tq] = tbl
-                p += 65
+                p += 1 + 64 * step
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential DCT
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
@@ -636,7 +694,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 # a bit-flipped dimension field must fail fast, not OOM
                 # the executor allocating a phantom 4-gigapixel plane
                 raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
-            if prec != 8:
+            # SOF0 (baseline process) is 8-bit by definition; SOF1
+            # (extended sequential) allows 12-bit — T.81 table B.2
+            if prec != 8 and not (prec == 12 and marker == 0xC1):
                 raise NotImplementedError("only 8-bit precision supported")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF segment")
@@ -644,7 +704,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, qid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
-            frame = (fh, fw, comps)
+            frame = (fh, fw, comps, prec)
         elif marker == 0xC2:  # SOF2: progressive — own multi-scan walk
             return _decode_progressive_pixels(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -687,7 +747,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
-    fh, fw, comps = frame
+    fh, fw, comps, prec = frame
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     if len(scan) != len(comps) or len(comps) not in (1, 3):
         # sequential baseline: one interleaved scan covering all components
         raise ValueError(f"unsupported scan layout ({len(scan)} of {len(comps)} components)")
@@ -753,7 +815,7 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                             for i, (r, c) in enumerate(ZIGZAG):
                                 coef[r, c] = zz[i]
                             coef *= qt
-                            block = _DCT_A.T @ coef @ _DCT_A + 128.0
+                            block = _DCT_A.T @ coef @ _DCT_A + level
                             r0 = (my * vi + by) * 8
                             c0 = (mx * hi + bx) * 8
                             planes[cs][r0 : r0 + 8, c0 : c0 + 8] = block
@@ -765,26 +827,33 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
     for cs, hi, vi, *_ in meta:
         cw = -(-fw * hi // hmax)
         ch = -(-fh * vi // vmax)
-        p = np.clip(np.floor(planes[cs][:ch, :cw] + 0.5), 0, 255)
+        p = np.clip(np.floor(planes[cs][:ch, :cw] + 0.5), 0, maxval)
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:fh, :fw])
 
+    dt = np.uint8 if prec == 8 else np.uint16
     if len(full) == 1:
-        return full[0].astype(np.uint8)[:, :, None]
+        return full[0].astype(dt)[:, :, None]
     y, cb, cr = full[0], full[1], full[2]
-    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
-    g = np.clip(np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0, 255)
-    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+    r = np.clip(np.floor(y + 1.402 * (cr - level) + 0.5), 0, maxval)
+    g = np.clip(np.floor(y - 0.344136 * (cb - level) - 0.714136 * (cr - level) + 0.5), 0, maxval)
+    b = np.clip(np.floor(y + 1.772 * (cb - level) + 0.5), 0, maxval)
+    return np.stack([r, g, b], axis=2).astype(dt)
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """``codecs.decode_bytes``-shaped record for a baseline JPEG."""
+    """``codecs.decode_bytes``-shaped record for a baseline JPEG.
+    12-bit frames report channel means rescaled to the 0..255 range
+    (× 255/4095) so the record is precision-stable for downstream
+    feature pipelines; the full-precision raster is available via
+    :func:`decode_jpeg_pixels` (uint16)."""
     px = decode_jpeg_pixels(payload)
     h, w, ch = px.shape
     rgb = px if ch == 3 else np.repeat(px, 3, axis=2)
     means = rgb.astype(np.float64).mean(axis=(0, 1))
+    if px.dtype == np.uint16:
+        means = means * (255.0 / 4095.0)
     return {
         "format": "jpeg",
         "width": w,
@@ -794,6 +863,32 @@ def decode_jpeg(payload: bytes) -> dict:
         "mean_g": float(means[1]),
         "mean_b": float(means[2]),
     }
+
+
+def sof_precision(payload: bytes) -> int:
+    """Sample precision from the frame header (marker walk, no entropy
+    work). Lets the libjpeg fast path route 12-bit frames — which
+    stock libjpeg builds cannot decode — to the from-scratch decoder
+    while keeping ONE acceptance set across environments."""
+    pos, n = 2, len(payload)
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 2 >= n:
+                raise ValueError("truncated SOF segment")
+            return payload[pos + 2]
+        pos += seglen
+    raise ValueError("no SOF found")
 
 
 # ---------------------------------------------------------------------------

@@ -498,6 +498,82 @@ def test_progressive_custom_scan_scripts_and_eob_runs():
         assert np.array_equal(base, prog)
 
 
+def test_12bit_extended_sequential_roundtrips():
+    """r13: 12-bit precision (SOF1 extended sequential, T.81 process 2).
+    Constant fill survives bit-exactly (DC-only blocks, all-ones
+    tables); random rasters round-trip within IDCT rounding; 4:2:0 is
+    exact on constant/smooth chroma; restart intervals resync; the
+    decoder returns uint16 and the record scales means to 0..255."""
+    rng = np.random.RandomState(12)
+    # constant fill: bit-exact (the same exactness contract as 8-bit)
+    px = np.full((16, 24), 3000, np.uint16)
+    out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(px, precision=12))
+    assert out.dtype == np.uint16 and np.array_equal(out[:, :, 0], px)
+    assert jpeg.sof_precision(jpeg.encode_jpeg_baseline(px, precision=12)) == 12
+    # random gray / RGB 444: within rounding of the float IDCT chain
+    for shape in [(13, 19), (24, 40, 3)]:
+        p = rng.randint(0, 4096, size=shape).astype(np.uint16)
+        out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(p, precision=12))
+        got = out[:, :, 0] if p.ndim == 2 else out
+        assert np.abs(got.astype(int) - p.astype(int)).max() <= 4, shape
+    # 4:2:0 exact on constant color (subsampling loss only on chroma detail)
+    c = np.full((24, 40, 3), (1000, 2000, 3000), np.uint16)
+    out = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_baseline(c, subsampling="420", precision=12))
+    assert np.array_equal(out, c)
+    # restart intervals
+    p = rng.randint(0, 4096, size=(13, 19)).astype(np.uint16)
+    out = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_baseline(p, precision=12, restart_interval=2)
+    )[:, :, 0]
+    assert np.abs(out.astype(int) - p.astype(int)).max() <= 4
+    # record: means rescaled to the 0..255 contract
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg_baseline(np.full((8, 8), 4095, np.uint16), precision=12))
+    assert abs(d["mean_r"] - 255.0) < 1e-9 and d["channels"] == 1
+
+
+def test_12bit_16bit_dqt_and_lossy_tables():
+    """Pq=1 (16-bit) DQT entries parse and dequantize; a table value
+    above 255 forces the 16-bit form on the wire."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 4096, size=(16, 16)).astype(np.uint16)
+    qt = np.full((8, 8), 300)
+    b = jpeg.encode_jpeg_baseline(px, precision=12, qtable_luma=qt)
+    assert b"\xff\xdb" in b
+    # DQT body starts with Pq<<4 | Tq = 0x10
+    i = b.index(b"\xff\xdb")
+    assert b[i + 4] == 0x10
+    out = jpeg.decode_jpeg_pixels(b)[:, :, 0]
+    # quantization with step 300 on 12-bit data: bounded reconstruction
+    assert out.dtype == np.uint16
+    assert np.abs(out.astype(int) - px.astype(int)).max() < 300 * 8
+
+
+def test_12bit_acceptance_boundaries():
+    """SOF0 stays 8-bit-only (12-bit masquerading as baseline rejects);
+    out-of-range samples reject; prescan mirrors the decode acceptance
+    (12-bit passes prescan now); 12-bit progressive stays typed."""
+    px12 = np.full((8, 8), 100, np.uint16)
+    b = jpeg.encode_jpeg_baseline(px12, precision=12)
+    # flip SOF1 -> SOF0: the stream now claims 12-bit BASELINE, illegal
+    b0 = b.replace(b"\xff\xc1", b"\xff\xc0")
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg_pixels(b0)
+    with pytest.raises(NotImplementedError):
+        jpeg.prescan_jpeg(b0)
+    w, h, nc = jpeg.prescan_jpeg(b)  # prescan accepts what decode accepts
+    assert (w, h, nc) == (8, 8, 1)
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg.encode_jpeg_baseline(np.full((8, 8), 4096, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg.encode_jpeg_baseline(np.full((8, 8), 256, np.uint16), precision=8)
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_baseline(px12, precision=10)
+    # decode_bytes record path handles 12-bit end to end
+    from apache_cassandra_spark.analytics import codecs
+    d = codecs.decode_bytes(b, exact_jpeg=True)
+    assert d["format"] == "jpeg" and d["width"] == 8
+
+
 def test_progressive_single_component_dc_refinement_subsampled():
     """r12 ADVICE latent desync: a caller-supplied SINGLE-component DC
     refinement scan on a 4:2:0 image must walk the component's REAL
