@@ -40,9 +40,10 @@ normalized octets, so rule ``/a%20b`` matches URL ``/a b`` and vice
 versa, ``%3a``≡``%3A``, and a rule's literal ``%24``/``%2A`` match a
 URL's raw ``$``/``*`` — every §2.2.2 example) is handled by
 :func:`_pct_canon`: both sides normalize to one canonical
-percent-encoded space before :func:`_glob_hit`, with the rule's raw
-``*``/``$`` metacharacters preserved. Fuzz-locked against an
-independent Python model including %-cases.
+percent-DECODED space before :func:`_glob_hit`, with the rule's meta
+``*`` / trailing-``$`` preserved on sentinels and literal ``*``/``$``
+on private code points. Fuzz-locked against an independent Python
+model including %-cases.
 
 Reference parity note: the reference fork has no crawl machinery — this
 extends the engine for the LLM-pipeline mandate (RFC 9309 is public).
@@ -54,10 +55,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# Private-use sentinels that carry a rule's META '*' and '$' through
-# the decode/encode round trip (both would otherwise be conflated with
-# their percent-encoded literal forms).
+# Private-use code points: _SENT_* carry a rule's META '*' and '$'
+# through the percent-decode; _LIT_* hold LITERAL '*' and '$' (a URL's
+# raw ones, or either side's decoded %2A/%24) so _glob_hit never reads
+# them as wildcard/anchor.
 _SENT_STAR, _SENT_DOLLAR = "\ue000", "\ue001"
+_LIT_STAR, _LIT_DOLLAR = "\ue002", "\ue003"
 
 
 def _pct_canon(s: Column, is_rule: bool = False) -> Column:
@@ -66,41 +69,50 @@ def _pct_canon(s: Column, is_rule: bool = False) -> Column:
     policy: a rule ``/a%20b`` and a captured ``/a b`` (either way
     around) land on the same octets before :func:`_glob_hit`.
 
-    Canonical form = fully percent-DECODE, then fully percent-ENCODE
-    (uppercase hex, UTF-8 octets, URLEncoder's unreserved alphabet) —
-    the construction makes every RFC 9309 §2.2.2 example hold:
+    Canonical form = fully percent-DECODED text: every valid triplet
+    becomes its character (multi-octet UTF-8 sequences become the code
+    point), which makes every RFC 9309 §2.2.2 example hold —
     ``%3a``≡``%3A``, ``%61``≡``a``, a query's raw ``://`` ≡
     ``%3A%2F%2F``, a rule's literal ``%24``/``%2A`` match a URL's raw
-    ``$``/``*``. On the RULE side (``is_rule``), raw ``*`` and ``$``
-    ride private-use sentinels through the round trip so they keep
-    their META meaning (wildcard / anchor) while their percent-encoded
-    forms stay literals; on the URL side raw ``*``/``$`` become
-    literals (``%2A``/``%24``). A string with a malformed triplet
-    (``%`` not followed by two hex digits) is compared RAW — fail-open
-    to literal comparison, never a task error. (Boundary, fuzz-locked:
-    a rule containing the LITERAL triplet sequence ``%EE%80%80`` /
-    ``%EE%80%81`` — the sentinels' own UTF-8 — would read as meta;
+    ``$``/``*``. The decoded space is also ALIGNMENT-SAFE: every
+    character is one code point, so a rule segment can never false-
+    match inside the multi-char encoding of another character (the
+    reason an encode-normalized space was rejected: there, rule text
+    ``2F`` would match inside the ``%2F`` an encoded slash becomes).
+
+    Metacharacter handling: the RULE's raw ``*``/``$`` ride
+    ``_SENT_*`` sentinels through the decode so they stay meta
+    (wildcard / anchor); afterwards any remaining ``*``/``$`` on
+    EITHER side — a URL's raw ones, or a decoded ``%2A``/``%24`` —
+    map to the ``_LIT_*`` code points, equal across sides, invisible
+    to the matcher's meta grammar. A string with a malformed triplet
+    (``%`` not followed by two hex digits) is compared RAW —
+    fail-open to literal comparison, never a task error. (Boundary,
+    fuzz-locked: a rule containing the literal triplet sequence of a
+    sentinel's own UTF-8 (``%EE%80%80``…) would read as meta;
     private-use code points in real robots.txt are not a thing.)
 
-    Wholly JVM-side: a validity rlike, two sentinel/plus
-    regexp_replaces, ``url_decode`` + ``url_encode`` (raw ``+`` is
-    pre-escaped and the form codec's space↔``+`` is mapped back to
-    ``%20``, making the pair a PURE percent codec), and fixed-literal
-    post-replaces — no backtracking risk anywhere. Applied ONCE per
-    row in its own projection (the staging keeps :func:`_glob_hit`'s
-    many references reading a materialized attribute, not re-inlining
-    this tree — the 64KB codegen pitfall)."""
+    Wholly JVM-side: a validity rlike, ONE ``url_decode`` (raw ``+``
+    is pre-escaped so the form codec's ``+``→space rule can't fire),
+    and fixed-literal regexp_replaces — no backtracking risk anywhere.
+    Applied ONCE per row in its own projection (the staging keeps
+    :func:`_glob_hit`'s many references reading a materialized
+    attribute, not re-inlining this tree — the 64KB codegen
+    pitfall)."""
     valid = ~s.rlike("%(?![0-9A-Fa-f]{2})")
     x = F.regexp_replace(s, r"\+", "%2B")  # url_decode form-decodes '+'
     if is_rule:
         x = F.regexp_replace(x, r"\*", _SENT_STAR)
-        x = F.regexp_replace(x, r"\$", _SENT_DOLLAR)
-    x = F.call_function("url_encode", F.call_function("url_decode", x))
-    x = F.regexp_replace(x, r"\+", "%20")  # URLEncoder's space form
-    x = F.regexp_replace(x, r"\*", "%2A")  # URLEncoder keeps raw '*'
+        # only a TRAILING '$' is the end anchor (the grammar); a
+        # mid-rule raw '$' is a literal and must keep matching a URL's
+        # raw '$' — it falls through to _LIT_DOLLAR with the URL side
+        x = F.regexp_replace(x, r"\$$", _SENT_DOLLAR)
+    x = F.call_function("url_decode", x)
+    x = F.regexp_replace(x, r"\*", _LIT_STAR)
+    x = F.regexp_replace(x, r"\$", _LIT_DOLLAR)
     if is_rule:
-        x = F.regexp_replace(x, "%EE%80%80", "*")  # sentinels back to meta
-        x = F.regexp_replace(x, "%EE%80%81", r"\$")  # \$: literal in replacement
+        x = F.regexp_replace(x, _SENT_STAR, "*")  # sentinels back to meta
+        x = F.regexp_replace(x, _SENT_DOLLAR, r"\$")  # \$: literal in replacement
     return F.when(valid, x).otherwise(s)
 
 

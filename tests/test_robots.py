@@ -110,24 +110,26 @@ def test_regex_metachars_in_rule_paths_are_literal(spark):
 
 
 def _py_canon(s, is_rule=False):
-    """Independent model of robots._pct_canon: decode-then-re-encode to
-    the RFC 9309 §2.2.2 canonical percent space, rule metachars riding
-    sentinels. Mirrors Java URLDecoder/URLEncoder semantics (the '~'
-    and '*' alphabet differences patched to match)."""
+    """Independent model of robots._pct_canon: the percent-DECODED
+    comparison space — rule meta '*' (anywhere) and the TRAILING '$'
+    anchor ride sentinels through the decode; literal '*'/'$' (a URL's
+    raw ones or either side's decoded %2A/%24) land on private literal
+    code points. Mirrors Java URLDecoder semantics via unquote
+    (errors='replace')."""
     import re
-    from urllib.parse import quote_plus, unquote
+    from urllib.parse import unquote
 
     if re.search(r"%(?![0-9A-Fa-f]{2})", s):
         return s
     x = s.replace("+", "%2B")
     if is_rule:
-        x = x.replace("*", "\ue000").replace("$", "\ue001")
+        x = x.replace("*", "\ue000")
+        if x.endswith("$"):
+            x = x[:-1] + "\ue001"
     x = unquote(x, errors="replace")
-    x = quote_plus(x, safe="*")
-    x = x.replace("~", "%7E")          # URLEncoder encodes '~'
-    x = x.replace("+", "%20").replace("*", "%2A")
+    x = x.replace("*", "\ue002").replace("$", "\ue003")
     if is_rule:
-        x = x.replace("%EE%80%80", "*").replace("%EE%80%81", "$")
+        x = x.replace("\ue000", "*").replace("\ue001", "$")
     return x
 
 
@@ -216,6 +218,23 @@ def test_percent_encoding_equivalence_rfc_9309_cases(spark):
     got = _allowed(spark, "pctbot", ["http://e.com/bad%zz", "http://e.com/bad z"], text=text)
     assert got["http://e.com/bad%zz"][0] is False
     assert got["http://e.com/bad z"][0] is True
+    # mid-rule raw '$' is a LITERAL (only the trailing one anchors):
+    # it matches both a raw '$' and %24 in the URL
+    text = "User-agent: *\nDisallow: /pre$in\n"
+    got = _allowed(
+        spark, "pctbot",
+        ["http://e.com/pre$in/x", "http://e.com/pre%24in/x", "http://e.com/prein/x"],
+        text=text,
+    )
+    assert got["http://e.com/pre$in/x"][0] is False
+    assert got["http://e.com/pre%24in/x"][0] is False
+    assert got["http://e.com/prein/x"][0] is True
+    # the decoded space is alignment-safe: rule text '2F' must NOT
+    # match inside what an encoded slash decodes to
+    text = "User-agent: *\nDisallow: /*2F\n"
+    got = _allowed(spark, "pctbot", ["http://e.com/a/", "http://e.com/a2F"], text=text)
+    assert got["http://e.com/a/"][0] is True
+    assert got["http://e.com/a2F"][0] is False
 
 
 def test_fuzz_matcher_percent_encoding_vs_python_model(spark):
@@ -226,7 +245,7 @@ def test_fuzz_matcher_percent_encoding_vs_python_model(spark):
     evaluation against the independent canonicalizing Python model."""
     rnd = random.Random(424242)
     atoms = ["a", "b", "%20", " ", "/", "%2F", "%2f", "%61", "é", "%C3%A9",
-             "+", "%2B", "~", "%7E", "*", ".", "%z", "%"]
+             "+", "%2B", "~", "%7E", "*", "$", "%24", "%2A", ".", "%z", "%"]
     rules = []
     for _ in range(40):
         r = "/" + "".join(rnd.choices(atoms, k=rnd.randint(1, 5)))
