@@ -887,8 +887,10 @@ def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
     library is absent the row keeps the honest unsupported error on
     either header, the pre-r13 behavior."""
     from apache_cassandra_spark.sources import brotli as _brotli
+    from apache_cassandra_spark.sources import zstd as _zstd
 
     br_ok = _brotli.available()
+    zstd_ok = _zstd.available()
     tokens = [t.strip().lower() for t in (tenc or "").split(",") if t.strip()]
     for t in reversed(tokens):
         if t == "identity":
@@ -899,6 +901,8 @@ def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
             data = _inflate_one(data, t)
         elif t == "br" and br_ok:
             data = _brotli.decompress(data)
+        elif t == "zstd" and zstd_ok:
+            data = _zstd.decompress(data)
         else:
             return data, f"unsupported Transfer-Encoding: {t}"
     if enc in ("", "identity", None):
@@ -907,6 +911,8 @@ def _inflate_body(data: bytes, enc: str, tenc: str) -> tuple[bytes, str | None]:
         return _inflate_one(data, enc), None
     if enc == "br" and br_ok:
         return _brotli.decompress(data), None
+    if enc == "zstd" and zstd_ok:
+        return _zstd.decompress(data), None
     return data, f"unsupported Content-Encoding: {enc}"
 
 
