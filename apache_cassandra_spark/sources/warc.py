@@ -612,7 +612,11 @@ def _walk_files(files: DataFrame, batch_rows: int, batch_bytes: int) -> DataFram
     return files.mapInPandas(_walk, schema=_WALK_SCHEMA)
 
 
-def _parse_walked(walked: DataFrame, record_types: tuple[str, ...]) -> DataFrame:
+def _parse_walked(
+    walked: DataFrame,
+    record_types: tuple[str, ...],
+    extra_headers: tuple[str, ...] = (),
+) -> DataFrame:
     out = walked.select(
         # field parsing SHARED with the WET reader — same expressions
         _header("headers", "WARC-Type").alias("warc_type"),
@@ -626,6 +630,13 @@ def _parse_walked(walked: DataFrame, record_types: tuple[str, ...]) -> DataFrame
         "parse_error",
         "source_file",
         "record_offset",
+        # caller-requested WARC header fields (e.g. the revisit trio),
+        # snake-cased; same shared _header expression, appended so the
+        # fixed schema contract is untouched
+        *[
+            _header("headers", h).alias(h.lower().replace("-", "_"))
+            for h in extra_headers
+        ],
     )
     if record_types:
         out = out.where(F.col("warc_type").isin(*record_types))
@@ -639,10 +650,13 @@ def read_warc(
     num_partitions: int | None = None,
     batch_rows: int = 128,
     batch_bytes: int = 1 << 26,
+    extra_headers: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read binary WARC shards into ``(warc_type, target_uri, warc_date,
     record_id, content_type, content_length, payload, framing_ok,
-    parse_error, source_file, record_offset)``.
+    parse_error, source_file, record_offset)``; ``extra_headers`` names
+    additional WARC header fields to surface as snake-cased trailing
+    columns (e.g. :data:`REVISIT_HEADERS` for recrawl dedup records).
 
     ``payload`` is the record's EXACT declared bytes (for ``response``
     records: the full HTTP response — parse it with
@@ -657,7 +671,9 @@ def read_warc(
     files = files.repartition(
         num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")), "path"
     )
-    return _parse_walked(_walk_files(files, batch_rows, batch_bytes), record_types)
+    return _parse_walked(
+        _walk_files(files, batch_rows, batch_bytes), record_types, extra_headers
+    )
 
 
 def read_warc_stream(
@@ -1050,6 +1066,64 @@ def redirect_edges(
             "http_status",
             F.col("http_location").alias("location"),
             resolve_link(F.col("http_location"), F.col("target_uri")).alias("redirect_to"),
+        )
+    )
+
+
+#: the WARC header trio a ``revisit`` record uses to point at the
+#: capture it duplicates (ISO 28500 / WARC 1.1 §6.7) plus the digest +
+#: profile that say HOW it duplicates
+REVISIT_HEADERS = (
+    "WARC-Refers-To-Target-URI",
+    "WARC-Refers-To-Date",
+    "WARC-Refers-To",
+    "WARC-Payload-Digest",
+    "WARC-Profile",
+)
+
+#: WARC 1.1 revisit profiles (the 1.0 URIs differ only in version)
+IDENTICAL_PAYLOAD_PROFILE = "identical-payload-digest"
+SERVER_NOT_MODIFIED_PROFILE = "server-not-modified"
+
+
+def read_warc_revisits(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """``revisit`` records from WARC shards — how real recrawls
+    (Common Crawl among them) record "fetched again, content duplicates
+    an earlier capture" WITHOUT storing the body twice (WARC 1.1 §6.7).
+    One walk, same reader machinery, with the revisit header trio
+    surfaced (:data:`REVISIT_HEADERS`). Feed :func:`revisit_edges` for
+    the dedup/url-revisions fold shape."""
+    return read_warc(
+        spark, path, record_types=("revisit",), extra_headers=REVISIT_HEADERS, **kwargs
+    )
+
+
+def revisit_edges(df: DataFrame) -> DataFrame:
+    """Fold-ready edges from revisit records: ``(url, warc_date,
+    refers_to_uri, refers_to_date, payload_digest, identical)`` — one
+    row per recapture, pointing at the capture whose content it
+    duplicates. ``identical`` is True for the identical-payload-digest
+    profile (byte-equal body — safe to treat as an exact duplicate in
+    dedup and to extend a URL's revision run without re-hashing
+    content) and False for server-not-modified (the SERVER claimed 304;
+    byte equality is asserted by the origin, not the crawler).
+    ``refers_to_uri`` falls back to the record's own URL when absent —
+    the overwhelmingly common same-URL recrawl case writes no
+    Refers-To-Target-URI. Map-only projection over the already-parsed
+    reader columns; rows without a well-framed envelope drop (the
+    redirect_edges convention)."""
+    return (
+        df.where(F.col("framing_ok") & (F.col("warc_type") == "revisit"))
+        .select(
+            F.col("target_uri").alias("url"),
+            "warc_date",
+            F.coalesce(
+                F.nullif(F.col("warc_refers_to_target_uri"), F.lit("")),
+                F.col("target_uri"),
+            ).alias("refers_to_uri"),
+            F.nullif(F.col("warc_refers_to_date"), F.lit("")).alias("refers_to_date"),
+            F.nullif(F.col("warc_payload_digest"), F.lit("")).alias("payload_digest"),
+            F.col("warc_profile").contains(IDENTICAL_PAYLOAD_PROFILE).alias("identical"),
         )
     )
 

@@ -689,6 +689,57 @@ def test_write_warc_binary_gzip_members_and_modes(spark, tmp_path):
     assert warc.read_warc(spark, out).count() == 2
 
 
+def _revisit(uri, refers_uri=None, refers_date=None, digest=b"sha1:AAAA",
+             profile=b"http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"):
+    extra = b"WARC-Payload-Digest: " + digest + b"\r\nWARC-Profile: " + profile + b"\r\n"
+    if refers_uri:
+        extra += b"WARC-Refers-To-Target-URI: " + refers_uri + b"\r\n"
+    if refers_date:
+        extra += b"WARC-Refers-To-Date: " + refers_date + b"\r\n"
+    payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    return (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Record-ID: <urn:uuid:9>\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"WARC-Date: 2013-06-01T00:00:00Z\r\n" + extra +
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+
+
+def test_revisit_records_and_edges(spark, tmp_path):
+    """WARC 1.1 revisit records (how recrawls record duplicate content
+    without storing the body twice): read_warc_revisits surfaces the
+    refers-to trio; revisit_edges folds to dedup-ready rows — same-URL
+    fallback, identical-payload vs server-not-modified profiles."""
+    recs = (
+        _revisit(b"http://e.com/a", refers_uri=b"http://e.com/a-orig",
+                 refers_date=b"2013-01-01T00:00:00Z")
+        + _revisit(b"http://e.com/self")  # no Refers-To-Target-URI
+        + _revisit(b"http://e.com/304",
+                   profile=b"http://netpreserve.org/warc/1.1/revisit/server-not-modified")
+        + _record(b"HTTP/1.1 200 OK\r\n\r\nbody", uri=b"http://e.com/normal")
+    )
+    p = tmp_path / "revisits.warc"
+    p.write_bytes(recs)
+    df = warc.read_warc_revisits(spark, str(p))
+    assert {"warc_refers_to_target_uri", "warc_payload_digest", "warc_profile"} <= set(df.columns)
+    got = {r["url"]: r for r in warc.revisit_edges(df).collect()}
+    assert set(got) == {"http://e.com/a", "http://e.com/self", "http://e.com/304"}
+    a = got["http://e.com/a"]
+    assert a["refers_to_uri"] == "http://e.com/a-orig"
+    assert a["refers_to_date"] == "2013-01-01T00:00:00Z"
+    assert a["payload_digest"] == "sha1:AAAA" and a["identical"] is True
+    assert got["http://e.com/self"]["refers_to_uri"] == "http://e.com/self"  # fallback
+    assert got["http://e.com/304"]["identical"] is False
+    # response records still read untouched (no extra columns by default)
+    plain = warc.read_warc(spark, str(p))
+    assert "warc_profile" not in plain.columns
+    assert plain.count() == 1  # the one response record
+
+
 def test_write_warc_binary_task_commit_last_wins(spark, tmp_path):
     """Task-commit protocol: committed shard names are deterministic per
     (job, partition), so a replayed attempt (task retry / speculative
