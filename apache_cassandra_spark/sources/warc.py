@@ -1164,6 +1164,157 @@ def warc_to_wet(
     write_wet(out, wet_path, date_col="_date")
 
 
+#: schema of the WAT JSON payload this module writes and reads back —
+#: a documented SUBSET of Common Crawl's WAT layout (same Envelope/
+#: Payload-Metadata/HTML-Metadata nesting and field names; CC's WAT
+#: spec is descriptive, and readers key into the tree by name, so a
+#: subset parses under any WAT consumer that tolerates absent keys)
+_WAT_DDL = (
+    "Envelope STRUCT<"
+    "`WARC-Header-Metadata` STRUCT<"
+    "`WARC-Target-URI` STRING, `WARC-Date` STRING, "
+    "`WARC-Record-ID` STRING, `Content-Length` BIGINT>, "
+    "`Payload-Metadata` STRUCT<"
+    "`Actual-Content-Type` STRING, "
+    "`HTTP-Response-Metadata` STRUCT<"
+    "`Response-Message` STRUCT<Status INT>, "
+    "`Headers` STRUCT<`Content-Type` STRING, Charset STRING, "
+    "`Content-Encoding` STRING>, "
+    "`HTML-Metadata` STRUCT<"
+    "Head STRUCT<Title STRING, Language STRING, `Meta-Description` STRING>, "
+    "Links ARRAY<STRUCT<path STRING, href STRING, url STRING>>>>>>"
+)
+
+
+def warc_to_wat(
+    spark: SparkSession,
+    warc_path: str,
+    wat_path: str,
+    ok_statuses: tuple[int, ...] | None = None,
+    decode_bodies: bool = True,
+    compress: bool = False,
+) -> DataFrame:
+    """Generate a WAT metadata sidecar from raw WARC shards — the third
+    Common Crawl format (WARC = raw captures, WET = extracted text,
+    WAT = per-record metadata JSON). One ``metadata`` record per
+    well-framed response, whose JSON payload carries the envelope
+    headers, the HTTP response message, and — for HTML bodies — title,
+    declared language, meta description, and the outlink list (raw
+    href + the capture-URL-resolved absolute form, the outlink-graph
+    resolution rule). The JSON nesting/field names follow CC's WAT
+    layout (:data:`_WAT_DDL` — a documented subset). ``ok_statuses``
+    None keeps EVERY status (a 404's metadata is still metadata — the
+    CC convention); pass a tuple to filter.
+
+    One composed DataFrame graph: walk → HTTP split → (optional)
+    body inflate → codegen title/lang/links extraction → ``to_json`` →
+    the byte-exact binary sink (task-commit protocol and manifest
+    included). Returns the sink's shard manifest."""
+    from apache_cassandra_spark.analytics import html as H
+
+    parts = http_response_parts(read_warc(spark, warc_path)).where(F.col("framing_ok"))
+    if ok_statuses is not None:
+        parts = parts.where(F.col("http_status").isin(*ok_statuses))
+    if decode_bodies:
+        parts = decode_http_bodies(parts)
+    is_html = (
+        F.col("http_content_type").isin("text/html", "application/xhtml+xml")
+        & F.col("body_text").isNotNull()
+    )
+    html = F.when(is_html, F.col("body_text"))
+    links = F.transform(
+        H.extract_links(html),
+        lambda h: F.struct(
+            F.lit("A@/href").alias("path"),
+            h.alias("href"),
+            H.resolve_link(h, F.col("target_uri")).alias("url"),
+        ),
+    )
+    doc = F.struct(
+        F.struct(
+            F.struct(
+                F.col("target_uri").alias("WARC-Target-URI"),
+                F.col("warc_date").alias("WARC-Date"),
+                F.col("record_id").alias("WARC-Record-ID"),
+                F.col("content_length").alias("Content-Length"),
+            ).alias("WARC-Header-Metadata"),
+            F.struct(
+                F.col("http_content_type").alias("Actual-Content-Type"),
+                F.struct(
+                    F.struct(F.col("http_status").alias("Status")).alias(
+                        "Response-Message"
+                    ),
+                    F.struct(
+                        F.col("http_content_type").alias("Content-Type"),
+                        F.col("http_charset").alias("Charset"),
+                        F.col("http_encoding").alias("Content-Encoding"),
+                    ).alias("Headers"),
+                    F.when(
+                        is_html,
+                        F.struct(
+                            F.struct(
+                                H.extract_title(html).alias("Title"),
+                                H.extract_lang(html).alias("Language"),
+                                H.extract_meta_description(html).alias(
+                                    "Meta-Description"
+                                ),
+                            ).alias("Head"),
+                            links.alias("Links"),
+                        ),
+                    ).alias("HTML-Metadata"),
+                ).alias("HTTP-Response-Metadata"),
+            ).alias("Payload-Metadata"),
+        ).alias("Envelope")
+    )
+    rows = parts.select(
+        "target_uri",
+        F.col("warc_date").alias("_date"),
+        F.encode(F.to_json(doc), "UTF-8").alias("_wat"),
+    )
+    return write_warc_binary(
+        rows,
+        wat_path,
+        uri_col="target_uri",
+        payload_col="_wat",
+        date_col="_date",
+        default_type="metadata",
+        content_type="application/json",
+        compress=compress,
+        mode="error",
+    )
+
+
+def read_wat(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Read WAT shards back into analysis-ready columns: ``(url,
+    warc_date, status, content_type, charset, title, language,
+    meta_description, links)`` with ``links`` an
+    ``array<struct<path, href, url>>``. Walks ``metadata`` records with
+    the shared reader and parses the JSON payload under
+    :data:`_WAT_DDL` (``from_json`` is null-tolerant: fields a foreign
+    WAT writer omits read as NULL, extra fields are ignored — the same
+    posture CC's own readers take)."""
+    recs = read_warc(spark, path, record_types=("metadata",), **kwargs)
+    j = F.from_json(F.decode(F.col("payload"), "UTF-8"), _WAT_DDL)
+    env = j["Envelope"]
+    pm = env["Payload-Metadata"]
+    hrm = pm["HTTP-Response-Metadata"]
+    return recs.select(
+        F.coalesce(
+            env["WARC-Header-Metadata"]["WARC-Target-URI"], F.col("target_uri")
+        ).alias("url"),
+        F.coalesce(env["WARC-Header-Metadata"]["WARC-Date"], F.col("warc_date")).alias(
+            "warc_date"
+        ),
+        hrm["Response-Message"]["Status"].alias("status"),
+        hrm["Headers"]["Content-Type"].alias("content_type"),
+        hrm["Headers"]["Charset"].alias("charset"),
+        hrm["HTML-Metadata"]["Head"]["Title"].alias("title"),
+        hrm["HTML-Metadata"]["Head"]["Language"].alias("language"),
+        hrm["HTML-Metadata"]["Head"]["Meta-Description"].alias("meta_description"),
+        hrm["HTML-Metadata"]["Links"].alias("links"),
+    )
+
+
 def _output_fs(path: str):
     """``(pyarrow filesystem, fs path)`` for a sink directory — bare and
     ``file:`` paths through LocalFileSystem (percent-handling shared

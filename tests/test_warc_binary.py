@@ -689,6 +689,66 @@ def test_write_warc_binary_gzip_members_and_modes(spark, tmp_path):
     assert warc.read_warc(spark, out).count() == 2
 
 
+def test_warc_to_wat_roundtrip(spark, tmp_path):
+    """WAT sidecar generation + read-back (the third Common Crawl
+    format): per-response metadata records whose JSON carries envelope
+    headers, HTTP response message, and HTML head/links — gzip bodies
+    inflated before extraction, entity-decoded titles, capture-URL link
+    resolution (path-relative -> NULL per the outlink contract),
+    non-HTML responses present with NULL html metadata (every status
+    kept, the CC convention)."""
+    import gzip as _gz
+    import json as _json
+
+    html = (b"<html lang='en'><head><title>T&amp;A</title>"
+            b"<meta name='description' content='a page'></head>"
+            b"<body><a href='/x'>x</a><a href='http://o.org/y'>y</a></body></html>")
+    recs = (
+        _record(_http_enc(html, b""), uri=b"http://e.com/page")
+        + _record(
+            _http_enc(_gz.compress(b"<html><title>Gz</title><a href='z'>rel</a></html>"),
+                      b"Content-Encoding: gzip\r\n"),
+            uri=b"http://e.com/gz",
+        )
+        + _record(_http_enc(b"%PDF-1.4", b"", ctype=b"application/pdf"),
+                  uri=b"http://e.com/doc.pdf")
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.warc").write_bytes(recs)
+    wat = str(tmp_path / "wat")
+    manifest = warc.warc_to_wat(spark, str(src), wat)
+    assert sum(r["n_records"] for r in manifest.collect()) == 3
+    # the records ARE WARC metadata records with JSON payloads
+    raw = warc.read_warc(spark, wat, record_types=("metadata",)).collect()
+    assert all(r["content_type"] == "application/json" for r in raw)
+    doc = _json.loads(bytes(next(r for r in raw if r["target_uri"] == "http://e.com/page")["payload"]))
+    assert doc["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"] == "http://e.com/page"
+    assert doc["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]["Head"]["Title"] == "T&A"
+    back = {r["url"]: r for r in warc.read_wat(spark, wat).collect()}
+    page = back["http://e.com/page"]
+    assert (page["status"], page["title"], page["language"], page["meta_description"]) == (
+        200, "T&A", "en", "a page")
+    assert [(l["href"], l["url"]) for l in page["links"]] == [
+        ("/x", "http://e.com/x"), ("http://o.org/y", "http://o.org/y")]
+    gz = back["http://e.com/gz"]
+    assert gz["title"] == "Gz"                       # body inflated pre-extraction
+    assert gz["links"][0]["url"] is None             # path-relative contract
+    pdf = back["http://e.com/doc.pdf"]
+    assert pdf["content_type"] == "application/pdf" and pdf["title"] is None
+    assert pdf["links"] is None
+    # foreign/partial WAT JSON reads null-tolerantly
+    import tests.test_warc_binary as _self  # noqa: F401 (symmetry with other helpers)
+    foreign = _record(
+        b'{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "http://f.com/p"}}}',
+        rtype=b"metadata", uri=b"http://f.com/p",
+    )
+    (tmp_path / "foreign").mkdir()
+    (tmp_path / "foreign" / "f.warc").write_bytes(foreign)
+    fr = warc.read_wat(spark, str(tmp_path / "foreign")).collect()[0]
+    assert fr["url"] == "http://f.com/p" and fr["status"] is None
+
+
 def _revisit(uri, refers_uri=None, refers_date=None, digest=b"sha1:AAAA",
              profile=b"http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"):
     extra = b"WARC-Payload-Digest: " + digest + b"\r\nWARC-Profile: " + profile + b"\r\n"
