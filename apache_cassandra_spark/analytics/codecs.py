@@ -487,6 +487,85 @@ def decode_mp3_meta(payload: bytes) -> dict:
     }
 
 
+#: ID3v2 text-frame ids -> friendly keys (v2.3 names; TDRC is the v2.4
+#: recording time that replaced TYER)
+_ID3_TEXT_KEYS = {
+    "TIT2": "title",
+    "TPE1": "artist",
+    "TALB": "album",
+    "TYER": "year",
+    "TDRC": "year",
+    "TCON": "genre",
+    "TRCK": "track",
+}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def mp3_id3_tags(payload: bytes) -> dict:
+    """Parse ID3 metadata from an MP3 payload: an ID3v2.3/2.4 preamble
+    (frame walk — 4-char ids, v2.3 plain / v2.4 syncsafe sizes, text
+    frames in all four declared encodings) and/or the fixed 128-byte
+    ID3v1 ``TAG`` trailer. Returns friendly keys (title/artist/album/
+    year/genre/track) where present plus ``frames`` (every decoded
+    ``T***`` frame by id); ID3v2 wins over ID3v1 on conflicts (it is
+    the richer, newer tag). No tags → an empty dict; malformed frames
+    are skipped, never an exception — tags are advisory metadata, not
+    framing (the framing walk is :func:`decode_mp3_meta`)."""
+    out: dict = {}
+    frames: dict = {}
+    # --- ID3v1 trailer first, so v2 overwrites on conflict ---
+    if len(payload) >= 128 and payload[-128:-125] == b"TAG":
+        t = payload[-128:]
+
+        def _v1(b: bytes) -> str:
+            return b.split(b"\x00", 1)[0].decode("latin-1", "replace").strip()
+
+        for key, val in (
+            ("title", _v1(t[3:33])),
+            ("artist", _v1(t[33:63])),
+            ("album", _v1(t[63:93])),
+            ("year", _v1(t[93:97])),
+        ):
+            if val:
+                out[key] = val
+    # --- ID3v2 preamble ---
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        ver = payload[3]
+        ss = payload[6:10]
+        size = (ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14 | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F)
+        end = min(10 + size, len(payload))
+        pos = 10
+        while pos + 10 <= end:
+            fid = payload[pos : pos + 4]
+            if not fid.strip(b"\x00"):
+                break  # zero padding ends the frame area
+            raw = payload[pos + 4 : pos + 8]
+            if ver >= 4:  # v2.4: syncsafe frame sizes
+                fsize = (raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14 | (raw[2] & 0x7F) << 7 | (raw[3] & 0x7F)
+            else:
+                fsize = int.from_bytes(raw, "big")
+            body = payload[pos + 10 : pos + 10 + fsize]
+            pos += 10 + fsize
+            if fsize <= 0 or len(body) < fsize:
+                break  # truncated/hostile size: stop, keep what we have
+            try:
+                name = fid.decode("ascii")
+            except UnicodeDecodeError:
+                continue
+            if name.startswith("T") and body:
+                codec = _ID3_ENCODINGS.get(body[0])
+                if codec is None:
+                    continue
+                text = body[1:].decode(codec, "replace").strip("\x00").strip()
+                if text:
+                    frames[name] = text
+                    if name in _ID3_TEXT_KEYS:
+                        out[_ID3_TEXT_KEYS[name]] = text
+    if frames:
+        out["frames"] = frames
+    return out
+
+
 def mp3_samples(payload: bytes):
     """PCM decode of MP3 audio — the honest remaining boundary (the
     Layer III entropy decode: Huffman main data, requantization, IMDCT,

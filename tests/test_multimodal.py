@@ -512,6 +512,55 @@ def test_mp3_hostile_framing_is_valueerror():
     assert codecs.decode_mp3_meta(good + b"\x00" * 64)["n_frames"] == 4 * 1152
 
 
+def _id3v2_frame(fid: bytes, text: str, enc: int = 3, v24: bool = False) -> bytes:
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}[enc]
+    body = bytes([enc]) + text.encode(codec)
+    n = len(body)
+    size = (bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+            if v24 else n.to_bytes(4, "big"))
+    return fid + size + b"\x00\x00" + body
+
+
+def _id3v2(frames: bytes, ver: int = 3) -> bytes:
+    n = len(frames)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3" + bytes([ver, 0, 0]) + ss + frames
+
+
+def test_mp3_id3_tags_v2_and_v1():
+    """ID3v2.3 (plain sizes) and v2.4 (syncsafe) text frames in all
+    four encodings; ID3v1 trailer; v2 wins conflicts; malformed frames
+    skip without an exception."""
+    fr = (_id3v2_frame(b"TIT2", "Tïtle", enc=3)
+          + _id3v2_frame(b"TPE1", "Artist", enc=0)
+          + _id3v2_frame(b"TALB", "Альбом", enc=1)
+          + _id3v2_frame(b"TYER", "1999", enc=2))
+    payload = _id3v2(fr, ver=3) + codecs.encode_mp3_frames(2)
+    tags = codecs.mp3_id3_tags(payload)
+    assert (tags["title"], tags["artist"], tags["album"], tags["year"]) == (
+        "Tïtle", "Artist", "Альбом", "1999")
+    assert tags["frames"]["TIT2"] == "Tïtle"
+    # v2.4 syncsafe sizes + TDRC
+    p24 = _id3v2(_id3v2_frame(b"TDRC", "2004-06", v24=True), ver=4) + codecs.encode_mp3_frames(1)
+    assert codecs.mp3_id3_tags(p24)["year"] == "2004-06"
+    # ID3v1 trailer alone; then v2 overrides v1 title
+    v1 = (b"TAG" + b"Old Title".ljust(30, b"\x00") + b"V1 Artist".ljust(30, b"\x00")
+          + b"V1 Album".ljust(30, b"\x00") + b"1987" + b"\x00" * 31)
+    only_v1 = codecs.encode_mp3_frames(1) + v1
+    t1 = codecs.mp3_id3_tags(only_v1)
+    assert (t1["title"], t1["artist"], t1["year"]) == ("Old Title", "V1 Artist", "1987")
+    both = _id3v2(_id3v2_frame(b"TIT2", "New Title"), ver=3) + codecs.encode_mp3_frames(1) + v1
+    tb = codecs.mp3_id3_tags(both)
+    assert tb["title"] == "New Title" and tb["artist"] == "V1 Artist"
+    # framing walk still works with the v1 trailer present
+    assert codecs.decode_mp3_meta(both)["n_frames"] == 1152
+    # hostile: declared frame size past the tag end -> stop, no raise
+    bad = _id3v2(b"TIT2" + (1 << 20).to_bytes(4, "big") + b"\x00\x00\x03x", ver=3)
+    assert codecs.mp3_id3_tags(bad + codecs.encode_mp3_frames(1)) == {}
+    assert codecs.mp3_id3_tags(b"") == {}
+    assert codecs.mp3_id3_tags(codecs.encode_mp3_frames(1)) == {}
+
+
 def test_mp3_pcm_decode_stays_typed_boundary():
     with pytest.raises(NotImplementedError, match="PCM"):
         codecs.mp3_samples(codecs.encode_mp3_frames(1))
