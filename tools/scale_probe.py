@@ -304,7 +304,55 @@ OPS = {
     # byte-exact binary WARC sink round trip (gzip member per record)
     "prepare_crawl": lambda d: _prepare_crawl_op(d),
     "warc_binary_roundtrip": lambda d: _warc_bin_op(d),
+    # round 13: the WAT sidecar pipeline end to end (walk -> HTTP split
+    # -> head/link extraction -> to_json -> binary sink -> read_wat back)
+    "wat_roundtrip": lambda d: _wat_op(d),
 }
+
+
+def _wat_op(docs: DataFrame) -> int:
+    """WARC -> WAT -> read-back, end to end: write the replicated
+    corpus as real response shards (the _warc_bin_op envelope with an
+    HTML body: title + two anchors), generate the WAT sidecar
+    (warc_to_wat), and read it back aggregating over the parsed JSON —
+    the whole metadata pipeline priced in one row, IO inclusive."""
+    import shutil
+    import tempfile
+
+    from apache_cassandra_spark.sources import warc as W
+
+    spark = docs.sparkSession
+    d = tempfile.mkdtemp(prefix="probe_wat_")
+    raw, wat = d + "/raw", d + "/wat"
+    try:
+        html = F.concat(
+            F.lit("<html lang='en'><head><title>T"),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><a href='/x'>x</a><a href='http://o.org/y'>y</a></body></html>"),
+        )
+        pages = docs.select(
+            F.concat(F.lit("http://p.example/"), F.col("doc_id")).alias("target_uri"),
+            F.encode(
+                F.concat(
+                    F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+                    F.octet_length(html).cast("string"),
+                    F.lit("\r\n\r\n"),
+                    html,
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        W.write_warc_binary(pages, raw, mode="overwrite")
+        W.warc_to_wat(spark, raw, wat)
+        back = W.read_wat(spark, wat)
+        back.agg(
+            F.count(F.lit(1)), F.sum(F.length("title")), F.sum(F.size("links"))
+        ).collect()
+        return docs.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _main_content_op(docs: DataFrame) -> int:
