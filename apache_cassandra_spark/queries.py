@@ -6514,100 +6514,38 @@ ORACLES["corpus_outlink_graph"] = f"""
 # implementation changed this round lead, then the entries whose newest
 # driver row is oldest, core sentinels first within a cohort.
 #
-# Round 13 executes the round-12 verdict's prescription item 1: the
-# sim_ann_lsh_exact retirement was ENDORSED (receipts: its oracle string
-# was byte-identical to sim_topk's, and tests/test_analytics.py::
-# test_lsh_exact_gate_pin_equals_cosine_topk pins FULL-ROW equality of
-# the planes=0 LSH path to cosine brute force — stronger than the gate
-# it replaces). It executes here: removed from QUERIES/ORACLES only;
-# implementation, unit tests, and plan locks all stay (COVERAGE.md
-# "Gate retirements (round 13)"). Its slot funds corpus_prepare_crawl,
-# which moves from below-window (registered + judge-verified green at
-# sf0.001/sf0.01 in r12) to LEAD the first-50 — never-gated beats
-# stale. The oracle-bound ledger is back at EXACTLY 150 = the 50-slot
-# x 3-round budget.
+# Round 14 executes the round-13 verdict's prescription item 1
+# verbatim: window = the 2 r9 stragglers (status_priority_matrix,
+# tpch_q14ish — the ledger's oldest green rows, rolled from the r13
+# window by the standing comment) + the 48-member round-11 cohort
+# (48 after the text_bpe_pairs and sim_ann_lsh_exact retirements)
+# = exactly 50. The r13 window (corpus_prepare_crawl + the six r10
+# tpch leftovers + 43 r9 rows, all green in CORRECTNESS_r13) moves
+# below as the freshest cohort; the r12 cohort is freshness-safe
+# through r15 and forms the planned r15 window.
 #
-# Round-13 first-50 = corpus_prepare_crawl (never-gated lead) + the six
-# oracle-bound r10 leftovers (tpch_q1/4/5/10/12/13ish — zero churn since
-# r10, rolled from the r12 window) + 43 of the 45-row round-9 cohort,
-# core sentinels (the cass_* comparator/read-path slices) first, the
-# rest in cohort order. The 2 r9 rows that roll to r14:
-# status_priority_matrix and tpch_q14ish — the cohort's cheapest,
-# lowest-risk members (zero churn since r9, stat-shape aggregates over
-# gated tables; tpch_q14ish additionally re-runs every round in
-# bench.py). r14 window = those 2 + the r11 cohort (48 after the
-# sim_ann_lsh_exact retirement) = exactly 50; the r12 cohort is
-# freshness-safe through r15. events_distinct_hll (rows-only by
-# design) moved to the
-# approximates section — it cannot produce a hash-green row, so it
-# yields its slot permanently; its exact twin events_distinct_exact was
-# gated green in r12. By-design approximates (HLL, LSH/IVF ANN,
-# k-means, GK quantiles) sit permanently below position 50 — they can
-# never produce the hash-green rows the window's slots are for; their
-# exact twins are windowed.
+# The oracle-bound ledger stays EXACTLY 150 in this commit = the
+# 50-slot x 3-round budget. Per the r13 verdict item 2, round 14
+# registers ONE new oracle-bound gate for the r13 surface
+# (web_plan_frontier, the composed discovery front door) BELOW the
+# window, with its funding retirement proposed-with-receipts in the
+# registering commit (see the proposal beside its QUERIES entry);
+# per the standing rule the retirement executes only after verdict
+# endorsement, so the ledger reads 151 between registration and the
+# endorsed execution — the same transient r12 carried for
+# corpus_prepare_crawl.
+#
+# By-design approximates (HLL, LSH/IVF ANN, k-means, GK quantiles)
+# sit permanently below position 50 — they can never produce the
+# hash-green rows the window's slots are for; their exact twins are
+# all gated.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- driver window (first 50), round-13 rotation: the never-gated
-    # composed crawl front door leads (funding retirement endorsed),
-    # then the six r10 leftovers, then 43 of the r9 cohort,
-    # comparator-slice sentinels first. ---
-    "corpus_prepare_crawl": q_corpus_prepare_crawl,
-    # --- the six oracle-bound r10 leftovers ---
-    "tpch_q1ish": q_tpch_q1ish,
-    "tpch_q4ish": q_tpch_q4ish,
-    "tpch_q5ish": q_tpch_q5ish,
-    "tpch_q10ish": q_tpch_q10ish,
-    "tpch_q12ish": q_tpch_q12ish,
-    "tpch_q13ish": q_tpch_q13ish,
-    # --- 43 of the r9 cohort ---
-    "cass_long_comparator_slice": q_long_comparator_slice,
-    "cass_multiget_slice": q_multiget_slice,
-    "cass_range_slices_wrapped": q_range_slices_wrapped,
-    "cass_read_at_ts": q_read_at_ts,
-    "cass_super_get_count": q_super_get_count,
-    "cass_super_slice": q_super_slice,
-    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
-    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
-    "cluster_kmeans_exact": q_cluster_kmeans_exact,
-    "corpus_blocklist": q_corpus_blocklist,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_exact": q_dedup_embedding_exact,
-    "dedup_exact": q_dedup_exact,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_spans": q_dedup_spans,
-    "docs_coreness": q_docs_coreness,
-    "docs_kcore": q_docs_kcore,
-    "embedding_project": q_embedding_project,
-    "events_communities": q_events_communities,
-    "events_heavy_hitters": q_events_heavy_hitters,
-    "events_hits": q_events_hits,
-    "events_pagerank": q_events_pagerank,
-    "events_props_json": q_events_props_json,
-    "events_quantiles": q_events_quantiles,
-    "events_salted_agg": q_events_salted_agg,
-    "events_salted_join": q_events_salted_join,
-    "latest_order_per_customer": q_latest_order_per_customer,
-    "media_decode": q_media_decode,
-    "media_decode_gif": q_media_decode_gif,
-    "media_decode_png": q_media_decode_png,
-    "media_resize": q_media_resize,
-    "sim_pq_topk": q_sim_pq_topk,
-    "sim_topk": q_sim_topk,
-    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
-    "streaming_lww_replay": q_streaming_lww_replay,
-    "streaming_sessions_replay": q_streaming_sessions_replay,
-    "text_bigram_logprob": q_text_bigram_logprob,
-    "text_fingerprint": q_text_fingerprint,
-    "text_lang_id": q_text_lang_id,
-    "text_tfidf": q_text_tfidf,
-    "text_token_stats": q_text_token_stats,
-    # --- below the window: r9 remainder (2) — leads the r14 window ---
+    # --- driver window (first 50), round-14 rotation: the two r9
+    # stragglers (the ledger's oldest green rows, rolled from the r13
+    # window exactly as prescribed) lead, then the 48-member round-11
+    # cohort in cohort order. ---
     "status_priority_matrix": q_status_priority_matrix,
     "tpch_q14ish": q_tpch_q14ish,
-    # --- the round-11 cohort (48 after the text_bpe_pairs and
-    # sim_ann_lsh_exact retirements) — freshness-safe through r14;
-    # gates in the r14 window with the r9 remainder above ---
     "corpus_url_revisions": q_corpus_url_revisions,
     "corpus_page_text": q_corpus_page_text,
     "corpus_outlink_graph": q_corpus_outlink_graph,
@@ -6656,8 +6594,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
     "tpch_q18ish": q_tpch_q18ish,
-    # --- the round-12 cohort (50, gated green in r12) — freshest;
-    # freshness-safe through r15 ---
+    # --- below the window: the round-12 cohort (50, gated green in
+    # r12) — freshness-safe through r15; forms the r15 window with any
+    # newly registered gate leading. ---
     "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
     "corpus_main_content": q_corpus_main_content,
     "corpus_robots": q_corpus_robots,
@@ -6708,14 +6647,68 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "tpch_q15ish": q_tpch_q15ish,
     "wordcount": q_wordcount,
+    # --- the round-13 cohort (50 = corpus_prepare_crawl + the six r10
+    # tpch leftovers + 43 r9 rows, all gated green in r13) —
+    # freshness-safe through r16. ---
+    "corpus_prepare_crawl": q_corpus_prepare_crawl,
+    "tpch_q1ish": q_tpch_q1ish,
+    "tpch_q4ish": q_tpch_q4ish,
+    "tpch_q5ish": q_tpch_q5ish,
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q12ish": q_tpch_q12ish,
+    "tpch_q13ish": q_tpch_q13ish,
+    "cass_long_comparator_slice": q_long_comparator_slice,
+    "cass_multiget_slice": q_multiget_slice,
+    "cass_range_slices_wrapped": q_range_slices_wrapped,
+    "cass_read_at_ts": q_read_at_ts,
+    "cass_super_get_count": q_super_get_count,
+    "cass_super_slice": q_super_slice,
+    "cass_super_subcolumn_slice": q_super_subcolumn_slice,
+    "cass_timeuuid_comparator_slice": q_timeuuid_comparator_slice,
+    "cluster_kmeans_exact": q_cluster_kmeans_exact,
+    "corpus_blocklist": q_corpus_blocklist,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
+    "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_spans": q_dedup_spans,
+    "docs_coreness": q_docs_coreness,
+    "docs_kcore": q_docs_kcore,
+    "embedding_project": q_embedding_project,
+    "events_communities": q_events_communities,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_hits": q_events_hits,
+    "events_pagerank": q_events_pagerank,
+    "events_props_json": q_events_props_json,
+    "events_quantiles": q_events_quantiles,
+    "events_salted_agg": q_events_salted_agg,
+    "events_salted_join": q_events_salted_join,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "media_decode": q_media_decode,
+    "media_decode_gif": q_media_decode_gif,
+    "media_decode_png": q_media_decode_png,
+    "media_resize": q_media_resize,
+    "sim_pq_topk": q_sim_pq_topk,
+    "sim_topk": q_sim_topk,
+    "streaming_heavy_hitters_replay": q_streaming_heavy_hitters_replay,
+    "streaming_lww_replay": q_streaming_lww_replay,
+    "streaming_sessions_replay": q_streaming_sessions_replay,
+    "text_bigram_logprob": q_text_bigram_logprob,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lang_id": q_text_lang_id,
+    "text_tfidf": q_text_tfidf,
+    "text_token_stats": q_text_token_stats,
     # --- by-design approximates: rows-only, never hash-green; exact
     # twins windowed (events_distinct_exact r12; sim_ann_ivf_exact
     # retired r10 and sim_ann_lsh_exact retired r13 — equality of both
     # degenerate-exact ANN paths to cosine_topk pinned in tests;
-    # cluster_kmeans_exact / events_quantiles windowed this round) ---
+    # cluster_kmeans_exact / events_quantiles gated green r13) ---
     "events_distinct_hll": q_events_distinct_hll,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ann_ivf": q_sim_ann_ivf,
     "cluster_kmeans": q_cluster_kmeans,
     "events_quantiles_approx": q_events_quantiles_approx,
 }
+
