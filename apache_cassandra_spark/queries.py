@@ -5538,55 +5538,59 @@ def q_corpus_domain_stats(spark, sf_dir):
     return web.domain_stats(docs.withColumn("url", F.expr(_SYNTH_URL_SQL)))
 
 
-def _url_keys_ctes(passthrough: str) -> str:
+def _url_keys_ctes(passthrough: str, prefix: str = "", src: str = "u0") -> str:
     """DuckDB CTE chain mirroring web.with_url_keys step by step (anchored
     regexes — at most one match, so DuckDB's replace-first == Spark's
     replace-all; list_sort over ASCII params = byte order in both engines;
-    the embedded multi-label suffix subset). Expects a ``u0`` CTE in scope
-    with ``url`` plus the ``passthrough`` columns; exposes ``d`` with
-    ``passthrough, canonical_url, domain``. Shared by the domain_stats and
-    url_revisions oracles so the two canonicalization replicas cannot
-    drift. Full-input mirror (fuzz-locked cross-engine in
+    the embedded multi-label suffix subset). Expects a ``src`` CTE in scope
+    (default ``u0``) with ``url`` plus the ``passthrough`` columns; exposes
+    ``{prefix}d`` with ``passthrough, canonical_url, domain``. Shared by the
+    domain_stats and url_revisions oracles so the two canonicalization
+    replicas cannot drift; ``prefix`` renames every internal CTE so ONE
+    query can instantiate the chain twice (web_plan_frontier canonicalizes
+    candidates AND the crawled set) — defaults keep every prior oracle
+    string byte-identical. Full-input mirror (fuzz-locked cross-engine in
     tests/test_web.py): the input is TRIMMED like F.trim in
     canonicalize_url/extract_host, and a non-absolute URL (empty
     scheme) passes through trimmed-but-untouched instead of fabricating
     '://...' — exactly the Spark branch."""
+    x = prefix
     return f"""
-    p AS (SELECT {passthrough}, trim(url) AS _raw,
+    {x}p AS (SELECT {passthrough}, trim(url) AS _raw,
             lower(regexp_extract(_raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
             lower(regexp_extract(_raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
             regexp_extract(_raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
-          FROM u0),
-    h AS (SELECT {passthrough}, _raw, scheme,
+          FROM {src}),
+    {x}h AS (SELECT {passthrough}, _raw, scheme,
             regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
                                 WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                                 ELSE hostport END, '^www\\.', '') AS host,
             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
                  ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
             regexp_extract(rest, '^[^?]*\\?(.*)', 1) AS query
-          FROM p),
-    q AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
+          FROM {x}p),
+    {x}q AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
             x -> NOT (x = '' OR starts_with(split_part(x, '=', 1), 'utm_')
                       OR split_part(x, '=', 1) IN
                          ('gclid','fbclid','msclkid','mc_eid','igshid','ref_src')))) AS kept
-          FROM h),
-    c AS (SELECT {passthrough}, host,
+          FROM {x}h),
+    {x}c AS (SELECT {passthrough}, host,
             CASE WHEN scheme = '' THEN _raw
                  ELSE scheme || '://' || host || path ||
                       CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
             END AS canonical_url
-          FROM q),
-    lab AS (SELECT *, string_split(host, '.') AS labels FROM c),
-    tk AS (SELECT *, least(CASE WHEN len(labels) >= 3
+          FROM {x}q),
+    {x}lab AS (SELECT *, string_split(host, '.') AS labels FROM {x}c),
+    {x}tk AS (SELECT *, least(CASE WHEN len(labels) >= 3
                                      AND (labels[len(labels)-1] || '.' || labels[len(labels)]) IN
                                          ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp',
                                           'com.au','net.au','org.au','co.in','co.nz','co.za',
                                           'com.br','com.cn','com.mx')
                                 THEN 3 ELSE 2 END, len(labels)) AS take
-           FROM lab),
-    d AS (SELECT {passthrough}, canonical_url,
+           FROM {x}lab),
+    {x}d AS (SELECT {passthrough}, canonical_url,
             array_to_string(labels[len(labels)-take+1:len(labels)], '.') AS domain
-          FROM tk)"""
+          FROM {x}tk)"""
 
 
 # Mirrors web.canonicalize_url / registrable_domain / domain_stats step
@@ -6304,6 +6308,182 @@ ORACLES["corpus_prepare_crawl"] = f"""
 """
 
 
+#: frontier-side policies for the composed DISCOVERY gate: variant A
+#: (even-length registrable domain) paces at 2 s and blocks the
+#: /Article and /img families through the * group graftbot falls to;
+#: variant B names graftbot, whose exact group (block /p/, pace 0.5 s)
+#: must SUPPRESS the * group's total block. Crawl-delay rides the SAME
+#: group-selection grammar (robots.crawl_delays shares
+#: _grouped_directives with parse_robots), so the gate pins delay
+#: group selection alongside rule group selection.
+_FRONTIER_ROBOTS_A = "User-agent: *\nDisallow: /Article\nDisallow: /img\nCrawl-delay: 2\n"
+_FRONTIER_ROBOTS_B = (
+    "User-agent: graftbot\nDisallow: /p/\nCrawl-delay: 0.5\n\nUser-agent: *\nDisallow: /\n"
+)
+
+#: second candidate sighting of the same page under DIFFERENT tracker
+#: noise (doc_id % 6 == 0 rows): canonicalizes equal to the base URL,
+#: so the per-canonical winner must pick across raw variants by
+#: (priority, url) — the dedup semantics the gate pins
+_SYNTH_CAND2_URL_SQL = (
+    _SYNTH_URL_SQL.replace("utm_source=feed", "utm_source=rss")
+    .replace("utm_medium=email", "utm_medium=social")
+    .replace("fbclid=1&ref=home", "fbclid=7&ref=home")
+    .replace("gclid=zz", "gclid=aa")
+)
+
+#: already-crawled sightings (doc_id % 4 == 0 rows) under a THIRD
+#: tracker variant: the anti-join must key in canonical space — raw
+#: string matching would re-enqueue every one of these
+_SYNTH_CRAWLED_URL_SQL = (
+    _SYNTH_URL_SQL.replace("utm_source=feed", "utm_source=recrawl")
+    .replace("utm_medium=email", "utm_medium=relink")
+    .replace("fbclid=1&ref=home", "fbclid=2&ref=home")
+    .replace("gclid=zz", "gclid=yy")
+)
+
+
+def q_web_plan_frontier(spark, sf_dir):
+    """The DISCOVERY front door COMPOSED and hash-gated end to end —
+    the fetch-plan twin of corpus_prepare_crawl (r13 verdict item 2's
+    recommended gate): web.plan_frontier over synthesized candidates
+    (base URLs + tracker-noise re-sightings with their own priorities),
+    an already-crawled set under a third tracker variant (the anti-join
+    must match in CANONICAL space), per-domain robots policies with
+    Crawl-delay directives (compliance + pacing from ONE parse), and
+    priority-ordered politeness scheduling. The oracle replays every
+    stage in one CTE chain REUSING the piece gates' fragments — the
+    _url_keys_ctes canonicalization instantiated TWICE (candidates and
+    crawled), the literal policy decision over the raw path (the
+    corpus_robots convention), the winner as min(priority) then
+    min(url) (exactly the row_number (priority, url) contract), and a
+    row_number replay of fetch_schedule — so drift in any stage OR in
+    the glue (the r11 verdict's composition-gap class) flips the hash.
+
+    FUNDING RETIREMENT (proposed, r14 — per the standing rule this
+    executes only on verdict endorsement): retire dedup_ngram_jaccard.
+    Receipts: (1) its oracle is _jaccard_oracle_sql(0.5) — the SAME
+    generator as the windowed dedup_prefix_jaccard gate's
+    _jaccard_oracle_sql(0.8), differing only in the threshold literal;
+    (2) prefix_jaccard_pairs is LOSSLESS vs ngram_jaccard_pairs by the
+    prefix-filter theorem, and tests/test_prefix_jaccard.py pins the
+    equivalence on boundary/duplicate/skew-guard corpora plus a
+    hypothesis fuzz; (3) r14 adds the corpus-wide full-row lock
+    tests/test_prefix_jaccard.py::test_corpus_equivalence_lock_sf0001
+    (both operators, BOTH thresholds 0.5 and 0.8, real sf0.001
+    documents — the sim_ann_lsh_exact precedent's shape), so the plain
+    inverted-index path stays pinned to the gated operator without
+    spending a ledger slot. Implementation, unit pins, and the oracle
+    generator all stay."""
+    from apache_cassandra_spark.analytics import robots as RB
+    from apache_cassandra_spark.analytics import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.expr(_SYNTH_URL_SQL).alias("url"),
+        (F.col("doc_id") % 13).cast("long").alias("priority"),
+    )
+    resight = docs.where((F.col("doc_id") % 6) == 0).select(
+        F.expr(_SYNTH_CAND2_URL_SQL).alias("url"),
+        ((F.col("doc_id") * 3) % 13).cast("long").alias("priority"),
+    )
+    cands = base.unionByName(resight)
+    crawled = docs.where((F.col("doc_id") % 4) == 0).select(
+        F.expr(_SYNTH_CRAWLED_URL_SQL).alias("url")
+    )
+    # robots universe staged exactly like corpus_prepare_crawl's (the
+    # 64KB-codegen + pushdown-below-aggregate discipline; site-count-
+    # sized, so the localCheckpoint lineage cut is honest)
+    domains = (
+        cands.select("url")
+        .distinct()
+        .select(web.extract_host(F.col("url")).alias("host"))
+        .repartition("host")
+        .select(web.registrable_domain(F.col("host")).alias("domain"))
+        .distinct()
+        .localCheckpoint()
+    )
+    robots_df = domains.withColumn(
+        "robots_txt",
+        F.when(F.length("domain") % 2 == 0, F.lit(_FRONTIER_ROBOTS_A)).otherwise(
+            F.lit(_FRONTIER_ROBOTS_B)
+        ),
+    )
+    rules = RB.parse_robots(robots_df, agent="graftbot")
+    delays = RB.crawl_delays(robots_df, agent="graftbot")
+    out = web.plan_frontier(
+        cands,
+        crawled=crawled,
+        robots_rules=rules,
+        delays=delays,
+        priority_col="priority",
+    )
+    return out.select(
+        "url",
+        "canonical_url",
+        "host",
+        "domain",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("fetch_seq").cast("long").alias("fetch_seq"),
+        F.col("fetch_at_sec").cast("double").alias("fetch_at_sec"),
+    ).orderBy("canonical_url")
+
+
+# Composed replay. cand manufactures a unique cid (2*doc_id / 2*doc_id+1)
+# so the keying chain joins back losslessly; the winner is min(priority)
+# then min(url) per canonical — identical to the Spark row_number over
+# (priority asc, url asc) because every output column is a function of
+# (canonical_url, priority, url); host/domain are canonical-group
+# constants so ANY group row supplies them. The crawled set runs the
+# SAME canonicalization chain under the 'c' prefix. The policy decision
+# and the delay constant replay the literal policies keyed by
+# length(domain) % 2; the schedule is a row_number window in canonical
+# order per (priority, canonical_url) — ties impossible, canonical_url
+# is the dedup key.
+ORACLES["web_plan_frontier"] = f"""
+    WITH cand AS (
+        SELECT doc_id * 2 AS cid, {_SYNTH_URL_SQL} AS url,
+               cast(doc_id % 13 as bigint) AS priority
+        FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS cid, {_SYNTH_CAND2_URL_SQL} AS url,
+               cast((doc_id * 3) % 13 as bigint) AS priority
+        FROM documents WHERE doc_id % 6 = 0),
+    u0 AS (SELECT cid, url, priority FROM cand),
+    {_url_keys_ctes("cid")},
+    j AS (SELECT u0.cid, u0.url, u0.priority, d.canonical_url, d.domain, k.host
+          FROM u0
+          JOIN d ON u0.cid = d.cid
+          JOIN (SELECT cid, host FROM tk) k ON u0.cid = k.cid),
+    w1 AS (SELECT canonical_url, min(priority) AS priority FROM j GROUP BY 1),
+    w2 AS (SELECT j.canonical_url, j.priority, min(j.url) AS url
+           FROM j JOIN w1 USING (canonical_url, priority) GROUP BY 1, 2),
+    w3 AS (SELECT DISTINCT w2.canonical_url, w2.priority, w2.url, j.host, j.domain
+           FROM w2 JOIN j USING (canonical_url)),
+    cr0 AS (SELECT doc_id AS cid, {_SYNTH_CRAWLED_URL_SQL} AS url
+            FROM documents WHERE doc_id % 4 = 0),
+    {_url_keys_ctes("cid", prefix="c", src="cr0")},
+    seen AS (SELECT DISTINCT canonical_url FROM cd),
+    fresh AS (SELECT * FROM w3
+              WHERE NOT EXISTS (SELECT 1 FROM seen s
+                                WHERE s.canonical_url = w3.canonical_url)),
+    dec AS (SELECT *, {_SQL_RAW_PATH} AS path FROM fresh),
+    alw AS (SELECT * FROM dec
+            WHERE CASE WHEN length(domain) % 2 = 0
+                       THEN NOT (path LIKE '/Article%' OR path LIKE '/img%')
+                       ELSE NOT (path LIKE '/p/%') END),
+    sched AS (SELECT *, row_number() OVER
+                  (PARTITION BY domain ORDER BY priority, canonical_url) - 1 AS seq
+              FROM alw)
+    SELECT url, canonical_url, host, domain, priority,
+           cast(seq as bigint) AS fetch_seq,
+           cast(seq * (CASE WHEN length(domain) % 2 = 0
+                            THEN cast(2.0 as double)
+                            ELSE cast(0.5 as double) END) as double) AS fetch_at_sec
+    FROM sched ORDER BY canonical_url
+"""
+
+
 def q_corpus_main_content(spark, sf_dir):
     """Main-content extraction (html.with_main_content): the WSDM 2010
     densitometric block classifier — split at block-tag boundaries,
@@ -6594,9 +6774,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_unigram_logprob": q_text_unigram_logprob,
     "tpch_q18ish": q_tpch_q18ish,
-    # --- below the window: the round-12 cohort (50, gated green in
-    # r12) — freshness-safe through r15; forms the r15 window with any
-    # newly registered gate leading. ---
+    # --- below the window: the ONE gate registered this round (r13
+    # verdict item 2) — the composed discovery front door, the
+    # fetch-plan twin of corpus_prepare_crawl. Funding retirement
+    # PROPOSED in the registering commit (dedup_ngram_jaccard —
+    # receipts in q_web_plan_frontier's docstring); per the standing
+    # rule it executes only on endorsement, so the oracle ledger reads
+    # 151 until then (the same transient r12 carried for
+    # corpus_prepare_crawl). Leads the r15 window. ---
+    "web_plan_frontier": q_web_plan_frontier,
+    # --- the round-12 cohort (50, gated green in r12) — freshness-safe
+    # through r15; forms the r15 window with the new gate leading. ---
     "corpus_warc_roundtrip": q_corpus_warc_roundtrip,
     "corpus_main_content": q_corpus_main_content,
     "corpus_robots": q_corpus_robots,

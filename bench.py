@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     # round-12 build: the composed crawl front door (below the window
     # pending its funding retirement's endorsement)
     "corpus_prepare_crawl",
+    # round-14 build: the composed discovery front door (registered
+    # below the window, funding retirement proposed)
+    "web_plan_frontier",
 ]
 
 

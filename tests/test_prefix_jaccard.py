@@ -173,3 +173,23 @@ def test_positional_with_skew_guard_parity(spark):
             prefix_jaccard_pairs(docs, threshold=th, max_doc_freq=3, positional=True)
         )
         assert naive == pref
+
+
+def test_corpus_equivalence_lock_sf0001(spark):
+    """Retirement receipt for the `dedup_ngram_jaccard` driver gate
+    (retirement PROPOSED round 14, funding web_plan_frontier — its
+    oracle is _jaccard_oracle_sql(0.5), the same generator as the
+    windowed dedup_prefix_jaccard gate's _jaccard_oracle_sql(0.8),
+    differing only in the threshold literal). The pin is the
+    sim_ann_lsh_exact precedent's shape, but CORPUS-WIDE: full-row
+    equality (both ids AND the jaccard value) of the plain
+    inverted-index join against the gated PPJoin path on the real
+    sf0.001 documents table, at BOTH gates' thresholds — so the
+    retired gate's operator AND its threshold stay pinned to the
+    surviving gate without a ledger slot."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for th in (0.5, 0.8):
+        naive = _pairs(ngram_jaccard_pairs(docs, threshold=th))
+        pref = _pairs(prefix_jaccard_pairs(docs, threshold=th, max_doc_freq=10_000))
+        assert naive == pref, f"threshold {th}: plain != prefix"
+        assert naive, f"threshold {th}: lock corpus produced no pairs"

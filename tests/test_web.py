@@ -748,6 +748,30 @@ def test_plan_frontier_plan_shape(spark):
     assert "SortAggregate" not in plan
 
 
+def test_plan_frontier_winner_ties(spark):
+    """r13 verdict watch-edge: the per-canonical winner under EQUAL
+    priority across different raw sightings must fall to the url
+    tie-break (lexicographically smallest raw url), and an exact
+    (priority, url) tie — identical duplicate sightings — must
+    collapse to one row with output independent of input order (all
+    output columns are functions of (canonical_url, priority, url), so
+    whichever tied row row_number picks, the row is the same)."""
+    rows = [
+        ("http://a.com/p?gclid=2", 1),
+        ("http://a.com/p?gclid=1", 1),   # equal prio -> min url wins
+        ("http://b.org/q", 2),
+        ("http://b.org/q", 2),           # exact duplicate sighting
+    ]
+    for perm in (rows, rows[::-1]):
+        cands = spark.createDataFrame(perm, "url string, prio int")
+        out = {r["canonical_url"]: r for r in web.plan_frontier(
+            cands, priority_col="prio").collect()}
+        assert set(out) == {"http://a.com/p", "http://b.org/q"}
+        assert out["http://a.com/p"]["url"] == "http://a.com/p?gclid=1"
+        assert out["http://a.com/p"]["prio"] == 1
+        assert out["http://b.org/q"]["fetch_seq"] == 0
+
+
 def test_resolve_redirects_composes_from_warc(spark, tmp_path):
     """warc.redirect_edges -> resolve_redirects end to end on a real
     two-hop captured chain."""
