@@ -57,10 +57,42 @@ from pyspark.sql import functions as F
 
 # Private-use code points: _SENT_* carry a rule's META '*' and '$'
 # through the percent-decode; _LIT_* hold LITERAL '*' and '$' (a URL's
-# raw ones, or either side's decoded %2A/%24) so _glob_hit never reads
-# them as wildcard/anchor.
+# raw ones, or either side's decoded %2A%24) so _glob_hit never reads
+# them as wildcard/anchor. _ESC escapes any PRE-EXISTING occurrence of
+# these code points in hostile input (see _protect_private).
 _SENT_STAR, _SENT_DOLLAR = "\ue000", "\ue001"
 _LIT_STAR, _LIT_DOLLAR = "\ue002", "\ue003"
+_ESC = "\ue004"
+#: one cheap scan deciding whether _protect_private must run at all \u2014
+#: a raw U+E000..U+E004 code point, or a percent-triplet spelling of
+#: its UTF-8 (EE 80 80..84, any hex case)
+_PRIVATE_HAZARD_RE = "[\ue000-\ue004]|(?i)%EE%80%8[0-4]"
+
+
+def _protect_private(x: Column) -> Column:
+    """Escape pre-existing private-use marker code points so hostile
+    bytes cannot fabricate matcher metacharacters (the r13 verdict's
+    sentinel-collision edge): robots bytes are attacker-controlled by
+    this module's own threat model, and without this an input carrying
+    the literal percent-triplets of a sentinel's UTF-8 (``%EE%80%80``\u2026)
+    would DECODE INTO the sentinel and be read back as meta ``*`` \u2014
+    a forged wildcard.
+
+    Mapping (injective, identical on both sides so cross-side equality
+    is preserved): each raw U+E000..U+E004 \u2014 and each percent-triplet
+    spelling of its UTF-8, any hex case, replaced BEFORE ``url_decode``
+    can conjure the code point \u2014 becomes the pair ``_ESC + digit``.
+    ``_ESC`` itself is escaped FIRST (to ``_ESC4``) so the pairs this
+    function inserts can never be re-read as escapes. After this, a
+    bare sentinel/literal code point in the canonical string can only
+    be one the pipeline itself inserted. Fixed-literal replaces only \u2014
+    no backtracking risk."""
+    x = F.regexp_replace(x, _ESC, _ESC + "4")
+    for i, ch in enumerate((_SENT_STAR, _SENT_DOLLAR, _LIT_STAR, _LIT_DOLLAR)):
+        x = F.regexp_replace(x, ch, _ESC + str(i))
+    for i in range(5):
+        x = F.regexp_replace(x, f"(?i)%EE%80%8{i}", _ESC + str(i))
+    return x
 
 
 def _pct_canon(s: Column, is_rule: bool = False) -> Column:
@@ -87,10 +119,14 @@ def _pct_canon(s: Column, is_rule: bool = False) -> Column:
     map to the ``_LIT_*`` code points, equal across sides, invisible
     to the matcher's meta grammar. A string with a malformed triplet
     (``%`` not followed by two hex digits) is compared RAW —
-    fail-open to literal comparison, never a task error. (Boundary,
-    fuzz-locked: a rule containing the literal triplet sequence of a
-    sentinel's own UTF-8 (``%EE%80%80``…) would read as meta;
-    private-use code points in real robots.txt are not a thing.)
+    fail-open to literal comparison, never a task error. The r13
+    sentinel-collision edge is CLOSED (r14): pre-existing private-use
+    marker code points — raw U+E000..E004 or their percent-triplet
+    spellings (``%EE%80%80``… any hex case) — are escaped by
+    :func:`_protect_private` before the decode, so hostile robots
+    bytes cannot fabricate meta characters; the escape is identical
+    on both sides, preserving cross-side equality (fuzz-locked with
+    the sentinel-hazard alphabet in tests/test_robots.py).
 
     Wholly JVM-side: a validity rlike, ONE ``url_decode`` (raw ``+``
     is pre-escaped so the form codec's ``+``→space rule can't fire),
@@ -100,7 +136,13 @@ def _pct_canon(s: Column, is_rule: bool = False) -> Column:
     attribute, not re-inlining this tree — the 64KB codegen
     pitfall)."""
     valid = ~s.rlike("%(?![0-9A-Fa-f]{2})")
-    x = F.regexp_replace(s, r"\+", "%2B")  # url_decode form-decodes '+'
+    # hostile-input hardening (hazard-gated so the common row pays ONE
+    # extra scan, not ten replaces): pre-escape pre-existing private-use
+    # marker code points — raw or percent-spelled — before anything can
+    # read them as matcher meta (CASE WHEN short-circuits; the replace
+    # chain only evaluates on hazard rows)
+    base = F.when(s.rlike(_PRIVATE_HAZARD_RE), _protect_private(s)).otherwise(s)
+    x = F.regexp_replace(base, r"\+", "%2B")  # url_decode form-decodes '+'
     if is_rule:
         x = F.regexp_replace(x, r"\*", _SENT_STAR)
         # only a TRAILING '$' is the end anchor (the grammar); a

@@ -121,7 +121,15 @@ def _py_canon(s, is_rule=False):
 
     if re.search(r"%(?![0-9A-Fa-f]{2})", s):
         return s
-    x = s.replace("+", "%2B")
+    # r14 sentinel-collision hardening mirror: pre-existing private-use
+    # markers (raw, or percent-spelled UTF-8 triplets) escape to
+    # \ue004+digit before anything can read them as meta
+    x = s.replace("\ue004", "\ue0044")
+    for i, ch in enumerate("\ue000\ue001\ue002\ue003"):
+        x = x.replace(ch, "\ue004" + str(i))
+    for i in range(5):
+        x = re.sub(f"(?i)%EE%80%8{i}", "\ue004" + str(i), x)
+    x = x.replace("+", "%2B")
     if is_rule:
         x = x.replace("*", "\ue000")
         if x.endswith("$"):
@@ -245,7 +253,12 @@ def test_fuzz_matcher_percent_encoding_vs_python_model(spark):
     evaluation against the independent canonicalizing Python model."""
     rnd = random.Random(424242)
     atoms = ["a", "b", "%20", " ", "/", "%2F", "%2f", "%61", "é", "%C3%A9",
-             "+", "%2B", "~", "%7E", "*", "$", "%24", "%2A", ".", "%z", "%"]
+             "+", "%2B", "~", "%7E", "*", "$", "%24", "%2A", ".", "%z", "%",
+             # r14 sentinel-hazard lens: raw private-use markers and the
+             # percent-triplet spellings of their UTF-8 (both hex cases)
+             # — hostile bytes must not fabricate meta characters
+             "", "", "", "%EE%80%80", "%ee%80%81",
+             "%EE%80%83", "%Ee%80%84"]
     rules = []
     for _ in range(40):
         r = "/" + "".join(rnd.choices(atoms, k=rnd.randint(1, 5)))
@@ -269,6 +282,47 @@ def test_fuzz_matcher_percent_encoding_vs_python_model(spark):
         for j, p in enumerate(paths):
             want = allow if _py_match(cr, _py_canon(p)) else True
             assert got[(f"d{i}.com", f"http://d{i}.com{p}")] == want, (r, p, cr, _py_canon(p))
+
+
+def test_sentinel_collision_cannot_forge_meta(spark):
+    """Directed regression for the r13 verdict's sentinel-collision
+    edge (robots bytes are attacker-controlled): a rule spelling a
+    sentinel's UTF-8 as percent-triplets (%EE%80%80 = U+E000, the
+    meta-'*' carrier) must match only the LITERAL private-use
+    character — never act as a wildcard; same for the %EE%80%81
+    anchor carrier, which must not anchor; and raw private-use code
+    points must compare equal across rule and URL."""
+    # attack rule: would match /secret/anything if %EE%80%80 forged '*'
+    text = "User-agent: *\nDisallow: /secret/%EE%80%80\n"
+    got = _allowed(
+        spark, "x",
+        ["http://e.com/secret/a", "http://e.com/secret/",
+         "http://e.com/secret/%EE%80%80"],
+        text=text,
+    )
+    assert got["http://e.com/secret/a"][0] is True          # no forged wildcard
+    assert got["http://e.com/secret/"][0] is False    # literal match (raw)
+    assert got["http://e.com/secret/%EE%80%80"][0] is False  # literal match (encoded)
+    # forged anchor: /a%EE%80%81 must NOT mean "ends at /a"
+    text2 = "User-agent: *\nDisallow: /a%EE%80%81\n"
+    got2 = _allowed(
+        spark, "x",
+        ["http://e.com/a", "http://e.com/ax", "http://e.com/a%EE%80%81x"],
+        text=text2,
+    )
+    assert got2["http://e.com/a"][0] is True                 # not an anchor...
+    assert got2["http://e.com/ax"][0] is False         # ...a literal prefix
+    assert got2["http://e.com/a%EE%80%81x"][0] is False
+    # escape char itself round-trips injectively
+    text3 = "User-agent: *\nDisallow: /b\n"
+    got3 = _allowed(
+        spark, "x",
+        ["http://e.com/b", "http://e.com/b%EE%80%84", "http://e.com/b4"],
+        text=text3,
+    )
+    assert got3["http://e.com/b"][0] is False
+    assert got3["http://e.com/b%EE%80%84"][0] is False
+    assert got3["http://e.com/b4"][0] is True                # escape pair is invisible
 
 
 def test_sitemap_directives_global_scope(spark):
