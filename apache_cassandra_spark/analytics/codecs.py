@@ -463,6 +463,11 @@ def decode_mp3_meta(payload: bytes) -> dict:
     if payload[:3] == b"ID3" and n >= 10:
         ss = payload[6:10]
         pos = 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14 | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag (§3.1): a 10-byte '3DI' footer follows
+            # the tag area and is NOT counted in the syncsafe size —
+            # without this skip a well-formed file reads as lost sync
+            pos += 10
     samples = 0
     rate = channels = None
     frames = 0
@@ -479,6 +484,14 @@ def decode_mp3_meta(payload: bytes) -> dict:
         pos += nbytes
     if frames == 0:
         raise ValueError("mp3: no audio frames")
+    if pos > n:
+        # the last header's declared frame length runs past the payload:
+        # a truncated file must not report a full frame count (the
+        # docstring's strictness claim, made real)
+        raise ValueError(
+            f"mp3: final frame truncated ({pos - n} bytes short of its "
+            f"declared length)"
+        )
     return {
         "format": "mp3",
         "channels": channels,
@@ -531,23 +544,43 @@ def mp3_id3_tags(payload: bytes) -> dict:
     # --- ID3v2 preamble ---
     if payload[:3] == b"ID3" and len(payload) >= 10:
         ver = payload[3]
+        hflags = payload[5]
         ss = payload[6:10]
         size = (ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14 | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F)
-        end = min(10 + size, len(payload))
-        pos = 10
+        tag = payload[10 : min(10 + size, len(payload))]
+        if hflags & 0x80:
+            # unsynchronisation (v2.3 whole-tag; v2.4 sets the global
+            # flag only when EVERY frame is unsynchronised, so the
+            # whole-tag undo is correct there too): FF 00 -> FF
+            tag = tag.replace(b"\xff\x00", b"\xff")
+        end = len(tag)
+        pos = 0
+        if hflags & 0x40 and end >= 4:
+            # extended header: v2.3 size EXCLUDES its own 4 size bytes;
+            # v2.4 syncsafe size is the WHOLE extended header
+            raw = tag[0:4]
+            if ver >= 4:
+                pos = (raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14 | (raw[2] & 0x7F) << 7 | (raw[3] & 0x7F)
+            else:
+                pos = 4 + int.from_bytes(raw, "big")
+            pos = min(max(pos, 0), end)  # hostile size: skip-all, never error
         while pos + 10 <= end:
-            fid = payload[pos : pos + 4]
+            fid = tag[pos : pos + 4]
             if not fid.strip(b"\x00"):
                 break  # zero padding ends the frame area
-            raw = payload[pos + 4 : pos + 8]
+            raw = tag[pos + 4 : pos + 8]
             if ver >= 4:  # v2.4: syncsafe frame sizes
                 fsize = (raw[0] & 0x7F) << 21 | (raw[1] & 0x7F) << 14 | (raw[2] & 0x7F) << 7 | (raw[3] & 0x7F)
             else:
                 fsize = int.from_bytes(raw, "big")
-            body = payload[pos + 10 : pos + 10 + fsize]
+            fflags = tag[pos + 8 : pos + 10]
+            body = tag[pos + 10 : pos + 10 + fsize]
             pos += 10 + fsize
             if fsize <= 0 or len(body) < fsize:
                 break  # truncated/hostile size: stop, keep what we have
+            if ver >= 4 and fflags[1] & 0x02:
+                # v2.4 per-frame unsynchronisation flag
+                body = body.replace(b"\xff\x00", b"\xff")
             try:
                 name = fid.decode("ascii")
             except UnicodeDecodeError:

@@ -341,12 +341,22 @@ def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def _dqt_segment(tid: int, qtable: np.ndarray) -> bytes:
+def _dqt_segment(tid: int, qtable: np.ndarray, precision: int = 8) -> bytes:
     """DQT segment; element precision follows the values: Pq=0 (8-bit)
-    when every entry fits a byte, Pq=1 (16-bit, T.81 B.2.4.1 — legal
-    only for 12-bit sample precision frames) otherwise."""
+    when every entry fits a byte, Pq=1 (16-bit) otherwise. T.81
+    B.2.4.1 permits Pq=1 ONLY at 12-bit sample precision, so a >255
+    quantization value in an 8-bit frame is a caller error — emitting
+    it anyway would produce a spec-invalid stream this repo's own
+    prescan happens to accept but strict decoders may reject (r13
+    advice)."""
     vals = [int(qtable[r, c]) for r, c in ZIGZAG]
     if max(vals) > 255:
+        if precision <= 8:
+            raise ValueError(
+                f"quantization value {max(vals)} > 255 requires a 16-bit "
+                f"DQT (Pq=1), which T.81 B.2.4.1 only permits for 12-bit "
+                f"frames — this encode is {precision}-bit"
+            )
         body = bytes([0x10 | tid]) + b"".join(struct.pack(">H", v) for v in vals)
     else:
         body = bytes([tid]) + bytes(vals)
@@ -419,9 +429,9 @@ def encode_jpeg_baseline(
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += _dqt_segment(0, qtable_luma)
+    out += _dqt_segment(0, qtable_luma, precision)
     if not gray:
-        out += _dqt_segment(1, qtable_chroma)
+        out += _dqt_segment(1, qtable_chroma, precision)
 
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", precision, h, w, ncomp)

@@ -612,11 +612,32 @@ def _walk_files(files: DataFrame, batch_rows: int, batch_bytes: int) -> DataFram
     return files.mapInPandas(_walk, schema=_WALK_SCHEMA)
 
 
+#: the reader's fixed output columns — extra_headers aliases must not
+#: collide with these (or each other) or downstream F.col resolution
+#: dies with an ambiguous-reference error far from the cause
+_FIXED_READ_COLS = (
+    "warc_type", "target_uri", "warc_date", "record_id", "content_type",
+    "content_length", "payload", "framing_ok", "parse_error",
+    "source_file", "record_offset",
+)
+
+
 def _parse_walked(
     walked: DataFrame,
     record_types: tuple[str, ...],
     extra_headers: tuple[str, ...] = (),
 ) -> DataFrame:
+    seen = set(_FIXED_READ_COLS)
+    for h in extra_headers:
+        alias = h.lower().replace("-", "_")
+        if alias in seen:
+            raise ValueError(
+                f"extra_headers: {h!r} snake-cases to {alias!r}, which "
+                f"collides with a fixed output column or another "
+                f"requested header — the fixed columns already carry "
+                f"it, or deduplicate the request"
+            )
+        seen.add(alias)
     out = walked.select(
         # field parsing SHARED with the WET reader — same expressions
         _header("headers", "WARC-Type").alias("warc_type"),
@@ -1383,6 +1404,20 @@ def write_warc_binary(
     ``part-<job>-*`` not in the manifest are deleted — scoped to THIS
     job's prefix, so ``mode='append'`` shards from earlier jobs are
     untouched and earlier jobs' names can never collide.
+
+    Residual-zombie window (documented boundary, r13 advice): the
+    driver reconcile runs right after ``manifest.collect()``; a zombie
+    or speculative attempt that finishes AFTER the sweep can recreate
+    a ``_tmp-<job>-*`` staging file (or re-commit an identical part
+    file — harmless by the deterministic-bytes contract). This is the
+    same window Spark's own commit protocol closes only via the
+    OutputCommitCoordinator, which a library sink cannot reach. The
+    defense is on the READ side: ``_tmp-*`` names are underscore-
+    prefixed, and every reader here lists through Spark's binaryFile
+    source, whose file index hides ``_``/``.``-prefixed names by the
+    Hadoop convention (locked by a test) — so a leaked staging file is
+    invisible to ``read_warc``/``read_wet``/``read_wat`` and costs
+    only bytes until the next job's reconcile or a manual sweep.
 
     Record framing is ISO 28500: headers, ``Content-Length`` = exact
     payload bytes, payload, CRLF CRLF. Header values are CRLF-sanitized

@@ -663,3 +663,19 @@ def test_progressive_equals_baseline_randomized():
             jpeg.encode_jpeg_progressive(px, subsampling=sub, restart_interval=ri, **kw)
         )
         assert np.array_equal(base, prog), (seed, (h, w, ch), sub, ri, bool(kw))
+
+
+def test_dqt_16bit_refused_for_8bit_frames():
+    """r13 advice: T.81 B.2.4.1 permits a 16-bit DQT (Pq=1) only at
+    12-bit sample precision — an 8-bit encode handed a >255 qtable
+    must raise instead of emitting a spec-invalid stream."""
+    px = np.full((8, 8), 128, np.uint8)
+    big = np.full((8, 8), 300, np.int32)
+    with pytest.raises(ValueError, match="12-bit"):
+        jpeg.encode_jpeg_baseline(px, qtable_luma=big)
+    # same table is legal at 12-bit precision (Pq=1 path unchanged)
+    px12 = np.full((8, 8), 2048, np.uint16)
+    out = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_baseline(px12, qtable_luma=big, precision=12)
+    )
+    assert out.shape[:2] == (8, 8)

@@ -561,6 +561,69 @@ def test_mp3_id3_tags_v2_and_v1():
     assert codecs.mp3_id3_tags(codecs.encode_mp3_frames(1)) == {}
 
 
+def test_mp3_truncated_final_frame_is_valueerror():
+    """r13 advice: a final frame whose declared length runs past the
+    payload end must raise, not report a full frame count."""
+    good = codecs.encode_mp3_frames(3)
+    assert codecs.decode_mp3_meta(good)["n_frames"] == 3 * 1152
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_mp3_meta(good[:-50])
+    # cutting exactly at a frame boundary stays valid (fewer frames)
+    nb = 144 * 128 * 1000 // 44100  # frame 0: no padding bit
+    assert codecs.decode_mp3_meta(good[:nb])["n_frames"] == 1152
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def test_mp3_id3v24_footer_flag():
+    """r13 advice: the v2.4 footer flag (header byte 5, 0x10) appends a
+    10-byte '3DI' footer NOT counted in the syncsafe size; the framing
+    walk must skip it instead of dying on lost sync, and the tag parse
+    must still read the frames."""
+    fr = _id3v2_frame(b"TIT2", "Footed", v24=True)
+    tag = (b"ID3\x04\x00\x10" + _syncsafe(len(fr)) + fr
+           + b"3DI\x04\x00\x10" + _syncsafe(len(fr)))
+    payload = tag + codecs.encode_mp3_frames(2)
+    assert codecs.decode_mp3_meta(payload)["n_frames"] == 2 * 1152
+    assert codecs.mp3_id3_tags(payload)["title"] == "Footed"
+
+
+def test_mp3_id3v2_unsync_and_extended_header():
+    """r13 advice (optional half): the whole-tag unsynchronisation flag
+    (0x80) un-stuffs FF 00 -> FF before the frame walk; the extended
+    header flag (0x40) skips the extended header under both version
+    size conventions (v2.3 excludes its own 4 size bytes, v2.4 syncsafe
+    counts the whole thing); the v2.4 per-frame unsync flag un-stuffs
+    one frame's body."""
+    # v2.3 whole-tag unsync: latin-1 'ÿ' (0xFF) in the text
+    fr = _id3v2_frame(b"TIT2", "\xffes", enc=0)
+    un = fr.replace(b"\xff", b"\xff\x00")
+    tag = b"ID3\x03\x00\x80" + _syncsafe(len(un)) + un
+    assert codecs.mp3_id3_tags(tag + codecs.encode_mp3_frames(1))["title"] == "\xffes"
+    # v2.3 extended header (size excludes its own 4 bytes)
+    fr3 = _id3v2_frame(b"TIT2", "Ext3")
+    body3 = (6).to_bytes(4, "big") + b"\x00" * 6 + fr3
+    tag3 = b"ID3\x03\x00\x40" + _syncsafe(len(body3)) + body3
+    assert codecs.mp3_id3_tags(tag3)["title"] == "Ext3"
+    # v2.4 extended header (syncsafe size counts the whole header)
+    fr4 = _id3v2_frame(b"TIT2", "Ext4", v24=True)
+    body4 = _syncsafe(6) + b"\x01\x00" + fr4
+    tag4 = b"ID3\x04\x00\x40" + _syncsafe(len(body4)) + body4
+    assert codecs.mp3_id3_tags(tag4)["title"] == "Ext4"
+    # v2.4 per-frame unsync flag (format flags bit 0x02)
+    btxt = b"\x00" + b"a\xffz"
+    ubody = btxt.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + _syncsafe(len(ubody)) + b"\x00\x02" + ubody
+    tag5 = b"ID3\x04\x00\x00" + _syncsafe(len(frame)) + frame
+    assert codecs.mp3_id3_tags(tag5)["title"] == "a\xffz"
+    # hostile extended-header size: skip-all, never an exception
+    bad = (1 << 27).to_bytes(4, "big") + fr3
+    tagbad = b"ID3\x03\x00\x40" + _syncsafe(len(bad)) + bad
+    assert codecs.mp3_id3_tags(tagbad) == {}
+
+
 def test_mp3_pcm_decode_stays_typed_boundary():
     with pytest.raises(NotImplementedError, match="PCM"):
         codecs.mp3_samples(codecs.encode_mp3_frames(1))

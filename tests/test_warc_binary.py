@@ -1050,3 +1050,50 @@ def test_redirect_edges_resolution_and_filtering(spark, tmp_path):
     assert got["http://e.com/old3"]["location"] == "rel/next"
     assert got["https://e.com/old4"]["redirect_to"] == "https://cdn.e.com/m"
     assert got["https://e.com:8080/old2"]["http_status"] == 302
+
+
+def test_extra_headers_collision_is_valueerror(spark, tmp_path):
+    """r13 advice: a requested header that snake-cases onto a fixed
+    output column (or onto another requested header) must fail fast
+    with a clear ValueError, not surface a duplicate column that dies
+    later in F.col resolution."""
+    df = spark.createDataFrame(
+        [("http://e.com/a", b"x")], "target_uri string, payload binary"
+    )
+    out = str(tmp_path / "coll")
+    warc.write_warc_binary(df, out)
+    with pytest.raises(ValueError, match="warc_type"):
+        warc.read_warc(spark, out, extra_headers=("WARC-Type",))
+    with pytest.raises(ValueError, match="content_type"):
+        warc.read_warc(spark, out, extra_headers=("Content-Type",))
+    with pytest.raises(ValueError, match="warc_refers_to"):
+        warc.read_warc(
+            spark, out, extra_headers=("WARC-Refers-To", "warc-refers-to")
+        )
+    # non-colliding request still works
+    assert warc.read_warc(spark, out, extra_headers=("WARC-Refers-To",)).count() == 1
+
+
+def test_zombie_tmp_staging_file_invisible_to_readers(spark, tmp_path):
+    """r13 advice (residual-zombie window): a _tmp-<job>-* staging file
+    recreated AFTER the driver reconcile (zombie/speculative attempt)
+    is underscore-prefixed, and Spark's binaryFile index hides such
+    names by the Hadoop convention — so readers never see it. This
+    locks the documented read-side defense."""
+    df = spark.createDataFrame(
+        [("http://e.com/a", b"one"), ("http://e.com/b", b"two")],
+        "target_uri string, payload binary",
+    )
+    out = str(tmp_path / "zombie")
+    warc.write_warc_binary(df, out)
+    base = warc.read_warc(spark, out)
+    n = base.count()
+    # zombie attempt finishing after the sweep: garbage staging bytes
+    (tmp_path / "zombie" / "_tmp-deadjob-00001-42.warc").write_bytes(
+        b"WARC/1.0\r\ngarbage that is not even framed"
+    )
+    after = warc.read_warc(spark, out)
+    assert after.count() == n
+    assert {r["source_file"].rsplit("/", 1)[-1] for r in after.collect()} == {
+        r["source_file"].rsplit("/", 1)[-1] for r in base.collect()
+    }
