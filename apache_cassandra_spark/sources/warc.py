@@ -1205,7 +1205,10 @@ _WAT_DDL = (
     "`Payload-Metadata` STRUCT<"
     "`Actual-Content-Type` STRING, "
     "`HTTP-Response-Metadata` STRUCT<"
-    "`Response-Message` STRUCT<Status INT>, "
+    # Status as STRING in the DDL: real CC WATs spell it "200" (string)
+    # while this repo's writer emits a number — StringType accepts both
+    # tokens; the projection try_casts to int so junk nulls, never kills
+    "`Response-Message` STRUCT<Status STRING>, "
     "`Headers` STRUCT<`Content-Type` STRING, Charset STRING, "
     "`Content-Encoding` STRING>, "
     "`HTML-Metadata` STRUCT<"
@@ -1325,7 +1328,10 @@ def read_wat(spark: SparkSession, path: str, **kwargs) -> DataFrame:
 
     warn_once_if_degraded("read_wat")
     recs = read_warc(spark, path, record_types=("metadata",), **kwargs)
-    j = F.from_json(F.decode(F.col("payload"), "UTF-8"), _WAT_DDL)
+    # make_valid_utf8, NOT decode(_, 'UTF-8'): ANSI decode task-kills on
+    # invalid bytes, and a foreign/corrupt WAT payload must parse as a
+    # null row, never abort the job (caught by the r14 mutilation fuzz)
+    j = F.from_json(F.make_valid_utf8(F.col("payload").cast("string")), _WAT_DDL)
     env = j["Envelope"]
     pm = env["Payload-Metadata"]
     hrm = pm["HTTP-Response-Metadata"]
@@ -1336,7 +1342,7 @@ def read_wat(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         F.coalesce(env["WARC-Header-Metadata"]["WARC-Date"], F.col("warc_date")).alias(
             "warc_date"
         ),
-        hrm["Response-Message"]["Status"].alias("status"),
+        hrm["Response-Message"]["Status"].try_cast("int").alias("status"),
         hrm["Headers"]["Content-Type"].alias("content_type"),
         hrm["Headers"]["Charset"].alias("charset"),
         hrm["HTML-Metadata"]["Head"]["Title"].alias("title"),
