@@ -600,13 +600,36 @@ def mp3_id3_tags(payload: bytes) -> dict:
 
 
 def mp3_samples(payload: bytes):
-    """PCM decode of MP3 audio — the honest remaining boundary (the
-    Layer III entropy decode: Huffman main data, requantization, IMDCT,
-    polyphase synthesis — a from-scratch project on the progressive-
-    JPEG scale). Framing METADATA is real: :func:`decode_mp3_meta`."""
+    """PCM decode of MP3 audio — a PERMANENT typed boundary (decided
+    r14, the build-or-document call the r13 verdict asked for).
+
+    Why document rather than build: the Layer III entropy decode
+    (Huffman main data + bit reservoir, requantization, scalefactor
+    bands, stereo modes, alias reduction, IMDCT with block switching,
+    polyphase synthesis) is buildable from ISO/IEC 11172-3, but this
+    environment ships NO reference decoder to equivalence-lock it
+    against — unlike every shipped codec here: brotli/zstd verify
+    round-trips against the system reference libraries, and the T.81
+    JPEG profiles verify against a paired from-scratch encoder whose
+    arithmetic the spec fixes bit-exactly. An MP3 decoder testable
+    only on zero-main-data silence fixtures would ship with its
+    Huffman/IMDCT/synthesis paths unverified on any real stream —
+    worse than an honest boundary. On a cluster image with a real
+    decoder, register it: ``_DECODERS['mp3'] = your_pcm_decode`` (the
+    Spark plumbing is format-agnostic and already tested end to end).
+
+    What a corpus pipeline needs WITHOUT PCM is real and tested: the
+    metadata-only recipe (README 'Multimodal' section) — sniff +
+    :func:`decode_mp3_meta` (duration/rate/channels/VBR framing,
+    flagged-row contract) + :func:`mp3_id3_tags` (title/artist/album/
+    year, v1 + v2.3/2.4 incl. unsync/extended/footer) — covers the
+    filter/dedup/quality axes audio curation actually keys on."""
     raise NotImplementedError(
-        "mp3: PCM decode (Layer III entropy coding) not implemented; "
-        "frame-header metadata is available via decode_mp3_meta"
+        "mp3: PCM decode (Layer III entropy coding) is a permanent typed "
+        "boundary here — no reference decoder exists in this environment "
+        "to verify one against; frame/duration metadata via "
+        "decode_mp3_meta, tags via mp3_id3_tags, or register a real "
+        "decoder in _DECODERS['mp3']"
     )
 
 
