@@ -1078,6 +1078,14 @@ def prepare_crawl(
     the (small, redirect-rows-only) map; left ``None``, the plan is
     untouched.
 
+    When ``robots_rules`` is ALSO given, a chain into a DISALLOWED
+    final URL drops the alias row (r14): the alias's own URL passed
+    the compliance filter, but by the redirect semantics its content
+    is the destination's, and folding it onto a slot every direct
+    capture was policy-dropped from would resurrect that slot through
+    a side door. The destination check is one more ``match_allowed``
+    over the redirect-rows-only pairs frame, never over the corpus.
+
     Plan shape: the two withColumns passes are ONE map-only codegen
     projection over the scan; the URL dedup is a hash aggregate on the
     near-uniform canonical key plus an AQE-decided equi-join of the
@@ -1133,17 +1141,61 @@ def prepare_crawl(
             strip_www=strip_www,
             tracking_params=tp,
         ).select(F.col("canonical_url").alias("_r_src"), "_r_f")
-        pairs = (
-            web.with_url_keys(src, "_r_f", strip_www=strip_www, tracking_params=tp)
-            .select("_r_src", F.col("canonical_url").alias("_r_dst"))
-            .where(F.col("_r_src") != F.col("_r_dst"))
-            .groupBy("_r_src")
-            .agg(F.min("_r_dst").alias("_r_dst"))
+        # top-1 per source over (dst, raw final) keeps the rewrite a
+        # function AND pins a deterministic raw representative for the
+        # destination-side policy check below (domain is a function of
+        # the canonical, so it rides along consistently). row_number,
+        # NOT min over a string/struct — immutable aggregation buffers
+        # demote to SortAggregate (the events_ohlc anti-pattern); the
+        # window is WindowGroupLimit-eligible
+        from pyspark.sql import Window
+
+        dstk = web.with_url_keys(src, "_r_f", strip_www=strip_www, tracking_params=tp)
+        wsrc = Window.partitionBy("_r_src").orderBy(
+            F.col("_r_dst").asc(), F.col("_r_raw").asc()
         )
+        pairs = (
+            dstk.select(
+                "_r_src",
+                F.col("canonical_url").alias("_r_dst"),
+                F.col("_r_f").alias("_r_raw"),
+                F.col("domain").alias("_r_ddom"),
+            )
+            .where(F.col("_r_src") != F.col("_r_dst"))
+            .withColumn("_rk", F.row_number().over(wsrc))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        if robots_rules is not None:
+            # a chain INTO a robots-disallowed final URL (r13 verdict
+            # watch-edge): the alias row's own URL passed the filter
+            # above, but by the redirect semantics its content IS the
+            # destination's — folding it onto a slot every direct
+            # capture was policy-dropped from would resurrect that slot
+            # through a side door. Such rows DROP. The check runs on
+            # the redirect-rows-only pairs frame (one more small-side
+            # match_allowed, never over the corpus).
+            from apache_cassandra_spark.analytics import robots
+
+            pairs = (
+                robots.match_allowed(
+                    pairs,
+                    robots_rules,
+                    url_col="_r_raw",
+                    domain_col="_r_ddom",
+                    id_col="_r_src",
+                )
+                .withColumnRenamed("allowed", "_r_allowed")
+                .drop("matched_rule")
+            )
+        else:
+            pairs = pairs.withColumn("_r_allowed", F.lit(True))
+        pairs = pairs.select("_r_src", "_r_dst", "_r_allowed")
         keyed = (
             keyed.join(pairs, keyed["canonical_url"] == pairs["_r_src"], "left")
+            .where(F.col("_r_allowed").isNull() | F.col("_r_allowed"))
             .withColumn("canonical_url", F.coalesce("_r_dst", "canonical_url"))
-            .drop("_r_src", "_r_dst")
+            .drop("_r_src", "_r_dst", "_r_allowed")
         )
     winners = keyed.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["canonical_url", id_col]).select(

@@ -1128,30 +1128,38 @@ def read_warc_revisits(spark: SparkSession, path: str, **kwargs) -> DataFrame:
 
 def revisit_edges(df: DataFrame) -> DataFrame:
     """Fold-ready edges from revisit records: ``(url, warc_date,
-    refers_to_uri, refers_to_date, payload_digest, identical)`` — one
-    row per recapture, pointing at the capture whose content it
-    duplicates. ``identical`` is True for the identical-payload-digest
-    profile (byte-equal body — safe to treat as an exact duplicate in
-    dedup and to extend a URL's revision run without re-hashing
-    content) and False for server-not-modified (the SERVER claimed 304;
-    byte equality is asserted by the origin, not the crawler).
-    ``refers_to_uri`` falls back to the record's own URL when absent —
-    the overwhelmingly common same-URL recrawl case writes no
-    Refers-To-Target-URI. Map-only projection over the already-parsed
-    reader columns; rows without a well-framed envelope drop (the
+    refers_to_uri, refers_to_date, payload_digest, identical,
+    refers_to_inferred)`` — one row per recapture, pointing at the
+    capture whose content it duplicates. ``identical`` is True for the
+    identical-payload-digest profile (byte-equal body — safe to treat
+    as an exact duplicate in dedup and to extend a URL's revision run
+    without re-hashing content) and False for server-not-modified (the
+    SERVER claimed 304; byte equality is asserted by the origin, not
+    the crawler). ``refers_to_uri`` falls back to the record's own URL
+    when absent — the overwhelmingly common same-URL recrawl case
+    writes no Refers-To-Target-URI — and ``refers_to_inferred`` marks
+    exactly those rows (r14, the r13 verdict's watch-edge): the
+    fallback is an INFERENCE, not a writer assertion, and it can be
+    wrong — an identical-payload revisit may duplicate a capture at a
+    DIFFERENT URL (content mirrored across hosts), or its own URL may
+    have no prior capture at all. A fold joining edges to captures by
+    URL should join inferred rows by ``payload_digest`` instead (or
+    verify the digest after the URL join); asserted rows
+    (``refers_to_inferred`` False) carry the writer's explicit
+    referent. Map-only projection over the already-parsed reader
+    columns; rows without a well-framed envelope drop (the
     redirect_edges convention)."""
+    explicit = F.nullif(F.col("warc_refers_to_target_uri"), F.lit(""))
     return (
         df.where(F.col("framing_ok") & (F.col("warc_type") == "revisit"))
         .select(
             F.col("target_uri").alias("url"),
             "warc_date",
-            F.coalesce(
-                F.nullif(F.col("warc_refers_to_target_uri"), F.lit("")),
-                F.col("target_uri"),
-            ).alias("refers_to_uri"),
+            F.coalesce(explicit, F.col("target_uri")).alias("refers_to_uri"),
             F.nullif(F.col("warc_refers_to_date"), F.lit("")).alias("refers_to_date"),
             F.nullif(F.col("warc_payload_digest"), F.lit("")).alias("payload_digest"),
             F.col("warc_profile").contains(IDENTICAL_PAYLOAD_PROFILE).alias("identical"),
+            explicit.isNull().alias("refers_to_inferred"),
         )
     )
 

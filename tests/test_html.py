@@ -597,6 +597,79 @@ def test_prepare_crawl_redirects_composed_from_warc_chain(spark, tmp_path):
     assert out[3]["canonical_url"] == "http://s.com/c"
 
 
+def test_prepare_crawl_redirect_into_disallowed_destination(spark):
+    """r13 verdict watch-edge, closed r14: a chain INTO a robots-
+    disallowed final URL must DROP the alias row — its own URL passes
+    the compliance filter, but its content is the destination's, and
+    folding it onto a slot every direct capture was policy-dropped
+    from would resurrect that slot through a side door. A chain into
+    an ALLOWED destination still folds; without robots_rules the fold
+    is unchanged."""
+    from apache_cassandra_spark.analytics import robots
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    pages = [
+        (1, "http://site.com/moved", "<p>alias of blocked page</p>"),
+        (2, "http://site.com/blocked/x", "<p>direct capture, blocked</p>"),
+        (3, "http://site.com/renamed", "<p>alias of open page</p>"),
+        (4, "http://site.com/open/y", "<p>open page</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    rmap = spark.createDataFrame(
+        [
+            ("http://site.com/moved", "http://site.com/blocked/x", 1, True),
+            ("http://site.com/renamed", "http://site.com/open/y", 1, True),
+        ],
+        "url string, final_url string, n_hops int, resolved boolean",
+    )
+    rules = robots.parse_robots(
+        spark.createDataFrame(
+            [("site.com", "User-agent: *\nDisallow: /blocked/\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in prepare_crawl(df, robots_rules=rules, redirect_map=rmap).collect()
+    }
+    # 2 dropped by the direct filter; 1 dropped by the destination
+    # check; 3 folds onto /open/y and min-id wins that slot
+    assert set(out) == {3}
+    assert out[3]["canonical_url"] == "http://site.com/open/y"
+    # without robots_rules the alias still folds onto the blocked slot
+    bare = {r["doc_id"]: r for r in prepare_crawl(df, redirect_map=rmap).collect()}
+    assert set(bare) == {1, 3}
+    assert bare[1]["canonical_url"] == "http://site.com/blocked/x"
+
+
+def test_prepare_crawl_redirect_fold_plan_shape(spark):
+    """The fold's pair-winner is a row_number window (WindowGroupLimit-
+    eligible), NOT a min(string)/min(struct) aggregate whose immutable
+    buffer demotes to SortAggregate — with and without the
+    destination-side robots check."""
+    from apache_cassandra_spark.analytics import robots
+    from apache_cassandra_spark.analytics.pipeline import prepare_crawl
+
+    df = spark.createDataFrame(
+        [(1, "http://s.com/a", "<p>x</p>")], "doc_id long, url string, html string"
+    )
+    rmap = spark.createDataFrame(
+        [("http://s.com/a", "http://s.com/b", 1, True)],
+        "url string, final_url string, n_hops int, resolved boolean",
+    )
+    rules = robots.parse_robots(
+        spark.createDataFrame(
+            [("s.com", "User-agent: *\nDisallow: /z/\n")],
+            "domain string, robots_txt string",
+        )
+    )
+    for kw in (dict(redirect_map=rmap), dict(robots_rules=rules, redirect_map=rmap)):
+        plan = prepare_crawl(df, **kw)._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan
+        assert "CartesianProduct" not in plan and "PythonUDF" not in plan
+        assert "WindowGroupLimit" in plan
+
+
 def test_prepare_crawl_plan_shape(spark):
     from apache_cassandra_spark.analytics.pipeline import prepare_crawl
 

@@ -794,6 +794,14 @@ def test_revisit_records_and_edges(spark, tmp_path):
     assert a["payload_digest"] == "sha1:AAAA" and a["identical"] is True
     assert got["http://e.com/self"]["refers_to_uri"] == "http://e.com/self"  # fallback
     assert got["http://e.com/304"]["identical"] is False
+    # r13 verdict watch-edge: the same-URL fallback is an INFERENCE —
+    # the record may duplicate a capture at a different URL, or its own
+    # URL may have no prior capture — and must be distinguishable from
+    # a writer-asserted referent so folds can key inferred rows by
+    # digest instead
+    assert a["refers_to_inferred"] is False
+    assert got["http://e.com/self"]["refers_to_inferred"] is True
+    assert got["http://e.com/304"]["refers_to_inferred"] is True
     # response records still read untouched (no extra columns by default)
     plain = warc.read_warc(spark, str(p))
     assert "warc_profile" not in plain.columns
