@@ -134,7 +134,18 @@ def _pct_canon(s: Column, is_rule: bool = False) -> Column:
     Applied ONCE per row in its own projection (the staging keeps
     :func:`_glob_hit`'s many references reading a materialized
     attribute, not re-inlining this tree — the 64KB codegen
-    pitfall)."""
+    pitfall).
+
+    Fast path (r14, pricing the r13 §2.2.2 regression back down): a
+    string containing NONE of ``% * $ +`` or the private-use markers
+    is a FIXED POINT of the whole chain — nothing to decode, no meta
+    to carry, nothing to escape ('+' only matters because url_decode
+    would form-decode it; with no '%' the decode is the identity on
+    the rest) — so one character-class scan skips the decode and all
+    replaces for it. Typical crawl paths are exactly this shape; the
+    rules side keeps the full chain (rules carry meta chars by
+    design). CASE WHEN short-circuits per row, so complex rows pay
+    what they always paid plus one scan."""
     valid = ~s.rlike("%(?![0-9A-Fa-f]{2})")
     # hostile-input hardening (hazard-gated so the common row pays ONE
     # extra scan, not ten replaces): pre-escape pre-existing private-use
@@ -155,7 +166,8 @@ def _pct_canon(s: Column, is_rule: bool = False) -> Column:
     if is_rule:
         x = F.regexp_replace(x, _SENT_STAR, "*")  # sentinels back to meta
         x = F.regexp_replace(x, _SENT_DOLLAR, r"\$")  # \$: literal in replacement
-    return F.when(valid, x).otherwise(s)
+    simple = ~s.rlike("[%*$+\ue000-\ue004]")
+    return F.when(simple, s).otherwise(F.when(valid, x).otherwise(s))
 
 
 def _glob_hit(path: Column, rule_path: Column) -> Column:
