@@ -334,6 +334,46 @@ def main() -> None:
                 payload["variance"] = prev["variance"]
         except (OSError, ValueError):
             pass
+        # cross-round normalizer (r13 verdict item 4): the sub-second
+        # calibration sentinel demonstrably does NOT track the ambient
+        # state governing multi-second queries (r13: the driver's
+        # sentinel read 18% FASTER while its zero-churn queries ran
+        # 1.15-3x slower than same-HEAD builder runs). Publish the
+        # median per-query ratio against the previous round's builder
+        # artifact — runA under `variance` when present (the builder's
+        # committed final-HEAD run), else that artifact's own queries —
+        # and compare rounds on that distribution position, never raw
+        # totals. The zero-churn subset (excluding queries whose
+        # implementation changed in the round — a git-level fact bench
+        # can't know) is annotated in the variance note per round.
+        try:
+            prev_path = os.path.join(repo, f"BENCH_full_r{int(rnd) - 1:02d}.json")
+            with open(prev_path) as fh:
+                prior = json.load(fh)
+            ref = (prior.get("variance") or {}).get("runA_queries") or prior.get(
+                "queries", {}
+            )
+            common = [
+                q
+                for q, v in results.items()
+                if isinstance(v, (int, float))
+                and v > 0
+                and isinstance(ref.get(q), (int, float))
+                and ref[q] > 0
+            ]
+            if common:
+                payload["median_ratio_vs_prev"] = round(
+                    statistics.median(results[q] / ref[q] for q in common), 3
+                )
+                payload["ratio_base"] = {
+                    "artifact": os.path.basename(prev_path),
+                    "key": "variance.runA_queries"
+                    if (prior.get("variance") or {}).get("runA_queries")
+                    else "queries",
+                    "n_common": len(common),
+                }
+        except (OSError, ValueError, KeyError):
+            pass
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
     except (OSError, ValueError):

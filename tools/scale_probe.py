@@ -304,6 +304,7 @@ OPS = {
     # byte-exact binary WARC sink round trip (gzip member per record)
     "prepare_crawl": lambda d: _prepare_crawl_op(d),
     "warc_binary_roundtrip": lambda d: _warc_bin_op(d),
+    "plan_frontier": lambda d: _plan_frontier_op(d),
     # round 13: the WAT sidecar pipeline end to end (walk -> HTTP split
     # -> head/link extraction -> to_json -> binary sink -> read_wat back)
     "wat_roundtrip": lambda d: _wat_op(d),
@@ -499,6 +500,48 @@ def _prepare_crawl_op(docs: DataFrame) -> int:
     )
     out = prepare_crawl(pages, robots_rules=rules)
     out.agg(F.sum("n_links"), F.sum(F.length("clean_text"))).collect()
+    return docs.count()
+
+
+def _plan_frontier_op(docs: DataFrame) -> int:
+    """The composed DISCOVERY door (canonical keys -> per-canonical
+    winner window -> crawled anti-join in canonical space -> robots
+    compliance -> Crawl-delay-paced schedule) end to end: 250-site
+    universe (fixed, policies carry Crawl-delay), candidates scale
+    with the corpus, crawled = the 25% doc_id % 4 slice under tracker
+    noise so the anti-join must key canonically."""
+    from apache_cassandra_spark.analytics import robots, web
+
+    spark = docs.sparkSession
+    doms = spark.range(250).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".com")).alias("domain"),
+        F.lit(
+            "User-agent: *\nDisallow: /private/\nDisallow: /*.pdf$\n"
+            "Crawl-delay: 2\n"
+        ).alias("robots_txt"),
+    )
+    rules = robots.parse_robots(doms)
+    delays = robots.crawl_delays(doms)
+    dom = F.concat(F.lit("site"), (F.col("doc_id") % 250).cast("string"), F.lit(".com"))
+    leaf = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("private/x"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("doc.pdf"))
+        .otherwise(F.concat(F.lit("page/"), F.col("doc_id")))
+    )
+    cands = docs.select(
+        F.concat(F.lit("http://www."), dom, F.lit("/"), leaf).alias("url"),
+        (F.col("doc_id") % 13).alias("priority"),
+    )
+    crawled = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.concat(
+            F.lit("http://"), dom, F.lit("/"), leaf, F.lit("?utm_source=recrawl")
+        ).alias("url")
+    )
+    out = web.plan_frontier(
+        cands, crawled=crawled, robots_rules=rules, delays=delays,
+        priority_col="priority",
+    )
+    out.agg(F.sum("fetch_seq"), F.sum(F.length("canonical_url"))).collect()
     return docs.count()
 
 
