@@ -23,13 +23,17 @@ progressive stream decodes pixel-identically to the baseline encoding
 of the same raster (the equivalence test). A progressive ENCODER
 (`encode_jpeg_progressive`) exists for fixture generation.
 
-12-bit precision decodes too (round 13, sequential only): SOF1
-extended-sequential frames with samples 0..4095, 16-bit DQT entries
-(Pq=1), level shift 2048, wider Huffman categories (DC to 15, AC SSSS
-to 14) — ``decode_jpeg_pixels`` returns uint16 and
-``encode_jpeg_baseline(precision=12)`` generates fixtures. Arithmetic
-coding, hierarchical, and 12-bit PROGRESSIVE still raise
-``NotImplementedError`` — the honesty boundary.
+12-bit precision decodes too (round 13 sequential, round 14
+progressive): SOF1 extended-sequential AND SOF2 progressive frames
+with samples 0..4095, 16-bit DQT entries (Pq=1), level shift 2048,
+wider Huffman categories (DC to 15, AC SSSS to 14) —
+``decode_jpeg_pixels`` returns uint16 and
+``encode_jpeg_baseline(precision=12)`` /
+``encode_jpeg_progressive(precision=12)`` generate fixtures (the
+progressive entropy coder's per-scan flat tables are built from the
+categories actually present, so the wider 12-bit range costs no
+special casing there). Arithmetic coding, hierarchical, and lossless
+still raise ``NotImplementedError`` — the honesty boundary.
 
 Exactness contract used by the ``media_decode_jpeg`` gate query: with
 all-ones quantization tables a *constant-fill* image survives the whole
@@ -590,8 +594,9 @@ def prescan_jpeg(payload: bytes) -> tuple[int, int, int]:
                 raise ValueError("zero image dimension")
             if fh * fw > MAX_PIXELS:
                 raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
-            # 12-bit only on SOF1 (extended sequential) — mirrors decode
-            if prec != 8 and not (prec == 12 and marker == 0xC1):
+            # 12-bit on SOF1 (extended sequential) and SOF2
+            # (progressive, r14) — mirrors decode
+            if prec != 8 and not (prec == 12 and marker in (0xC1, 0xC2)):
                 raise NotImplementedError("only 8-bit precision supported")
             if ncomp not in (1, 3):
                 # decode_jpeg raises this at scan assembly; same class here
@@ -1046,6 +1051,7 @@ def encode_jpeg_progressive(
     qtable_chroma: np.ndarray | None = None,
     scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode a raster as PROGRESSIVE JFIF (SOF2) — the fixture
     generator for the progressive decoder (no image libraries in the
@@ -1056,7 +1062,15 @@ def encode_jpeg_progressive(
     spectral-selection bands per component at Al=1, then AC refinement
     to full precision. Entropy coding uses per-scan flat Huffman tables
     (:func:`_flat_table` — progressive needs EOBn symbols Annex K
-    lacks) with cross-block EOB runs and buffered correction bits."""
+    lacks) with cross-block EOB runs and buffered correction bits.
+    ``precision=12`` (r14) writes 12-bit progressive — uint16 samples
+    0..4095, level shift 2048, 16-bit DQT when values demand it; the
+    per-scan tables already size themselves to the categories present,
+    so the wider 12-bit range needs no table special-casing."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    maxval = (1 << precision) - 1
+    level = float(1 << (precision - 1))
     if qtable_luma is None:
         qtable_luma = np.ones((8, 8))
     if qtable_chroma is None:
@@ -1067,13 +1081,15 @@ def encode_jpeg_progressive(
     h, w = px.shape[:2]
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
         raise ValueError("image dimensions out of range")
+    if int(px.max(initial=0)) > maxval or int(px.min(initial=0)) < 0:
+        raise ValueError(f"sample values out of range for {precision}-bit precision")
 
     if gray:
         planes = [px]
         samplings = [(1, 1)]
         qids = [0]
     else:
-        y, cb, cr = _rgb_to_ycbcr(px)
+        y, cb, cr = _rgb_to_ycbcr(px, maxval)
         if subsampling == "444":
             planes = [y, cb, cr]
             samplings = [(1, 1), (1, 1), (1, 1)]
@@ -1082,7 +1098,7 @@ def encode_jpeg_progressive(
             cbs = np.floor((ype[0::2, 0::2] + ype[0::2, 1::2] + ype[1::2, 0::2] + ype[1::2, 1::2]) / 4.0 + 0.5)
             rpe = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
             crs = np.floor((rpe[0::2, 0::2] + rpe[0::2, 1::2] + rpe[1::2, 0::2] + rpe[1::2, 1::2]) / 4.0 + 0.5)
-            planes = [y, cbs.astype(np.uint8), crs.astype(np.uint8)]
+            planes = [y, cbs.astype(y.dtype), crs.astype(y.dtype)]
             samplings = [(2, 2), (1, 1), (1, 1)]
         else:
             raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -1108,7 +1124,7 @@ def encode_jpeg_progressive(
         store = np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
         for by in range(bh_pad):
             for bx in range(bw_pad):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - level
                 coef = _DCT_A @ block @ _DCT_A.T
                 q = _round_half_up(coef / qts[ci]).astype(np.int64)
                 store[by, bx] = [int(q[r, c]) for r, c in ZIGZAG]
@@ -1126,10 +1142,10 @@ def encode_jpeg_progressive(
     out = bytearray()
     out += b"\xff\xd8"
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += _dqt_segment(0, qtable_luma)
+    out += _dqt_segment(0, qtable_luma, precision)
     if not gray:
-        out += _dqt_segment(1, qtable_chroma)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        out += _dqt_segment(1, qtable_chroma, precision)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for i in range(ncomp):
         sof += bytes([i + 1, (samplings[i][0] << 4) | samplings[i][1], qids[i]])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
@@ -1455,15 +1471,17 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables not supported")
-                if p + 65 > len(seg):
+                if pq not in (0, 1):  # Pq=1: 16-bit entries (12-bit frames)
+                    raise ValueError("invalid DQT element precision")
+                step = 2 if pq else 1
+                if p + 1 + 64 * step > len(seg):
                     raise ValueError("truncated DQT segment")
                 tbl = np.zeros((8, 8))
                 for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = seg[p + 1 + i]
+                    off = p + 1 + i * step
+                    tbl[r, c] = (seg[off] << 8) | seg[off + 1] if pq else seg[off]
                 qtables[tq] = tbl
-                p += 65
+                p += 1 + 64 * step
         elif marker == 0xC2:
             if len(seg) < 6:
                 raise ValueError("truncated SOF segment")
@@ -1472,7 +1490,9 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError("zero image dimension")
             if fh * fw > MAX_PIXELS:
                 raise ValueError(f"declared dimensions {fw}x{fh} exceed MAX_PIXELS")
-            if prec != 8:
+            # 12-bit progressive (r14): same extended-precision rules as
+            # SOF1 — T.81 table B.2 allows P = 8 or 12 for SOF2
+            if prec not in (8, 12):
                 raise NotImplementedError("only 8-bit precision supported")
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF segment")
@@ -1482,7 +1502,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
             if any(hi < 1 or vi < 1 or hi > 4 or vi > 4 for _, hi, vi, _ in comps):
                 raise ValueError("invalid sampling factors in SOF")
-            frame = (fh, fw, comps)
+            frame = (fh, fw, comps, prec)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus = (-(-fw // (8 * hmax)), -(-fh // (8 * vmax)))
@@ -1560,7 +1580,9 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
 
     if frame is None:
         raise ValueError("no SOF2 frame found")
-    fh, fw, comps = frame
+    fh, fw, comps, prec = frame
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     full = []
@@ -1582,19 +1604,20 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                     coef[r, c] = zz[i]
                 coef *= qt
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT_A.T @ coef @ _DCT_A + 128.0
+                    _DCT_A.T @ coef @ _DCT_A + level
                 )
         cw = -(-fw * hi // hmax)
         ch = -(-fh * vi // vmax)
-        p = np.clip(np.floor(plane[:ch, :cw] + 0.5), 0, 255)
+        p = np.clip(np.floor(plane[:ch, :cw] + 0.5), 0, maxval)
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:fh, :fw])
 
+    dt = np.uint8 if prec == 8 else np.uint16
     if len(full) == 1:
-        return full[0].astype(np.uint8)[:, :, None]
+        return full[0].astype(dt)[:, :, None]
     y, cb, cr = full[0], full[1], full[2]
-    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
-    g = np.clip(np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0, 255)
-    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+    r = np.clip(np.floor(y + 1.402 * (cr - level) + 0.5), 0, maxval)
+    g = np.clip(np.floor(y - 0.344136 * (cb - level) - 0.714136 * (cr - level) + 0.5), 0, maxval)
+    b = np.clip(np.floor(y + 1.772 * (cb - level) + 0.5), 0, maxval)
+    return np.stack([r, g, b], axis=2).astype(dt)

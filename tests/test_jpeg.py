@@ -679,3 +679,52 @@ def test_dqt_16bit_refused_for_8bit_frames():
         jpeg.encode_jpeg_baseline(px12, qtable_luma=big, precision=12)
     )
     assert out.shape[:2] == (8, 8)
+
+
+def test_12bit_progressive_roundtrips():
+    """r14: 12-bit PROGRESSIVE (SOF2, T.81 table B.2 allows P=12) —
+    closes the boundary left open in r13 (which shipped 12-bit
+    sequential only). The lock is the progressive mode's own
+    equivalence contract at 12 bits: same raster, same quantization ->
+    the progressive stream decodes PIXEL-IDENTICALLY to the extended-
+    sequential encoding (same coefficients, different transmission
+    order), now in uint16."""
+    # deterministic 12-bit gradient (both dims off the MCU grid)
+    yy, xx = np.mgrid[0:21, 0:19]
+    px = ((yy * 191 + xx * 59) % 4096).astype(np.uint16)
+    prog = jpeg.encode_jpeg_progressive(px, precision=12)
+    seq = jpeg.encode_jpeg_baseline(px, precision=12)
+    assert jpeg.sof_precision(prog) == 12
+    out_p = jpeg.decode_jpeg_pixels(prog)
+    out_s = jpeg.decode_jpeg_pixels(seq)
+    assert out_p.dtype == np.uint16 and out_p.shape == (21, 19, 1)
+    np.testing.assert_array_equal(out_p, out_s)
+    # constant fill + all-ones qtables: bit-exact through the chain
+    const = np.full((16, 16), 3000, np.uint16)
+    out_c = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_progressive(const, precision=12))
+    np.testing.assert_array_equal(out_c[:, :, 0], const)
+    # 16-bit DQT (Pq=1) exercises the progressive decoder's wide-table path
+    big = np.full((8, 8), 300, np.int32)
+    out_q = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_progressive(const, qtable_luma=big, precision=12)
+    )
+    assert out_q.dtype == np.uint16
+    # color, 420 subsampling, restart intervals — the full feature cross
+    rgb = np.stack(
+        [((yy * 13 + xx * 7) % 4096), ((yy * 5) % 4096), ((xx * 11) % 4096)], axis=2
+    ).astype(np.uint16)
+    p_rgb = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_progressive(rgb, subsampling="420", precision=12,
+                                     restart_interval=2)
+    )
+    s_rgb = jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_baseline(rgb, subsampling="420", precision=12,
+                                  restart_interval=2)
+    )
+    np.testing.assert_array_equal(p_rgb, s_rgb)
+    # guards: range check, and the 8-bit/16-bit-DQT spec rule applies
+    # to the progressive encoder too
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg.encode_jpeg_progressive(np.full((8, 8), 4096, np.uint16), precision=12)
+    with pytest.raises(ValueError, match="12-bit"):
+        jpeg.encode_jpeg_progressive(np.full((8, 8), 100, np.uint8), qtable_luma=big)
