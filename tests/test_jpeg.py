@@ -663,6 +663,18 @@ def test_progressive_equals_baseline_randomized():
             jpeg.encode_jpeg_progressive(px, subsampling=sub, restart_interval=ri, **kw)
         )
         assert np.array_equal(base, prog), (seed, (h, w, ch), sub, ri, bool(kw))
+        # r14: the same draw at 12-bit — scale samples into 0..4095 and
+        # pin progressive == extended sequential in uint16
+        px12 = (px.astype(np.uint16) << 4) | (px >> 4)
+        base12 = jpeg.decode_jpeg_pixels(
+            jpeg.encode_jpeg_baseline(px12, subsampling=sub, precision=12, **kw)
+        )
+        prog12 = jpeg.decode_jpeg_pixels(
+            jpeg.encode_jpeg_progressive(
+                px12, subsampling=sub, restart_interval=ri, precision=12, **kw
+            )
+        )
+        assert np.array_equal(base12, prog12), (seed, (h, w, ch), sub, ri, bool(kw))
 
 
 def test_dqt_16bit_refused_for_8bit_frames():
