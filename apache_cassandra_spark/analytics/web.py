@@ -123,6 +123,51 @@ def canonicalize_url(
     return F.when(scheme == "", u).otherwise(canon)
 
 
+def surt(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform key — the Internet
+    Archive / Common Crawl URL-index convention (public: the IA
+    ``surt`` library, CC's cdx index layout): a key that sorts all of
+    one registrable domain's URLs (and its subdomains') contiguously,
+    so an index range scan answers "everything under example.com".
+
+    Documented subset of the IA canonicalizer: lowercase the whole
+    key; drop the scheme; drop the default port (non-default ports
+    stay, appended to the reversed host — a different origin); strip
+    one leading ``www.`` label; REVERSE the host labels and comma-join
+    them; append ``)`` + path (empty → ``/``) + the byte-sorted query
+    (empty params dropped, all others KEPT — the index key must be
+    reproducible from the URL alone, so no tracking-param stripping
+    here; strip trackers BEFORE indexing if the corpus wants that).
+    ``https://www.Example.com:443/A/b?b=2&a=1`` →
+    ``com,example)/a/b?a=1&b=2``. Non-absolute input → NULL (an index
+    key for a relative URL is meaningless).
+
+    One codegen expression chain over the same anchored regexes as
+    :func:`canonicalize_url` — the two key spaces cannot drift on
+    scheme/host/port handling."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT_RE, 1))
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    hp = F.when(scheme == "http", F.regexp_replace(hostport, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", "")).otherwise(hostport)
+    )
+    hp = F.regexp_replace(hp, r"^www\.", "")
+    port = F.regexp_extract(hp, r":(\d+)$", 1)
+    host = F.regexp_replace(hp, r":\d+$", "")
+    rhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    keyhost = F.when(port != "", F.concat(rhost, F.lit(":"), port)).otherwise(rhost)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)", 1)
+    kept = F.array_sort(F.filter(F.split(query, "&"), lambda p: p != ""))
+    qtail = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    key = F.lower(F.concat(keyhost, F.lit(")"), path, qtail))
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(key)
+
+
 def extract_host(url: Column, strip_www: bool = True) -> Column:
     """Lowercased host of an absolute URL, default port (``:80`` for
     http, ``:443`` for https — non-default ports are KEPT, they address
