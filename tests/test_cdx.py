@@ -124,3 +124,26 @@ def test_read_cdx_null_tolerant(spark, tmp_path):
     assert junk["url"] is None           # junk degrades to NULL fields, no kill
     b = [r for r in rows if r["surt"] == "com,b)/"][0]
     assert b["offset"] == 5 and b["filename"] == "x.warc"
+
+
+def test_fetch_multi_offset_single_gz_shard(spark, tmp_path):
+    """All requested offsets inside ONE .gz shard: the fetch makes one
+    forward decompression pass, emitting exactly the requested records
+    (first, middle, last) with interleaved records skipped — and the
+    early-exit after the last wanted offset."""
+    shards = str(tmp_path / "onegz")
+    warc.write_warc_binary(_pages(spark).coalesce(1), shards, compress=True)
+    idx = cdx.index_warc(spark, shards).orderBy("offset").collect()
+    assert len(idx) == 12 and len({r["filename"] for r in idx}) == 1
+    want = [idx[0], idx[5], idx[11]]
+    sel = spark.createDataFrame(
+        [(r["filename"], r["offset"]) for r in want], "filename string, offset long"
+    )
+    out = cdx.fetch_warc_records(sel).orderBy("record_offset").collect()
+    assert [r["record_offset"] for r in out] == [r["offset"] for r in want]
+    full = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in warc.read_warc(spark, shards).collect()
+    }
+    for r in out:
+        assert bytes(r["payload"]) == full[r["target_uri"]]
