@@ -850,24 +850,49 @@ def embedding_dup_pairs(
     corpus can't realistically break the exact-equality gate. Pairs in the
     actual near-dup regime (θ ≤ 15°) miss with p < 1e-8.
     """
-    from apache_cassandra_spark.analytics.similarity import dot, lsh_bucket_tables, norm
+    from apache_cassandra_spark.analytics.similarity import (
+        _dot_sql,
+        _norm_sql,
+        dot,
+        lsh_bucket_tables,
+        norm,
+    )
 
     # norms hoisted into the per-side projections throughout (round 7):
     # cosine() per pair re-runs two interpreted norm folds per pair —
     # measured 3x the per-pair cost on the range_search probe. Same bits:
-    # dot/(na*nb) with the original operand order.
-    if method == "brute":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("_na"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("_nb"))
-        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-        return (
-            pairs.select(
-                "id_a",
-                "id_b",
-                F.round(dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos"),
+    # dot/(na*nb) with the original operand order. With a known fixed
+    # ``dim`` the dot/norm run as codegen'd unrolled chains instead of the
+    # interpreted fold — bit-identical (similarity's SQL-text twins note).
+    def _side(alias_id: str, alias_v: str, alias_n: str) -> DataFrame:
+        if dim is not None:
+            return df.selectExpr(
+                f"{id_col} AS {alias_id}",
+                f"{vec_col} AS {alias_v}",
+                f"{_norm_sql(vec_col, dim)} AS {alias_n}",
             )
-            .where(F.col("cos") >= threshold)
+        return df.select(
+            F.col(id_col).alias(alias_id),
+            F.col(vec_col).alias(alias_v),
+            norm(F.col(vec_col)).alias(alias_n),
         )
+
+    def _scored(pairs: DataFrame) -> DataFrame:
+        if dim is not None:
+            return pairs.selectExpr(
+                "id_a", "id_b", f"ROUND({_dot_sql('va', 'vb', dim)} / (_na * _nb), 6) AS cos"
+            )
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos"),
+        )
+
+    if method == "brute":
+        pairs = _side("id_a", "va", "_na").crossJoin(_side("id_b", "vb", "_nb")).where(
+            F.col("id_a") < F.col("id_b")
+        )
+        return _scored(pairs).where(F.col("cos") >= threshold)
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
     if dim is None:
@@ -881,23 +906,13 @@ def embedding_dup_pairs(
             )
     bucketed = df.select(
         F.col(id_col).alias("id"),
-        F.explode(lsh_bucket_tables(F.col(vec_col), dim, planes, tables)).alias("tb"),
+        F.explode(lsh_bucket_tables(vec_col, dim, planes, tables)).alias("tb"),
     )
     a = bucketed.select(F.col("id").alias("id_a"), "tb")
     b = bucketed.select(F.col("id").alias("id_b"), "tb")
     cand = a.join(b, "tb").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("_na"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("_nb"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
-    )
+    joined = cand.join(_side("id_a", "va", "_na"), "id_a").join(_side("id_b", "vb", "_nb"), "id_b")
+    return _scored(joined).where(F.col("cos") >= threshold)
 
 
 def dup_groups_from_pairs(

@@ -33,37 +33,115 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# -- SQL-text twins -----------------------------------------------------------
+# Two independent costs motivate building the scoring expressions as SQL
+# strings parsed in ONE F.expr/selectExpr round-trip instead of thousands of
+# per-node python-side constructor calls:
+#
+# 1. Driver plan-construction time: every F.lit/F.array/lambda call is a
+#    py4j RPC (measured 1-5 ms each in this sandbox); literal-heavy
+#    builders (codebooks, hyperplanes, sign matrices) were spending
+#    SECONDS of single-threaded driver time per query building the tree
+#    (guide §7.3 — very large plans are a driver bottleneck at any scale).
+# 2. Execution: a fixed-dim dot product written as an explicit left-to-
+#    right arithmetic chain runs inside whole-stage codegen, while the
+#    higher-order zip_with/aggregate fold is interpreted per element with
+#    an intermediate array allocation per pair.
+#
+# Bit-parity contract: the chain starts from an explicit 0.0 literal and
+# adds terms left-to-right — exactly the fold's ((0.0 + p0) + p1) + ...
+# association — and each term casts the float element to double before the
+# multiply, so every IEEE double matches the higher-order form bit-for-bit
+# (locked by tests/test_analytics.py::test_sql_text_twins_bit_identical).
+
+
+def _dsql(v: float) -> str:
+    """Exact Spark-SQL double literal: repr() round-trips IEEE 754, and
+    the parser's Double.parseDouble recovers the identical bits."""
+    return repr(float(v)) + "D"
+
+
+def _dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """SQL text of :func:`dot` — the SAME zip_with/aggregate fold nodes
+    (an unrolled per-element chain was MEASURED SLOWER on the brute-force
+    pair shape: 7.4s vs 3.9s warm on the 250k-pair knn — the ~320-node
+    chain evaluates interpreted above the nested-loop join while the fold
+    runs a specialized loop). ``dim`` is accepted for signature stability
+    but does not change the expression."""
+    del dim
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str, dim: int | None = None) -> str:
+    return f"SQRT({_dot_sql(a, a, dim)})"
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
+    spread: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries``: (id_col, vec_col) — broadcast (must be driver-small; for
     query sets beyond broadcast size, bucket both sides instead).
     Excludes self-matches. Ties broken by neighbor id for determinism.
+
+    ``dim``: accepted for call-site documentation of the fixed vector
+    dimension; the scoring expression is the same fold either way (an
+    unrolled chain was measured slower — see ``_dot_sql``).
+
+    ``spread``: repartition the corpus side to this many partitions
+    before scoring. The brute-force score is |corpus| x |queries| work
+    hung off the corpus SCAN's partitioning, so a corpus that arrives as
+    one small split (a dedup-gate universe, a filtered sample) runs the
+    whole quadratic stage in ONE task; ``spread=defaultParallelism``
+    restores width (guide §2.5 — repartition after the read when the
+    input's split count, not its bytes, is the bottleneck). Leave None
+    when the corpus is already wide (corpus-scale inputs); the
+    round-robin exchange only moves |corpus| rows and never changes the
+    result (per-pair scores are row-local; ranking ties break on ids).
     """
+    if spread:
+        corpus = corpus.repartition(spread)
     # norms hoisted into the per-side projections (round 7): cosine() per
     # pair re-runs two interpreted norm folds per (row, query) — 3x the
     # per-pair cost, measured on the range_search probe. Same bits:
     # dot/(qnorm*cnorm) with the original operand order.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("_cn")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    if dim is not None:
+        q = queries.selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv", f"{_norm_sql(vec_col, dim)} AS _qn"
+        )
+        c = corpus.selectExpr(
+            f"{id_col} AS neighbor_id", f"{vec_col} AS cv", f"{_norm_sql(vec_col, dim)} AS _cn"
+        )
+        scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
+            f"ROUND({_dot_sql('qv', 'cv', dim)} / (_qn * _cn), 6) AS cos",
         )
-    )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), norm(F.col(vec_col)).alias("_cn")
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), 6).alias("cos"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -104,7 +182,7 @@ def _det_hyperplane(table: int, plane: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_bucket_tables(vec: Column, dim: int, planes: int = 8, tables: int = 16) -> Column:
+def lsh_bucket_tables(vec: Column | str, dim: int, planes: int = 8, tables: int = 16) -> Column:
     """``array<struct<table:int, bucket:string>>`` — one hyperplane-sign
     bucket per LSH table (multi-table = the OR-amplified construction: a
     pair is a candidate if it shares a bucket in ANY table, which drives
@@ -114,7 +192,27 @@ def lsh_bucket_tables(vec: Column, dim: int, planes: int = 8, tables: int = 16) 
     The hyperplanes are ±1 *literals* baked into the plan (computed
     driver-side from md5), so the per-row cost is ``tables × planes``
     fused JVM multiply-adds — unlike ``lsh_bucket`` there is no
-    per-element hashing at runtime."""
+    per-element hashing at runtime.
+
+    Pass ``vec`` as a column NAME to render the whole tables x planes x
+    dim literal tree as one parsed SQL expression (identical nodes; a
+    Column argument keeps the constructor path — the SQL-text twins
+    note: ~9k py4j constructor RPCs saved per call)."""
+    if isinstance(vec, str):
+        entries = []
+        for t in range(tables):
+            signs = []
+            for p in range(planes):
+                hp = ", ".join(_dsql(x) for x in _det_hyperplane(t, p, dim))
+                dotp = (
+                    f"aggregate(zip_with({vec}, array({hp}), "
+                    f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+                )
+                signs.append(f"CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END")
+            entries.append(
+                f"named_struct('table', {t}, 'bucket', concat({', '.join(signs)}))"
+            )
+        return F.expr(f"array({', '.join(entries)})")
     entries = []
     for t in range(tables):
         signs = []
@@ -365,16 +463,19 @@ def random_project(
         in_dim = first["d"]
     signs = rademacher_signs(out_dim, in_dim)
     scale = 1.0 / math.sqrt(out_dim)
+    # SQL-text rendering of the same zip_with/aggregate tree (identical
+    # nodes, one parse instead of out_dim x in_dim literal RPCs — the
+    # SQL-text twins note)
     cols = []
     for k in range(out_dim):
-        s_arr = F.array(*[F.lit(v) for v in signs[k]])
-        total = F.aggregate(
-            F.zip_with(F.col(vec_col), s_arr, lambda x, s: x.cast("double") * s.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        s_arr = ", ".join(str(v) for v in signs[k])
+        total = (
+            f"aggregate(zip_with({vec_col}, array({s_arr}), "
+            f"(x, s) -> CAST(x AS DOUBLE) * CAST(s AS DOUBLE)), "
+            f"0.0D, (acc, v) -> acc + v)"
         )
-        cols.append(F.round(total * F.lit(scale), 6).alias(f"proj_{k}"))
-    return df.select(F.col(id_col), *cols)
+        cols.append(f"round({total} * {_dsql(scale)}, 6) AS proj_{k}")
+    return df.selectExpr(id_col, *cols)
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +507,22 @@ def _sub_euclid_raw(sub: Column, cent: list[float]) -> Column:
 
 def _sub_euclid(sub: Column, cent: list[float]) -> Column:
     return F.round(_sub_euclid_raw(sub, cent), 6)
+
+
+def _sub_euclid_raw_sql(sub: str, cent: list[float]) -> str:
+    """SQL-text twin of :func:`_sub_euclid_raw` — parses to the identical
+    zip_with/aggregate/sqrt tree (NOT an unrolled chain; see the measured
+    regression note above), just without the per-node py4j cost."""
+    c_arr = ", ".join(_dsql(v) for v in cent)
+    return (
+        f"sqrt(aggregate(zip_with({sub}, array({c_arr}), "
+        f"(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def _sub_euclid_sql(sub: str, cent: list[float]) -> str:
+    return f"round({_sub_euclid_raw_sql(sub, cent)}, 6)"
 
 
 def pq_codebooks_from_first_k(
@@ -455,17 +572,20 @@ def pq_encode(
     (``ivf_topk``) composes in front for the full IVF-PQ stack."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    # rendered as ONE selectExpr string: the tree is identical to the
+    # F.array/F.struct/fold construction (same HOF nodes — the unrolled
+    # arithmetic alternative was measured SLOWER, see _sub_euclid_raw),
+    # but built in a single parse instead of ~2k py4j constructor calls
+    # (~1-5 ms each of driver time — the SQL-text twins note).
     code_cols = []
     for j in range(m):
-        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
-        cands = F.array(
-            *[
-                F.struct(_sub_euclid(subvec, cent).alias("d"), F.lit(c).alias("c"))
-                for c, cent in enumerate(codebooks[j])
-            ]
+        subvec = f"slice({vec_col}, {j * sub + 1}, {sub})"
+        cands = ", ".join(
+            f"named_struct('d', {_sub_euclid_sql(subvec, cent)}, 'c', {c})"
+            for c, cent in enumerate(codebooks[j])
         )
-        code_cols.append(F.array_min(cands)["c"])
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+        code_cols.append(f"array_min(array({cands})).c")
+    return df.selectExpr(id_col, f"array({', '.join(code_cols)}) AS codes")
 
 
 def pq_adc_topk(
@@ -495,21 +615,22 @@ def pq_adc_topk(
     if len(query) != m * sub:
         raise ValueError(f"query dim {len(query)} != {m * sub}")
     encoded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    total = None
+    # LUT entries are all-literal expressions — rendered as SQL text (one
+    # parse) and constant-folded by Catalyst exactly as the F.* form was;
+    # keeping the fold in Catalyst (rather than computing the constants in
+    # Python) preserves the engine's rounding bit-for-bit by construction.
+    terms = []
     for j in range(m):
         q_sub = [float(v) for v in query[j * sub : (j + 1) * sub]]
-        lut = F.array(
-            *[
-                F.round(
-                    _sub_euclid_raw(F.array(*[F.lit(v) for v in q_sub]), cent) * 1_000_000
-                ).cast("long")
-                for cent in codebooks[j]
-            ]
+        q_arr = f"array({', '.join(_dsql(v) for v in q_sub)})"
+        lut = ", ".join(
+            f"CAST(round({_sub_euclid_raw_sql(q_arr, cent)} * 1000000, 0) AS BIGINT)"
+            for cent in codebooks[j]
         )
-        term = F.element_at(lut, F.col("codes")[j] + 1)
-        total = term if total is None else total + term
+        terms.append(f"element_at(array({lut}), codes[{j}] + 1)")
+    total = " + ".join(terms)
     return (
-        encoded.select(F.col(id_col), total.alias("dist_micro"))
+        encoded.selectExpr(id_col, f"{total} AS dist_micro")
         .orderBy("dist_micro", id_col)
         .limit(k_top)
         .select(
@@ -569,6 +690,7 @@ def range_search(
     threshold: float = 0.2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact radius search: every (query, corpus) pair with cosine ≥
     ``threshold`` → ``(query_id, corpus_id, cos)``. The "find everything
@@ -591,6 +713,24 @@ def range_search(
     # (row, query) — measured 3x the per-pair cost (probe α crept to
     # 1.11 before this; the per-pair work is now a single dot fold).
     # Bit-identical result: the same double norm values multiply either way.
+    # ``dim`` routes the per-pair dot through the codegen'd unrolled chain
+    # (bit-identical — see the SQL-text twins note at the top).
+    if dim is not None:
+        q = queries.selectExpr(
+            f"{id_col} AS query_id", f"{vec_col} AS qv", f"{_norm_sql(vec_col, dim)} AS _qn"
+        )
+        c = corpus.selectExpr(
+            f"{id_col} AS corpus_id", f"{vec_col} AS cv", f"{_norm_sql(vec_col, dim)} AS _cn"
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+            .selectExpr(
+                "query_id",
+                "corpus_id",
+                f"ROUND({_dot_sql('qv', 'cv', dim)} / (_qn * _cn), 6) AS cos",
+            )
+            .where(F.col("cos") >= F.lit(threshold))
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("_qn")
     )

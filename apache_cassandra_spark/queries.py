@@ -1116,7 +1116,7 @@ def q_dedup_embedding_exact(spark, sf_dir):
     """O(n²) baseline at a low threshold — small-sf oracle cross-check for
     the cosine expression itself (not the shipped dedup path)."""
     return dedup.embedding_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35, method="brute"
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, method="brute", dim=_EMB_DIM
     )
 
 
@@ -1780,7 +1780,7 @@ def q_corpus_sample_importance(spark, sf_dir):
 
 def q_sim_topk(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5)
+    return similarity.cosine_topk(em, em.where(F.col("vec_id") < 5), k=5, dim=_EMB_DIM)
 
 
 def q_embedding_quantize(spark, sf_dir):
@@ -1845,8 +1845,10 @@ def q_sim_pq_topk(spark, sf_dir):
     replay matches bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebooks(spark, sf_dir)
-    (qrow,) = emb.where(F.col("vec_id") == 0).collect()
-    query = [float(v) for v in qrow["embedding"]]
+    # query = subspace-concat of codebook row 0: the codebooks ARE the
+    # vec_id 0..7 slices (pq_codebooks_from_first_k), so vec 0 needs no
+    # second scan-and-collect job
+    query = [float(v) for j in range(len(cb)) for v in cb[j][0]]
     return similarity.pq_adc_topk(emb, query, cb, k_top=25)
 
 
@@ -2752,7 +2754,7 @@ def q_sim_range_search(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
-    return range_search(emb, q, threshold=0.2)
+    return range_search(emb, q, threshold=0.2, dim=_EMB_DIM)
 
 
 def q_tpch_q18ish(spark, sf_dir):
@@ -5106,7 +5108,12 @@ def _mutual_knn_edges(spark, sf_dir):
     from apache_cassandra_spark.analytics.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    knn = cosine_topk(emb, emb, k=8).select("query_id", "neighbor_id")
+    # the 500-vector universe arrives as ONE parquet split, which would
+    # run the entire 500x500 brute-force scoring in a single task —
+    # spread restores scan-width parallelism (r14; see cosine_topk)
+    knn = cosine_topk(
+        emb, emb, k=8, dim=_EMB_DIM, spread=spark.sparkContext.defaultParallelism
+    ).select("query_id", "neighbor_id")
     rev = knn.select(
         F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
     )

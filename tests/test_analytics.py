@@ -1072,6 +1072,53 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert both and all(abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]) for r in both)
 
 
+def test_sql_text_twins_bit_identical(spark):
+    """r14 optimization lock: the SQL-text renderings (_dot_sql/_norm_sql/
+    _sub_euclid_sql/lsh_bucket_tables-by-name) must stay BIT-identical to
+    their Column-constructor twins — they exist purely to cut py4j
+    plan-construction RPCs, never to change a double."""
+    import math
+
+    vals = [
+        [0.1, -2.5, 3.75, 1e-7, -0.0, 123456.789, -9.25, 0.333333],
+        [1.0, 2.0, -3.0, 4.5, 5.25, -6.125, 7.0, 8.875],
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "vec_id long, embedding array<double>")
+    hof = df.select(
+        similarity.dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        similarity.norm(F.col("embedding")).alias("n"),
+        similarity._sub_euclid(F.slice("embedding", 1, 4), [0.5, -1.5, 2.25, 0.0]).alias("e"),
+    ).collect()
+    sql = df.selectExpr(
+        f"{similarity._dot_sql('embedding', 'embedding')} AS d",
+        f"{similarity._norm_sql('embedding')} AS n",
+        f"{similarity._sub_euclid_sql('slice(embedding, 1, 4)', [0.5, -1.5, 2.25, 0.0])} AS e",
+    ).collect()
+    for a, b in zip(hof, sql):
+        for f in ("d", "n", "e"):
+            assert math.copysign(1.0, a[f]) == math.copysign(1.0, b[f]) and a[f] == b[f], (f, a[f], b[f])
+    by_col = df.select(similarity.lsh_bucket_tables(F.col("embedding"), 8, planes=4, tables=3).alias("t")).collect()
+    by_name = df.select(similarity.lsh_bucket_tables("embedding", 8, planes=4, tables=3).alias("t")).collect()
+    assert [r["t"] for r in by_col] == [r["t"] for r in by_name]
+
+
+def test_cosine_topk_spread_matches_unspread(spark):
+    """spread only adds a round-robin exchange ahead of the quadratic
+    scoring stage — the ranked output must be row-identical."""
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    base = {tuple(r) for r in similarity.cosine_topk(df, df.where(F.col("vec_id") < 4), k=3).collect()}
+    wide = {
+        tuple(r)
+        for r in similarity.cosine_topk(
+            df, df.where(F.col("vec_id") < 4), k=3, dim=8, spread=8
+        ).collect()
+    }
+    assert base == wide
+
+
 def test_random_project_preserves_distances_roughly(spark):
     """JL sanity on real embeddings: projecting 64 -> 16 dims keeps
     pairwise euclidean distances within a generous distortion band for
