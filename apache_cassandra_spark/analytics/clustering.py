@@ -20,12 +20,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from apache_cassandra_spark.analytics.similarity import _dsql
+
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None or first["d"] is None:
         raise ValueError("empty corpus or null first vector; pass vectors")
     return first["d"]
+
+
+def _sq_dist_sql(vec: str, cent: list[float]) -> str:
+    """SQL text of the squared-euclidean fold the Lloyd loop has always
+    used — identical zip_with/aggregate nodes, one parse instead of a
+    literal RPC per coordinate (the similarity SQL-text twins note;
+    every round re-embeds k x dim centroid literals, so the constructor
+    path cost seconds of driver time per query)."""
+    c_arr = ", ".join(_dsql(c) for c in cent)
+    return (
+        f"aggregate(zip_with({vec}, array({c_arr}), (x, c) -> (x - c) * (x - c)), "
+        f"0.0D, (acc, d) -> acc + d)"
+    )
+
+
+def _round_mean_array_sql(dim: int, ndigits: int | None) -> str:
+    """Per-dimension centroid means packaged as ONE array aggregate —
+    k x dim values still reach the driver, in one column instead of
+    ``dim`` python-built aggregate Columns."""
+    if ndigits is None:
+        cols = ", ".join(f"avg(_v[{i}])" for i in range(dim))
+    else:
+        cols = ", ".join(f"round(avg(_v[{i}]), {ndigits})" for i in range(dim))
+    return f"array({cols})"
 
 
 def kmeans_assign(
@@ -50,28 +76,10 @@ def kmeans_assign(
         raise ValueError("empty corpus")
     centroids: list[list[float]] = [list(first_row[0]["_v"])]
     while len(centroids) < k:
-        min_dist = F.least(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_v"),
-                        F.array(*[F.lit(float(c)) for c in cent]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                )
-                for cent in centroids
-            ]
-        ) if len(centroids) > 1 else F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.array(*[F.lit(float(c)) for c in centroids[0]]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
+        # min over the per-centroid squared-distance folds (SQL text —
+        # same nodes, one parse per round instead of dim RPCs per centroid)
+        folds = [_sq_dist_sql("_v", cent) for cent in centroids]
+        min_dist = F.expr(f"least({', '.join(folds)})" if len(folds) > 1 else folds[0])
         far = (
             v.withColumn("_d", min_dist)
             .orderBy(F.col("_d").desc(), id_col)
@@ -84,33 +92,17 @@ def kmeans_assign(
     def assign(frame: DataFrame) -> DataFrame:
         # dist to each centroid as a literal-folded expression; argmin via
         # array_min over (dist, index) structs — ties take the lower index
-        cands = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_v"),
-                            F.array(*[F.lit(float(c)) for c in cent]),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, d: acc + d,
-                    ).alias("dist"),
-                    F.lit(i).alias("idx"),
-                )
-                for i, cent in enumerate(centroids)
-            ]
+        cands = ", ".join(
+            f"named_struct('dist', {_sq_dist_sql('_v', cent)}, 'idx', {i})"
+            for i, cent in enumerate(centroids)
         )
-        return frame.withColumn("cluster", F.array_min(cands).idx)
+        return frame.withColumn("cluster", F.expr(f"array_min(array({cands})).idx"))
 
+    mean_arr = _round_mean_array_sql(dim, None)
     for _ in range(iters):
         assigned = assign(v)
-        new_rows = (
-            assigned.groupBy("cluster")
-            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
-            .collect()
-        )
-        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        new_rows = assigned.groupBy("cluster").agg(F.expr(f"{mean_arr} AS cents")).collect()
+        by_cluster = {r["cluster"]: list(r["cents"]) for r in new_rows}
         # empty cluster -> keep previous centroid (deterministic)
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
 
@@ -151,38 +143,21 @@ def kmeans_assign_exact(
     centroids: list[list[float]] = [list(r["_v"]) for r in init]
 
     def assign(frame: DataFrame) -> DataFrame:
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.sqrt(
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("_v"),
-                                    F.array(*[F.lit(float(c)) for c in cent]),
-                                    lambda x, c: (x - c) * (x - c),
-                                ),
-                                F.lit(0.0),
-                                lambda acc, d: acc + d,
-                            )
-                        ),
-                        6,
-                    ).alias("dist"),
-                    F.lit(i).alias("idx"),
-                )
-                for i, cent in enumerate(centroids)
-            ]
+        cands = ", ".join(
+            f"named_struct('dist', round(sqrt({_sq_dist_sql('_v', cent)}), 6), 'idx', {i})"
+            for i, cent in enumerate(centroids)
         )
-        return frame.withColumn("_best", F.array_min(cands))
+        return frame.withColumn("_best", F.expr(f"array_min(array({cands}))"))
 
+    mean_arr = _round_mean_array_sql(dim, 6)
     for _ in range(iters):
         assigned = assign(v)
         new_rows = (
             assigned.groupBy(F.col("_best").idx.alias("cluster"))
-            .agg(*[F.round(F.avg(F.col("_v")[i]), 6).alias(f"c{i}") for i in range(dim)])
+            .agg(F.expr(f"{mean_arr} AS cents"))
             .collect()
         )
-        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        by_cluster = {r["cluster"]: list(r["cents"]) for r in new_rows}
         centroids = [by_cluster.get(i, centroids[i]) for i in range(k)]
 
     final = assign(v)
@@ -209,29 +184,11 @@ def assign_to_centroids(
 
     Scale: centroids fold into the plan as literals (k × dim doubles) —
     a map-only projection, no join, no shuffle."""
-    cands = F.array(
-        *[
-            F.struct(
-                F.round(
-                    F.sqrt(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col(vec_col),
-                                F.array(*[F.lit(float(c)) for c in cent]),
-                                lambda x, c: (x - c) * (x - c),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, d: acc + d,
-                        )
-                    ),
-                    6,
-                ).alias("dist"),
-                F.lit(i).alias("idx"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
+    cands = ", ".join(
+        f"named_struct('dist', round(sqrt({_sq_dist_sql(vec_col, cent)}), 6), 'idx', {i})"
+        for i, cent in enumerate(centroids)
     )
-    best = F.array_min(cands)
+    best = F.expr(f"array_min(array({cands}))")
     return df.select(F.col(id_col), best.idx.alias("cluster"), best.dist.alias("dist"))
 
 

@@ -627,7 +627,12 @@ def minhash_signatures(
     grams = _shingle_stream(df, text_col, id_col, n)
     base = (_hash64(F.col("shingle"), "mh") % F.lit(_MERSENNE_31)).alias("_h")
     hashed = grams.select("id", base)
-    mins = [F.min(_perm_hash(F.col("_h"), p)).alias(f"minhash_{p}") for p in range(num_perm)]
+    # the num_perm min-aggregates as SQL text (identical nodes — the
+    # similarity SQL-text twins note: ~7 constructor RPCs per perm saved)
+    mins = [
+        F.expr(f"min((_h * {2 * p + 1} + {p * p + 7}) % {_MERSENNE_31})").alias(f"minhash_{p}")
+        for p in range(num_perm)
+    ]
     return hashed.groupBy("id").agg(*mins)
 
 
@@ -706,19 +711,17 @@ def _minhash_band_rows(
     rows_per_band = num_perm // bands
     band_rows = []
     for band in range(bands):
-        elems = [
-            F.concat_ws(":", F.lit(f"{p:02d}"), F.col(f"minhash_{p}").cast("string"))
+        elems = ", ".join(
+            f"concat_ws(':', '{p:02d}', CAST(minhash_{p} AS STRING))"
             for p in range(band * rows_per_band, (band + 1) * rows_per_band)
-        ]
-        band_rows.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.array_join(F.array_sort(F.array(*elems)), ",")).alias("bucket"),
-            )
         )
-    return sig.select("id", F.explode(F.array(*band_rows)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+        band_rows.append(
+            f"named_struct('band', {band}, "
+            f"'bucket', md5(array_join(array_sort(array({elems})), ',')))"
+        )
+    return sig.select(
+        "id", F.explode(F.expr(f"array({', '.join(band_rows)})")).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_candidates(
@@ -998,9 +1001,12 @@ def dup_groups_star(
         return max(1, min(spark_parts, n_edges // 50_000 + 1))
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(F.col(id_a) != F.col(id_b))
-    # undirected edge set, canonically oriented (hi > lo)
+    # undirected edge set, canonically oriented (hi > lo). The checkpoint
+    # is LAZY so the count() below materializes it in the same job — an
+    # eager checkpoint plus a separate count paid two job launches per
+    # lineage cut for no extra information (r14; same merge per round)
     edges = (
-        e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")).distinct().localCheckpoint(eager=True)
+        e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")).distinct().localCheckpoint(eager=False)
     )
     # node set from the CHECKPOINTED edges, not the input pairs: deriving
     # it from `pairs` would re-execute the whole candidate-generation
@@ -1039,7 +1045,9 @@ def dup_groups_star(
             )
             .distinct()
             .coalesce(_parts(n))
-            .localCheckpoint(eager=True)
+            # lazy: the signature collect right below is the round's
+            # action and materializes the checkpoint in the same job
+            .localCheckpoint(eager=False)
         )
         sig = edges.agg(
             F.count(F.lit(1)).alias("n"),

@@ -269,13 +269,15 @@ def hits(
         edges.where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
         .groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .agg(F.sum(w).cast("long").alias("w"))
-        .localCheckpoint(eager=True)
+        # lazy (r14): the int64-ceiling probe below is the first action
+        # and materializes the cut in the same job
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # int64 safety must be checked BEFORE any aggregate runs: with
@@ -289,9 +291,20 @@ def hits(
     # in-weight, hub sums by out-weight — summing both directions into
     # one total would reject graphs ~2x inside the real ceiling (and
     # double-count self-loops)
-    mx_in = e.groupBy("dst").agg(F.sum("w").alias("tw")).agg(F.max("tw")).first()[0]
-    mx_out = e.groupBy("src").agg(F.sum("w").alias("tw")).agg(F.max("tw")).first()[0]
-    mx_w = max(mx_in or 0, mx_out or 0)
+    # ONE job for both directional ceilings (r14): tag each edge end with
+    # its direction and aggregate (direction, node) — the in/out sums stay
+    # separate (summing them together would reject graphs ~2x inside the
+    # real ceiling), but the two scalar maxes share a single job launch
+    directional = e.select(F.lit("i").alias("_dir"), F.col("dst").alias("node"), "w").unionByName(
+        e.select(F.lit("o").alias("_dir"), F.col("src").alias("node"), "w")
+    )
+    mx_row = (
+        directional.groupBy("_dir", "node")
+        .agg(F.sum("w").alias("tw"))
+        .agg(F.max("tw").alias("mx"))
+        .first()
+    )
+    mx_w = (mx_row["mx"] if mx_row else 0) or 0
     if mx_w > _weight_ceiling:
         raise ValueError(
             f"hits: a node's total directional weight {mx_w} exceeds the "
@@ -497,11 +510,13 @@ def k_core(
         raise ValueError("k must be >= 0")
     und = _undirected_edges(edges, src_col, dst_col)
     # symmetric view: one row per (node, neighbor) direction, so degree
-    # is a plain count on the first column
+    # is a plain count on the first column. Checkpoint LAZY — the count
+    # right below materializes it in the same job instead of paying a
+    # separate eager-checkpoint job first (r14; same merge per round)
     sym = (
         und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         .unionByName(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     n_prev = sym.count()
@@ -522,7 +537,7 @@ def k_core(
         sym = (
             sym.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_now = sym.count()
         converged = n_now == n_prev or n_now == 0
@@ -592,15 +607,20 @@ def coreness(
     from pyspark.sql import Window
 
     und = _undirected_edges(edges, src_col, dst_col)
+    # LAZY checkpoints (r14): the emptiness probe below materializes both
+    # in one job; in bounded-replay mode this also stops charging two
+    # eager-checkpoint jobs to a path that otherwise runs as one linear
+    # plan (the persisted levels are still computed once — each round
+    # references the same checkpointed RDD object)
     sym = (
         und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         .unionByName(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     est = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bounded = rounds is not None
     converged = est.limit(1).count() == 0
@@ -619,8 +639,9 @@ def coreness(
         if not bounded:
             # the convergence count below is a per-round ACTION, so the
             # estimate chain would re-execute from scratch each round
-            # without a lineage cut — the dup_groups_star discipline
-            new_est = new_est.localCheckpoint(eager=True)
+            # without a lineage cut — the dup_groups_star discipline.
+            # Lazy: the n_changed count materializes it in the same job.
+            new_est = new_est.localCheckpoint(eager=False)
             # convergence detection is worth its |V|-keyed join + count
             # only when it can END the loop; bounded replay runs its
             # fixed N rounds regardless (idempotent at fixpoint)
