@@ -72,6 +72,11 @@ _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
+#: memoized url-key expression triples, keyed by
+#: (url_col, strip_www, tracking_params) — see with_url_keys
+_URL_KEY_COLS: dict[tuple, dict[str, Column]] = {}
+
+
 def _is_tracking(param: Column, tracking_params: tuple[str, ...]) -> Column:
     """True when a single ``k=v`` query token is tracker noise."""
     key = F.split(param, "=").getItem(0)
@@ -334,15 +339,25 @@ def with_url_keys(
     ``tracking_params`` threads through to :func:`canonicalize_url` (and
     from here through every downstream operator), so a corpus that knows
     its ``ref`` is a tracker opts in without reimplementing the chain."""
-    canon = canonicalize_url(F.col(url_col), strip_www=strip_www, tracking_params=tracking_params)
-    host = extract_host(F.col(url_col), strip_www=strip_www)
-    return df.withColumns(
-        {
-            "canonical_url": canon,
+    # The three key expressions are pure functions of (url_col, strip_www,
+    # tracking_params) — memoized because building the regexp chains costs
+    # ~70 py4j constructor RPCs (1-5 ms each of driver time), and the
+    # composed operators (plan_frontier, prepare_crawl) instantiate this
+    # projection several times per query. Column objects are immutable
+    # expression wrappers, safe to reuse across DataFrames.
+    key = (url_col, strip_www, tuple(tracking_params))
+    cols = _URL_KEY_COLS.get(key)
+    if cols is None:
+        host = extract_host(F.col(url_col), strip_www=strip_www)
+        cols = {
+            "canonical_url": canonicalize_url(
+                F.col(url_col), strip_www=strip_www, tracking_params=tracking_params
+            ),
             "host": host,
             "domain": registrable_domain(host),
         }
-    )
+        _URL_KEY_COLS[key] = cols
+    return df.withColumns(cols)
 
 
 def dedup_urls(

@@ -1155,3 +1155,15 @@ def test_prepare_crawl_composed_gate_plan_locks(spark):
     assert "Python" not in plan and "Cartesian" not in plan
     # the winner window is the WindowGroupLimit form, per page
     assert "WindowGroupLimit" in plan
+
+
+def test_widened_scan_keeps_pushdown(spark):
+    """r14 scale-adaptive input widening: the round-robin exchange added
+    after a narrow scan must not block predicate pushdown — the filter
+    still lands in the parquet scan's PushedFilters below the exchange."""
+    from apache_cassandra_spark.queries import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.1", "orders").where(F.col("o_orderkey") == 42)
+    plan = plan_of(df)
+    assert "RoundRobinPartitioning" in plan  # the widening exchange is present
+    assert "EqualTo(o_orderkey,42)" in plan  # ...and pushdown still reached the scan
