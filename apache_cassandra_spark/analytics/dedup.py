@@ -636,6 +636,46 @@ def minhash_signatures(
     return hashed.groupBy("id").agg(*mins)
 
 
+def _observe_truncation(
+    sizes: DataFrame, max_bucket_size: int, op_name: str
+) -> DataFrame:
+    """Attach a CollectMetrics observation counting over-cap buckets and
+    a daemon thread that emits the star-linking warning when the
+    caller's first action completes. Replaces a construction-time
+    ``.count()`` that cost one full execution of the upstream signature
+    pipeline per call (guide §5: no driver actions in query paths).
+    If no action ever runs, the thread parks forever on ``obs.get`` —
+    daemon threads die with the interpreter, nothing leaks."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    sizes = sizes.observe(
+        obs,
+        F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("n_hot"),
+    )
+
+    def _warn() -> None:
+        try:
+            n_hot = obs.get["n_hot"]
+        except Exception:  # session stopped before any action — no metrics
+            return
+        if n_hot:
+            _LOG.warning(
+                "%s: %d bucket(s) over %d members star-linked through a "
+                "representative instead of all-pairs (connectivity "
+                "preserved; non-representative pairs in those buckets "
+                "are indirect)",
+                op_name,
+                n_hot,
+                max_bucket_size,
+            )
+
+    threading.Thread(target=_warn, daemon=True, name=f"{op_name}-truncation-log").start()
+    return sizes
+
+
 def _bucketed_pairs(
     buckets: DataFrame,
     bucket_cols: list[str],
@@ -654,23 +694,19 @@ def _bucketed_pairs(
     star = None
     if max_bucket_size is not None:
         # small (one row per distinct bucket); cached because both the
-        # membership join and the truncation-visibility count read it
+        # small and hot membership joins read it
         sizes = buckets.groupBy(*bucket_cols).agg(F.count("*").alias("_bsz")).cache()
+        if log_truncated:
+            # truncation visibility WITHOUT a driver action (r14): the old
+            # eager .count() here executed the whole upstream signature
+            # pipeline at CONSTRUCTION time — a full extra job per call
+            # before the caller's action even ran. An Observation rides the
+            # plan for free and a daemon thread logs once the caller's
+            # first action materializes the metrics.
+            sizes = _observe_truncation(sizes, max_bucket_size, op_name)
         with_sz = buckets.join(sizes, bucket_cols)
         small = with_sz.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
         hot = with_sz.where(F.col("_bsz") > max_bucket_size).drop("_bsz")
-        if log_truncated:
-            n_hot = sizes.where(F.col("_bsz") > max_bucket_size).count()
-            if n_hot:
-                _LOG.warning(
-                    "%s: %d bucket(s) over %d members star-linked through a "
-                    "representative instead of all-pairs (connectivity "
-                    "preserved; non-representative pairs in those buckets "
-                    "are indirect)",
-                    op_name,
-                    n_hot,
-                    max_bucket_size,
-                )
         reps = hot.groupBy(*bucket_cols).agg(F.min("id").alias("_rep"))
         star = (
             hot.join(reps, bucket_cols)
