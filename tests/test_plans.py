@@ -1167,3 +1167,31 @@ def test_widened_scan_keeps_pushdown(spark):
     plan = plan_of(df)
     assert "RoundRobinPartitioning" in plan  # the widening exchange is present
     assert "EqualTo(o_orderkey,42)" in plan  # ...and pushdown still reached the scan
+
+
+def test_set_similarity_materializes_shingles_once(spark):
+    """r14: the shared shingle/banding intermediates are eager local
+    checkpoints, not lazy caches — the tokenize+explode+distinct pipeline
+    (the operator's dominant map cost at corpus scale) runs EXACTLY once
+    at construction. A lazy cache let the 3-5 downstream consumers race a
+    cold cache and each recompute the whole corpus explode. The lock: the
+    returned plan's lineage is rooted at the materialized RDD — it
+    contains NO Generate (explode) and no scan of the input — so no
+    consumer can ever re-run the shingle pipeline."""
+    from apache_cassandra_spark.analytics.dedup import (
+        minhash_lsh_candidates,
+        prefix_containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} epsilon zeta eta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for fn in (prefix_jaccard_pairs, prefix_containment_pairs):
+        plan = plan_of(fn(docs, threshold=0.5))
+        assert "Generate" not in plan, f"{fn.__name__} re-runs the shingle explode"
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    plan = plan_of(minhash_lsh_candidates(docs, num_perm=8, bands=2))
+    assert "Generate" not in plan, "minhash banding re-runs the signature pipeline"
+    spark.catalog.clearCache()
