@@ -382,7 +382,14 @@ def bm25_topk(
     from pyspark.sql import Window
 
     toked = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    # eager checkpoint (r14): tf has FOUR downstream consumers (dl, the
+    # total_dl scalar, the query-term postings join, and dfreq via tfq);
+    # a lazy cache let their cold-start stages race and re-run the corpus
+    # explode per consumer (see dedup._postings_and_sizes for the
+    # measured race; bm25 2.65s -> 1.98s median at sf0.1). The other
+    # text ops keep their caches: with only 1-2 consumers the forced
+    # materialization job measured SLOWER than the duplicated pass.
+    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     tot = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs")).crossJoin(
         tf.agg(F.sum("tf").alias("total_dl"))
@@ -411,7 +418,7 @@ def bm25_topk(
         .where(F.col("_rk") <= k)
         .select("query_id", id_col, "n_terms", "bm25_micro")
     )
-    return owned_cache(out, tf)
+    return out  # tf is an eager checkpoint, not a cache — nothing to own
 
 
 def collocations(
