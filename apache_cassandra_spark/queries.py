@@ -113,17 +113,25 @@ _WIDEN_MIN_BYTES = 256 * 1024
 def _widened(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Scale-adaptive input width (guide §2.5 — the unsplittable-input
     fix): the driver testdata ships each table as ONE parquet row group,
-    so every compute-heavy stage-1 (tokenize/explode/hash partial-agg,
-    Python codec batches) would run in a single task no matter the core
-    count — split-size configs cannot help because a row group is the
-    parallelism atom. When the scan arrives with fewer splits than
-    defaultParallelism (and the file is big enough to matter), add ONE
-    round-robin exchange of the raw rows right after the read. At
-    cluster scale inputs arrive with >= parallelism splits and this is a
-    no-op — the decision is measured per input, not a constant. Filters
-    still reach the scan (predicates push through Repartition; locked by
-    test_plans.py::test_widened_scan_keeps_pushdown). Interleaved A/B at
-    sf0.1/32 cores: minhash-LSH candidates ~2-6x, JPEG decode ~1.5-2.5x."""
+    so a compute-heavy stage-1 (Python codec batches) would run in a
+    single task no matter the core count — split-size configs cannot
+    help because a row group is the parallelism atom. When the scan
+    arrives with fewer splits than defaultParallelism (and the file is
+    big enough to matter), add ONE round-robin exchange of the raw rows
+    right after the read. At cluster scale inputs arrive with >=
+    parallelism splits and this is a no-op — the decision is measured
+    per input, not a constant. Filters still reach the scan (predicates
+    push through Repartition; locked by
+    test_plans.py::test_widened_scan_keeps_pushdown).
+
+    OPT-IN per call site (``load_table(..., wide=True)``), not blanket:
+    after the r14 eager-checkpoint restructurings the interleaved A/B at
+    sf0.1/32 cores shows the exchange only pays when per-row Python cost
+    is extreme — media_decode_jpeg 0.23x, gif 0.67x, audio 0.91x — while
+    everywhere else the full-row shuffle costs more than the single-task
+    stage it widens (tpch_q17ish 3.1x, wordcount 2.8x, dedup_lines 2.9x,
+    text family 1.6-2.1x, minhash 1.2x slower with widening). Only the
+    Python-codec pipelines opt in."""
     key = (id(spark), path)
     widen = _SCAN_WIDTH.get(key)
     if widen is None:
@@ -145,11 +153,15 @@ def _widened(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism) if widen else df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
     if name == "events":
-        return _widened(spark, load_events(spark, sf_dir), f"{sf_dir}/events.parquet")
+        ev = load_events(spark, sf_dir)
+        return _widened(spark, ev, f"{sf_dir}/events.parquet") if wide else ev
     path = f"{sf_dir}/{name}.parquet"
-    return _widened(spark, spark.read.parquet(path), path)
+    df = spark.read.parquet(path)
+    return _widened(spark, df, path) if wide else df
 
 
 _EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -1749,7 +1761,8 @@ def q_media_audio_features(spark, sf_dir):
         synthetic_wav_sawtooth_payload,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # wide=True: stdlib-wave + numpy decode per row (A/B 0.91x widened)
+    docs = load_table(spark, sf_dir, "documents", wide=True)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         synthetic_wav_sawtooth_payload(F.col("doc_id")).alias("payload"),
@@ -2168,7 +2181,9 @@ def q_media_decode_jpeg(spark, sf_dir):
     Reference parity: media are opaque byte[] column values
     (``db/ColumnFamily.java:37``); decode was client-side there,
     first-class mapInPandas here."""
-    docs = load_table(spark, sf_dir, "documents")
+    # wide=True: the pure-Python T.81 decode is ~4x the scan cost, so the
+    # single-split input must be spread before the codec stage (A/B 0.23x)
+    docs = load_table(spark, sf_dir, "documents", wide=True)
     # exact_jpeg pins the from-scratch decoder: the oracle replays ITS
     # IEEE-double color-convert chain; libjpeg's integer rounding (the
     # optional Pillow fast path) can differ by ±1 per pixel
@@ -2196,7 +2211,8 @@ def q_media_decode_gif(spark, sf_dir):
     recomputes every field from the stripe arithmetic; a wrong palette
     read, a misstepped LZW width bump, or a dropped sub-block shifts the
     means and mismatches the hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    # wide=True: per-row Python LZW decode dominates (A/B 0.67x widened)
+    docs = load_table(spark, sf_dir, "documents", wide=True)
     dec = multimodal.decode_media(multimodal.gif_media_from_documents(docs))
     return dec.select(
         "media_id",
