@@ -46,10 +46,19 @@ def frequent_item_pairs(
     then bounded by max_basket_size² pairs per row). Measured at sf0.1:
     ~19% faster than the previous per-basket self-join (two exchanges +
     sorts saved), byte-identical output."""
-    # NOT cached: the distinct frame feeds its consumers under one action
-    # and ReuseExchange shares the distinct's shuffle between them
-    # (verified: caching changed nothing at sf0.1)
-    items = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i")).distinct()
+    # Eager checkpoint (r14): the distinct (basket, item) frame has THREE
+    # lazy consumers (the item-support aggregate, the basket-size
+    # aggregate, and the pair path itself) and ReuseExchange does NOT
+    # unify them — the captured plan showed the input scanned 4x and the
+    # distinct computed 3x, each with its own exchange (the branches
+    # canonicalize differently once the semi-joins prune their pushed
+    # filters). Materializing it once turns the plan into one scan + one
+    # distinct; every prune then reads the checkpointed blocks.
+    items = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if min_item_support > 1:
         freq = (
             items.groupBy("i")
