@@ -202,6 +202,14 @@ def cm_estimate(
     # back to the best-effort max(w) < width check, which catches only
     # a sketch WIDER than the probe — the too-narrow direction is
     # undetectable without the metadata (the reason the column exists)
+    # Eager checkpoint (r14): the validation aggregate below is a
+    # DRIVER ACTION at construction time, and the probe join re-reads
+    # the sketch under the caller's action — two separate jobs that AQE
+    # stage reuse cannot span, so an unmaterialized sketch pipeline (a
+    # full scan+aggregate of the sketched input) executed TWICE per
+    # estimate. The counter grid is bounded at depth·width·|groups| rows
+    # by construction, so materializing it once is always cheap.
+    sketch = sketch.localCheckpoint(eager=True)
     has_width = "width" in sketch.columns
     aggs = [F.max("d").alias("md"), F.max("w").alias("mw")]
     if has_width:
