@@ -1329,10 +1329,11 @@ def remove_domain_boilerplate(
     disappears from the output (the operator's purpose). Returns
     ``(id, domain, text, n_kept)``.
 
-    Scale shape: the exploded line frame is built once and CACHED (two
-    consumers — the boilerplate aggregate and the survivor join — and
-    ReuseExchange can't unify self-join branches, so without the cache
-    the corpus would be split and exploded twice). The per-(domain,
+    Scale shape: the exploded line frame is built once and eagerly
+    checkpointed (two consumers — the boilerplate aggregate and the
+    survivor join — and ReuseExchange can't unify self-join branches;
+    a lazy cache additionally let the two consumers' cold-start stages
+    race and each re-run the split+explode). The per-(domain,
     line) count is ``count_distinct(page)``: its partial stage is a
     (domain, line, page)-keyed dedup, so one row PER PAGE per line
     crosses the first exchange (distinct counting cannot combine to one
@@ -1344,11 +1345,15 @@ def remove_domain_boilerplate(
     fan-in; reassembly shuffles each page's surviving lines once
     (bounded by page size). No windows, no collects, no broadcasts
     forced."""
+    # eager checkpoint (r14): the boilerplate aggregate and the survivor
+    # join consume the exploded line frame concurrently under one action;
+    # as a lazy cache their cold-start stages raced and re-ran the
+    # corpus split+explode per consumer (see _postings_and_sizes)
     lines = df.select(
         F.col(id_col).alias("id"),
         F.col(domain_col).alias("dom"),
         F.posexplode(_split_literal(text_col, delim)).alias("pos", "line"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     domain_pages = df.groupBy(F.col(domain_col).alias("dom")).agg(
         F.count_distinct(F.col(id_col)).alias("_n_dom")
     )
@@ -1377,7 +1382,9 @@ def remove_domain_boilerplate(
             F.col("id").alias(id_col), F.col("dom").alias(domain_col), text_col, "n_kept"
         )
     )
-    return owned_cache(out, lines)
+    # no owned_cache: the checkpointed line frame never enters the
+    # CacheManager; its blocks are freed by the ContextCleaner on GC
+    return out
 
 
 def dedup_within_doc(
