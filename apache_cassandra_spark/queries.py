@@ -6469,7 +6469,10 @@ def q_web_plan_frontier(spark, sf_dir):
         .repartition("host")
         .select(web.registrable_domain(F.col("host")).alias("domain"))
         .distinct()
-        .localCheckpoint()
+        # lazy (r14): the eager cut ran a ~0.9s job at plan-construction
+        # time; materializing at the caller's action instead lets the
+        # scheduler overlap it with the action's independent stages
+        .localCheckpoint(eager=False)
     )
     robots_df = domains.withColumn(
         "robots_txt",
