@@ -31,9 +31,12 @@ PACKAGE = Path(__file__).resolve().parent.parent / "apache_cassandra_spark"
 # (module relpath, broadcast argument source) -> (count, documented bound)
 ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
     ("analytics/similarity.py", "q"): (
-        4,
+        6,
         "query/seed set: bounded by the caller's request, documented "
-        "seed-set-broadcast semantic with a bucketed alternative",
+        "seed-set-broadcast semantic with a bucketed alternative; 6 "
+        "sites because the r14 SQL-text dim branches duplicate the "
+        "cosine_topk/range_search join (dim-tagged selectExpr vs "
+        "Column form — same seed set either way)",
     ),
     ("analytics/similarity.py", "cn"): (2, "k centroid rows (k ~ 10^2..10^4)"),
     ("analytics/similarity.py", "cents"): (1, "k centroid rows"),
