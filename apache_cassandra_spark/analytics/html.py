@@ -316,19 +316,31 @@ def anchor_text_corpus(
     )
 
 
+#: memoized page-text expression quads, keyed by html_col — the
+#: web.py _URL_KEY_COLS discipline: the four chains are pure functions
+#: of the column name, cost ~380 py4j constructor RPCs to build, and
+#: the composed crawl operators re-instantiate this projection per
+#: invocation. Column objects are immutable expression wrappers, safe
+#: to reuse across DataFrames.
+_PAGE_TEXT_COLS: dict[str, dict[str, Column]] = {}
+
+
 def with_page_text(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Append ``clean_text``, ``title``, ``n_links``, ``declared_lang``
     — the map-only projection a crawl-ingest pipeline runs once, after
     which every text operator consumes ``clean_text`` instead of
     markup (and ``text.lang_id`` gets its declared-language prior)."""
-    h = F.col(html_col)
-    return df.withColumns(
-        {
+    cols = _PAGE_TEXT_COLS.get(html_col)
+    if cols is None:
+        h = F.col(html_col)
+        cols = {
             "clean_text": html_to_text(h),
             "title": extract_title(h),
             "n_links": F.size(extract_links(h)),
             "declared_lang": extract_lang(h),
         }
+        _PAGE_TEXT_COLS[html_col] = cols
+    return df.withColumns(cols
     )
 
 

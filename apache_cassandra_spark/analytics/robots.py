@@ -69,6 +69,14 @@ _ESC = "\ue004"
 _PRIVATE_HAZARD_RE = "[\ue000-\ue004]|(?i)%EE%80%8[0-4]"
 
 
+def _sql_lit(s: str) -> str:
+    """Single-quoted Spark SQL string literal. The default parser mode
+    interprets backslash escapes inside literals, so backslashes double
+    — the parsed-back string (and thus the Java regex it becomes) is
+    byte-identical to the Python source pattern."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _protect_private(x: Column) -> Column:
     """Escape pre-existing private-use marker code points so hostile
     bytes cannot fabricate matcher metacharacters (the r13 verdict's
@@ -170,6 +178,47 @@ def _pct_canon(s: Column, is_rule: bool = False) -> Column:
     return F.when(simple, s).otherwise(F.when(valid, x).otherwise(s))
 
 
+def _protect_private_sql(x: str) -> str:
+    """SQL-text twin of :func:`_protect_private` — same replace chain
+    rendered as one string (see :func:`_pct_canon_sql` for why)."""
+    out = f"regexp_replace({x}, {_sql_lit(_ESC)}, {_sql_lit(_ESC + '4')})"
+    for i, ch in enumerate((_SENT_STAR, _SENT_DOLLAR, _LIT_STAR, _LIT_DOLLAR)):
+        out = f"regexp_replace({out}, {_sql_lit(ch)}, {_sql_lit(_ESC + str(i))})"
+    for i in range(5):
+        out = f"regexp_replace({out}, {_sql_lit(f'(?i)%EE%80%8{i}')}, {_sql_lit(_ESC + str(i))})"
+    return out
+
+
+def _pct_canon_sql(s: str, is_rule: bool = False) -> str:
+    """SQL-text twin of :func:`_pct_canon` over a column/expression
+    string — node-for-node the same expression, rendered in Python and
+    parsed in ONE pass instead of ~250-400 py4j constructor RPCs (the
+    r14 similarity-family lever, guide §7.3 "very large plans": the
+    composed crawl operators rebuild this tree several times per
+    invocation, all single-threaded driver time). Locked result-
+    identical to the Column twin on the percent-hazard alphabet by
+    tests/test_robots.py::test_sql_text_twins_match_column_builders."""
+    valid = f"NOT ({s} RLIKE {_sql_lit('%(?![0-9A-Fa-f]{2})')})"
+    base = (
+        f"CASE WHEN {s} RLIKE {_sql_lit(_PRIVATE_HAZARD_RE)} "
+        f"THEN {_protect_private_sql(s)} ELSE {s} END"
+    )
+    esc_plus, esc_star = _sql_lit(r"\+"), _sql_lit(r"\*")
+    esc_dollar, esc_tail_dollar = _sql_lit(r"\$"), _sql_lit(r"\$$")
+    x = f"regexp_replace({base}, {esc_plus}, '%2B')"
+    if is_rule:
+        x = f"regexp_replace({x}, {esc_star}, {_sql_lit(_SENT_STAR)})"
+        x = f"regexp_replace({x}, {esc_tail_dollar}, {_sql_lit(_SENT_DOLLAR)})"
+    x = f"url_decode({x})"
+    x = f"regexp_replace({x}, {esc_star}, {_sql_lit(_LIT_STAR)})"
+    x = f"regexp_replace({x}, {esc_dollar}, {_sql_lit(_LIT_DOLLAR)})"
+    if is_rule:
+        x = f"regexp_replace({x}, {_sql_lit(_SENT_STAR)}, '*')"
+        x = f"regexp_replace({x}, {_sql_lit(_SENT_DOLLAR)}, {esc_dollar})"
+    simple = f"NOT ({s} RLIKE {_sql_lit('[%*$+' + _SENT_STAR + '-' + _ESC + ']')})"
+    return f"CASE WHEN {simple} THEN {s} WHEN {valid} THEN {x} ELSE {s} END"
+
+
 def _glob_hit(path: Column, rule_path: Column) -> Column:
     """Does ``rule_path`` (RFC 9309 pattern: literal bytes, ``*``
     wildcards, optional trailing ``$`` anchor, ``$`` elsewhere literal,
@@ -229,6 +278,39 @@ def _glob_hit(path: Column, rule_path: Column) -> Column:
     ).otherwise(folded["ok"])
 
 
+def _glob_hit_sql(path: str, rule: str) -> str:
+    """SQL-text twin of :func:`_glob_hit` (same greedy linear-time
+    fold, one parsed string instead of ~680 constructor RPCs). Both
+    operands should be materialized attributes — the text references
+    them several times, exactly as the Column twin's shared
+    references evaluate. Locked result-identical to the Column twin
+    by tests/test_robots.py::test_sql_text_twins_match_column_builders."""
+    anchored = f"endswith({rule}, '$')"
+    body = f"CASE WHEN {anchored} THEN substring({rule}, 1, length({rule}) - 1) ELSE {rule} END"
+    esc_star = _sql_lit(r"\*")
+    segs = f"split({body}, {esc_star}, -1)"
+    n = f"size({segs})"
+    first = f"element_at({segs}, 1)"
+    last = f"element_at({segs}, -1)"
+    init = f"named_struct('ok', startswith({path}, {first}), 'pos', length({first}))"
+    mid = (
+        f"CASE WHEN {anchored} THEN slice({segs}, 2, greatest({n} - 2, 0)) "
+        f"ELSE slice({segs}, 2, {n} - 1) END"
+    )
+    step = (
+        f"CASE WHEN (NOT st.ok) OR (length(s) = 0) THEN st ELSE "
+        f"named_struct('ok', locate(s, {path}, st.pos + 1) > 0, "
+        f"'pos', locate(s, {path}, st.pos + 1) - 1 + length(s)) END"
+    )
+    folded = f"aggregate({mid}, {init}, (st, s) -> {step})"
+    return (
+        f"CASE WHEN {anchored} THEN (CASE WHEN {n} = 1 THEN {path} = {first} "
+        f"ELSE ({folded}).ok AND endswith({path}, {last}) "
+        f"AND (length({path}) - length({last}) >= ({folded}).pos) END) "
+        f"ELSE ({folded}).ok END"
+    )
+
+
 def _grouped_directives(
     df: DataFrame,
     agent: str,
@@ -245,55 +327,70 @@ def _grouped_directives(
     disallow rules) and :func:`crawl_delays` (the politeness
     directive) so the two cannot disagree on the group grammar."""
     agent_lc = agent.lower()
+    # Construction is SQL-text throughout (the r14 similarity-family
+    # lever): the directive grammar below is a fixed expression tree
+    # rebuilt on EVERY parse_robots/crawl_delays call, and the Column-
+    # constructor form cost ~1,000 py4j RPCs of single-threaded driver
+    # time per call (guide §7.3). Semantics byte-identical — every
+    # pattern string renders through _sql_lit, so the Java regex the
+    # parser sees is the same one the Column form passed.
+    #
     # real-world formatting is hostile in fail-OPEN ways (a dropped rule
     # means "allowed"): strip a leading UTF-8 BOM (reference parsers
     # skip it), split on \r\n, bare \r, OR bare \n (CR-only files exist
     # in crawl corpora), and trim TABS as well as spaces (RFC 9309's
-    # *WS is space/tab; F.trim alone only strips spaces)
-    text = F.regexp_replace(F.col(text_col), "^﻿", "")
+    # *WS is space/tab; trim() alone only strips spaces)
+    text = f"regexp_replace(`{text_col}`, {_sql_lit('^﻿')}, '')"
     if max_bytes is not None:
         # parse cap: truncate, then drop the cut line's remainder — a
         # half rule like 'Disallow: /priv' (from '/private-x') would be
         # a rule the site never wrote
-        text = F.when(
-            F.length(text) > max_bytes,
-            F.regexp_replace(F.substring(text, 1, max_bytes), r"[^\r\n]*$", ""),
-        ).otherwise(text)
-    ws_trim = lambda c: F.regexp_replace(F.regexp_replace(c, r"^[ \t]+", ""), r"[ \t]+$", "")  # noqa: E731
-    lines = df.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(text, r"\r\n|\r|\n")).alias("lno", "line"),
-    ).select(
-        "domain",
-        "lno",
-        ws_trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+        tail_re = _sql_lit(r"[^\r\n]*$")
+        text = (
+            f"CASE WHEN length({text}) > {int(max_bytes)} THEN "
+            f"regexp_replace(substring({text}, 1, {int(max_bytes)}), {tail_re}, '') "
+            f"ELSE {text} END"
+        )
+    ws_head, ws_tail = _sql_lit(r"^[ \t]+"), _sql_lit(r"[ \t]+$")
+    ws_trim = lambda c: (  # noqa: E731
+        f"regexp_replace(regexp_replace({c}, {ws_head}, ''), {ws_tail}, '')"
     )
-    parsed = lines.select(
+    newline_re = _sql_lit(r"\r\n|\r|\n")
+    lines = df.selectExpr(
+        f"`{domain_col}` AS domain",
+        f"posexplode(split({text}, {newline_re})) AS (lno, line)",
+    ).selectExpr(
         "domain",
         "lno",
-        F.lower(F.regexp_extract("line", r"(?i)^([a-z-]+)[ \t]*:", 1)).alias("field"),
-        ws_trim(F.regexp_extract("line", r"(?i)^[a-z-]+[ \t]*:(.*)$", 1)).alias("value"),
-    ).where(F.col("field") != "")  # every parsed directive shapes groups
-    w = Window.partitionBy("domain").orderBy("lno")
-    is_ua = (F.col("field") == "user-agent").cast("int")
-    grouped = parsed.withColumn(
-        "_start",
-        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0),
-    ).withColumn("gid", F.sum(F.col("_start").cast("int")).over(w))
+        ws_trim(f"regexp_replace(line, {_sql_lit('#.*$')}, '')") + " AS line",
+    )
+    field_re = _sql_lit(r"(?i)^([a-z-]+)[ \t]*:")
+    value_re = _sql_lit(r"(?i)^[a-z-]+[ \t]*:(.*)$")
+    parsed = lines.selectExpr(
+        "domain",
+        "lno",
+        f"lower(regexp_extract(line, {field_re}, 1)) AS field",
+        ws_trim(f"regexp_extract(line, {value_re}, 1)") + " AS value",
+    ).where("field != ''")  # every parsed directive shapes groups
+    over = "OVER (PARTITION BY domain ORDER BY lno)"
+    is_ua = "CAST(field = 'user-agent' AS INT)"
+    grouped = parsed.selectExpr(
+        "*",
+        f"(({is_ua}) = 1) AND (coalesce(lag({is_ua}) {over}, 0) = 0) AS _start",
+    ).selectExpr("*", f"sum(CAST(_start AS INT)) {over} AS gid")
     # agent set per group: does it name our agent exactly? the wildcard?
     agents = (
-        grouped.where(F.col("field") == "user-agent")
+        grouped.where("field = 'user-agent'")
         .groupBy("domain", "gid")
         .agg(
-            F.max((F.lower("value") == agent_lc).cast("int")).alias("has_exact"),
-            F.max((F.col("value") == "*").cast("int")).alias("has_star"),
+            F.expr(f"max(CAST(lower(value) = {_sql_lit(agent_lc)} AS INT))").alias("has_exact"),
+            F.expr("max(CAST(value = '*' AS INT))").alias("has_star"),
         )
     )
     # most-specific-group rule: a domain with ANY exact group ignores *
     dom_exact = agents.groupBy("domain").agg(F.max("has_exact").alias("dom_exact"))
     picked = agents.join(dom_exact, "domain").where(
-        (F.col("has_exact") == 1)
-        | ((F.col("dom_exact") == 0) & (F.col("has_star") == 1))
+        "has_exact = 1 OR (dom_exact = 0 AND has_star = 1)"
     )
     return grouped, picked
 
@@ -342,25 +439,24 @@ def parse_robots(
     exchanges move one small row set per site."""
     grouped, picked = _grouped_directives(df, agent, text_col, domain_col, max_bytes)
     rules = (
-        grouped.where(F.col("field").isin("allow", "disallow") & (F.col("gid") > 0))
+        grouped.where("field IN ('allow', 'disallow') AND gid > 0")
         .join(picked.select("domain", "gid"), ["domain", "gid"], "left_semi")
-        .where(F.col("value") != "")  # empty Disallow: matches nothing
-        .select(
+        .where("value != ''")  # empty Disallow: matches nothing
+        .selectExpr(
             "domain",
             "lno",
-            F.col("value").alias("rule_path"),
-            (F.col("field") == "allow").alias("allow"),
+            "value AS rule_path",
+            "field = 'allow' AS allow",
             # octet length: RFC 9309 precedence is longest-match in BYTES
-            F.octet_length("value").alias("rule_len"),
+            "octet_length(value) AS rule_len",
         )
     )
     if max_rules_per_domain is not None:
         # rules cap, document order — bounds the match join's fan-out
         # per domain against adversarial mega-documents
-        wr = Window.partitionBy("domain").orderBy("lno")
-        rules = rules.withColumn("_rn", F.row_number().over(wr)).where(
-            F.col("_rn") <= max_rules_per_domain
-        )
+        rules = rules.selectExpr(
+            "*", "row_number() OVER (PARTITION BY domain ORDER BY lno) AS _rn"
+        ).where(f"_rn <= {int(max_rules_per_domain)}")
     return rules.select("domain", "rule_path", "allow", "rule_len")
 
 
@@ -384,10 +480,10 @@ def crawl_delays(
     their default pacing."""
     grouped, picked = _grouped_directives(df, agent, text_col, domain_col, max_bytes)
     return (
-        grouped.where((F.col("field") == "crawl-delay") & (F.col("gid") > 0))
+        grouped.where("field = 'crawl-delay' AND gid > 0")
         .join(picked.select("domain", "gid"), ["domain", "gid"], "left_semi")
-        .withColumn("_d", F.col("value").try_cast("double"))
-        .where(F.col("_d").isNotNull() & (F.col("_d") >= 0))
+        .selectExpr("*", "try_cast(value AS double) AS _d")
+        .where("_d IS NOT NULL AND _d >= 0")
         .groupBy("domain")
         .agg(F.max("_d").alias("crawl_delay"))
     )
@@ -415,26 +511,33 @@ def match_allowed(
     one WindowGroupLimit per page for the longest winner."""
     from apache_cassandra_spark.analytics.web import _REST_RE
 
+    # Construction is SQL-text (the r14 similarity-family lever): the
+    # canonicalization + matcher trees below cost ~1,900 py4j RPCs per
+    # call in Column-constructor form, rebuilt on every invocation of
+    # the composed crawl operators (guide §7.3). The rendered
+    # expressions are locked result-identical to the Column twins.
+    #
     # the rules side is renamed up front so a pages frame carrying any
     # 'allow'/'rule_*' column can't make references ambiguous
-    r = rules.select(
-        F.col("domain").alias("_r_domain"),
-        F.col("rule_path").alias("_r_path"),
+    r = rules.selectExpr(
+        "domain AS _r_domain",
+        "rule_path AS _r_path",
         # match in the RFC 9309 §2.2.2 canonical space; _r_path stays
         # original for the matched_rule output and the length tiebreak
-        _pct_canon(F.col("rule_path"), is_rule=True).alias("_r_canon"),
-        F.col("allow").alias("_r_allow"),
-        F.col("rule_len").alias("_r_len"),
+        f"{_pct_canon_sql('rule_path', is_rule=True)} AS _r_canon",
+        "allow AS _r_allow",
+        "rule_len AS _r_len",
     )
     # path+query via web.py's shared URL grammar (_REST_RE already
     # excludes the fragment); empty path defaults to '/'; canonical
     # percent space with raw meta chars re-encoded (URL side)
-    rest = F.regexp_extract(F.col(url_col), _REST_RE, 1)
-    path = F.when(rest == "", F.lit("/")).otherwise(rest)
-    keyed = pages.withColumn("_path", _pct_canon(path))
+    rest = f"regexp_extract(`{url_col}`, {_sql_lit(_REST_RE)}, 1)"
+    path = f"CASE WHEN {rest} = '' THEN '/' ELSE {rest} END"
+    keyed = pages.selectExpr("*", f"{_pct_canon_sql(path)} AS _path")
     joined = keyed.join(r, keyed[domain_col] == r["_r_domain"], "left")
-    matched = joined.withColumn(
-        "_hit", F.col("_r_path").isNotNull() & _glob_hit(F.col("_path"), F.col("_r_canon"))
+    matched = joined.selectExpr(
+        "*",
+        f"(_r_path IS NOT NULL) AND ({_glob_hit_sql('_path', '_r_canon')}) AS _hit",
     )
     w = Window.partitionBy(keyed[id_col]).orderBy(
         F.col("_hit").desc(),

@@ -630,25 +630,31 @@ def fetch_schedule(
     per-domain key skew here reflects the real fetch bottleneck, not a
     plan defect; fetchers shard the schedule by ``fetch_at_sec``
     range, not by domain."""
-    order = [F.col(priority_col).asc(), F.col(id_col).asc()] if priority_col else [
-        F.col(id_col).asc()
-    ]
-    w = Window.partitionBy(domain_col).orderBy(*order)
+    # SQL-text construction (the r14 similarity-family lever): the
+    # window + pacing expressions are fixed trees rebuilt per call
+    # (~290 py4j RPCs in Column form); rendering keeps the plan
+    # node-identical — fractional literals stay DOUBLE via an explicit
+    # cast (bare fractional SQL literals parse as DECIMAL).
+    order_sql = (
+        f"`{priority_col}` ASC, `{id_col}` ASC" if priority_col else f"`{id_col}` ASC"
+    )
     d = (
-        delays.select(
-            F.col("domain").alias("_d_domain"), F.col("crawl_delay").alias("_d_delay")
-        )
+        delays.selectExpr("domain AS _d_domain", "crawl_delay AS _d_delay")
         if delays is not None
         else None
     )
-    out = pages.withColumn("fetch_seq", F.row_number().over(w) - F.lit(1))
+    out = pages.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY `{domain_col}` ORDER BY {order_sql}) - 1 AS fetch_seq",
+    )
+    default_sql = f"CAST({float(default_delay)!r} AS DOUBLE)"
     if d is not None:
         out = out.join(d, out[domain_col] == d["_d_domain"], "left").drop("_d_domain")
-        delay = F.coalesce(F.col("_d_delay"), F.lit(float(default_delay)))
+        delay_sql = f"coalesce(_d_delay, {default_sql})"
     else:
-        delay = F.lit(float(default_delay))
-    return out.withColumn(
-        "fetch_at_sec", (F.col("fetch_seq") * delay).cast("double")
+        delay_sql = default_sql
+    return out.selectExpr(
+        "*", f"CAST(fetch_seq * {delay_sql} AS DOUBLE) AS fetch_at_sec"
     ).drop("_d_delay")
 
 
@@ -771,9 +777,15 @@ def plan_frontier(
         strip_www=strip_www,
         tracking_params=tp,
     )
-    order = ([F.col(priority_col).asc()] if priority_col else []) + [F.col(url_col).asc()]
-    w = Window.partitionBy("canonical_url").orderBy(*order)
-    fresh = keyed.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1).drop("_rk")
+    order_sql = (f"`{priority_col}` ASC, " if priority_col else "") + f"`{url_col}` ASC"
+    fresh = (
+        keyed.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY canonical_url ORDER BY {order_sql}) AS _rk",
+        )
+        .where("_rk = 1")
+        .drop("_rk")
+    )
     if crawled is not None:
         seen = (
             with_url_keys(

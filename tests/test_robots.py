@@ -550,3 +550,43 @@ def test_fuzz_matcher_anchored_overlap_adversarial(spark):
         for j, p in enumerate(paths):
             want = allow if _py_match(r, p) else True
             assert got[(f"d{i}.com", f"http://d{i}.com{p}")] == want, (r, p, allow)
+
+
+def test_sql_text_twins_match_column_builders(spark):
+    """r14 optimization lock (the similarity-family discipline): the
+    SQL-text renderings _pct_canon_sql/_glob_hit_sql exist purely to cut
+    py4j plan-construction RPCs — they must stay result-identical to
+    their Column-constructor twins on the full hazard alphabet (percent
+    hazards, meta chars, raw/percent-spelled private-use sentinels,
+    malformed triplets, UTF-8 multi-octet, quotes and backslashes)."""
+    rnd = random.Random(99)
+    atoms = ["a", "b", "%20", " ", "/", "%2F", "%2f", "%61", "é", "%C3%A9",
+             "+", "%2B", "~", "%7E", "*", "$", "%24", "%2A", ".", "%z", "%",
+             "", "", "%EE%80%80", "%ee%80%81", "\\", "'", "x"]
+    vals = ["/" + "".join(rnd.choices(atoms, k=rnd.randint(0, 8))) for _ in range(300)]
+    vals += ["", "/", "$", "*", "/a*b$", "/x*y*z", "%"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, s string"
+    )
+    for is_rule in (False, True):
+        col_form = df.select(
+            "i", robots._pct_canon(F.col("s"), is_rule=is_rule).alias("c")
+        ).collect()
+        sql_form = df.selectExpr(
+            "i", f"{robots._pct_canon_sql('s', is_rule)} AS c"
+        ).collect()
+        a = {r["i"]: r["c"] for r in col_form}
+        b = {r["i"]: r["c"] for r in sql_form}
+        assert a == b, [k for k in a if a[k] != b[k]][:5]
+    rules = ["/a", "/a*b", "/a*b$", "/*", "*", "/x*y*z$", "/", "$", "/a$b", "/%2A"]
+    pairs = [(p, r) for p in vals[:60] for r in rules]
+    pdf = spark.createDataFrame(
+        [(i, p, r) for i, (p, r) in enumerate(pairs)], "i long, p string, r string"
+    )
+    col_form = pdf.select(
+        "i", robots._glob_hit(F.col("p"), F.col("r")).alias("h")
+    ).collect()
+    sql_form = pdf.selectExpr("i", f"({robots._glob_hit_sql('p', 'r')}) AS h").collect()
+    a = {r["i"]: r["h"] for r in col_form}
+    b = {r["i"]: r["h"] for r in sql_form}
+    assert a == b, [(pairs[k], a[k], b[k]) for k in a if a[k] != b[k]][:5]
