@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd parquet for everything the engine writes (store flushes,
+        # compactions): measured vs snappy on the bench store (r14,
+        # orders cells, 4-cycle interleaved medians) — write times
+        # statistically unchanged (insert 0.93 vs 0.91s, compact 2.21
+        # vs 2.27s), store 33% smaller (3.8 vs 5.7 MB), read ops no
+        # slower. At scale the size cut is pure I/O savings on every
+        # subsequent scan/compaction (optimization guide §6).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # compacted CFs are bucketed by key; cross-CF joins add the column
         # coordinate to the join keys. Allow subset-of-join-keys
         # co-partitioning (the pre-3.3 behavior) so HashPartitioning(key)
