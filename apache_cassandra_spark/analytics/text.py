@@ -791,7 +791,9 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("_c"))
         .select(_chars(F.col("word")).alias("syms"), F.col("_c"))
-        .localCheckpoint()
+        # lazy (r14): the round's top-1 collect below materializes the
+        # cut in the same job — eager paid a separate job per round
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -807,7 +809,7 @@ def bpe_train(
         merges.append((a, b, int(cnt)))
         words = words.select(
             _apply_bpe_merge(F.col("syms"), a, b).alias("syms"), F.col("_c")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

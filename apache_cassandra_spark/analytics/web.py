@@ -687,7 +687,9 @@ def resolve_redirects(
         edges.where(F.col(to_col).isNotNull())
         .groupBy(F.col(url_col).alias("_src"))
         .agg(F.min(to_col).alias("_dst"))
-        .localCheckpoint()
+        # lazy (r14): the hop-join lineage cuts materialize under the
+        # caller's action — the eager form ran max_hops build-time jobs
+        .localCheckpoint(eager=False)
     )
     cur = e.select(
         F.col("_src").alias(url_col),
@@ -708,7 +710,7 @@ def resolve_redirects(
                     + F.when(F.col("_h_dst").isNotNull(), 1).otherwise(0)
                 ).alias("n_hops"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     probe = e.select(F.col("_src").alias("_p_src"))
     return (
