@@ -269,11 +269,15 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     is reproducible across engines (ties → lexicographic term).
 
     Scale shape: one explode feeds the (doc, term) count — the only
-    corpus-sized shuffle — and that frame is **cached**: it has two
-    consumers (the per-doc scores and the document-frequency roll-up),
-    and Spark's ReuseExchange can't unify them (self-join attribute
-    dedup gives the branches different expression ids), so without the
-    cache the corpus would be scanned and exploded twice. Document
+    corpus-sized shuffle — and that frame is **materialized once via
+    eager localCheckpoint** (r14): it has two consumers (the per-doc
+    scores and the document-frequency roll-up), and Spark's
+    ReuseExchange can't unify them (self-join attribute dedup gives
+    the branches different expression ids); as a lazy cache their
+    cold-start stages raced and re-ran the tokenize+explode per
+    consumer (interleaved A/B 0.84 -> 0.72s median at sf0.1, every
+    pair in the checkpoint's favor — the dedup-family §3 race class,
+    despite only two consumers). Document
     frequency is a partial-aggregated roll-up of the cached frame and
     joins back WITHOUT a forced broadcast: it has one row per distinct
     term — vocabulary cardinality, unbounded on web-scale text (typos,
@@ -286,7 +290,7 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
     from pyspark.sql import Window
 
     toked = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=True)
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("_n"))
     scored = (
@@ -295,12 +299,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text", id_col: s
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
-    out = (
+    return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf")
     )
-    return owned_cache(out, tf)
 
 
 #: fixed lexical benchmark queries over the driver corpus vocabulary —
