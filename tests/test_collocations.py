@@ -58,14 +58,14 @@ def test_validation(spark):
         collocations(df, min_count=0)
 
 
-def test_cache_released_on_gc(spark):
-    import gc
-
+def test_no_cache_manager_entries(spark):
+    """r14: the count tables are eager localCheckpoints, not caches —
+    the operator must leave the session CacheManager untouched at every
+    point of its lifecycle (the leak-proof property the old
+    cache-released-on-GC test pinned, now unconditional)."""
     out = collocations(_df(spark, ["a b c"] * 4), k=5, min_count=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     out.collect()
-    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
-    del out
-    gc.collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
