@@ -128,6 +128,15 @@ for _u in range(8):
 #: 65535x65535, but a corrupt header must not OOM a 100 TB pipeline task
 MAX_PIXELS = 1 << 28
 
+#: flat zigzag permutation: _ZZ_FLAT[i] = 8*row + col of the i-th zigzag
+#: coefficient (encode-side gather); _ZZ_INV is its inverse (decode-side
+#: scatter: natural-order flat coef = zz[_ZZ_INV]). Precomputed once so
+#: the per-block (de)zigzag is a single numpy fancy-index instead of a
+#: 64-iteration Python loop (r15: ~8% of codec CPU on the gate's tiny
+#: rasters, where per-block fixed costs dominate).
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG], dtype=np.intp)
+_ZZ_INV = np.argsort(_ZZ_FLAT)
+
 
 def _round_half_up(x: np.ndarray) -> np.ndarray:
     """floor(x + 0.5) — the rounding mode shared with the DuckDB oracle
@@ -140,8 +149,25 @@ def _round_half_up(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+#: (bits, vals) -> built table memos. A stream decodes the SAME handful
+#: of Huffman tables for every image (the gate's corpus reuses Annex K's
+#: four tables across all 5k payloads), yet table construction was paid
+#: per image — ~20% of codec CPU on tiny rasters (r15, guide §4.5:
+#: heavyweight init once per task, not per row). Results are read-only
+#: lookup dicts, so sharing one instance is safe. Bounded: hostile
+#: streams with unbounded distinct tables reset the memo instead of
+#: growing a task-lifetime leak.
+_CODES_MEMO: dict[tuple[tuple[int, ...], tuple[int, ...]], dict[int, tuple[int, int]]] = {}
+_DECODE_MEMO: dict[tuple[tuple[int, ...], tuple[int, ...]], dict[tuple[int, int], int]] = {}
+_MEMO_CAP = 256
+
+
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per T.81 C.2 canonical code assignment."""
+    key = (tuple(bits), tuple(vals))
+    cached = _CODES_MEMO.get(key)
+    if cached is not None:
+        return cached
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -151,12 +177,23 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
             code += 1
             k += 1
         code <<= 1
+    if len(_CODES_MEMO) >= _MEMO_CAP:
+        _CODES_MEMO.clear()
+    _CODES_MEMO[key] = codes
     return codes
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol lookup for the decoder."""
-    return {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+    key = (tuple(bits), tuple(vals))
+    cached = _DECODE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    table = {(ln, c): s for s, (c, ln) in _build_codes(bits, vals).items()}
+    if len(_DECODE_MEMO) >= _MEMO_CAP:
+        _DECODE_MEMO.clear()
+    _DECODE_MEMO[key] = table
+    return table
 
 
 # ---------------------------------------------------------------------------
@@ -290,9 +327,22 @@ def _rgb_to_ycbcr(
 
 
 def _pad_plane(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
-    """Edge-replicate to (bh, bw) — the spec's recommended extension."""
+    """Edge-replicate to (bh, bw) — the spec's recommended extension.
+    Hand-rolled instead of ``np.pad(mode="edge")``: identical output
+    (right columns copy the last column, bottom rows copy the already-
+    padded last row, corner = last element), but np.pad's generic
+    machinery cost ~60µs per call — real money at one call per plane on
+    the gate's thousands of tiny rasters (r15)."""
     h, w = plane.shape
-    return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+    if h == bh and w == bw:
+        return plane
+    out = np.empty((bh, bw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if bw > w:
+        out[:h, w:] = plane[:, w - 1 : w]
+    if bh > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
 
 
 def _encode_block(
@@ -310,7 +360,9 @@ def _encode_block(
     shifted = block.astype(np.float64) - level
     coef = _DCT_A @ shifted @ _DCT_A.T
     q = _round_half_up(coef / qtable).astype(np.int64)
-    zz = [int(q[r, c]) for r, c in ZIGZAG]
+    # one fancy-index gather + tolist (Python ints, same as the old
+    # per-coefficient int() loop) instead of 64 scalar indexing ops
+    zz = q.ravel()[_ZZ_FLAT].tolist()
 
     diff = zz[0] - dc_pred
     cat = _category(diff)
@@ -340,9 +392,21 @@ def _encode_block(
     return zz[0]
 
 
+_DHT_MEMO: dict[tuple, bytes] = {}
+_DQT_MEMO: dict[tuple, bytes] = {}
+
+
 def _dht_segment(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    key = (tclass, tid, tuple(bits), tuple(vals))
+    cached = _DHT_MEMO.get(key)
+    if cached is not None:
+        return cached
     body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
-    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    seg = b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if len(_DHT_MEMO) >= _MEMO_CAP:
+        _DHT_MEMO.clear()
+    _DHT_MEMO[key] = seg
+    return seg
 
 
 def _dqt_segment(tid: int, qtable: np.ndarray, precision: int = 8) -> bytes:
@@ -353,6 +417,11 @@ def _dqt_segment(tid: int, qtable: np.ndarray, precision: int = 8) -> bytes:
     it anyway would produce a spec-invalid stream this repo's own
     prescan happens to accept but strict decoders may reject (r13
     advice)."""
+    qt = np.asarray(qtable)
+    key = (tid, precision, str(qt.dtype), qt.shape, qt.tobytes())
+    cached = _DQT_MEMO.get(key)
+    if cached is not None:
+        return cached
     vals = [int(qtable[r, c]) for r, c in ZIGZAG]
     if max(vals) > 255:
         if precision <= 8:
@@ -364,7 +433,11 @@ def _dqt_segment(tid: int, qtable: np.ndarray, precision: int = 8) -> bytes:
         body = bytes([0x10 | tid]) + b"".join(struct.pack(">H", v) for v in vals)
     else:
         body = bytes([tid]) + bytes(vals)
-    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    seg = b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    if len(_DQT_MEMO) >= _MEMO_CAP:
+        _DQT_MEMO.clear()
+    _DQT_MEMO[key] = seg
+    return seg
 
 
 def encode_jpeg_baseline(
@@ -415,9 +488,9 @@ def encode_jpeg_baseline(
         elif subsampling == "420":
             # box-average 2x2 with edge replication for odd dims,
             # floor(x+0.5) rounding
-            ype = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            ype = _pad_plane(cb, w + w % 2, h + h % 2).astype(np.float64)
             cbs = np.floor((ype[0::2, 0::2] + ype[0::2, 1::2] + ype[1::2, 0::2] + ype[1::2, 1::2]) / 4.0 + 0.5)
-            rpe = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            rpe = _pad_plane(cr, w + w % 2, h + h % 2).astype(np.float64)
             crs = np.floor((rpe[0::2, 0::2] + rpe[0::2, 1::2] + rpe[1::2, 0::2] + rpe[1::2, 1::2]) / 4.0 + 0.5)
             planes = [y, cbs.astype(y.dtype), crs.astype(y.dtype)]
             samplings = [(2, 2), (1, 1), (1, 1)]
@@ -693,10 +766,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 step = 2 if pq else 1
                 if p + 1 + 64 * step > len(seg):
                     raise ValueError("truncated DQT segment")
+                raw = np.frombuffer(
+                    seg, dtype=">u2" if pq else np.uint8, count=64, offset=p + 1
+                ).astype(np.float64)
                 tbl = np.zeros((8, 8))
-                for i, (r, c) in enumerate(ZIGZAG):
-                    off = p + 1 + i * step
-                    tbl[r, c] = (seg[off] << 8) | seg[off + 1] if pq else seg[off]
+                tbl.ravel()[_ZZ_FLAT] = raw
                 qtables[tq] = tbl
                 p += 1 + 64 * step
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential DCT
@@ -826,9 +900,7 @@ def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
                                     raise ValueError("AC index out of range")
                                 zz[k] = _extend(br.read_bits(size), size)
                                 k += 1
-                            coef = np.zeros((8, 8))
-                            for i, (r, c) in enumerate(ZIGZAG):
-                                coef[r, c] = zz[i]
+                            coef = zz[_ZZ_INV].reshape(8, 8)
                             coef *= qt
                             block = _DCT_A.T @ coef @ _DCT_A + level
                             r0 = (my * vi + by) * 8
@@ -1094,9 +1166,9 @@ def encode_jpeg_progressive(
             planes = [y, cb, cr]
             samplings = [(1, 1), (1, 1), (1, 1)]
         elif subsampling == "420":
-            ype = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            ype = _pad_plane(cb, w + w % 2, h + h % 2).astype(np.float64)
             cbs = np.floor((ype[0::2, 0::2] + ype[0::2, 1::2] + ype[1::2, 0::2] + ype[1::2, 1::2]) / 4.0 + 0.5)
-            rpe = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.float64)
+            rpe = _pad_plane(cr, w + w % 2, h + h % 2).astype(np.float64)
             crs = np.floor((rpe[0::2, 0::2] + rpe[0::2, 1::2] + rpe[1::2, 0::2] + rpe[1::2, 1::2]) / 4.0 + 0.5)
             planes = [y, cbs.astype(y.dtype), crs.astype(y.dtype)]
             samplings = [(2, 2), (1, 1), (1, 1)]
@@ -1127,7 +1199,7 @@ def encode_jpeg_progressive(
                 block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - level
                 coef = _DCT_A @ block @ _DCT_A.T
                 q = _round_half_up(coef / qts[ci]).astype(np.int64)
-                store[by, bx] = [int(q[r, c]) for r, c in ZIGZAG]
+                store[by, bx] = q.ravel()[_ZZ_FLAT]
         coefs.append(store)
         dims.append((-(-cw // 8), -(-ch // 8), bw_pad, bh_pad))
 
@@ -1476,10 +1548,11 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 step = 2 if pq else 1
                 if p + 1 + 64 * step > len(seg):
                     raise ValueError("truncated DQT segment")
+                raw = np.frombuffer(
+                    seg, dtype=">u2" if pq else np.uint8, count=64, offset=p + 1
+                ).astype(np.float64)
                 tbl = np.zeros((8, 8))
-                for i, (r, c) in enumerate(ZIGZAG):
-                    off = p + 1 + i * step
-                    tbl[r, c] = (seg[off] << 8) | seg[off + 1] if pq else seg[off]
+                tbl.ravel()[_ZZ_FLAT] = raw
                 qtables[tq] = tbl
                 p += 1 + 64 * step
         elif marker == 0xC2:
@@ -1599,9 +1672,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
         for by in range(bh_r):
             for bx in range(bw_r):
                 zz = store[cid][by, bx]
-                coef = np.zeros((8, 8))
-                for i, (r, c) in enumerate(ZIGZAG):
-                    coef[r, c] = zz[i]
+                coef = np.asarray(zz, dtype=np.float64)[_ZZ_INV].reshape(8, 8)
                 coef *= qt
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _DCT_A.T @ coef @ _DCT_A + level
