@@ -109,13 +109,31 @@ def pagerank(
     )
 
     ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("r"))
-    for _ in range(iters):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), F.expr("(r * w) div wout").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
+    for it in range(iters):
+        if it == 0:
+            # round-1 shortcut (guide §2.4 remove shuffles / §8 use what
+            # the optimizer cannot know): the uniform start means
+            # rank(src) == MICRO for EVERY edge (e.src ⊆ nodes by
+            # construction, and nodes is distinct, so the inner join
+            # matched each edge exactly once) — contribute
+            # (MICRO * w) div wout directly and skip one full
+            # edge⋈rank-table shuffle out of `iters`. Bit-identical:
+            # same bigint arithmetic over the same rows.
+            contribs = (
+                e.select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"(cast({MICRO} as bigint) * w) div wout").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+        else:
+            contribs = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .select(F.col("dst").alias("node"), F.expr("(r * w) div wout").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
@@ -180,27 +198,43 @@ def label_propagation(
     directed = edges.where(
         F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
     ).select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"), w.cast("long").alias("w"))
+    # LAZY lineage cut (r15): round 1's label checkpoint below is the
+    # first action and reads every partition of `und` (its aggregate is
+    # exhaustive), so the cut materializes inside that job — the eager
+    # form paid a separate job launch for the same blocks. Later rounds
+    # read the persisted blocks; the per-round jobs are strictly
+    # sequential, so there is no cold-cache consumer race here.
     und = (
         directed.unionByName(
             directed.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iters):
-        votes = (
-            und.join(labels, und["v"] == labels["node"])
-            .select(F.col("u"), F.col("label"), F.col("w"))
-            .groupBy("u", "label")
-            .agg(F.sum("w").alias("_wsum"))
-        )
+    labels = None
+    for it in range(iters):
+        if it == 0:
+            # round-1 shortcut (guide §2.4/§8): labels start as the node
+            # id itself, and every neighbor endpoint v IS a node (und is
+            # symmetric, so distinct(u) covers all endpoints) — the
+            # first und⋈labels join maps each row to label = v. Emitting
+            # that directly skips one full edge-table shuffle AND the
+            # initial |V|-row label checkpoint job. Bit-identical: the
+            # inner join matched each und row exactly once with
+            # label == v.
+            votes = (
+                und.select(F.col("u"), F.col("v").alias("label"), F.col("w"))
+                .groupBy("u", "label")
+                .agg(F.sum("w").alias("_wsum"))
+            )
+        else:
+            votes = (
+                und.join(labels, und["v"] == labels["node"])
+                .select(F.col("u"), F.col("label"), F.col("w"))
+                .groupBy("u", "label")
+                .agg(F.sum("w").alias("_wsum"))
+            )
         best_w = votes.groupBy("u").agg(F.max("_wsum").alias("_best"))
         labels = (
             votes.join(best_w, "u")
@@ -328,15 +362,32 @@ def hits(
             .localCheckpoint(eager=True)
         )
 
+    # hubs start uniform at MICRO; round 1's authority half-step uses the
+    # algebraic shortcut below instead of joining this constant table
     hubs = nodes.select("node", F.lit(MICRO).cast("long").alias("s"))
     auths = None
-    for _ in range(iters):
-        a_raw = (
-            e.join(hubs, e["src"] == hubs["node"])
-            .select(F.col("dst").alias("node"), (F.col("s") * F.col("w")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("raw"))
-        )
+    for it in range(iters):
+        if it == 0:
+            # round-1 shortcut (guide §2.4/§8): hub(src) == MICRO for
+            # every edge (e.src ⊆ nodes, nodes distinct — the inner join
+            # matched each edge exactly once), so the first
+            # edge⋈hub-table shuffle is an identity. Bit-identical
+            # bigint arithmetic on the same rows.
+            a_raw = (
+                e.select(
+                    F.col("dst").alias("node"),
+                    (F.lit(MICRO).cast("long") * F.col("w")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("raw"))
+            )
+        else:
+            a_raw = (
+                e.join(hubs, e["src"] == hubs["node"])
+                .select(F.col("dst").alias("node"), (F.col("s") * F.col("w")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("raw"))
+            )
         auths = _normalize(
             nodes.join(a_raw, "node", "left").select(
                 "node", F.coalesce("raw", F.lit(0)).alias("raw")
