@@ -1072,6 +1072,33 @@ def test_approx_distinct_within_5pct_of_exact(spark):
     assert both and all(abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"]) for r in both)
 
 
+def test_clickstream_props_regex_lock(spark):
+    """r15 optimization lock: ``_props_k_int`` (the anchored-regexp page-id
+    extraction feeding every clickstream-graph query) must stay
+    row-identical to its ``get_json_object(props, '$.k')`` twin on (a) the
+    FULL real events corpus and (b) a fuzz of the corpus props grammar —
+    flat JSON objects with bare-integer k under spacing variants, plus
+    k-absent/null/empty rows. It exists purely to skip the per-row Jackson
+    parse, never to change a page id; if the events generator widens the
+    props grammar, this lock is the tripwire."""
+    from apache_cassandra_spark.queries import _props_k_int, load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    twin = F.get_json_object("props", "$.k").cast("int")
+    a = ev.select(_props_k_int().alias("k"))
+    b = ev.select(twin.alias("k"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    fuzz = [
+        '{"k": 76}', '{"k":-3}', '{"k" : 0}', '{ "k": 2147483647}',
+        '{"j": 5, "k": 9}', '{"k": 4, "j": 1}', '{}', '{"j": 5}',
+        None, "", "not json at all",
+    ]
+    df = spark.createDataFrame([(s,) for s in fuzz], "props string")
+    got = [r["k"] for r in df.select(_props_k_int().alias("k")).collect()]
+    want = [r["k"] for r in df.select(twin.alias("k")).collect()]
+    assert got == want, (got, want)
+
+
 def test_sql_text_twins_bit_identical(spark):
     """r14 optimization lock: the SQL-text renderings (_dot_sql/_norm_sql/
     _sub_euclid_sql/lsh_bucket_tables-by-name) must stay BIT-identical to
