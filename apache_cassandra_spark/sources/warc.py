@@ -689,9 +689,23 @@ def read_warc(
     the session's shuffle partitioning. gzip shards (``.gz``) are
     decompressed member-by-member executor-side."""
     files = spark.read.format("binaryFile").load(path).select("path")
-    files = files.repartition(
-        num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")), "path"
-    )
+    if num_partitions is None:
+        # scale-adaptive walker width (guide §6 input sizing): never spin
+        # more walker tasks than the scan has splits — binaryFile packs
+        # small shards together and gives big shards a split each, so the
+        # split count already tracks total bytes; every EMPTY extra task
+        # still pays the full Python-runner handshake (measured ~300 ms
+        # per task on a 1-shard directory repartitioned to 32). At crawl
+        # scale (thousands of shards) the split count exceeds the
+        # configured width and this cap is a no-op.
+        num_partitions = max(
+            1,
+            min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                files.rdd.getNumPartitions(),
+            ),
+        )
+    files = files.repartition(num_partitions, "path")
     return _parse_walked(
         _walk_files(files, batch_rows, batch_bytes), record_types, extra_headers
     )
