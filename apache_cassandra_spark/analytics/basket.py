@@ -75,7 +75,24 @@ def frequent_item_pairs(
             .select("b")
         )
         items = items.join(ok, "b", "left_semi")
-    baskets = items.groupBy("b").agg(F.sort_array(F.collect_set("i")).alias("arr"))
+    # Pin the basket-aggregation exchange at the configured shuffle width
+    # (AQE-coalesce-exempt): the stage it feeds — collect_set → in-array
+    # pair explode → pair partial-aggregate — is QUADRATIC CPU per basket
+    # row, and AQE's byte-sized coalescing (blind to per-row fan-out CPU)
+    # squeezed it to 5-6 tasks at sf0.1, serializing ~3.7s of CPU that
+    # runs wide under the pin (guide §2.5: synthetic-width/skew tension;
+    # same diagnosis class as the r14 prefix-verify §12, but here the
+    # heavy work follows THIS exchange directly, so the pin lands).
+    # Interleaved A/B at sf0.1: 1.81 → 1.63s median; the checkpoint-side
+    # pin was measured WORSE (2.17s) and is deliberately absent. The
+    # width is the session's shuffle parallelism — cluster-configured,
+    # not a local constant.
+    spark_parts = int(items.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    baskets = (
+        items.repartition(spark_parts, "b")
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("arr"))
+    )
     n = F.size("arr")
     pairs = (
         baskets.select(
